@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational breadth over the TPC-H-ish star schema (FIXTURES.md).
+  * The reference has no relational layer (SURVEY.md §2 "explicitly
+  * absent"); these prove the rebuild's scan→filter→join→agg paths with
+  * plans that hold at 100 TB: dims broadcast, filters pushed to parquet,
+  * aggregates map-side combined.
+  *
+  * Float discipline: monetary columns are 2-decimal values stored as
+  * doubles, so every SUM goes through exact integer cents
+  * (`round(x*100)::long`) and divides back at the end. Integer addition
+  * is associative — the result is order-independent and bit-identical
+  * across any shuffle layout and across engines (double addition is
+  * not associative; a 32-way shuffle would otherwise produce
+  * run-to-run jitter in the last ulp, and per-row double→decimal casts
+  * round differently between engines).
+  */
+object Relational {
+
+  /** Exact integer cents of a 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** Order-independent SUM of a 2-decimal money column, as double. */
+  private def dsum(c: Column): Column =
+    sum(cents(c)).cast(DoubleType) / lit(100.0)
+
+  /** Exact revenue sum: price_cents * (100 - discount_basis_points),
+    * all int64, divided back to currency at the end.
+    */
+  private def revenueSum(price: Column, discount: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(discount))).cast(DoubleType) /
+      lit(10000.0)
+
+  private def chargeSum(price: Column, discount: Column, tax: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(discount)) *
+      (lit(100L) + cents(tax))).cast(DoubleType) / lit(1000000.0)
+
+  /** TPC-H Q1-style pricing summary: the canonical scan→filter→agg. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc_price"),
+        chargeSum(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+
+  /** TPC-H Q3-style: top-10 unshipped orders by revenue for one segment.
+    * Join order: lineitem ⋈ (orders ⋈ broadcast(customer-filter)).
+    * Ties broken by orderkey so the limit is deterministic.
+    */
+  def topOrders(lineitem: DataFrame, orders: DataFrame,
+                customer: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    lineitem
+      .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation inside one region/date window.
+    * The full dim chain customer→nation→region is broadcast; only
+    * lineitem⋈orders shuffles, on the join key both sides already share.
+    */
+  def regionRevenue(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    lineitem
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Anti join: customers that never ordered (NOT EXISTS). At scale a
+    * shuffled left-anti on the customer key; orders side pre-projected
+    * to the single join column so only keys move.
+    */
+  def customersWithoutOrders(customer: DataFrame,
+                             orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast(LongType).as("c_nationkey"))
+
+  /** Semi join: suppliers in nations that have at least one BUILDING
+    * customer (EXISTS), dims broadcast.
+    */
+  def suppliersInActiveNations(supplier: DataFrame,
+                               customer: DataFrame): DataFrame =
+    supplier.join(
+      broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nk")).distinct()),
+      col("s_nationkey") === col("nk"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast(LongType).as("s_nationkey"))
+
+  /** Window functions: top-3 parts per brand by retail price
+    * (rank over a partitioned sort; ties broken by partkey).
+    */
+  def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    part.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("p_brand"), col("rk").cast(LongType).as("rk"),
+        col("p_partkey"), col("p_retailprice"))
+  }
+
+  /** ROLLUP: hierarchical subtotals (flag, status) → flag → grand total.
+    * One shuffle; Spark expands grouping sets map-side.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Correlated-aggregate filter: orders whose lineitem count exceeds a
+    * threshold (HAVING over a keyed agg, then join back to orders —
+    * both sides partitioned by the same key).
+    */
+  def bigOrders(lineitem: DataFrame, orders: DataFrame,
+                minLines: Long = 6): DataFrame = {
+    val counts = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= minLines)
+    orders.join(counts, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("n_lines"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch-mode forms of the reference's streaming dataflow operators.
+  * Each runs identically on a streaming DataFrame (same expressions; see
+  * graft.streaming for the MemoryStream twins exercised in tests).
+  */
+object StreamOps {
+
+  /** A1 + P3–P5 — the reference's flagship query: sliding-window word
+    * count over decoded record values
+    * (reference `examples/.../KafkaWordCount.scala:67-72`,
+    * `reduceByKeyAndWindow(_+_, _-_, Minutes(10), Seconds(2), 2)`).
+    * Here: tokenize the decoded value, bucket by event time. Structured
+    * Streaming's state store does the incremental (inverse-function)
+    * maintenance natively when this runs on a stream.
+    *
+    * @param slide None → tumbling; Some(d) → sliding windows.
+    */
+  def wordCountWindow(decoded: DataFrame,
+                      windowDur: String = "10 minutes",
+                      slide: Option[String] = None): DataFrame = {
+    // P3 first: the example drops the key (`map(_._2)`) and tokenizes
+    // the value only (reference `KafkaWordCount.scala:67,70`).
+    val words = decoded.select(
+      col("ts"),
+      explode(split(col("value_str"), " ")).as("word"))
+    val w = slide match {
+      case Some(s) => window(col("ts"), windowDur, s)
+      case None    => window(col("ts"), windowDur)
+    }
+    words.groupBy(w.as("win"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("w_start"), col("word"), col("cnt"))
+  }
+
+  /** A3 + S10/S11 — per-partition offset bounds. min = the earliest
+    * replayable offset (recovery default 0 / "earliest"), max = the head
+    * offset a `startFromLatestKafkaOffset` consumer would seed from
+    * (reference `…InputDStream.scala:153-175`, `KafkaUtils.scala:19-49`).
+    */
+  def offsetBounds(kafka: DataFrame): DataFrame =
+    kafka.groupBy(col("partition").cast(LongType).as("kpartition"))
+      .agg(
+        min(col("offset")).as("min_offset"),
+        max(col("offset")).as("max_offset"),
+        count(lit(1)).as("n_records"))
+
+  /** A4 — OffsetOutOfRange recovery: the smallest valid broker offset
+    * strictly above the consumer's stale cursor, else 0
+    * (reference `…InputDStream.scala:352-370`: `seq.find(_ > current)`
+    * over the ascending offset list).
+    */
+  def firstOffsetAbove(kafka: DataFrame, current: Long): DataFrame =
+    kafka.groupBy(col("partition").cast(LongType).as("kpartition"))
+      .agg(coalesce(
+        min(when(col("offset") > lit(current), col("offset"))),
+        lit(0L)).as("recovered_offset"))
+
+  /** A5 — throughput meter, batch analog: events/sec per partition per
+    * hour bucket (reference per-partition EWMA `Meter.mark(consumed)`,
+    * `…InputDStream.scala:101,228,387-389`).
+    */
+  def throughput(kafka: DataFrame): DataFrame =
+    kafka
+      .groupBy(
+        col("partition").cast(LongType).as("kpartition"),
+        window(col("timestamp"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("kpartition"), col("win.start").as("hour_start"),
+        col("cnt"),
+        (col("cnt").cast(DoubleType) / lit(3600.0)).as("events_per_sec"))
+
+  /** M1 — stream union: the example merges N per-consumer shards into
+    * one stream before aggregating (reference `KafkaWordCount.scala:53-68`,
+    * `ssc.union(...)`). Semantics-preserving test form: shard by the P6
+    * predicate, union back, aggregate — must equal the unsharded agg.
+    */
+  def unionShards(kafka: DataFrame, consumersCount: Int): DataFrame = {
+    val shards = (0 until consumersCount).map { id =>
+      kafka.filter(
+        pmod(col("partition"), lit(consumersCount)) === lit(id))
+    }
+    shards.reduce(_.union(_))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("partition")).as("n_partitions"))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{CommitLog, KafkaShape, Monitoring, Tables}
+import graft.ops.{Relational, StreamOps}
+
+/** The driver-facing query registry: every SURVEY.md §2 operator that is
+  * implemented gets a named DataFrame query here plus (when
+  * SQL-expressible) a DuckDB oracle over the same parquet tables.
+  *
+  * Column-name discipline: every computed column is aliased identically
+  * in the Spark query and the oracle SQL (the driver sorts columns by
+  * name before hashing). Float discipline: see graft.ops.Relational.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  private def kafka(s: SparkSession, d: String) =
+    KafkaShape.fromEvents(events(s, d))
+
+  // ---------------------------------------------------------------- //
+  // Streaming-semantics operators (reference SURVEY §2 S/P/A/M rows) //
+  // ---------------------------------------------------------------- //
+
+  val streamQueries: Map[String, Q] = Map(
+    // A1+P3-P5: flagship windowed word count (tumbling batch form)
+    "wordcount_tumbling" -> ((s, d) =>
+      StreamOps.wordCountWindow(
+        KafkaShape.decodeUtf8(kafka(s, d)), "10 minutes", None)),
+    // A1: sliding-window form (10 min window, 5 min slide)
+    "wordcount_sliding" -> ((s, d) =>
+      StreamOps.wordCountWindow(
+        KafkaShape.decodeUtf8(kafka(s, d)), "10 minutes", Some("5 minutes"))),
+    // S1/S2 + P1/P2: Kafka shape → UTF-8 decode round trip
+    "kafka_roundtrip" -> ((s, d) => KafkaShape.decodeUtf8(kafka(s, d))),
+    // P6: modulo shard predicate (consumer 1 of 4)
+    "partition_shard" -> ((s, d) =>
+      KafkaShape.decodeUtf8(kafka(s, d).filter(KafkaShape.shardFilter(
+        KafkaShape.StreamConfig(consumerId = 1, consumersCount = 4))))),
+    // A3 + S10/S11: per-partition offset bounds
+    "offset_bounds" -> ((s, d) => StreamOps.offsetBounds(kafka(s, d))),
+    // A4: OffsetOutOfRange recovery offset
+    "first_offset_above" -> ((s, d) =>
+      StreamOps.firstOffsetAbove(kafka(s, d), 500L)),
+    // A5: throughput meter
+    "throughput" -> ((s, d) => StreamOps.throughput(kafka(s, d))),
+    // M1: shard-union-aggregate equivalence
+    "union_shards" -> ((s, d) => StreamOps.unionShards(kafka(s, d), 4)),
+    // M2: group-by-leader batching
+    "leader_batches" -> ((s, d) => Monitoring.leaderBatches(kafka(s, d))),
+    // S9/A2: commit-log derivation incl. HBase rowkey twin
+    "commit_log" -> ((s, d) =>
+      CommitLog.fromKafkaBatch(kafka(s, d))
+        .withColumn("rowkey", CommitLog.rowkey("graft"))
+        .withColumn("partition", col("partition").cast(LongType))
+        .withColumn("status", col("status").cast(LongType))),
+    // M3: the lag join (partition 3 uncommitted → -1 path)
+    "lag_join" -> ((s, d) => {
+      val k = kafka(s, d)
+      val commits = CommitLog.fromKafkaBatch(
+        k.filter(col("partition") =!= 3),
+        committedFilter = col("offset") < 700)
+      Monitoring.lagReport(k, commits)
+    }))
+
+  val streamOracles: Map[String, String] = Map(
+    "wordcount_tumbling" ->
+      """SELECT make_timestamp((epoch_us(ts)//600000000)*600000000) AS w_start,
+        |       word, count(*) AS cnt
+        |FROM (SELECT ts, unnest(string_split(props, ' ')) AS word FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "wordcount_sliding" ->
+      """WITH words AS (
+        |  SELECT ts, unnest(string_split(props, ' ')) AS word FROM events),
+        |ex AS (
+        |  SELECT word,
+        |         make_timestamp((epoch_us(ts)//300000000)*300000000
+        |                        - s.off*1000000) AS w_start
+        |  FROM words, (SELECT unnest([0, 300]) AS off) s)
+        |SELECT w_start, word, count(*) AS cnt FROM ex GROUP BY 1, 2""".stripMargin,
+    "kafka_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events""".stripMargin,
+    "partition_shard" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events WHERE (user_id % 8) % 4 = 1""".stripMargin,
+    "offset_bounds" ->
+      """SELECT user_id % 8 AS kpartition, min(event_id) AS min_offset,
+        |       max(event_id) AS max_offset, count(*) AS n_records
+        |FROM events GROUP BY 1""".stripMargin,
+    "first_offset_above" ->
+      """SELECT user_id % 8 AS kpartition,
+        |       coalesce(min(event_id) FILTER (WHERE event_id > 500), 0)
+        |         AS recovered_offset
+        |FROM events GROUP BY 1""".stripMargin,
+    "throughput" ->
+      """SELECT user_id % 8 AS kpartition,
+        |       make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
+        |       count(*) AS cnt, count(*)/3600.0 AS events_per_sec
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "union_shards" ->
+      """SELECT 'events' AS topic, count(*) AS n_records,
+        |       count(DISTINCT user_id % 8) AS n_partitions
+        |FROM events""".stripMargin,
+    "leader_batches" ->
+      """WITH p AS (SELECT DISTINCT user_id % 8 AS kpartition FROM events)
+        |SELECT kpartition % 3 AS leader, count(*) AS n_partitions,
+        |       array_to_string(list_sort(list(kpartition)), ',') AS partitions
+        |FROM p GROUP BY 1""".stripMargin,
+    "commit_log" ->
+      """SELECT 'graft' AS client_id, 'events' AS topic,
+        |       user_id % 8 AS partition, max(event_id) AS "offset",
+        |       count(*) AS consumed, count(*) AS processed,
+        |       'localhost' AS host, CAST(0 AS BIGINT) AS status, max(ts) AS ts,
+        |       '[graft]-events-' || CAST(user_id % 8 AS VARCHAR) AS rowkey
+        |FROM events GROUP BY user_id % 8""".stripMargin,
+    "lag_join" ->
+      """WITH heads AS (
+        |  SELECT user_id % 8 AS kpartition, max(event_id) AS head_offset
+        |  FROM events GROUP BY 1),
+        |commits AS (
+        |  SELECT user_id % 8 AS kpartition, max(event_id) AS committed_offset
+        |  FROM events WHERE event_id < 700 AND user_id % 8 <> 3 GROUP BY 1)
+        |SELECT coalesce(h.kpartition, c.kpartition) AS kpartition,
+        |       coalesce(head_offset, -1) AS head_offset,
+        |       coalesce(committed_offset, -1) AS committed_offset,
+        |       CASE WHEN head_offset IS NOT NULL
+        |             AND committed_offset IS NOT NULL
+        |            THEN head_offset - committed_offset ELSE -1 END AS lag
+        |FROM heads h FULL OUTER JOIN commits c USING (kpartition)""".stripMargin)
+
+  // ---------------------------------------------------------------- //
+  // Relational breadth (TPC-H-ish)                                   //
+  // ---------------------------------------------------------------- //
+
+  val relationalQueries: Map[String, Q] = Map(
+    "q1_pricing" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q3_top_orders" -> ((s, d) => Relational.topOrders(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+    "q5_region_revenue" -> ((s, d) => Relational.regionRevenue(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+      Tables.nation(s, d), Tables.region(s, d))),
+    "anti_no_orders" -> ((s, d) => Relational.customersWithoutOrders(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "semi_active_nations" -> ((s, d) => Relational.suppliersInActiveNations(
+      Tables.supplier(s, d), Tables.customer(s, d))),
+    "window_rank" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
+    "rollup_summary" -> ((s, d) => Relational.rollupSummary(Tables.lineitem(s, d))),
+    "big_orders" -> ((s, d) => Relational.bigOrders(
+      Tables.lineitem(s, d), Tables.orders(s, d))))
+
+  val relationalOracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |          * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |          * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |          * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+        | count(*) AS count_order,
+        | (CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0)/count(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |          * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |          * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "anti_no_orders" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "semi_active_nations" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_nationkey = s.s_nationkey
+        |                AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "window_rank" ->
+      """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+        | SELECT p_brand,
+        |        CAST(row_number() OVER (PARTITION BY p_brand
+        |          ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk,
+        |        p_partkey, p_retailprice FROM part) t
+        |WHERE rk <= 3""".stripMargin,
+    "rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "big_orders" ->
+      """SELECT o_orderkey, o_totalprice, n_lines FROM orders JOIN
+        | (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |  GROUP BY 1 HAVING count(*) >= 6) t
+        | ON o_orderkey = l_orderkey""".stripMargin)
+
+  val all: Map[String, Q] = streamQueries ++ relationalQueries
+  val oracles: Map[String, String] = streamOracles ++ relationalOracles
+}
