@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** N4 — text-analysis operators over the `documents` table, plus the
+  * shared tokenization/hashing primitives the dedup family builds on.
+  *
+  * Cross-engine hash discipline: every hash that feeds a DuckDB oracle
+  * is plain integer arithmetic (polynomial char fold, affine maps mod a
+  * Mersenne prime) expressible identically in Spark and SQL — never an
+  * engine-built-in hash. xxhash64 is used only where the oracle doesn't
+  * recompute it (MinHash candidate pruning, whose oracle is the exact
+  * jaccard).
+  */
+object TextOps {
+
+  val P: Long = 2147483647L           // 2^31 - 1
+  val HalfP: Long = P / 2
+  val FpMod: Long = 1000000007L
+
+  /** Deterministic affine-map constants (a, c); seed fixed so the same
+    * values are interpolated into the oracle SQL.
+    */
+  def affineConstants(seed: Long, n: Int): IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(n)((1L + rng.nextInt((P - 1).toInt).toLong,
+      rng.nextInt(P.toInt).toLong))
+  }
+
+  /** 64 bit-hash constants for SimHash. */
+  val simhashAC: IndexedSeq[(Long, Long)] = affineConstants(43L, 64)
+  /** 128 permutation constants for MinHash. */
+  val minhashAB: IndexedSeq[(Long, Long)] = affineConstants(42L, 128)
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Polynomial rolling hash of a string column:
+    * fold(chars)(acc*31 + ascii) mod 1e9+7. Exactly expressible in
+    * DuckDB via list_reduce, so fingerprint queries oracle bit-exactly.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)),
+        i => ascii(substring(s, i, lit(1)))),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(FpMod)))
+
+  // substring(Column, Column, Column) variant needs expr; helper:
+  private def substring(s: Column, pos: Column, len: Column): Column =
+    s.substr(pos, len)
+
+  /** Distinct k-word shingles (default 3) of a text column — the unit
+    * set for document-level jaccard (SURVEY §2 N2).
+    */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Distinct character n-grams (default 5). */
+  def charGrams(text: Column, n: Int = 5): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** SimHash signature as two unsigned 32-bit halves (lo = bits 0..31).
+    * Per token: h = polyHash(tok); bit b votes +1 iff
+    * (a_b*h + c_b) mod P >= P/2. A doc's bit is 1 iff its vote sum > 0.
+    * Two halves (not one int64) because the oracle engine uses checked
+    * 64-bit arithmetic — bit 63 would overflow there.
+    *
+    * Scale note: the per-token fold runs once per (doc, token) row and
+    * the 64 votes are one map-side-combined aggregate — no shuffle
+    * beyond the doc_id groupBy. With a large corpus the distinct-token
+    * dictionary is tiny relative to token instances; hashing the
+    * dictionary once and broadcast-joining it back would cut the fold
+    * cost 100×, at the price of one more broadcast — worth it at 100 TB,
+    * unnecessary at bench scale.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", polyHash(col("tok")))
+    val votes = (0 until 64).map { b =>
+      val (a, c) = simhashAC(b)
+      sum(when(pmod(lit(a) * col("h") + lit(c), lit(P)) >= lit(HalfP), 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val lo = (0 until 32).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hi = (32 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << (b - 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), lo.as("sim_lo"), hi.as("sim_hi"))
+  }
+
+  /** Language-ID heuristic: marker-stopword voting with a fixed
+    * precedence for ties (en > es > de > fr > unknown).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  def langId(text: Column): Column = {
+    val w = tokens(lower(text))
+    val counts = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("unknown"): Column) { case ((lang, c), acc) =>
+      when(c > 0 && c === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality scoring: token stats + alpha ratio + stopword ratio and a
+    * blended score — all integer-derived doubles (deterministic).
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = tokens(t)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val nTok = size(w).cast(LongType)
+    val nStop = size(filter(w, x => stop.map(s => x === lit(s)).reduce(_ || _)))
+      .cast(LongType)
+    val alphaChars = length(regexp_replace(t, "[^a-z]", "")).cast(LongType)
+    val nChars = length(t).cast(LongType)
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(w)).cast(LongType).as("n_distinct_tokens"),
+      (nChars.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
+      (alphaChars.cast(DoubleType) / nChars.cast(DoubleType)).as("alpha_ratio"),
+      (nStop.cast(DoubleType) / nTok.cast(DoubleType)).as("stopword_ratio"))
+      .withColumn("quality_score",
+        col("alpha_ratio") * lit(0.5) + col("stopword_ratio") * lit(0.5))
+  }
+
+  /** Term statistics (the integer core of tf-idf; idf left as ints so
+    * the oracle avoids cross-libm log()): document frequency and total
+    * term frequency per term.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    tok.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+  }
+
+  /** Document fingerprint: rolling polynomial hash of the whole text. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), polyHash(col(textCol)).as("fingerprint"))
+}
