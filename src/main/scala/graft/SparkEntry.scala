@@ -16,7 +16,7 @@ object SparkEntry {
     StreamOps.wordCountWindow(
       KafkaShape.decodeUtf8(
         KafkaShape.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))),
-      "10 minutes", Some("2 minutes"))
+      "10 minutes", Some("2 seconds"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all

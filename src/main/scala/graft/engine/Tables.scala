@@ -23,7 +23,11 @@ object Tables {
     * truncation (matches DuckDB's ns→us cast direction for ts >= 0).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Required before planning the scan. Set defensively because the
+    // driver owns some sessions (entry smoke); guarded so repeated
+    // table getters don't mutate session conf on every call.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

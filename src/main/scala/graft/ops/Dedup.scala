@@ -181,21 +181,55 @@ object Dedup {
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** N2 — embedding-cosine near-dup pairs ≥ threshold (exact,
-    * quantized). The self-join is range-partitioned on vec id; at
-    * corpus scale the candidate step would go through the same LSH
-    * banding as Similarity.lshTopK — kept exact here because the
-    * verify-side cost is what the oracle checks.
+  /** Sign bits of a quantized vector projected onto `nBits` fixed
+    * pseudo-random ±1 hyperplanes (weight of (bit b, dim i) derived
+    * from xxhash64 — deterministic, no RNG state shipped to executors).
+    * By the random-hyperplane LSH property, P[bit agrees] =
+    * 1 − θ/π for a pair at angle θ.
+    */
+  def hyperplaneBits(qvec: Column, nBits: Int): Column =
+    transform(sequence(lit(0), lit(nBits - 1)), b =>
+      when(aggregate(
+        zip_with(qvec,
+          transform(sequence(lit(0), size(qvec) - 1),
+            i => when(pmod(xxhash64(b, i), lit(2L)) === 0, lit(1L))
+              .otherwise(lit(-1L))),
+          (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L)))
+
+  /** N2 — embedding-cosine near-dup pairs ≥ threshold: hyperplane-LSH
+    * banded candidate generation + exact quantized-cosine verification —
+    * the same bucketed shape as minhashPairs, never the O(n²) cross
+    * product (the brute-force form lives only in the DuckDB oracle).
+    *
+    * Miss probability per pair at cosine s: (1 − p^r)^b with
+    * p = 1 − arccos(s)/π; defaults r=4, b=96 give < 1e-7 at s=0.4.
+    * At petabyte corpus scale raise rowsPerBand (bucket selectivity
+    * grows 2^r) and bands together to hold recall while keeping the
+    * per-band bucket join sparse; candidates are verified exactly, so
+    * false positives only cost compute, never correctness.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.4,
+                     bands: Int = 96, rowsPerBand: Int = 4): DataFrame = {
+    val nBits = bands * rowsPerBand
     val q = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
       .withColumn("nn", qdot(col("q"), col("q")))
-    val a = q.select(col(idCol).as("id_a"), col("q").as("q_a"),
+      .withColumn("bits", hyperplaneBits(col("q"), nBits))
+    val banded = q.select(col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+        struct(bi.as("band_idx"),
+          aggregate(
+            slice(col("bits"), bi * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+            lit(0L), (acc, x) => acc * 2 + x).as("band_hash")))).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"),
+        col("b.band_hash").as("band_hash"))
+    val cands = bandPairs(banded, idCol)
+    val sa = q.select(col(idCol).as("id_a"), col("q").as("q_a"),
       col("nn").as("nn_a"))
-    val b = q.select(col(idCol).as("id_b"), col("q").as("q_b"),
+    val sb = q.select(col(idCol).as("id_b"), col("q").as("q_b"),
       col("nn").as("nn_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("cosine", qdot(col("q_a"), col("q_b")).cast(DoubleType) /
         sqrt(col("nn_a").cast(DoubleType) * col("nn_b").cast(DoubleType)))
       .filter(col("cosine") >= threshold)

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * unchanged.
   *
   * Media codecs don't exist in this environment, so the decode kernel
-  * is a clearly-marked deterministic STUB (`fakeDecode`): metadata is
-  * derived purely from payload length, which makes the whole pipeline
-  * oracle-checkable while keeping the Spark-side plumbing — binary
-  * schema, batched per-partition decode, metadata struct shape — real.
+  * is a clearly-marked deterministic STUB (both `decodeMeta` and the
+  * `decodePartition` body): metadata is derived purely from payload
+  * length, which makes the whole pipeline oracle-checkable while
+  * keeping the Spark-side plumbing — binary schema, batched
+  * per-partition decode, metadata struct shape — real.
   * Swapping in a JNI/FFI image decoder changes only the body of
   * `decodePartition`.
   */

@@ -101,14 +101,19 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
-  /** Anti join: customers that never ordered (NOT EXISTS). At scale a
-    * shuffled left-anti on the customer key; orders side pre-projected
-    * to the single join column so only keys move.
+  /** Anti join: customers with no order since a cutoff (NOT EXISTS).
+    * At scale a shuffled left-anti on the customer key; orders side
+    * filtered (pushed to the scan) and pre-projected to the single
+    * join column so only keys move. The date window keeps the result
+    * non-empty on the fixture, so the anti-join path is actually
+    * exercised by the correctness gate.
     */
-  def customersWithoutOrders(customer: DataFrame,
-                             orders: DataFrame): DataFrame =
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             since: String = "1998-01-01"): DataFrame =
     customer
-      .join(orders.select(col("o_custkey")),
+      .join(orders
+        .filter(col("o_orderdate") >= lit(since).cast(TimestampType))
+        .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"),
         col("c_nationkey").cast(LongType).as("c_nationkey"))

@@ -74,6 +74,16 @@ object StreamOps {
         col("cnt"),
         (col("cnt").cast(DoubleType) / lit(3600.0)).as("events_per_sec"))
 
+  /** S5 — offset-range fetch: one microbatch's slice of the stream,
+    * the half-open [from, until) range the reference's fetch executor
+    * pulls per request (reference `KafkaUtils.scala:186-240`; offset
+    * cursor advance at `…InputDStream.scala:304`). In Structured
+    * Streaming this is the per-trigger (startOffset, endOffset] plan;
+    * as a batch predicate it pushes to the parquet scan.
+    */
+  def offsetRangeSlice(kafka: DataFrame, from: Long, until: Long): DataFrame =
+    kafka.filter(col("offset") >= from && col("offset") < until)
+
   /** M1 — stream union: the example merges N per-consumer shards into
     * one stream before aggregating (reference `KafkaWordCount.scala:53-68`,
     * `ssc.union(...)`). Semantics-preserving test form: shard by the P6

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+
+/** The LLM-data-pipeline query registry (SURVEY.md §2 rows N1–N7):
+  * dedup (exact / MinHash / n-gram / SimHash / embedding-cosine),
+  * similarity search, text analysis, multimodal decode, sessionization
+  * and approx-distinct — each with a DuckDB oracle over the same
+  * parquet tables.
+  *
+  * Oracle-design notes:
+  *  - Exact operators (n-gram jaccard, simhash banding, sessionize,
+  *    text stats) get oracles that recompute the same definition
+  *    independently (brute force or mirrored candidate pipeline).
+  *  - LSH-candidate operators (minhash, embedding pairs) are
+  *    *verification-exact*: output = {pairs caught by banding} ∩
+  *    {exact predicate}. Band parameters are sized so the miss
+  *    probability at the oracle's scale is < 1e-7 (see Dedup scaladoc),
+  *    making the oracle the plain brute-force predicate.
+  *  - Every double in an output is derived from exact integer
+  *    arithmetic by a single correctly-rounded op chain (÷, sqrt, ×0.5)
+  *    replicated verbatim in the SQL, so values are bit-identical.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ------------------------------------------------------------------ //
+  // Spark queries                                                      //
+  // ------------------------------------------------------------------ //
+
+  val queries: Map[String, Q] = Map(
+    // N1 — exact dedup by key: representative (min event_id) per
+    // (user_id, event_type) group; groups are genuinely multi-row.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactByKey(Tables.events(s, d), Seq("user_id", "event_type"),
+        "event_id")),
+    // N2 — MinHash+LSH near-dup with exact-jaccard verification
+    "neardup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", threshold = 0.5)),
+    // N2 — exact n-gram jaccard via inverted-index candidates
+    "neardup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        threshold = 0.5, n = 5, maxDf = 500)),
+    // N2 — SimHash near-dup, pigeonhole-exact chunk banding
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
+    // N2 — embedding-cosine near-dup via hyperplane-LSH banding
+    "embedding_pairs" -> ((s, d) =>
+      Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding",
+        threshold = 0.4)),
+    // N3 — brute-force top-k cosine (small broadcast query set)
+    "topk_cosine" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+    }),
+    // N4 — quality scoring
+    "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
+    // N4 — term document/total frequency (tf-idf integer core)
+    "term_stats" -> ((s, d) => TextOps.termStats(docs(s, d), "doc_id", "text")),
+    // N4 — polynomial document fingerprint
+    "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
+    // N4 — language-ID heuristic
+    "langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_id"))),
+    // N6 — sessionization, gaps-and-islands form
+    "sessionize" -> ((s, d) =>
+      Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
+    // N6 — sessionization, native session_window form
+    "sessionize_native" -> ((s, d) =>
+      Sessionize.sessionWindow(Tables.events(s, d), gap = "30 minutes")),
+    // N5 — multimodal metadata decode, expression form
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d)))),
+    // N5 — multimodal decode, per-partition batched (mapPartitions) form
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodePartition(s, Multimodal.withPayload(docs(s, d))).toDF()),
+    // N7 — approx distinct with an in-query tolerance check: the row
+    // hashes equal to the oracle iff the HLL++ estimate is within 5%.
+    "approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact_cnt"))
+        .select(col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
+            col("exact_cnt").cast(DoubleType) <= 0.05).as("within_tol"))))
+
+  // ------------------------------------------------------------------ //
+  // DuckDB oracles                                                     //
+  // ------------------------------------------------------------------ //
+
+  /** Shared SQL: 3-word shingle sets per doc (mirror of
+    * TextOps.wordShingles).
+    */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+      |    range(1, len(w)-1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+      |  ELSE [] END AS s FROM toks)""".stripMargin
+
+  /** Shared SQL: milli-quantized int64 embeddings with self dot product
+    * (mirror of Dedup.quantize / Dedup.qdot).
+    */
+  private val quantCte =
+    """q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |  list_sum(list_transform(qv, x -> x*x)) AS nn FROM q)""".stripMargin
+
+  private val dotAb =
+    "list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i]))"
+
+  /** SimHash oracle: recompute the 64 affine votes per doc with the
+    * exact TextOps constants interpolated, then all-pairs hamming.
+    * Brute force is fine at oracle scale (500 docs → 125k pairs).
+    */
+  private def simhashOracle(maxDist: Int): String = {
+    val votes = (0 until 64).map { b =>
+      val (a, c) = TextOps.simhashAC(b)
+      s"sum(CASE WHEN ($a*h+$c)%${TextOps.P} >= ${TextOps.HalfP} THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n  ")
+    val lo = (0 until 32).map(b =>
+      s"(CASE WHEN v$b>0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString("+")
+    val hi = (32 until 64).map(b =>
+      s"(CASE WHEN v$b>0 THEN CAST(${1L << (b - 32)} AS BIGINT) ELSE 0 END)")
+      .mkString("+")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length(tok)+1),
+       |    i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+       |  (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $lo AS sim_lo, $hi AS sim_hi FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+       |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+       |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= $maxDist""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "neardup_minhash" ->
+      s"""WITH $shinglesCte,
+         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |v AS (SELECT ia, ib,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         |  len(sa.s) AS la, len(sb.s) AS lb
+         |  FROM cand JOIN sh sa ON ia = sa.doc_id JOIN sh sb ON ib = sb.doc_id)
+         |SELECT ia AS doc_a, ib AS doc_b,
+         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    "neardup_ngram" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5)))
+        |  ELSE [] END AS s FROM documents),
+        |inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS gram FROM g
+        |  WHERE len(s) > 0),
+        |keep AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 500),
+        |f AS (SELECT inv.* FROM inv JOIN keep USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |   AND b.sz >= a.sz * 0.5 AND a.sz >= b.sz * 0.5),
+        |v AS (SELECT ia, ib,
+        |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+        |  len(sa.s) AS la, len(sb.s) AS lb
+        |  FROM cand JOIN g sa ON ia = sa.doc_id JOIN g sb ON ib = sb.doc_id)
+        |SELECT ia AS doc_a, ib AS doc_b,
+        |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
+        |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    "simhash_pairs" -> simhashOracle(3),
+    "embedding_pairs" ->
+      s"""WITH $quantCte,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b, cosine FROM p
+         |WHERE cosine >= 0.4""".stripMargin,
+    "topk_cosine" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "text_quality" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |m AS (SELECT doc_id, n_chars,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(list_filter(w, t -> t='the' OR t='a' OR t='of' OR t='and'
+        |    OR t='to' OR t='in' OR t='is')) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha
+        |  FROM b)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+        |  CAST(n_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  CAST(alpha AS DOUBLE)/CAST(n_chars AS DOUBLE) AS alpha_ratio,
+        |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(alpha AS DOUBLE)/CAST(n_chars AS DOUBLE)*0.5
+        |    + CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.5 AS quality_score
+        |FROM m""".stripMargin,
+    "term_stats" ->
+      """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term""".stripMargin,
+    "fingerprint" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, length(text)+1),
+         |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         |  (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) AS fingerprint
+         |FROM documents""".stripMargin,
+    "langid" -> {
+      val markers = TextOps.langMarkers
+      val counts = markers.map { case (lang, ms) =>
+        val pred = ms.map(m => s"t='$m'").mkString(" OR ")
+        s"len(list_filter(w, t -> $pred)) AS c_$lang"
+      }.mkString(",\n  ")
+      val best = markers.map { case (lang, _) => s"c_$lang" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN c_$lang > 0 AND c_$lang = best THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH b AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  $counts
+         |  FROM b),
+         |m AS (SELECT doc_id, c_en, c_es, c_de, c_fr, $best AS best FROM c)
+         |SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'unknown' END AS lang_id
+         |FROM m""".stripMargin
+    },
+    "sessionize" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM f)
+        |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "sessionize_native" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM f)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "multimodal_meta" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  320 + byte_len % 320 AS width,
+        |  240 + (byte_len * 7) % 240 AS height,
+        |  1 + byte_len % 30 AS n_frames,
+        |  CASE byte_len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    ELSE 'webp' END AS fmt
+        |FROM b""".stripMargin,
+    "multimodal_decode" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  320 + byte_len % 320 AS width,
+        |  240 + (byte_len * 7) % 240 AS height,
+        |  1 + byte_len % 30 AS n_frames,
+        |  CASE byte_len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    ELSE 'webp' END AS fmt
+        |FROM b""".stripMargin,
+    "approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
+        |FROM events""".stripMargin)
+}

@@ -47,6 +47,10 @@ object Queries {
     // A4: OffsetOutOfRange recovery offset
     "first_offset_above" -> ((s, d) =>
       StreamOps.firstOffsetAbove(kafka(s, d), 500L)),
+    // S5: one microbatch's half-open offset-range slice
+    "offset_slice" -> ((s, d) =>
+      KafkaShape.decodeUtf8(
+        StreamOps.offsetRangeSlice(kafka(s, d), 300L, 700L))),
     // A5: throughput meter
     "throughput" -> ((s, d) => StreamOps.throughput(kafka(s, d))),
     // M1: shard-union-aggregate equivalence
@@ -102,6 +106,11 @@ object Queries {
         |       coalesce(min(event_id) FILTER (WHERE event_id > 500), 0)
         |         AS recovered_offset
         |FROM events GROUP BY 1""".stripMargin,
+    "offset_slice" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events WHERE event_id >= 300 AND event_id < 700""".stripMargin,
     "throughput" ->
       """SELECT user_id % 8 AS kpartition,
         |       make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
@@ -198,7 +207,9 @@ object Queries {
     "anti_no_orders" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
     "semi_active_nations" ->
       """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
         |FROM supplier s
@@ -222,6 +233,8 @@ object Queries {
         |  GROUP BY 1 HAVING count(*) >= 6) t
         | ON o_orderkey = l_orderkey""".stripMargin)
 
-  val all: Map[String, Q] = streamQueries ++ relationalQueries
-  val oracles: Map[String, String] = streamOracles ++ relationalOracles
+  val all: Map[String, Q] =
+    streamQueries ++ relationalQueries ++ LlmQueries.queries
+  val oracles: Map[String, String] =
+    streamOracles ++ relationalOracles ++ LlmQueries.oracles
 }
