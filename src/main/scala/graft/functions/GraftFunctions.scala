@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
+
+/** Column-API wrappers for the graft Catalyst expressions, plus a
+  * `SparkSessionExtensions` injector that registers them as SQL
+  * functions (`spark.sql.extensions=graft.functions.GraftExtensions`)
+  * so `spark.sql("SELECT graft_minhash_bands(...)")` works too.
+  */
+object GraftFunctions {
+
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  /** MinHash band signatures of an array<bigint> of element hashes. */
+  def minhashBands(hashes: Column, numPerms: Int, bands: Int): Column =
+    c(MinHashBands(e(hashes), numPerms, bands))
+
+  /** Hyperplane-LSH band signatures of a quantized array<bigint> vector. */
+  def hyperplaneBands(qvec: Column, bands: Int, rowsPerBand: Int): Column =
+    c(HyperplaneBands(e(qvec), bands, rowsPerBand))
+
+  /** Sorted distinct 64-bit hashes of character n-grams. */
+  def hashedCharGrams(text: Column, n: Int): Column =
+    c(HashedCharGrams(e(text), n))
+
+  /** Sorted distinct 64-bit hashes of k-word shingles. */
+  def hashedWordShingles(text: Column, k: Int): Column =
+    c(HashedWordShingles(e(text), k))
+
+  /** |A ∩ B| of two sorted distinct array<bigint> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    c(SortedLongIntersectCount(e(a), e(b)))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    c(QuantizedDot(e(a), e(b)))
+
+  /** Rolling 31-polynomial hash mod m (oracle-identical). */
+  def polyHash(s: Column, m: Long): Column =
+    c(PolyHash31(e(s), m))
+
+  private[functions] val registry: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName,
+        "graft_minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intArg(args, 1), intArg(args, 2))),
+    (FunctionIdentifier("graft_hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName,
+        "graft_hyperplane_bands"),
+      (args: Seq[Expression]) => HyperplaneBands(args(0),
+        intArg(args, 1), intArg(args, 2))),
+    (FunctionIdentifier("graft_hashed_char_grams"),
+      new ExpressionInfo(classOf[HashedCharGrams].getName,
+        "graft_hashed_char_grams"),
+      (args: Seq[Expression]) => HashedCharGrams(args(0), intArg(args, 1))),
+    (FunctionIdentifier("graft_hashed_word_shingles"),
+      new ExpressionInfo(classOf[HashedWordShingles].getName,
+        "graft_hashed_word_shingles"),
+      (args: Seq[Expression]) => HashedWordShingles(args(0), intArg(args, 1))),
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+    (FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "graft_qdot"),
+      (args: Seq[Expression]) => QuantizedDot(args(0), args(1))),
+    (FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash31].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => PolyHash31(args(0),
+        args(1).eval(null).asInstanceOf[Number].longValue())))
+
+  private def intArg(args: Seq[Expression], i: Int): Int =
+    args(i).eval(null).asInstanceOf[Number].intValue()
+}
+
+/** `spark.sql.extensions` entry point registering graft SQL functions. */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach(ext.injectFunction)
+}

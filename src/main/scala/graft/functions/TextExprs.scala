@@ -1,0 +1,287 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen kernels for the set-similarity text pipeline: gram/shingle
+  * extraction fused with 64-bit hashing, and sorted-set intersection.
+  *
+  * The string gram SETS never materialize: each document row produces a
+  * sorted distinct array<bigint> of element hashes in one loop. Jaccard
+  * only needs set cardinalities, which are preserved as long as the
+  * hash is collision-free on the observed elements (64-bit hash,
+  * ~10⁴ distinct elements per corpus → collision probability < 1e-11),
+  * so results stay bit-identical to a string-set oracle.
+  */
+object TextHash {
+  /** 64-bit string hash: 31-polynomial over UTF-16 chars, finished
+    * with splitmix64 avalanche. Internal only — never compared against
+    * an oracle-side hash.
+    */
+  def hashChars(s: String, from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+    SigKernels.splitmix64(h)
+  }
+
+  /** Sort + dedupe in place; returns the deduped length. */
+  def sortDedupe(a: Array[Long], n: Int): Int = {
+    if (n == 0) return 0
+    java.util.Arrays.sort(a, 0, n)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    w
+  }
+
+  def toArrayData(a: Array[Long], n: Int): ArrayData = {
+    val out = new Array[Long](n)
+    System.arraycopy(a, 0, out, 0, n)
+    new GenericArrayData(out)
+  }
+}
+
+/** Sorted distinct 64-bit hashes of the character n-grams of a string:
+  * the fused form of `charGrams` + per-gram hashing. Empty array when
+  * the text is shorter than n (mirrors TextOps.charGrams).
+  */
+case class HashedCharGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_char_grams"
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val len = s.length
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = len - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = TextHash.hashChars(s, i, i + n); i += 1 }
+    TextHash.toArrayData(hs, TextHash.sortDedupe(hs, m))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hashedCharGrams", this,
+      classOf[HashedCharGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedCharGrams = copy(child = newChild)
+}
+
+/** Sorted distinct 64-bit hashes of the k-word shingles of a string:
+  * the fused form of `wordShingles` + per-shingle hashing. Tokens are
+  * the single-space split (empties kept — same as Spark `split` and
+  * DuckDB `string_split`); a shingle hash covers the k tokens joined
+  * by a single space, hashed without materializing the joined string.
+  * Empty array when the text has fewer than k tokens.
+  */
+case class HashedWordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_word_shingles"
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    // token boundaries of the single-space split, empties kept
+    var nTok = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = s.length + 1
+    val m = nTok - k + 1
+    val hs = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      // hash chars of tokens w..w+k-1 joined by ' ' — that span of the
+      // original string IS the joined shingle (separators are spaces).
+      hs(w) = TextHash.hashChars(s, starts(w), starts(w + k) - 1)
+      w += 1
+    }
+    TextHash.toArrayData(hs, TextHash.sortDedupe(hs, m))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hashedWordShingles", this,
+      classOf[HashedWordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedWordShingles = copy(child = newChild)
+}
+
+/** The oracle-visible rolling polynomial hash:
+  * fold(chars)(acc·31 + codepoint) mod `m` — bit-identical to the
+  * DuckDB `list_reduce(..., (acc, c) -> (acc*31+c) % m)` oracle form
+  * (TextOps.polyHash), as one codegen loop per row.
+  */
+case class PolyHash31(child: Expression, m: Long)
+    extends UnaryExpression {
+  require(m > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  def compute(u: UTF8String): Long = {
+    val s = u.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      // (acc*31 + c): acc < 1e9+7 < 2^30, so acc*31 + c < 2^35 — safe.
+      acc = (acc * 31 + s.charAt(i)) % m
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("polyHash", this,
+      classOf[PolyHash31].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyHash31 = copy(child = newChild)
+}
+
+/** |A ∩ B| of two SORTED distinct array<bigint> columns — one merge
+  * pass, no allocation. Inputs must be sorted ascending (the contract
+  * of HashedCharGrams / HashedWordShingles).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sortedIntersect", this,
+      classOf[SortedLongIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product of two quantized array<bigint> vectors —
+  * the codegen form of Dedup.qdot. Shorter-length semantics follow
+  * zip_with-on-equal-length (vectors in one table share a dimension;
+  * mismatched lengths take the common prefix).
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var dot = 0L
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qdot", this,
+      classOf[QuantizedDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QuantizedDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -53,22 +53,12 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nBits: Int = 8): DataFrame = {
-    // signature = sum_b [ (sum_i w_bi * v_i) >= 0 ] << b, with w_bi = ±1
-    // derived from a fixed hash of (b, i) — deterministic hyperplanes
-    // with no RNG state to ship to executors.
-    def signature(qvec: org.apache.spark.sql.Column) = {
-      val bits = (0 until nBits).map { b =>
-        val proj = aggregate(
-          zip_with(qvec,
-            transform(sequence(lit(0), size(qvec) - 1),
-              i => when(pmod(xxhash64(lit(b), i), lit(2L)) === 0, lit(1L))
-                .otherwise(lit(-1L))),
-            (x, w) => x * w),
-          lit(0L), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
+    // signature = the nBits sign bits of projections onto fixed ±1
+    // hyperplanes, packed into one long (HyperplaneBands with a single
+    // band) — deterministic weights, no RNG state shipped to executors.
+    def signature(qvec: org.apache.spark.sql.Column) =
+      element_at(
+        graft.functions.GraftFunctions.hyperplaneBands(qvec, 1, nBits), 1)
     val corpus = emb.select(col(idCol).as("neighbor_id"),
       Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))

@@ -40,17 +40,10 @@ object TextOps {
   /** Polynomial rolling hash of a string column:
     * fold(chars)(acc*31 + ascii) mod 1e9+7. Exactly expressible in
     * DuckDB via list_reduce, so fingerprint queries oracle bit-exactly.
+    * Runs as the PolyHash31 codegen kernel (one loop per row).
     */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)),
-        i => ascii(substring(s, i, lit(1)))),
-      lit(0L),
-      (acc, c) => pmod(acc * 31 + c, lit(FpMod)))
-
-  // substring(Column, Column, Column) variant needs expr; helper:
-  private def substring(s: Column, pos: Column, len: Column): Column =
-    s.substr(pos, len)
+    graft.functions.GraftFunctions.polyHash(s, FpMod)
 
   /** Distinct k-word shingles (default 3) of a text column — the unit
     * set for document-level jaccard (SURVEY §2 N2).

@@ -46,10 +46,10 @@ object LlmQueries {
     // N2 — MinHash+LSH near-dup with exact-jaccard verification
     "neardup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", threshold = 0.5)),
-    // N2 — exact n-gram jaccard via inverted-index candidates
+    // N2 — char-5-gram jaccard via minhash-banded candidates
     "neardup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-        threshold = 0.5, n = 5, maxDf = 500)),
+        threshold = 0.5, n = 5)),
     // N2 — SimHash near-dup, pigeonhole-exact chunk banding
     "simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
@@ -176,17 +176,11 @@ object LlmQueries {
         |  CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(
         |    range(1, length(text)-3), i -> substr(text, i, 5)))
         |  ELSE [] END AS s FROM documents),
-        |inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS gram FROM g
-        |  WHERE len(s) > 0),
-        |keep AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 500),
-        |f AS (SELECT inv.* FROM inv JOIN keep USING (gram)),
-        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |   AND b.sz >= a.sz * 0.5 AND a.sz >= b.sz * 0.5),
-        |v AS (SELECT ia, ib,
-        |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-        |  len(sa.s) AS la, len(sb.s) AS lb
-        |  FROM cand JOIN g sa ON ia = sa.doc_id JOIN g sb ON ib = sb.doc_id)
+        |v AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |  len(a.s) AS la, len(b.s) AS lb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
