@@ -43,6 +43,11 @@ object GraftFunctions {
   def polyHash(s: Column, m: Long): Column =
     c(PolyHash31(e(s), m))
 
+  /** The nProbe nearest IVF centroid indices for a quantized vector. */
+  def nearestCentroids(qvec: Column, centroids: Array[Array[Long]],
+                       nProbe: Int): Column =
+    c(NearestCentroids(e(qvec), centroids, nProbe))
+
   private[functions] val registry: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_bands"),

@@ -63,6 +63,14 @@ object LlmQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5)
     }),
+    // N3 scale path — IVF top-k (deterministic sample-trained coarse
+    // quantizer; approximate, so no SQL oracle: the driver records the
+    // rows-only check and LshRecallSpec asserts recall >= 0.9 vs brute)
+    "ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nProbe = 12, nAssign = 2)
+    }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.engine.CommitLog
+
+/** S9 streaming — the commit-log sink: after every microbatch, append
+  * one row per (topic, partition) with the committed head offset and
+  * counters — the rebuild of the reference's per-fetch `persistOffset`
+  * HBase write (reference
+  * `PartitionedSimpleConsumerKafkaInputDStream.scala:384-415`).
+  *
+  * Use with `writeStream.foreachBatch(sink.apply _)`. The per-batch
+  * aggregate is one row per topic-partition — the same cardinality the
+  * reference keeps as HBase rows — so the driver-side running-total map
+  * and the collect() are bounded by partition count, not data volume
+  * (at 100 TB/day this is still just one small row per partition per
+  * trigger, appended to a (topic, partition)-partitioned parquet log).
+  */
+class CommitLogSink(spark: SparkSession, clientId: String, path: String)
+    extends Serializable {
+
+  // running `processed` totals — the HBase Increment twin (reference
+  // `…InputDStream.scala:395-401`); keyed like the reference's rowkey.
+  private val totals = mutable.Map.empty[(String, Int), Long]
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    val commits = CommitLog.fromKafkaBatch(batch, clientId).collect()
+    if (commits.isEmpty) return
+    val withTotals = commits.map { r =>
+      val key = (r.getString(1), r.getInt(2))
+      val consumed = r.getLong(4)
+      val total = totals.synchronized {
+        val t = totals.getOrElse(key, 0L) + consumed
+        totals(key) = t
+        t
+      }
+      Row(r.getString(0), key._1, key._2, r.getLong(3), consumed, total,
+        r.getString(6), r.getInt(7), r.getTimestamp(8))
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(withTotals.toIndexedSeq, 1),
+        CommitLog.schema)
+      .write.mode("append").partitionBy("topic", "partition").parquet(path)
+  }
+}
+
+object CommitLogStream {
+
+  /** S10 — offset recovery from the commit log: the last committed
+    * offset per (topic, partition), what a restarting consumer seeds
+    * from (reference `…InputDStream.scala:178-196`). The partitioned
+    * log prunes the scan to the requested partitions' files.
+    */
+  def committedOffsets(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(CommitLog.schema).parquet(path)
+      .groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("committed_offset"),
+        max(col("processed")).as("processed"))
+}
+
+/** X6 — StreamingQueryListener capturing per-batch progress and the
+  * observed source metrics (StreamingPipelines.withSourceMetrics):
+  * the rebuild of the reference's Gauge/Meter registration into
+  * Spark's metrics system (reference `…InputDStream.scala:200,214-228`)
+  * — same signals (head offset, consumption rate, health), exported
+  * through the engine's own listener bus instead of a registry.
+  */
+final case class ProgressSnapshot(
+    batchId: Long,
+    numInputRows: Long,
+    inputRowsPerSecond: Double,
+    records: Option[Long],
+    headOffset: Option[Long])
+
+class GraftMetricsListener extends StreamingQueryListener {
+  private val buf = new ConcurrentLinkedQueue[ProgressSnapshot]()
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val obs = Option(p.observedMetrics.get("graft_source"))
+    buf.add(ProgressSnapshot(
+      p.batchId,
+      p.numInputRows,
+      p.inputRowsPerSecond,
+      obs.map(_.getAs[Long]("records")),
+      obs.map(_.getAs[Long]("head_offset"))))
+  }
+
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  def snapshots: Seq[ProgressSnapshot] = buf.iterator().asScala.toSeq
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for every suite (SparkSession.builder
+  * returns the existing session after the first call, so suites don't
+  * pay repeated JVM-wide startup).
+  */
+object SparkSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .getOrCreate()
+}
+
+abstract class SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSuite.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSuite
+import graft.ops.TextOps
+
+/** The codegen kernels must agree with their readable Catalyst
+  * specifications (TextOps.charGrams / wordShingles / the higher-order
+  * forms they replaced) — property-checked over one DataFrame of
+  * ScalaCheck-generated texts per suite run, plus direct edge-case
+  * units (one Spark job per property, not one per sample).
+  */
+class KernelSpec extends SparkSuite {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private lazy val texts: Seq[String] = {
+    val edge = Seq("", " ", "  ", "a", "ab cd", "a  b", " lead", "trail ",
+      "aaaaa aaaaa aaaaa", "the quick brown fox jumps over the lazy dog")
+    val gen = Gen.listOfN(300, text).sample.getOrElse(Nil)
+    edge ++ gen
+  }
+
+  private lazy val df = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map(_.swap).toDF("id", "t")
+  }
+
+  test("HashedCharGrams matches charGrams cardinality on every input") {
+    val bad = df.select(
+        size(GraftFunctions.hashedCharGrams(col("t"), 5)).as("k"),
+        size(TextOps.charGrams(col("t"), 5)).as("s"), col("t"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("HashedWordShingles matches wordShingles cardinality on every input") {
+    val bad = df.select(
+        size(GraftFunctions.hashedWordShingles(col("t"), 3)).as("k"),
+        size(TextOps.wordShingles(col("t"), 3)).as("s"), col("t"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("SortedLongIntersectCount equals string-set intersection size") {
+    val s = spark
+    import s.implicits._
+    val pairs = texts.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val pdf = pairs.toDF("a", "b")
+    val bad = pdf.select(
+        GraftFunctions.sortedIntersectCount(
+          GraftFunctions.hashedCharGrams(col("a"), 5),
+          GraftFunctions.hashedCharGrams(col("b"), 5)).as("k"),
+        size(array_intersect(
+          TextOps.charGrams(col("a"), 5),
+          TextOps.charGrams(col("b"), 5))).cast("long").as("s"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("PolyHash31 equals the fold specification") {
+    def ref(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c) % TextOps.FpMod)
+    val got = df.select(col("t"), TextOps.polyHash(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (t, h) => assert(h == ref(t), s"text '$t'") }
+  }
+
+  test("QuantizedDot equals sum of elementwise products") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (Array(1L, 2L, 3L), Array(4L, -5L, 6L), 1L * 4 - 2 * 5 + 3 * 6),
+      (Array.empty[Long], Array.empty[Long], 0L),
+      (Array(1000L, -1000L), Array(1000L, 1000L), 0L))
+    val vdf = vecs.map(v => (v._1, v._2)).toDF("a", "b")
+    val got = vdf.select(GraftFunctions.qdot(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vecs.map(_._3))
+  }
+
+  test("MinHashBands: identical sets collide on all bands, band count fixed") {
+    val s = spark
+    import s.implicits._
+    val vdf = Seq(
+      ("x", "the quick brown fox jumps over the lazy dog again and again"),
+      ("y", "the quick brown fox jumps over the lazy dog again and again"),
+      ("z", "a completely different document about spark streaming jobs"))
+      .toDF("id", "t")
+    val sig = vdf.select(col("id"), GraftFunctions.minhashBands(
+      GraftFunctions.hashedWordShingles(col("t"), 3), 128, 32).as("bands"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sig("x").length == 32)
+    assert(sig("x") == sig("y"), "identical docs must share every band")
+    assert(sig("x") != sig("z"), "different docs should differ somewhere")
+  }
+
+  test("HyperplaneBands: deterministic, fixed width, identical vectors collide") {
+    val s = spark
+    import s.implicits._
+    val vdf = Seq(
+      ("x", Array.tabulate(64)(i => (i % 7).toLong - 3)),
+      ("y", Array.tabulate(64)(i => (i % 7).toLong - 3)),
+      ("z", Array.tabulate(64)(i => ((i * 13) % 11).toLong - 5)))
+      .toDF("id", "v")
+    val sig = vdf.select(col("id"),
+        GraftFunctions.hyperplaneBands(col("v"), 96, 4).as("bands"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sig("x").length == 96)
+    assert(sig("x") == sig("y"))
+    assert(sig.values.flatten.forall(h => h >= 0 && h < 16),
+      "4-bit band hashes must lie in [0, 16)")
+  }
+}

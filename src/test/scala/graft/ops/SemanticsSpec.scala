@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.SparkSuite
+import graft.engine.{CommitLog, KafkaShape, Monitoring}
+
+/** SURVEY §5 operator-semantics units: A4 recovery invariant, M3 -1
+  * semantics, P1/P2 null-key decode, S9 rowkey round-trip, P6 shard
+  * filter.
+  */
+class SemanticsSpec extends SparkSuite {
+
+  private def kafkaDf(rows: Seq[(Long, Long)]) = {
+    // (partition, offset) → minimal Kafka-shaped frame
+    val s = spark
+    import s.implicits._
+    rows.toDF("p", "offset").select(
+      lit(null).cast(BinaryType).as("key"),
+      lit("x").cast(BinaryType).as("value"),
+      lit("events").as("topic"),
+      col("p").cast(IntegerType).as("partition"),
+      col("offset"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"),
+      lit(0).as("timestampType"))
+  }
+
+  test("A4 invariant: recovered offset is strictly above current, or 0") {
+    // the reference picks the smallest broker offset > current, else 0
+    // (reference `…InputDStream.scala:352-370`, find on ascending list
+    // `:358-360`). Property over ScalaCheck-generated offset sets.
+    val gen = for {
+      part <- Gen.choose(0L, 7L)
+      offs <- Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+    } yield offs.map(o => (part, o))
+    val rows = (1 to 50).flatMap(_ => gen.sample.getOrElse(Nil)).distinct
+    for (current <- Seq(-1L, 0L, 250L, 999L, 2000L)) {
+      val result = StreamOps.firstOffsetAbove(kafkaDf(rows), current)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byPart = rows.groupBy(_._1)
+      result.foreach { case (p, recovered) =>
+        val above = byPart(p).map(_._2).filter(_ > current)
+        if (above.isEmpty) assert(recovered == 0L, s"p=$p cur=$current")
+        else {
+          assert(recovered == above.min, s"p=$p cur=$current")
+          assert(recovered > current)
+        }
+      }
+    }
+  }
+
+  test("M3: missing sides coalesce to -1 and lag only spans full rows") {
+    val heads = kafkaDf(Seq((0L, 100L), (1L, 50L)))
+    val commits = kafkaDf(Seq((1L, 40L), (2L, 10L)))
+      .groupBy("topic", "partition")
+      .agg(max("offset").as("offset"))
+    val got = Monitoring.lagReport(heads, commits).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((100L, -1L, -1L)), "committed side missing")
+    assert(got(1L) == ((50L, 40L, 10L)), "both sides present")
+    assert(got(2L) == ((-1L, 10L, -1L)), "head side missing")
+  }
+
+  test("P1/P2: null key decodes to null, value to utf8") {
+    val df = kafkaDf(Seq((0L, 1L)))
+    val r = KafkaShape.decodeUtf8(df).select("key_str", "value_str").head()
+    assert(r.isNullAt(0), "null Kafka key must stay null (reference " +
+      "`…InputDStream.scala:305-309`)")
+    assert(r.getString(1) == "x")
+  }
+
+  test("S9 rowkey round-trip: partition parses back from the rowkey tail") {
+    // the monitoring query re-derives partition from the rowkey
+    // (reference `ProcessorMetrics.scala:70,79`: split('-').reverse.head)
+    val df = kafkaDf(Seq((3L, 7L), (5L, 9L)))
+      .select(col("topic"), col("partition"))
+      .distinct()
+      .withColumn("rowkey", CommitLog.rowkey("graft"))
+    val got = df.select(
+        col("partition"),
+        element_at(split(col("rowkey"), "-"), -1).cast(IntegerType)
+          .as("parsed"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("P6: shard filter owns exactly partition % consumers == id") {
+    val df = kafkaDf((0L until 16L).map(p => (p, p * 10)))
+    val cfg = KafkaShape.StreamConfig(consumerId = 2, consumersCount = 3)
+    val owned = df.filter(KafkaShape.shardFilter(cfg))
+      .select("partition").collect().map(_.getInt(0)).toSet
+    assert(owned == (0 until 16).filter(_ % 3 == 2).toSet)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkSuite
+
+/** S9/S10/X6 streaming: the foreachBatch commit-log sink appends one
+  * row per (topic, partition) per microbatch with accumulating
+  * `processed` totals; recovery reads return the committed head
+  * offsets; the listener captures per-batch observed source metrics.
+  */
+class CommitLogStreamSpec extends SparkSuite {
+
+  private def rec(userId: Long, offset: Long, sec: Int): KafkaRecord =
+    KafkaRecord.ofEvent(userId, s"p$offset", offset,
+      new Timestamp(Timestamp.valueOf("2026-01-01 10:00:00").getTime +
+        sec * 1000L), numPartitions = 4)
+
+  test("commit-log sink + offset recovery + metrics listener") {
+    val s = spark
+    val logPath = tmpDir("commit_log")
+    val sink = new CommitLogSink(s, "graft-test", logPath)
+    val listener = new GraftMetricsListener
+    s.streams.addListener(listener)
+    try {
+      val (input, kafkaStream) = KafkaShapedStream.memory(s)
+      val q = StreamingPipelines.withSourceMetrics(kafkaStream)
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) => sink.apply(df, id))
+        .option("checkpointLocation", tmpDir("cl_ckpt"))
+        .start()
+
+      // batch 1: offsets 0..39 across partitions 0..3 (userId 0..3)
+      input.addData((0 until 40).map(i => rec(i % 4, i, i)))
+      q.processAllAvailable()
+      // batch 2: offsets 40..59
+      input.addData((40 until 60).map(i => rec(i % 4, i, i)))
+      q.processAllAvailable()
+      q.stop()
+
+      val log = s.read.schema(graft.engine.CommitLog.schema).parquet(logPath)
+      val perPart = log.groupBy("partition").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perPart.keySet == Set(0, 1, 2, 3))
+      assert(perPart.values.forall(_ == 2L),
+        s"one commit row per partition per batch, got $perPart")
+
+      // processed accumulates across batches (HBase Increment twin)
+      val processed = log.groupBy("partition")
+        .agg(org.apache.spark.sql.functions.max("processed").as("p"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(processed.values.forall(_ == 15L),
+        s"each partition saw 10 + 5 records, got $processed")
+
+      // S10 recovery: committed head offset per partition
+      val committed = CommitLogStream.committedOffsets(s, logPath)
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+      assert(committed == Map(0 -> 56L, 1 -> 57L, 2 -> 58L, 3 -> 59L),
+        s"got $committed")
+
+      // X6: listener captured per-batch observed metrics (async bus —
+      // poll briefly)
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshots.count(_.records.nonEmpty) < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val snaps = listener.snapshots.filter(_.records.nonEmpty)
+      assert(snaps.map(_.records.get).sum == 60L,
+        s"observed record counts should sum to 60: $snaps")
+      assert(snaps.map(_.headOffset.get).max == 59L)
+    } finally s.streams.removeListener(listener)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.engine.KafkaShape
+import graft.ops.StreamOps
+
+/** SURVEY §5 streaming semantics: the streaming pipelines produce the
+  * same rows as their batch twins over the same finite input, late data
+  * is dropped at the watermark, and at-least-once replay dedups to
+  * exactly-once output (reference semantics:
+  * `…InputDStream.scala:310` store-before-persist ⇒ replay possible).
+  */
+class StreamingEquivalenceSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def records(n: Int): Seq[KafkaRecord] =
+    (0 until n).map { i =>
+      KafkaRecord.ofEvent(
+        userId = i % 17,
+        props = s"alpha beta_${i % 5} gamma_${i % 3}",
+        eventId = i.toLong,
+        ts = new Timestamp(ts("2026-01-01 10:00:00").getTime + i * 7000L))
+    }
+
+  test("A1 streaming twin: windowed word count equals the batch result") {
+    val s = spark
+    import s.implicits._
+    val data = records(400)
+
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = StreamingPipelines
+      .wordCountStream(kafkaStream, "10 minutes", Some("2 minutes"))
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("wc_ckpt"))
+      .start()
+    input.addData(data)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchKafka = s.createDataset(data).toDF()
+    val expected = StreamOps.wordCountWindow(
+      KafkaShape.decodeUtf8(batchKafka), "10 minutes", Some("2 minutes"))
+      .orderBy("w_start", "word").collect().toSeq
+    val got = s.table("wc_stream")
+      .orderBy("w_start", "word").collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("watermark drops late data in append mode") {
+    val s = spark
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = StreamingPipelines
+      .wordCountStream(kafkaStream, "10 minutes", slide = None,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("wc_late")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("late_ckpt"))
+      .start()
+
+    def rec(id: Long, t: String, word: String) =
+      KafkaRecord.ofEvent(1L, word, id, ts(t))
+
+    // on-time rows in the [10:00, 10:10) window
+    input.addData(Seq(
+      rec(0, "2026-01-01 10:00:30", "ontime"),
+      rec(1, "2026-01-01 10:05:00", "ontime")))
+    q.processAllAvailable()
+    // advance event time far past the window + watermark → closes it
+    input.addData(Seq(rec(2, "2026-01-01 11:00:00", "later")))
+    q.processAllAvailable()
+    // late row for the already-closed window: must be dropped
+    input.addData(Seq(rec(3, "2026-01-01 10:01:00", "ontime")))
+    q.processAllAvailable()
+    // close the 11:00 window too so its row is emitted
+    input.addData(Seq(rec(4, "2026-01-01 12:00:00", "done")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = s.table("wc_late").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rows.contains(("2026-01-01 10:00:00.0", "ontime", 2L)),
+      s"expected the on-time count of 2 (late row dropped); got $rows")
+    assert(!rows.exists { case (w, word, c) =>
+      w.startsWith("2026-01-01 10:00") && word == "ontime" && c != 2L },
+      s"late row leaked into a closed window: $rows")
+  }
+
+  test("at-least-once replay dedups to exactly-once output") {
+    val s = spark
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = StreamingPipelines.exactlyOnceRecords(kafkaStream, "10 minutes")
+      .select(col("partition"), col("offset"))
+      .writeStream.format("memory").queryName("replay_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dedup_ckpt"))
+      .start()
+
+    def batch(from: Int, until: Int): Seq[KafkaRecord] =
+      (from until until).map { i =>
+        KafkaRecord.ofEvent(3L, s"payload_$i", i.toLong,
+          new Timestamp(ts("2026-01-01 10:00:00").getTime + i * 1000L))
+      }
+    // the reference's crash-between-store-and-persist replay: the
+    // second fetch re-reads offsets 50..99
+    input.addData(batch(0, 100))
+    q.processAllAvailable()
+    input.addData(batch(50, 150))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.table("replay_dedup").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.length == 150, s"expected exactly-once 150, got ${out.length}")
+    assert(out.toSet.size == 150)
+  }
+}
