@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.AvroOcf
+
+/** S6 — the one-blob→many-rows Avro OCF decode as a Catalyst
+  * `Generator` (the UDTF shape SURVEY §4 calls for): each binary OCF
+  * payload explodes into one row per contained record, projected onto
+  * the declared target schema.
+  *
+  * The writer schema is read from the container header per blob (the
+  * self-describing property, reference `AvroDatumUtils.scala:35`);
+  * fields are resolved BY NAME against the target schema — a field the
+  * writer didn't produce decodes to null, mirroring Avro schema
+  * resolution. Generators are CodegenFallback by design in Spark; the
+  * per-blob Avro decode dominates, not expression dispatch.
+  */
+case class AvroOcfExplode(child: Expression, schema: StructType)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def elementSchema: StructType = schema
+  override def prettyName: String = "graft_avro_ocf_explode"
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: CharSequence, StringType) => UTF8String.fromString(s.toString)
+    case (l: java.lang.Long, LongType) => l.longValue()
+    case (i: java.lang.Integer, LongType) => i.longValue().asInstanceOf[Any]
+    case (i: java.lang.Integer, IntegerType) => i.intValue()
+    case (d: java.lang.Double, DoubleType) => d.doubleValue()
+    case (f: java.lang.Float, FloatType) => f.floatValue()
+    case (f: java.lang.Float, DoubleType) => f.doubleValue()
+    case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+    case (other, t) => throw new IllegalArgumentException(
+      s"unsupported Avro value ${other.getClass} for ${t.catalogString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) return Nil
+    val (writerSchema, recs) = AvroOcf.records(bytes)
+    val hasField = schema.fields.map(f => writerSchema.getField(f.name) != null)
+    recs.map { r =>
+      InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+        if (hasField(i)) convert(r.get(f.name), f.dataType) else null
+      }.toIndexedSeq)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : AvroOcfExplode = copy(child = newChild)
+}

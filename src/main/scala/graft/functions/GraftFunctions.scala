@@ -48,6 +48,11 @@ object GraftFunctions {
                        nProbe: Int): Column =
     c(NearestCentroids(e(qvec), centroids, nProbe))
 
+  /** Explode an Avro OCF binary blob into rows of the target schema. */
+  def avroOcfExplode(bytes: Column,
+                     schema: org.apache.spark.sql.types.StructType): Column =
+    c(AvroOcfExplode(e(bytes), schema))
+
   private[functions] val registry: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_bands"),

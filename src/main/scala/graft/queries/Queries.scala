@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.engine.{CommitLog, KafkaShape, Monitoring, Tables}
+import graft.engine.{AvroOcf, CommitLog, KafkaShape, Monitoring, Tables}
+import graft.functions.GraftFunctions
 import graft.ops.{Relational, StreamOps}
 
 /** The driver-facing query registry: every SURVEY.md §2 operator that is
@@ -53,6 +54,14 @@ object Queries {
         StreamOps.offsetRangeSlice(kafka(s, d), 300L, 700L))),
     // A5: throughput meter
     "throughput" -> ((s, d) => StreamOps.throughput(kafka(s, d))),
+    // S6/S7 + S12: pack events into per-shard Avro OCF payloads, then
+    // explode them back through the Generator decode — the full
+    // encode→self-describing-container→decode cycle in one plan
+    "avro_roundtrip" -> ((s, d) =>
+      AvroOcf.packEvents(events(s, d))
+        .select(GraftFunctions.avroOcfExplode(col("value"),
+          AvroOcf.eventStructType)
+          .as(Seq("user_id", "event_type", "event_id")))),
     // M1: shard-union-aggregate equivalence
     "union_shards" -> ((s, d) => StreamOps.unionShards(kafka(s, d), 4)),
     // M2: group-by-leader batching
@@ -116,6 +125,8 @@ object Queries {
         |       make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
         |       count(*) AS cnt, count(*)/3600.0 AS events_per_sec
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "avro_roundtrip" ->
+      "SELECT user_id, event_type, event_id FROM events",
     "union_shards" ->
       """SELECT 'events' AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions

@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.avro.SchemaBuilder
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSuite
+import graft.functions.GraftFunctions
+
+/** S6/S7: OCF encode→decode round-trips arbitrary records, the writer
+  * schema is read back from the container (self-describing), and the
+  * Generator decode projects by name with nulls for unknown fields.
+  */
+class AvroOcfSpec extends SparkSuite {
+
+  private def rec(u: Long, t: String, e: Long): GenericRecord = {
+    val r = new GenericData.Record(AvroOcf.eventSchema)
+    r.put("user_id", u); r.put("event_type", t); r.put("event_id", e)
+    r
+  }
+
+  test("round-trip preserves ScalaCheck-generated records and schema") {
+    val gen = for {
+      u <- Gen.choose(Long.MinValue, Long.MaxValue)
+      t <- Gen.oneOf(Gen.alphaNumStr, Gen.const(""),
+        Gen.const("unicode: déjà vu ☃"))
+      e <- Gen.choose(0L, Long.MaxValue)
+    } yield (u, t, e)
+    val data = (1 to 200).flatMap(_ => gen.sample)
+    val bytes = AvroOcf.serialize(AvroOcf.eventSchema,
+      data.map { case (u, t, e) => rec(u, t, e) }.iterator)
+    val (schema, back) = AvroOcf.records(bytes)
+    assert(schema.toString == AvroOcf.eventSchema.toString,
+      "writer schema must travel in the container header")
+    val got = back.map(r => (r.get("user_id").asInstanceOf[Long],
+      r.get("event_type").toString, r.get("event_id").asInstanceOf[Long]))
+    assert(got == data)
+  }
+
+  test("AvroOcfExplode: one blob explodes to N typed rows, distributed") {
+    val s = spark
+    import s.implicits._
+    val blobs = Seq(
+      ("b1", AvroOcf.serialize(AvroOcf.eventSchema,
+        Seq(rec(1, "click", 10), rec(2, "view", 11)).iterator)),
+      ("b2", AvroOcf.serialize(AvroOcf.eventSchema,
+        Seq(rec(3, "click", 12)).iterator)))
+      .toDF("blob_id", "value")
+    val rows = blobs.select(col("blob_id"),
+        GraftFunctions.avroOcfExplode(col("value"), AvroOcf.eventStructType)
+          .as(Seq("user_id", "event_type", "event_id")))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("b1", 1L, "click", 10L), ("b1", 2L, "view", 11L),
+      ("b2", 3L, "click", 12L)))
+  }
+
+  test("decode projects by name: unknown target fields become null") {
+    val s = spark
+    import s.implicits._
+    val widerTarget = org.apache.spark.sql.types.StructType(
+      AvroOcf.eventStructType.fields :+
+        org.apache.spark.sql.types.StructField("not_written",
+          org.apache.spark.sql.types.StringType))
+    val blob = Seq(Tuple1(AvroOcf.serialize(AvroOcf.eventSchema,
+      Seq(rec(7, "x", 70)).iterator))).toDF("value")
+    val r = blob.select(
+        GraftFunctions.avroOcfExplode(col("value"), widerTarget)
+          .as(Seq("user_id", "event_type", "event_id", "not_written")))
+      .head()
+    assert(r.getLong(0) == 7L && r.isNullAt(3))
+  }
+
+  test("packEvents -> explode round-trips the events table") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val decoded = AvroOcf.packEvents(events)
+      .select(GraftFunctions.avroOcfExplode(col("value"),
+        AvroOcf.eventStructType)
+        .as(Seq("user_id", "event_type", "event_id")))
+    val got = decoded.orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = events.selectExpr("user_id", "event_type", "event_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+}
