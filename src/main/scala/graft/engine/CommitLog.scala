@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * (reference `PartitionedSimpleConsumerKafkaInputDStream.scala:384-415`,
   * rowkey `"[clientId]-topic-partition"` at `:393`; read back for
   * recovery at `:178-196`). The rebuild is a queryable append-only
-  * DataFrame with the same columns — written by a
-  * StreamingQueryListener in streaming mode (graft.streaming.CommitLogListener)
+  * DataFrame with the same columns — written per microbatch by
+  * graft.streaming.CommitLogSink (recovery read:
+  * CommitLogStream.committedOffsets, exercised in CommitLogStreamSpec)
   * and derivable from any Kafka-shaped batch, partitioned by
   * (topic, partition) so 100 TB of log prunes to one partition's files
   * on recovery reads.

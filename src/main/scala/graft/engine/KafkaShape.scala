@@ -52,7 +52,11 @@ object KafkaShape {
 
   /** Map the `events` table onto the Kafka record contract:
     * key = user id bytes, value = props payload bytes, offset = event id,
-    * partition = hash-shard of the key (FIXTURES.md "Stream-shaped table").
+    * partition = shard of the key (FIXTURES.md "Stream-shaped table").
+    * Sign-preserving `%` (not pmod) so the shard matches the DuckDB
+    * oracles' `user_id % n` for ALL inputs, not just the fixture's
+    * non-negative ids; real Kafka partitions are non-negative, where
+    * the two agree.
     */
   def fromEvents(events: DataFrame,
                  numPartitions: Int = defaultNumPartitions,
@@ -61,7 +65,7 @@ object KafkaShape {
       col("user_id").cast(StringType).cast(BinaryType).as("key"),
       col("props").cast(BinaryType).as("value"),
       lit(topic).as("topic"),
-      pmod(col("user_id"), lit(numPartitions.toLong)).cast(IntegerType)
+      (col("user_id") % numPartitions.toLong).cast(IntegerType)
         .as("partition"),
       col("event_id").as("offset"),
       col("ts").as("timestamp"),

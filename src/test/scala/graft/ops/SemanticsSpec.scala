@@ -95,4 +95,24 @@ class SemanticsSpec extends SparkSuite {
       .select("partition").collect().map(_.getInt(0)).toSet
     assert(owned == (0 until 16).filter(_ % 3 == 2).toSet)
   }
+
+  test("X1 invariant: consumer shards partition the partition space") {
+    // the reference's work-steal scheduler guarantees no partition is
+    // owned by two consumers and none is starved (reference
+    // `…InputDStream.scala:235-264`); in the rebuild ownership IS the
+    // shard predicate — assert the predicates are disjoint and complete
+    // for every consumer count.
+    val df = kafkaDf((0L until 32L).map(p => (p, p)))
+    for (n <- 1 to 5) {
+      val owned = (0 until n).map { id =>
+        df.filter(KafkaShape.shardFilter(
+            KafkaShape.StreamConfig(consumerId = id, consumersCount = n)))
+          .select("partition").collect().map(_.getInt(0)).toSet
+      }
+      val all = owned.reduce(_ union _)
+      assert(all == (0 until 32).toSet, s"n=$n: some partition starved")
+      assert(owned.map(_.size).sum == 32,
+        s"n=$n: a partition is owned twice")
+    }
+  }
 }

@@ -94,6 +94,19 @@ class StreamingEquivalenceSpec extends SparkSuite {
       s"late row leaked into a closed window: $rows")
   }
 
+  test("S8: devMode drops records into the noop sink") {
+    // the reference's devMode skips the store() push (reference
+    // `…InputDStream.scala:108-116`); the rebuild twin is the noop sink
+    val s = spark
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = kafkaStream.writeStream.format("noop")
+      .option("checkpointLocation", tmpDir("noop_ckpt")).start()
+    input.addData(records(10))
+    q.processAllAvailable()
+    assert(q.lastProgress.numInputRows == 10)
+    q.stop()
+  }
+
   test("at-least-once replay dedups to exactly-once output") {
     val s = spark
     val (input, kafkaStream) = KafkaShapedStream.memory(s)
