@@ -156,4 +156,23 @@ object TextOps {
   /** Document fingerprint: rolling polynomial hash of the whole text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), polyHash(col(textCol)).as("fingerprint"))
+
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, and
+    * punctuation runs, each optionally glued to one leading space —
+    * the GPT-2-style split shape, restricted to constructs whose
+    * semantics are identical in Java regex and the oracle engine's RE2.
+    */
+  val bpeTokenPattern: String = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  /** Token counting, whitespace and BPE-ish: the per-document token
+    * budget every LLM-pipeline sizing decision hangs on. Both counts
+    * are single-pass scans, no shuffle.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast(LongType).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeTokenPattern), lit(0)))
+        .cast(LongType).as("n_bpe_tokens"))
 }

@@ -80,6 +80,9 @@ object LlmQueries {
     // N4 — language-ID heuristic
     "langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_id"))),
+    // N4 — whitespace + BPE-ish token counting
+    "token_counts" -> ((s, d) =>
+      TextOps.tokenCounts(docs(s, d), "doc_id", "text")),
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
@@ -263,6 +266,12 @@ object LlmQueries {
          |  ELSE 'unknown' END AS lang_id
          |FROM m""".stripMargin
     },
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.bpeTokenPattern}'))
+         |    AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
     "sessionize" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -65,4 +65,17 @@ object KafkaShapedStream {
     val input = MemoryStream[KafkaRecord](KafkaRecord.encoder, spark)
     (input, input.toDF())
   }
+
+  /** S2 — the one-call factory, `createStreamPartition`'s twin: build
+    * this consumer instance's stream from its config — the source
+    * filtered to the partitions the consumer owns (P6 shard predicate;
+    * the reference filters discovered partitions the same way at
+    * registration, `…InputDStream.scala:269-270`).
+    */
+  def forConfig(spark: SparkSession,
+                cfg: graft.engine.KafkaShape.StreamConfig)
+      : (MemoryStream[KafkaRecord], DataFrame) = {
+    val (input, df) = memory(spark)
+    (input, df.filter(graft.engine.KafkaShape.shardFilter(cfg)))
+  }
 }

@@ -94,6 +94,52 @@ class StreamingEquivalenceSpec extends SparkSuite {
       s"late row leaked into a closed window: $rows")
   }
 
+  test("N6 streaming twin: session_window equals the batch result") {
+    val s = spark
+    import s.implicits._
+    // events with deliberate gaps: user 1 has two sessions, user 2 one
+    def e(user: Long, t: String, id: Long) =
+      (user, Timestamp.valueOf(t), id)
+    val data = Seq(
+      e(1, "2026-01-01 10:00:00", 1), e(1, "2026-01-01 10:10:00", 2),
+      e(1, "2026-01-01 12:00:00", 3), // > 30 min gap → new session
+      e(2, "2026-01-01 10:05:00", 4), e(2, "2026-01-01 10:20:00", 5))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.TIMESTAMP,
+          org.apache.spark.sql.Encoders.scalaLong), s)
+    val stream = graft.ops.Sessionize.sessionWindow(
+      input.toDF().toDF("user_id", "ts", "event_id")
+        .withWatermark("ts", "1 minute"))
+    val q = stream.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("sess_ckpt"))
+      .start()
+    input.addData(data)
+    q.processAllAvailable()
+    // advance watermark far enough to close and emit every session
+    input.addData(Seq(e(99, "2026-01-02 00:00:00", 100)))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.ops.Sessionize.sessionWindow(
+      (data :+ e(99, "2026-01-02 00:00:00", 100))
+        .toDF("user_id", "ts", "event_id"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    val got = s.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // the last sentinel session may still be open in the stream —
+    // compare on the closed sessions
+    val closed = batch.filter(_._1 != 99L)
+    assert(closed.subsetOf(got) || closed == got.filter(_._1 != 99L),
+      s"stream sessions $got != batch $closed")
+    assert(got.filter(_._1 != 99L) == closed)
+  }
+
   test("S8: devMode drops records into the noop sink") {
     // the reference's devMode skips the store() push (reference
     // `…InputDStream.scala:108-116`); the rebuild twin is the noop sink
