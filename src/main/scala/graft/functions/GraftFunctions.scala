@@ -48,6 +48,10 @@ object GraftFunctions {
                        nProbe: Int): Column =
     c(NearestCentroids(e(qvec), centroids, nProbe))
 
+  /** Bucketed byte histogram of a binary payload. */
+  def byteHistogram(payload: Column, nBuckets: Int): Column =
+    c(ByteHistogram(e(payload), nBuckets))
+
   /** Explode an Avro OCF binary blob into rows of the target schema. */
   def avroOcfExplode(bytes: Column,
                      schema: org.apache.spark.sql.types.StructType): Column =

@@ -193,6 +193,46 @@ case class PolyHash31(child: Expression, m: Long)
       : PolyHash31 = copy(child = newChild)
 }
 
+/** Bucketed byte histogram of a binary payload: counts of
+  * (unsigned byte mod nBuckets) — the bag-of-bytes feature extractor
+  * of the multimodal pipeline (N5), one codegen loop per row.
+  */
+case class ByteHistogram(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_byte_histogram"
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val h = new Array[Long](nBuckets)
+    var i = 0
+    while (i < bytes.length) {
+      h((bytes(i) & 0xff) % nBuckets) += 1
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("byteHistogram", this,
+      classOf[ByteHistogram].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ByteHistogram = copy(child = newChild)
+}
+
 /** |A ∩ B| of two SORTED distinct array<bigint> columns — one merge
   * pass, no allocation. Inputs must be sorted ascending (the contract
   * of HashedCharGrams / HashedWordShingles).

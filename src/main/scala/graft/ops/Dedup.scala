@@ -157,6 +157,54 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Min-label propagation over an undirected pair graph: after
+    * `iters` rounds every node holds the minimum id reachable within
+    * `iters` hops — the full component min whenever the component
+    * diameter is ≤ iters (near-dup clusters are clique-like, diameter
+    * 1-2; the default 4 adds slack). Each round is one shuffle join on
+    * the edge key + one aggregation — the bounded-iteration connected
+    * components that scales (GraphX-style propagation without the
+    * framework); the DuckDB oracle replays the SAME round count, so
+    * results match on any topology.
+    */
+  def componentMin(ids: DataFrame, pairs: DataFrame,
+                   iters: Int = 4): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      // tiny (pair count); persisted because every propagation round
+      // re-reads it — without this the candidate-generation subtree
+      // would re-execute per round
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("comp"))
+    (1 to iters).foreach { _ =>
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      labels = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+    }
+    labels
+  }
+
+  /** N1/N2 end-to-end — corpus dedup: near-dup pairs (minhash-banded,
+    * exact-verified) → connected components → one canonical
+    * representative (min id) per cluster. Output: every doc with its
+    * canonical id and whether it is the kept representative — the
+    * operation an LLM-data pipeline actually runs on 100 TB of text.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.5, iters: Int = 4): DataFrame = {
+    val prs = minhashPairs(docs, idCol, textCol, threshold)
+    componentMin(docs.select(col(idCol).as("id")), prs, iters)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
+        (col("id") === col("comp")).as("kept"))
+  }
+
   /** Quantized embedding vector (milli-units as int64): makes every
     * dot product exact integer arithmetic — order-independent and
     * bit-identical across engines (see Similarity).

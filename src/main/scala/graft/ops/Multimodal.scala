@@ -45,6 +45,62 @@ object Multimodal {
           .when(pmod(col("byte_len"), lit(3L)) === 1, lit("png"))
           .otherwise(lit("webp")).as("fmt"))
 
+  /** Resize planning: the target dimensions a resize kernel would
+    * produce fitting each medium into a `target`×`target` box while
+    * preserving aspect ratio — pure integer arithmetic on the decoded
+    * metadata (the kernel itself is the codec stub's concern).
+    */
+  def resizeDims(meta: DataFrame, target: Long = 224L): DataFrame =
+    meta.select(
+      col("doc_id"), col("width"), col("height"),
+      when(col("width") >= col("height"), lit(target))
+        .otherwise(floor(col("width") * target / col("height"))
+          .cast(LongType)).as("out_w"),
+      when(col("width") >= col("height"),
+        floor(col("height") * target / col("width")).cast(LongType))
+        .otherwise(lit(target)).as("out_h"))
+
+  /** Frame sampling: deterministic byte-slice "frames" of the payload —
+    * one output row per sampled frame with its index, length and
+    * content fingerprint. The slicing arithmetic (n_frames from the
+    * stub metadata, stride = len/n_frames) is the real plumbing a
+    * video frame-sampler needs: binary slicing, per-frame rows,
+    * bounded fan-out. Fingerprint = PolyHash31 of the frame bytes
+    * (payloads are UTF-8 here, so the string hash IS the byte hash —
+    * the fixture is ASCII, asserted by the oracle's parity).
+    */
+  def frameSample(payload: DataFrame): DataFrame = {
+    val n = length(col("payload")).cast(LongType)
+    val nFrames = lit(1L) + pmod(n, lit(30L))
+    val stride = greatest(lit(1L), (n / nFrames).cast(LongType))
+    payload
+      .select(col("doc_id"), col("payload"), n.as("byte_len"),
+        nFrames.as("n_frames"), stride.as("stride"))
+      .select(col("doc_id"), col("byte_len"),
+        posexplode(expr(
+          "transform(sequence(0, n_frames - 1), " +
+            "i -> substring(payload, cast(i * stride + 1 as int), " +
+            "cast(stride as int)))")))
+      .select(col("doc_id"), col("byte_len"),
+        col("pos").cast(LongType).as("frame_idx"),
+        length(col("col")).cast(LongType).as("frame_len"),
+        graft.functions.GraftFunctions.polyHash(
+          col("col").cast(StringType), graft.ops.TextOps.FpMod)
+          .as("frame_fp"))
+  }
+
+  /** Feature extraction: bag-of-bytes histogram (ByteHistogram codegen
+    * kernel) exploded to (doc_id, bucket, cnt) rows — the relational
+    * shape an embedding-ish media featurizer feeds downstream.
+    */
+  def byteHistogram(payload: DataFrame, nBuckets: Int = 16): DataFrame =
+    payload
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.byteHistogram(col("payload"),
+          nBuckets)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("bucket"),
+        col("col").as("cnt"))
+
   /** Per-partition batched decode — the shape a real codec needs
     * (amortized init per partition, bytes in / struct out). STUB body:
     * must produce exactly decodeMeta's values; a real decoder would

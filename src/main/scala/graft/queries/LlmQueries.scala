@@ -46,6 +46,10 @@ object LlmQueries {
     // N2 — MinHash+LSH near-dup with exact-jaccard verification
     "neardup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", threshold = 0.5)),
+    // N1/N2 end-to-end — corpus dedup: pairs → connected components →
+    // canonical representative per cluster
+    "dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(docs(s, d), "doc_id", "text", threshold = 0.5)),
     // N2 — char-5-gram jaccard via minhash-banded candidates
     "neardup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
@@ -95,6 +99,16 @@ object LlmQueries {
     // N5 — multimodal decode, per-partition batched (mapPartitions) form
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodePartition(s, Multimodal.withPayload(docs(s, d))).toDF()),
+    // N5 — resize planning on decoded metadata
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeDims(
+        Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))))),
+    // N5 — frame sampling: binary slices, one row per frame
+    "frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))),
+    // N5 — bag-of-bytes feature extraction (ByteHistogram kernel)
+    "byte_histogram" -> ((s, d) =>
+      Multimodal.byteHistogram(Multimodal.withPayload(docs(s, d)))),
     // N7 — approx distinct with an in-query tolerance check: the row
     // hashes equal to the oracle iff the HLL++ estimate is within 5%.
     "approx_distinct" -> ((s, d) =>
@@ -195,6 +209,29 @@ object LlmQueries {
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_corpus" -> {
+      // same pair predicate as neardup_minhash (brute force), then the
+      // SAME 4 min-propagation rounds the Spark op runs
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+           |  LEFT JOIN l${k - 1} n ON e.d = n.id
+           |  GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      >= 0.5),
+         |sym AS (SELECT ia AS s, ib AS d FROM pr
+         |        UNION ALL SELECT ib, ia FROM pr),
+         |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
+         |$rounds
+         |SELECT id AS doc_id, comp AS canonical_id, id = comp AS kept
+         |FROM l4""".stripMargin
+    },
     "simhash_pairs" -> simhashOracle(3),
     "embedding_pairs" ->
       s"""WITH $quantCte,
@@ -323,6 +360,53 @@ object LlmQueries {
         |  CASE byte_len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |    ELSE 'webp' END AS fmt
         |FROM b""".stripMargin,
+    "multimodal_resize" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents),
+        |m AS (SELECT doc_id, 320 + n % 320 AS width, 240 + (n*7) % 240 AS height
+        |  FROM b)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width >= height THEN 224
+        |       ELSE width * 224 // height END AS out_w,
+        |  CASE WHEN width >= height THEN height * 224 // width
+        |       ELSE 224 END AS out_h
+        |FROM m""".stripMargin,
+    "frame_sample" -> {
+      // ASCII fixture ⇒ byte slicing == char substr (parity asserted:
+      // octet_length == length for every row, checked in AvroOcf-era
+      // fixture analysis); replays the exact slicing arithmetic
+      s"""WITH b AS (SELECT doc_id, text,
+         |  CAST(length(text) AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, text, n, 1 + n % 30 AS n_frames,
+         |  greatest(1, n // (1 + n % 30)) AS stride FROM b),
+         |f AS (SELECT doc_id, n AS byte_len,
+         |  unnest(range(0, n_frames)) AS frame_idx, text, stride FROM p),
+         |s AS (SELECT doc_id, byte_len, frame_idx,
+         |  substr(text, CAST(frame_idx * stride + 1 AS BIGINT),
+         |         CAST(stride AS BIGINT)) AS fr FROM f)
+         |SELECT doc_id, byte_len, frame_idx,
+         |  CAST(length(fr) AS BIGINT) AS frame_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(fr)+1),
+         |      i -> CAST(ascii(substr(fr, i, 1)) AS BIGINT))),
+         |    (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) AS frame_fp
+         |FROM s""".stripMargin
+    },
+    "byte_histogram" ->
+      """WITH c AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, length(text)+1),
+        |    i -> ascii(substr(text, i, 1)) % 16)) AS bucket
+        |  FROM documents),
+        |counts AS (SELECT doc_id, bucket, count(*) AS cnt
+        |  FROM c GROUP BY doc_id, bucket),
+        |all_buckets AS (SELECT d.doc_id, b.bucket
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d,
+        |       (SELECT unnest(range(0, 16)) AS bucket) b)
+        |SELECT a.doc_id, CAST(a.bucket AS BIGINT) AS bucket,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM all_buckets a LEFT JOIN counts c
+        |  ON a.doc_id = c.doc_id AND a.bucket = c.bucket""".stripMargin,
     "approx_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
         |FROM events""".stripMargin)
