@@ -52,6 +52,9 @@ object GraftFunctions {
   def byteHistogram(payload: Column, nBuckets: Int): Column =
     c(ByteHistogram(e(payload), nBuckets))
 
+  /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
+  def simhash64(text: Column): Column = c(SimHash64(e(text)))
+
   /** Explode an Avro OCF binary blob into rows of the target schema. */
   def avroOcfExplode(bytes: Column,
                      schema: org.apache.spark.sql.types.StructType): Column =

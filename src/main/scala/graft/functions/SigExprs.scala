@@ -61,8 +61,8 @@ object SigKernels {
   * candidates are always verified exactly downstream).
   *
   * Minhash i = min over elements h of (a_i·h + b_i) mod P, with
-  * (a_i, b_i) = TextOps.minhashAB — the same affine-permutation family
-  * the interpreted form used (reference for the banding scheme:
+  * (a_i, b_i) = TextOps.affineConstants(42, numPerms) — a fixed
+  * affine-permutation family (reference for the banding scheme:
   * Broder's minwise hashing + LSH banding as surveyed in PAPERS.md).
   */
 case class MinHashBands(child: Expression, numPerms: Int, bands: Int)

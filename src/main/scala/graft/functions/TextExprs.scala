@@ -193,6 +193,83 @@ case class PolyHash31(child: Expression, m: Long)
       : PolyHash31 = copy(child = newChild)
 }
 
+/** The 64-bit SimHash signature of a text column as array<bigint>
+  * [lo, hi] (two unsigned 32-bit halves — the oracle engine's checked
+  * arithmetic would overflow on bit 63), fused into one loop: tokens =
+  * the single-space split (empties kept), h = PolyHash31(token) mod
+  * 1e9+7, bit b of the signature is 1 iff
+  * Σ_tokens sign[(a_b·h + c_b) mod P ≥ P/2] > 0 — Charikar's SimHash
+  * rounding with the exact TextOps.simhashAC constants the DuckDB
+  * oracle interpolates, bit-identical to the unfused
+  * explode + 64-column aggregate it replaces.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash64"
+
+  def compute(u: UTF8String): ArrayData = {
+    import graft.ops.TextOps.{FpMod, HalfP, P}
+    val s = u.toString
+    val as = SimHash64.as
+    val cs = SimHash64.cs
+    val votes = new Array[Int](64)
+    var from = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        // token span [from, i): fold the polynomial hash, then vote
+        var h = 0L
+        var j = from
+        while (j < i) { h = (h * 31 + s.charAt(j)) % FpMod; j += 1 }
+        var b = 0
+        while (b < 64) {
+          if ((as(b) * h + cs(b)) % P >= HalfP) votes(b) += 1
+          else votes(b) -= 1
+          b += 1
+        }
+        from = i + 1
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) lo |= 1L << b
+      if (votes(b + 32) > 0) hi |= 1L << b
+      b += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash64", this,
+      classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+  private val as: Array[Long] =
+    graft.ops.TextOps.simhashAC.map(_._1).toArray
+  private val cs: Array[Long] =
+    graft.ops.TextOps.simhashAC.map(_._2).toArray
+}
+
 /** Bucketed byte histogram of a binary payload: counts of
   * (unsigned byte mod nBuckets) — the bag-of-bytes feature extractor
   * of the multimodal pipeline (N5), one codegen loop per row.

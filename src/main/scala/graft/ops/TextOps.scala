@@ -31,8 +31,6 @@ object TextOps {
 
   /** 64 bit-hash constants for SimHash. */
   val simhashAC: IndexedSeq[(Long, Long)] = affineConstants(43L, 64)
-  /** 128 permutation constants for MinHash. */
-  val minhashAB: IndexedSeq[(Long, Long)] = affineConstants(42L, 128)
 
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
@@ -72,32 +70,16 @@ object TextOps {
     * Two halves (not one int64) because the oracle engine uses checked
     * 64-bit arithmetic — bit 63 would overflow there.
     *
-    * Scale note: the per-token fold runs once per (doc, token) row and
-    * the 64 votes are one map-side-combined aggregate — no shuffle
-    * beyond the doc_id groupBy. With a large corpus the distinct-token
-    * dictionary is tiny relative to token instances; hashing the
-    * dictionary once and broadcast-joining it back would cut the fold
-    * cost 100×, at the price of one more broadcast — worth it at 100 TB,
-    * unnecessary at bench scale.
+    * Runs as the fused SimHash64 codegen kernel: one narrow projection
+    * per document, no explode, no shuffle at all — the signature step
+    * of a 100 TB dedup is a pure map.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", polyHash(col("tok")))
-    val votes = (0 until 64).map { b =>
-      val (a, c) = simhashAC(b)
-      sum(when(pmod(lit(a) * col("h") + lit(c), lit(P)) >= lit(HalfP), 1L)
-        .otherwise(-1L)).as(s"v$b")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val lo = (0 until 32).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val hi = (32 until 64).map(b =>
-      when(col(s"v$b") > 0, lit(1L << (b - 32))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col(idCol), lo.as("sim_lo"), hi.as("sim_hi"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sh2"))
+      .select(col(idCol),
+        element_at(col("sh2"), 1).as("sim_lo"),
+        element_at(col("sh2"), 2).as("sim_hi"))
 
   /** Language-ID heuristic: marker-stopword voting with a fixed
     * precedence for ties (en > es > de > fr > unknown).
