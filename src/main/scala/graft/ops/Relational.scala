@@ -162,4 +162,34 @@ object Relational {
     orders.join(counts, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_totalprice"), col("n_lines"))
   }
+
+  /** Set difference: customers active in year A but not in year B.
+    * Dataset.except plans as a left-anti over pre-projected key sets —
+    * one shuffle per side on the key, no wide rows move.
+    */
+  def churnedCustomers(orders: DataFrame, yearA: Int = 1996,
+                       yearB: Int = 1998): DataFrame = {
+    def active(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    active(yearA).except(active(yearB))
+  }
+
+  /** Pivot: per topic partition, event counts spread across the fixed
+    * event-type vocabulary. An explicit value list keeps the pivot a
+    * single pass (no extra distinct-values job) with map-side-combined
+    * counts — the plan shape that survives any corpus size.
+    */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error", "purchase",
+                       "signup", "view"),
+                     numPartitions: Int = 8): DataFrame =
+    events
+      .select((col("user_id") % numPartitions.toLong).as("kpartition"),
+        col("event_type"))
+      .groupBy(col("kpartition"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("kpartition") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
 }

@@ -176,7 +176,13 @@ object Queries {
     "window_rank" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
     "rollup_summary" -> ((s, d) => Relational.rollupSummary(Tables.lineitem(s, d))),
     "big_orders" -> ((s, d) => Relational.bigOrders(
-      Tables.lineitem(s, d), Tables.orders(s, d))))
+      Tables.lineitem(s, d), Tables.orders(s, d))),
+    // set difference (EXCEPT → left-anti on pre-projected keys)
+    "except_churned" -> ((s, d) =>
+      Relational.churnedCustomers(Tables.orders(s, d))),
+    // pivot with explicit value list (single pass, map-side combine)
+    "pivot_events" -> ((s, d) =>
+      Relational.eventTypePivot(Tables.events(s, d))))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -242,7 +248,21 @@ object Queries {
       """SELECT o_orderkey, o_totalprice, n_lines FROM orders JOIN
         | (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
         |  GROUP BY 1 HAVING count(*) >= 6) t
-        | ON o_orderkey = l_orderkey""".stripMargin)
+        | ON o_orderkey = l_orderkey""".stripMargin,
+    "except_churned" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1998""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id % 8 AS kpartition,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin)
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries

@@ -69,6 +69,26 @@ class CommitLogStreamSpec extends SparkSuite {
       assert(snaps.map(_.records.get).sum == 60L,
         s"observed record counts should sum to 60: $snaps")
       assert(snaps.map(_.headOffset.get).max == 59L)
+
+      // M3 end-to-end: the lag report over a LIVE head (offsets up to
+      // 99 now exist upstream) vs the offsets this sink committed —
+      // the full ProcessorMetrics program wired to real commit state
+      val head = {
+        import s.implicits._
+        (0 until 100).map(i => (i % 4, i.toLong))
+          .toDF("p", "offset")
+          .selectExpr("cast(null as binary) as key",
+            "cast('x' as binary) as value", "'events' as topic",
+            "cast(p as int) as partition", "offset",
+            "timestamp'2026-01-01' as timestamp", "0 as timestampType")
+      }
+      val lag = graft.engine.Monitoring.lagReport(head,
+          CommitLogStream.committedOffsets(s, logPath)
+            .withColumnRenamed("committed_offset", "offset"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // head per partition p: max offset ≡ 96+p; committed: 56+p
+      assert(lag == Map(0L -> 40L, 1L -> 40L, 2L -> 40L, 3L -> 40L),
+        s"got $lag")
     } finally s.streams.removeListener(listener)
   }
 }
