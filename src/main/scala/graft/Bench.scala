@@ -17,6 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: one scan+shuffle query so the first measured
+    // query doesn't absorb classloading + whole-stage-codegen compile
+    try SparkEntry.queries.get("kafka_roundtrip")
+      .foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,19 +28,25 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Candidate pairs from LSH banding: input (id, bandIdx, bandHash)
-    * exploded rows; self-join on the band bucket. The join key
-    * (bandIdx, bandHash) is the shuffle key — bucket sizes, not corpus
-    * size, bound the pair blow-up.
+    * exploded rows. One aggregation groups each band bucket's ids,
+    * then in-bucket pairs unfold locally — a single shuffle on the
+    * bucket key AND a single evaluation of the (expensive) signature
+    * subtree, where a self-join would shuffle twice and recompute the
+    * signatures per side. Bucket sizes — duplicate-cluster sizes, not
+    * corpus size — bound the pair blow-up, so the in-bucket unfold is
+    * tiny; a hot bucket (hash skew) would surface here as one fat
+    * group, the usual salting territory.
     */
-  private def bandPairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("id_a"), col("band_idx"),
-      col("band_hash"))
-    val b = bands.select(col(idCol).as("id_b"), col("band_idx"),
-      col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-  }
+  private def bandPairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
 
   /** Banded minhash candidates + exact-jaccard verify, shared by the
     * word-shingle and char-gram near-dup ops: `sets` = (id, setCol)
