@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Driver-contract sanity: every oracle references a registered query,
+  * and every registered query builds an analyzable plan against the
+  * smallest fixture (schema resolution errors surface here instead of
+  * inside the driver's verify run).
+  */
+class RegistrySpec extends SparkSuite {
+
+  test("every oracle key has a query") {
+    val orphans = Queries.oracles.keySet -- Queries.all.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query analyzes against sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val failures = Queries.all.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, d)
+          assert(df.schema.fields.nonEmpty)
+          None
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle-less queries are the documented approximate ones") {
+    val noOracle = Queries.all.keySet -- Queries.oracles.keySet
+    assert(noOracle == Set("ivf_topk"),
+      s"every new query needs an oracle or a documented exemption: " +
+        s"$noOracle")
+  }
+}
