@@ -96,8 +96,12 @@ object GraftFunctions {
     args(i).eval(null).asInstanceOf[Number].intValue()
 }
 
-/** `spark.sql.extensions` entry point registering graft SQL functions. */
+/** `spark.sql.extensions` entry point registering graft SQL functions
+  * and the GroupedTopK planner strategy.
+  */
 class GraftExtensions extends SparkSessionExtensionsProvider {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+  }
 }

@@ -67,6 +67,14 @@ object LlmQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5)
     }),
+    // N3 — same ranking through the GroupedTopK custom operator
+    // (logical node + planner strategy + bounded-heap exec); same
+    // oracle SQL as topk_cosine proves plan-level equivalence
+    "topk_cosine_exec" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopKExec(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+    }),
     // N3 scale path — IVF top-k (deterministic sample-trained coarse
     // quantizer; approximate, so no SQL oracle: the driver records the
     // rows-only check and LshRecallSpec asserts recall >= 0.9 vs brute)
@@ -242,6 +250,18 @@ object LlmQueries {
          |SELECT va AS vec_a, vb AS vec_b, cosine FROM p
          |WHERE cosine >= 0.4""".stripMargin,
     "topk_cosine" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "topk_cosine_exec" ->
       s"""WITH $quantCte,
          |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
          |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,

@@ -1,14 +1,23 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Minimal `private[sql]` bridge: Column ↔ Expression for the graft
-  * custom Catalyst expressions. The standard pattern for Spark
-  * extension libraries — nothing else from the internal API is used.
+/** Minimal `private[sql]` bridge: Column ↔ Expression and
+  * LogicalPlan → DataFrame for the graft custom Catalyst pieces. The
+  * standard pattern for Spark extension libraries — nothing else from
+  * the internal API is used.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
 }
