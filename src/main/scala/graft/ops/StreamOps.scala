@@ -86,8 +86,10 @@ object StreamOps {
 
   /** M1 — stream union: the example merges N per-consumer shards into
     * one stream before aggregating (reference `KafkaWordCount.scala:53-68`,
-    * `ssc.union(...)`). Semantics-preserving test form: shard by the P6
-    * predicate, union back, aggregate — must equal the unsharded agg.
+    * `ssc.union(...)`). Semantics-preserving TEST form only: sharding
+    * one scan N ways and unioning back deliberately reads the source N
+    * times to prove shard∪shard == whole; a production union merges
+    * genuinely distinct sources, so never ship this shape as a plan.
     */
   def unionShards(kafka: DataFrame, consumersCount: Int): DataFrame = {
     val shards = (0 until consumersCount).map { id =>
