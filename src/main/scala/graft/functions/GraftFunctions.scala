@@ -103,5 +103,6 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RankLimitToGroupedTopK)
   }
 }

@@ -128,10 +128,12 @@ final case class GroupedTopKExec(
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val rankRow = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(1)
+      val rankIsLong = rankAttr.dataType == LongType
       heaps.iterator.flatMap { case (_, heap) =>
         val sorted = heap.dequeueAll.reverse // best-first
         sorted.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          rankRow.update(0,
+            if (rankIsLong) (i + 1).toLong else i + 1)
           out(joined(row, rankRow)).copy()
         }
       }

@@ -40,6 +40,34 @@ class GroupedTopKSpec extends SparkSuite {
     assert(exec == window)
   }
 
+  test("RankLimitToGroupedTopK rewrites the row_number <= k idiom") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val windowForm = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    // the optimizer rewrote the pattern into the custom operator...
+    assert(windowForm.queryExecution.optimizedPlan
+      .collect { case g: GroupedTopK => g }.nonEmpty,
+      windowForm.queryExecution.optimizedPlan.toString())
+    // ...and the result equals the naive spec
+    val got = windowForm.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val want = (1 to 100).map(i => (i % 7, i)).groupBy(_._1).toSeq
+      .flatMap { case (g, vs) =>
+        vs.map(_._2).sorted.reverse.take(3).zipWithIndex
+          .map { case (v, i) => (g, v, i + 1) }
+      }.toSet
+    assert(got == want)
+    // a window that is NOT a plain row_number rank filter is untouched
+    val other = df.withColumn("s", sum(col("v")).over(w))
+      .filter(col("s") > 10)
+    assert(other.queryExecution.optimizedPlan
+      .collect { case g: GroupedTopK => g }.isEmpty)
+  }
+
   test("groups smaller than k emit all rows; ties break by order expr") {
     val s = spark
     import s.implicits._
