@@ -163,6 +163,21 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"), col("n_lines"))
   }
 
+  /** Conditional aggregation (TPC-H Q12 shape, keyed by ship month —
+    * the fixture carries no ship mode): per month, how many high- vs
+    * low-priority lineitems shipped — the pivot-by-predicate pattern,
+    * one join on the shared key + one shuffle with map-side combine.
+    */
+  def shipMonthPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
   /** Set difference: customers active in year A but not in year B.
     * Dataset.except plans as a left-anti over pre-projected key sets —
     * one shuffle per side on the key, no wide rows move.

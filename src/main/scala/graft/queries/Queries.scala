@@ -182,7 +182,10 @@ object Queries {
       Relational.churnedCustomers(Tables.orders(s, d))),
     // pivot with explicit value list (single pass, map-side combine)
     "pivot_events" -> ((s, d) =>
-      Relational.eventTypePivot(Tables.events(s, d))))
+      Relational.eventTypePivot(Tables.events(s, d))),
+    // Q12-shape conditional aggregation
+    "ship_priority" -> ((s, d) => Relational.shipMonthPriority(
+      Tables.lineitem(s, d), Tables.orders(s, d))))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -255,6 +258,14 @@ object Queries {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1998""".stripMargin,
+    "ship_priority" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "pivot_events" ->
       """SELECT user_id % 8 AS kpartition,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Dedup.componentMin semantics: bounded-iteration min propagation —
+  * cliques collapse fully, chains collapse within the iteration
+  * radius, singletons stay themselves (matching the generated oracle,
+  * which replays the same round count).
+  */
+class DedupComponentsSpec extends SparkSuite {
+
+  private def run(n: Long, edges: Seq[(Long, Long)], iters: Int) = {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until n).toDF("id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    Dedup.componentMin(ids, pairs, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("clique collapses to its min id in one round") {
+    val comp = run(5, Seq((1L, 2L), (1L, 3L), (2L, 3L)), iters = 1)
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(0L) == 0L && comp(4L) == 4L, "singletons untouched")
+  }
+
+  test("a chain collapses fully within the iteration radius") {
+    // path 0-1-2-3-4-5-6-7: min label must travel 7 hops; each round
+    // moves it one hop, so 7 rounds are needed
+    val chain = (0L until 7L).map(i => (i, i + 1))
+    val full = run(8, chain, iters = 7)
+    assert(full.values.forall(_ == 0L), s"got $full")
+    // with fewer rounds the far end has not converged yet — the
+    // DOCUMENTED bounded-iteration semantics the oracle mirrors
+    val partial = run(8, chain, iters = 3)
+    assert(partial(3L) == 0L && partial(7L) != 0L, s"got $partial")
+  }
+
+  test("dedupCorpus keeps exactly one representative per duplicate set") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "the quick brown fox jumps over the lazy dog again today"),
+      (12L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (20L, "completely unrelated text about spark structured streaming"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(10L) == ((10L, true)))
+    assert(byDoc(11L) == ((10L, false)), "near-identical doc collapses")
+    assert(byDoc(12L)._1 == 10L, "transitively similar doc joins cluster")
+    assert(byDoc(20L) == ((20L, true)), "unrelated doc is its own rep")
+  }
+}
