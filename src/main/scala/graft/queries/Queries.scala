@@ -185,7 +185,15 @@ object Queries {
       Relational.eventTypePivot(Tables.events(s, d))),
     // Q12-shape conditional aggregation
     "ship_priority" -> ((s, d) => Relational.shipMonthPriority(
-      Tables.lineitem(s, d), Tables.orders(s, d))))
+      Tables.lineitem(s, d), Tables.orders(s, d))),
+    // stream-stream attribution join, batch form (same code runs on
+    // streams with bounded state — StreamingEquivalenceSpec)
+    "attribution_join" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.streaming.StreamingPipelines.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+    }))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -258,6 +266,13 @@ object Queries {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1998""".stripMargin,
+    "attribution_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "ship_priority" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -49,6 +49,34 @@ object StreamingPipelines {
     kafka.withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("topic", "partition", "offset")
 
+  /** Stream-stream event join — the capability the reference never had
+    * (its only join is the batch lag zip, M3): attribute each
+    * `purchase` to the same user's preceding `click` within
+    * `attributionWindow`. Both sides watermarked so the join state is
+    * bounded: a click older than the window can never match again and
+    * is evicted — the state-retention reasoning a 100 TB/day stream
+    * needs. Inner equi-join on user + a time-range predicate, which
+    * Structured Streaming executes with symmetric state stores keyed
+    * by user_id.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      attributionWindow: String = "30 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** X6 — the metrics hook: per-microbatch record count and head
     * offset as observed metrics, the `observe()` twin of the
     * reference's per-partition Gauge/Meter registration (reference

@@ -29,8 +29,9 @@ object PlanAudit {
         val pushed = plan.linesIterator
           .count(l => l.contains("PushedFilters: [") &&
             !l.contains("PushedFilters: []"))
+        val topk = plan.linesIterator.count(_.contains("GroupedTopK ["))
         println(f"AUDIT $name%-22s bnlj=$bnlj cart=$cart bhj=$bhj " +
-          f"shuffleJoin=$smj pushedScans=$pushed")
+          f"shuffleJoin=$smj pushedScans=$pushed groupedTopK=$topk")
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}")
       }

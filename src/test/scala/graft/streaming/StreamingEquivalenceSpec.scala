@@ -140,6 +140,36 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got.filter(_._1 != 99L) == closed)
   }
 
+  test("stream-stream attribution join matches within the window only") {
+    val s = spark
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.TIMESTAMP,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](enc, s)
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](enc, s)
+    val joined = StreamingPipelines.attributionJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id"))
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("attr_ckpt"))
+      .start()
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    clicks.addData(Seq((1L, t(0), 100L), (2L, t(0), 101L)))
+    purchases.addData(Seq(
+      (1L, t(10), 200L),  // within 30 min of click 100 → match
+      (2L, t(45), 201L),  // 45 min after click 101 → no match
+      (3L, t(5), 202L)))  // no click at all → no match
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L, 200L)), s"got $got")
+  }
+
   test("S8: devMode drops records into the noop sink") {
     // the reference's devMode skips the store() push (reference
     // `…InputDStream.scala:108-116`); the rebuild twin is the noop sink
