@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** The order-independence claim behind the oracle strategy: every
+  * oracle-visible double derives from exact integer arithmetic, so
+  * results are BIT-identical under any shuffle layout. Run the
+  * money-aggregate and cosine queries under different shuffle
+  * partition counts and compare collected rows exactly (Double bits
+  * included).
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private val names = Seq("q1_pricing", "q5_region_revenue",
+    "rollup_summary", "embedding_pairs", "text_quality")
+
+  test("results are bit-identical across shuffle partition counts") {
+    val d = "/root/testdata/sf0.001"
+    def runAll(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try names.map { n =>
+        n -> Queries.all(n)(spark, d).collect()
+          .map(_.toSeq.map {
+            case dbl: Double => java.lang.Double.doubleToLongBits(dbl).toString
+            case x => String.valueOf(x)
+          }.mkString("|")).sorted.toSeq
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+    val a = runAll(3)
+    val b = runAll(13)
+    names.foreach { n =>
+      assert(a(n) == b(n), s"$n differs across shuffle layouts")
+      assert(a(n).nonEmpty, s"$n returned no rows at sf0.001")
+    }
+  }
+}
