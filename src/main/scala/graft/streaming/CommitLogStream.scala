@@ -30,7 +30,17 @@ class CommitLogSink(spark: SparkSession, clientId: String, path: String)
 
   // running `processed` totals — the HBase Increment twin (reference
   // `…InputDStream.scala:395-401`); keyed like the reference's rowkey.
-  private val totals = mutable.Map.empty[(String, Int), Long]
+  // Recovered from the existing log on (re)start, exactly as the
+  // reference reads its counters back from HBase (`:178-196`).
+  private lazy val totals: mutable.Map[(String, Int), Long] = {
+    val recovered = mutable.Map.empty[(String, Int), Long]
+    try {
+      CommitLogStream.committedOffsets(spark, path).collect().foreach { r =>
+        recovered((r.getString(0), r.getInt(1))) = r.getLong(3)
+      }
+    } catch { case _: Throwable => () } // no log yet: start from zero
+    recovered
+  }
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val commits = CommitLog.fromKafkaBatch(batch, clientId).collect()

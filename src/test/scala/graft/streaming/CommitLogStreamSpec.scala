@@ -70,6 +70,24 @@ class CommitLogStreamSpec extends SparkSuite {
         s"observed record counts should sum to 60: $snaps")
       assert(snaps.map(_.headOffset.get).max == 59L)
 
+      // S9 restart recovery: a NEW sink instance on the same log picks
+      // the processed counters back up (the HBase read-back twin)
+      val sink2 = new CommitLogSink(s, "graft-test", logPath)
+      val (input2, kafka2) = KafkaShapedStream.memory(s)
+      val q2 = kafka2.writeStream
+        .foreachBatch((df: DataFrame, id: Long) => sink2.apply(df, id))
+        .option("checkpointLocation", tmpDir("cl_ckpt2"))
+        .start()
+      input2.addData((60 until 80).map(i => rec(i % 4, i, i)))
+      q2.processAllAvailable()
+      q2.stop()
+      val processed2 = s.read.schema(graft.engine.CommitLog.schema)
+        .parquet(logPath).groupBy("partition")
+        .agg(org.apache.spark.sql.functions.max("processed").as("p"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(processed2.values.forall(_ == 20L),
+        s"15 before restart + 5 after, got $processed2")
+
       // M3 end-to-end: the lag report over a LIVE head (offsets up to
       // 99 now exist upstream) vs the offsets this sink committed —
       // the full ProcessorMetrics program wired to real commit state
@@ -86,8 +104,9 @@ class CommitLogStreamSpec extends SparkSuite {
           CommitLogStream.committedOffsets(s, logPath)
             .withColumnRenamed("committed_offset", "offset"))
         .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-      // head per partition p: max offset ≡ 96+p; committed: 56+p
-      assert(lag == Map(0L -> 40L, 1L -> 40L, 2L -> 40L, 3L -> 40L),
+      // head per partition p: max offset ≡ 96+p; committed after the
+      // restarted sink's batch: 76+p → lag 20 everywhere
+      assert(lag == Map(0L -> 20L, 1L -> 20L, 2L -> 20L, 3L -> 20L),
         s"got $lag")
     } finally s.streams.removeListener(listener)
   }
