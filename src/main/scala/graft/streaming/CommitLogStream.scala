@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import scala.collection.mutable
