@@ -89,4 +89,17 @@ object StreamingPipelines {
       count(lit(1)).as("records"),
       max(col("offset")).as("head_offset"),
       approx_count_distinct(col("partition")).as("active_partitions"))
+
+  /** X6 batch twin — the same source metrics over a batch run, via the
+    * Observation API: metrics collect on the driver as a side effect
+    * of the action, no second scan.
+    */
+  def observeBatch(kafka: DataFrame)
+      : (org.apache.spark.sql.Observation, DataFrame) = {
+    val obs = org.apache.spark.sql.Observation("graft_source_batch")
+    (obs, kafka.observe(obs,
+      count(lit(1)).as("records"),
+      max(col("offset")).as("head_offset"),
+      approx_count_distinct(col("partition")).as("active_partitions")))
+  }
 }

@@ -18,6 +18,17 @@ class CommitLogStreamSpec extends SparkSuite {
       new Timestamp(Timestamp.valueOf("2026-01-01 10:00:00").getTime +
         sec * 1000L), numPartitions = 4)
 
+  test("X6 batch twin: Observation collects source metrics in one pass") {
+    val s = spark
+    import s.implicits._
+    val kafka = s.createDataset((0 until 25).map(i => rec(i % 4, i, i)))
+      .toDF()
+    val (obs, df) = StreamingPipelines.observeBatch(kafka)
+    assert(df.count() == 25)
+    val m = obs.get
+    assert(m("records") == 25L && m("head_offset") == 24L)
+  }
+
   test("commit-log sink + offset recovery + metrics listener") {
     val s = spark
     val logPath = tmpDir("commit_log")

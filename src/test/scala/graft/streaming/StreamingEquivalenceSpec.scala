@@ -94,6 +94,28 @@ class StreamingEquivalenceSpec extends SparkSuite {
       s"late row leaked into a closed window: $rows")
   }
 
+  test("update mode emits refined counts for the same window") {
+    val s = spark
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = StreamingPipelines
+      .wordCountStream(kafkaStream, "10 minutes", slide = None)
+      .writeStream.format("memory").queryName("wc_update")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("upd_ckpt"))
+      .start()
+    def rec(id: Long, word: String) =
+      KafkaRecord.ofEvent(1L, word, id, ts("2026-01-01 10:01:00"))
+    input.addData(Seq(rec(0, "w"), rec(1, "w")))
+    q.processAllAvailable()
+    input.addData(Seq(rec(2, "w")))
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits the refined row per batch: 2 then 3
+    val counts = s.table("wc_update").collect()
+      .map(r => r.getLong(2)).sorted.toSeq
+    assert(counts == Seq(2L, 3L), s"got $counts")
+  }
+
   test("N6 streaming twin: session_window equals the batch result") {
     val s = spark
     import s.implicits._
