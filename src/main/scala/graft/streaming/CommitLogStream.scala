@@ -74,6 +74,26 @@ object CommitLogStream {
       .groupBy(col("topic"), col("partition"))
       .agg(max(col("offset")).as("committed_offset"),
         max(col("processed")).as("processed"))
+
+  /** Compaction: collapse the append-only log to its latest row per
+    * (client, topic, partition) — the state HBase held as one
+    * always-current row per rowkey. `processed` increases monotonically
+    * per key, so max(struct(processed, …)) IS the latest row,
+    * deterministically. One aggregation; run periodically so recovery
+    * reads stay O(partitions) however long the stream has lived.
+    */
+  def compact(spark: SparkSession, logPath: String,
+              snapshotPath: String): Unit =
+    spark.read.schema(CommitLog.schema).parquet(logPath)
+      .groupBy(col("client_id"), col("topic"), col("partition"))
+      .agg(max(struct(col("processed"), col("offset"), col("consumed"),
+        col("host"), col("status"), col("ts"))).as("m"))
+      .select(col("client_id"), col("topic"), col("partition"),
+        col("m.offset").as("offset"), col("m.consumed").as("consumed"),
+        col("m.processed").as("processed"), col("m.host").as("host"),
+        col("m.status").as("status"), col("m.ts").as("ts"))
+      .write.mode("overwrite").partitionBy("topic", "partition")
+      .parquet(snapshotPath)
 }
 
 /** X6 — StreamingQueryListener capturing per-batch progress and the

@@ -99,6 +99,19 @@ class CommitLogStreamSpec extends SparkSuite {
       assert(processed2.values.forall(_ == 20L),
         s"15 before restart + 5 after, got $processed2")
 
+      // S9 compaction: the multi-batch log collapses to one current
+      // row per partition carrying the final counters
+      val snapPath = tmpDir("commit_snapshot")
+      CommitLogStream.compact(s, logPath, snapPath)
+      val snap = s.read.parquet(snapPath)
+        .selectExpr("cast(partition as int) p", "cast(offset as long) o",
+          "cast(processed as long) pr")
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(snap.keySet == Set(0, 1, 2, 3))
+      assert(snap.forall { case (p, (off, proc)) =>
+        off == 76L + p && proc == 20L }, s"got $snap")
+
       // M3 end-to-end: the lag report over a LIVE head (offsets up to
       // 99 now exist upstream) vs the offsets this sink committed —
       // the full ProcessorMetrics program wired to real commit state
