@@ -95,6 +95,11 @@ object LlmQueries {
     // N4 — whitespace + BPE-ish token counting
     "token_counts" -> ((s, d) =>
       TextOps.tokenCounts(docs(s, d), "doc_id", "text")),
+    // N4 — lang-ID confusion counts against the fixture's labeled lang
+    "langid_confusion" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+        TextOps.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))),
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
@@ -322,6 +327,29 @@ object LlmQueries {
          |  $cases
          |  ELSE 'unknown' END AS lang_id
          |FROM m""".stripMargin
+    },
+    "langid_confusion" -> {
+      val markers = TextOps.langMarkers
+      val counts = markers.map { case (lang, ms) =>
+        val pred = ms.map(m => s"t='$m'").mkString(" OR ")
+        s"len(list_filter(w, t -> $pred)) AS c_$lang"
+      }.mkString(",\n  ")
+      val best = markers.map { case (lang, _) => s"c_$lang" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN c_$lang > 0 AND c_$lang = best THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH b AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  $counts
+         |  FROM b),
+         |m AS (SELECT doc_id, lang, c_en, c_es, c_de, c_fr,
+         |  $best AS best FROM c),
+         |p AS (SELECT lang, CASE
+         |  $cases
+         |  ELSE 'unknown' END AS pred FROM m)
+         |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin
     },
     "token_counts" ->
       s"""SELECT doc_id,
