@@ -192,6 +192,63 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got == Set((1L, 100L, 200L)), s"got $got")
   }
 
+  test("attribution join: stream result equals the batch result") {
+    val s = spark
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.TIMESTAMP,
+      org.apache.spark.sql.Encoders.scalaLong)
+    // deterministic synthetic event set: 60 users, clicks + purchases
+    // scattered over 2 hours so windows both hit and miss
+    val base = ts("2026-01-01 10:00:00").getTime
+    val clicksData = (0 until 300).map(i =>
+      (i % 60L, new Timestamp(base + i * 13000L), 1000L + i))
+    val purchasesData = (0 until 200).map(i =>
+      (i % 60L, new Timestamp(base + 600000L + i * 29000L), 5000L + i))
+
+    val cIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](enc, s)
+    val pIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long)](enc, s)
+    val q = StreamingPipelines.attributionJoin(
+        cIn.toDF().toDF("user_id", "ts", "event_id"),
+        pIn.toDF().toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("attr_eq")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("attr_eq_ckpt"))
+      .start()
+    cIn.addData(clicksData)
+    pIn.addData(purchasesData)
+    q.processAllAvailable()
+    q.stop()
+
+    import s.implicits._
+    val batch = StreamingPipelines.attributionJoin(
+        clicksData.toDF("user_id", "ts", "event_id"),
+        purchasesData.toDF("user_id", "ts", "event_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val stream = s.table("attr_eq").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture must produce matches")
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+  }
+
+  test("operators tolerate empty inputs") {
+    val s = spark
+    import s.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.minhashPairs(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    assert(graft.ops.Dedup.dedupCorpus(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    assert(graft.ops.TextOps.termStats(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val emptyEvents = Seq.empty[(Long, Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id")
+    assert(graft.ops.Sessionize.gapsAndIslands(emptyEvents).count() == 0)
+  }
+
   test("S8: devMode drops records into the noop sink") {
     // the reference's devMode skips the store() push (reference
     // `…InputDStream.scala:108-116`); the rebuild twin is the noop sink
