@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Salted joins must be row-identical to the plain join and actually
+  * spread a hot key across salt buckets.
+  */
+class SkewSpec extends SparkSuite {
+
+  test("salted join equals the plain join on skewed data") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows carry key 7 (the hot key)
+    val large = (0 until 5000).map { i =>
+      val k = if (i % 10 == 0) (i % 50).toLong else 7L
+      (k, i.toLong)
+    }.toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    val plain = large.join(dim, "k")
+      .select("k", "payload", "name").collect()
+      .map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, dim, "k", saltBy = "payload")
+      .select("k", "payload", "name").collect()
+      .map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 5000)
+  }
+
+  test("the hot key spreads across salt buckets") {
+    val s = spark
+    import s.implicits._
+    val hot = (0 until 1000).map(i => (7L, i.toLong)).toDF("k", "payload")
+    val buckets = hot
+      .withColumn("__salt", Skew.salt(col("payload"), 8))
+      .groupBy("__salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet == (0 until 8).toSet,
+      s"hot key must hit every salt bucket: $buckets")
+    assert(buckets.values.max < 1000L * 3 / 8,
+      s"salting should spread roughly evenly: $buckets")
+  }
+}
