@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.{AvroOcf, CommitLog, KafkaShape, Monitoring, Tables}
 import graft.functions.GraftFunctions
-import graft.ops.{Relational, StreamOps}
+import graft.ops.{Relational, Skew, StreamOps}
 
 /** The driver-facing query registry: every SURVEY.md §2 operator that is
   * implemented gets a named DataFrame query here plus (when
@@ -193,7 +193,20 @@ object Queries {
       graft.streaming.StreamingPipelines.attributionJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
-    }))
+    }),
+    // skew-mitigated join: salted fact-dim join, row-identical to the
+    // plain join (the oracle IS the plain join)
+    "salted_join" -> ((s, d) =>
+      Skew.saltedJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+            col("l_quantity")),
+        Tables.supplier(s, d)
+          .select(col("s_suppkey").as("suppkey"), col("s_name")),
+        key = "suppkey", saltBy = "l_orderkey")
+        .groupBy(col("suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_cents"))))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -266,6 +279,13 @@ object Queries {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1998""".stripMargin,
+    "salted_join" ->
+      """SELECT l_suppkey AS suppkey, s_name,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
     "attribution_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |       c.ts AS click_ts, p.ts AS purchase_ts
