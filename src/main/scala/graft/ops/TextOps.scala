@@ -139,6 +139,32 @@ object TextOps {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), polyHash(col(textCol)).as("fingerprint"))
 
+  /** Document chunking: split each document into overlapping windows
+    * of `chunkTokens` whitespace tokens with `overlap` tokens shared
+    * between neighbors — the canonical context-window preprocessing of
+    * an LLM training pipeline. One row per chunk; pure narrow
+    * operations (no shuffle): tokens → window count → posexplode of
+    * sliced joins.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens)
+    val stride = chunkTokens - overlap
+    val w = tokens(col(textCol))
+    val n = size(w)
+    // windows needed to cover all n tokens: ceil(max(n-c,0)/s) + 1
+    val nChunks = (greatest(n - chunkTokens, lit(0)) + (stride - 1))
+      .divide(stride).cast(IntegerType) + lit(1)
+    docs.select(col(idCol), w.as("w"), nChunks.as("n_chunks"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, n_chunks - 1), " +
+          s"i -> slice(w, i * $stride + 1, $chunkTokens))")))
+      .select(col(idCol),
+        col("pos").cast(LongType).as("chunk_idx"),
+        size(col("col")).cast(LongType).as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, and
     * punctuation runs, each optionally glued to one leading space —
     * the GPT-2-style split shape, restricted to constructs whose

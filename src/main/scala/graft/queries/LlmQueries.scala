@@ -95,6 +95,11 @@ object LlmQueries {
     // N4 — whitespace + BPE-ish token counting
     "token_counts" -> ((s, d) =>
       TextOps.tokenCounts(docs(s, d), "doc_id", "text")),
+    // N4 — context-window chunking (16-token windows, 4 overlap, so
+    // the ~50-token fixture docs produce genuinely multi-chunk output)
+    "chunk_docs" -> ((s, d) =>
+      TextOps.chunkDocs(docs(s, d), "doc_id", "text",
+        chunkTokens = 16, overlap = 4)),
     // N4 — lang-ID confusion counts against the fixture's labeled lang
     "langid_confusion" -> ((s, d) =>
       docs(s, d).select(col("lang"),
@@ -351,6 +356,20 @@ object LlmQueries {
          |  ELSE 'unknown' END AS pred FROM m)
          |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin
     },
+    "chunk_docs" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, w,
+        |  CAST((greatest(len(w) - 16, 0) + 11) // 12 + 1 AS INTEGER)
+        |    AS n_chunks FROM b),
+        |e AS (SELECT doc_id, w,
+        |  unnest(range(0, n_chunks)) AS chunk_idx FROM p),
+        |s AS (SELECT doc_id, chunk_idx,
+        |  w[chunk_idx*12 + 1 : chunk_idx*12 + 16] AS c FROM e)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(c, ' ') AS chunk_text
+        |FROM s""".stripMargin,
     "token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
