@@ -100,6 +100,21 @@ object LlmQueries {
     "chunk_docs" -> ((s, d) =>
       TextOps.chunkDocs(docs(s, d), "doc_id", "text",
         chunkTokens = 16, overlap = 4)),
+    // N4 — top terms per language: term counts ranked per group; the
+    // RankLimitToGroupedTopK rule plans this through the bounded-heap
+    // custom operator automatically
+    "top_terms_per_lang" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("term").asc)
+      docs(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("term"), col("cnt"),
+          col("rnk").cast(LongType).as("rnk"))
+    }),
     // N4 — lang-ID confusion counts against the fixture's labeled lang
     "langid_confusion" -> ((s, d) =>
       docs(s, d).select(col("lang"),
@@ -333,6 +348,14 @@ object LlmQueries {
          |  ELSE 'unknown' END AS lang_id
          |FROM m""".stripMargin
     },
+    "top_terms_per_lang" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, term, cnt,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, term) AS BIGINT) AS rnk FROM c)
+        |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "langid_confusion" -> {
       val markers = TextOps.langMarkers
       val counts = markers.map { case (lang, ms) =>
