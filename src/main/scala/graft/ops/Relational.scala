@@ -178,6 +178,32 @@ object Relational {
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
           .otherwise(1L)).as("low_line_count"))
 
+  /** Exact discrete quantiles per group, deterministic: element at
+    * rank ceil(q·n) under a total (value, key) order — windowed
+    * selection, no collect, one shuffle on the group key. Values in
+    * integer cents so the result is engine-exact (approximate sketches
+    * like percentile_approx trade this exactness for memory; here n
+    * per group is bounded so the sort-based exact form is the right
+    * plan, and the definition is replayed verbatim in the oracle).
+    */
+  def priceQuantiles(orders: DataFrame): DataFrame = {
+    val pc = cents(col("o_totalprice"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("pc"), col("o_orderkey"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    orders.select(col("o_orderpriority"), pc.as("pc"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("pc")))
+          .as("p50_cents"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")), col("pc")))
+          .as("p90_cents"))
+  }
+
   /** Set difference: customers active in year A but not in year B.
     * Dataset.except plans as a left-anti over pre-projected key sets —
     * one shuffle per side on the key, no wide rows move.

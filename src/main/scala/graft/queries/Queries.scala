@@ -186,6 +186,9 @@ object Queries {
     // Q12-shape conditional aggregation
     "ship_priority" -> ((s, d) => Relational.shipMonthPriority(
       Tables.lineitem(s, d), Tables.orders(s, d))),
+    // exact per-group quantiles (windowed discrete selection)
+    "price_quantiles" -> ((s, d) =>
+      Relational.priceQuantiles(Tables.orders(s, d))),
     // stream-stream attribution join, batch form (same code runs on
     // streams with bounded state — StreamingEquivalenceSpec)
     "attribution_join" -> ((s, d) => {
@@ -279,6 +282,17 @@ object Queries {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1998""".stripMargin,
+    "price_quantiles" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS pc, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY pc, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM s)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = ceil(0.5 * n) THEN pc END) AS p50_cents,
+        |  max(CASE WHEN rn = ceil(0.9 * n) THEN pc END) AS p90_cents
+        |FROM r GROUP BY 1""".stripMargin,
     "salted_join" ->
       """SELECT l_suppkey AS suppkey, s_name,
         |  count(*) AS n_lines,
