@@ -21,7 +21,8 @@ import graft.engine.AvroOcf
   * resolution. Generators are CodegenFallback by design in Spark; the
   * per-blob Avro decode dominates, not expression dispatch.
   */
-case class AvroOcfExplode(child: Expression, schema: StructType)
+case class AvroOcfExplode(child: Expression, schema: StructType,
+                          permissive: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -51,12 +52,26 @@ case class AvroOcfExplode(child: Expression, schema: StructType)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val bytes = child.eval(input).asInstanceOf[Array[Byte]]
     if (bytes == null) return Nil
-    val (writerSchema, recs) = AvroOcf.records(bytes)
-    val hasField = schema.fields.map(f => writerSchema.getField(f.name) != null)
-    recs.map { r =>
-      InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-        if (hasField(i)) convert(r.get(f.name), f.dataType) else null
-      }.toIndexedSeq)
+    // permissive mode drops undecodable payloads instead of failing
+    // the task — real ingestion meets garbage bytes (the reference
+    // logs and skips on fetch errors; this is the decode analog)
+    val parsed =
+      try Some(AvroOcf.records(bytes))
+      catch {
+        case e: Exception if permissive => None
+        case e: java.io.IOException if permissive => None
+      }
+    parsed match {
+      case None => Nil
+      case Some((writerSchema, recs)) =>
+        val hasField =
+          schema.fields.map(f => writerSchema.getField(f.name) != null)
+        recs.map { r =>
+          InternalRow.fromSeq(schema.fields.zipWithIndex.map {
+            case (f, i) =>
+              if (hasField(i)) convert(r.get(f.name), f.dataType) else null
+          }.toIndexedSeq)
+        }
     }
   }
 

@@ -55,10 +55,13 @@ object GraftFunctions {
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 
-  /** Explode an Avro OCF binary blob into rows of the target schema. */
+  /** Explode an Avro OCF binary blob into rows of the target schema.
+    * `permissive` drops undecodable blobs instead of failing the task.
+    */
   def avroOcfExplode(bytes: Column,
-                     schema: org.apache.spark.sql.types.StructType): Column =
-    c(AvroOcfExplode(e(bytes), schema))
+                     schema: org.apache.spark.sql.types.StructType,
+                     permissive: Boolean = false): Column =
+    c(AvroOcfExplode(e(bytes), schema, permissive))
 
   private[functions] val registry: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(

@@ -74,6 +74,28 @@ class AvroOcfSpec extends SparkSuite {
     assert(r.getLong(0) == 7L && r.isNullAt(3))
   }
 
+  test("permissive decode drops garbage blobs; strict mode fails") {
+    val s = spark
+    import s.implicits._
+    val good = AvroOcf.serialize(AvroOcf.eventSchema,
+      Seq(rec(1, "ok", 1)).iterator)
+    val garbage = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val df = Seq(("good", good), ("bad", garbage)).toDF("tag", "value")
+    val permissive = df.select(col("tag"),
+        GraftFunctions.avroOcfExplode(col("value"),
+          AvroOcf.eventStructType, permissive = true)
+          .as(Seq("user_id", "event_type", "event_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(permissive.toSeq == Seq(("good", 1L)),
+      "permissive mode keeps decodable rows and drops garbage")
+    intercept[Exception] {
+      df.select(GraftFunctions.avroOcfExplode(col("value"),
+          AvroOcf.eventStructType)
+          .as(Seq("user_id", "event_type", "event_id")))
+        .collect()
+    }
+  }
+
   test("packEvents -> explode round-trips the events table") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val decoded = AvroOcf.packEvents(events)

@@ -102,6 +102,25 @@ class KernelSpec extends SparkSuite {
     assert(sig("x") != sig("z"), "different docs should differ somewhere")
   }
 
+  test("SimHash64: edge cases and fused-kernel determinism") {
+    val s = spark
+    import s.implicits._
+    val vdf = Seq(("e", ""), ("one", "hello"), ("sp", "  "),
+      ("dup1", "same text twice here"), ("dup2", "same text twice here"))
+      .toDF("id", "t")
+    val sig = vdf.select(col("id"),
+        GraftFunctions.simhash64(col("t")).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    sig.values.foreach { v =>
+      assert(v.length == 2)
+      assert(v.forall(h => h >= 0 && h <= 0xffffffffL),
+        "halves are unsigned 32-bit")
+    }
+    assert(sig("dup1") == sig("dup2"))
+    // empty string = one empty token, still a defined signature
+    assert(sig("e").length == 2)
+  }
+
   test("HyperplaneBands: deterministic, fixed width, identical vectors collide") {
     val s = spark
     import s.implicits._
