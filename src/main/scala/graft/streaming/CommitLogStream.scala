@@ -75,6 +75,27 @@ object CommitLogStream {
       .agg(max(col("offset")).as("committed_offset"),
         max(col("processed")).as("processed"))
 
+  /** S10/S11 — the offset-seeding policy, the reference's recovery
+    * branch verbatim (reference `…InputDStream.scala:207-211`): a new
+    * consumer seeds each partition from
+    *  - the broker head offset when `cleanOffsets &&
+    *    startFromLatestOffset` (skip the backlog), else
+    *  - the committed offset from the log, defaulting to 0 for a
+    *    partition never seen (`:179`, earliest).
+    * `committed` = committedOffsets output; `heads` = per-partition
+    * (topic, partition, head_offset).
+    */
+  def seedOffsets(cfg: graft.engine.KafkaShape.StreamConfig,
+                  committed: DataFrame, heads: DataFrame): DataFrame = {
+    if (cfg.cleanOffsets && cfg.startFromLatestOffset)
+      heads.select(col("topic"), col("partition"),
+        col("head_offset").as("seed_offset"))
+    else
+      heads.join(committed, Seq("topic", "partition"), "left")
+        .select(col("topic"), col("partition"),
+          coalesce(col("committed_offset"), lit(0L)).as("seed_offset"))
+  }
+
   /** Compaction: collapse the append-only log to its latest row per
     * (client, topic, partition) — the state HBase held as one
     * always-current row per rowkey. `processed` increases monotonically

@@ -29,6 +29,30 @@ class CommitLogStreamSpec extends SparkSuite {
     assert(m("records") == 25L && m("head_offset") == 24L)
   }
 
+  test("S11 seeding policy: latest vs committed vs earliest-default") {
+    val s = spark
+    import s.implicits._
+    val heads = Seq(("events", 0, 100L), ("events", 1, 200L),
+      ("events", 2, 300L))
+      .toDF("topic", "partition", "head_offset")
+    // partition 2 has no committed offset → defaults to 0 (earliest)
+    val committed = Seq(("events", 0, 40L, 40L), ("events", 1, 150L, 150L))
+      .toDF("topic", "partition", "committed_offset", "processed")
+    import graft.engine.KafkaShape.StreamConfig
+    def seeds(cfg: StreamConfig) =
+      CommitLogStream.seedOffsets(cfg, committed, heads)
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(seeds(StreamConfig()) == Map(0 -> 40L, 1 -> 150L, 2 -> 0L),
+      "default: committed, else earliest (reference :179,207-211)")
+    assert(seeds(StreamConfig(cleanOffsets = true,
+      startFromLatestOffset = true)) ==
+      Map(0 -> 100L, 1 -> 200L, 2 -> 300L),
+      "cleanOffsets + startFromLatest: broker heads")
+    assert(seeds(StreamConfig(startFromLatestOffset = true)) ==
+      Map(0 -> 40L, 1 -> 150L, 2 -> 0L),
+      "startFromLatest without cleanOffsets stays on committed")
+  }
+
   test("commit-log sink + offset recovery + metrics listener") {
     val s = spark
     val logPath = tmpDir("commit_log")
