@@ -71,6 +71,30 @@ object KafkaShape {
       col("ts").as("timestamp"),
       lit(0).as("timestampType"))
 
+  /** S1 multi-topic — the reference consumes a SET of topics in one
+    * stream (reference `README.md:6-11`; ZK walk over the subscription
+    * list at `KafkaUtils.scala:94-116`; `StreamConfig.topics`). The
+    * local facade simulates that by deriving the topic from the
+    * event_type column — each event type becomes its own topic
+    * `events_<type>` — and keeping only the subscribed set, exactly
+    * the subscription semantics: records on unsubscribed topics are
+    * never fetched. Offsets stay per-(topic, partition) monotone
+    * because event_id is globally increasing in the fixture.
+    */
+  def fromEventsByType(events: DataFrame,
+                       topics: Seq[String],
+                       numPartitions: Int = defaultNumPartitions): DataFrame =
+    events.select(
+      col("user_id").cast(StringType).cast(BinaryType).as("key"),
+      col("props").cast(BinaryType).as("value"),
+      concat(lit("events_"), col("event_type")).as("topic"),
+      (col("user_id") % numPartitions.toLong).cast(IntegerType)
+        .as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"),
+      lit(0).as("timestampType"))
+      .filter(col("topic").isin(topics: _*))
+
   /** P1/P2 — the default UTF-8 record decode: the reference's
     * `messagesFlatMapper` default is `bytes => Seq(new String(bytes,
     * "utf8"))` with a nullable key decoded the same way (reference

@@ -27,6 +27,37 @@ object Monitoring {
         array_join(array_sort(collect_set(col("kpartition"))), ",")
           .as("partitions"))
 
+  /** S9↔M3 round-trip — rowkey reverse-parse: the reference's
+    * monitoring program does not receive (topic, partition) — it
+    * recovers them FROM the rowkey string (partition =
+    * `split("-").reverse.head`, reference `ProcessorMetrics.scala:79`;
+    * rowkey layout `"[clientId]-topic-partition"` at
+    * `…InputDStream.scala:393`). This is that direction: parse
+    * client/topic/partition back out of the rowkey (topic-safe even
+    * when the topic itself contains dashes) and join the parsed
+    * partitions against the live head offsets — the full
+    * HBase-row → lag-report path. Both sides are per-partition
+    * aggregates, so the join touches O(partitions) rows.
+    */
+  def rowkeyParse(commits: DataFrame, kafka: DataFrame): DataFrame = {
+    val parsed = commits.select(
+      col("rowkey"),
+      regexp_extract(col("rowkey"), "^\\[([^\\]]*)\\]", 1)
+        .as("parsed_client"),
+      regexp_extract(col("rowkey"), "^\\[[^\\]]*\\]-(.*)-[0-9]+$", 1)
+        .as("parsed_topic"),
+      element_at(split(col("rowkey"), "-"), -1).cast(LongType)
+        .as("kpartition"),
+      col("offset").as("committed_offset"))
+    val heads = kafka
+      .groupBy(col("partition").cast(LongType).as("kpartition"))
+      .agg(max(col("offset")).as("head_offset"))
+    parsed.join(heads, Seq("kpartition"))
+      .select(col("rowkey"), col("parsed_client"), col("parsed_topic"),
+        col("kpartition"), col("head_offset"), col("committed_offset"),
+        (col("head_offset") - col("committed_offset")).as("lag"))
+  }
+
   /** M3 — the lag join, flagship monitoring query: per partition,
     * (latest Kafka head offset) full-outer-join (committed offset), with
     * -1 for a missing side and lag = head - committed (reference

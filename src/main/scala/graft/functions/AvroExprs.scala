@@ -52,25 +52,25 @@ case class AvroOcfExplode(child: Expression, schema: StructType,
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val bytes = child.eval(input).asInstanceOf[Array[Byte]]
     if (bytes == null) return Nil
-    // permissive mode drops undecodable payloads instead of failing
-    // the task — real ingestion meets garbage bytes (the reference
-    // logs and skips on fetch errors; this is the decode analog)
+    // permissive mode drops undecodable payloads — and individually
+    // undecodable RECORDS (e.g. a writer value that can't coerce to
+    // the target type) — instead of failing the task: real ingestion
+    // meets garbage bytes (the reference logs and skips on fetch
+    // errors; this is the decode analog)
     val parsed =
       try Some(AvroOcf.records(bytes))
-      catch {
-        case e: Exception if permissive => None
-        case e: java.io.IOException if permissive => None
-      }
+      catch { case _: Exception if permissive => None }
     parsed match {
       case None => Nil
       case Some((writerSchema, recs)) =>
         val hasField =
           schema.fields.map(f => writerSchema.getField(f.name) != null)
-        recs.map { r =>
-          InternalRow.fromSeq(schema.fields.zipWithIndex.map {
+        recs.flatMap { r =>
+          try Some(InternalRow.fromSeq(schema.fields.zipWithIndex.map {
             case (f, i) =>
               if (hasField(i)) convert(r.get(f.name), f.dataType) else null
-          }.toIndexedSeq)
+          }.toIndexedSeq))
+          catch { case _: Exception if permissive => None }
         }
     }
   }

@@ -193,7 +193,20 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
+        // truncate lineage each round: without this the plan nests the
+        // previous round's join tree (≈90 join nodes at iters=4) and
+        // analysis/stage-DAG cost grows superlinearly in `iters` — at
+        // real-graph iteration counts the PLANNER becomes the
+        // bottleneck before the data does. Eager, so the loop's work
+        // materializes round by round and `sym` can be released below.
+        // (On a cluster with an HDFS checkpoint dir, `checkpoint()` is
+        // the durable equivalent; localCheckpoint is the right local
+        // form.)
+        .localCheckpoint()
     }
+    // labels is materialized by the eager checkpoint above, so the
+    // cached edge set can be dropped without recomputing anything
+    sym.unpersist()
     labels
   }
 

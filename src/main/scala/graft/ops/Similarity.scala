@@ -25,13 +25,26 @@ object Similarity {
     */
   private def scoredPairs(emb: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
+    // The all-pairs product is expressed as a single-bucket
+    // BroadcastHashJoin: both sides carry a constant-valued join key
+    // built from a non-foldable expression (pmod(xxhash64(id), 1) ≡ 0
+    // — FoldablePropagation cannot fold attribute-rooted hashes, so
+    // Catalyst keeps the equi-join instead of degrading to a
+    // BroadcastNestedLoopJoin). Work is identical to the cross product
+    // by construction — every corpus row meets every broadcast query
+    // row — but the probe stays on the codegen'd BroadcastHashJoin
+    // path and the self-pair exclusion is an explicit post-join
+    // filter rather than a per-pair nested-loop predicate.
     val corpus = emb.select(col(idCol).as("neighbor_id"),
       Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
+      .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
     val qs = queries.select(col(idCol).as("query_id"),
       Dedup.quantize(col(vecCol)).as("q_q"))
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
-    corpus.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
+    corpus.join(broadcast(qs), Seq("__jk")).drop("__jk")
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         Dedup.qdot(col("q_n"), col("q_q")).cast(DoubleType) /
           sqrt(col("nn_n").cast(DoubleType) * col("nn_q").cast(DoubleType)))

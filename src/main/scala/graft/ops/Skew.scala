@@ -17,9 +17,14 @@ object Skew {
 
   /** Deterministic salt in [0, saltBuckets): derived from a secondary
     * column so replays and retries salt identically (no rand()).
+    * Null-hardened: a null saltBy value must still land in a real
+    * bucket (a null salt would never match the replicated 0..N-1
+    * salts and silently DROP the row, breaking the row-identity
+    * contract), so the salt coalesces to bucket 0.
     */
   def salt(c: Column, saltBuckets: Int): Column =
-    pmod(xxhash64(c), lit(saltBuckets.toLong)).cast(IntegerType)
+    coalesce(pmod(xxhash64(c), lit(saltBuckets.toLong)), lit(0L))
+      .cast(IntegerType)
 
   /** Inner equi-join of a skewed large side against a small dim,
     * salted: large.key extended with salt(saltBy), dim replicated

@@ -74,6 +74,47 @@ object StreamOps {
         col("cnt"),
         (col("cnt").cast(DoubleType) / lit(3600.0)).as("events_per_sec"))
 
+  /** A5 — EWMA throughput meter: the reference's per-partition
+    * exponentially-weighted rate (`Meter.mark(consumed)`, reference
+    * `…InputDStream.scala:101,228,387-389`) in a deterministic batch
+    * form. Per partition, the hourly events/sec series folds in hour
+    * order through e_t = (e_{t-1} + r_t) / 2 — a fixed α = 1/2,
+    * zero-seeded EWMA. The dyadic α makes every fold step one
+    * correctly-rounded IEEE add + exact halving on exact inputs
+    * (cnt/3600.0 is a single correctly-rounded division), so the
+    * result is bit-identical across engines, partitionings and
+    * summation orders. State per group is the hour list — bounded by
+    * hours-per-partition, not data volume, so the collect_list is
+    * safe at 100 TB (one struct per hour).
+    */
+  def throughputEwma(kafka: DataFrame): DataFrame = {
+    val hourly = kafka
+      .groupBy(col("partition").cast(LongType).as("kpartition"),
+        window(col("timestamp"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("kpartition"), col("win.start").as("hour_start"),
+        (col("cnt").cast(DoubleType) / lit(3600.0)).as("rate"))
+    hourly.groupBy(col("kpartition"))
+      .agg(sort_array(collect_list(struct(col("hour_start"), col("rate"))))
+        .as("hr"))
+      .select(col("kpartition"),
+        size(col("hr")).cast(LongType).as("n_hours"),
+        aggregate(col("hr"), lit(0.0),
+          (acc, x) => (acc + x.getField("rate")) / lit(2.0))
+          .as("ewma_rate"))
+  }
+
+  /** S1 multi-topic — per-topic stream stats over a multi-topic
+    * subscription (reference `README.md:6-11`): record count, active
+    * partition count, head offset per topic — one map-side-combined
+    * aggregation however many topics the subscription spans.
+    */
+  def topicStats(kafka: DataFrame): DataFrame =
+    kafka.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("partition")).as("n_partitions"),
+        max(col("offset")).as("head_offset"))
+
   /** S5 — offset-range fetch: one microbatch's slice of the stream,
     * the half-open [from, until) range the reference's fetch executor
     * pulls per request (reference `KafkaUtils.scala:186-240`; offset

@@ -83,6 +83,52 @@ object LlmQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5, nProbe = 12, nAssign = 2)
     }),
+    // N3 — driver-visible recall gate for the IVF scale path: recall@5
+    // vs the IN-PLAN exact top-k (same corpus, 50 queries), emitted as
+    // one boolean row. Hashes equal to the oracle's `true` iff recall
+    // >= 0.9 — the approx_distinct tolerance pattern, so the
+    // approximate operator's quality is checked by the correctness
+    // gate itself, not only by LshRecallSpec.
+    "ivf_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity
+        .ivfTopK(e, q, "vec_id", "embedding", k = 5,
+          nCentroids = 32, nProbe = 12, nAssign = 2)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)
+            >= 0.9).as("recall_ok"))
+    }),
+    // N3 — same gate for the hyperplane-LSH path. The asserted floor is
+    // the documented multiprobe floor 0.25, NOT 0.9: this fixture's true
+    // neighbors sit at cosine ~0.3-0.4 where 8-bit sign-LSH recall is
+    // bounded by construction (see Similarity.lshTopK scaladoc and
+    // LshRecallSpec) — ivfTopK is the scale path for such corpora.
+    "lsh_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity
+        .lshTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)
+            >= 0.25).as("recall_ok"))
+    }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -298,6 +344,32 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ivf_recall" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT count(*) AS n_exact, true AS recall_ok
+         |FROM r WHERE rnk <= 5""".stripMargin,
+    "lsh_recall" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT count(*) AS n_exact, true AS recall_ok
+         |FROM r WHERE rnk <= 5""".stripMargin,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
         |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),

@@ -54,6 +54,14 @@ object Queries {
         StreamOps.offsetRangeSlice(kafka(s, d), 300L, 700L))),
     // A5: throughput meter
     "throughput" -> ((s, d) => StreamOps.throughput(kafka(s, d))),
+    // A5: EWMA throughput meter (the reference's Meter semantics —
+    // exponentially-weighted rate, deterministic α=1/2 fold)
+    "throughput_ewma" -> ((s, d) => StreamOps.throughputEwma(kafka(s, d))),
+    // S1 multi-topic: two-topic subscription (events split by type
+    // onto per-type topics), per-topic stream stats
+    "multi_topic" -> ((s, d) =>
+      StreamOps.topicStats(KafkaShape.fromEventsByType(events(s, d),
+        Seq("events_click", "events_purchase")))),
     // S6/S7 + S12: pack events into per-shard Avro OCF payloads, then
     // explode them back through the Generator decode — the full
     // encode→self-describing-container→decode cycle in one plan
@@ -72,6 +80,14 @@ object Queries {
         .withColumn("rowkey", CommitLog.rowkey("graft"))
         .withColumn("partition", col("partition").cast(LongType))
         .withColumn("status", col("status").cast(LongType))),
+    // S9↔M3 round-trip: parse (client, topic, partition) back OUT of
+    // the HBase-style rowkey and join against live head offsets
+    "rowkey_parse" -> ((s, d) => {
+      val k = kafka(s, d)
+      val commits = CommitLog.fromKafkaBatch(k)
+        .withColumn("rowkey", CommitLog.rowkey("graft"))
+      Monitoring.rowkeyParse(commits, k)
+    }),
     // M3: the lag join (partition 3 uncommitted → -1 path)
     "lag_join" -> ((s, d) => {
       val k = kafka(s, d)
@@ -125,6 +141,41 @@ object Queries {
         |       make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
         |       count(*) AS cnt, count(*)/3600.0 AS events_per_sec
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "throughput_ewma" ->
+      """WITH h AS (SELECT user_id % 8 AS kpartition,
+        |  make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |o AS (SELECT kpartition,
+        |  list(cnt/3600.0 ORDER BY hour_start) AS rates FROM h GROUP BY 1)
+        |SELECT kpartition, CAST(len(rates) AS BIGINT) AS n_hours,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rates),
+        |    (acc, r) -> (acc + r)/2) AS ewma_rate
+        |FROM o""".stripMargin,
+    "multi_topic" ->
+      """SELECT 'events_' || event_type AS topic, count(*) AS n_records,
+        |       count(DISTINCT user_id % 8) AS n_partitions,
+        |       max(event_id) AS head_offset
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1""".stripMargin,
+    "rowkey_parse" ->
+      """WITH cl AS (SELECT
+        |    '[graft]-events-' || CAST(user_id % 8 AS VARCHAR) AS rowkey,
+        |    max(event_id) AS committed_offset
+        |  FROM events GROUP BY user_id % 8),
+        |p AS (SELECT rowkey,
+        |    regexp_extract(rowkey, '^\[([^\]]*)\]', 1) AS parsed_client,
+        |    regexp_extract(rowkey, '^\[[^\]]*\]-(.*)-[0-9]+$', 1)
+        |      AS parsed_topic,
+        |    CAST(string_split(rowkey, '-')[-1] AS BIGINT) AS kpartition,
+        |    committed_offset
+        |  FROM cl),
+        |heads AS (SELECT user_id % 8 AS kpartition,
+        |    max(event_id) AS head_offset
+        |  FROM events GROUP BY 1)
+        |SELECT p.rowkey, p.parsed_client, p.parsed_topic, p.kpartition,
+        |  h.head_offset, p.committed_offset,
+        |  h.head_offset - p.committed_offset AS lag
+        |FROM p JOIN heads h ON p.kpartition = h.kpartition""".stripMargin,
     "avro_roundtrip" ->
       "SELECT user_id, event_type, event_id FROM events",
     "union_shards" ->
@@ -309,10 +360,10 @@ object Queries {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "ship_priority" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
     "pivot_events" ->

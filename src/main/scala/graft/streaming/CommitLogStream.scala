@@ -31,13 +31,23 @@ class CommitLogSink(spark: SparkSession, clientId: String, path: String)
   // `…InputDStream.scala:395-401`); keyed like the reference's rowkey.
   // Recovered from the existing log on (re)start, exactly as the
   // reference reads its counters back from HBase (`:178-196`).
+  // Only "log does not exist yet" maps to empty totals; any OTHER
+  // failure (a transient read error on a real filesystem) propagates —
+  // swallowing it would silently reset the running counters to zero
+  // and undercount forever after. Recovery is scoped to THIS client's
+  // rows, as the reference's per-rowkey read is: two clients sharing a
+  // log path must not cross-contaminate each other's totals.
   private lazy val totals: mutable.Map[(String, Int), Long] = {
     val recovered = mutable.Map.empty[(String, Int), Long]
-    try {
-      CommitLogStream.committedOffsets(spark, path).collect().foreach { r =>
-        recovered((r.getString(0), r.getInt(1))) = r.getLong(3)
-      }
-    } catch { case _: Throwable => () } // no log yet: start from zero
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (exists) {
+      CommitLogStream.committedOffsets(spark, path, Some(clientId))
+        .collect().foreach { r =>
+          recovered((r.getString(0), r.getInt(1))) = r.getLong(3)
+        }
+    }
     recovered
   }
 
@@ -68,19 +78,29 @@ object CommitLogStream {
     * offset per (topic, partition), what a restarting consumer seeds
     * from (reference `…InputDStream.scala:178-196`). The partitioned
     * log prunes the scan to the requested partitions' files.
+    * `clientId = Some(id)` scopes recovery to one consumer's rows —
+    * the per-rowkey read the reference does (`"[clientId]-…"` keys) —
+    * so co-located clients never read each other's state.
     */
-  def committedOffsets(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(CommitLog.schema).parquet(path)
+  def committedOffsets(spark: SparkSession, path: String,
+                       clientId: Option[String] = None): DataFrame = {
+    val log = spark.read.schema(CommitLog.schema).parquet(path)
+    clientId.fold(log)(id => log.filter(col("client_id") === id))
       .groupBy(col("topic"), col("partition"))
       .agg(max(col("offset")).as("committed_offset"),
         max(col("processed")).as("processed"))
+  }
 
   /** S10/S11 — the offset-seeding policy, the reference's recovery
-    * branch verbatim (reference `…InputDStream.scala:207-211`): a new
-    * consumer seeds each partition from
+    * branch verbatim (reference `…InputDStream.scala:207-211`): the
+    * reference consults stored offsets ONLY when `!cleanOffsets`, so a
+    * new consumer seeds each partition from
     *  - the broker head offset when `cleanOffsets &&
-    *    startFromLatestOffset` (skip the backlog), else
-    *  - the committed offset from the log, defaulting to 0 for a
+    *    startFromLatestOffset` (skip the backlog),
+    *  - offset 0 (earliest) when `cleanOffsets` alone — a clean
+    *    restart deliberately reprocesses the backlog and must NOT
+    *    read the stale committed offsets,
+    *  - else the committed offset from the log, defaulting to 0 for a
     *    partition never seen (`:179`, earliest).
     * `committed` = committedOffsets output; `heads` = per-partition
     * (topic, partition, head_offset).
@@ -90,6 +110,9 @@ object CommitLogStream {
     if (cfg.cleanOffsets && cfg.startFromLatestOffset)
       heads.select(col("topic"), col("partition"),
         col("head_offset").as("seed_offset"))
+    else if (cfg.cleanOffsets)
+      heads.select(col("topic"), col("partition"),
+        lit(0L).as("seed_offset"))
     else
       heads.join(committed, Seq("topic", "partition"), "left")
         .select(col("topic"), col("partition"),

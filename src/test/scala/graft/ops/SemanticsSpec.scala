@@ -96,6 +96,38 @@ class SemanticsSpec extends SparkSuite {
     assert(owned == (0 until 16).filter(_ % 3 == 2).toSet)
   }
 
+  test("X1 fairness property: exactly-once ownership and balanced load " +
+      "for arbitrary partition sets") {
+    // the reference's work-steal scheduler must neither double-assign
+    // nor starve a partition (reference `…InputDStream.scala:235-264`).
+    // Property over ScalaCheck-generated ARBITRARY partition id sets
+    // (sparse, unordered, beyond the default 0..7 range): every
+    // partition satisfies exactly one consumer's shard predicate —
+    // disjointness (no steal conflicts) and completeness (no
+    // starvation) in one check — and over any contiguous partition
+    // range the per-consumer load is balanced to within one partition.
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 4096L))
+    for (n <- 1 to 6) {
+      val parts =
+        (1 to 30).flatMap(_ => gen.sample.getOrElse(Nil)).distinct
+      val df = kafkaDf(parts.map(p => (p, p)))
+      val owners = df.select(
+        (0 until n).map(id =>
+          KafkaShape.shardFilter(KafkaShape.StreamConfig(
+            consumerId = id, consumersCount = n)).cast(IntegerType))
+          .reduce(_ + _).as("owners"))
+      assert(owners.filter(col("owners") =!= 1).count() == 0,
+        s"n=$n: some partition owned by != 1 consumer")
+      // balance over the contiguous space 0..P-1 (the real topic
+      // layout): consumer loads differ by at most 1
+      for (p <- Seq(n, 17, 256)) {
+        val loads = (0 until p).groupBy(_ % n).values.map(_.size)
+        assert(loads.max - loads.min <= 1,
+          s"n=$n P=$p: unbalanced loads $loads")
+      }
+    }
+  }
+
   test("X1 invariant: consumer shards partition the partition space") {
     // the reference's work-steal scheduler guarantees no partition is
     // owned by two consumers and none is starved (reference

@@ -29,6 +29,23 @@ class SkewSpec extends SparkSuite {
     assert(plain.size == 5000)
   }
 
+  test("null saltBy values keep their rows (row-identity holds)") {
+    val s = spark
+    import s.implicits._
+    // saltBy column nullable: a null salt would never match the
+    // replicated 0..N-1 salts and silently drop the row — the salt
+    // must coalesce to a real bucket instead
+    val large = Seq((1L, Some(10L)), (1L, None), (2L, None), (2L, Some(3L)))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val plain = large.join(dim, "k")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, dim, "k", saltBy = "payload")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 4, "null-payload rows must survive the join")
+  }
+
   test("the hot key spreads across salt buckets") {
     val s = spark
     import s.implicits._

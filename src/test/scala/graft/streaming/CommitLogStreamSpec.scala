@@ -51,6 +51,11 @@ class CommitLogStreamSpec extends SparkSuite {
     assert(seeds(StreamConfig(startFromLatestOffset = true)) ==
       Map(0 -> 40L, 1 -> 150L, 2 -> 0L),
       "startFromLatest without cleanOffsets stays on committed")
+    assert(seeds(StreamConfig(cleanOffsets = true)) ==
+      Map(0 -> 0L, 1 -> 0L, 2 -> 0L),
+      "cleanOffsets alone seeds earliest — a clean restart reprocesses " +
+        "the backlog and must NOT read stored offsets (reference " +
+        "`…InputDStream.scala:207-211`: store read only when !cleanOffsets)")
   }
 
   test("commit-log sink + offset recovery + metrics listener") {

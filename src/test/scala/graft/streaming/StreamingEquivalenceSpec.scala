@@ -234,6 +234,45 @@ class StreamingEquivalenceSpec extends SparkSuite {
       s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
   }
 
+  test("S1 multi-topic: a two-topic union stream equals the batch stats") {
+    // the reference consumes a SET of topics in one stream (reference
+    // `README.md:6-11`, ZK walk `KafkaUtils.scala:94-116`); twin: two
+    // MemoryStream topics unioned, grouped per topic. (countDistinct
+    // is not a streaming aggregate, so the stream side checks the
+    // per-topic record count + head offset; partition counting stays
+    // in the batch topicStats/multi_topic oracle.)
+    val s = spark
+    import s.implicits._
+    def rec(topic: String, userId: Long, id: Long) =
+      KafkaRecord.ofEvent(userId, s"p$id", id,
+        new Timestamp(ts("2026-01-01 10:00:00").getTime + id * 1000L),
+        topic = topic)
+    val clicks = (0 until 60).map(i => rec("events_click", i % 5L, i.toLong))
+    val buys =
+      (0 until 40).map(i => rec("events_purchase", i % 3L, 100L + i))
+
+    val (in1, st1) = KafkaShapedStream.memory(s)
+    val (in2, st2) = KafkaShapedStream.memory(s)
+    val q = st1.union(st2).groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_records"), max(col("offset")).as("head_offset"))
+      .writeStream.format("memory").queryName("multi_topic_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("mt_ckpt"))
+      .start()
+    in1.addData(clicks)
+    in2.addData(buys)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = StreamOps.topicStats(s.createDataset(clicks ++ buys).toDF())
+      .select("topic", "n_records", "head_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = s.table("multi_topic_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got.map(_._1) == Set("events_click", "events_purchase"))
+  }
+
   test("operators tolerate empty inputs") {
     val s = spark
     import s.implicits._
