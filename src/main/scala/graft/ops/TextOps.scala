@@ -165,6 +165,22 @@ object TextOps {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** Deterministic train/val/test assignment by CONTENT hash: bucket =
+    * polyHash(text) mod 10 → train (bucket < trainBuckets), val, test.
+    * Keying the split on content rather than doc id means
+    * byte-identical duplicates can never straddle train and eval — the
+    * leakage guard an LLM data pipeline needs — and the assignment is
+    * a pure map (no shuffle), stable under replays and engine changes
+    * (the polynomial hash is replicated verbatim in the oracle SQL).
+    */
+  def splitAssign(text: Column, trainBuckets: Int = 8,
+                  valBuckets: Int = 1): Column = {
+    val b = pmod(polyHash(text), lit(10L))
+    when(b < trainBuckets, lit("train"))
+      .when(b < trainBuckets + valBuckets, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, and
     * punctuation runs, each optionally glued to one leading space —
     * the GPT-2-style split shape, restricted to constructs whose

@@ -166,6 +166,35 @@ object LlmQueries {
       docs(s, d).select(col("lang"),
         TextOps.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))),
+    // N4 pipeline — deterministic stratified train/val/test split by
+    // content hash, reported per (lang, split): the reproducible data
+    // split every training run hangs on. Content-hash keying keeps
+    // exact duplicates inside one split (no train/eval leakage).
+    "stratified_split" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+          TextOps.splitAssign(col("text")).as("split"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))),
+    // N1/N2/N4 end-to-end — the C4-style corpus cleanup an LLM data
+    // pipeline actually ships: near-dup removal (keep the canonical
+    // representative) ∩ quality floor, annotated with language ID and
+    // token budget. Composes dedupCorpus + quality + langId in ONE
+    // plan: the dedup side reduces to a doc_id semi-join key set, the
+    // quality/langid side is a pure map — so the whole cleanup is one
+    // candidate-bounded dedup plus one broadcast-able semi join at any
+    // scale.
+    "corpus_clean" -> ((s, d) => {
+      val dd = docs(s, d)
+      val kept = Dedup.dedupCorpus(dd, "doc_id", "text", threshold = 0.5)
+        .filter(col("kept")).select("doc_id")
+      TextOps.quality(dd, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .join(dd.select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_id")), "doc_id")
+        .join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.44)
+    }),
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
@@ -471,6 +500,76 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(text, '${TextOps.bpeTokenPattern}'))
          |    AS BIGINT) AS n_bpe_tokens
          |FROM documents""".stripMargin,
+    "stratified_split" ->
+      s"""WITH f AS (SELECT lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(text)+1),
+         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         |    (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) % 10 AS b,
+         |  len(string_split(text, ' ')) AS n_tok FROM documents),
+         |s AS (SELECT lang,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         |       ELSE 'test' END AS split, n_tok FROM f)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "corpus_clean" -> {
+      // dedup_corpus's pair predicate + the SAME 4 propagation rounds,
+      // then quality + langid recomputed per the text_quality / langid
+      // oracles, intersected exactly as the Spark plan does
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+           |  LEFT JOIN l${k - 1} n ON e.d = n.id
+           |  GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      val markers = TextOps.langMarkers
+      val counts = markers.map { case (lang, ms) =>
+        val pred = ms.map(m => s"t='$m'").mkString(" OR ")
+        s"len(list_filter(w, t -> $pred)) AS c_$lang"
+      }.mkString(",\n  ")
+      val best = markers.map { case (lang, _) => s"c_$lang" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN c_$lang > 0 AND c_$lang = best THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH $shinglesCte,
+         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      >= 0.5),
+         |sym AS (SELECT ia AS s, ib AS d FROM pr
+         |        UNION ALL SELECT ib, ia FROM pr),
+         |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
+         |$rounds,
+         |keep AS (SELECT id AS doc_id FROM l4 WHERE id = comp),
+         |qb AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+         |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         |qm AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(w, t -> t='the' OR t='a' OR t='of' OR t='and'
+         |    OR t='to' OR t='in' OR t='is')) AS BIGINT) AS n_stop,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  n_chars FROM qb),
+         |q AS (SELECT doc_id, n_tokens,
+         |  CAST(alpha AS DOUBLE)/CAST(n_chars AS DOUBLE)*0.5
+         |    + CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.5 AS quality_score
+         |  FROM qm),
+         |lb AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |lc AS (SELECT doc_id,
+         |  $counts
+         |  FROM lb),
+         |lm AS (SELECT doc_id, c_en, c_es, c_de, c_fr, $best AS best FROM lc),
+         |lid AS (SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'unknown' END AS lang_id FROM lm)
+         |SELECT q.doc_id, q.n_tokens, q.quality_score, lid.lang_id
+         |FROM q JOIN lid ON q.doc_id = lid.doc_id
+         |JOIN keep ON q.doc_id = keep.doc_id
+         |WHERE q.quality_score >= 0.44""".stripMargin
+    },
     "sessionize" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id

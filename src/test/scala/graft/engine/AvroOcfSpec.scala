@@ -96,6 +96,43 @@ class AvroOcfSpec extends SparkSuite {
     }
   }
 
+  test("permissive decode drops individually-undecodable RECORDS, " +
+      "keeping the rest of the blob") {
+    val s = spark
+    import s.implicits._
+    // writer schema with a union-typed event_id: one record carries a
+    // long (coerces to the LongType target), one carries a string
+    // (cannot coerce) — per-record permissive granularity, not
+    // per-blob
+    val unionSchema = SchemaBuilder.record("Event2").fields()
+      .requiredLong("user_id")
+      .requiredString("event_type")
+      .name("event_id").`type`().unionOf().longType().and().stringType()
+      .endUnion().noDefault()
+      .endRecord()
+    def rec2(u: Long, e: Any): GenericRecord = {
+      val r = new GenericData.Record(unionSchema)
+      r.put("user_id", u); r.put("event_type", "t"); r.put("event_id", e)
+      r
+    }
+    val blob = AvroOcf.serialize(unionSchema,
+      Seq(rec2(1, 10L), rec2(2, "not-a-long"), rec2(3, 30L)).iterator)
+    val df = Seq(Tuple1(blob)).toDF("value")
+    val permissive = df.select(
+        GraftFunctions.avroOcfExplode(col("value"),
+          AvroOcf.eventStructType, permissive = true)
+          .as(Seq("user_id", "event_type", "event_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(permissive == Seq((1L, 10L), (3L, 30L)),
+      "only the type-mismatched record is dropped")
+    intercept[Exception] {
+      df.select(GraftFunctions.avroOcfExplode(col("value"),
+          AvroOcf.eventStructType)
+          .as(Seq("user_id", "event_type", "event_id")))
+        .collect()
+    }
+  }
+
   test("packEvents -> explode round-trips the events table") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val decoded = AvroOcf.packEvents(events)
