@@ -12,7 +12,8 @@ import graft.SparkSuite
 class DeterminismSpec extends SparkSuite {
 
   private val names = Seq("q1_pricing", "q5_region_revenue",
-    "rollup_summary", "embedding_pairs", "text_quality")
+    "rollup_summary", "embedding_pairs", "text_quality",
+    "throughput_ewma", "corpus_clean")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
