@@ -103,8 +103,12 @@ object TextOps {
 
   /** Quality scoring: token stats + alpha ratio + stopword ratio and a
     * blended score — all integer-derived doubles (deterministic).
+    * `extra` columns (e.g. a langId derivation) ride along in the SAME
+    * projection, so composite annotators stay one scan + one map
+    * instead of self-joining the table per derived column.
     */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              extra: Seq[Column] = Nil): DataFrame = {
     val t = col(textCol)
     val w = tokens(t)
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -114,13 +118,14 @@ object TextOps {
     val alphaChars = length(regexp_replace(t, "[^a-z]", "")).cast(LongType)
     val nChars = length(t).cast(LongType)
     docs.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      nTok.as("n_tokens"),
-      size(array_distinct(w)).cast(LongType).as("n_distinct_tokens"),
-      (nChars.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
-      (alphaChars.cast(DoubleType) / nChars.cast(DoubleType)).as("alpha_ratio"),
-      (nStop.cast(DoubleType) / nTok.cast(DoubleType)).as("stopword_ratio"))
+      col(idCol) +:
+      nChars.as("n_chars") +:
+      nTok.as("n_tokens") +:
+      size(array_distinct(w)).cast(LongType).as("n_distinct_tokens") +:
+      (nChars.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len") +:
+      (alphaChars.cast(DoubleType) / nChars.cast(DoubleType)).as("alpha_ratio") +:
+      (nStop.cast(DoubleType) / nTok.cast(DoubleType)).as("stopword_ratio") +:
+      extra: _*)
       .withColumn("quality_score",
         col("alpha_ratio") * lit(0.5) + col("stopword_ratio") * lit(0.5))
   }

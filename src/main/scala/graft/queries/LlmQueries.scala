@@ -99,7 +99,7 @@ object LlmQueries {
         .ivfTopK(e, q, "vec_id", "embedding", k = 5,
           nCentroids = 32, nProbe = 12, nAssign = 2)
         .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(approx,
+      exact.join(broadcast(approx),
           col("query_id") === col("aq") && col("neighbor_id") === col("an"),
           "left")
         .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
@@ -121,7 +121,7 @@ object LlmQueries {
       val approx = Similarity
         .lshTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(approx,
+      exact.join(broadcast(approx),
           col("query_id") === col("aq") && col("neighbor_id") === col("an"),
           "left")
         .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
@@ -188,10 +188,13 @@ object LlmQueries {
       val dd = docs(s, d)
       val kept = Dedup.dedupCorpus(dd, "doc_id", "text", threshold = 0.5)
         .filter(col("kept")).select("doc_id")
-      TextOps.quality(dd, "doc_id", "text")
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-        .join(dd.select(col("doc_id"),
-          TextOps.langId(col("text")).as("lang_id")), "doc_id")
+      // quality metrics and language id ride in ONE projection (one
+      // scan, one map) — never a self-join of the table per derived
+      // column — then a single semi join against the kept set
+      TextOps.quality(dd, "doc_id", "text",
+          extra = Seq(TextOps.langId(col("text")).as("lang_id")))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("lang_id"))
         .join(kept, Seq("doc_id"), "left_semi")
         .filter(col("quality_score") >= 0.44)
     }),
