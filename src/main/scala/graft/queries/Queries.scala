@@ -70,6 +70,15 @@ object Queries {
         .select(GraftFunctions.avroOcfExplode(col("value"),
           AvroOcf.eventStructType)
           .as(Seq("user_id", "event_type", "event_id")))),
+    // S8 + S1: record-store round trip through the graft-ocf
+    // DataSourceV2 — V2 commit-protocol write, then a batch read back
+    // through the connector's own scan (the store the streaming source
+    // replays in OcfSourceSpec)
+    "ocf_store_roundtrip" -> ((s, d) => {
+      val dir = s"/tmp/graft_ocf_store_${math.abs(d.hashCode.toLong)}"
+      kafka(s, d).write.format("graft-ocf").mode("overwrite").save(dir)
+      KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
+    }),
     // M1: shard-union-aggregate equivalence
     "union_shards" -> ((s, d) => StreamOps.unionShards(kafka(s, d), 4)),
     // M2: group-by-leader batching
@@ -178,6 +187,11 @@ object Queries {
         |FROM p JOIN heads h ON p.kpartition = h.kpartition""".stripMargin,
     "avro_roundtrip" ->
       "SELECT user_id, event_type, event_id FROM events",
+    "ocf_store_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events""".stripMargin,
     "union_shards" ->
       """SELECT 'events' AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions

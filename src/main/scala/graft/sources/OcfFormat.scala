@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.KafkaShape
+
+/** The on-disk record layout of the graft-ocf record store (S8): one
+  * Avro Object-Container-File per writer task, each record carrying the
+  * full 7-column Kafka contract (graft.engine.KafkaShape.schema). The
+  * container is self-describing (S6 discipline, reference
+  * `AvroDatumUtils.scala:35`): the writer schema travels in the file
+  * header, so the store replays without any side-channel metadata.
+  *
+  * Timestamps are stored as microseconds since epoch — exactly
+  * Catalyst's TimestampType physical value — so a write→read round
+  * trip is bit-lossless.
+  */
+object OcfFormat {
+
+  /** Avro writer schema (parsed per JVM; Avro Schema is not
+    * serializable, so executors re-derive it from this object).
+    */
+  lazy val schema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"KafkaStoreRecord","fields":[
+      |{"name":"key","type":["null","bytes"],"default":null},
+      |{"name":"value","type":["null","bytes"],"default":null},
+      |{"name":"topic","type":"string"},
+      |{"name":"partition","type":"int"},
+      |{"name":"offset","type":"long"},
+      |{"name":"timestamp_us","type":"long"},
+      |{"name":"timestamp_type","type":"int"}]}""".stripMargin)
+
+  val sparkSchema = KafkaShape.schema
+
+  def toRecord(row: InternalRow): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    r.put("key",
+      if (row.isNullAt(0)) null else ByteBuffer.wrap(row.getBinary(0)))
+    r.put("value",
+      if (row.isNullAt(1)) null else ByteBuffer.wrap(row.getBinary(1)))
+    r.put("topic", row.getUTF8String(2).toString)
+    r.put("partition", row.getInt(3))
+    r.put("offset", row.getLong(4))
+    r.put("timestamp_us", row.getLong(5))
+    r.put("timestamp_type", row.getInt(6))
+    r
+  }
+
+  private def bytes(v: Any): Any = v match {
+    case null => null
+    case bb: ByteBuffer =>
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+  }
+
+  def toInternalRow(rec: GenericRecord): InternalRow =
+    InternalRow(
+      bytes(rec.get("key")),
+      bytes(rec.get("value")),
+      UTF8String.fromString(rec.get("topic").toString),
+      rec.get("partition").asInstanceOf[Int],
+      rec.get("offset").asInstanceOf[Long],
+      rec.get("timestamp_us").asInstanceOf[Long],
+      rec.get("timestamp_type").asInstanceOf[Int])
+}

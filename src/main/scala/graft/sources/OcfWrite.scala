@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+/** S8 — the record-store write path as the full DataSourceV2 commit
+  * protocol: each task writes a temp container, the driver renames
+  * committed temps into place — exactly-once files under task retry
+  * (an aborted or speculative attempt's temp is never renamed). This
+  * replaces the reference's fire-and-forget store() push with the
+  * engine-owned transactional sink.
+  *
+  * The write declares `RequiresDistributionAndOrdering`: Spark
+  * clusters rows by the Kafka partition column and sorts by
+  * (partition, offset) BEFORE the writers run, so each container holds
+  * offset-ordered runs per partition — the broker-log layout replay
+  * needs — without the writer doing its own shuffle.
+  */
+class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity("partition")))
+    override def requiredOrdering(): Array[SortOrder] = Array(
+      Expressions.sort(Expressions.column("partition"),
+        SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("offset"),
+        SortDirection.ASCENDING))
+    // container names carry the write job's queryId so an `append` of
+    // a later generation can never rename over an earlier one
+    override def toBatch: BatchWrite =
+      new OcfBatchWrite(dir, doTruncate, info.queryId())
+  }
+}
+
+case class OcfCommit(temp: String, dest: String) extends WriterCommitMessage
+
+class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = OcfWriterFactory(dir, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(new Configuration())
+    if (truncate && fs.exists(d))
+      fs.listStatus(d)
+        .filter(st => st.getPath.getName.endsWith(".ocf") &&
+          !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(d)
+    messages.foreach {
+      case OcfCommit(temp, dest) if temp.nonEmpty =>
+        val t = new Path(temp)
+        if (fs.exists(t)) {
+          fs.delete(new Path(dest), false)
+          fs.rename(t, new Path(dest))
+        }
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(new Configuration())
+    messages.foreach {
+      case OcfCommit(temp, _) if temp.nonEmpty =>
+        fs.delete(new Path(temp), false)
+      case _ => ()
+    }
+  }
+}
+
+case class OcfWriterFactory(dir: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val temp = s"$dir/.part-$queryId-$partitionId-$taskId.ocf.tmp"
+    private val dest = f"$dir/part-$queryId-$partitionId%05d.ocf"
+    private var writer: DataFileWriter[GenericRecord] = _
+
+    override def write(row: InternalRow): Unit = {
+      if (writer == null) {
+        val p = new Path(temp)
+        val fs = p.getFileSystem(new Configuration())
+        fs.mkdirs(p.getParent)
+        writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](OcfFormat.schema))
+        writer.create(OcfFormat.schema, fs.create(p, true))
+      }
+      writer.append(OcfFormat.toRecord(row))
+    }
+
+    override def commit(): WriterCommitMessage =
+      if (writer == null) OcfCommit("", "") // empty partition: no file
+      else { writer.close(); writer = null; OcfCommit(temp, dest) }
+
+    override def abort(): Unit = {
+      if (writer != null) {
+        try writer.close() catch { case _: Exception => () }
+        writer = null
+      }
+      val p = new Path(temp)
+      p.getFileSystem(new Configuration()).delete(p, false)
+    }
+
+    override def close(): Unit =
+      if (writer != null) { writer.close(); writer = null }
+  }
+}

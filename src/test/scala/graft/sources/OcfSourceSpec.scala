@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.engine.KafkaShape
+
+/** S1/S2/S5/S8/S10 — the graft-ocf DataSourceV2 contract:
+  *  - batch write → batch read round-trips the 7-column Kafka frame
+  *  - the V2 commit protocol leaves no temp files and clusters rows by
+  *    partition, offset-ordered within each container
+  *  - the MicroBatchStream slices the backlog into offset-range
+  *    microbatches under maxRecordsPerTrigger (S5)
+  *  - a restarted query resumes from the checkpointed offset and
+  *    consumes ONLY records appended after the first run (S10)
+  */
+class OcfSourceSpec extends SparkSuite {
+
+  private def kafkaDf(from: Int, until: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (from until until).map { i =>
+      (i.toLong, s"payload_$i")
+    }.toDF("id", "props").select(
+      col("id").cast("string").cast("binary").as("key"),
+      col("props").cast("binary").as("value"),
+      lit("events").as("topic"),
+      (col("id") % 4).cast("int").as("partition"),
+      col("id").as("offset"),
+      lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+      lit(0).as("timestampType"))
+  }
+
+  test("batch write -> batch read round-trips the Kafka frame") {
+    val dir = tmpDir("ocf_store")
+    kafkaDf(0, 200).write.format("graft-ocf").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-ocf").load(dir)
+    assert(back.schema == KafkaShape.schema)
+    val got = KafkaShape.decodeUtf8(back)
+      .select("key_str", "value_str", "kpartition", "koffset")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = (0 until 200).map(i =>
+      (i.toString, s"payload_$i", (i % 4).toLong, i.toLong)).toSet
+    assert(got == want)
+
+    // commit protocol hygiene: only committed containers remain (plus
+    // Hadoop LocalFileSystem's hidden .crc sidecars) — no temp files —
+    // and each holds offset-ordered runs (RequiresDistributionAndOrdering)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.endsWith(".ocf")),
+      s"stray files: $files")
+    files.foreach { f =>
+      val s = new org.apache.avro.file.DataFileStream(
+        new java.io.FileInputStream(s"$dir/$f"),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val recs = Iterator.continually(s)
+          .takeWhile(_.hasNext).map(_.next())
+          .map(r => (r.get("partition").asInstanceOf[Int],
+            r.get("offset").asInstanceOf[Long])).toSeq
+        recs.groupBy(_._1).foreach { case (_, rs) =>
+          val offs = rs.map(_._2)
+          assert(offs == offs.sorted,
+            s"offsets not ordered within container $f")
+        }
+      } finally s.close()
+    }
+  }
+
+  test("overwrite truncates previously committed containers") {
+    val dir = tmpDir("ocf_trunc")
+    kafkaDf(0, 100).write.format("graft-ocf").mode("overwrite").save(dir)
+    kafkaDf(500, 550).write.format("graft-ocf").mode("overwrite").save(dir)
+    val offsets = spark.read.format("graft-ocf").load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(offsets == (500L until 550L).toSet)
+  }
+
+  test("S5: maxRecordsPerTrigger slices the backlog into microbatches") {
+    val s = spark
+    val dir = tmpDir("ocf_stream")
+    kafkaDf(0, 300).write.format("graft-ocf").mode("overwrite").save(dir)
+    val q = s.readStream.format("graft-ocf")
+      .option("maxRecordsPerTrigger", "100")
+      .load(dir)
+      .writeStream.format("memory").queryName("ocf_batches")
+      .option("checkpointLocation", tmpDir("ocf_ckpt"))
+      .start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(s.table("ocf_batches").count() == 300)
+    assert(nBatches >= 3,
+      s"300 rows at 100/trigger must take >= 3 microbatches, got $nBatches")
+    val got = s.table("ocf_batches").select("offset").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (0L until 300L).toSet, "no loss, no duplication")
+  }
+
+  test("S10: restart resumes from the checkpointed offset, no replay") {
+    val s = spark
+    val dir = tmpDir("ocf_recover")
+    val ckpt = tmpDir("ocf_recover_ckpt")
+    kafkaDf(0, 80).write.format("graft-ocf").mode("overwrite").save(dir)
+
+    // memory sink cannot recover a checkpoint — collect via
+    // foreachBatch, which participates in the recovery protocol
+    def run(): Seq[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = s.readStream.format("graft-ocf").load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("offset").collect().foreach(r => buf.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq
+    }
+    val first = run()
+    assert(first.toSet == (0L until 80L).toSet)
+
+    // append a second generation of containers, then restart on the
+    // SAME checkpoint: only the appended records may arrive
+    kafkaDf(80, 120).write.format("graft-ocf").mode("append").save(dir)
+    val second = run()
+    assert(second.toSet == (80L until 120L).toSet,
+      s"restart must consume exactly the appended records, got " +
+        s"${second.size} rows")
+  }
+}
