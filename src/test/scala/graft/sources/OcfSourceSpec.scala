@@ -103,6 +103,48 @@ class OcfSourceSpec extends SparkSuite {
     assert(got == (0L until 300L).toSet, "no loss, no duplication")
   }
 
+  test("A1 over the real connector: word count on a graft-ocf stream " +
+      "equals the batch result") {
+    // the swap-the-source contract: the SAME downstream pipeline
+    // (decode -> tokenize -> windowed count) runs unchanged whether the
+    // source is MemoryStream (StreamingEquivalenceSpec) or the real
+    // DataSourceV2 connector
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_wc")
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    val kafka = (0 until 300).map { i =>
+      (i.toLong, s"alpha beta_${i % 5} gamma_${i % 3}")
+    }.toDF("id", "props").select(
+      col("id").cast("string").cast("binary").as("key"),
+      col("props").cast("binary").as("value"),
+      lit("events").as("topic"),
+      (col("id") % 4).cast("int").as("partition"),
+      col("id").as("offset"),
+      to_timestamp(from_unixtime(lit(base / 1000) + col("id") * 7))
+        .as("timestamp"),
+      lit(0).as("timestampType"))
+    kafka.write.format("graft-ocf").mode("overwrite").save(dir)
+
+    val q = graft.streaming.StreamingPipelines.wordCountStream(
+        s.readStream.format("graft-ocf")
+          .option("maxRecordsPerTrigger", "75").load(dir),
+        "10 minutes", Some("2 minutes"))
+      .writeStream.format("memory").queryName("ocf_wc")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ocf_wc_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = graft.ops.StreamOps.wordCountWindow(
+        KafkaShape.decodeUtf8(kafka), "10 minutes", Some("2 minutes"))
+      .orderBy("w_start", "word").collect().toSeq
+    val got = s.table("ocf_wc").orderBy("w_start", "word").collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("S10: restart resumes from the checkpointed offset, no replay") {
     val s = spark
     val dir = tmpDir("ocf_recover")
