@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level training-data-pipeline operators beyond the per-doc N4
+  * family: benchmark decontamination, global span dedup, repetition
+  * quality stats and deterministic domain mixing. None exist in the
+  * reference (its analytics surface is one word count — see SURVEY §2
+  * "explicitly absent"); these are the north-star extension rows.
+  *
+  * Scale discipline shared by all four:
+  *  - decontaminate: the eval-gram set is tiny by construction
+  *    (benchmarks are MBs, corpora are TBs) → broadcast, no shuffle of
+  *    the corpus side beyond the per-doc aggregate.
+  *  - spanDedupStats: ONE shuffle keyed by gram hash (fixed 8-byte
+  *    key, not the gram string) + one map-side-combinable count — the
+  *    C4 paragraph-dedup shape at 100 TB.
+  *  - repetitionStats: pure map, zero shuffle. Per-row cost is
+  *    O(distinct_bigrams × bigrams) which is bounded by document
+  *    length, not corpus size.
+  *  - domainMix: pure map + one count aggregate; the keep decision is
+  *    a content-deterministic hash threshold, so re-runs and replays
+  *    sample identically with no stored state.
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: flag training documents that share any
+    * k-word shingle with the held-out (test) split — the overlap check
+    * every LLM training pipeline runs before shipping a corpus (the
+    * n-gram form popularized by GPT-2/GPT-3 appendix dedup, here k
+    * configurable).
+    *
+    * The train/test assignment is the same content-hash split as
+    * `TextOps.splitAssign`, so the op needs no second table: the eval
+    * set is carved from the corpus deterministically. At scale the
+    * eval side is a real benchmark table — swap the filter for it; the
+    * plan shape (distinct grams → broadcast semi-join → per-doc count)
+    * is unchanged.
+    *
+    * Output: one row per TRAIN doc — n_contaminated_grams (distinct
+    * shared shingles) and the contaminated flag.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextOps.splitAssign(col(textCol)).as("split"),
+      TextOps.wordShingles(col(textCol), k).as("s"))
+    val evalGrams = sh.filter(col("split") === "test")
+      .select(explode(col("s")).as("g")).distinct()
+    val train = sh.filter(col("split") === "train")
+    // shingle arrays are distinct per doc, so count(*) after the gram
+    // join counts DISTINCT shared grams without a distinct shuffle
+    val hits = train.select(col(idCol), explode(col("s")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Global span dedup (C4-style): how much of each document is made
+    * of k-word spans that also appear in at least one OTHER document
+    * anywhere in the corpus. Unlike the pairwise near-dup family
+    * (Dedup.*Pairs — who matches whom), this is the global
+    * repeated-span profile used to strip boilerplate.
+    *
+    * Spans are keyed by their polynomial hash (8-byte shuffle key, the
+    * same char-fold the oracle replays verbatim), never the span
+    * string: at 100 TB the shuffle carries fixed-width longs. Count is
+    * map-side combinable; the join back is on the same key, so AQE
+    * can reuse the exchange.
+    *
+    * n_docs_with counts doc-occurrences (shingles are distinct per
+    * doc), so `>= 2` = "appears in some other doc" exactly.
+    */
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      TextOps.wordShingles(col(textCol), k).as("s"))
+    val ex = sh.select(col(idCol), explode(col("s")).as("gs"))
+      .select(col(idCol), TextOps.polyHash(col("gs")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("n_docs_with"))
+    val per = ex.join(freq, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("ns"))
+    sh.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("ns"), lit(0L)).as("n_shared_grams"))
+      .withColumn("shared_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_shared_grams").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)))
+  }
+
+  /** Repetition quality stats (the Gopher/MassiveText repetition
+    * rules' integer core): duplicate-token fraction and
+    * top-bigram fraction per document. Documents dominated by one
+    * repeated phrase score high and get filtered before training.
+    *
+    * Pure map — the most-frequent-bigram count is computed INSIDE the
+    * row (array expressions over the token array), so the corpus pass
+    * is shuffle-free; the oracle recomputes it relationally
+    * (unnest → group → max) and must agree bit-for-bit.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val w = TextOps.tokens(col(textCol))
+    val bg = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    docs.select(col(idCol), w.as("w"), bg.as("bg"))
+      .select(col(idCol),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("w"))).cast(LongType)
+          .as("n_distinct_tokens"),
+        size(col("bg")).cast(LongType).as("n_bigrams"),
+        when(size(col("bg")) === 0, lit(0L)).otherwise(
+          array_max(transform(array_distinct(col("bg")),
+            b => size(filter(col("bg"), x => x === b)).cast(LongType))))
+          .as("top_bigram_count"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct_tokens")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("top_bigram_count").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)))
+  }
+
+  /** Deterministic domain mixing: per-source keep quota (a hash of the
+    * source name → 20..79%) applied by content-deterministic bucket —
+    * the down/up-weighting step that balances web/books/code domains
+    * in a training mix. Stateless and replay-stable: the same doc
+    * always lands on the same side of its source's threshold, so a
+    * re-run of a failed 100 TB job resamples identically.
+    *
+    * Output: per-source doc counts before/after the quota.
+    */
+  def domainMix(docs: DataFrame, idCol: String, textCol: String,
+                srcCol: String): DataFrame = {
+    val quota = pmod(TextOps.polyHash(col(srcCol)), lit(60L)) + lit(20L)
+    val bucket = pmod(TextOps.polyHash(
+      concat_ws(":", col(srcCol), col(idCol).cast(StringType))), lit(100L))
+    docs.select(col(srcCol), quota.as("quota_pct"),
+        (bucket < quota).as("keep"))
+      .groupBy(col(srcCol), col("quota_pct"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
-import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Sessionize, Similarity, TextOps}
 
 /** The LLM-data-pipeline query registry (SURVEY.md §2 rows N1–N7):
   * dedup (exact / MinHash / n-gram / SimHash / embedding-cosine),
@@ -228,7 +228,21 @@ object LlmQueries {
           countDistinct(col("user_id")).as("exact_cnt"))
         .select(col("exact_cnt"),
           (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
-            col("exact_cnt").cast(DoubleType) <= 0.05).as("within_tol"))))
+            col("exact_cnt").cast(DoubleType) <= 0.05).as("within_tol"))),
+    // Corpus ops — benchmark decontamination: train docs sharing any
+    // 3-word shingle with the content-hash test split
+    "decontaminate" -> ((s, d) =>
+      CorpusOps.decontaminate(docs(s, d), "doc_id", "text")),
+    // Corpus ops — global span dedup: per-doc fraction of 5-word spans
+    // that also occur in another document (C4 boilerplate profile)
+    "span_dedup" -> ((s, d) =>
+      CorpusOps.spanDedupStats(docs(s, d), "doc_id", "text")),
+    // Corpus ops — Gopher-style repetition stats (pure map)
+    "repetition_stats" -> ((s, d) =>
+      CorpusOps.repetitionStats(docs(s, d), "doc_id", "text")),
+    // Corpus ops — deterministic per-source mixing quotas
+    "domain_mix" -> ((s, d) =>
+      CorpusOps.domainMix(docs(s, d), "doc_id", "text", "source")))
 
   // ------------------------------------------------------------------ //
   // DuckDB oracles                                                     //
@@ -243,6 +257,16 @@ object LlmQueries {
       |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
       |    range(1, len(w)-1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
       |  ELSE [] END AS s FROM toks)""".stripMargin
+
+  /** Shared SQL: the polynomial char-fold hash of an arbitrary string
+    * expression (mirror of TextOps.polyHash / the PolyHash31 kernel).
+    * Pass a parenthesized expression if it contains operators.
+    */
+  private def sqlPolyHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length($e)+1),
+       |      i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),
+       |    (acc, c) -> (acc*31+c) % ${TextOps.FpMod})""".stripMargin
 
   /** Shared SQL: milli-quantized int64 embeddings with self dot product
     * (mirror of Dedup.quantize / Dedup.qdot).
@@ -673,5 +697,77 @@ object LlmQueries {
         |  ON a.doc_id = c.doc_id AND a.bucket = c.bucket""".stripMargin,
     "approx_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $shinglesCte,
+         |f AS (SELECT doc_id, ${sqlPolyHash("text")} % 10 AS b
+         |  FROM documents),
+         |eg AS (SELECT DISTINCT unnest(sh.s) AS g
+         |  FROM sh JOIN f USING(doc_id) WHERE f.b >= 9),
+         |tg AS (SELECT sh.doc_id, unnest(sh.s) AS g
+         |  FROM sh JOIN f USING(doc_id) WHERE f.b < 8),
+         |hits AS (SELECT tg.doc_id, count(*) AS n
+         |  FROM tg JOIN eg USING(g) GROUP BY tg.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+         |  coalesce(hits.n, 0) > 0 AS contaminated
+         |FROM (SELECT sh.doc_id FROM sh JOIN f USING(doc_id)
+         |      WHERE f.b < 8) d
+         |LEFT JOIN hits USING(doc_id)""".stripMargin,
+    "span_dedup" ->
+      s"""WITH t5 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |s5 AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+         |    range(1, len(w)-3),
+         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+         |  ELSE [] END AS s FROM t5),
+         |ex AS (SELECT doc_id, ${sqlPolyHash("gs")} AS g
+         |  FROM (SELECT doc_id, unnest(s) AS gs FROM s5)),
+         |fr AS (SELECT g, count(*) AS ndw FROM ex GROUP BY g),
+         |per AS (SELECT ex.doc_id, count(*) AS ng,
+         |  sum(CASE WHEN fr.ndw >= 2 THEN 1 ELSE 0 END) AS ns
+         |  FROM ex JOIN fr USING(g) GROUP BY ex.doc_id)
+         |SELECT s5.doc_id,
+         |  CAST(coalesce(per.ng, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.ns, 0) AS BIGINT) AS n_shared_grams,
+         |  CASE WHEN coalesce(per.ng, 0) = 0 THEN 0.0
+         |       ELSE CAST(per.ns AS DOUBLE) / CAST(per.ng AS DOUBLE)
+         |  END AS shared_frac
+         |FROM s5 LEFT JOIN per USING(doc_id)""".stripMargin,
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+        |    i -> concat_ws(' ', w[i], w[i+1]))
+        |  ELSE [] END AS bg FROM t),
+        |bx AS (SELECT doc_id, unnest(bg) AS g FROM b),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM bx GROUP BY 1, 2),
+        |tops AS (SELECT doc_id, max(c) AS topc FROM c GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams FROM b)
+        |SELECT base.doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+        |  CAST(coalesce(tops.topc, 0) AS BIGINT) AS top_bigram_count,
+        |  CAST(n_tokens - n_distinct_tokens AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+        |  CASE WHEN n_bigrams = 0 THEN 0.0
+        |       ELSE CAST(coalesce(tops.topc, 0) AS DOUBLE)
+        |          / CAST(n_bigrams AS DOUBLE)
+        |  END AS top_bigram_frac
+        |FROM base LEFT JOIN tops USING(doc_id)""".stripMargin,
+    "domain_mix" -> {
+      val srcHash = sqlPolyHash("source")
+      val docHash = sqlPolyHash("(source || ':' || CAST(doc_id AS VARCHAR))")
+      s"""WITH q AS (SELECT source, doc_id,
+         |  $srcHash % 60 + 20 AS quota_pct FROM documents),
+         |b AS (SELECT source, quota_pct,
+         |  CASE WHEN $docHash % 100 < quota_pct THEN 1 ELSE 0 END AS keep
+         |  FROM q)
+         |SELECT source, CAST(quota_pct AS BIGINT) AS quota_pct,
+         |  count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
+         |FROM b GROUP BY 1, 2""".stripMargin
+    })
 }

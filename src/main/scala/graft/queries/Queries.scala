@@ -274,7 +274,35 @@ object Queries {
         key = "suppkey", saltBy = "l_orderkey")
         .groupBy(col("suppkey"), col("s_name"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_cents"))))
+          sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_cents"))),
+    // semi-structured extraction: typed from_json over the events
+    // props payload (Catalyst JsonToStructs, codegen-reachable), then
+    // a per-type profile — the props column never leaves the scan
+    // unparsed at 100 TB, and the parse is a pure map
+    "props_json" -> ((s, d) => {
+      val k = from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))).getField("k")
+      events(s, d).select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .withColumn("avg_k",
+          col("sum_k").cast(DoubleType) / col("n_events").cast(DoubleType))
+    }),
+    // feature engineering: one row of model features per user (count /
+    // cardinality / integer-cents value / error rate) — single hash
+    // aggregate, map-side combinable except the exact countDistinct
+    "user_features" -> ((s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(round(col("value") * 100).cast(LongType)).as("value_cents"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"),
+          max(col("event_id")).as("last_event_id"))
+        .withColumn("error_rate",
+          col("n_errors").cast(DoubleType) /
+            col("n_events").cast(DoubleType))))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -387,6 +415,28 @@ object Queries {
         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+    // the oracle extracts k with a regex rather than a JSON reader so
+    // the check is independent of the engine-side parser under test
+    "props_json" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+        |FROM e GROUP BY 1""".stripMargin,
+    "user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors,
+        |  max(event_id) AS last_event_id,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS error_rate
         |FROM events GROUP BY 1""".stripMargin)
 
   val all: Map[String, Q] =

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the corpus-level pipeline ops that the
+  * row-hash oracles can't express directly: decontamination actually
+  * removes all train/eval overlap, span stats are internally
+  * consistent, repetition stats match hand-computed values on crafted
+  * docs, and domain mixing is deterministic and quota-bounded.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 0
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "spam spam spam spam spam spam spam spam"),
+      (4L, "unique words only appear here nowhere else truly"),
+      (5L, "short"))
+      .toDF("doc_id", "text")
+  }
+
+  test("decontaminate: filtered train set shares no shingle with eval") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CorpusOps.decontaminate(docs, "doc_id", "text")
+    // keep only clean train docs, recompute overlap from scratch
+    val clean = docs
+      .join(out.filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3))
+        .as("g"))
+    val evalGrams = docs
+      .filter(TextOps.splitAssign(col("text")) === "test")
+      .select(explode(TextOps.wordShingles(col("text"), 3)).as("g"))
+      .distinct()
+    assert(clean.join(evalGrams, "g").count() === 0L)
+    // and the flagged docs each really do overlap
+    val flagged = out.filter(col("contaminated"))
+    assert(flagged.filter(col("n_contaminated_grams") <= 0).count() === 0L)
+  }
+
+  test("spanDedupStats: identical docs fully shared, unique doc zero") {
+    val out = CorpusOps.spanDedupStats(fixture, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 0 and 1 are byte-identical → every 5-gram shared
+    assert(out(0L)._1 > 0 && out(0L)._1 === out(0L)._2)
+    assert(out(1L)._3 === 1.0)
+    // docs 2 and 4 share no 5-gram with anything
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0.0)
+    assert(out(4L)._2 === 0L)
+    // doc 5 is below the gram width → zero grams, frac 0 (not NaN)
+    assert(out(5L)._1 === 0L && out(5L)._3 === 0.0)
+  }
+
+  test("repetitionStats: hand-computed values on crafted docs") {
+    val out = CorpusOps.repetitionStats(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 3: 8 × "spam" → 1 distinct token, top bigram 7/7
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_tokens") === 8L)
+    assert(d3.getAs[Long]("n_distinct_tokens") === 1L)
+    assert(d3.getAs[Double]("dup_token_frac") === 7.0 / 8.0)
+    assert(d3.getAs[Long]("n_bigrams") === 7L)
+    assert(d3.getAs[Long]("top_bigram_count") === 7L)
+    assert(d3.getAs[Double]("top_bigram_frac") === 1.0)
+    // doc 4: all distinct → zero dup fraction, every bigram count 1
+    val d4 = out(4L)
+    assert(d4.getAs[Double]("dup_token_frac") === 0.0)
+    assert(d4.getAs[Long]("top_bigram_count") === 1L)
+    // doc 5: single token → no bigrams, frac 0 (not NaN)
+    val d5 = out(5L)
+    assert(d5.getAs[Long]("n_bigrams") === 0L)
+    assert(d5.getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("domainMix: deterministic, quota-bounded, all sources present") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = CorpusOps.domainMix(docs, "doc_id", "text", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = CorpusOps.domainMix(docs, "doc_id", "text", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // replay-stable
+    assert(a.length === docs.select("source").distinct().count())
+    a.foreach { case (src, quota, nDocs, nKept) =>
+      assert(quota >= 20 && quota < 80, s"$src quota $quota")
+      assert(nKept >= 0 && nKept <= nDocs, s"$src kept $nKept of $nDocs")
+    }
+  }
+}
