@@ -134,6 +134,34 @@ object CorpusOps {
             col("n_bigrams").cast(DoubleType)))
   }
 
+  /** Sequence packing: assign token chunks to fixed-length training
+    * sequences by the concat-and-split rule (concatenate chunks in
+    * deterministic order, cut every `seqLen` tokens — the standard
+    * LLM pretraining packing), and profile the resulting sequences.
+    * A chunk belongs to the sequence its LAST token lands in.
+    *
+    * Packing is per SHARD (doc_id mod `shards`), never global: a
+    * global running sum would serialize 100 TB through one partition,
+    * while per-shard packing is embarrassingly parallel and is what
+    * multi-worker data loaders do anyway. Within a shard the
+    * (doc_id, chunk_idx) order is total, so the cumulative sum — and
+    * therefore every sequence boundary — is replay-deterministic.
+    */
+  def seqPack(chunks: DataFrame, idCol: String, idxCol: String,
+              tokCol: String, seqLen: Int = 64,
+              shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol), col(idxCol))
+    chunks
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .withColumn("seq_id",
+        ((col("cum_tokens") - 1) / lit(seqLen.toLong)).cast(LongType))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(tokCol)).as("n_tokens"))
+  }
+
   /** Deterministic domain mixing: per-source keep quota (a hash of the
     * source name → 20..79%) applied by content-deterministic bucket —
     * the down/up-weighting step that balances web/books/code domains

@@ -242,7 +242,15 @@ object LlmQueries {
       CorpusOps.repetitionStats(docs(s, d), "doc_id", "text")),
     // Corpus ops — deterministic per-source mixing quotas
     "domain_mix" -> ((s, d) =>
-      CorpusOps.domainMix(docs(s, d), "doc_id", "text", "source")))
+      CorpusOps.domainMix(docs(s, d), "doc_id", "text", "source")),
+    // Corpus ops — sequence packing: chunk stream → fixed-length
+    // training sequences (concat-and-split, per-shard)
+    "seq_pack" -> ((s, d) =>
+      CorpusOps.seqPack(
+        TextOps.chunkDocs(docs(s, d), "doc_id", "text",
+          chunkTokens = 16, overlap = 4),
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        seqLen = 64, shards = 8)))
 
   // ------------------------------------------------------------------ //
   // DuckDB oracles                                                     //
@@ -769,5 +777,23 @@ object LlmQueries {
          |SELECT source, CAST(quota_pct AS BIGINT) AS quota_pct,
          |  count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
          |FROM b GROUP BY 1, 2""".stripMargin
-    })
+    },
+    "seq_pack" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, w,
+        |  CAST((greatest(len(w) - 16, 0) + 11) // 12 + 1 AS INTEGER)
+        |    AS n_chunks FROM b),
+        |e AS (SELECT doc_id, w,
+        |  unnest(range(0, n_chunks)) AS chunk_idx FROM p),
+        |s AS (SELECT doc_id, chunk_idx,
+        |  CAST(len(w[chunk_idx*12 + 1 : chunk_idx*12 + 16]) AS BIGINT)
+        |    AS nt, doc_id % 8 AS shard FROM e),
+        |win AS (SELECT shard, nt,
+        |  sum(nt) OVER (PARTITION BY shard
+        |    ORDER BY doc_id, chunk_idx) AS cum FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST((cum - 1) // 64 AS BIGINT) AS seq_id,
+        |  count(*) AS n_chunks, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM win GROUP BY 1, 2""".stripMargin)
 }

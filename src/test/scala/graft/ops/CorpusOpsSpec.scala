@@ -77,6 +77,28 @@ class CorpusOpsSpec extends SparkSuite {
     assert(d5.getAs[Double]("top_bigram_frac") === 0.0)
   }
 
+  test("seqPack: conserves tokens and numbers sequences contiguously") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 16, overlap = 4)
+    val packed = CorpusOps.seqPack(chunks, "doc_id", "chunk_idx",
+      "n_chunk_tokens", seqLen = 64, shards = 8)
+    val totalChunkTokens = chunks.agg(sum("n_chunk_tokens")).head.getLong(0)
+    val totalPackedTokens = packed.agg(sum("n_tokens")).head.getLong(0)
+    assert(totalChunkTokens === totalPackedTokens) // nothing dropped
+    // per shard: seq ids run 0..max with no gaps (concat-and-split
+    // cuts every 64 tokens, and chunks are 16 tokens wide, so every
+    // sequence receives at least one chunk end)
+    packed.groupBy("shard")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") === 0L)
+        assert(r.getAs[Long]("n") === r.getAs[Long]("hi") + 1,
+          s"gap in seq ids for shard ${r.get(0)}")
+      }
+  }
+
   test("domainMix: deterministic, quota-bounded, all sources present") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = CorpusOps.domainMix(docs, "doc_id", "text", "source").collect()
