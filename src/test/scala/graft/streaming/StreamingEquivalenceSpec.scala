@@ -273,6 +273,38 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got.map(_._1) == Set("events_click", "events_purchase"))
   }
 
+  test("corpus annotators run unchanged on a stream (pure-map proof)") {
+    // repetitionStats and quality are per-row expressions with no
+    // window/sort/global state, so the SAME operator code must accept
+    // an unbounded source and emit rows identical to the batch run —
+    // the property that lets the corpus-cleanup annotate stage run as
+    // a continuous ingest pipeline instead of a nightly batch.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "spam spam spam spam"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String)]
+    val streamed = graft.ops.CorpusOps.repetitionStats(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rep_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("rep_ckpt"))
+      .start()
+    input.addData(docs)
+    streamed.processAllAvailable()
+    streamed.stop()
+    val expected = graft.ops.CorpusOps.repetitionStats(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val got = s.table("rep_stream").orderBy("doc_id").collect().toSeq
+    assert(got == expected)
+    assert(got.size == 3)
+  }
+
   test("operators tolerate empty inputs") {
     val s = spark
     import s.implicits._
