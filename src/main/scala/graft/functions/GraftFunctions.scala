@@ -55,6 +55,11 @@ object GraftFunctions {
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 
+  /** Fused repetition stats [n_tokens, n_distinct, n_bigrams,
+    * top_bigram_count] of a text column.
+    */
+  def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
+
   /** Explode an Avro OCF binary blob into rows of the target schema.
     * `permissive` drops undecodable blobs instead of failing the task.
     */
@@ -93,7 +98,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash31].getName, "graft_poly_hash"),
       (args: Seq[Expression]) => PolyHash31(args(0),
-        args(1).eval(null).asInstanceOf[Number].longValue())))
+        args(1).eval(null).asInstanceOf[Number].longValue())),
+    (FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName,
+        "graft_repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStats(args(0))))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

@@ -402,3 +402,74 @@ case class QuantizedDot(left: Expression, right: Expression)
       newRight: Expression): QuantizedDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused repetition-stats kernel: one pass over the text computing
+  * [n_tokens, n_distinct_tokens, n_bigrams, top_bigram_count] — the
+  * integer core of the Gopher/MassiveText repetition filters
+  * (graft.ops.CorpusOps.repetitionStats).
+  *
+  * The expression-tree form (transform ∘ filter over array_distinct)
+  * evaluates interpreted lambdas per bigram pair — O(d·n) boxed calls
+  * per row outside codegen. This kernel does the same work in one
+  * tokenize pass + two exact hash maps and stays inside whole-stage
+  * codegen via a single compute() call. Token/bigram identity is by
+  * exact STRING (never a hash), so counts are bit-identical to the
+  * relational DuckDB oracle by construction.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    // split(' ') semantics incl. empty tokens (limit = -1), exactly
+    // like functions.split / DuckDB string_split
+    val distinct = new java.util.HashSet[String]()
+    val bigram = new java.util.HashMap[String, java.lang.Long]()
+    var nTokens = 0L
+    var prev: String = null
+    var top = 0L
+    var from = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        val tok = s.substring(from, i)
+        nTokens += 1
+        distinct.add(tok)
+        if (prev != null) {
+          val bg = prev + " " + tok
+          val old = bigram.get(bg)
+          val c = if (old == null) 1L else old.longValue() + 1L
+          bigram.put(bg, java.lang.Long.valueOf(c))
+          if (c > top) top = c
+        }
+        prev = tok
+        from = i + 1
+      }
+      i += 1
+    }
+    val nBigrams = if (nTokens >= 2) nTokens - 1 else 0L
+    new GenericArrayData(
+      Array(nTokens, distinct.size.toLong, nBigrams, top))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("repstats", this,
+      classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RepetitionStats = copy(child = newChild)
+}

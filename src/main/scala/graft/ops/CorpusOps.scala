@@ -103,28 +103,23 @@ object CorpusOps {
     * top-bigram fraction per document. Documents dominated by one
     * repeated phrase score high and get filtered before training.
     *
-    * Pure map — the most-frequent-bigram count is computed INSIDE the
-    * row (array expressions over the token array), so the corpus pass
-    * is shuffle-free; the oracle recomputes it relationally
-    * (unnest → group → max) and must agree bit-for-bit.
+    * Pure map, shuffle-free — the four counts come from the fused
+    * RepetitionStats codegen kernel (one tokenize pass + exact string
+    * maps per row, inside whole-stage codegen) rather than nested
+    * interpreted array lambdas, which cost O(distinct_bigrams ×
+    * bigrams) boxed calls per row. The oracle recomputes the stats
+    * relationally (unnest → group → max) and must agree bit-for-bit;
+    * token/bigram identity is exact string, never a hash.
     */
   def repetitionStats(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
-    val w = TextOps.tokens(col(textCol))
-    val bg = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    docs.select(col(idCol), w.as("w"), bg.as("bg"))
+                      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions.repetitionStats(col(textCol)).as("r"))
       .select(col(idCol),
-        size(col("w")).cast(LongType).as("n_tokens"),
-        size(array_distinct(col("w"))).cast(LongType)
-          .as("n_distinct_tokens"),
-        size(col("bg")).cast(LongType).as("n_bigrams"),
-        when(size(col("bg")) === 0, lit(0L)).otherwise(
-          array_max(transform(array_distinct(col("bg")),
-            b => size(filter(col("bg"), x => x === b)).cast(LongType))))
-          .as("top_bigram_count"))
+        element_at(col("r"), 1).as("n_tokens"),
+        element_at(col("r"), 2).as("n_distinct_tokens"),
+        element_at(col("r"), 3).as("n_bigrams"),
+        element_at(col("r"), 4).as("top_bigram_count"))
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct_tokens")).cast(DoubleType) /
           col("n_tokens").cast(DoubleType))
@@ -132,7 +127,6 @@ object CorpusOps {
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("top_bigram_count").cast(DoubleType) /
             col("n_bigrams").cast(DoubleType)))
-  }
 
   /** Sequence packing: assign token chunks to fixed-length training
     * sequences by the concat-and-split rule (concatenate chunks in

@@ -254,6 +254,29 @@ object Queries {
     // exact per-group quantiles (windowed discrete selection)
     "price_quantiles" -> ((s, d) =>
       Relational.priceQuantiles(Tables.orders(s, d))),
+    // quantile SCALE path: percentile_approx (mergeable KLL-style
+    // sketch, map-side combinable — no per-group sort) gated against
+    // the in-plan exact windowed quantiles with a 1% tolerance; the
+    // row hashes equal to the oracle's `true` iff the sketch is within
+    // tolerance (the approx_distinct pattern). At 100 TB the windowed
+    // exact form sorts every group; the sketch is the plan to run.
+    "price_quantiles_approx" -> ((s, d) => {
+      val exact = Relational.priceQuantiles(Tables.orders(s, d))
+      val approx = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast(LongType).as("pc"))
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("pc"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+      exact.join(approx, "o_orderpriority")
+        .select(col("o_orderpriority"),
+          (abs(element_at(col("ap"), 1) - col("p50_cents"))
+            .cast(DoubleType) / col("p50_cents").cast(DoubleType)
+            <= 0.01).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - col("p90_cents"))
+            .cast(DoubleType) / col("p90_cents").cast(DoubleType)
+            <= 0.01).as("p90_ok"))
+    }),
     // stream-stream attribution join, batch form (same code runs on
     // streams with bounded state — StreamingEquivalenceSpec)
     "attribution_join" -> ((s, d) => {
@@ -386,6 +409,9 @@ object Queries {
         |  max(CASE WHEN rn = ceil(0.5 * n) THEN pc END) AS p50_cents,
         |  max(CASE WHEN rn = ceil(0.9 * n) THEN pc END) AS p90_cents
         |FROM r GROUP BY 1""".stripMargin,
+    "price_quantiles_approx" ->
+      """SELECT o_orderpriority, true AS p50_ok, true AS p90_ok
+        |FROM orders GROUP BY 1""".stripMargin,
     "salted_join" ->
       """SELECT l_suppkey AS suppkey, s_name,
         |  count(*) AS n_lines,

@@ -137,4 +137,29 @@ class KernelSpec extends SparkSuite {
     assert(sig.values.flatten.forall(h => h >= 0 && h < 16),
       "4-bit band hashes must lie in [0, 16)")
   }
+
+  test("RepetitionStats kernel equals the expression-tree specification") {
+    // the readable spec the kernel replaced: split -> array_distinct /
+    // bigram transform -> per-distinct-bigram count max
+    val w = split(col("t"), " ")
+    val bg = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bad = df.select(col("t"),
+        GraftFunctions.repetitionStats(col("t")).as("k"),
+        size(w).cast("long").as("s_tok"),
+        size(array_distinct(w)).cast("long").as("s_dis"),
+        size(bg).cast("long").as("s_big"),
+        when(size(bg) === 0, lit(0L)).otherwise(
+          array_max(transform(array_distinct(bg),
+            b => size(filter(bg, x => x === b)).cast("long"))))
+          .as("s_top"))
+      .filter(element_at(col("k"), 1) =!= col("s_tok") ||
+        element_at(col("k"), 2) =!= col("s_dis") ||
+        element_at(col("k"), 3) =!= col("s_big") ||
+        element_at(col("k"), 4) =!= col("s_top"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
 }
