@@ -34,13 +34,25 @@ object Dedup {
     * subtree, where a self-join would shuffle twice and recompute the
     * signatures per side. Bucket sizes — duplicate-cluster sizes, not
     * corpus size — bound the pair blow-up, so the in-bucket unfold is
-    * tiny; a hot bucket (hash skew) would surface here as one fat
-    * group, the usual salting territory.
+    * tiny on a healthy corpus.
+    *
+    * `maxBucket` is the 100 TB safety valve: a degenerate bucket (web
+    * boilerplate, empty-ish docs — thousands of near-identical texts
+    * landing on one band hash) would otherwise unfold O(n²) pairs in
+    * ONE task and wedge the stage. Buckets above the cap are excluded
+    * from pair generation, a recall trade made loudly: such a cluster
+    * is, by construction, mutually near-identical at enormous
+    * multiplicity, which the (cheaper) exact-dedup pass catches by
+    * content fingerprint; every bucket at or below the cap is
+    * unaffected, so fixture-scale results are bit-identical to the
+    * uncapped form. The cap bounds per-task work at
+    * maxBucket²/2 pairs regardless of corpus pathology.
     */
-  private def bandPairs(bands: DataFrame, idCol: String): DataFrame =
+  private def bandPairs(bands: DataFrame, idCol: String,
+                        maxBucket: Int = 4096): DataFrame =
     bands.groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
@@ -61,13 +73,15 @@ object Dedup {
     */
   private def bandedJaccardPairs(sets: DataFrame, idCol: String,
                                  setCol: String, threshold: Double,
-                                 numPerms: Int, bands: Int): DataFrame = {
+                                 numPerms: Int, bands: Int,
+                                 maxBucket: Int): DataFrame = {
     val banded = sets
       .select(col(idCol), posexplode(
         GraftFunctions.minhashBands(col(setCol), numPerms, bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    verifyJaccard(bandPairs(banded, idCol), sets, idCol, setCol, threshold)
+    verifyJaccard(bandPairs(banded, idCol, maxBucket), sets, idCol,
+      setCol, threshold)
   }
 
   /** N2 — MinHash + LSH near-dup pairs with exact-jaccard verification:
@@ -77,12 +91,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5,
-                   numPerms: Int = 128, bands: Int = 32): DataFrame =
+                   numPerms: Int = 128, bands: Int = 32,
+                   maxBucket: Int = 4096): DataFrame =
     bandedJaccardPairs(
       docs.select(col(idCol),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
         .filter(size(col("sh")) > 0),
-      idCol, "sh", threshold, numPerms, bands)
+      idCol, "sh", threshold, numPerms, bands, maxBucket)
 
   /** Exact jaccard verification of candidate pairs against the hashed
     * set column (sorted distinct array<bigint>); emits
@@ -121,12 +136,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, n: Int = 5,
-                        numPerms: Int = 128, bands: Int = 32): DataFrame =
+                        numPerms: Int = 128, bands: Int = 32,
+                        maxBucket: Int = 4096): DataFrame =
     bandedJaccardPairs(
       docs.select(col(idCol),
         GraftFunctions.hashedCharGrams(col(textCol), n).as("g"))
         .filter(size(col("g")) > 0),
-      idCol, "g", threshold, numPerms, bands)
+      idCol, "g", threshold, numPerms, bands, maxBucket)
 
   /** N2 — SimHash near-dup pairs: 64-bit signatures, hamming ≤ maxDist.
     * Banding into (maxDist+1) chunks is exact by pigeonhole: a pair
@@ -134,7 +150,7 @@ object Dedup {
     * the bucket join misses nothing. Default d=3 → 4 × 16-bit chunks.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sigs = TextOps.simhash(docs, idCol, textCol)
     val chunks = Seq(
       pmod(col("sim_lo"), lit(65536L)).as("c0"),
@@ -149,7 +165,7 @@ object Dedup {
           col(s"c$i").as("band_hash"))): _*)).as("b"))
       .select(col(idCol), col("b.band_idx").as("band_idx"),
         col("b.band_hash").as("band_hash"))
-    val cands = bandPairs(banded, idCol)
+    val cands = bandPairs(banded, idCol, maxBucket)
     val sa = withChunks.select(col(idCol).as("id_a"),
       col("sim_lo").as("lo_a"), col("sim_hi").as("hi_a"))
     val sb = withChunks.select(col(idCol).as("id_b"),

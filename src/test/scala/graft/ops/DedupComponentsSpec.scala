@@ -55,4 +55,38 @@ class DedupComponentsSpec extends SparkSuite {
     assert(byDoc(12L)._1 == 10L, "transitively similar doc joins cluster")
     assert(byDoc(20L) == ((20L, true)), "unrelated doc is its own rep")
   }
+
+  test("hot-bucket cap bounds pair generation; exact dedup still catches " +
+    "the capped cluster") {
+    val s = spark
+    import s.implicits._
+    // 60 byte-identical docs (a degenerate boilerplate cluster: every
+    // band bucket holds all 60) + 2 genuine near-dups + singletons
+    val boiler = (0L until 60L).map(i => (i, "alpha beta gamma delta " +
+      "epsilon zeta eta theta iota kappa"))
+    val pairDocs = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "one two three four five six seven eight nine eleven"),
+      (200L, "completely different words that match nothing else here"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+    // capped below the cluster size: the 60-doc bucket is excluded,
+    // bounding the unfold, while the small bucket still pairs up
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 32)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate cluster must be capped out, got ${capped.take(5).toSeq}")
+    assert(capped.contains((100L, 101L)), "real near-dup pair must survive")
+    // the capped cluster is byte-identical, so the exact-dedup pass
+    // (content fingerprint) catches all 60 as one group
+    val exact = Dedup.exactByKey(docs, Seq("text"), "doc_id")
+      .filter(col("n_dups") === 60).count()
+    assert(exact === 1L)
+    // and with the default cap the same input is uncapped (bucket 60
+    // <= 4096): all boilerplate pairs reappear
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+      .filter(col("doc_a") < 60 && col("doc_b") < 60).count()
+    assert(uncapped === 60L * 59L / 2L)
+  }
 }
