@@ -49,10 +49,16 @@ object Monitoring {
       element_at(split(col("rowkey"), "-"), -1).cast(LongType)
         .as("kpartition"),
       col("offset").as("committed_offset"))
+    // heads are per (topic, partition): joining on the partition alone
+    // would compute lag against the cross-topic max head offset when
+    // the frame carries multiple topics (fromEventsByType)
     val heads = kafka
-      .groupBy(col("partition").cast(LongType).as("kpartition"))
+      .groupBy(col("topic").as("head_topic"),
+        col("partition").cast(LongType).as("hpartition"))
       .agg(max(col("offset")).as("head_offset"))
-    parsed.join(heads, Seq("kpartition"))
+    parsed.join(heads,
+        parsed("parsed_topic") === heads("head_topic") &&
+          parsed("kpartition") === heads("hpartition"))
       .select(col("rowkey"), col("parsed_client"), col("parsed_topic"),
         col("kpartition"), col("head_offset"), col("committed_offset"),
         (col("head_offset") - col("committed_offset")).as("lag"))

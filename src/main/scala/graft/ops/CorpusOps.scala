@@ -157,15 +157,17 @@ object CorpusOps {
   }
 
   /** Deterministic domain mixing: per-source keep quota (a hash of the
-    * source name → 20..79%) applied by content-deterministic bucket —
+    * source name → 20..79%) applied by a (source, doc_id) hash bucket —
     * the down/up-weighting step that balances web/books/code domains
-    * in a training mix. Stateless and replay-stable: the same doc
-    * always lands on the same side of its source's threshold, so a
-    * re-run of a failed 100 TB job resamples identically.
+    * in a training mix. Stateless and replay-stable: the keep decision
+    * is a pure function of the row's identity, so a re-run of a failed
+    * 100 TB job resamples identically with no stored state. (It is
+    * keyed by id, not content — two byte-identical docs with different
+    * ids sample independently; run exact dedup first if that matters.)
     *
     * Output: per-source doc counts before/after the quota.
     */
-  def domainMix(docs: DataFrame, idCol: String, textCol: String,
+  def domainMix(docs: DataFrame, idCol: String,
                 srcCol: String): DataFrame = {
     val quota = pmod(TextOps.polyHash(col(srcCol)), lit(60L)) + lit(20L)
     val bucket = pmod(TextOps.polyHash(

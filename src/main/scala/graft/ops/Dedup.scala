@@ -40,13 +40,17 @@ object Dedup {
     * boilerplate, empty-ish docs — thousands of near-identical texts
     * landing on one band hash) would otherwise unfold O(n²) pairs in
     * ONE task and wedge the stage. Buckets above the cap are excluded
-    * from pair generation, a recall trade made loudly: such a cluster
-    * is, by construction, mutually near-identical at enormous
-    * multiplicity, which the (cheaper) exact-dedup pass catches by
-    * content fingerprint; every bucket at or below the cap is
-    * unaffected, so fixture-scale results are bit-identical to the
-    * uncapped form. The cap bounds per-task work at
-    * maxBucket²/2 pairs regardless of corpus pathology.
+    * from pair generation. This is an EXPLICIT RECALL TRADE, stated
+    * plainly: byte-identical members of a capped cluster are still
+    * caught by the exact-dedup pass (content fingerprint), but
+    * near-identical-yet-distinct members lose their near-dup pairs —
+    * with a >maxBucket-sized cluster the alternative is a stage that
+    * never finishes. Raise maxBucket (or pre-strip the boilerplate
+    * field driving the collisions) when that recall matters; every
+    * bucket at or below the cap is unaffected, so fixture-scale
+    * results are bit-identical to the uncapped form. The cap bounds
+    * per-task work at maxBucket²/2 pairs regardless of corpus
+    * pathology.
     */
   private def bandPairs(bands: DataFrame, idCol: String,
                         maxBucket: Int = 4096): DataFrame =
@@ -147,7 +151,10 @@ object Dedup {
   /** N2 — SimHash near-dup pairs: 64-bit signatures, hamming ≤ maxDist.
     * Banding into (maxDist+1) chunks is exact by pigeonhole: a pair
     * within hamming ≤ d must agree on at least one of d+1 chunks, so
-    * the bucket join misses nothing. Default d=3 → 4 × 16-bit chunks.
+    * the bucket join misses nothing AMONG buckets within `maxBucket` —
+    * the hot-bucket cap (see bandPairs) trades exactness away only for
+    * degenerate >maxBucket clusters, where the uncapped unfold would
+    * not terminate usefully anyway. Default d=3 → 4 × 16-bit chunks.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {

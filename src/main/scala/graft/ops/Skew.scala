@@ -17,10 +17,11 @@ object Skew {
 
   /** Deterministic salt in [0, saltBuckets): derived from a secondary
     * column so replays and retries salt identically (no rand()).
-    * Null-hardened: a null saltBy value must still land in a real
-    * bucket (a null salt would never match the replicated 0..N-1
-    * salts and silently DROP the row, breaking the row-identity
-    * contract), so the salt coalesces to bucket 0.
+    * Null inputs need no special case: Spark hash expressions are
+    * non-nullable (a null child folds into the seed), so a null
+    * saltBy value already lands in a real bucket — the coalesce is
+    * belt-and-braces for a future non-hash salt derivation, not a
+    * behavior change.
     */
   def salt(c: Column, saltBuckets: Int): Column =
     coalesce(pmod(xxhash64(c), lit(saltBuckets.toLong)), lit(0L))

@@ -242,7 +242,7 @@ object LlmQueries {
       CorpusOps.repetitionStats(docs(s, d), "doc_id", "text")),
     // Corpus ops — deterministic per-source mixing quotas
     "domain_mix" -> ((s, d) =>
-      CorpusOps.domainMix(docs(s, d), "doc_id", "text", "source")),
+      CorpusOps.domainMix(docs(s, d), "doc_id", "source")),
     // Corpus ops — sequence packing: chunk stream → fixed-length
     // training sequences (concat-and-split, per-shard)
     "seq_pack" -> ((s, d) =>

@@ -8,6 +8,7 @@ import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -37,9 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scale notes: one input partition per (file, offset-range) — the
   * same parallelism contract as a Kafka topic-partition; readers
   * stream the container (no whole-file buffering). Counting records
-  * for `latestOffset` scans container block headers on the driver —
-  * bounded by file count; a production store would keep counts in a
-  * manifest, exactly as brokers serve head offsets.
+  * for `latestOffset` reads container BLOCK headers only (no record
+  * decode) and caches per (path, length, mtime), so steady-state
+  * trigger cost is O(new files), not O(store); a production store
+  * would keep counts in a manifest, exactly as brokers serve head
+  * offsets. All filesystem access flows through the session's Hadoop
+  * configuration (spark.hadoop.*, credentials), shipped to executors
+  * via SerializableConfiguration.
   */
 class GraftOcfSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ocf"
@@ -64,28 +69,31 @@ class OcfTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new OcfScan(dir,
-        Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
+        Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
+        new SerializableConfiguration(OcfStore.driverConf()))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new OcfWriteBuilder(dir, info)
 }
 
-class OcfScan(dir: String, maxPerTrigger: Option[Long]) extends Scan {
+class OcfScan(dir: String, maxPerTrigger: Option[Long],
+              conf: SerializableConfiguration) extends Scan {
   override def readSchema(): StructType = OcfFormat.sparkSchema
   override def description(): String = s"graft-ocf scan of $dir"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      OcfStore.headCounts(dir).toSeq.sortBy(_._1).map { case (f, n) =>
-        OcfRange(s"$dir/$f", 0L, n): InputPartition
-      }.toArray
+      OcfStore.headCounts(dir, conf.value).toSeq.sortBy(_._1)
+        .map { case (f, n) =>
+          OcfRange(s"$dir/$f", 0L, n): InputPartition
+        }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      OcfReaderFactory
+      OcfReaderFactory(conf)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream = new OcfMicroBatchStream(dir, maxPerTrigger)
+      : MicroBatchStream = new OcfMicroBatchStream(dir, maxPerTrigger, conf)
 }
 
 /** Streaming offset: per-file consumed record counts (files are named
@@ -108,11 +116,13 @@ object OcfOffset {
   }
 }
 
-class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
+class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long],
+                          conf: SerializableConfiguration)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = OcfOffset(Map.empty)
-  override def latestOffset(): Offset = OcfOffset(OcfStore.headCounts(dir))
+  override def latestOffset(): Offset =
+    OcfOffset(OcfStore.headCounts(dir, conf.value))
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset =
     OcfOffset.fromJson(json)
@@ -127,13 +137,16 @@ class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[OcfOffset].counts
-    val head = OcfStore.headCounts(dir)
+    val head = OcfStore.headCounts(dir, conf.value)
     limit match {
       case r: ReadMaxRows =>
         var budget = r.maxRows()
         OcfOffset(head.toSeq.sortBy(_._1).map { case (f, h) =>
           val s = from.getOrElse(f, 0L)
-          val take = math.min(h - s, math.max(budget, 0L))
+          // clamp: a file whose head shrank below the cursor (store
+          // rewrite) must neither refund the budget nor move its
+          // offset backward
+          val take = math.min(math.max(h - s, 0L), math.max(budget, 0L))
           budget -= take
           f -> (s + take)
         }.toMap)
@@ -153,7 +166,7 @@ class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OcfReaderFactory
+    OcfReaderFactory(conf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -164,13 +177,14 @@ class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
 case class OcfRange(file: String, start: Long, end: Long)
     extends InputPartition
 
-object OcfReaderFactory extends PartitionReaderFactory {
+case class OcfReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[OcfRange]
     new PartitionReader[InternalRow] {
       private val path = new Path(r.file)
       private val stream = new DataFileStream[GenericRecord](
-        path.getFileSystem(new Configuration()).open(path),
+        path.getFileSystem(conf.value).open(path),
         new GenericDatumReader[GenericRecord]())
       // linear skip to the range start (a production reader seeks via
       // the container's sync blocks; ranges here are per-trigger
@@ -189,23 +203,45 @@ object OcfReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Driver-side store helpers: file listing and per-file record counts. */
+/** Driver-side store helpers: file listing and per-file record counts.
+  *
+  * Counts come from Avro container BLOCK headers (`getBlockCount` +
+  * `nextBlock` — no record deserialization) and are memoized per
+  * (path, length, mtime): committed containers are immutable (the V2
+  * writer renames a finished temp into place, never appends), so a
+  * cache hit is always valid and a rewritten file busts the key. The
+  * streaming engine calls latestOffset twice per trigger — with the
+  * cache the steady-state cost is one file listing.
+  */
 object OcfStore {
-  def headCounts(dir: String): Map[String, Long] = {
+  /** The session's Hadoop configuration (spark.hadoop.*, credentials).
+    * Driver-side only.
+    */
+  def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
+  def headCounts(dir: String, conf: Configuration): Map[String, Long] = {
     val d = new Path(dir)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) return Map.empty
     fs.listStatus(d).toSeq
       .filter(st => st.getPath.getName.endsWith(".ocf") &&
         !st.getPath.getName.startsWith("."))
       .map { st =>
-        val s = new DataFileStream[GenericRecord](
-          fs.open(st.getPath), new GenericDatumReader[GenericRecord]())
-        try {
-          var n = 0L
-          while (s.hasNext) { s.next(); n += 1 }
-          st.getPath.getName -> n
-        } finally s.close()
+        val key = (st.getPath.toString, st.getLen, st.getModificationTime)
+        val n = countCache.computeIfAbsent(key, _ => {
+          val s = new DataFileStream[GenericRecord](
+            fs.open(st.getPath), new GenericDatumReader[GenericRecord]())
+          try {
+            var c = 0L
+            while (s.hasNext) { c += s.getBlockCount; s.nextBlock() }
+            c
+          } finally s.close()
+        })
+        st.getPath.getName -> n
       }.toMap
   }
 }

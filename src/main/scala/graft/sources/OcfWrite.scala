@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -38,32 +38,43 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     // container names carry the write job's queryId so an `append` of
     // a later generation can never rename over an earlier one
     override def toBatch: BatchWrite =
-      new OcfBatchWrite(dir, doTruncate, info.queryId())
+      new OcfBatchWrite(dir, doTruncate, info.queryId(),
+        new SerializableConfiguration(OcfStore.driverConf()))
   }
 }
 
 case class OcfCommit(temp: String, dest: String) extends WriterCommitMessage
 
-class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String)
+class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
+                    conf: SerializableConfiguration)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = OcfWriterFactory(dir, queryId)
+      : DataWriterFactory = OcfWriterFactory(dir, queryId, conf)
 
+  // Hadoop FileSystem signals most failures by RETURNING FALSE, not
+  // throwing — an unchecked rename would report job success while a
+  // committed task's container silently never appears in the store.
+  // Every rename/delete on the commit path is require()d.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new Path(dir)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(conf.value)
     if (truncate && fs.exists(d))
       fs.listStatus(d)
         .filter(st => st.getPath.getName.endsWith(".ocf") &&
           !st.getPath.getName.startsWith("."))
-        .foreach(st => fs.delete(st.getPath, false))
+        .foreach(st => require(fs.delete(st.getPath, false),
+          s"graft-ocf: truncate failed to delete ${st.getPath}"))
     fs.mkdirs(d)
     messages.foreach {
       case OcfCommit(temp, dest) if temp.nonEmpty =>
         val t = new Path(temp)
         if (fs.exists(t)) {
-          fs.delete(new Path(dest), false)
-          fs.rename(t, new Path(dest))
+          val dst = new Path(dest)
+          if (fs.exists(dst))
+            require(fs.delete(dst, false),
+              s"graft-ocf: failed to replace $dst")
+          require(fs.rename(t, dst),
+            s"graft-ocf: commit rename $t -> $dst failed")
         }
       case _ => ()
     }
@@ -71,7 +82,7 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val d = new Path(dir)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(conf.value)
     messages.foreach {
       case OcfCommit(temp, _) if temp.nonEmpty =>
         fs.delete(new Path(temp), false)
@@ -80,7 +91,8 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String)
   }
 }
 
-case class OcfWriterFactory(dir: String, queryId: String)
+case class OcfWriterFactory(dir: String, queryId: String,
+                            conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
@@ -91,7 +103,7 @@ case class OcfWriterFactory(dir: String, queryId: String)
     override def write(row: InternalRow): Unit = {
       if (writer == null) {
         val p = new Path(temp)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf.value)
         fs.mkdirs(p.getParent)
         writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](OcfFormat.schema))
@@ -110,7 +122,7 @@ case class OcfWriterFactory(dir: String, queryId: String)
         writer = null
       }
       val p = new Path(temp)
-      p.getFileSystem(new Configuration()).delete(p, false)
+      p.getFileSystem(conf.value).delete(p, false)
     }
 
     override def close(): Unit =

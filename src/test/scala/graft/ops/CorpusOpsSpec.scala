@@ -101,10 +101,10 @@ class CorpusOpsSpec extends SparkSuite {
 
   test("domainMix: deterministic, quota-bounded, all sources present") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val a = CorpusOps.domainMix(docs, "doc_id", "text", "source").collect()
+    val a = CorpusOps.domainMix(docs, "doc_id", "source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    val b = CorpusOps.domainMix(docs, "doc_id", "text", "source").collect()
+    val b = CorpusOps.domainMix(docs, "doc_id", "source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     assert(a.toSeq === b.toSeq) // replay-stable

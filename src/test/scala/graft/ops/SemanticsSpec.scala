@@ -147,4 +147,32 @@ class SemanticsSpec extends SparkSuite {
         s"n=$n: a partition is owned twice")
     }
   }
+
+  test("S9/M3 multi-topic rowkey parse: lag uses each topic's own head") {
+    // two topics share partition ids but have different head offsets;
+    // a partition-only join would lag every topic against the global
+    // max head (the cross-topic inflation bug)
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("topic_a", 0, 10L), ("topic_a", 0, 50L),
+      ("topic_b", 0, 500L), ("topic_b", 0, 900L))
+    val kafka = rows.toDF("t", "p", "offset").select(
+      lit(null).cast(BinaryType).as("key"),
+      lit("x").cast(BinaryType).as("value"),
+      col("t").as("topic"),
+      col("p").cast(IntegerType).as("partition"),
+      col("offset"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"),
+      lit(0).as("timestampType"))
+    val commits = CommitLog.fromKafkaBatch(kafka,
+        committedFilter = col("offset") < 600)
+      .withColumn("rowkey", CommitLog.rowkey("graft"))
+    val out = Monitoring.rowkeyParse(commits, kafka)
+      .select("parsed_topic", "head_offset", "committed_offset", "lag")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("topic_a") == ((50L, 50L, 0L)))   // its OWN head, not 900
+    assert(out("topic_b") == ((900L, 500L, 400L)))
+  }
 }
