@@ -102,7 +102,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName,
         "graft_repetition_stats"),
-      (args: Seq[Expression]) => RepetitionStats(args(0))))
+      (args: Seq[Expression]) => RepetitionStats(args(0))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getName,
+        "graft_byte_histogram"),
+      (args: Seq[Expression]) => ByteHistogram(args(0), intArg(args, 1))))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

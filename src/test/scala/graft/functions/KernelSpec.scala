@@ -162,4 +162,19 @@ class KernelSpec extends SparkSuite {
       .collect()
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
+
+  test("extension-registered SQL functions resolve through spark.sql") {
+    // the GraftExtensions injection path (spark.sql.extensions), not
+    // the Column API: the same kernels must be reachable from SQL text
+    df.createOrReplaceTempView("kernel_texts")
+    val rows = spark.sql(
+      """SELECT graft_poly_hash(t, 1000000007) AS h,
+        |       graft_repetition_stats(t) AS r,
+        |       graft_simhash64(t) AS sh,
+        |       graft_hashed_word_shingles(t, 3) AS ws
+        |FROM kernel_texts""".stripMargin).collect()
+    assert(rows.length == texts.length)
+    assert(rows.forall(r => r.getSeq[Long](1).length == 4))
+    assert(rows.forall(r => r.getSeq[Long](2).length == 2))
+  }
 }
