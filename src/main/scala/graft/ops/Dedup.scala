@@ -288,7 +288,11 @@ object Dedup {
     // codegen loop per candidate row, so verifying duplicates is
     // cheaper than deduplicating them; survivors (tiny) dedupe at the
     // end. The dims side is small per bucket, and the verify joins
-    // broadcast under AQE.
+    // broadcast under AQE. Measured (tools/PerfProbe, sf0.1, min of
+    // 3): this self-join shape 4.08 s vs 10.04 s for the bandPairs
+    // group-unfold+distinct (embeddingPairsGrouped) — collect_list
+    // over the fat 96-band explode dominates there, while jaccard-
+    // style ops (narrower bands, higher thresholds) favor grouping.
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"),
       col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"),
@@ -307,5 +311,33 @@ object Dedup {
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         col("cosine"))
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** embeddingPairs through the bandPairs group-unfold shape (one
+    * shuffle + pre-verify distinct) instead of the band self-join —
+    * kept for A/B timing (tools/PerfProbe); results identical.
+    */
+  def embeddingPairsGrouped(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.4,
+                            bands: Int = 96, rowsPerBand: Int = 4)
+      : DataFrame = {
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("nn", qdot(col("q"), col("q")))
+    val banded = q
+      .select(col(idCol), posexplode(
+        GraftFunctions.hyperplaneBands(col("q"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val cands = bandPairs(banded, idCol)
+    val sa = q.select(col(idCol).as("id_a"), col("q").as("q_a"),
+      col("nn").as("nn_a"))
+    val sb = q.select(col(idCol).as("id_b"), col("q").as("q_b"),
+      col("nn").as("nn_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("cosine", qdot(col("q_a"), col("q_b")).cast(DoubleType) /
+        sqrt(col("nn_a").cast(DoubleType) * col("nn_b").cast(DoubleType)))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        col("cosine"))
   }
 }

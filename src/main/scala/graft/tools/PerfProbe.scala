@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Dev tool: A/B-time alternative plan shapes for the expensive
+  * queries before committing to one (the measurements quoted in
+  * Dedup scaladocs come from runs like this).
+  */
+object PerfProbe {
+  def time(label: String, n: Int)(f: => Long): Unit = {
+    val ts = (1 to n).map { _ =>
+      val t0 = System.nanoTime(); val c = f
+      (System.nanoTime() - t0) / 1e9 -> c
+    }
+    println(f"PROBE $label%-28s min=${ts.map(_._1).min}%.2fs " +
+      f"runs=${ts.map(t => f"${t._1}%.2f").mkString(",")} rows=${ts.head._2}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    time("embedding_pairs/self-join", 3) {
+      Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4).count()
+    }
+    time("embedding_pairs/grouped", 3) {
+      Dedup.embeddingPairsGrouped(emb, "vec_id", "embedding", 0.4).count()
+    }
+    spark.stop()
+  }
+}
