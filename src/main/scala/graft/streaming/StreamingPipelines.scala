@@ -49,6 +49,33 @@ object StreamingPipelines {
     kafka.withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("topic", "partition", "offset")
 
+  /** Streaming near-dup suppression — the in-flight ingest twin of the
+    * batch near-dup pass: drop any document whose 64-bit SimHash
+    * signature (fused SimHash64 kernel) was already seen within the
+    * watermark. Signature-exact (hamming 0) by design: in-flight
+    * suppression exists to kill re-posts and templated boilerplate as
+    * they arrive with watermark-bounded state, while the banded batch
+    * pass (Dedup.simhashPairs, hamming <= d) still sweeps the stored
+    * corpus. The same call runs on a batch frame — Spark only permits
+    * dropDuplicatesWithinWatermark on streams, so the batch branch is
+    * the unbounded-state dropDuplicates over the same signature (fine
+    * in batch: the corpus is finite), asserted equivalent in tests.
+    */
+  def nearDupSuppress(docs: DataFrame, tsCol: String,
+                      textCol: String,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val signed = docs
+      .withColumn("sh2",
+        graft.functions.GraftFunctions.simhash64(col(textCol)))
+      .withColumn("sim_lo", element_at(col("sh2"), 1))
+      .withColumn("sim_hi", element_at(col("sh2"), 2))
+      .drop("sh2")
+    if (signed.isStreaming)
+      signed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("sim_lo", "sim_hi")
+    else signed.dropDuplicates("sim_lo", "sim_hi")
+  }
+
   /** Stream-stream event join — the capability the reference never had
     * (its only join is the batch lag zip, M3): attribute each
     * `purchase` to the same user's preceding `click` within

@@ -305,6 +305,44 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got.size == 3)
   }
 
+  test("streaming near-dup suppression: one survivor per signature, " +
+    "stream == batch") {
+    val s = spark
+    import s.implicits._
+    val t0 = ts("2026-01-01 10:00:00")
+    def at(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    val docs = Seq(
+      (1L, "breaking news template body", at(0)),
+      (2L, "breaking news template body", at(10)),   // re-post: same sig
+      (3L, "a genuinely different document", at(20)),
+      (4L, "breaking news template body", at(30)),   // re-post again
+      (5L, "yet another distinct text here", at(40)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipelines.nearDupSuppress(
+      input.toDF().toDF("doc_id", "text", "ts"), "ts", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("nd_ckpt"))
+      .start()
+    input.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("neardup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // one survivor per signature; ids 3 and 5 must survive, exactly
+    // one of the three re-posts does
+    assert(got.contains(3L) && got.contains(5L))
+    assert(got.size === 3)
+    // batch twin: same operator code, batch dropDuplicates semantics
+    val batch = StreamingPipelines.nearDupSuppress(
+      docs.toDF("doc_id", "text", "ts"), "ts", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.size === 3)
+    assert(batch.contains(3L) && batch.contains(5L))
+  }
+
   test("operators tolerate empty inputs") {
     val s = spark
     import s.implicits._
