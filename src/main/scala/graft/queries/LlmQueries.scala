@@ -250,7 +250,26 @@ object LlmQueries {
         TextOps.chunkDocs(docs(s, d), "doc_id", "text",
           chunkTokens = 16, overlap = 4),
         "doc_id", "chunk_idx", "n_chunk_tokens",
-        seqLen = 64, shards = 8)))
+        seqLen = 64, shards = 8)),
+    // JSONL interchange round trip: write the corpus as line-delimited
+    // JSON (the standard LLM corpus format), read it back with an
+    // EXPLICIT schema — at 100 TB schema inference is a second full
+    // scan, so the read declares its schema up front — and prove
+    // content fidelity with per-lang doc/char/text-length aggregates
+    "jsonl_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString
+      docs(s, d).write.mode("overwrite").json(dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+    }))
 
   // ------------------------------------------------------------------ //
   // DuckDB oracles                                                     //
@@ -778,6 +797,11 @@ object LlmQueries {
          |  count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
          |FROM b GROUP BY 1, 2""".stripMargin
     },
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1""".stripMargin,
     "seq_pack" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
