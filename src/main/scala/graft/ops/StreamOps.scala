@@ -88,12 +88,11 @@ object StreamOps {
     * safe at 100 TB (one struct per hour).
     */
   def throughputEwma(kafka: DataFrame): DataFrame = {
-    val hourly = kafka
-      .groupBy(col("partition").cast(LongType).as("kpartition"),
-        window(col("timestamp"), "1 hour").as("win"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("kpartition"), col("win.start").as("hour_start"),
-        (col("cnt").cast(DoubleType) / lit(3600.0)).as("rate"))
+    // the hourly rate series IS throughput()'s output — build on it so
+    // the two A5 meters can never disagree on the windowing/denominator
+    val hourly = throughput(kafka)
+      .select(col("kpartition"), col("hour_start"),
+        col("events_per_sec").as("rate"))
     hourly.groupBy(col("kpartition"))
       .agg(sort_array(collect_list(struct(col("hour_start"), col("rate"))))
         .as("hr"))

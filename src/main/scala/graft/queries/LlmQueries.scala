@@ -33,6 +33,23 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Driver-visible recall gate shared by the approximate ANN paths:
+    * one boolean row that hashes equal to the oracle's `true` iff
+    * |approx ∩ exact| / |exact| >= floor (the approx_distinct
+    * tolerance pattern).
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+                         floor: Double): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(approx
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)
+          >= floor).as("recall_ok"))
+
   // ------------------------------------------------------------------ //
   // Spark queries                                                      //
   // ------------------------------------------------------------------ //
@@ -92,20 +109,11 @@ object LlmQueries {
     "ivf_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 50)
-      val exact = Similarity
-        .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity
-        .ivfTopK(e, q, "vec_id", "embedding", k = 5,
-          nCentroids = 32, nProbe = 12, nAssign = 2)
-        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(broadcast(approx),
-          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
-          "left")
-        .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
-        .select(col("n_exact"),
-          (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)
-            >= 0.9).as("recall_ok"))
+      recallGate(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+          nCentroids = 32, nProbe = 12, nAssign = 2),
+        floor = 0.9)
     }),
     // N3 — same gate for the hyperplane-LSH path. The asserted floor is
     // the documented multiprobe floor 0.25, NOT 0.9: this fixture's true
@@ -115,19 +123,10 @@ object LlmQueries {
     "lsh_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 50)
-      val exact = Similarity
-        .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity
-        .lshTopK(e, q, "vec_id", "embedding", k = 5)
-        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-      exact.join(broadcast(approx),
-          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
-          "left")
-        .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
-        .select(col("n_exact"),
-          (col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType)
-            >= 0.25).as("recall_ok"))
+      recallGate(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5),
+        floor = 0.25)
     }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
@@ -257,8 +256,7 @@ object LlmQueries {
     // scan, so the read declares its schema up front — and prove
     // content fidelity with per-lang doc/char/text-length aggregates
     "jsonl_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_jsonl").toString
+      val dir = graft.tools.TempDirs.create("graft_jsonl")
       docs(s, d).write.mode("overwrite").json(dir)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -294,6 +292,23 @@ object LlmQueries {
        |    list_transform(range(1, length($e)+1),
        |      i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),
        |    (acc, c) -> (acc*31+c) % ${TextOps.FpMod})""".stripMargin
+
+  /** Shared oracle for both ANN recall gates: the exact top-5 count
+    * over the 50-query set plus the `true` the gate row must hash to.
+    */
+  private lazy val recallGateOracle: String =
+    s"""WITH $quantCte,
+       |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
+       |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |  CAST($dotAb AS DOUBLE)
+       |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+       |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT count(*) AS n_exact, true AS recall_ok
+       |FROM r WHERE rnk <= 5""".stripMargin
 
   /** Shared SQL: milli-quantized int64 embeddings with self dot product
     * (mirror of Dedup.quantize / Dedup.qdot).
@@ -427,32 +442,8 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
-    "ivf_recall" ->
-      s"""WITH $quantCte,
-         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
-         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
-         |  CAST($dotAb AS DOUBLE)
-         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
-         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
-         |r AS (SELECT query_id,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |SELECT count(*) AS n_exact, true AS recall_ok
-         |FROM r WHERE rnk <= 5""".stripMargin,
-    "lsh_recall" ->
-      s"""WITH $quantCte,
-         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
-         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
-         |  CAST($dotAb AS DOUBLE)
-         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
-         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
-         |r AS (SELECT query_id,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rnk
-         |  FROM scored)
-         |SELECT count(*) AS n_exact, true AS recall_ok
-         |FROM r WHERE rnk <= 5""".stripMargin,
+    "ivf_recall" -> recallGateOracle,
+    "lsh_recall" -> recallGateOracle,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
         |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
@@ -556,10 +547,7 @@ object LlmQueries {
          |FROM documents""".stripMargin,
     "stratified_split" ->
       s"""WITH f AS (SELECT lang,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, length(text)+1),
-         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-         |    (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) % 10 AS b,
+         |  ${sqlPolyHash("text")} % 10 AS b,
          |  len(string_split(text, ' ')) AS n_tok FROM documents),
          |s AS (SELECT lang,
          |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'

@@ -75,11 +75,11 @@ object Queries {
     // through the connector's own scan (the store the streaming source
     // replays in OcfSourceSpec)
     "ocf_store_roundtrip" -> ((s, d) => {
-      // fresh store dir per invocation: a fixed path keyed by the data
-      // dir would race concurrent sessions (one JVM's overwrite commit
-      // deleting containers another JVM is scanning)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ocf_store").toString
+      // fresh store dir per invocation (a fixed path keyed by the data
+      // dir would race concurrent sessions: one JVM's overwrite commit
+      // deleting containers another JVM is scanning), deleted on JVM
+      // exit so repeated bench/test runs don't accumulate copies
+      val dir = graft.tools.TempDirs.create("graft_ocf_store")
       kafka(s, d).write.format("graft-ocf").mode("overwrite").save(dir)
       KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
     }),

@@ -186,10 +186,16 @@ case class OcfReaderFactory(conf: SerializableConfiguration)
       private val stream = new DataFileStream[GenericRecord](
         path.getFileSystem(conf.value).open(path),
         new GenericDatumReader[GenericRecord]())
-      // linear skip to the range start (a production reader seeks via
-      // the container's sync blocks; ranges here are per-trigger
-      // slices, so the skip is bounded by one file)
+      // skip to the range start by BLOCK headers (no record decode)
+      // first, then decode only the in-block remainder — repeated
+      // admission-controlled slices of one large file stay O(blocks),
+      // not O(records x slices)
       private var idx = 0L
+      while (idx < r.start && stream.hasNext &&
+        idx + stream.getBlockCount <= r.start) {
+        idx += stream.getBlockCount
+        stream.nextBlock()
+      }
       while (idx < r.start && stream.hasNext) { stream.next(); idx += 1 }
       private var current: GenericRecord = _
 
@@ -227,9 +233,19 @@ object OcfStore {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) return Map.empty
-    fs.listStatus(d).toSeq
+    val files = fs.listStatus(d).toSeq
       .filter(st => st.getPath.getName.endsWith(".ocf") &&
         !st.getPath.getName.startsWith("."))
+    // evict superseded keys for THIS dir (rewritten or vanished
+    // files) so a long-running driver over a churning store doesn't
+    // leak cache entries
+    val qdir = fs.makeQualified(d).toString
+    val live = files
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSet
+    countCache.keySet.removeIf(k =>
+      new Path(k._1).getParent.toString == qdir && !live.contains(k))
+    files
       .map { st =>
         val key = (st.getPath.toString, st.getLen, st.getModificationTime)
         val n = countCache.computeIfAbsent(key, _ => {

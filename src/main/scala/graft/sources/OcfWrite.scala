@@ -58,26 +58,37 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf.value)
-    if (truncate && fs.exists(d))
-      fs.listStatus(d)
-        .filter(st => st.getPath.getName.endsWith(".ocf") &&
-          !st.getPath.getName.startsWith("."))
-        .foreach(st => require(fs.delete(st.getPath, false),
-          s"graft-ocf: truncate failed to delete ${st.getPath}"))
     fs.mkdirs(d)
-    messages.foreach {
+    // overwrite ordering: install the NEW generation first (container
+    // names carry the queryId, so they can never collide with an old
+    // generation's), delete the old generation LAST — a failure
+    // mid-commit leaves the previous store intact instead of deleted
+    // with only part of its replacement in place
+    val oldFiles: Seq[Path] =
+      if (truncate)
+        fs.listStatus(d).toSeq
+          .filter(st => st.getPath.getName.endsWith(".ocf") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Seq.empty
+    val installed = messages.collect {
       case OcfCommit(temp, dest) if temp.nonEmpty =>
         val t = new Path(temp)
+        val dst = new Path(dest)
         if (fs.exists(t)) {
-          val dst = new Path(dest)
+          // a dest can only pre-exist from a retry of THIS query
+          // (same queryId in the name) — replacing it is idempotent
           if (fs.exists(dst))
             require(fs.delete(dst, false),
               s"graft-ocf: failed to replace $dst")
           require(fs.rename(t, dst),
             s"graft-ocf: commit rename $t -> $dst failed")
         }
-      case _ => ()
-    }
+        dst.getName
+    }.toSet
+    oldFiles.filterNot(p => installed.contains(p.getName))
+      .foreach(p => require(fs.delete(p, false),
+        s"graft-ocf: truncate failed to delete $p"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -57,11 +57,14 @@ object StreamingPipelines {
     * they arrive with watermark-bounded state, while the banded batch
     * pass (Dedup.simhashPairs, hamming <= d) still sweeps the stored
     * corpus. The same call runs on a batch frame — Spark only permits
-    * dropDuplicatesWithinWatermark on streams, so the batch branch is
-    * the unbounded-state dropDuplicates over the same signature (fine
-    * in batch: the corpus is finite), asserted equivalent in tests.
+    * dropDuplicatesWithinWatermark on streams, so the batch branch
+    * keeps the DETERMINISTIC representative per signature (earliest
+    * (tsCol, idCol) via per-signature row_number, never the
+    * arbitrary-row dropDuplicates): replays and shuffle-layout changes
+    * keep the same document, matching the repo's replay-stability
+    * contract. Asserted equivalent in tests.
     */
-  def nearDupSuppress(docs: DataFrame, tsCol: String,
+  def nearDupSuppress(docs: DataFrame, tsCol: String, idCol: String,
                       textCol: String,
                       watermark: String = "10 minutes"): DataFrame = {
     val signed = docs
@@ -73,7 +76,13 @@ object StreamingPipelines {
     if (signed.isStreaming)
       signed.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("sim_lo", "sim_hi")
-    else signed.dropDuplicates("sim_lo", "sim_hi")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sim_lo"), col("sim_hi"))
+        .orderBy(col(tsCol), col(idCol))
+      signed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Stream-stream event join — the capability the reference never had

@@ -119,9 +119,13 @@ class SemanticsSpec extends SparkSuite {
       assert(owners.filter(col("owners") =!= 1).count() == 0,
         s"n=$n: some partition owned by != 1 consumer")
       // balance over the contiguous space 0..P-1 (the real topic
-      // layout): consumer loads differ by at most 1
+      // layout): per-consumer loads COMPUTED THROUGH shardFilter on a
+      // DataFrame — not re-derived in Scala — differ by at most 1
       for (p <- Seq(n, 17, 256)) {
-        val loads = (0 until p).groupBy(_ % n).values.map(_.size)
+        val contiguous = kafkaDf((0L until p.toLong).map(x => (x, x)))
+        val loads = (0 until n).map(id => contiguous.filter(
+          KafkaShape.shardFilter(KafkaShape.StreamConfig(
+            consumerId = id, consumersCount = n))).count())
         assert(loads.max - loads.min <= 1,
           s"n=$n P=$p: unbalanced loads $loads")
       }

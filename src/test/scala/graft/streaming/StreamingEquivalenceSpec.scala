@@ -321,7 +321,7 @@ class StreamingEquivalenceSpec extends SparkSuite {
     val input = org.apache.spark.sql.execution.streaming
       .runtime.MemoryStream[(Long, String, Timestamp)]
     val q = StreamingPipelines.nearDupSuppress(
-      input.toDF().toDF("doc_id", "text", "ts"), "ts", "text")
+      input.toDF().toDF("doc_id", "text", "ts"), "ts", "doc_id", "text")
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode("append")
       .option("checkpointLocation", tmpDir("nd_ckpt"))
@@ -335,12 +335,12 @@ class StreamingEquivalenceSpec extends SparkSuite {
     // one of the three re-posts does
     assert(got.contains(3L) && got.contains(5L))
     assert(got.size === 3)
-    // batch twin: same operator code, batch dropDuplicates semantics
+    // batch twin: same operator code; the batch keep is DETERMINISTIC
+    // (earliest ts, then id) so the exact survivor set is assertable
     val batch = StreamingPipelines.nearDupSuppress(
-      docs.toDF("doc_id", "text", "ts"), "ts", "text")
+      docs.toDF("doc_id", "text", "ts"), "ts", "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(batch.size === 3)
-    assert(batch.contains(3L) && batch.contains(5L))
+    assert(batch === Set(1L, 3L, 5L))
   }
 
   test("operators tolerate empty inputs") {
