@@ -57,6 +57,25 @@ object Queries {
     // A5: EWMA throughput meter (the reference's Meter semantics —
     // exponentially-weighted rate, deterministic α=1/2 fold)
     "throughput_ewma" -> ((s, d) => StreamOps.throughputEwma(kafka(s, d))),
+    // A5 companion — gap-filled hourly series: a monitoring series
+    // must show silent hours as explicit zeros (a missing row reads as
+    // "no data", a 0 reads as "no traffic"). Per partition, generate
+    // the full min..max hour range (sequence + explode — rows
+    // proportional to hours, not events) and left-join the observed
+    // counts; at scale the dense side is tiny (partitions × hours)
+    // while the raw stream never re-shuffles.
+    "dense_hours" -> ((s, d) => {
+      val hourly = StreamOps.throughput(kafka(s, d))
+        .select(col("kpartition"), col("hour_start"), col("cnt"))
+      val bounds = hourly.groupBy(col("kpartition"))
+        .agg(min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
+      bounds
+        .select(col("kpartition"), explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("hour_start"))
+        .join(hourly, Seq("kpartition", "hour_start"), "left")
+        .select(col("kpartition"), col("hour_start"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
     // S1 multi-topic: two-topic subscription (events split by type
     // onto per-type topics), per-topic stream stats
     "multi_topic" -> ((s, d) =>
@@ -164,6 +183,21 @@ object Queries {
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rates),
         |    (acc, r) -> (acc + r)/2) AS ewma_rate
         |FROM o""".stripMargin,
+    "dense_hours" ->
+      """WITH h AS (SELECT user_id % 8 AS kpartition,
+        |  make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+        |    AS hour_start,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |b AS (SELECT kpartition, min(hour_start) AS lo,
+        |  max(hour_start) AS hi FROM h GROUP BY 1),
+        |dense AS (SELECT kpartition,
+        |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM b)
+        |SELECT dense.kpartition, dense.hour_start,
+        |  CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+        |FROM dense LEFT JOIN h
+        |  ON dense.kpartition = h.kpartition
+        | AND dense.hour_start = h.hour_start""".stripMargin,
     "multi_topic" ->
       """SELECT 'events_' || event_type AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions,
@@ -316,6 +350,23 @@ object Queries {
         .withColumn("avg_k",
           col("sum_k").cast(DoubleType) / col("n_events").cast(DoubleType))
     }),
+    // feature engineering, time-series form: per-event rolling window
+    // features (3-event moving sum, delta vs previous event) over each
+    // user's event stream — a rows-frame window, one shuffle on
+    // user_id then per-key sorted runs, no global sort. Integer cents
+    // keep the rolling sums hash-exact.
+    "user_rolling" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("cents_ma3", sum(col("cents")).over(w3))
+        .withColumn("delta_cents",
+          col("cents") - coalesce(lag(col("cents"), 1).over(w), lit(0L)))
+        .drop("ts")
+    }),
     // feature engineering: one row of model features per user (count /
     // cardinality / integer-cents value / error rate) — single hash
     // aggregate, map-side combinable except the exact countDistinct
@@ -457,6 +508,16 @@ object Queries {
         |  min(k) AS min_k, max(k) AS max_k,
         |  CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
         |FROM e GROUP BY 1""".stripMargin,
+    "user_rolling" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents_ma3,
+        |  cents - coalesce(lag(cents) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 0) AS delta_cents
+        |FROM e""".stripMargin,
     "user_features" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,
