@@ -281,6 +281,24 @@ object Queries {
     "big_orders" -> ((s, d) => Relational.bigOrders(
       Tables.lineitem(s, d), Tables.orders(s, d))),
     // set difference (EXCEPT → left-anti on pre-projected keys)
+    // cube: all 2^k grouping combinations in one pass (partial aggs
+    // expand grouping sets map-side; one shuffle total)
+    "cube_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast(LongType))
+            .as("qty_cents"))),
+    // intersect: customers active in BOTH years (completes the set-op
+    // family with except_churned) — plans as a left-semi over
+    // pre-projected distinct key sets
+    "intersect_loyal" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")).distinct()
+        .intersect(o.filter(year(col("o_orderdate")) === 1998)
+          .select(col("o_custkey")).distinct())
+    }),
     "except_churned" -> ((s, d) =>
       Relational.churnedCustomers(Tables.orders(s, d))),
     // pivot with explicit value list (single pass, map-side combine)
@@ -447,6 +465,17 @@ object Queries {
         | (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
         |  GROUP BY 1 HAVING count(*) >= 6) t
         | ON o_orderkey = l_orderkey""".stripMargin,
+    "cube_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "intersect_loyal" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1998""".stripMargin,
     "except_churned" ->
       """SELECT DISTINCT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1996
