@@ -59,23 +59,24 @@ object Queries {
     "throughput_ewma" -> ((s, d) => StreamOps.throughputEwma(kafka(s, d))),
     // A5 companion — gap-filled hourly series: a monitoring series
     // must show silent hours as explicit zeros (a missing row reads as
-    // "no data", a 0 reads as "no traffic"). Per partition, generate
-    // the full min..max hour range (sequence + explode — rows
-    // proportional to hours, not events) and left-join the observed
-    // counts; at scale the dense side is tiny (partitions × hours)
-    // while the raw stream never re-shuffles.
-    "dense_hours" -> ((s, d) => {
-      val hourly = StreamOps.throughput(kafka(s, d))
+    // "no data", a 0 reads as "no traffic"). Single-consumer plan: the
+    // hourly aggregate is read ONCE (a bounds+join formulation scans
+    // the raw stream twice — measured, no exchange reuse); observed
+    // counts fold into a per-partition hour→cnt map (bounded by hours,
+    // not events), then the dense min..max range explodes against it.
+    "dense_hours" -> ((s, d) =>
+      StreamOps.throughput(kafka(s, d))
         .select(col("kpartition"), col("hour_start"), col("cnt"))
-      val bounds = hourly.groupBy(col("kpartition"))
-        .agg(min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
-      bounds
+        .groupBy(col("kpartition"))
+        .agg(min(col("hour_start")).as("lo"),
+          max(col("hour_start")).as("hi"),
+          map_from_entries(collect_list(
+            struct(col("hour_start"), col("cnt")))).as("m"))
         .select(col("kpartition"), explode(sequence(col("lo"), col("hi"),
-          expr("interval 1 hour"))).as("hour_start"))
-        .join(hourly, Seq("kpartition", "hour_start"), "left")
+          expr("interval 1 hour"))).as("hour_start"), col("m"))
         .select(col("kpartition"), col("hour_start"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"))
-    }),
+          coalesce(element_at(col("m"), col("hour_start")), lit(0L))
+            .as("cnt"))),
     // S1 multi-topic: two-topic subscription (events split by type
     // onto per-type topics), per-topic stream stats
     "multi_topic" -> ((s, d) =>
