@@ -26,9 +26,11 @@ object Bench {
     // min over N runs per query: a single run at n=1 puts run-to-run
     // noise (JIT, GC, page cache) in the same magnitude as real
     // regressions — the per-query min is the stable statistic
-    val iters = math.max(1, scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").trim.toInt)
-      .getOrElse(3))
+    val rawIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").trim
+    val iters = math.max(1,
+      try rawIters.toInt
+      catch { case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$rawIters'") })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -294,11 +294,12 @@ object Queries {
     // family with except_churned) — plans as a left-semi over
     // pre-projected distinct key sets
     "intersect_loyal" -> ((s, d) => {
+      // intersect already returns distinct rows (Distinct over a
+      // left-semi) — no explicit distinct on the inputs
       val o = Tables.orders(s, d)
-      o.filter(year(col("o_orderdate")) === 1996)
-        .select(col("o_custkey")).distinct()
+      o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
         .intersect(o.filter(year(col("o_orderdate")) === 1998)
-          .select(col("o_custkey")).distinct())
+          .select(col("o_custkey")))
     }),
     "except_churned" -> ((s, d) =>
       Relational.churnedCustomers(Tables.orders(s, d))),
@@ -472,10 +473,10 @@ object Queries {
         |    AS qty_cents
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "intersect_loyal" ->
-      """SELECT DISTINCT o_custkey FROM orders
+      """SELECT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1996
         |INTERSECT
-        |SELECT DISTINCT o_custkey FROM orders
+        |SELECT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1998""".stripMargin,
     "except_churned" ->
       """SELECT DISTINCT o_custkey FROM orders

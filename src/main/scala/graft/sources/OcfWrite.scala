@@ -86,9 +86,18 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
         }
         dst.getName
     }.toSet
+    // retire the old generation in two steps: RENAME to a dotted name
+    // first (readers filter dot-files, so each rename atomically
+    // removes the file from the read set — a failed delete can then
+    // only leave invisible garbage, never a double-counted store),
+    // then best-effort delete the hidden file
     oldFiles.filterNot(p => installed.contains(p.getName))
-      .foreach(p => require(fs.delete(p, false),
-        s"graft-ocf: truncate failed to delete $p"))
+      .foreach { p =>
+        val hidden = new Path(p.getParent, "." + p.getName + ".stale")
+        require(fs.rename(p, hidden),
+          s"graft-ocf: truncate failed to retire $p")
+        fs.delete(hidden, false)
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -123,9 +123,12 @@ class SemanticsSpec extends SparkSuite {
       // DataFrame — not re-derived in Scala — differ by at most 1
       for (p <- Seq(n, 17, 256)) {
         val contiguous = kafkaDf((0L until p.toLong).map(x => (x, x)))
-        val loads = (0 until n).map(id => contiguous.filter(
-          KafkaShape.shardFilter(KafkaShape.StreamConfig(
-            consumerId = id, consumersCount = n))).count())
+        val loads = contiguous.select(
+          (0 until n).map(id => sum(
+            KafkaShape.shardFilter(KafkaShape.StreamConfig(
+              consumerId = id, consumersCount = n))
+              .cast(LongType)).as(s"c$id")): _*)
+          .head().toSeq.map(_.asInstanceOf[Long])
         assert(loads.max - loads.min <= 1,
           s"n=$n P=$p: unbalanced loads $loads")
       }
