@@ -178,4 +178,62 @@ class OcfSourceSpec extends SparkSuite {
       s"restart must consume exactly the appended records, got " +
         s"${second.size} rows")
   }
+
+  test("partition reader block-skips to mid-file ranges exactly") {
+    // force a MULTI-BLOCK container (payloads big enough to cross the
+    // ~64KB Avro sync interval many times), then read mid-file ranges
+    // through the reader directly: the block-header skip must land on
+    // exactly the requested records, including starts inside a block
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_blocks")
+    val n = 20000
+    val pad = "x" * 150
+    (0 until n).map(i => (i.toLong, s"payload_${i}_$pad")).toDF("id", "props")
+      .select(
+        col("id").cast("string").cast("binary").as("key"),
+        col("props").cast("binary").as("value"),
+        lit("events").as("topic"),
+        lit(0).cast("int").as("partition"),
+        col("id").as("offset"),
+        lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+        lit(0).as("timestampType"))
+      .write.format("graft-ocf").mode("overwrite").save(dir)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val counts = OcfStore.headCounts(dir, conf.value)
+    val (fname, total) = counts.maxBy(_._2)
+    assert(total >= 10000, s"expected one fat container, got $counts")
+    // the container must really span multiple blocks for this test to
+    // exercise the skip loop
+    val blocks = {
+      val st = new org.apache.avro.file.DataFileStream(
+        new java.io.FileInputStream(s"$dir/$fname"),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        var b = 0
+        while (st.hasNext) { b += 1; st.nextBlock() }
+        b
+      } finally st.close()
+    }
+    assert(blocks > 3, s"container has only $blocks block(s)")
+    def offsetsInRange(a: Long, b: Long): Seq[Long] = {
+      val reader = OcfReaderFactory(conf)
+        .createReader(OcfRange(s"$dir/$fname", a, b))
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[Long]()
+        while (reader.next()) out += reader.get().getLong(4)
+        out.toSeq
+      } finally reader.close()
+    }
+    val full = offsetsInRange(0L, total)
+    assert(full.length == total.toInt)
+    for ((a, b) <- Seq((0L, 10L), (total / 2 - 37, total / 2 + 91),
+        (total - 53, total))) {
+      val got = offsetsInRange(a, b)
+      assert(got == full.slice(a.toInt, b.toInt),
+        s"range [$a,$b) mismatch: got ${got.take(5)}...")
+    }
+  }
 }
