@@ -242,6 +242,24 @@ object LlmQueries {
     // Corpus ops — deterministic per-source mixing quotas
     "domain_mix" -> ((s, d) =>
       CorpusOps.domainMix(docs(s, d), "doc_id", "source")),
+    // Corpus ops — exact-N-per-group sampling: take exactly k docs per
+    // language, chosen by content-hash rank (deterministic, replay-
+    // stable, no rand()). The row_number()<=k filter is rewritten into
+    // the bounded-heap GroupedTopK custom operator by the
+    // RankLimitToGroupedTopK rule — per-group state is k rows, never
+    // the full group sort.
+    "sample_per_lang" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("hsh"), col("doc_id"))
+      docs(s, d)
+        .select(col("lang"), col("doc_id"),
+          TextOps.polyHash(col("text")).as("hsh"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("lang"), col("doc_id"), col("hsh"),
+          col("rnk").cast(LongType).as("rnk"))
+    }),
     // Corpus ops — sequence packing: chunk stream → fixed-length
     // training sequences (concat-and-split, per-shard)
     "seq_pack" -> ((s, d) =>
@@ -785,6 +803,13 @@ object LlmQueries {
          |  count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
          |FROM b GROUP BY 1, 2""".stripMargin
     },
+    "sample_per_lang" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |  ${sqlPolyHash("text")} AS hsh FROM documents),
+         |r AS (SELECT lang, doc_id, hsh,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY hsh, doc_id) AS BIGINT) AS rnk FROM h)
+         |SELECT lang, doc_id, hsh, rnk FROM r WHERE rnk <= 20""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
