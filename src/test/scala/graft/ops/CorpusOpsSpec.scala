@@ -83,8 +83,8 @@ class CorpusOpsSpec extends SparkSuite {
       chunkTokens = 16, overlap = 4)
     val packed = CorpusOps.seqPack(chunks, "doc_id", "chunk_idx",
       "n_chunk_tokens", seqLen = 64, shards = 8)
-    val totalChunkTokens = chunks.agg(sum("n_chunk_tokens")).head.getLong(0)
-    val totalPackedTokens = packed.agg(sum("n_tokens")).head.getLong(0)
+    val totalChunkTokens = chunks.agg(sum("n_chunk_tokens")).head().getLong(0)
+    val totalPackedTokens = packed.agg(sum("n_tokens")).head().getLong(0)
     assert(totalChunkTokens === totalPackedTokens) // nothing dropped
     // per shard: seq ids run 0..max with no gaps (concat-and-split
     // cuts every 64 tokens, and chunks are 16 tokens wide, so every
