@@ -233,4 +233,37 @@ object Relational {
       .agg(count(lit(1)))
       .select(col("kpartition") +:
         types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  /** Snapshot diff — the table-diff primitive behind incremental
+    * pipeline re-runs: classify every key across two snapshots as
+    * added / removed / changed / unchanged. One full-outer equi-join on
+    * the key (both sides shuffle once on `key`; at scale the usual
+    * refinement is bucketing both snapshots on the key so the join is
+    * shuffle-free — BucketedJoinSpec shows that path). Null-safe:
+    * presence is tracked with marker columns and values compare with
+    * `<=>`, so a legitimately-null metric is not mistaken for a
+    * missing row.
+    *
+    * Column contract: both inputs carry `key` plus the same metric
+    * columns; metrics appear in the output twice, prefixed `old_` /
+    * `new_`.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String): DataFrame = {
+    val metrics = oldSnap.columns.filterNot(_ == key).toSeq
+    val o = oldSnap.select(col(key) +:
+      metrics.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__old"): _*)
+    val n = newSnap.select(col(key) +:
+      metrics.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__new"): _*)
+    val changed = metrics
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__old", "__new")
+  }
 }

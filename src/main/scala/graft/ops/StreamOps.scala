@@ -141,4 +141,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n_records"),
         countDistinct(col("partition")).as("n_partitions"))
   }
+
+  /** Kafka log compaction, batch twin: keep only the highest-offset
+    * record per (topic, partition, key) — the broker's
+    * `cleanup.policy=compact` contract, which the reference relies on
+    * for its offsets/monitor topics' latest-state reads. Runs through
+    * the GroupedTopK custom operator (k=1): per-group state is ONE
+    * retained row however deep the key's history, where the
+    * `row_number()` window form would sort each key's full record
+    * history — the difference between O(keys) and O(records·log n)
+    * state on a compacted 100 TB topic.
+    */
+  def logCompact(decoded: DataFrame): DataFrame =
+    graft.plans.GroupedTopK(decoded,
+      Seq("topic", "kpartition", "key_str"),
+      Seq(("koffset", false)), k = 1, rankName = "rnk")
 }

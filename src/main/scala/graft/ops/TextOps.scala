@@ -204,4 +204,31 @@ object TextOps {
       size(tokens(col(textCol))).cast(LongType).as("n_ws_tokens"),
       size(regexp_extract_all(col(textCol), lit(bpeTokenPattern), lit(0)))
         .cast(LongType).as("n_bpe_tokens"))
+
+  /** Email-like pattern, restricted (like [[bpeTokenPattern]]) to
+    * constructs whose semantics match between Java regex and RE2. */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII / identifier scrubbing — the redaction pass every
+    * training-data pipeline runs before anything else sees the text:
+    * masks email-like tokens then digit runs of >= `minDigits`, and
+    * reports per-document match counts (counted on the ORIGINAL text,
+    * so an address containing a digit run tallies in both columns).
+    * Pure map, no shuffle; the regexes are codegen'd Catalyst
+    * `RegExpReplace`/`RegExpExtractAll` with compiled-pattern reuse.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String,
+               minDigits: Int = 4): DataFrame = {
+    val digitRun = s"[0-9]{$minDigits,}"
+    docs.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        digitRun, "<NUM>").as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(digitRun), lit(0)))
+        .cast(LongType).as("n_nums"))
+  }
 }

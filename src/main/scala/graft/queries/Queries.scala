@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.{AvroOcf, CommitLog, KafkaShape, Monitoring, Tables}
 import graft.functions.GraftFunctions
-import graft.ops.{Relational, Skew, StreamOps}
+import graft.ops.{AsOf, Relational, Skew, StreamOps, TextOps}
 
 /** The driver-facing query registry: every SURVEY.md §2 operator that is
   * implemented gets a named DataFrame query here plus (when
@@ -121,6 +121,10 @@ object Queries {
         .withColumn("rowkey", CommitLog.rowkey("graft"))
       Monitoring.rowkeyParse(commits, k)
     }),
+    // Kafka log-compaction twin: latest record per (topic, partition,
+    // key) through the k=1 GroupedTopK custom operator
+    "log_compact" -> ((s, d) =>
+      StreamOps.logCompact(KafkaShape.decodeUtf8(kafka(s, d)))),
     // M3: the lag join (partition 3 uncommitted → -1 path)
     "lag_join" -> ((s, d) => {
       val k = kafka(s, d)
@@ -247,6 +251,16 @@ object Queries {
         |       'localhost' AS host, CAST(0 AS BIGINT) AS status, max(ts) AS ts,
         |       '[graft]-events-' || CAST(user_id % 8 AS VARCHAR) AS rowkey
         |FROM events GROUP BY user_id % 8""".stripMargin,
+    "log_compact" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key_str,
+        |    props AS value_str, 'events' AS topic,
+        |    user_id % 8 AS kpartition, event_id AS koffset, ts
+        |  FROM events),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY topic, kpartition, key_str
+        |    ORDER BY koffset DESC) AS BIGINT) AS rnk FROM k)
+        |SELECT key_str, value_str, topic, kpartition, koffset, ts, rnk
+        |FROM r WHERE rnk = 1""".stripMargin,
     "lag_join" ->
       """WITH heads AS (
         |  SELECT user_id % 8 AS kpartition, max(event_id) AS head_offset
@@ -387,6 +401,40 @@ object Queries {
           col("cents") - coalesce(lag(col("cents"), 1).over(w), lit(0L)))
         .drop("ts")
     }),
+    // as-of join (inclusive, left semantics): every purchase matched
+    // to the user's latest click at-or-before it — merge-based (one
+    // shuffle + per-key sort), never an inequality join
+    "asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      AsOf.asofJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+        key = "user_id", buildTs = "click_ts", probeTs = "purchase_ts",
+        buildTie = "click_id")
+    }),
+    // bucketed time-proximity range join: per event, how many other
+    // events (any user) landed within ±60 s — the oracle runs the n²
+    // inequality self-join this formulation avoids
+    "range_prox" -> ((s, d) =>
+      AsOf.timeProximityCount(events(s, d), "event_id", "ts", 60)),
+    // snapshot diff: per-user aggregates of an early snapshot
+    // (event_id < 5000) vs the full table, every key classified
+    "snapshot_diff" -> ((s, d) => {
+      def snap(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      val ev = events(s, d)
+      Relational.snapshotDiff(
+        snap(ev.filter(col("event_id") < 5000)), snap(ev), "user_id")
+    }),
+    // PII scrub over the event payloads: mask email-like tokens and
+    // digit runs, count matches (pure map — no shuffle)
+    "pii_scrub" -> ((s, d) =>
+      TextOps.piiScrub(events(s, d), "event_id", "props", minDigits = 2)),
     // feature engineering: one row of model features per user (count /
     // cardinality / integer-cents value / error rate) — single hash
     // aggregate, map-side combinable except the exact countDistinct
@@ -549,6 +597,55 @@ object Queries {
         |  cents - coalesce(lag(cents) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id), 0) AS delta_cents
         |FROM e""".stripMargin,
+    "asof_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.purchase_id, p.purchase_ts,
+        |    c.click_id, c.click_ts,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.click_ts <= p.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+        |FROM j WHERE rn = 1""".stripMargin,
+    "range_prox" ->
+      """SELECT e.event_id, count(e2.event_id) AS n_concurrent
+        |FROM events e LEFT JOIN events e2
+        |  ON e2.event_id <> e.event_id
+        | AND abs(epoch_us(e2.ts) - epoch_us(e.ts)) <= 60000000
+        |GROUP BY 1""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM events WHERE event_id < 5000 GROUP BY 1),
+        |n AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  o.n_events AS old_n_events, o.value_cents AS old_value_cents,
+        |  n.n_events AS new_n_events, n.value_cents AS new_value_cents,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN o.n_events IS DISTINCT FROM n.n_events
+        |         OR o.value_cents IS DISTINCT FROM n.value_cents
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id""".stripMargin,
+    "pii_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'), '[0-9]{2,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT)
+        |    AS n_nums
+        |FROM events""".stripMargin,
     "user_features" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,

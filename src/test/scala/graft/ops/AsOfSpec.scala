@@ -1,0 +1,122 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Edge semantics of the temporal operators that the DuckDB oracle
+  * rows (`asof_join`, `range_prox`, `log_compact`, `snapshot_diff`,
+  * `pii_scrub`) can't isolate: inclusive boundaries, tie-breaks,
+  * no-match nulls, the `removed` branch, email masking.
+  */
+class AsOfSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive boundary, latest-wins tie-break, no-match nulls") {
+    val s = spark
+    import s.implicits._
+    val clicks = Seq(
+      (1L, 10L, ts("2026-01-01 00:00:10")),
+      (1L, 11L, ts("2026-01-01 00:00:10")), // same ts — higher id wins
+      (1L, 12L, ts("2026-01-01 00:00:30")),
+      (2L, 20L, ts("2026-01-01 00:05:00")))
+      .toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq(
+      (1L, 100L, ts("2026-01-01 00:00:10")), // equal ts → inclusive
+      (1L, 101L, ts("2026-01-01 00:00:29")), // before click 12
+      (1L, 102L, ts("2026-01-01 00:00:30")), // equal ts with click 12
+      (2L, 200L, ts("2026-01-01 00:04:59")), // BEFORE any click → null
+      (3L, 300L, ts("2026-01-01 00:00:01"))) // key with no clicks at all
+      .toDF("user_id", "purchase_id", "purchase_ts")
+    val got = AsOf.asofJoin(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", "click_id")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(100L -> 11L, 101L -> 11L, 102L -> 12L,
+      200L -> -1L, 300L -> -1L))
+  }
+
+  test("asofJoin row count equals probe row count (left semantics)") {
+    val s = spark
+    import s.implicits._
+    val clicks = Seq((1L, 1L, ts("2026-01-01 00:00:00")))
+      .toDF("user_id", "click_id", "click_ts")
+    val purchases = (1 to 50).map(i =>
+      (i.toLong % 3, 100L + i, ts(f"2026-01-01 00:00:${i % 60}%02d")))
+      .toDF("user_id", "purchase_id", "purchase_ts")
+    assert(AsOf.asofJoin(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", "click_id").count() === 50L)
+  }
+
+  test("timeProximityCount matches the naive all-pairs count") {
+    val s = spark
+    import s.implicits._
+    // cluster boundaries sit exactly on and just over the ±60 s bound,
+    // and rows land in adjacent buckets (95→35 crosses a 60 s bucket)
+    val secs = Seq(0L, 30L, 60L, 90L, 95L, 121L, 500L, 1000L, 1059L, 1061L)
+    val ev = secs.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, new Timestamp(sec * 1000L))
+    }.toDF("event_id", "ts")
+    val got = AsOf.timeProximityCount(ev, "event_id", "ts", 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = secs.zipWithIndex.map { case (sec, i) =>
+      i.toLong -> secs.zipWithIndex.count { case (o, j) =>
+        j != i && math.abs(o - sec) <= 60
+      }.toLong
+    }.toMap
+    assert(got === naive)
+  }
+
+  test("logCompact keeps exactly the highest-offset record per key") {
+    val s = spark
+    import s.implicits._
+    val decoded = Seq(
+      ("u1", "v1", "t", 0, 1L, ts("2026-01-01 00:00:01")),
+      ("u1", "v2", "t", 0, 5L, ts("2026-01-01 00:00:02")),
+      ("u1", "v3", "t", 0, 3L, ts("2026-01-01 00:00:03")),
+      ("u2", "w1", "t", 1, 2L, ts("2026-01-01 00:00:04")))
+      .toDF("key_str", "value_str", "topic", "kpartition", "koffset", "ts")
+    val got = StreamOps.logCompact(decoded)
+      .select("key_str", "value_str", "koffset", "rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(("u1", "v2", 5L, 1L), ("u2", "w1", 2L, 1L)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+      .toDF("k", "m")
+    val neu = Seq((1L, Some(10L)), (2L, Some(21L)), (3L, None), (5L, Some(50L)))
+      .toDF("k", "m")
+    val got = Relational.snapshotDiff(old, neu, "k")
+      .select("k", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 3: null metric on both sides must read as unchanged, not a
+    // missing row — the <=> / marker-column distinction under test
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("piiScrub masks emails before digit runs and counts on the original") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail bob1234@ex.co and card 987654 end"),
+      (2L, "no pii here"),
+      (3L, "a@b.io x@y.org 42"))
+      .toDF("id", "text")
+    val rows = TextOps.piiScrub(docs, "id", "text", minDigits = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) === (("mail <EMAIL> and card <NUM> end", 1L, 2L)))
+    assert(rows(2L) === (("no pii here", 0L, 0L)))
+    assert(rows(3L) === (("<EMAIL> <EMAIL> 42", 2L, 0L)))
+  }
+}
