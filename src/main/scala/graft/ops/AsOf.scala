@@ -103,4 +103,41 @@ object AsOf {
       .select(col(idCol),
         coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
   }
+
+  /** General two-sided interval overlap join (closed intervals): every
+    * (a, b) pair with `a.start <= b.end AND b.start <= a.end`, each
+    * produced exactly once.
+    *
+    * Both sides explode into the `bucketSec`-wide buckets their
+    * interval covers and equi-join on the bucket. A pair may share
+    * many buckets, so it is emitted only in the FIRST bucket both
+    * intervals cover — `greatest(bucket(a.start), bucket(b.start))`,
+    * which overlap guarantees both sides contain — eliminating the
+    * post-join `distinct` the naive bucketing pays (a full extra
+    * shuffle of the matched stream). Explode factor is
+    * interval-length/bucketSec + 1: pick `bucketSec` near the typical
+    * interval length. Cost: one equi-shuffle proportional to covered
+    * buckets, vs the |a|×|b| inequality (nested-loop) join the DuckDB
+    * oracle runs.
+    *
+    * Column contract: interval bounds are timestamp columns; the two
+    * sides' column names must be disjoint.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aStart: String, aEnd: String,
+                   bStart: String, bEnd: String,
+                   bucketSec: Long = 3600L): DataFrame = {
+    val w = bucketSec * 1000000L
+    def buckets(s: String, e: String) =
+      sequence(expr(s"unix_micros($s) div ${w}L"),
+        expr(s"unix_micros($e) div ${w}L"))
+    val ae = a.withColumn("__a_sb", expr(s"unix_micros($aStart) div ${w}L"))
+      .withColumn("__bucket", explode(buckets(aStart, aEnd)))
+    val be = b.withColumn("__b_sb", expr(s"unix_micros($bStart) div ${w}L"))
+      .withColumn("__bucket", explode(buckets(bStart, bEnd)))
+    ae.join(be, Seq("__bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bucket") === greatest(col("__a_sb"), col("__b_sb")))
+      .drop("__bucket", "__a_sb", "__b_sb")
+  }
 }

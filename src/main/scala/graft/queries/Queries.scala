@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.engine.{AvroOcf, CommitLog, KafkaShape, Monitoring, Tables}
 import graft.functions.GraftFunctions
-import graft.ops.{AsOf, Relational, Skew, StreamOps, TextOps}
+import graft.ops.{AsOf, Relational, Sessionize, Skew, StreamOps, TextOps}
 
 /** The driver-facing query registry: every SURVEY.md §2 operator that is
   * implemented gets a named DataFrame query here plus (when
@@ -421,6 +421,25 @@ object Queries {
     // inequality self-join this formulation avoids
     "range_prox" -> ((s, d) =>
       AsOf.timeProximityCount(events(s, d), "event_id", "ts", 60)),
+    // interval overlap join: user sessions × busy hourly windows
+    // (hours with >= 25 events), per-window session/user load — the
+    // oracle runs the n² inequality join this bucketing avoids
+    "interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val sessions = Sessionize.gapsAndIslands(ev)
+        .select(col("user_id"), col("sess_start"), col("sess_end"))
+      val windows = ev
+        .groupBy(date_trunc("HOUR", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 25)
+        .select(col("w_start"),
+          (col("w_start") + expr("INTERVAL 1 HOUR")
+            - expr("INTERVAL 1 MICROSECOND")).as("w_end"))
+      AsOf.intervalJoin(sessions, windows,
+        "sess_start", "sess_end", "w_start", "w_end", bucketSec = 3600L)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // snapshot diff: per-user aggregates of an early snapshot
     // (event_id < 5000) vs the full table, every key classified
     "snapshot_diff" -> ((s, d) => {
@@ -615,6 +634,29 @@ object Queries {
         |FROM events e LEFT JOIN events e2
         |  ON e2.event_id <> e.event_id
         | AND abs(epoch_us(e2.ts) - epoch_us(e.ts)) <= 60000000
+        |GROUP BY 1""".stripMargin,
+    "interval_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM f),
+        |sess AS (SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) AS sess_end FROM s GROUP BY user_id, sess_id),
+        |w AS (SELECT date_trunc('hour', ts) AS w_start, count(*) AS cnt
+        |  FROM events GROUP BY 1 HAVING count(*) >= 25)
+        |SELECT w.w_start, count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w JOIN sess
+        |  ON sess.sess_start <= w.w_start + INTERVAL 1 HOUR
+        |                        - INTERVAL 1 MICROSECOND
+        | AND w.w_start <= sess.sess_end
         |GROUP BY 1""".stripMargin,
     "snapshot_diff" ->
       """WITH o AS (SELECT user_id, count(*) AS n_events,

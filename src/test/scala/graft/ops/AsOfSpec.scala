@@ -72,6 +72,32 @@ class AsOfSpec extends SparkSuite {
     assert(got === naive)
   }
 
+  test("intervalJoin matches the naive all-pairs overlap, exactly once each") {
+    val s = spark
+    import s.implicits._
+    // seconds-scale closed intervals with bucketSec=10: touching
+    // endpoints, containment spanning several buckets, disjoint, and
+    // overlaps that straddle bucket boundaries
+    val aIv = Seq((1L, 0L, 5L), (2L, 9L, 21L), (3L, 35L, 36L),
+      (4L, 0L, 100L), (5L, 50L, 50L))
+    val bIv = Seq((10L, 5L, 8L), (11L, 20L, 34L), (12L, 36L, 49L),
+      (13L, 101L, 120L), (14L, 50L, 50L))
+    def df(rows: Seq[(Long, Long, Long)], p: String) =
+      rows.map { case (i, st, en) =>
+        (i, new Timestamp(st * 1000L), new Timestamp(en * 1000L))
+      }.toDF(s"${p}_id", s"${p}_start", s"${p}_end")
+    val got = AsOf.intervalJoin(df(aIv, "a"), df(bIv, "b"),
+      "a_start", "a_end", "b_start", "b_end", bucketSec = 10L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = for {
+      (ai, as_, ae) <- aIv
+      (bi, bs, be) <- bIv
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)
+    assert(got.sorted === naive.sorted) // sorted Seq compare: dup emits fail
+  }
+
   test("logCompact keeps exactly the highest-offset record per key") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.AsOf
+import graft.streaming.AsOfStream.TaggedEvent
+
+/** Streaming as-of enrichment: equals the batch AsOf.asofJoin over the
+  * same in-order finite input, and the carry state survives microbatch
+  * boundaries (a build row in batch 1 enriches a probe in batch 2).
+  */
+class AsOfStreamSpec extends SparkSuite {
+
+  // clicks (side 0) and purchases (side 1) for a handful of users,
+  // including: same-ts tie between two clicks, click==purchase ts
+  // (inclusive boundary), a probe-before-any-build user, and a
+  // build-only user that must emit nothing
+  private val fixture: Seq[TaggedEvent] = Seq(
+    TaggedEvent(1L, 0, 10L, 1000L),
+    TaggedEvent(1L, 0, 11L, 1000L), // ts tie — id 11 must win
+    TaggedEvent(1L, 1, 100L, 1000L), // inclusive: sees click 11
+    TaggedEvent(2L, 1, 200L, 500L), // probe before any build → None
+    TaggedEvent(2L, 0, 20L, 900L),
+    TaggedEvent(2L, 1, 201L, 950L), // second batch probe, sees 20
+    TaggedEvent(3L, 0, 30L, 100L), // build-only key: no output
+    TaggedEvent(1L, 0, 12L, 1500L),
+    TaggedEvent(1L, 1, 101L, 2000L)) // later batch, sees 12
+
+  test("stream equals batch over the same in-order input") {
+    val s = spark
+    import s.implicits._
+
+    val input = MemoryStream[TaggedEvent](AsOfStream.teEnc, s)
+    val q = AsOfStream.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof_ckpt"))
+      .start()
+    // three microbatches, split in event-time order so the feed is
+    // in-order ACROSS batches (the operator's documented contract)
+    val ordered = fixture.sortBy(e => (e.tsUs, e.side, e.id))
+    ordered.grouped(3).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = s.table("asof_stream")
+      .select("key", "probeId", "buildId").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    // batch twin over the same rows (µs-exact timestamps — a ms-level
+    // Timestamp would merge distinct event times and change ties)
+    val clicks = fixture.filter(_.side == 0)
+      .map(e => (e.key, e.id, e.tsUs)).toDF("user_id", "click_id", "us")
+      .select(col("user_id"), col("click_id"),
+        timestamp_micros(col("us")).as("click_ts"))
+    val purchases = fixture.filter(_.side == 1)
+      .map(e => (e.key, e.id, e.tsUs)).toDF("user_id", "purchase_id", "us")
+      .select(col("user_id"), col("purchase_id"),
+        timestamp_micros(col("us")).as("purchase_ts"))
+    val expected = AsOf.asofJoin(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", "click_id")
+      .select("user_id", "purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    assert(got === expected)
+    assert(got === Set((1L, 100L, 11L), (2L, 200L, -1L), (2L, 201L, 20L),
+      (1L, 101L, 12L)))
+  }
+
+  test("carry state recovers from a checkpoint restart") {
+    val s = spark
+    import s.implicits._
+
+    // the memory sink can't recover a checkpoint — collect through
+    // foreachBatch, the CheckpointRecoverySpec pattern
+    val seen = new ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = tmpDir("asof_restart_ckpt")
+    val input1 = MemoryStream[TaggedEvent](AsOfStream.teEnc, s)
+    def run() = AsOfStream.asofEnrich(input1.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[AsOfStream.EnrichedProbe], _: Long) =>
+        ds.collect().foreach(e => seen.add(e.probeId -> e.buildId.getOrElse(-1L)))
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = run()
+    input1.addData(Seq(TaggedEvent(7L, 0, 70L, 100L)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // same source + checkpoint: the carried click must come back from
+    // the state store, not from reprocessing batch 0
+    input1.addData(Seq(TaggedEvent(7L, 1, 700L, 200L)))
+    val q2 = run()
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(seen.asScala.toSet === Set(700L -> 70L))
+  }
+}
