@@ -37,6 +37,11 @@ object AsOf {
     * Column contract: `build` and `probe` share ONLY `key`; all other
     * column names must be disjoint (both sides' non-key columns appear
     * in the output under their own names).
+    *
+    * Nulls: a build row with a null timestamp is unordered in event
+    * time and is dropped (it must never win an as-of); a null-ts probe
+    * row sorts before every ordered row and so enriches as unmatched
+    * (left semantics) rather than failing the query.
     */
   def asofJoin(build: DataFrame, probe: DataFrame, key: String,
                buildTs: String, probeTs: String,
@@ -47,7 +52,7 @@ object AsOf {
       .schema("s").dataType
     val probeT = probe.select(struct(probeCols.map(col): _*).as("s"))
       .schema("s").dataType
-    val b = build.select(
+    val b = build.filter(col(buildTs).isNotNull).select(
       col(key), col(buildTs).as("__ts"), lit(0).as("__side"),
       col(buildTie).cast("long").as("__tie"),
       struct(carryCols.map(col): _*).as("__carry"),
@@ -83,6 +88,7 @@ object AsOf {
     * the DuckDB oracle runs. Hot buckets (burst traffic) are a skew
     * risk at scale; mitigate with a narrower window or salting the
     * bucket join (graft.ops.Skew) — not needed at this density.
+    * `idCol` must be unique: self-pairs are excluded by id equality.
     */
   def timeProximityCount(ev: DataFrame, idCol: String, tsCol: String,
                          windowSec: Int): DataFrame = {

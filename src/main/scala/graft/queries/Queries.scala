@@ -454,6 +454,53 @@ object Queries {
     // digit runs, count matches (pure map — no shuffle)
     "pii_scrub" -> ((s, d) =>
       TextOps.piiScrub(events(s, d), "event_id", "props", minDigits = 2)),
+    // equi-depth buckets: per-priority price quartiles via ntile —
+    // the window sorts within each group's partition, never globally
+    "ntile_stats" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("pc"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast(LongType).as("pc"),
+          col("o_orderkey"))
+        .withColumn("q", ntile(4).over(w).cast(LongType))
+        .groupBy(col("o_orderpriority"), col("q"))
+        .agg(count(lit(1)).as("n"), min(col("pc")).as("min_cents"),
+          max(col("pc")).as("max_cents"))
+    }),
+    // incremental adoption metric: per-day new users and the running
+    // cumulative count. Two hash aggs collapse the stream to
+    // day-grained rows BEFORE the running sum, so the ordered window
+    // runs over #days rows (bounded by calendar, not data volume) —
+    // the only safe place for a global-order window at 100 TB
+    "cumulative_users" -> ((s, d) => {
+      val firstSeen = events(s, d).groupBy(col("user_id"))
+        .agg(min(date_trunc("DAY", col("ts"))).as("day"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        .withColumn("n_cum", sum(col("n_new")).over(wc))
+    }),
+    // ordered funnel by first occurrence: signup → click → purchase
+    // with strictly increasing first-event times; one hash agg per
+    // user then one global rollup — no window, no self-join
+    "funnel_counts" -> ((s, d) => {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      events(s, d).groupBy(col("user_id"))
+        .agg(firstTs("signup"), firstTs("click"), firstTs("purchase"))
+        .select(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_signup").isNotNull, 1L).otherwise(0L))
+            .as("n_signup"),
+          sum(when(col("t_click") > col("t_signup"), 1L).otherwise(0L))
+            .as("n_signup_click"),
+          sum(when(col("t_click") > col("t_signup") &&
+            col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+            .as("n_full_funnel"))
+    }),
     // feature engineering: one row of model features per user (count /
     // cardinality / integer-cents value / error rate) — single hash
     // aggregate, map-side combinable except the exact countDistinct
@@ -677,6 +724,40 @@ object Queries {
         |         THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id""".stripMargin,
+    "ntile_stats" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS pc, o_orderkey
+        |  FROM orders),
+        |t AS (SELECT o_orderpriority, pc,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY pc, o_orderkey) AS BIGINT) AS q FROM s)
+        |SELECT o_orderpriority, q, count(*) AS n,
+        |  min(pc) AS min_cents, max(pc) AS max_cents
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "cumulative_users" ->
+      """WITH f AS (SELECT user_id,
+        |  CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS n_cum
+        |FROM d""".stripMargin,
+    "funnel_counts" ->
+      """WITH p AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t_click > t_signup
+        |    AND t_purchase > t_click THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_full_funnel
+        |FROM p""".stripMargin,
     "pii_scrub" ->
       """SELECT event_id,
         |  regexp_replace(regexp_replace(props,
