@@ -38,10 +38,12 @@ object AsOf {
     * column names must be disjoint (both sides' non-key columns appear
     * in the output under their own names).
     *
-    * Nulls: a build row with a null timestamp is unordered in event
-    * time and is dropped (it must never win an as-of); a null-ts probe
-    * row sorts before every ordered row and so enriches as unmatched
-    * (left semantics) rather than failing the query.
+    * Nulls: a build row with a null timestamp or null key is dropped —
+    * unordered rows must never win an as-of, and join semantics never
+    * match a null key (the window's partitionBy would otherwise group
+    * all null keys together and "match" them). Null-ts or null-key
+    * probe rows enrich as unmatched (left semantics) rather than
+    * failing the query.
     */
   def asofJoin(build: DataFrame, probe: DataFrame, key: String,
                buildTs: String, probeTs: String,
@@ -52,7 +54,7 @@ object AsOf {
       .schema("s").dataType
     val probeT = probe.select(struct(probeCols.map(col): _*).as("s"))
       .schema("s").dataType
-    val b = build.filter(col(buildTs).isNotNull).select(
+    val b = build.filter(col(buildTs).isNotNull && col(key).isNotNull).select(
       col(key), col(buildTs).as("__ts"), lit(0).as("__side"),
       col(buildTie).cast("long").as("__tie"),
       struct(carryCols.map(col): _*).as("__carry"),
@@ -92,6 +94,10 @@ object AsOf {
     */
   def timeProximityCount(ev: DataFrame, idCol: String, tsCol: String,
                          windowSec: Int): DataFrame = {
+    require(windowSec > 0,
+      s"windowSec must be positive (got $windowSec): a 0-width bucket " +
+        "divides by zero; for simultaneous-only pairing use windowSec=1 " +
+        "and an exact-equality post-filter")
     val w = windowSec * 1000000L
     val base = ev.select(col(idCol), unix_micros(col(tsCol)).as("__us"))
     // integer floor-division bucketing (µs are nonneg; SQL `div` avoids

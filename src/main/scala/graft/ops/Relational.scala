@@ -255,9 +255,11 @@ object Relational {
       metrics.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__old"): _*)
     val n = newSnap.select(col(key) +:
       metrics.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__new"): _*)
+    // foldLeft: a key-only diff (no metric columns) is a legitimate
+    // presence-only added/removed classification, not an error
     val changed = metrics
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     o.join(n, Seq(key), "full_outer")
       .withColumn("status",
         when(col("__old").isNull, lit("added"))

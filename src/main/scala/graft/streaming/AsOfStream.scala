@@ -66,7 +66,10 @@ object AsOfStream {
                 if (st.seen) Some(st.buildTsUs) else None)
             }
           }
-          state.update(st)
+          // only keys that actually carry a build row occupy the state
+          // store — a probe-only key must not install a permanent
+          // empty entry (NoTimeout state is never evicted)
+          if (st.seen) state.update(st)
           out.result().iterator
       }
 }

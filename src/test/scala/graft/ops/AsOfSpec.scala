@@ -41,6 +41,33 @@ class AsOfSpec extends SparkSuite {
       200L -> -1L, 300L -> -1L))
   }
 
+  test("asofJoin never matches null keys (join semantics)") {
+    val s = spark
+    import s.implicits._
+    val clicks = Seq((Option.empty[Long], 1L, ts("2026-01-01 00:00:00")))
+      .toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq((Option.empty[Long], 100L, ts("2026-01-01 00:01:00")),
+      (Some(5L), 101L, ts("2026-01-01 00:01:00")))
+      .toDF("user_id", "purchase_id", "purchase_ts")
+    val got = AsOf.asofJoin(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", "click_id")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    // both probes survive (left semantics) but neither matches: the
+    // null-key build row is dropped, never grouped-and-"matched"
+    assert(got === Map(100L -> true, 101L -> true))
+  }
+
+  test("snapshotDiff on key-only snapshots does presence-only classification") {
+    val s = spark
+    import s.implicits._
+    val got = Relational.snapshotDiff(
+      Seq(1L, 2L).toDF("k"), Seq(2L, 3L).toDF("k"), "k")
+      .select("k", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+  }
+
   test("asofJoin row count equals probe row count (left semantics)") {
     val s = spark
     import s.implicits._
