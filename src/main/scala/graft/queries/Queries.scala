@@ -501,6 +501,40 @@ object Queries {
             col("t_purchase") > col("t_click"), 1L).otherwise(0L))
             .as("n_full_funnel"))
     }),
+    // sequence-model prep: each user's full event history as one
+    // ordered row (type sequence + time span). collect_list state is
+    // the user's history — bounded by events-per-key like seq_pack,
+    // the inherent cost of sequence packing; sort_array orders the
+    // (ts, event_id, type) structs deterministically
+    "user_sequences" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("h"))
+        .select(col("user_id"),
+          size(col("h")).cast(LongType).as("n_events"),
+          concat_ws(",",
+            transform(col("h"), x => x.getField("event_type"))).as("seq"),
+          (unix_micros(element_at(col("h"), -1).getField("ts")) -
+            unix_micros(element_at(col("h"), 1).getField("ts")))
+            .as("span_us"))),
+    // RANGE-frame rolling features: per event, activity in the
+    // trailing hour by VALUE range (peers at equal timestamps share
+    // one frame, so the result is insensitive to their shuffle order —
+    // the reason this uses range, not a rows frame, on a ts that can
+    // tie)
+    "user_rolling_range" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("cents")).over(w))
+        .drop("us")
+    }),
     // feature engineering: one row of model features per user (count /
     // cardinality / integer-cents value / error rate) — single hash
     // aggregate, map-side combinable except the exact countDistinct
@@ -769,6 +803,22 @@ object Queries {
         |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT)
         |    AS n_nums
         |FROM events""".stripMargin,
+    "user_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  array_to_string(list(event_type ORDER BY ts, event_id), ',')
+        |    AS seq,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "user_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, cents,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents_1h
+        |FROM e""".stripMargin,
     "user_features" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,
