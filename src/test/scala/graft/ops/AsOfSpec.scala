@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 
 import graft.SparkSuite
 
@@ -123,6 +124,67 @@ class AsOfSpec extends SparkSuite {
       if as_ <= be && bs <= ae
     } yield (ai, bi)
     assert(got.sorted === naive.sorted) // sorted Seq compare: dup emits fail
+  }
+
+  test("property: asofJoin equals the naive latest-at-or-before pick") {
+    val s = spark
+    import s.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0L, 4L)
+      us <- Gen.choose(0L, 100L)
+    } yield (key, us)
+    for (trial <- 1 to 5) {
+      val builds = (1 to 40).flatMap(_ => rowGen.sample)
+        .zipWithIndex.map { case ((k, us), i) => (k, 1000L + i, us) }
+      val probes = (1 to 40).flatMap(_ => rowGen.sample)
+        .zipWithIndex.map { case ((k, us), i) => (k, 2000L + i, us) }
+      val bDf = builds.toDF("user_id", "click_id", "bus")
+        .select(col("user_id"), col("click_id"),
+          timestamp_micros(col("bus")).as("click_ts"))
+      val pDf = probes.toDF("user_id", "purchase_id", "pus")
+        .select(col("user_id"), col("purchase_id"),
+          timestamp_micros(col("pus")).as("purchase_ts"))
+      val got = AsOf.asofJoin(bDf, pDf, "user_id",
+        "click_ts", "purchase_ts", "click_id")
+        .select("purchase_id", "click_id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val naive = probes.map { case (k, pid, pus) =>
+        val cands = builds.filter { case (bk, _, bus) => bk == k && bus <= pus }
+        pid -> (if (cands.isEmpty) -1L
+                else cands.maxBy { case (_, bid, bus) => (bus, bid) }._2)
+      }.toMap
+      assert(got === naive, s"trial $trial")
+    }
+  }
+
+  test("property: intervalJoin equals naive overlap on random interval sets") {
+    val s = spark
+    import s.implicits._
+    val ivGen = for {
+      st <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 80L) // zero-length and multi-bucket intervals
+    } yield (st, st + len)
+    for (trial <- 1 to 5) {
+      val aIv = (1 to 25).flatMap(_ => ivGen.sample)
+        .zipWithIndex.map { case ((st, en), i) => (i.toLong, st, en) }
+      val bIv = (1 to 25).flatMap(_ => ivGen.sample)
+        .zipWithIndex.map { case ((st, en), i) => (100L + i, st, en) }
+      def df(rows: Seq[(Long, Long, Long)], p: String) =
+        rows.map { case (i, st, en) =>
+          (i, new Timestamp(st * 1000L), new Timestamp(en * 1000L))
+        }.toDF(s"${p}_id", s"${p}_start", s"${p}_end")
+      val got = AsOf.intervalJoin(df(aIv, "a"), df(bIv, "b"),
+        "a_start", "a_end", "b_start", "b_end", bucketSec = 30L)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val naive = for {
+        (ai, as_, ae) <- aIv
+        (bi, bs, be) <- bIv
+        if as_ <= be && bs <= ae
+      } yield (ai, bi)
+      assert(got.sorted === naive.sorted, s"trial $trial")
+    }
   }
 
   test("logCompact keeps exactly the highest-offset record per key") {
