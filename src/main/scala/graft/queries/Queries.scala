@@ -710,11 +710,16 @@ object Queries {
         |    AND c.click_ts <= p.purchase_ts)
         |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
         |FROM j WHERE rn = 1""".stripMargin,
+    // two-sided BETWEEN instead of abs(Δ): the abs() form defeats
+    // DuckDB's IEJoin and degrades to a serial nested loop (~n²
+    // single-threaded at sf0.1); the range conjunction is the same
+    // predicate and IEJoin-able
     "range_prox" ->
       """SELECT e.event_id, count(e2.event_id) AS n_concurrent
         |FROM events e LEFT JOIN events e2
         |  ON e2.event_id <> e.event_id
-        | AND abs(epoch_us(e2.ts) - epoch_us(e.ts)) <= 60000000
+        | AND epoch_us(e2.ts) >= epoch_us(e.ts) - 60000000
+        | AND epoch_us(e2.ts) <= epoch_us(e.ts) + 60000000
         |GROUP BY 1""".stripMargin,
     "interval_join" ->
       """WITH l AS (SELECT user_id, ts, event_id,
