@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.engine.KafkaShape
@@ -66,4 +67,52 @@ object OcfFormat {
       rec.get("offset").asInstanceOf[Long],
       rec.get("timestamp_us").asInstanceOf[Long],
       rec.get("timestamp_type").asInstanceOf[Int])
+
+  /** Spark column name → Avro field name (the two diverge only on the
+    * timestamp pair).
+    */
+  val avroName: Map[String, String] = Map(
+    "key" -> "key", "value" -> "value", "topic" -> "topic",
+    "partition" -> "partition", "offset" -> "offset",
+    "timestamp" -> "timestamp_us", "timestampType" -> "timestamp_type")
+
+  /** A reader schema holding only the Avro fields backing `required`
+    * Spark columns. Avro schema resolution SKIPS writer fields absent
+    * from the reader schema during decode — for the (dominant) `key` /
+    * `value` byte blobs that is a buffer seek instead of an allocation
+    * + copy, so a pruned monitoring scan never materializes payload
+    * bytes at all.
+    */
+  def prunedAvroSchema(required: StructType): Schema = {
+    val keep = required.fields.map(f => avroName(f.name)).toSet
+    val fields = new java.util.ArrayList[Schema.Field]()
+    schema.getFields.forEach { f =>
+      if (keep.contains(f.name))
+        fields.add(new Schema.Field(f.name, f.schema(), f.doc(),
+          f.defaultVal()))
+    }
+    Schema.createRecord(schema.getName, schema.getDoc,
+      schema.getNamespace, false, fields)
+  }
+
+  /** Row builder for a pruned projection: one extractor per required
+    * column, resolved once per reader (not per record).
+    */
+  def rowExtractor(required: StructType): GenericRecord => InternalRow = {
+    val fns: Array[GenericRecord => Any] = required.fields.map { f =>
+      f.name match {
+        case "key"       => (r: GenericRecord) => bytes(r.get("key"))
+        case "value"     => (r: GenericRecord) => bytes(r.get("value"))
+        case "topic"     => (r: GenericRecord) =>
+          UTF8String.fromString(r.get("topic").toString)
+        case "partition" => (r: GenericRecord) => r.get("partition")
+        case "offset"    => (r: GenericRecord) => r.get("offset")
+        case "timestamp" => (r: GenericRecord) => r.get("timestamp_us")
+        case "timestampType" => (r: GenericRecord) => r.get("timestamp_type")
+        case other => throw new IllegalArgumentException(
+          s"graft-ocf: unknown column $other")
+      }
+    }
+    rec => InternalRow.fromSeq(fns.map(_(rec)).toIndexedSeq)
+  }
 }

@@ -43,7 +43,9 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
   }
 }
 
-case class OcfCommit(temp: String, dest: String) extends WriterCommitMessage
+case class OcfCommit(temp: String, dest: String,
+                     stats: Option[OcfFileStats] = None)
+    extends WriterCommitMessage
 
 class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
                     conf: SerializableConfiguration)
@@ -67,12 +69,15 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
     val oldFiles: Seq[Path] =
       if (truncate)
         fs.listStatus(d).toSeq
-          .filter(st => st.getPath.getName.endsWith(".ocf") &&
-            !st.getPath.getName.startsWith("."))
+          .filter { st =>
+            val n = st.getPath.getName
+            !n.startsWith(".") && (n.endsWith(".ocf") ||
+              (n.startsWith("_manifest-") && n.endsWith(".ndjson")))
+          }
           .map(_.getPath)
       else Seq.empty
     val installed = messages.collect {
-      case OcfCommit(temp, dest) if temp.nonEmpty =>
+      case OcfCommit(temp, dest, _) if temp.nonEmpty =>
         val t = new Path(temp)
         val dst = new Path(dest)
         if (fs.exists(t)) {
@@ -86,6 +91,25 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
         }
         dst.getName
     }.toSet
+    // per-file stats manifest (count + partition/offset/timestamp
+    // min-max): one `_manifest-<queryId>.ndjson` per commit, installed
+    // AFTER its containers so a reader never sees stats for a file
+    // that is not yet visible. Scan planning prunes whole files on
+    // pushed filters against these stats, and latestOffset() serves
+    // head counts from them without touching container bytes — the
+    // Parquet-footer / broker-head-offset role for the record store.
+    val statLines = messages.collect {
+      case OcfCommit(temp, dest, Some(st)) if temp.nonEmpty &&
+          installed.contains(new Path(dest).getName) =>
+        st.copy(file = new Path(dest).getName).toJson
+    }
+    if (statLines.nonEmpty) {
+      val mf = new Path(d, s"_manifest-$queryId.ndjson")
+      val out = fs.create(mf, true)
+      try out.write((statLines.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
     // retire the old generation in two steps: RENAME to a dotted name
     // first (readers filter dot-files, so each rename atomically
     // removes the file from the read set — a failed delete can then
@@ -104,7 +128,7 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
     val d = new Path(dir)
     val fs = d.getFileSystem(conf.value)
     messages.foreach {
-      case OcfCommit(temp, _) if temp.nonEmpty =>
+      case OcfCommit(temp, _, _) if temp.nonEmpty =>
         fs.delete(new Path(temp), false)
       case _ => ()
     }
@@ -119,6 +143,13 @@ case class OcfWriterFactory(dir: String, queryId: String,
     private val temp = s"$dir/.part-$queryId-$partitionId-$taskId.ocf.tmp"
     private val dest = f"$dir/part-$queryId-$partitionId%05d.ocf"
     private var writer: DataFileWriter[GenericRecord] = _
+    // running file stats for the commit-time manifest (count +
+    // partition/offset/timestamp min-max) — the scan planner's
+    // file-pruning statistics, gathered for free as rows stream by
+    private var count = 0L
+    private var minOff = Long.MaxValue; private var maxOff = Long.MinValue
+    private var minTs = Long.MaxValue; private var maxTs = Long.MinValue
+    private val parts = scala.collection.mutable.SortedSet[Int]()
 
     override def write(row: InternalRow): Unit = {
       if (writer == null) {
@@ -130,11 +161,23 @@ case class OcfWriterFactory(dir: String, queryId: String,
         writer.create(OcfFormat.schema, fs.create(p, true))
       }
       writer.append(OcfFormat.toRecord(row))
+      count += 1
+      parts += row.getInt(3)
+      val off = row.getLong(4); val ts = row.getLong(5)
+      if (off < minOff) minOff = off
+      if (off > maxOff) maxOff = off
+      if (ts < minTs) minTs = ts
+      if (ts > maxTs) maxTs = ts
     }
 
     override def commit(): WriterCommitMessage =
       if (writer == null) OcfCommit("", "") // empty partition: no file
-      else { writer.close(); writer = null; OcfCommit(temp, dest) }
+      else {
+        writer.close(); writer = null
+        OcfCommit(temp, dest, Some(OcfFileStats(
+          new Path(dest).getName, count, minOff, maxOff, minTs, maxTs,
+          parts.toSeq)))
+      }
 
     override def abort(): Unit = {
       if (writer != null) {
