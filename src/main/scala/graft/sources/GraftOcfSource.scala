@@ -37,12 +37,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scale notes: one input partition per (file, offset-range) — the
   * same parallelism contract as a Kafka topic-partition; readers
-  * stream the container (no whole-file buffering). Counting records
-  * for `latestOffset` reads container BLOCK headers only (no record
-  * decode) and caches per (path, length, mtime), so steady-state
-  * trigger cost is O(new files), not O(store); a production store
-  * would keep counts in a manifest, exactly as brokers serve head
-  * offsets. All filesystem access flows through the session's Hadoop
+  * stream the container (no whole-file buffering). Record counts for
+  * `latestOffset` come from the commit-time `_manifest-*.ndjson`
+  * (exactly as brokers serve head offsets — zero container bytes
+  * touched); unmanifested files fall back to BLOCK-header counting
+  * (no record decode) memoized per (path, length, mtime), so
+  * steady-state trigger cost is one listing, not O(store bytes).
+  * All filesystem access flows through the session's Hadoop
   * configuration (spark.hadoop.*, credentials), shipped to executors
   * via SerializableConfiguration.
   */
@@ -234,16 +235,23 @@ case class OcfFileStats(file: String, count: Long,
 }
 
 object OcfFileStats {
-  private val P =
-    ("""\{"file":"([^"]+)","count":(-?\d+),"minOffset":(-?\d+),""" +
-      """"maxOffset":(-?\d+),"minTsUs":(-?\d+),"maxTsUs":(-?\d+),""" +
-      """"partitions":\[([-\d,]*)\]\}""").r
-  def fromJson(line: String): Option[OcfFileStats] = line.trim match {
-    case P(f, c, lo, hi, tlo, thi, ps) => Some(OcfFileStats(f, c.toLong,
-      lo.toLong, hi.toLong, tlo.toLong, thi.toLong,
-      if (ps.isEmpty) Seq.empty else ps.split(",").map(_.toInt).toSeq))
-    case _ => None // unknown manifest line: ignore (forward-compat)
-  }
+  // Jackson (on Spark's classpath) instead of a regex: parsing is
+  // field-order independent, so adding a manifest field never silently
+  // disables pruning for every line
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val fields = Seq("file", "count", "minOffset", "maxOffset",
+    "minTsUs", "maxTsUs", "partitions")
+
+  def fromJson(line: String): Option[OcfFileStats] =
+    try {
+      val n = mapper.readTree(line)
+      if (n != null && n.isObject && fields.forall(n.has))
+        Some(OcfFileStats(n.get("file").asText(), n.get("count").asLong(),
+          n.get("minOffset").asLong(), n.get("maxOffset").asLong(),
+          n.get("minTsUs").asLong(), n.get("maxTsUs").asLong(),
+          n.get("partitions").elements().asScala.map(_.asInt()).toSeq))
+      else None // unknown manifest line: ignore (forward-compat)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** File-pruning predicate evaluation over container stats. A filter is
@@ -266,22 +274,25 @@ object OcfFilters {
     case _ => false
   }
 
-  /** Filter literal → the stat domain (timestamps: epoch micros). */
-  private def lit(c: String, v: Any): Long =
+  /** Filter literal → the stat domain (timestamps: epoch micros).
+    * None for any literal type outside the whitelist — the advisory
+    * contract forbids pruning (let alone failing) on a value the
+    * stats can't decide, so an unexpected literal means "may match",
+    * never an exception.
+    */
+  private def lit(c: String, v: Any): Option[Long] =
     if (c == "timestamp") v match {
-      case t: java.sql.Timestamp =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
-      case i: java.time.Instant =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
-      case other => throw new IllegalArgumentException(
-        s"graft-ocf: unexpected timestamp literal $other")
+      case t: java.sql.Timestamp => Some(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+      case _ => None
     } else v match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case s: Short => s.toLong
-      case b: Byte => b.toLong
-      case other => throw new IllegalArgumentException(
-        s"graft-ocf: unexpected numeric literal $other")
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
     }
 
   private def bounds(st: OcfFileStats, c: String): (Long, Long) = c match {
@@ -297,18 +308,25 @@ object OcfFilters {
 
   private def mayMatchOne(st: OcfFileStats, f: Filter): Boolean = f match {
     // partition has an exact (small) value set — use it for equality
-    case EqualTo("partition", v) => st.partitions.contains(lit("partition", v).toInt)
+    case EqualTo("partition", v) =>
+      lit("partition", v).forall(x => st.partitions.contains(x.toInt))
     case In("partition", vs) =>
-      vs.exists(v => st.partitions.contains(lit("partition", v).toInt))
+      vs.exists(v => lit("partition", v).forall(x =>
+        st.partitions.contains(x.toInt)))
     case EqualTo(c, v) =>
-      val (lo, hi) = bounds(st, c); val x = lit(c, v); lo <= x && x <= hi
-    case GreaterThan(c, v)        => bounds(st, c)._2 > lit(c, v)
-    case GreaterThanOrEqual(c, v) => bounds(st, c)._2 >= lit(c, v)
-    case LessThan(c, v)           => bounds(st, c)._1 < lit(c, v)
-    case LessThanOrEqual(c, v)    => bounds(st, c)._1 <= lit(c, v)
+      val (lo, hi) = bounds(st, c)
+      lit(c, v).forall(x => lo <= x && x <= hi)
+    case GreaterThan(c, v) =>
+      lit(c, v).forall(x => bounds(st, c)._2 > x)
+    case GreaterThanOrEqual(c, v) =>
+      lit(c, v).forall(x => bounds(st, c)._2 >= x)
+    case LessThan(c, v) =>
+      lit(c, v).forall(x => bounds(st, c)._1 < x)
+    case LessThanOrEqual(c, v) =>
+      lit(c, v).forall(x => bounds(st, c)._1 <= x)
     case In(c, vs) =>
       val (lo, hi) = bounds(st, c)
-      vs.exists { v => val x = lit(c, v); lo <= x && x <= hi }
+      vs.exists { v => lit(c, v).forall(x => lo <= x && x <= hi) }
     case _ => true // unsupported filter never prunes
   }
 }
@@ -361,7 +379,7 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
   * streaming engine calls latestOffset twice per trigger — with the
   * cache the steady-state cost is one file listing.
   */
-object OcfStore {
+object OcfStore extends org.apache.spark.internal.Logging {
   /** The session's Hadoop configuration (spark.hadoop.*, credentials).
     * Driver-side only.
     */
@@ -370,14 +388,81 @@ object OcfStore {
 
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[String, OcfFileStats]]()
+  /** Containers opened for block-count fallback — test-observable so
+    * OcfSourceSpec can assert a manifested store serves latestOffset()
+    * with ZERO container opens.
+    */
+  private[sources] val containerOpens =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
+  private def isManifest(name: String): Boolean =
+    !name.startsWith(".") && name.startsWith("_manifest-") &&
+      name.endsWith(".ndjson")
+
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            p: Path): Map[String, OcfFileStats] = {
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      src.getLines().filter(_.trim.nonEmpty).flatMap { line =>
+        val st = OcfFileStats.fromJson(line)
+        if (st.isEmpty)
+          // conservative: an unparseable line only loses pruning for
+          // its file (kept "may match"), never correctness — but say so
+          logWarning(s"graft-ocf: skipping unparseable manifest line " +
+            s"in $p: ${line.take(200)}")
+        st
+      }.map(s => s.file -> s).toMap
+    } finally in.close()
+  }
+
+  /** Per-file commit-time stats from `_manifest-*.ndjson`, last
+    * manifest (by name) winning on duplicate file keys. Parsed
+    * manifests are memoized per (path, length, mtime) — manifests are
+    * install-once like containers. Files absent here are simply
+    * un-pruned and block-counted (pre-manifest stores keep working).
+    */
+  def manifestStats(dir: String, conf: Configuration)
+      : Map[String, OcfFileStats] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Map.empty
+    manifestStatsFrom(fs, fs.listStatus(d).toSeq)
+  }
+
+  private def manifestStatsFrom(
+      fs: org.apache.hadoop.fs.FileSystem,
+      listing: Seq[org.apache.hadoop.fs.FileStatus])
+      : Map[String, OcfFileStats] =
+    listing.filter(st => isManifest(st.getPath.getName))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val key = (st.getPath.toString, st.getLen, st.getModificationTime)
+        manifestCache.computeIfAbsent(key,
+          _ => parseManifest(fs, st.getPath)).toSeq
+      }.toMap
+
+  /** Record count per live container. Counts come from the commit
+    * manifest when present (no container bytes touched — the
+    * broker-head-offset role); unmanifested files fall back to Avro
+    * BLOCK-header counting (no record decode), memoized per (path,
+    * length, mtime): committed containers are immutable (the V2 writer
+    * renames a finished temp into place, never appends), so a cache
+    * hit is always valid and a rewritten file busts the key. The
+    * streaming engine calls latestOffset twice per trigger — with the
+    * manifest the steady-state cost is one file listing.
+    */
   def headCounts(dir: String, conf: Configuration): Map[String, Long] = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) return Map.empty
-    val files = fs.listStatus(d).toSeq
+    val listing = fs.listStatus(d).toSeq
+    val files = listing
       .filter(st => st.getPath.getName.endsWith(".ocf") &&
         !st.getPath.getName.startsWith("."))
+    val stats = manifestStatsFrom(fs, listing)
     // evict superseded keys for THIS dir (rewritten or vanished
     // files) so a long-running driver over a churning store doesn't
     // leak cache entries
@@ -389,17 +474,21 @@ object OcfStore {
       new Path(k._1).getParent.toString == qdir && !live.contains(k))
     files
       .map { st =>
-        val key = (st.getPath.toString, st.getLen, st.getModificationTime)
-        val n = countCache.computeIfAbsent(key, _ => {
-          val s = new DataFileStream[GenericRecord](
-            fs.open(st.getPath), new GenericDatumReader[GenericRecord]())
-          try {
-            var c = 0L
-            while (s.hasNext) { c += s.getBlockCount; s.nextBlock() }
-            c
-          } finally s.close()
-        })
-        st.getPath.getName -> n
+        val name = st.getPath.getName
+        val n = stats.get(name).map(_.count).getOrElse {
+          val key = (st.getPath.toString, st.getLen, st.getModificationTime)
+          countCache.computeIfAbsent(key, _ => {
+            containerOpens.incrementAndGet()
+            val s = new DataFileStream[GenericRecord](
+              fs.open(st.getPath), new GenericDatumReader[GenericRecord]())
+            try {
+              var c = 0L
+              while (s.hasNext) { c += s.getBlockCount; s.nextBlock() }
+              c
+            } finally s.close()
+          })
+        }
+        name -> n
       }.toMap
   }
 }

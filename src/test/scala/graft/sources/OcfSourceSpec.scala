@@ -47,13 +47,18 @@ class OcfSourceSpec extends SparkSuite {
       (i.toString, s"payload_$i", (i % 4).toLong, i.toLong)).toSet
     assert(got == want)
 
-    // commit protocol hygiene: only committed containers remain (plus
-    // Hadoop LocalFileSystem's hidden .crc sidecars) — no temp files —
-    // and each holds offset-ordered runs (RequiresDistributionAndOrdering)
-    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    // commit protocol hygiene: only committed containers and the
+    // commit-time stats manifest remain (plus Hadoop LocalFileSystem's
+    // hidden .crc sidecars) — no temp files — and each container holds
+    // offset-ordered runs (RequiresDistributionAndOrdering)
+    val all = new java.io.File(dir).listFiles().map(_.getName).toSeq
       .filterNot(_.startsWith("."))
-    assert(files.nonEmpty && files.forall(_.endsWith(".ocf")),
-      s"stray files: $files")
+    val files = all.filter(_.endsWith(".ocf"))
+    assert(files.nonEmpty && all.forall(f => f.endsWith(".ocf") ||
+      (f.startsWith("_manifest-") && f.endsWith(".ndjson"))),
+      s"stray files: $all")
+    assert(all.exists(_.startsWith("_manifest-")),
+      "commit must install a stats manifest")
     files.foreach { f =>
       val s = new org.apache.avro.file.DataFileStream(
         new java.io.FileInputStream(s"$dir/$f"),
@@ -177,6 +182,176 @@ class OcfSourceSpec extends SparkSuite {
     assert(second.toSet == (80L until 120L).toSet,
       s"restart must consume exactly the appended records, got " +
         s"${second.size} rows")
+  }
+
+  // ---- pushdown: column pruning + stats-manifest file pruning ----
+
+  /** A store laid out so files are discriminable by stats: partition
+    * p holds exactly offsets [p*50, (p+1)*50) and timestamps advance
+    * with the offset — so partition/offset/timestamp predicates each
+    * prove some files irrelevant.
+    */
+  private def stratifiedStore(dir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+    // one commit per partition: four containers, each with disjoint
+    // partition/offset/timestamp stats (AQE would coalesce a single
+    // 200-row write into one file, leaving nothing to prune)
+    for (p <- 0 until 4) {
+      (p * 50 until (p + 1) * 50)
+        .map(i => (i.toLong, s"payload_$i")).toDF("id", "props")
+        .select(
+          col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit("events").as("topic"),
+          lit(p).cast("int").as("partition"),
+          col("id").as("offset"),
+          to_timestamp(from_unixtime(lit(base) + col("id") * 60))
+            .as("timestamp"),
+          lit(0).as("timestampType"))
+        .write.format("graft-ocf")
+        .mode(if (p == 0) "overwrite" else "append").save(dir)
+    }
+  }
+
+  private def hconf = new org.apache.spark.util.SerializableConfiguration(
+    spark.sessionState.newHadoopConf())
+
+  private def planFiles(dir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      required: org.apache.spark.sql.types.StructType =
+        OcfFormat.sparkSchema): Seq[OcfRange] = {
+    val b = new OcfScanBuilder(dir, None, hconf)
+    b.pruneColumns(required)
+    b.pushFilters(filters)
+    b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[OcfRange]).toSeq
+  }
+
+  test("pushdown (a): pruned scan reads only required columns") {
+    val dir = tmpDir("ocf_prune_cols")
+    stratifiedStore(dir)
+    val df = spark.read.format("graft-ocf").load(dir)
+      .select("partition", "offset")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScanExec")
+    assert(scans.head.readSchema().fieldNames.toSeq ==
+      Seq("partition", "offset"),
+      s"scan not pruned: ${scans.head.readSchema()}")
+    assert(scans.head.description().contains("columns=[partition,offset]"))
+    // the pruned Avro reader schema really drops the payload blobs
+    val avro = OcfFormat.prunedAvroSchema(scans.head.readSchema())
+    assert(!avro.getFields.toString.contains("value"))
+    // and the pruned read is still correct
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      (0 until 200).map(i => (i / 50, i.toLong)).toSet)
+  }
+
+  test("pushdown (b): stats manifest prunes whole files per predicate") {
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_prune_files")
+    stratifiedStore(dir)
+    val all = planFiles(dir, Array.empty)
+    assert(all.size >= 4, s"store should have >=4 containers, got $all")
+    val total = all.map(_.end).sum
+
+    // partition equality: only files whose stats contain partition 2
+    val byPart = planFiles(dir, Array(EqualTo("partition", 2)))
+    assert(byPart.size < all.size && byPart.map(_.end).sum == 50,
+      s"partition=2 should keep exactly the 50-row slice, got $byPart")
+
+    // offset range: only files overlapping [0, 50)
+    val byOff = planFiles(dir, Array(LessThan("offset", 50L)))
+    assert(byOff.map(_.end).sum == 50, s"offset<50 kept $byOff")
+
+    // timestamp range: conjunct with offset must intersect
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val byTs = planFiles(dir,
+      Array(LessThanOrEqual("timestamp", ts), GreaterThan("offset", 100L)))
+    assert(byTs.isEmpty,
+      s"ts<=base AND offset>100 is unsatisfiable per stats, got $byTs")
+
+    // In() on partition
+    val byIn = planFiles(dir, Array(In("partition", Array(1, 3))))
+    assert(byIn.map(_.end).sum == 100, s"partition IN (1,3) kept $byIn")
+    assert(total == 200)
+  }
+
+  test("pushdown (c): results identical with and without pruning") {
+    val dir = tmpDir("ocf_prune_advisory")
+    stratifiedStore(dir)
+    val pruned = spark.read.format("graft-ocf").load(dir)
+      .filter(col("partition") === 2 && col("offset") >= 120)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(pruned == (120L until 150L).toSet,
+      "pruned scan must return exactly the matching rows")
+  }
+
+  test("pushdown (d): a pre-manifest store reads fully, un-pruned") {
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_premanifest")
+    stratifiedStore(dir)
+    // simulate a store written before manifests existed
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).foreach(_.delete())
+    val all = planFiles(dir, Array(EqualTo("partition", 2)))
+    assert(all.map(_.end).sum == 200,
+      "no manifest => conservative keep of every file")
+    val rows = spark.read.format("graft-ocf").load(dir)
+      .filter(col("partition") === 2)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(rows == (100L until 150L).toSet)
+  }
+
+  test("pushdown: unsupported literal types never throw, never prune") {
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_weird_lit")
+    stratifiedStore(dir)
+    // literal types outside the int/long/timestamp whitelist — the
+    // advisory contract says "may match", never an exception
+    val weird: Array[Filter] = Array(
+      EqualTo("offset", new java.math.BigDecimal("42.5")),
+      EqualTo("partition", "2"),
+      In("offset", Array[Any]("a", java.lang.Double.valueOf(1.5))),
+      GreaterThan("timestamp", "2026-01-01"))
+    val planned = planFiles(dir, weird)
+    assert(planned.map(_.end).sum == 200,
+      s"unconvertible literals must keep every file, got $planned")
+  }
+
+  test("latestOffset on a manifested store opens zero containers") {
+    val dir = tmpDir("ocf_manifest_heads")
+    stratifiedStore(dir)
+    val before = OcfStore.containerOpens.get()
+    val counts = OcfStore.headCounts(dir, hconf.value)
+    assert(counts.values.sum == 200)
+    assert(OcfStore.containerOpens.get() == before,
+      "manifested store must serve head counts without opening containers")
+    // remove the manifest: fallback block-counts (and still correct)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).foreach(_.delete())
+    val counts2 = OcfStore.headCounts(dir, hconf.value)
+    assert(counts2 == counts)
+    assert(OcfStore.containerOpens.get() > before,
+      "without a manifest the store must fall back to block counting")
+  }
+
+  test("manifest parsing is field-order independent and skips bad lines") {
+    val good = OcfFileStats("f.ocf", 7L, 1L, 9L, 100L, 200L, Seq(0, 2))
+    assert(OcfFileStats.fromJson(good.toJson).contains(good))
+    // reordered fields still parse (Jackson, not a regex)
+    val reordered =
+      """{"count":7,"file":"f.ocf","partitions":[0,2],"minOffset":1,""" +
+        """"maxOffset":9,"minTsUs":100,"maxTsUs":200}"""
+    assert(OcfFileStats.fromJson(reordered).contains(good))
+    // garbage and missing-field lines are ignored, not fatal
+    assert(OcfFileStats.fromJson("not json at all").isEmpty)
+    assert(OcfFileStats.fromJson("""{"file":"x.ocf","count":3}""").isEmpty)
+    assert(OcfFileStats.fromJson("").isEmpty)
   }
 
   test("partition reader block-skips to mid-file ranges exactly") {
