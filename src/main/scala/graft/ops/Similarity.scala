@@ -190,9 +190,26 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nCentroids: Int = 32,
               nProbe: Int = 8, nAssign: Int = 2,
-              sampleCap: Int = 4096): DataFrame = {
-    val centroids = trainCentroids(emb, idCol, vecCol, nCentroids,
-      sampleCap = sampleCap)
+              sampleCap: Int = 4096): DataFrame =
+    ivfTopKWith(
+      trainCentroids(emb, idCol, vecCol, nCentroids, sampleCap = sampleCap),
+      emb, queries, idCol, vecCol, k, nProbe, nAssign)
+
+  /** The cell assignment of `ivfTopKWith`, exposed as a DataFrame
+    * `(id, cell)` (one row per assigned/probed cell) so the
+    * assignments can be materialized for an external exact-rerank
+    * oracle: given the same centroids, the cells here and inside
+    * ivfTopKWith are the same deterministic expression.
+    */
+  def ivfCells(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Long]], n: Int): DataFrame =
+    df.select(col(idCol), explode(
+      GraftFunctions.nearestCentroids(
+        Dedup.quantize(col(vecCol)), centroids, n)).as("cell"))
+
+  def ivfTopKWith(centroids: Array[Array[Long]], emb: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int, nAssign: Int): DataFrame = {
     // multi-assignment: each corpus vector posts into its nAssign
     // nearest cells (index grows nAssign×, recall of border vectors
     // recovers — the standard IVF multi-assignment trade).

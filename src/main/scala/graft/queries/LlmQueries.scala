@@ -92,13 +92,24 @@ object LlmQueries {
       Similarity.bruteForceTopKExec(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5)
     }),
-    // N3 scale path — IVF top-k (deterministic sample-trained coarse
-    // quantizer; approximate, so no SQL oracle: the driver records the
-    // rows-only check and LshRecallSpec asserts recall >= 0.9 vs brute)
+    // N3 scale path — IVF top-k. The coarse quantizer is driver-trained
+    // k-means (deterministic, but not SQL-recomputable), so the oracle
+    // reads the MATERIALIZED cell assignments (written here to
+    // `ivfCellsDir` at plan-build time) and recomputes exact top-k
+    // within the probed cells — full hash equivalence, no rows-only gap.
     "ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, nProbe = 12, nAssign = 2)
+      val q = e.filter(col("vec_id") < 8)
+      val cts = Similarity.trainCentroids(e, "vec_id", "embedding", 32)
+      Similarity.ivfCells(e, "vec_id", "embedding", cts, n = 2)
+        .withColumn("side", lit("c"))
+        .unionByName(
+          Similarity.ivfCells(q, "vec_id", "embedding", cts, n = 12)
+            .withColumn("side", lit("q")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ivfCellsDir)
+      Similarity.ivfTopKWith(cts, e, q, "vec_id", "embedding",
+        k = 5, nProbe = 12, nAssign = 2)
     }),
     // N3 — driver-visible recall gate for the IVF scale path: recall@5
     // vs the IN-PLAN exact top-k (same corpus, 50 queries), emitted as
@@ -328,6 +339,15 @@ object LlmQueries {
        |SELECT count(*) AS n_exact, true AS recall_ok
        |FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Where `ivf_topk` materializes its deterministic cell assignments
+    * for the DuckDB oracle (the coarse quantizer is driver-trained, so
+    * the oracle reads the SAME assignments instead of recomputing
+    * k-means in SQL). Evaluated identically by the query closure and
+    * the oracle string within one Verify run.
+    */
+  private def ivfCellsDir: String =
+    sys.props.getOrElse("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
+
   /** Shared SQL: milli-quantized int64 embeddings with self dot product
     * (mirror of Dedup.quantize / Dedup.qdot).
     */
@@ -455,6 +475,24 @@ object LlmQueries {
          |  CAST($dotAb AS DOUBLE)
          |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
          |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ivf_topk" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$ivfCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
          |r AS (SELECT query_id, neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
