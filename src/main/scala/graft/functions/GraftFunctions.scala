@@ -52,6 +52,12 @@ object GraftFunctions {
   def byteHistogram(payload: Column, nBuckets: Int): Column =
     c(ByteHistogram(e(payload), nBuckets))
 
+  /** Real image-header decode of a binary payload:
+    * struct<width, height, fmt> from PNG/JPEG/GIF header bytes.
+    */
+  def imageHeader(payload: Column): Column =
+    c(ImageHeaderDecode(e(payload)))
+
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 
@@ -109,7 +115,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_byte_histogram"),
       new ExpressionInfo(classOf[ByteHistogram].getName,
         "graft_byte_histogram"),
-      (args: Seq[Expression]) => ByteHistogram(args(0), intArg(args, 1))))
+      (args: Seq[Expression]) => ByteHistogram(args(0), intArg(args, 1))),
+    (FunctionIdentifier("graft_image_header"),
+      new ExpressionInfo(classOf[ImageHeaderDecode].getName,
+        "graft_image_header"),
+      (args: Seq[Expression]) => ImageHeaderDecode(args(0))))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata structs, flowing through relational operators
   * unchanged.
   *
-  * Media codecs don't exist in this environment, so the decode kernel
-  * is a clearly-marked deterministic STUB (both `decodeMeta` and the
-  * `decodePartition` body): metadata is derived purely from payload
-  * length, which makes the whole pipeline oracle-checkable while
-  * keeping the Spark-side plumbing — binary schema, batched
-  * per-partition decode, metadata struct shape — real.
-  * Swapping in a JNI/FFI image decoder changes only the body of
-  * `decodePartition`.
+  * Metadata decode is REAL byte-level container parsing
+  * (graft.functions.ImageHeaders): PNG IHDR, a JPEG SOF marker scan,
+  * and the GIF logical-screen descriptor — dimensions and format are
+  * read out of actual header bytes, no codec library needed. What this
+  * environment cannot provide is real image FILES, so `imagePayload`
+  * synthesizes structurally VALID headers (dimensions derived from
+  * doc_id, document text as the byte tail) — the oracle then checks
+  * the genuine round trip parse(synthesize(w, h)) == (w, h) on every
+  * row. Pixel decode (the part that does need a codec) stays out of
+  * scope; a JNI/FFI decoder would slot into `decodePartition`'s
+  * per-partition batch loop unchanged.
   */
 object Multimodal {
 
@@ -24,26 +27,60 @@ object Multimodal {
                        height: Long, n_frames: Long, fmt: String)
 
   /** Attach a binary payload column (here: utf-8 bytes of `text`; in
-    * production: the image/audio blob read from object storage).
+    * production: the image/audio blob read from object storage). Used
+    * by the format-agnostic byte operators (frame sampling, byte
+    * histograms).
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
 
-  /** Column-expression form of the stub decode — codegen-friendly,
-    * used by the oracle-checked query.
+  /** Synthesize a structurally valid image payload per document —
+    * JPEG / PNG / GIF round-robin by doc_id, dimensions derived from
+    * doc_id, the document text as the (opaque) byte tail:
+    *  - PNG: signature + IHDR chunk (big-endian u32 dims, fake CRC)
+    *  - JPEG: SOI + a real SOF0 frame header (big-endian u16 dims,
+    *    3 components) + EOI trailer
+    *  - GIF: GIF89a + logical-screen descriptor (little-endian u16)
+    * Everything downstream parses these with the same code that would
+    * parse real files.
+    */
+  def imagePayload(docs: DataFrame): DataFrame = {
+    val w = lit(16L) + pmod(col("doc_id"), lit(317L))
+    val h = lit(16L) + pmod(col("doc_id") * 7L, lit(211L))
+    def hx(s: String) = unhex(lit(s))
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    def le16(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 4, "0")
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    val body = col("text").cast(BinaryType)
+    val png = concat(hx("89504E470D0A1A0A0000000D49484452"),
+      be32(w), be32(h), hx("080600000000000000"), body)
+    val jpeg = concat(hx("FFD8FFC0001108"), be16(h), be16(w),
+      hx("03011100021101031101"), body, hx("FFD9"))
+    val gif = concat(hx("474946383961"), le16(w), le16(h), hx("000000"),
+      body, hx("3B"))
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, jpeg)
+        .when(pmod(col("doc_id"), lit(3)) === 1, png)
+        .otherwise(gif).as("payload"))
+  }
+
+  /** Column-expression decode — the ImageHeaderDecode codegen kernel
+    * parses width/height/format out of the payload's header bytes.
+    * n_frames = 1: still-image containers (a video frame counter
+    * belongs to the codec layer).
     */
   def decodeMeta(payload: DataFrame): DataFrame =
     payload.select(
       col("doc_id"),
-      length(col("payload")).cast(LongType).as("byte_len"))
+      length(col("payload")).cast(LongType).as("byte_len"),
+      graft.functions.GraftFunctions.imageHeader(col("payload")).as("m"))
       .select(
         col("doc_id"), col("byte_len"),
-        (lit(320L) + pmod(col("byte_len"), lit(320L))).as("width"),
-        (lit(240L) + pmod(col("byte_len") * 7L, lit(240L))).as("height"),
-        (lit(1L) + pmod(col("byte_len"), lit(30L))).as("n_frames"),
-        when(pmod(col("byte_len"), lit(3L)) === 0, lit("jpeg"))
-          .when(pmod(col("byte_len"), lit(3L)) === 1, lit("png"))
-          .otherwise(lit("webp")).as("fmt"))
+        col("m.width").as("width"), col("m.height").as("height"),
+        lit(1L).as("n_frames"), col("m.fmt").as("fmt"))
 
   /** Resize planning: the target dimensions a resize kernel would
     * produce fitting each medium into a `target`×`target` box while
@@ -102,9 +139,10 @@ object Multimodal {
         col("col").as("cnt"))
 
   /** Per-partition batched decode — the shape a real codec needs
-    * (amortized init per partition, bytes in / struct out). STUB body:
-    * must produce exactly decodeMeta's values; a real decoder would
-    * parse `payload` here.
+    * (amortized init per partition, bytes in / struct out), parsing the
+    * same header bytes as the expression form through the shared
+    * ImageHeaders kernel. A pixel decoder (JNI/FFI) would open its
+    * context once per partition here.
     */
   def decodePartition(spark: SparkSession,
                       payload: DataFrame): Dataset[MediaMeta] = {
@@ -112,16 +150,10 @@ object Multimodal {
     payload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: val codec = Codec.open() once per partition
+        // real pixel impl: val codec = Codec.open() once per partition
         it.map { case (id, bytes) =>
-          val n = bytes.length.toLong
-          MediaMeta(id, n, 320L + n % 320L, 240L + (n * 7L) % 240L,
-            1L + n % 30L,
-            (n % 3L) match {
-              case 0L => "jpeg"
-              case 1L => "png"
-              case _ => "webp"
-            })
+          val (w, h, fmt) = graft.functions.ImageHeaders.decode(bytes)
+          MediaMeta(id, bytes.length.toLong, w, h, 1L, fmt)
         }
       }
   }

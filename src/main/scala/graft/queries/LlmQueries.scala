@@ -214,16 +214,18 @@ object LlmQueries {
     // N6 — sessionization, native session_window form
     "sessionize_native" -> ((s, d) =>
       Sessionize.sessionWindow(Tables.events(s, d), gap = "30 minutes")),
-    // N5 — multimodal metadata decode, expression form
+    // N5 — REAL header decode (PNG IHDR / JPEG SOF scan / GIF) over
+    // synthesized-but-valid payloads; the oracle checks the round trip
+    // parse(synthesize(w, h)) == (w, h) per row. Expression form.
     "multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d)))),
-    // N5 — multimodal decode, per-partition batched (mapPartitions) form
+      Multimodal.decodeMeta(Multimodal.imagePayload(docs(s, d)))),
+    // N5 — same decode, per-partition batched (mapPartitions) form
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.decodePartition(s, Multimodal.withPayload(docs(s, d))).toDF()),
+      Multimodal.decodePartition(s, Multimodal.imagePayload(docs(s, d))).toDF()),
     // N5 — resize planning on decoded metadata
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizeDims(
-        Multimodal.decodeMeta(Multimodal.withPayload(docs(s, d))))),
+        Multimodal.decodeMeta(Multimodal.imagePayload(docs(s, d))))),
     // N5 — frame sampling: binary slices, one row per frame
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))),
@@ -347,6 +349,25 @@ object LlmQueries {
     */
   private def ivfCellsDir: String =
     sys.props.getOrElse("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
+
+  /** Shared oracle for both multimodal decode forms: the dimensions
+    * and format the synthesized headers CARRY — Spark must recover
+    * them by parsing payload bytes (ImageHeaders), so equality proves
+    * the parser round-trips.
+    */
+  private val multimodalMetaOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen
+      |  FROM documents)
+      |SELECT doc_id,
+      |  tlen + CASE doc_id % 3 WHEN 0 THEN 23 WHEN 1 THEN 33
+      |    ELSE 14 END AS byte_len,
+      |  16 + doc_id % 317 AS width,
+      |  16 + (doc_id * 7) % 211 AS height,
+      |  CAST(1 AS BIGINT) AS n_frames,
+      |  CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      |    ELSE 'gif' END AS fmt
+      |FROM b""".stripMargin
 
   /** Shared SQL: milli-quantized int64 embeddings with self dot product
     * (mirror of Dedup.quantize / Dedup.qdot).
@@ -697,34 +718,18 @@ object LlmQueries {
         |  FROM f)
         |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
-    "multimodal_meta" ->
-      """WITH b AS (SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
-        |  FROM documents)
-        |SELECT doc_id, byte_len,
-        |  320 + byte_len % 320 AS width,
-        |  240 + (byte_len * 7) % 240 AS height,
-        |  1 + byte_len % 30 AS n_frames,
-        |  CASE byte_len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |    ELSE 'webp' END AS fmt
-        |FROM b""".stripMargin,
-    "multimodal_decode" ->
-      """WITH b AS (SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
-        |  FROM documents)
-        |SELECT doc_id, byte_len,
-        |  320 + byte_len % 320 AS width,
-        |  240 + (byte_len * 7) % 240 AS height,
-        |  1 + byte_len % 30 AS n_frames,
-        |  CASE byte_len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |    ELSE 'webp' END AS fmt
-        |FROM b""".stripMargin,
+    // the synthesized headers carry w = 16 + doc_id % 317,
+    // h = 16 + 7·doc_id % 211; header+trailer overhead is 23 bytes for
+    // JPEG (SOI + SOF0 + EOI), 33 for PNG (sig + IHDR), 14 for GIF
+    // (GIF89a + screen descriptor + trailer). Spark recovers all of it
+    // by PARSING the bytes — equality here proves the parser.
+    "multimodal_meta" -> multimodalMetaOracle,
+    "multimodal_decode" -> multimodalMetaOracle,
     "multimodal_resize" ->
-      """WITH b AS (SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
-        |  FROM documents),
-        |m AS (SELECT doc_id, 320 + n % 320 AS width, 240 + (n*7) % 240 AS height
-        |  FROM b)
+      """WITH m AS (SELECT doc_id,
+        |  16 + doc_id % 317 AS width,
+        |  16 + (doc_id * 7) % 211 AS height
+        |  FROM documents)
         |SELECT doc_id, width, height,
         |  CASE WHEN width >= height THEN 224
         |       ELSE width * 224 // height END AS out_w,

@@ -4,16 +4,80 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 import graft.engine.Tables
+import graft.functions.ImageHeaders
 
-/** N5: the expression-form and mapPartitions-form decodes must agree
-  * row-for-row (same stub arithmetic, two execution shapes), and frame
-  * slicing must cover the payload without overlap for stride-aligned
-  * docs.
+/** N5: the header decode is REAL byte parsing — assert it on
+  * hand-crafted container bytes (including a JPEG whose SOF sits
+  * behind APP0/DQT segments, which only a genuine marker scan can
+  * find), then that the expression-form and mapPartitions-form decodes
+  * agree row-for-row on the synthesized payloads, and that frame
+  * slicing covers payloads without overlap.
   */
 class MultimodalSpec extends SparkSuite {
 
-  test("decodeMeta equals decodePartition on sf0.001 documents") {
-    val payload = Multimodal.withPayload(
+  private def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("ImageHeaders parses PNG IHDR dimensions") {
+    val png = hex("89504E470D0A1A0A 0000000D 49484452") ++
+      hex("00000280") ++ hex("000001E0") ++ // 640 x 480
+      hex("0806000000 00000000") ++ "pixels".getBytes
+    assert(ImageHeaders.decode(png) == (640L, 480L, "png"))
+  }
+
+  test("ImageHeaders finds JPEG SOF behind APP0 and DQT segments") {
+    // SOI, APP0 (JFIF, 16 bytes), DQT (5 byte stub), SOF0 1024x768
+    val jpeg = hex("FFD8") ++
+      hex("FFE0 0010 4A46494600 0101 00 0048 0048 00 00") ++
+      hex("FFDB 0005 00 11 22") ++
+      hex("FFC0 0011 08") ++ be16(768) ++ be16(1024) ++
+      hex("03 011100 021101 031101") ++ "entropy".getBytes ++ hex("FFD9")
+    assert(ImageHeaders.decode(jpeg) == (1024L, 768L, "jpeg"))
+  }
+
+  test("ImageHeaders parses progressive JPEG (SOF2) and GIF LE dims") {
+    val sof2 = hex("FFD8 FFC2 0011 08") ++ be16(32) ++ be16(64) ++
+      hex("03 011100 021101 031101")
+    assert(ImageHeaders.decode(sof2) == (64L, 32L, "jpeg"))
+    val gif = "GIF89a".getBytes ++
+      Array(0x20.toByte, 0x01.toByte) ++ // 288 little-endian
+      Array(0x40.toByte, 0x00.toByte) ++ // 64
+      hex("000000 3B")
+    assert(ImageHeaders.decode(gif) == (288L, 64L, "gif"))
+  }
+
+  test("ImageHeaders is conservative on garbage and truncation") {
+    assert(ImageHeaders.decode(Array.empty[Byte]) == (0L, 0L, "bin"))
+    assert(ImageHeaders.decode("plain text".getBytes) == (0L, 0L, "bin"))
+    // PNG signature but truncated before IHDR dims
+    assert(ImageHeaders.decode(hex("89504E470D0A1A0A 0000")) ==
+      (0L, 0L, "bin"))
+    // JPEG that ends (EOI) before any SOF
+    assert(ImageHeaders.decode(hex("FFD8 FFD9")) == (0L, 0L, "bin"))
+    // DQT declaring a length past the buffer
+    assert(ImageHeaders.decode(hex("FFD8 FFDB FFFF 00")) == (0L, 0L, "bin"))
+  }
+
+  test("synthesized payloads round-trip: parse(synthesize(w,h)) == (w,h)") {
+    val metas = Multimodal.decodeMeta(Multimodal.imagePayload(
+      Tables.documents(spark, "/root/testdata/sf0.001")))
+      .collect()
+    assert(metas.nonEmpty)
+    metas.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == 16L + id % 317L, s"width mismatch doc $id")
+      assert(r.getLong(3) == 16L + (id * 7) % 211L, s"height doc $id")
+      val want = (id % 3) match {
+        case 0 => "jpeg"; case 1 => "png"; case _ => "gif"
+      }
+      assert(r.getString(5) == want, s"fmt mismatch doc $id")
+    }
+  }
+
+  test("decodeMeta equals decodePartition on synthesized payloads") {
+    val payload = Multimodal.imagePayload(
       Tables.documents(spark, "/root/testdata/sf0.001"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "byte_len", "width", "height", "n_frames", "fmt")
