@@ -134,18 +134,32 @@ object AsOf {
     *
     * Column contract: interval bounds are timestamp columns; the two
     * sides' column names must be disjoint.
+    *
+    * Nulls and malformed intervals (the asofJoin:41-46 discipline): a
+    * row with a null start or end, or with end < start (an empty
+    * closed interval), is DROPPED from its side — an unbounded or
+    * empty interval has no well-defined overlap set, and the
+    * alternative (letting `sequence(null, …)` null out the explode)
+    * silently produced the same drop for nulls while an inverted
+    * interval could still leak pathological matches. The filter makes
+    * the policy explicit, uniform, and testable: only well-formed
+    * closed intervals participate.
     */
   def intervalJoin(a: DataFrame, b: DataFrame,
                    aStart: String, aEnd: String,
                    bStart: String, bEnd: String,
                    bucketSec: Long = 3600L): DataFrame = {
     val w = bucketSec * 1000000L
+    def wellFormed(df: DataFrame, s: String, e: String) =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
     def buckets(s: String, e: String) =
       sequence(expr(s"unix_micros($s) div ${w}L"),
         expr(s"unix_micros($e) div ${w}L"))
-    val ae = a.withColumn("__a_sb", expr(s"unix_micros($aStart) div ${w}L"))
+    val ae = wellFormed(a, aStart, aEnd)
+      .withColumn("__a_sb", expr(s"unix_micros($aStart) div ${w}L"))
       .withColumn("__bucket", explode(buckets(aStart, aEnd)))
-    val be = b.withColumn("__b_sb", expr(s"unix_micros($bStart) div ${w}L"))
+    val be = wellFormed(b, bStart, bEnd)
+      .withColumn("__b_sb", expr(s"unix_micros($bStart) div ${w}L"))
       .withColumn("__bucket", explode(buckets(bStart, bEnd)))
     ae.join(be, Seq("__bucket"))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&

@@ -126,6 +126,32 @@ class AsOfSpec extends SparkSuite {
     assert(got.sorted === naive.sorted) // sorted Seq compare: dup emits fail
   }
 
+  test("intervalJoin drops null-bounded and inverted (empty) intervals") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // a-side: one well-formed, one null start, one null end, one
+    // inverted (end < start) that would pathologically "overlap" a
+    // containing b-interval under the raw predicate
+    val a = Seq(
+      (1L, Option(ts(10)), Option(ts(20))),
+      (2L, None, Option(ts(20))),
+      (3L, Option(ts(10)), None),
+      (4L, Option(ts(40)), Option(ts(30))))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      (10L, Option(ts(0)), Option(ts(100))), // contains everything
+      (11L, None, Option(ts(100))))          // null on the b side too
+      .toDF("b_id", "b_start", "b_end")
+    val got = AsOf.intervalJoin(a, b, "a_start", "a_end",
+      "b_start", "b_end", bucketSec = 10L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the well-formed a row × the well-formed b row survives
+    assert(got == Set((1L, 10L)),
+      s"null/inverted intervals must be dropped, got $got")
+  }
+
   test("property: asofJoin equals the naive latest-at-or-before pick") {
     val s = spark
     import s.implicits._
