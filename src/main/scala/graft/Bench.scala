@@ -18,6 +18,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bench must not clobber the verify-time ivf cell materialization
+    // (/tmp/graft_ivf_cells): the driver may interleave this main
+    // between Verify and the DuckDB compare, and the compare reads the
+    // cells written for ITS sf dir. Skipping the side-write also keeps
+    // the timed ivf_topk a pure query.
+    System.setProperty("graft.ivf.cells.skipWrite", "true")
     // untimed warmup: one scan+shuffle query so the first measured
     // query doesn't absorb classloading + whole-stage-codegen compile
     try SparkEntry.queries.get("kafka_roundtrip")

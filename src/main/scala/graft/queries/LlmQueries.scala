@@ -101,13 +101,17 @@ object LlmQueries {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 8)
       val cts = Similarity.trainCentroids(e, "vec_id", "embedding", 32)
-      Similarity.ivfCells(e, "vec_id", "embedding", cts, n = 2)
-        .withColumn("side", lit("c"))
-        .unionByName(
-          Similarity.ivfCells(q, "vec_id", "embedding", cts, n = 12)
-            .withColumn("side", lit("q")))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(ivfCellsDir)
+      // Bench sets skipWrite: the side-materialization exists for the
+      // verify-time oracle only and must not be re-timed or clobbered
+      // by a bench run at a different scale factor
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.ivfCells(e, "vec_id", "embedding", cts, n = 2)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(q, "vec_id", "embedding", cts, n = 12)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(ivfCellsDir)
       Similarity.ivfTopKWith(cts, e, q, "vec_id", "embedding",
         k = 5, nProbe = 12, nAssign = 2)
     }),
