@@ -58,6 +58,12 @@ object GraftFunctions {
   def imageHeader(payload: Column): Column =
     c(ImageHeaderDecode(e(payload)))
 
+  /** Real RIFF/WAVE header decode of a binary payload:
+    * struct<channels, sample_rate, bits, n_samples, fmt>.
+    */
+  def audioHeader(payload: Column): Column =
+    c(AudioHeaderDecode(e(payload)))
+
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 
@@ -119,7 +125,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_image_header"),
       new ExpressionInfo(classOf[ImageHeaderDecode].getName,
         "graft_image_header"),
-      (args: Seq[Expression]) => ImageHeaderDecode(args(0))))
+      (args: Seq[Expression]) => ImageHeaderDecode(args(0))),
+    (FunctionIdentifier("graft_audio_header"),
+      new ExpressionInfo(classOf[AudioHeaderDecode].getName,
+        "graft_audio_header"),
+      (args: Seq[Expression]) => AudioHeaderDecode(args(0))))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

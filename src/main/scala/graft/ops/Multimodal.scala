@@ -44,16 +44,24 @@ object Multimodal {
     * Everything downstream parses these with the same code that would
     * parse real files.
     */
+  private def hx(s: String) = unhex(lit(s))
+  private def be32(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 8, "0"))
+  private def be16(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 4, "0"))
+  private def le16(c: org.apache.spark.sql.Column) = {
+    val x = lpad(hex(c), 4, "0")
+    unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+  }
+  private def le32(c: org.apache.spark.sql.Column) = {
+    val x = lpad(hex(c), 8, "0")
+    unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+      substring(x, 3, 2), substring(x, 1, 2)))
+  }
+
   def imagePayload(docs: DataFrame): DataFrame = {
     val w = lit(16L) + pmod(col("doc_id"), lit(317L))
     val h = lit(16L) + pmod(col("doc_id") * 7L, lit(211L))
-    def hx(s: String) = unhex(lit(s))
-    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
-    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
-    def le16(c: org.apache.spark.sql.Column) = {
-      val x = lpad(hex(c), 4, "0")
-      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
-    }
     val body = col("text").cast(BinaryType)
     val png = concat(hx("89504E470D0A1A0A0000000D49484452"),
       be32(w), be32(h), hx("080600000000000000"), body)
@@ -66,6 +74,42 @@ object Multimodal {
         .when(pmod(col("doc_id"), lit(3)) === 1, png)
         .otherwise(gif).as("payload"))
   }
+
+  /** Synthesize a structurally valid PCM WAV payload per document —
+    * RIFF/WAVE with a real `fmt ` chunk (channels and sample rate
+    * derived from doc_id, 16-bit PCM) and the document text as the
+    * `data` chunk. Parsed downstream by the same AudioHeaders chunk
+    * walk that would parse real files.
+    */
+  def audioPayload(docs: DataFrame): DataFrame = {
+    val channels = lit(1L) + pmod(col("doc_id"), lit(2L))
+    val rate = lit(8000L) + pmod(col("doc_id") * 13L, lit(40000L))
+    val blockAlign = channels * 2L // 16-bit PCM
+    val body = col("text").cast(BinaryType)
+    val tlen = length(body).cast(LongType)
+    docs.select(col("doc_id"), concat(
+      lit("RIFF").cast(BinaryType), le32(tlen + 36L),
+      lit("WAVE").cast(BinaryType),
+      lit("fmt ").cast(BinaryType), le32(lit(16L)),
+      le16(lit(1L)),           // PCM
+      le16(channels), le32(rate),
+      le32(rate * blockAlign), // byte rate
+      le16(blockAlign), le16(lit(16L)),
+      lit("data").cast(BinaryType), le32(tlen), body).as("payload"))
+  }
+
+  /** Column-expression audio decode (AudioHeaderDecode kernel). */
+  def decodeAudioMeta(payload: DataFrame): DataFrame =
+    payload.select(
+      col("doc_id"),
+      length(col("payload")).cast(LongType).as("byte_len"),
+      graft.functions.GraftFunctions.audioHeader(col("payload")).as("m"))
+      .select(col("doc_id"), col("byte_len"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits").as("bits"),
+        col("m.n_samples").as("n_samples"),
+        col("m.fmt").as("fmt"))
 
   /** Column-expression decode — the ImageHeaderDecode codegen kernel
     * parses width/height/format out of the payload's header bytes.

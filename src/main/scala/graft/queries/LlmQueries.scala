@@ -230,6 +230,10 @@ object LlmQueries {
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizeDims(
         Multimodal.decodeMeta(Multimodal.imagePayload(docs(s, d))))),
+    // N5 — REAL audio header decode (RIFF/WAVE chunk walk) over
+    // synthesized valid PCM WAVs; oracle = round trip like the images
+    "audio_meta" -> ((s, d) =>
+      Multimodal.decodeAudioMeta(Multimodal.audioPayload(docs(s, d)))),
     // N5 — frame sampling: binary slices, one row per frame
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))),
@@ -729,6 +733,19 @@ object LlmQueries {
     // by PARSING the bytes — equality here proves the parser.
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_decode" -> multimodalMetaOracle,
+    // WAV: 44-byte header (RIFF+fmt+data preamble) + text as PCM data;
+    // channels/rate ride in the fmt chunk, n_samples = data/blockAlign
+    "audio_meta" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen,
+        |  1 + doc_id % 2 AS channels,
+        |  8000 + (doc_id * 13) % 40000 AS sample_rate
+        |  FROM documents)
+        |SELECT doc_id, tlen + 44 AS byte_len, channels, sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  tlen // (channels * 2) AS n_samples,
+        |  'wav' AS fmt
+        |FROM b""".stripMargin,
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |  16 + doc_id % 317 AS width,

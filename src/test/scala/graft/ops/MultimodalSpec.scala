@@ -60,6 +60,44 @@ class MultimodalSpec extends SparkSuite {
     assert(ImageHeaders.decode(hex("FFD8 FFDB FFFF 00")) == (0L, 0L, "bin"))
   }
 
+  test("AudioHeaders walks RIFF chunks to fmt and data") {
+    import graft.functions.AudioHeaders
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = Array.fill[Byte](800)(0x11)
+    // an extraneous LIST chunk (odd size, so word-aligned skip is
+    // exercised) sits between fmt and data — a fixed-offset peek at
+    // byte 36 would misparse this file
+    val wav = "RIFF".getBytes ++ le32(4 + 24 + 11 + 8 + 800) ++
+      "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "LIST".getBytes ++ le32(3) ++ "abc".getBytes ++ Array(0.toByte) ++
+      "data".getBytes ++ le32(800) ++ data
+    assert(AudioHeaders.decode(wav) == (2L, 44100L, 16L, 200L, "wav"))
+    // garbage / truncation / missing data chunk → conservative zeros
+    assert(AudioHeaders.decode("not audio".getBytes)._5 == "bin")
+    assert(AudioHeaders.decode("RIFF1234WAVE".getBytes)._5 == "bin")
+    val nodata = "RIFF".getBytes ++ le32(28) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    assert(AudioHeaders.decode(nodata)._5 == "bin")
+  }
+
+  test("synthesized WAVs round-trip through the chunk-walk parser") {
+    val metas = Multimodal.decodeAudioMeta(Multimodal.audioPayload(
+      Tables.documents(spark, "/root/testdata/sf0.001")))
+      .collect()
+    assert(metas.nonEmpty)
+    metas.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == 1L + id % 2L, s"channels doc $id")
+      assert(r.getLong(3) == 8000L + (id * 13) % 40000L, s"rate doc $id")
+      assert(r.getLong(4) == 16L && r.getString(6) == "wav")
+    }
+  }
+
   test("synthesized payloads round-trip: parse(synthesize(w,h)) == (w,h)") {
     val metas = Multimodal.decodeMeta(Multimodal.imagePayload(
       Tables.documents(spark, "/root/testdata/sf0.001")))
