@@ -64,6 +64,12 @@ object GraftFunctions {
   def audioHeader(payload: Column): Column =
     c(AudioHeaderDecode(e(payload)))
 
+  /** Real MP4 box-walk decode of a binary payload:
+    * struct<duration_ms, width, height, fmt>.
+    */
+  def videoHeader(payload: Column): Column =
+    c(VideoHeaderDecode(e(payload)))
+
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 
@@ -129,7 +135,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_audio_header"),
       new ExpressionInfo(classOf[AudioHeaderDecode].getName,
         "graft_audio_header"),
-      (args: Seq[Expression]) => AudioHeaderDecode(args(0))))
+      (args: Seq[Expression]) => AudioHeaderDecode(args(0))),
+    (FunctionIdentifier("graft_video_header"),
+      new ExpressionInfo(classOf[VideoHeaderDecode].getName,
+        "graft_video_header"),
+      (args: Seq[Expression]) => VideoHeaderDecode(args(0))))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

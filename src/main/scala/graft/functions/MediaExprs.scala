@@ -142,6 +142,122 @@ object AudioHeaders {
   }
 }
 
+/** Real ISO-BMFF (MP4) box parsing — the video face of N5. A genuine
+  * nested box walk: top-level boxes of (u32 big-endian size, 4cc type)
+  * until `moov`, then inside it `mvhd` (timescale, duration — version
+  * 0 and 1 layouts both handled) and `trak`/`tkhd` (track width and
+  * height, 16.16 fixed point). Unknown boxes (`free`, `udta`, …) are
+  * skipped by size at every level, exactly as a real demuxer walks a
+  * file. Non-MP4 or truncated input decodes to zeros with fmt "bin".
+  */
+object VideoHeaders {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((u8(b, i) << 8) | u8(b, i + 1)).toLong
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** Find a box by 4cc within [from, until); returns (payloadStart,
+    * payloadEnd) or null. Skips unknown boxes by declared size;
+    * size==1 (64-bit largesize) and size==0 (to-end) are handled.
+    */
+  private def findBox(b: Array[Byte], from: Int, until: Int,
+                      name: String): (Int, Int) = {
+    var p = from
+    while (p + 8 <= until) {
+      var size = be32(b, p)
+      var hdr = 8
+      if (size == 1L && p + 16 <= until) { size = be64(b, p + 8); hdr = 16 }
+      else if (size == 0L) size = (until - p).toLong
+      if (size < hdr || p + size > until) return null
+      if (tag(b, p + 4, name)) return (p + hdr, p + size.toInt)
+      p += size.toInt
+    }
+    null
+  }
+
+  /** (durationMs, width, height, fmt); zeros + "bin" if not MP4. */
+  def decode(b: Array[Byte]): (Long, Long, Long, String) = {
+    val none = (0L, 0L, 0L, "bin")
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return none
+    val moov = findBox(b, 0, b.length, "moov")
+    if (moov == null) return none
+    val mvhd = findBox(b, moov._1, moov._2, "mvhd")
+    if (mvhd == null) return none
+    val (p, end) = mvhd
+    if (p + 4 > end) return none
+    val v = u8(b, p)
+    // v0: ctime/mtime u32 → timescale at +12, duration u32 at +16
+    // v1: ctime/mtime u64 → timescale at +20, duration u64 at +24
+    val (ts, dur) =
+      if (v == 0 && p + 20 <= end) (be32(b, p + 12), be32(b, p + 16))
+      else if (v == 1 && p + 32 <= end) (be32(b, p + 20), be64(b, p + 24))
+      else return none
+    if (ts <= 0) return none
+    val durMs = dur * 1000L / ts
+    // first trak's tkhd carries the visual track size (16.16 fixed)
+    val trak = findBox(b, moov._1, moov._2, "trak")
+    val (w, h) =
+      if (trak == null) (0L, 0L)
+      else {
+        val tkhd = findBox(b, trak._1, trak._2, "tkhd")
+        if (tkhd == null) (0L, 0L)
+        else {
+          val (q, qend) = tkhd
+          val tv = u8(b, q)
+          // width/height sit after version-dependent times + fixed
+          // fields: v0 at +76/+80, v1 at +88/+92 of the payload
+          val off = if (tv == 1) 88 else 76
+          if (q + off + 8 <= qend)
+            (be32(b, q + off) >> 16, be32(b, q + off + 4) >> 16)
+          else (0L, 0L)
+        }
+      }
+    (durMs, w, h, "mp4")
+  }
+
+  def decodeRow(b: Array[Byte]): InternalRow = {
+    val (d, w, h, f) = decode(b)
+    new GenericInternalRow(Array[Any](d, w, h, UTF8String.fromString(f)))
+  }
+}
+
+/** binary → struct<duration_ms, width, height, fmt>. */
+case class VideoHeaderDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("fmt", StringType, nullable = false)))
+  override def prettyName: String = "graft_video_header"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoHeaders.decodeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val kernel = VideoHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.decodeRow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : VideoHeaderDecode = copy(child = newChild)
+}
+
 /** binary → struct<channels, sample_rate, bits, n_samples, fmt>. */
 case class AudioHeaderDecode(child: Expression) extends UnaryExpression {
 

@@ -111,6 +111,53 @@ object Multimodal {
         col("m.n_samples").as("n_samples"),
         col("m.fmt").as("fmt"))
 
+  /** Synthesize a structurally valid MP4 per document — ftyp, a moov
+    * with a real mvhd (timescale 90000, duration derived from doc_id)
+    * and one trak/tkhd carrying the visual size in 16.16 fixed point,
+    * then the document text as the mdat payload. Parsed downstream by
+    * the same VideoHeaders box walk that would parse real files.
+    */
+  def videoPayload(docs: DataFrame): DataFrame = {
+    val w = lit(160L) + pmod(col("doc_id"), lit(8L)) * 80L
+    val h = lit(120L) + pmod(col("doc_id"), lit(6L)) * 60L
+    // duration ticks divisible by 90 → duration_ms is exact:
+    // (1 + doc_id % 7200) * 9000 ticks @90kHz = (1 + doc_id % 7200)*100 ms
+    val dur = (lit(1L) + pmod(col("doc_id"), lit(7200L))) * 9000L
+    val body = col("text").cast(BinaryType)
+    val tlen = length(body).cast(LongType)
+    // unity display matrix: 9 big-endian u32 (16.16 / 2.30 fixed)
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val ftyp = hx("000000146674797069736F6D0000000069736F6D")
+    val mvhd = concat(
+      hx("0000006C6D766864" + "00000000" + "00000000" + "00000000" +
+        "00015F90"),                       // version/times/timescale 90k
+      be32(dur),
+      hx("00010000" + "01000000" + "0000000000000000" + matrix +
+        "0".repeat(48) + "00000000"))      // rate/volume/matrix/next-id
+    val tkhd = concat(
+      hx("000000647472616B" + "0000005C746B6864" + "00000007" +
+        "00000000" + "00000000" + "00000001" + "00000000"),
+      be32(dur),
+      hx("0000000000000000" + "0000000000000000" + matrix),
+      be32(w * 65536L), be32(h * 65536L))
+    docs.select(col("doc_id"), concat(
+      ftyp,
+      hx("000000D86D6F6F76"), mvhd, tkhd,  // moov = mvhd(108)+trak(100)
+      be32(tlen + 8L), hx("6D646174"), body).as("payload"))
+  }
+
+  /** Column-expression video decode (VideoHeaderDecode kernel). */
+  def decodeVideoMeta(payload: DataFrame): DataFrame =
+    payload.select(
+      col("doc_id"),
+      length(col("payload")).cast(LongType).as("byte_len"),
+      graft.functions.GraftFunctions.videoHeader(col("payload")).as("m"))
+      .select(col("doc_id"), col("byte_len"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.fmt").as("fmt"))
+
   /** Column-expression decode — the ImageHeaderDecode codegen kernel
     * parses width/height/format out of the payload's header bytes.
     * n_frames = 1: still-image containers (a video frame counter

@@ -234,6 +234,10 @@ object LlmQueries {
     // synthesized valid PCM WAVs; oracle = round trip like the images
     "audio_meta" -> ((s, d) =>
       Multimodal.decodeAudioMeta(Multimodal.audioPayload(docs(s, d)))),
+    // N5 — REAL video header decode (MP4 nested box walk to
+    // moov/mvhd + trak/tkhd) over synthesized valid MP4s
+    "video_meta" -> ((s, d) =>
+      Multimodal.decodeVideoMeta(Multimodal.videoPayload(docs(s, d)))),
     // N5 — frame sampling: binary slices, one row per frame
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))),
@@ -733,6 +737,19 @@ object LlmQueries {
     // by PARSING the bytes — equality here proves the parser.
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_decode" -> multimodalMetaOracle,
+    // MP4: ftyp(20) + moov(216: mvhd 108 + trak 100) + mdat header(8)
+    // + text as the mdat payload; duration ticks = (1+doc_id%7200)*9000
+    // at timescale 90000 → exactly (1+doc_id%7200)*100 ms
+    "video_meta" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen
+        |  FROM documents)
+        |SELECT doc_id, tlen + 244 AS byte_len,
+        |  (1 + doc_id % 7200) * 100 AS duration_ms,
+        |  160 + (doc_id % 8) * 80 AS width,
+        |  120 + (doc_id % 6) * 60 AS height,
+        |  'mp4' AS fmt
+        |FROM b""".stripMargin,
     // WAV: 44-byte header (RIFF+fmt+data preamble) + text as PCM data;
     // channels/rate ride in the fmt chunk, n_samples = data/blockAlign
     "audio_meta" ->

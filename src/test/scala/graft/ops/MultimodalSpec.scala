@@ -98,6 +98,51 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("VideoHeaders walks nested MP4 boxes, v0 and v1, skipping free") {
+    import graft.functions.VideoHeaders
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    val matrix = be32(0x10000L) ++ Array.fill[Byte](12)(0) ++
+      be32(0x10000L) ++ Array.fill[Byte](12)(0) ++ be32(0x40000000L)
+    // v1 mvhd (64-bit times/duration) + a free box BEFORE it in moov
+    val mvhd1 = be32(120) ++ "mvhd".getBytes ++
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(3000) ++ // timescale 600, dur 3000 → 5000 ms
+      be32(0x10000L) ++ Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](8)(0) ++ matrix ++ Array.fill[Byte](24)(0) ++
+      be32(0)
+    val tkhd = be32(92) ++ "tkhd".getBytes ++ be32(7) ++
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(3000) ++
+      Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++ matrix ++
+      be32(1920L << 16) ++ be32(1080L << 16)
+    val trak = be32(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val free = be32(11) ++ "free".getBytes ++ "pad".getBytes
+    val moovBody = free ++ mvhd1 ++ trak
+    val moov = be32(8 + moovBody.length) ++ "moov".getBytes ++ moovBody
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    assert(VideoHeaders.decode(ftyp ++ moov) ==
+      (5000L, 1920L, 1080L, "mp4"))
+    // garbage, no moov, truncated moov → conservative bin
+    assert(VideoHeaders.decode("not a video".getBytes)._4 == "bin")
+    assert(VideoHeaders.decode(ftyp)._4 == "bin")
+    assert(VideoHeaders.decode(ftyp ++ moov.take(20))._4 == "bin")
+  }
+
+  test("synthesized MP4s round-trip through the box-walk parser") {
+    val metas = Multimodal.decodeVideoMeta(Multimodal.videoPayload(
+      Tables.documents(spark, "/root/testdata/sf0.001")))
+      .collect()
+    assert(metas.nonEmpty)
+    metas.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == (1L + id % 7200L) * 100L, s"duration doc $id")
+      assert(r.getLong(3) == 160L + (id % 8) * 80L, s"width doc $id")
+      assert(r.getLong(4) == 120L + (id % 6) * 60L, s"height doc $id")
+      assert(r.getString(5) == "mp4")
+    }
+  }
+
   test("synthesized payloads round-trip: parse(synthesize(w,h)) == (w,h)") {
     val metas = Multimodal.decodeMeta(Multimodal.imagePayload(
       Tables.documents(spark, "/root/testdata/sf0.001")))
