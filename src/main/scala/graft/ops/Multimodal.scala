@@ -229,6 +229,50 @@ object Multimodal {
       .select(col("doc_id"), col("pos").cast(LongType).as("bucket"),
         col("col").as("cnt"))
 
+  /** Format dispatch over a mixed-modality corpus: every payload runs
+    * all three header probes (each is a bounded peek at the first
+    * bytes — cheap, and all inside one codegen stage) and the first
+    * non-"bin" verdict wins. Magic bytes are disjoint across the
+    * families (PNG/JPEG/GIF vs RIFF vs ftyp), so the dispatch is
+    * unambiguous. Unknown blobs come out kind='unknown' rather than
+    * failing — the crawl-bucket reality where media scans meet
+    * arbitrary bytes.
+    */
+  def detectAndDecode(payload: DataFrame): DataFrame = {
+    val f = graft.functions.GraftFunctions
+    payload.select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("byte_len"),
+        f.imageHeader(col("payload")).as("i"),
+        f.audioHeader(col("payload")).as("a"),
+        f.videoHeader(col("payload")).as("v"))
+      .select(col("doc_id"), col("byte_len"),
+        when(col("i.fmt") =!= "bin", lit("image"))
+          .when(col("a.fmt") =!= "bin", lit("audio"))
+          .when(col("v.fmt") =!= "bin", lit("video"))
+          .otherwise(lit("unknown")).as("kind"),
+        when(col("i.fmt") =!= "bin", col("i.fmt"))
+          .when(col("a.fmt") =!= "bin", col("a.fmt"))
+          .when(col("v.fmt") =!= "bin", col("v.fmt"))
+          .otherwise(lit("bin")).as("fmt"),
+        when(col("i.fmt") =!= "bin", col("i.width"))
+          .when(col("a.fmt") =!= "bin", col("a.sample_rate"))
+          .otherwise(col("v.width")).as("dim1"),
+        when(col("i.fmt") =!= "bin", col("i.height"))
+          .when(col("a.fmt") =!= "bin", col("a.channels"))
+          .otherwise(col("v.height")).as("dim2"))
+  }
+
+  /** A mixed media corpus (one modality per doc by doc_id mod 3) run
+    * through the magic-byte dispatch — the end-to-end catalog scan.
+    */
+  def mediaCatalog(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(3))
+    detectAndDecode(
+      imagePayload(docs.filter(m === 0))
+        .unionByName(audioPayload(docs.filter(m === 1)))
+        .unionByName(videoPayload(docs.filter(m === 2))))
+  }
+
   /** Per-partition batched decode — the shape a real codec needs
     * (amortized init per partition, bytes in / struct out), parsing the
     * same header bytes as the expression form through the shared

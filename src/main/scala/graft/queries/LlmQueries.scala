@@ -238,6 +238,9 @@ object LlmQueries {
     // moov/mvhd + trak/tkhd) over synthesized valid MP4s
     "video_meta" -> ((s, d) =>
       Multimodal.decodeVideoMeta(Multimodal.videoPayload(docs(s, d)))),
+    // N5 — mixed-corpus magic-byte dispatch: detect the modality of
+    // every blob and decode with the matching parser, one codegen pass
+    "media_catalog" -> ((s, d) => Multimodal.mediaCatalog(docs(s, d))),
     // N5 — frame sampling: binary slices, one row per frame
     "frame_sample" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.withPayload(docs(s, d)))),
@@ -737,6 +740,26 @@ object LlmQueries {
     // by PARSING the bytes — equality here proves the parser.
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_decode" -> multimodalMetaOracle,
+    // dispatch: modality by doc_id % 3 (image→all-jpeg branch of the
+    // synthesizer, audio→wav, video→mp4); dims per the family formulas
+    "media_catalog" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen
+        |  FROM documents)
+        |SELECT doc_id,
+        |  tlen + CASE doc_id % 3 WHEN 0 THEN 23 WHEN 1 THEN 44
+        |    ELSE 244 END AS byte_len,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'wav'
+        |    ELSE 'mp4' END AS fmt,
+        |  CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 317
+        |       WHEN 1 THEN 8000 + (doc_id * 13) % 40000
+        |       ELSE 160 + (doc_id % 8) * 80 END AS dim1,
+        |  CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 211
+        |       WHEN 1 THEN 1 + doc_id % 2
+        |       ELSE 120 + (doc_id % 6) * 60 END AS dim2
+        |FROM b""".stripMargin,
     // MP4: ftyp(20) + moov(216: mvhd 108 + trak 100) + mdat header(8)
     // + text as the mdat payload; duration ticks = (1+doc_id%7200)*9000
     // at timescale 90000 → exactly (1+doc_id%7200)*100 ms

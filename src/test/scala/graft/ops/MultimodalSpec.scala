@@ -143,6 +143,27 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("mediaCatalog dispatches every blob to its modality by magic bytes") {
+    val cat = Multimodal.mediaCatalog(
+      Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(cat.nonEmpty)
+    cat.foreach { r =>
+      val id = r.getLong(0)
+      val want = (id % 3) match {
+        case 0 => ("image", "jpeg"); case 1 => ("audio", "wav")
+        case _ => ("video", "mp4")
+      }
+      assert((r.getString(2), r.getString(3)) == want, s"doc $id")
+    }
+    // and a non-media blob lands in 'unknown' instead of failing
+    val s = spark
+    import s.implicits._
+    val junk = Multimodal.detectAndDecode(
+      Seq((99L, "just some text".getBytes)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(junk.getString(2) == "unknown" && junk.getString(3) == "bin")
+  }
+
   test("synthesized payloads round-trip: parse(synthesize(w,h)) == (w,h)") {
     val metas = Multimodal.decodeMeta(Multimodal.imagePayload(
       Tables.documents(spark, "/root/testdata/sf0.001")))
