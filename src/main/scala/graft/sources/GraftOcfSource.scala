@@ -134,7 +134,7 @@ class OcfScan(dir: String, maxPerTrigger: Option[Long],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new OcfMicroBatchStream(dir, maxPerTrigger, conf, required)
+    new OcfMicroBatchStream(dir, maxPerTrigger, conf, required, filters)
 }
 
 /** Streaming offset: per-file consumed record counts (files are named
@@ -159,7 +159,8 @@ object OcfOffset {
 
 class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long],
                           conf: SerializableConfiguration,
-                          required: StructType = OcfFormat.sparkSchema)
+                          required: StructType = OcfFormat.sparkSchema,
+                          filters: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = OcfOffset(Map.empty)
@@ -196,13 +197,26 @@ class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long],
     }
   }
 
+  /** Offset cursors advance over EVERY file (bookkeeping must stay
+    * monotone whatever the predicate), but a file whose manifest stats
+    * PROVE no row can match the pushed filters emits no read range —
+    * the streaming twin of batch file pruning. Spark re-evaluates the
+    * predicate per row, so pruning is advisory here exactly as in
+    * batch; a file absent from the manifest is kept conservatively.
+    */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[OcfOffset].counts
+    val stats =
+      if (filters.isEmpty) Map.empty[String, OcfFileStats]
+      else OcfStore.manifestStats(dir, conf.value)
     end.asInstanceOf[OcfOffset].counts.toSeq.sortBy(_._1).flatMap {
       case (f, e) =>
         val from = s.getOrElse(f, 0L)
-        if (e > from) Some(OcfRange(s"$dir/$f", from, e): InputPartition)
+        val mayMatch =
+          stats.get(f).forall(st => OcfFilters.mayMatch(st, filters))
+        if (e > from && mayMatch)
+          Some(OcfRange(s"$dir/$f", from, e): InputPartition)
         else None
     }.toArray
   }

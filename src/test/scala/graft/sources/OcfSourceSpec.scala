@@ -323,6 +323,38 @@ class OcfSourceSpec extends SparkSuite {
       s"unconvertible literals must keep every file, got $planned")
   }
 
+  test("streaming planInputPartitions prunes files by pushed filters") {
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_stream_prune")
+    stratifiedStore(dir)
+    def plannedRows(filters: Array[Filter]): Long = {
+      val ms = new OcfMicroBatchStream(dir, None, hconf,
+        OcfFormat.sparkSchema, filters)
+      ms.planInputPartitions(ms.initialOffset(), ms.latestOffset())
+        .map { p => val r = p.asInstanceOf[OcfRange]; r.end - r.start }
+        .sum
+    }
+    assert(plannedRows(Array.empty) == 200)
+    // only the partition-2 container emits a read range...
+    assert(plannedRows(Array(EqualTo("partition", 2))) == 50)
+    // ...while offsets still advance over every file (no replay debt)
+    val ms = new OcfMicroBatchStream(dir, None, hconf,
+      OcfFormat.sparkSchema, Array(EqualTo("partition", 2)))
+    val latest = ms.latestOffset().asInstanceOf[OcfOffset]
+    assert(latest.counts.values.sum == 200)
+    // end-to-end: the filtered stream sees exactly the matching rows
+    val q = spark.readStream.format("graft-ocf").load(dir)
+      .filter(col("partition") === 2)
+      .writeStream.format("memory").queryName("ocf_stream_pruned")
+      .option("checkpointLocation", tmpDir("ocf_stream_prune_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ocf_stream_pruned")
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(got == (100L until 150L).toSet)
+  }
+
   test("latestOffset on a manifested store opens zero containers") {
     val dir = tmpDir("ocf_manifest_heads")
     stratifiedStore(dir)
