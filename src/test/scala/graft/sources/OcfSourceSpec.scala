@@ -372,6 +372,29 @@ class OcfSourceSpec extends SparkSuite {
       "without a manifest the store must fall back to block counting")
   }
 
+  test("a corrupt manifest line only costs its file's stats, not the query") {
+    val dir = tmpDir("ocf_corrupt_manifest")
+    stratifiedStore(dir)
+    // corrupt ONE line of one manifest (the file keeps its name length
+    // so the good lines still parse); the affected container must fall
+    // back to block counting / conservative keep, everything else
+    // unchanged
+    val mf = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).minBy(_.getName)
+    val lines = java.nio.file.Files.readAllLines(mf.toPath)
+    lines.set(0, "{corrupt json" + lines.get(0).drop(13))
+    java.nio.file.Files.write(mf.toPath, lines)
+    // Hadoop LocalFS checksums reject modified files unless the
+    // sidecar goes too
+    new java.io.File(dir, "." + mf.getName + ".crc").delete()
+    val counts = OcfStore.headCounts(dir, hconf.value)
+    assert(counts.values.sum == 200,
+      "corrupt manifest line must not lose rows")
+    val rows = spark.read.format("graft-ocf").load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(rows == (0L until 200L).toSet)
+  }
+
   test("manifest parsing is field-order independent and skips bad lines") {
     val good = OcfFileStats("f.ocf", 7L, 1L, 9L, 100L, 200L, Seq(0, 2))
     assert(OcfFileStats.fromJson(good.toJson).contains(good))
