@@ -109,25 +109,66 @@ class OcfScanBuilder(dir: String, maxPerTrigger: Option[Long],
 class OcfScan(dir: String, maxPerTrigger: Option[Long],
               conf: SerializableConfiguration,
               required: StructType = OcfFormat.sparkSchema,
-              filters: Array[Filter] = Array.empty) extends Scan {
+              filters: Array[Filter] = Array.empty)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-ocf scan of $dir, columns=[${required.fieldNames.mkString(",")}]" +
       (if (filters.nonEmpty) s", pushed=[${filters.mkString(",")}]" else "")
 
+  /** The pruned file plan, computed ONCE per scan so the partitioning
+    * report and the planned input partitions can never disagree:
+    * (file, rowCount, soleKafkaPartition-or-None).
+    */
+  private lazy val plannedFiles: Seq[(String, Long, Option[Int])] = {
+    val stats = OcfStore.manifestStats(dir, conf.value)
+    OcfStore.headCounts(dir, conf.value).toSeq.sortBy(_._1)
+      .filter { case (f, _) =>
+        // keep a file unless its stats PROVE no row can match; a
+        // file absent from the manifest is kept conservatively
+        stats.get(f).forall(st => OcfFilters.mayMatch(st, filters))
+      }
+      .map { case (f, n) =>
+        (f, n, stats.get(f).map(_.partitions).collect {
+          case Seq(p) => p
+        })
+      }
+  }
+
+  /** Storage-partitioned execution (the broker-log layout paying off at
+    * read time): the V2 writer clusters containers by the Kafka
+    * `partition` column, so when the commit manifests prove every
+    * planned file holds exactly ONE partition value, the scan reports
+    * `KeyGroupedPartitioning(partition)` and emits key-carrying input
+    * partitions — under `spark.sql.sources.v2.bucketing.enabled`,
+    * a groupBy(partition) aggregation or a co-partitioned join runs
+    * with NO shuffle. Any unmanifested or multi-partition file makes
+    * the report fall back to unknown — never a wrong claim.
+    */
+  private lazy val keyed: Boolean =
+    required.fieldNames.contains("partition") &&
+      plannedFiles.nonEmpty && plannedFiles.forall(_._3.isDefined)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyed)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("partition")),
+          plannedFiles.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(plannedFiles.size)
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
-      val stats = OcfStore.manifestStats(dir, conf.value)
-      OcfStore.headCounts(dir, conf.value).toSeq.sortBy(_._1)
-        .filter { case (f, _) =>
-          // keep a file unless its stats PROVE no row can match; a
-          // file absent from the manifest is kept conservatively
-          stats.get(f).forall(st => OcfFilters.mayMatch(st, filters))
-        }
-        .map { case (f, n) =>
-          OcfRange(s"$dir/$f", 0L, n): InputPartition
-        }.toArray
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      plannedFiles.map { case (f, n, pk) =>
+        if (keyed)
+          OcfKeyedRange(s"$dir/$f", 0L, n, pk.get): InputPartition
+        else OcfRange(s"$dir/$f", 0L, n): InputPartition
+      }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       OcfReaderFactory(conf, required)
   }
@@ -230,8 +271,20 @@ class OcfMicroBatchStream(dir: String, maxPerTrigger: Option[Long],
 /** One (file, [start, end)) slice — the same unit of parallelism as a
   * Kafka topic-partition offset range.
   */
-case class OcfRange(file: String, start: Long, end: Long)
-    extends InputPartition
+sealed trait OcfSlice extends InputPartition {
+  def file: String; def start: Long; def end: Long
+}
+
+case class OcfRange(file: String, start: Long, end: Long) extends OcfSlice
+
+/** A slice whose container provably holds a single Kafka partition —
+  * carries it as the storage partition key for shuffle-free grouping.
+  */
+case class OcfKeyedRange(file: String, start: Long, end: Long, pk: Int)
+    extends OcfSlice
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(pk)
+}
 
 /** Per-container statistics, written into the commit manifest and used
   * to (a) serve head counts without opening containers and (b) prune
@@ -349,7 +402,7 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
                             required: StructType = OcfFormat.sparkSchema)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[OcfRange]
+    val r = p.asInstanceOf[OcfSlice]
     new PartitionReader[InternalRow] {
       private val path = new Path(r.file)
       // a PRUNED reader schema: Avro schema resolution skips writer

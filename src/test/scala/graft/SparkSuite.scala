@@ -26,4 +26,17 @@ abstract class SparkSuite extends AnyFunSuite {
   }
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with SQL confs set, restoring prior values after. */
+  def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prior = pairs.map { case (k, _) =>
+      k -> spark.conf.getOption(k)
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -221,12 +221,12 @@ class OcfSourceSpec extends SparkSuite {
   private def planFiles(dir: String,
       filters: Array[org.apache.spark.sql.sources.Filter],
       required: org.apache.spark.sql.types.StructType =
-        OcfFormat.sparkSchema): Seq[OcfRange] = {
+        OcfFormat.sparkSchema): Seq[OcfSlice] = {
     val b = new OcfScanBuilder(dir, None, hconf)
     b.pruneColumns(required)
     b.pushFilters(filters)
     b.build().toBatch.planInputPartitions()
-      .map(_.asInstanceOf[OcfRange]).toSeq
+      .map(_.asInstanceOf[OcfSlice]).toSeq
   }
 
   test("pushdown (a): pruned scan reads only required columns") {
@@ -353,6 +353,35 @@ class OcfSourceSpec extends SparkSuite {
     val got = spark.table("ocf_stream_pruned")
       .select("offset").collect().map(_.getLong(0)).toSet
     assert(got == (100L until 150L).toSet)
+  }
+
+  test("storage-partitioned scan: groupBy(partition) plans no shuffle") {
+    val dir = tmpDir("ocf_spj")
+    stratifiedStore(dir)
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.read.format("graft-ocf").load(dir)
+        .groupBy("partition").count()
+      val plan = agg.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.isEmpty,
+        s"single-partition containers + manifest must report " +
+          s"KeyGroupedPartitioning and avoid the shuffle:\n$plan")
+      // and the shuffle-free result is still correct
+      assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+        (0 until 4).map(p => (p, 50L)).toSet)
+    }
+    // a store without manifests must NOT claim key grouping (and still
+    // aggregate correctly, with a shuffle)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).foreach(_.delete())
+    withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg2 = spark.read.format("graft-ocf").load(dir)
+        .groupBy("partition").count()
+      assert(agg2.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+        (0 until 4).map(p => (p, 50L)).toSet)
+    }
   }
 
   test("latestOffset on a manifested store opens zero containers") {
