@@ -384,6 +384,30 @@ class OcfSourceSpec extends SparkSuite {
     }
   }
 
+  test("compaction rewrites many small containers into few, losslessly") {
+    val dir = tmpDir("ocf_compact")
+    stratifiedStore(dir) // 4 separate commits -> 4 containers
+    val before = spark.read.format("graft-ocf").load(dir)
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val (nBefore, nAfter) = OcfMaintenance.compact(spark, dir)
+    assert(nBefore == 4 && nAfter < nBefore,
+      s"compaction must shrink the file count, got $nBefore -> $nAfter")
+    val after = spark.read.format("graft-ocf").load(dir)
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(after == before, "compaction must preserve every record")
+    // the fresh commit re-manifests the whole store: filtered reads
+    // and manifest-served head counts keep working on the compacted
+    // generation (file-level pruning is layout-dependent — a single
+    // merged container legitimately can't be pruned by partition)
+    assert(spark.read.format("graft-ocf").load(dir)
+      .filter(col("partition") === 2).count() == 50L)
+    val d = OcfMaintenance.describe(spark, dir)
+    assert(d.agg(sum("count")).collect().head.getLong(0) == 200L)
+    assert(d.count() == nAfter.toLong)
+  }
+
   test("latestOffset on a manifested store opens zero containers") {
     val dir = tmpDir("ocf_manifest_heads")
     stratifiedStore(dir)
