@@ -143,6 +143,36 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("media parsers never throw on fuzzed bytes (random + mutated-valid)") {
+    import graft.functions.{AudioHeaders, ImageHeaders, VideoHeaders}
+    val rnd = new scala.util.Random(20260812L)
+    def mutate(b: Array[Byte]): Array[Byte] = {
+      val m = b.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      m.take(if (rnd.nextBoolean()) rnd.nextInt(m.length + 1) else m.length)
+    }
+    // seeds: every magic prefix the dispatchers route on, so mutations
+    // explore the deep parser paths, not just the signature rejects
+    val seeds = Seq[Array[Byte]](
+      ImageHeaders.PngSig ++ Array.fill[Byte](40)(7),
+      Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++
+        Array.fill[Byte](40)(1),
+      "GIF89a".getBytes ++ Array.fill[Byte](12)(2),
+      "RIFF1234WAVEfmt ".getBytes ++ Array.fill[Byte](40)(3),
+      Array[Byte](0, 0, 0, 20) ++ "ftypisom".getBytes ++
+        Array.fill[Byte](60)(4))
+    val cases =
+      Seq.fill(500)(Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt(256).toByte)) ++
+        seeds.flatMap(s => Seq.fill(200)(mutate(s)))
+    cases.foreach { bytes =>
+      ImageHeaders.decode(bytes) // must not throw
+      AudioHeaders.decode(bytes)
+      VideoHeaders.decode(bytes)
+    }
+  }
+
   test("mediaCatalog dispatches every blob to its modality by magic bytes") {
     val cat = Multimodal.mediaCatalog(
       Tables.documents(spark, "/root/testdata/sf0.001")).collect()
