@@ -143,6 +143,27 @@ object LlmQueries {
         Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5),
         floor = 0.25)
     }),
+    // N3 — kNN label classification: the downstream consumer of
+    // similarity search in a data pipeline (label propagation / weak
+    // supervision): majority label over the exact top-5 neighbors,
+    // ties to the smallest label. Corpus labels broadcast-join onto
+    // the ranked pairs; one extra narrow shuffle for the vote.
+    "knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val votes = Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .join(broadcast(e.select(col("vec_id").as("neighbor_id"),
+          col("label"))), Seq("neighbor_id"))
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("votes"))
+    }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -536,6 +557,25 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     "ivf_recall" -> recallGateOracle,
     "lsh_recall" -> recallGateOracle,
+    "knn_classify" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored),
+         |v AS (SELECT r.query_id, e.label, count(*) AS votes
+         |  FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+         |  WHERE r.rnk <= 5 GROUP BY 1, 2),
+         |p AS (SELECT query_id, label, votes,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, label) AS rk FROM v)
+         |SELECT query_id, label AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes
+         |FROM p WHERE rk = 1""".stripMargin,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
         |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
