@@ -384,6 +384,31 @@ class OcfSourceSpec extends SparkSuite {
     }
   }
 
+  test("storage-partitioned join of two stores plans without exchanges") {
+    val dirA = tmpDir("ocf_spj_a")
+    val dirB = tmpDir("ocf_spj_b")
+    stratifiedStore(dirA)
+    stratifiedStore(dirB)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.read.format("graft-ocf").load(dirA)
+        .groupBy("partition").agg(count(lit(1)).as("a_rows"))
+      val b = spark.read.format("graft-ocf").load(dirB)
+        .groupBy("partition").agg(count(lit(1)).as("b_rows"))
+      val joined = a.join(b, Seq("partition"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.isEmpty,
+        s"co-partitioned stores must join shuffle-free:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSet ==
+        (0 until 4).map(p => (p, 50L, 50L)).toSet)
+    }
+  }
+
   test("compaction rewrites many small containers into few, losslessly") {
     val dir = tmpDir("ocf_compact")
     stratifiedStore(dir) // 4 separate commits -> 4 containers
