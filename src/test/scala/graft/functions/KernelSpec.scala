@@ -177,4 +177,24 @@ class KernelSpec extends SparkSuite {
     assert(rows.forall(r => r.getSeq[Long](1).length == 4))
     assert(rows.forall(r => r.getSeq[Long](2).length == 2))
   }
+
+  test("media header SQL functions resolve and parse through spark.sql") {
+    val png = graft.functions.ImageHeaders.PngSig ++
+      Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 1, 0, 0, 0, 0, 64) ++ // 256 x 64
+      Array.fill[Byte](9)(0)
+    val s = spark
+    import s.implicits._
+    Seq(Tuple1(png)).toDF("p").createOrReplaceTempView("media_blob")
+    val r = spark.sql(
+      """SELECT graft_image_header(p) AS i,
+        |       graft_audio_header(p) AS a,
+        |       graft_video_header(p) AS v
+        |FROM media_blob""".stripMargin).collect().head
+    assert(r.getStruct(0).getLong(0) == 256L &&
+      r.getStruct(0).getLong(1) == 64L &&
+      r.getStruct(0).getString(2) == "png")
+    assert(r.getStruct(1).getString(4) == "bin") // PNG is not WAV
+    assert(r.getStruct(2).getString(3) == "bin") // ... nor MP4
+  }
 }
