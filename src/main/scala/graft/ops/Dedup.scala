@@ -293,6 +293,11 @@ object Dedup {
     // group-unfold+distinct (embeddingPairsGrouped) — collect_list
     // over the fat 96-band explode dominates there, while jaccard-
     // style ops (narrower bands, higher thresholds) favor grouping.
+    // Band-parameter sweep within the <1e-7 miss budget at s=0.4
+    // (same run): (r=4,b=96) 3.98 s BEATS (3,56) 4.41, (3,64) 4.91,
+    // (5,160) 4.51 — coarser bands blow up candidates faster than
+    // they save posting, finer bands pay posting without pruning
+    // enough. The default stays (4, 96).
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"),
       col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"),

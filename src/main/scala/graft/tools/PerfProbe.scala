@@ -34,6 +34,13 @@ object PerfProbe {
     time("embedding_pairs/grouped", 3) {
       Dedup.embeddingPairsGrouped(emb, "vec_id", "embedding", 0.4).count()
     }
+    // band-parameter sweep, all within the <1e-7 miss budget at s=0.4
+    // (p=0.6312): (4,96)→6e-8, (3,64)→9e-9, (3,56)→9e-8, (5,160)→5e-8
+    for ((r, b) <- Seq((3, 56), (3, 64), (4, 96), (5, 160)))
+      time(s"embedding_pairs r=$r b=$b", 3) {
+        Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4,
+          bands = b, rowsPerBand = r).count()
+      }
     spark.stop()
   }
 }
