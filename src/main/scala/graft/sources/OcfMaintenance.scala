@@ -37,7 +37,18 @@ object OcfMaintenance {
         "min_ts_us", "max_ts_us", "partitions")
   }
 
-  /** Rewrite the store in place; returns (filesBefore, filesAfter). */
+  /** Rewrite the store in place; returns (filesBefore, filesAfter).
+    *
+    * NOT safe under an active streaming reader: stream offsets are
+    * per-file cursors keyed by container NAME, and compaction installs
+    * a new generation under new names — a live cursor would see the
+    * compacted containers as fresh files and replay the whole store.
+    * Stop the stream, compact, restart (the restart replays nothing
+    * only if its checkpoint is also reset — compaction is a
+    * maintenance window operation, exactly as broker log compaction
+    * is). Batch readers are unaffected: they plan against a single
+    * listing, and the commit installs-new-before-retiring-old.
+    */
   def compact(spark: SparkSession, dir: String): (Int, Int) = {
     def nFiles: Int =
       OcfStore.headCounts(dir, OcfStore.driverConf()).size
