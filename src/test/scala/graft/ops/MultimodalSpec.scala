@@ -220,6 +220,47 @@ class MultimodalSpec extends SparkSuite {
       rows(Multimodal.decodePartition(spark, payload).toDF()))
   }
 
+  test("media decode composes with the streaming engine end to end") {
+    // mixed media blobs ride the Kafka frame's `value` column through
+    // the graft-ocf store, stream back, and dispatch-decode per
+    // microbatch — the catalog scan as a continuous pipeline
+    val s = spark
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = tmpDir("ocf_media_stream")
+    val m = pmod(col("doc_id"), lit(3))
+    Multimodal.imagePayload(docs.filter(m === 0))
+      .unionByName(Multimodal.audioPayload(docs.filter(m === 1)))
+      .unionByName(Multimodal.videoPayload(docs.filter(m === 2)))
+      .select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        col("payload").as("value"),
+        lit("media").as("topic"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("partition"),
+        col("doc_id").as("offset"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+          .as("timestamp"),
+        lit(0).as("timestampType"))
+      .write.format("graft-ocf").mode("overwrite").save(dir)
+    val q = Multimodal.detectAndDecode(
+        s.readStream.format("graft-ocf")
+          .option("maxRecordsPerTrigger", "200").load(dir)
+          .select(col("offset").as("doc_id"), col("value").as("payload")))
+      .writeStream.format("memory").queryName("media_stream")
+      .option("checkpointLocation", tmpDir("ocf_media_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("media_stream")
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Multimodal.mediaCatalog(docs)
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.values.sum == docs.count(),
+      s"stream $streamed != batch $batch")
+  }
+
   test("frame sampling covers every payload byte except the tail") {
     val payload = Multimodal.withPayload(
       Tables.documents(spark, "/root/testdata/sf0.001"))
