@@ -318,6 +318,94 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** The corpus side of incremental dedup: minhash band postings for
+    * every corpus doc, with hot buckets (> maxBucket members) excluded
+    * at INDEX BUILD time — the same explicit recall trade as bandPairs,
+    * paid once per index build instead of per lookup. In production the
+    * result is persisted (parquet bucketed by band_hash) and reused by
+    * every daily batch; here it is built inline from the corpus frame.
+    */
+  def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      numPerms: Int = 128, bands: Int = 32,
+                      maxBucket: Int = 4096): DataFrame = {
+    val cBands = corpus
+      .select(col(idCol),
+        GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), posexplode(
+        GraftFunctions.minhashBands(col("sh"), numPerms, bands)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val coldBuckets = cBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") <= maxBucket)
+      .drop("bkt_n")
+    cBands.join(coldBuckets, Seq("band_idx", "band_hash"), "left_semi")
+  }
+
+  /** N1/N2 — INCREMENTAL dedup: the operation a 100 TB pipeline runs
+    * daily. The full corpus is never re-paired; instead the new batch's
+    * band postings probe the (persisted, amortized) corpus band index,
+    * candidates verify against exact jaccard, and each batch doc gets a
+    * keep/duplicate verdict plus its best corpus match.
+    *
+    * Scale shape: the batch (small side) broadcasts into the index join,
+    * so the corpus index never shuffles — per-batch cost is
+    * O(|batch|·bands + candidates), independent of corpus size. The
+    * in-batch near-dup resolution for kept docs is a separate
+    * `dedupCorpus` over the (small) kept batch.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, threshold: Double = 0.5,
+                       numPerms: Int = 128, bands: Int = 32,
+                       maxBucket: Int = 4096): DataFrame = {
+    val index = corpusBandIndex(corpus, idCol, textCol, numPerms, bands,
+      maxBucket)
+    val bSets = batch.select(col(idCol),
+        GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bBands = bSets
+      .select(col(idCol), posexplode(
+        GraftFunctions.minhashBands(col("sh"), numPerms, bands)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val cands = index
+      .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_hash"))
+      .join(broadcast(bBands.select(col(idCol).as("batch_id"),
+        col("band_idx"), col("band_hash"))), Seq("band_idx", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    val cSets = corpus.select(col(idCol).as("corpus_id"),
+        GraftFunctions.hashedWordShingles(col(textCol), 3).as("set_c"))
+      .filter(size(col("set_c")) > 0)
+    val verified = cands
+      .join(broadcast(bSets.select(col(idCol).as("batch_id"),
+        col("sh").as("set_b"))), "batch_id")
+      .join(cSets, "corpus_id")
+      .withColumn("inter",
+        GraftFunctions.sortedIntersectCount(col("set_b"), col("set_c")))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("set_b")) + size(col("set_c")) - col("inter"))
+          .cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_id"))
+      .orderBy(col("jaccard").desc, col("corpus_id").asc)
+    val best = verified.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("batch_id"), col("corpus_id").as("best_match_id"),
+        col("jaccard").as("best_jaccard"))
+    val counts = verified.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_matches"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(counts, Seq("batch_id"), "left")
+      .join(best, Seq("batch_id"), "left")
+      .select(col("batch_id").as("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match_id"), col("best_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
   /** embeddingPairs through the bandPairs group-unfold shape (one
     * shuffle + pre-verify distinct) instead of the band self-join —
     * kept for A/B timing (tools/PerfProbe); results identical.

@@ -67,6 +67,18 @@ object LlmQueries {
     // canonical representative per cluster
     "dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(docs(s, d), "doc_id", "text", threshold = 0.5)),
+    // N1/N2 — INCREMENTAL dedup: the daily-delta operation. Corpus =
+    // docs with doc_id % 5 != 0 (the indexed 80%), batch = the other
+    // 20%; each batch doc probes the corpus band index and gets a
+    // keep/duplicate verdict + best corpus match. The corpus is never
+    // re-paired — per-batch cost is independent of corpus size.
+    "dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.incrementalDedup(
+        dd.filter(col("doc_id") % 5 =!= 0),
+        dd.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
     // N2 — char-5-gram jaccard via minhash-banded candidates
     "neardup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
@@ -468,6 +480,30 @@ object LlmQueries {
          |SELECT ia AS doc_a, ib AS doc_b,
          |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
          |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $shinglesCte,
+         |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND len(s) > 0),
+         |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0 AND len(s) > 0),
+         |v AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |  CAST(len(list_intersect(b.s, c.s)) AS BIGINT) AS inter,
+         |  len(b.s) AS lb, len(c.s) AS lc
+         |  FROM b CROSS JOIN c),
+         |p AS (SELECT batch_id, corpus_id,
+         |  CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) AS jaccard
+         |  FROM v
+         |  WHERE CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) >= 0.5),
+         |cnt AS (SELECT batch_id, count(*) AS n_matches FROM p GROUP BY 1),
+         |best AS (SELECT batch_id, corpus_id AS best_match_id,
+         |  jaccard AS best_jaccard,
+         |  row_number() OVER (PARTITION BY batch_id
+         |    ORDER BY jaccard DESC, corpus_id) AS rk FROM p)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(cnt.n_matches, 0) AS BIGINT) AS n_matches,
+         |  best.best_match_id, best.best_jaccard,
+         |  coalesce(cnt.n_matches, 0) = 0 AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN cnt ON d.doc_id = cnt.batch_id
+         |LEFT JOIN best ON d.doc_id = best.batch_id AND best.rk = 1""".stripMargin,
     "neardup_ngram" ->
       """WITH g AS (SELECT doc_id,
         |  CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(

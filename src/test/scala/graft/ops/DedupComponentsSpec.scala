@@ -89,4 +89,62 @@ class DedupComponentsSpec extends SparkSuite {
       .filter(col("doc_a") < 60 && col("doc_b") < 60).count()
     assert(uncapped === 60L * 59L / 2L)
   }
+
+  test("incrementalDedup: batch docs get a verdict against the corpus " +
+    "index, never against each other") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "an entirely different document about structured streaming"),
+      (3L, "the quick brown fox jumps over the lazy dog again tonight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus docs 1 and 3 → duplicate, best = highest
+      // jaccard (doc 1 differs by one word vs doc 10's text)
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      // novel text → keep
+      (11L, "completely novel content that matches no corpus entry"),
+      // two identical batch docs: both keep — in-batch duplicates are
+      // NOT each other's matches (that's the follow-up dedupCorpus)
+      (12L, "fresh unseen words for the incremental batch verdict"),
+      (13L, "fresh unseen words for the incremental batch verdict"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L
+        else r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(10L)._1 == 2L, s"doc 10 matches corpus 1 and 3: $out")
+    assert(out(10L)._2 == 1L, "best match is the exact-text corpus doc")
+    assert(!out(10L)._3, "duplicate → not kept")
+    assert(out(11L) == ((0L, -1L, true)), "novel doc keeps, null match")
+    assert(out(12L) == ((0L, -1L, true)) && out(13L) == ((0L, -1L, true)),
+      "in-batch twins both keep against the corpus")
+  }
+
+  test("incrementalDedup: hot corpus buckets are excluded at index " +
+    "build; exact matches to the hot cluster still verdict via other " +
+    "bands") {
+    val s = spark
+    import s.implicits._
+    // 50 identical corpus docs form a hot bucket in every band
+    val boiler = (0L until 50L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val corpus = (boiler :+
+      ((100L, "one two three four five six seven eight nine ten")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (201L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.5, maxBucket = 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // doc 200's only candidates sit in capped-out buckets → it KEEPS
+    // (the documented recall trade; production pairs this with the
+    // exact-fingerprint pass, which catches byte-identical text)
+    assert(out(200L), "capped cluster produces no near-dup verdict")
+    assert(!out(201L), "cold-bucket near-dup still detected")
+  }
 }
