@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** N4 extension — keyword retrieval over the document corpus: BM25
+  * ranking with a fixed query-term set, the lookup side of a
+  * training-data pipeline (find documents about X; score contamination
+  * probes; build weak-supervision seed sets).
+  *
+  * Scoring is the BM25 shape (Robertson et al., TREC-3) with one
+  * deliberate deviation: the idf factor is the exact RATIO
+  * `(N - df + 1/2) / (df + 1/2)` rather than its logarithm. Both are
+  * monotone decreasing in df, so single-term ranking is identical;
+  * the ratio form keeps every factor an exact int64-derived quantity
+  * whose double image is reproducible bit-for-bit across engines
+  * (IEEE division and multiplication are correctly rounded; `ln` is
+  * not guaranteed to be), which is what lets the DuckDB oracle
+  * hash-match the score column instead of settling for a rows-only
+  * check. k1 = 6/5 and b = 3/4 are cleared to integer numerator /
+  * denominator pairs the same way — see `satNum`/`satDen` below.
+  *
+  * Scale shape: tokens are filtered to the query terms INSIDE the
+  * array before exploding (the explode emits at most |terms| rows per
+  * doc, not |tokens|); corpus stats (N, total length) are a one-row
+  * aggregate collected driver-side and embedded as literals (the
+  * trainCentroids precedent — bounded regardless of corpus size), and
+  * per-term document frequencies broadcast back via a term-key hash
+  * join — no nested-loop join anywhere. The final global top-k plans
+  * as TakeOrderedAndProject (no full sort), and the rank window runs
+  * over the k collected survivors only.
+  */
+object Retrieval {
+
+  /** Per-(doc, term) BM25 factors with k1 = 6/5, b = 3/4, cleared to
+    * exact integers over the common denominator 20·SL:
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/SL))
+    *     = 44·tf·SL / (20·tf·SL + 6·SL + 18·dl·N)
+    */
+  private def satNum(tf: org.apache.spark.sql.Column,
+                     sl: org.apache.spark.sql.Column) =
+    lit(44L) * tf * sl
+  private def satDen(tf: org.apache.spark.sql.Column,
+                     sl: org.apache.spark.sql.Column,
+                     dl: org.apache.spark.sql.Column,
+                     n: org.apache.spark.sql.Column) =
+    lit(20L) * tf * sl + lit(6L) * sl + lit(18L) * dl * n
+
+  /** Top-k documents for `terms`, scored by rational-idf BM25. Output:
+    * (doc_id, rk, score, s_<term>...) — the per-term partial scores are
+    * kept as columns so a ranking is explainable, and so the
+    * cross-term sum has one fixed, written-down association order
+    * (left-to-right over `terms`) that the oracle replicates verbatim.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "distinct terms")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("dl"),
+        filter(col("toks"), t => t.isInCollection(terms)).as("hits"))
+    // one-row corpus stats, collected driver-side and embedded as
+    // literals — the trainCentroids precedent: a bounded pre-pass
+    // (Catalyst folds a lit(1)-keyed re-join back into a BNLJ, so a
+    // join can't carry a constant row without a scale-smell plan)
+    val statsRow = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_len")).head()
+    val nDocs = lit(statsRow.getLong(0))
+    val sumLen = lit(statsRow.getLong(1))
+    val tf = toks.filter(size(col("hits")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("score_t",
+        ((lit(2L) * (nDocs - col("df")) + lit(1L)).cast(DoubleType)
+          / (lit(2L) * col("df") + lit(1L)).cast(DoubleType))
+        * (satNum(col("tf"), sumLen).cast(DoubleType)
+          / satDen(col("tf"), sumLen, col("dl"), nDocs)
+              .cast(DoubleType)))
+    val perTerm = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("score_t"))), lit(0.0))
+        .as(s"s_$t"))
+    val pivoted = scored.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+    // left-to-right over `terms` — the documented association order
+    val total = terms.map(t => col(s"s_$t")).reduceLeft(_ + _)
+    val top = pivoted.withColumn("score", total)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id") +: col("rk") +: col("score") +:
+        terms.map(t => col(s"s_$t")): _*)
+  }
+}

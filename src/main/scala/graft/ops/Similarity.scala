@@ -237,4 +237,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rnk").cast(LongType).as("rnk"), col("cosine"))
   }
+
+  /** The single-nearest-cell assignment used by `semanticDedup`,
+    * exposed as `(vec_id, cell)` so the assignments can be
+    * materialized for the external exact oracle (the ivfCells
+    * pattern): given the same centroids, this and the assignment
+    * inside semanticDedup are the same deterministic expression.
+    */
+  def semanticCells(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Long]]): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      GraftFunctions.nearestCentroids(
+        Dedup.quantize(col(vecCol)), centroids, 1)(0)
+        .cast(LongType).as("cell"))
+
+  /** N2/N3 — SemDeDup-style semantic deduplication (Abbas et al.,
+    * arXiv:2303.09540): cluster the embedding corpus with the coarse
+    * k-means quantizer, then compare pairs WITHIN a cluster only and
+    * drop any vector that has a smaller-id neighbor at cosine ≥ tau.
+    * Unlike `embeddingPairs` (hyperplane-LSH candidates, a recall
+    * trade tuned for high thresholds), the cell partition adapts to
+    * the data distribution, so it stays effective at the moderate
+    * thresholds (~0.3) where semantic near-dups of this fixture live
+    * and where sign-LSH recall collapses (measured in LshRecallSpec).
+    *
+    * Scale shape: one shuffle on the cell key; pair cost is bounded by
+    * Σ|cell|², controlled by nCentroids (SemDeDup practice: k grows
+    * with corpus so E|cell| stays ~10³-10⁴). The keep verdict is the
+    * deterministic min-id greedy — a pure aggregation over the pair
+    * set, no iteration.
+    *
+    * Output: (vec_id, cell, n_similar, dup_of, keep) — dup_of is the
+    * smallest-id suppressor, null for kept vectors.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Long]],
+                    tau: Double): DataFrame = {
+    val assigned = emb.select(col(idCol).as("vec_id"),
+        Dedup.quantize(col(vecCol)).as("q"))
+      .withColumn("cell", GraftFunctions.nearestCentroids(
+        col("q"), centroids, 1)(0).cast(LongType))
+      .withColumn("nn", Dedup.qdot(col("q"), col("q")))
+    val a = assigned.select(col("vec_id").as("id_a"), col("cell"),
+      col("q").as("q_a"), col("nn").as("nn_a"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cell"),
+      col("q").as("q_b"), col("nn").as("nn_b"))
+    val sup = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Dedup.qdot(col("q_a"), col("q_b")).cast(DoubleType) /
+        sqrt(col("nn_a").cast(DoubleType) * col("nn_b").cast(DoubleType))
+        >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_similar"), min(col("id_a")).as("dup_of"))
+    assigned.select("vec_id", "cell").join(sup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_similar"), lit(0L)).as("n_similar"),
+        col("dup_of"),
+        col("n_similar").isNull.as("keep"))
+  }
 }

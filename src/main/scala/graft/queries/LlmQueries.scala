@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
-import graft.ops.{CorpusOps, Dedup, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Retrieval, Sessionize, Similarity, TextOps}
 
 /** The LLM-data-pipeline query registry (SURVEY.md §2 rows N1–N7):
   * dedup (exact / MinHash / n-gram / SimHash / embedding-cosine),
@@ -176,6 +176,24 @@ object LlmQueries {
         .select(col("query_id"), col("label").as("pred_label"),
           col("votes"))
     }),
+    // N2/N3 — SemDeDup: k-means cells (same driver-trained coarse
+    // quantizer as IVF), within-cell exact quantized cosine, min-id
+    // greedy keep. Cell assignments materialize beside the ivf cells
+    // so the oracle compares the exact same partition (same skipWrite
+    // guard: Bench never re-times or clobbers the side write).
+    "semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val cts = Similarity.trainCentroids(e, "vec_id", "embedding", 32)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.semanticCells(e, "vec_id", "embedding", cts)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(semdedupCellsDir)
+      Similarity.semanticDedup(e, "vec_id", "embedding", cts, tau = 0.3)
+    }),
+    // N4 — BM25 keyword retrieval (rational-idf variant; see
+    // Retrieval scaladoc for the cross-engine exactness argument)
+    "bm25_search" -> ((s, d) =>
+      Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -398,6 +416,19 @@ object LlmQueries {
   private def ivfCellsDir: String =
     sys.props.getOrElse("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
 
+  /** semantic_dedup's materialized cell assignments (ivfCellsDir
+    * pattern — same lifecycle, separate path so the two queries can't
+    * clobber each other within one Verify run).
+    */
+  private def semdedupCellsDir: String =
+    sys.props.getOrElse("graft.semdedup.cells.dir",
+      "/tmp/graft_semdedup_cells")
+
+  /** The fixed query-term set for bm25_search; the left-to-right order
+    * here is the score association order replicated in the oracle.
+    */
+  private val bm25Terms = Seq("spark", "stream", "vector", "query")
+
   /** Shared oracle for both multimodal decode forms: the dimensions
     * and format the synthesized headers CARRY — Spark must recover
     * them by parsing payload bytes (ImageHeaders), so equality proves
@@ -593,6 +624,64 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     "ivf_recall" -> recallGateOracle,
     "lsh_recall" -> recallGateOracle,
+    // exact within-cell pairs over the MATERIALIZED cell assignments
+    // (ivf_topk pattern) — same partition, same quantized cosine, same
+    // min-id greedy, so every column hash-matches including the doubles
+    "semantic_dedup" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(cell AS BIGINT) AS cell
+         |  FROM '$semdedupCellsDir/*.parquet'),
+         |m AS (SELECT c.vec_id, c.cell, n.qv, n.nn
+         |  FROM cells c JOIN n ON c.vec_id = n.vec_id),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |s AS (SELECT id_b AS vec_id, CAST(count(*) AS BIGINT) AS n_similar,
+         |  min(id_a) AS dup_of FROM p WHERE cosine >= 0.3 GROUP BY 1)
+         |SELECT c.vec_id, c.cell,
+         |  CAST(coalesce(s.n_similar, 0) AS BIGINT) AS n_similar,
+         |  s.dup_of, s.n_similar IS NULL AS keep
+         |FROM cells c LEFT JOIN s ON c.vec_id = s.vec_id""".stripMargin,
+    // the same rational-idf BM25 chain, term order and association
+    // order replicated verbatim (see Retrieval.bm25TopK scaladoc)
+    "bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_len FROM l),
+        |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM l),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM e WHERE term IN ('spark', 'stream', 'vector', 'query')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  (CAST(2*(st.n_docs - dfq.df) + 1 AS DOUBLE)
+        |     / CAST(2*dfq.df + 1 AS DOUBLE))
+        |  * (CAST(44*tf.tf*st.sum_len AS DOUBLE)
+        |     / CAST(20*tf.tf*st.sum_len + 6*st.sum_len
+        |            + 18*tf.dl*st.n_docs AS DOUBLE)) AS score_t
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |p AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN term = 'spark' THEN score_t END), 0.0)
+        |    AS s_spark,
+        |  coalesce(max(CASE WHEN term = 'stream' THEN score_t END), 0.0)
+        |    AS s_stream,
+        |  coalesce(max(CASE WHEN term = 'vector' THEN score_t END), 0.0)
+        |    AS s_vector,
+        |  coalesce(max(CASE WHEN term = 'query' THEN score_t END), 0.0)
+        |    AS s_query
+        |  FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, s_spark, s_stream, s_vector, s_query,
+        |  ((s_spark + s_stream) + s_vector) + s_query AS score FROM p),
+        |k AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rk,
+        |  score, s_spark, s_stream, s_vector, s_query FROM r)
+        |SELECT * FROM k WHERE rk <= 10""".stripMargin,
     "knn_classify" ->
       s"""WITH $quantCte,
          |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),

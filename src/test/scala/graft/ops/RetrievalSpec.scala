@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** N4 — BM25 retrieval: scoring semantics on a hand-computable corpus
+  * plus the plan-shape guarantees (no nested-loop join from the
+  * corpus-stats re-join, top-k plans as TakeOrderedAndProject).
+  */
+class RetrievalSpec extends SparkSuite {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "spark spark spark filler filler filler"),
+      (2L, "spark stream filler filler filler filler"),
+      (3L, "filler stream stream stream filler filler"),
+      (4L, "filler filler filler filler filler filler"),
+      (5L, "vector filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25TopK ranks term-dense docs first; per-term partials are " +
+    "exact rationals") {
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark", "stream", "vector"), k = 10)
+      .orderBy("rk").collect()
+    // doc 4 has no query term → absent entirely
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 5L))
+    // all docs have dl=6 → length normalization is uniform and the
+    // scores are hand-checkable. N=5, SL=30.
+    // idf(spark): df=2 → (2*(5-2)+1)/(2*2+1) = 7/5
+    // sat(tf=3): 44*3*30 / (20*3*30 + 6*30 + 18*6*5) = 3960/2520
+    val r1 = out.find(_.getLong(0) == 1L).get
+    val sSpark = r1.getDouble(r1.fieldIndex("s_spark"))
+    assert(math.abs(sSpark - (7.0 / 5.0) * (3960.0 / 2520.0)) < 1e-12)
+    assert(r1.getDouble(r1.fieldIndex("s_stream")) === 0.0)
+    // hand-computed totals: doc5 = idf(vector)=9/3 × sat(1)=1 → 3.0;
+    // doc2 = 7/5·1 + 7/5·1 = 2.8; doc1 = doc3 = 7/5 × 3960/2520 = 2.2
+    // (exact tie — same rationals) broken by doc_id
+    val ranks = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(5L) == 1L, s"rare term (df=1) dominates: $ranks")
+    assert(ranks(2L) == 2L, s"two mid-idf hits beat tf=3 on one: $ranks")
+    assert(ranks(1L) == 3L && ranks(3L) == 4L,
+      s"exact-tie broken by doc_id: $ranks")
+  }
+
+  test("bm25TopK ties break by doc_id and k truncates") {
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark"), k = 1).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 1L)
+  }
+
+  test("bm25TopK plan: no nested-loop join, global top-k is " +
+    "TakeOrderedAndProject") {
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark", "stream"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"corpus-stats re-join must be a hash join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must not global-sort:\n$plan")
+  }
+
+  test("semanticDedup: within-cell near-dups drop to the min id; " +
+    "cross-cell twins are untouched by construction") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters far apart → k-means (k=2) separates them;
+    // within cluster A vectors 1,2,3 are near-identical (cos ~1),
+    // cluster B's 10 is alone; 11 is A-like but negated → own cell
+    // or anti-correlated (cos < 0) — never suppressed
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0.01)), (2L, v(1, 0, 0, 0.02)),
+      (3L, v(0.99, 0, 0, 0.0)),
+      (10L, v(0, 1, 0, 0.0)),
+      (11L, v(-1, 0, 0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cts = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nCentroids = 2)
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        cts, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) === ((true, -1L)), s"min id keeps: $out")
+    assert(out(2L) === ((false, 1L)), s"suppressed by 1: $out")
+    assert(out(3L) === ((false, 1L)), s"suppressed by 1: $out")
+    assert(out(10L)._1 && out(11L)._1,
+      s"singleton and anti-correlated keep: $out")
+  }
+
+  test("semanticDedup pair cost is within-cell only: the pair filter " +
+    "joins on the cell key, never all-pairs") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val emb = Seq((1L, v(1, 0)), (2L, v(0, 1)))
+      .toDF("vec_id", "embedding")
+    val cts = Similarity.trainCentroids(emb, "vec_id", "embedding", 2)
+    val plan = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        cts, tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"within-cell pairs must equi-join on cell:\n$plan")
+  }
+}
