@@ -70,6 +70,13 @@ object GraftFunctions {
   def videoHeader(payload: Column): Column =
     c(VideoHeaderDecode(e(payload)))
 
+  /** Misra–Gries heavy-hitter candidate terms (aggregate): at most
+    * `capacity` counters per task, mergeable, superset-guaranteed for
+    * frequencies > N/(capacity+1).
+    */
+  def mgCandidates(term: Column, capacity: Int): Column =
+    c(MisraGries(e(term), capacity).toAggregateExpression())
+
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 
@@ -139,7 +146,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_video_header"),
       new ExpressionInfo(classOf[VideoHeaderDecode].getName,
         "graft_video_header"),
-      (args: Seq[Expression]) => VideoHeaderDecode(args(0))))
+      (args: Seq[Expression]) => VideoHeaderDecode(args(0))),
+    (FunctionIdentifier("graft_mg_candidates"),
+      new ExpressionInfo(classOf[MisraGries].getName,
+        "graft_mg_candidates"),
+      (args: Seq[Expression]) => MisraGries(args(0), intArg(args, 1))))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

@@ -178,4 +178,32 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** Deterministic global training shuffle: every document gets a
+    * (shard, pos) placement — shard by one salted content-id hash,
+    * within-shard order by a second, independent salt — so the
+    * training order is fully reproducible from the ids alone (replay a
+    * failed epoch, rebuild one lost shard, audit which step saw which
+    * doc), yet uncorrelated with ingestion order, source, or id
+    * locality.
+    *
+    * Scale shape: ONE shuffle on the shard key and a per-shard sort —
+    * the plan a writer would follow with
+    * `repartition(n, shard).sortWithinPartitions(...)`; no global
+    * sort, no driver involvement. The two salts are independent so
+    * shard membership leaks nothing about within-shard position.
+    */
+  def globalShuffle(docs: DataFrame, idCol: String,
+                    nShards: Int): DataFrame = {
+    val idStr = col(idCol).cast(StringType)
+    val shard = pmod(TextOps.polyHash(
+      concat_ws(":", lit("shard"), idStr)), lit(nShards.toLong))
+    val orderH = TextOps.polyHash(concat_ws(":", lit("order"), idStr))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("order_h"), col(idCol))
+    docs.select(col(idCol).as("doc_id"), shard.as("shard"),
+        orderH.as("order_h"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select("doc_id", "shard", "pos")
+  }
 }

@@ -231,4 +231,36 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit(digitRun), lit(0)))
         .cast(LongType).as("n_nums"))
   }
+
+  /** N4 — corpus heavy hitters, sketch-then-verify: tokens with
+    * frequency > N/theta (stop-word discovery, boilerplate tokens,
+    * vocabulary pruning). Pass 1 runs the Misra–Gries aggregate
+    * ([[graft.functions.MisraGries]]): O(capacity) memory per task,
+    * mergeable partials, candidate superset guaranteed for any
+    * frequency > N/(capacity+1). Pass 2 re-counts ONLY the ≤ capacity
+    * candidate terms (the `isInCollection` filter drops every other
+    * token before the shuffle) and keeps exact counts passing the
+    * integer threshold test `cnt·theta > N` — so the result is
+    * EXACTLY the true heavy-hitter set, independent of partitioning,
+    * and the full-corpus term shuffle an exact top-k would need never
+    * happens. `capacity >= theta` is required for the superset
+    * guarantee; the default 8× margin keeps candidate counts small
+    * even on adversarially flat corpora.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, theta: Int = 32,
+                   capacity: Int = 256): DataFrame = {
+    require(capacity >= theta, "superset guarantee needs capacity >= theta")
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+    val first = toks.agg(
+      graft.functions.GraftFunctions.mgCandidates(col("term"), capacity)
+        .as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand = first.getSeq[String](0)
+    val n = first.getLong(1)
+    if (cand.isEmpty) toks.select(col("term"),
+      lit(0L).as("cnt")).limit(0)
+    else toks.filter(col("term").isInCollection(cand))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(theta.toLong) > lit(n))
+  }
 }

@@ -194,6 +194,16 @@ object LlmQueries {
     // Retrieval scaladoc for the cross-engine exactness argument)
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
+    // N4 — heavy hitters: Misra–Gries candidates (bounded-memory,
+    // mergeable) + exact verify pass; output is exactly the true
+    // freq > N/32 term set (see TextOps.heavyHitters scaladoc)
+    "heavy_hitters" -> ((s, d) =>
+      TextOps.heavyHitters(docs(s, d), "text", theta = 32)),
+    // corpus op — deterministic global training shuffle: reproducible
+    // (shard, pos) placement from the ids alone, one shuffle + one
+    // per-shard sort
+    "global_shuffle" -> ((s, d) =>
+      CorpusOps.globalShuffle(docs(s, d), "doc_id", nShards = 8)),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -682,6 +692,26 @@ object LlmQueries {
         |    AS rk,
         |  score, s_spark, s_stream, s_vector, s_query FROM r)
         |SELECT * FROM k WHERE rk <= 10""".stripMargin,
+    // exact recount of the sketch-then-verify output: the true
+    // freq·32 > N term set, integer threshold — the sketch never
+    // appears because its verify pass makes the result exact
+    "heavy_hitters" ->
+      """WITH e AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM e
+        |GROUP BY term
+        |HAVING count(*) * 32 > (SELECT count(*) FROM e)""".stripMargin,
+    "global_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${sqlPolyHash("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    AS shard,
+         |  ${sqlPolyHash("'order:' || CAST(doc_id AS VARCHAR)")}
+         |    AS order_h
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY order_h, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin,
     "knn_classify" ->
       s"""WITH $quantCte,
          |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
