@@ -34,6 +34,29 @@ object StreamingPipelines {
       KafkaShape.decodeUtf8(kafka).withWatermark("ts", watermark),
       windowDur, slide)
 
+  /** N4 streaming — per-window heavy-hitter candidates over the
+    * decoded token stream: the Misra–Gries aggregate
+    * ([[graft.functions.MisraGries]]) runs INSIDE the streaming state
+    * store, so per-window state is O(capacity) regardless of how many
+    * distinct tokens the window sees — where a windowed exact word
+    * count's state grows with the vocabulary. Candidates obey the
+    * mergeable-summaries superset guarantee across micro-batches
+    * (every true heavy hitter above N_window/(capacity+1) survives);
+    * exact counts, when needed, come from the batch verify pass
+    * (TextOps.heavyHitters) over the stored window — the same
+    * sketch-then-verify split as batch.
+    */
+  def heavyTokensStream(kafka: DataFrame,
+                        windowDur: String = "10 minutes",
+                        watermark: String = "1 minute",
+                        capacity: Int = 64): DataFrame =
+    KafkaShape.decodeUtf8(kafka).withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("value_str"), " ")).as("term"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.functions.GraftFunctions
+        .mgCandidates(col("term"), capacity).as("candidates"))
+      .select(col("window.start").as("w_start"), col("candidates"))
+
   /** X2/X3 semantics — exactly-once output from at-least-once input.
     *
     * The reference advances its offset cursor per message and persists

@@ -399,4 +399,41 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(out.length == 150, s"expected exactly-once 150, got ${out.length}")
     assert(out.toSet.size == 150)
   }
+
+  test("N4 streaming twin: windowed Misra-Gries candidates keep every " +
+    "planted heavy token across micro-batches with O(capacity) state") {
+    val s = spark
+    def rec(id: Long, t: String, words: String) =
+      KafkaRecord.ofEvent(1L, words, id, ts(t))
+    // one window; heavy tokens arrive SPREAD over three micro-batches
+    // so the sketch state must merge increments; 120 distinct rare
+    // tokens dwarf the capacity of 16
+    def feed(base: Int) =
+      (0 until 40).map { i =>
+        val rare = s"rare_${base}_$i"
+        rec(base * 100L + i, "2026-01-01 10:01:00",
+          s"alpha $rare alpha beta")
+      }
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = StreamingPipelines
+      .heavyTokensStream(kafkaStream, "10 minutes", "1 minute",
+        capacity = 16)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("hh_ckpt"))
+      .start()
+    input.addData(feed(0)); q.processAllAvailable()
+    input.addData(feed(1)); q.processAllAvailable()
+    input.addData(feed(2)); q.processAllAvailable()
+    q.stop()
+
+    val rows = s.table("hh_stream").collect()
+    assert(rows.length == 1, s"one window expected: ${rows.toSeq}")
+    val cand = rows.head.getSeq[String](1).toSet
+    // N = 480 tokens; alpha=240, beta=120 are heavy at N/(16+1)≈28;
+    // each rare_* appears once
+    assert(Set("alpha", "beta").subsetOf(cand),
+      s"heavy tokens lost across micro-batch merges: $cand")
+    assert(cand.size <= 16, s"state exceeded capacity: ${cand.size}")
+  }
 }
