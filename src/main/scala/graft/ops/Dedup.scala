@@ -358,9 +358,25 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, threshold: Double = 0.5,
                        numPerms: Int = 128, bands: Int = 32,
-                       maxBucket: Int = 4096): DataFrame = {
-    val index = corpusBandIndex(corpus, idCol, textCol, numPerms, bands,
-      maxBucket)
+                       maxBucket: Int = 4096): DataFrame =
+    incrementalDedupWithIndex(
+      corpusBandIndex(corpus, idCol, textCol, numPerms, bands, maxBucket),
+      corpus, batch, idCol, textCol, threshold, numPerms, bands)
+
+  /** `incrementalDedup` against a PRE-BUILT band index — the shape the
+    * daily job actually runs: the index is written once per index
+    * build (`corpusBandIndex(...).write.partitionBy("band_idx")
+    * .parquet(path)`) and every batch reads it back instead of
+    * re-signing the corpus. The corpus frame is still needed for the
+    * exact-jaccard verify, but only candidate rows are shingled (a
+    * broadcast semi-join prunes first); in production the verify side
+    * can read a persisted (id, shingles) table the same way.
+    */
+  def incrementalDedupWithIndex(index: DataFrame, corpus: DataFrame,
+                                batch: DataFrame, idCol: String,
+                                textCol: String, threshold: Double = 0.5,
+                                numPerms: Int = 128,
+                                bands: Int = 32): DataFrame = {
     val bSets = batch.select(col(idCol),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -374,7 +390,14 @@ object Dedup {
       .join(broadcast(bBands.select(col(idCol).as("batch_id"),
         col("band_idx"), col("band_hash"))), Seq("band_idx", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
-    val cSets = corpus.select(col(idCol).as("corpus_id"),
+    // shingle ONLY candidate corpus rows: the broadcast semi-join on
+    // candidate ids prunes the corpus before the (expensive) signature
+    // expression runs — the verify cost tracks candidates, and with a
+    // keyed corpus store the scan itself prunes too
+    val cSets = corpus.select(col(idCol).as("corpus_id"), col(textCol))
+      .join(broadcast(cands.select("corpus_id").distinct()),
+        Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("set_c"))
       .filter(size(col("set_c")) > 0)
     val verified = cands

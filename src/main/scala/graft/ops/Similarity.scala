@@ -238,6 +238,23 @@ object Similarity {
         col("rnk").cast(LongType).as("rnk"), col("cosine"))
   }
 
+  /** N3 — per-label centroid summary of the embedding corpus (class
+    * prototypes: nearest-centroid classifier init, drift monitoring,
+    * per-class norm stats). One narrow shuffle on (label, dim) after a
+    * posexplode of the quantized vector; sums are exact int64, the
+    * mean is the single correctly-rounded division the oracle
+    * replicates. Output long-form (label, dim, n_vecs, sum_q, mean_q)
+    * — no array re-assembly, so no row-order sensitivity anywhere.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(Dedup.quantize(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_q"))
+      .withColumn("mean_q",
+        col("sum_q").cast(DoubleType) / col("n_vecs").cast(DoubleType))
+
   /** The single-nearest-cell assignment used by `semanticDedup`,
     * exposed as `(vec_id, cell)` so the assignments can be
     * materialized for the external exact oracle (the ivfCells

@@ -194,6 +194,10 @@ object LlmQueries {
     // Retrieval scaladoc for the cross-engine exactness argument)
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
+    // N3 — per-label centroid summary (class prototypes), long-form
+    // exact-integer sums + one-division means
+    "label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(emb(s, d), "label", "embedding")),
     // N4 — heavy hitters: Misra–Gries candidates (bounded-memory,
     // mergeable) + exact verify pass; output is exactly the true
     // freq > N/32 term set (see TextOps.heavyHitters scaladoc)
@@ -692,6 +696,17 @@ object LlmQueries {
         |    AS rk,
         |  score, s_spark, s_stream, s_vector, s_query FROM r)
         |SELECT * FROM k WHERE rk <= 10""".stripMargin,
+    "label_centroids" ->
+      s"""WITH $quantCte,
+         |m AS (SELECT e.label, q.qv FROM q
+         |  JOIN embeddings e ON q.vec_id = e.vec_id),
+         |x AS (SELECT label,
+         |  unnest(range(0, len(qv))) AS dim, unnest(qv) AS v FROM m)
+         |SELECT label, CAST(dim AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(v) AS BIGINT) AS sum_q,
+         |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+         |FROM x GROUP BY 1, 2""".stripMargin,
     // exact recount of the sketch-then-verify output: the true
     // freq·32 > N term set, integer threshold — the sketch never
     // appears because its verify pass makes the result exact

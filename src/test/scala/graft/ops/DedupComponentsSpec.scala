@@ -147,4 +147,30 @@ class DedupComponentsSpec extends SparkSuite {
     assert(out(200L), "capped cluster produces no near-dup verdict")
     assert(!out(201L), "cold-bucket near-dup still detected")
   }
+
+  test("incrementalDedup against a PERSISTED band index gives the same " +
+    "verdicts as the inline build") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 40L).map(i =>
+      (i, s"corpus doc number $i with some shared words and tail_$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "corpus doc number 7 with some shared words and tail_7"),
+      (101L, "totally novel payload nothing shared here at all okay"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("band_index")
+    Dedup.corpusBandIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+    val persisted = Dedup.incrementalDedupWithIndex(
+        s.read.parquet(dir), corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+      .toSet
+    val inline = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+      .toSet
+    assert(persisted === inline, s"persisted=$persisted inline=$inline")
+    assert(persisted.exists { case (id, _, keep) => id == 101L && keep })
+    assert(persisted.exists { case (id, _, keep) => id == 100L && !keep })
+  }
 }
