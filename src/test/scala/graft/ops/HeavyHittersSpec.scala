@@ -67,6 +67,31 @@ class HeavyHittersSpec extends SparkSuite {
     assert(TextOps.heavyHitters(empty, "text").count() === 0L)
   }
 
+  test("property: MG candidates are a superset of exact heavy hitters " +
+    "for random zipf-ish streams at random partitionings") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val termGen = Gen.frequency(
+        (8, Gen.oneOf("hot1", "hot2", "hot3")),
+        (4, Gen.oneOf((0 until 20).map(i => s"warm$i"))),
+        (3, Gen.choose(0, 5000).map(i => s"cold$i")))
+      val terms = Gen.listOfN(2000, termGen).sample.get
+      val capacity = 8 + rng.nextInt(24)
+      val n = terms.length.toLong
+      val exactHH = terms.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * (capacity + 1) > n }.keySet.toSet
+      val cand = terms.toDF("term").repartition(1 + rng.nextInt(9))
+        .agg(GraftFunctions.mgCandidates(col("term"), capacity))
+        .head().getSeq[String](0).toSet
+      assert(exactHH.subsetOf(cand),
+        s"trial $trial capacity $capacity lost ${exactHH diff cand}")
+      assert(cand.size <= capacity)
+    }
+  }
+
   test("globalShuffle: every doc placed once, per-shard positions are " +
     "contiguous from 1, placement is reproducible") {
     val s = spark

@@ -47,6 +47,15 @@ class RetrievalSpec extends SparkSuite {
       s"exact-tie broken by doc_id: $ranks")
   }
 
+  test("bm25TopK with a term absent from the corpus contributes zero " +
+    "everywhere and breaks nothing") {
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("spark", "unicorn"), k = 10).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r =>
+      r.getDouble(r.fieldIndex("s_unicorn")) === 0.0))
+  }
+
   test("bm25TopK ties break by doc_id and k truncates") {
     val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
         Seq("spark"), k = 1).collect()
