@@ -41,6 +41,19 @@ object PerfProbe {
         Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4,
           bands = b, rowsPerBand = r).count()
       }
+    // semantic_dedup nCentroids dial: pair cost is Σ|cell|² (fewer,
+    // larger cells → more pairs). sf0.1 measured (min of 3):
+    // k=8→0.23s, k=32→0.22s, k=128→0.27s — flat, because 2000 vectors
+    // are candidate-cheap at any k; the dial matters at corpus scale,
+    // where k is sized to the target E|cell| (SemDeDup practice
+    // ~10³-10⁴) so no cell's pair unfold dominates a task
+    for (k <- Seq(8, 32, 128))
+      time(s"semantic_dedup k=$k", 3) {
+        val cts = graft.ops.Similarity.trainCentroids(
+          emb, "vec_id", "embedding", k)
+        graft.ops.Similarity.semanticDedup(
+          emb, "vec_id", "embedding", cts, tau = 0.3).count()
+      }
     spark.stop()
   }
 }
