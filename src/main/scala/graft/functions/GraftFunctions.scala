@@ -48,6 +48,20 @@ object GraftFunctions {
                        nProbe: Int): Column =
     c(NearestCentroids(e(qvec), centroids, nProbe))
 
+  /** PQ codes (one per subspace) of a quantized array<bigint> vector. */
+  def pqEncode(qvec: Column, codebooks: Array[Array[Array[Long]]]): Column =
+    c(PqEncode(e(qvec), codebooks))
+
+  /** Squared norm of the PQ reconstruction of an array<int> code word. */
+  def pqReconNorm(codes: Column,
+                  codebooks: Array[Array[Array[Long]]]): Column =
+    c(PqReconNorm(e(codes), codebooks))
+
+  /** Asymmetric dot: exact query vector × PQ reconstruction of codes. */
+  def pqAdcDot(codes: Column, qvec: Column,
+               codebooks: Array[Array[Array[Long]]]): Column =
+    c(PqAdcDot(e(codes), e(qvec), codebooks))
+
   /** Bucketed byte histogram of a binary payload. */
   def byteHistogram(payload: Column, nBuckets: Int): Column =
     c(ByteHistogram(e(payload), nBuckets))

@@ -238,6 +238,155 @@ object Similarity {
         col("rnk").cast(LongType).as("rnk"), col("cosine"))
   }
 
+  /** Train product-quantization codebooks (Jégou et al. 2011, the
+    * FAISS PQ family): the quantized vector splits into `m` contiguous
+    * subspaces (remainder dims go to the earlier subspaces) and each
+    * subspace gets its own `codesPerSub`-entry k-means codebook,
+    * trained by L2 Lloyd on the SAME bounded hash-ordered driver
+    * sample as trainCentroids — a 100 TB corpus still trains on
+    * `sampleCap` vectors, and the fixed sample order + iteration count
+    * make every codebook deterministic.
+    */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, codesPerSub: Int = 32, iters: Int = 5,
+                       sampleCap: Int = 4096): Array[Array[Array[Long]]] = {
+    val sample = emb
+      .select(Dedup.quantize(col(vecCol)).as("q"), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleCap)
+      .select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(m >= 1 && m <= dim, s"m=$m out of range for dim=$dim")
+    val base = dim / m
+    val rem = dim % m
+    val subDims = Array.tabulate(m)(s => base + (if (s < rem) 1 else 0))
+    val offs = subDims.scanLeft(0)(_ + _).init
+    Array.tabulate(m) { s =>
+      val off = offs(s)
+      val sd = subDims(s)
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + sd))
+      val c = math.min(codesPerSub, sub.length)
+      var cb = sub.take(c).map(_.clone())
+      def l2(v: Array[Long], ct: Array[Long]): Long = {
+        var d = 0L; var i = 0
+        while (i < sd) { val x = v(i) - ct(i); d += x * x; i += 1 }
+        d
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(c)(new Array[Long](sd))
+        val counts = new Array[Int](c)
+        sub.foreach { v =>
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < c) {
+            val d = l2(v, cb(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sd) { sums(best)(i) += v(i); i += 1 }
+        }
+        cb = Array.tabulate(c) { j =>
+          if (counts(j) == 0) cb(j)
+          else Array.tabulate(sd)(i =>
+            math.round(sums(j)(i).toDouble / counts(j)))
+        }
+        it += 1
+      }
+      cb
+    }
+  }
+
+  /** The per-subspace code assignments of `pqTopK`, exposed long-form
+    * `(vec_id, subspace, code)` for external-oracle materialization
+    * (the ivfCells pattern): given the same codebooks, these and the
+    * codes inside pqTopK are the same deterministic expression.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              codebooks: Array[Array[Array[Long]]]): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        posexplode(GraftFunctions.pqEncode(
+          Dedup.quantize(col(vecCol)), codebooks))
+          .as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast(LongType).as("subspace"),
+        col("code").cast(LongType).as("code"))
+
+  /** The codebooks themselves as a DataFrame `(subspace, code,
+    * sub_off, centroid, cnorm)` — materialized beside the codes so an
+    * external oracle can replay the exact ADC arithmetic.
+    */
+  def pqCodebookTable(spark: org.apache.spark.sql.SparkSession,
+                      codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    val offs = graft.functions.PqCodebooks.offsets(codebooks)
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (ct, code) =>
+        (s.toLong, code.toLong, offs(s).toLong, ct.toSeq,
+          ct.map(x => x * x).sum)
+      }
+    }.toSeq.toDF("subspace", "code", "sub_off", "centroid", "cnorm")
+  }
+
+  /** N3 compressed-scan path — PQ top-k with asymmetric distance
+    * computation and exact rerank: the corpus is scanned as `m` small
+    * integer codes per row (64-dim float vector → 16 one-byte codes =
+    * 16× smaller than the raw vector, the reason PQ exists at
+    * 100 TB); candidates rank by the reconstructed cosine
+    * adc / sqrt(nn_recon · nn_q) — every term an exact int64 (PqAdcDot
+    * / PqReconNorm lookups), so candidate selection is deterministic —
+    * and the top `k·rerankFactor` per query are then re-scored against
+    * their EXACT vectors (a second, id-bounded fetch: candidates
+    * broadcast, corpus joined by id) to produce the final top-k.
+    *
+    * Plan shape at scale: one codes scan (narrow columns) against
+    * broadcast queries, a per-query bounded candidate window, and an
+    * exact-fetch join whose probe side is |Q|·R rows. The queries
+    * multiply the scan only through the broadcast, never a shuffle of
+    * the corpus.
+    */
+  def pqTopK(codebooks: Array[Array[Array[Long]]], emb: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String,
+             k: Int = 5, rerankFactor: Int = 4): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      Dedup.quantize(col(vecCol)).as("q_n"))
+    val codes = corpus
+      .select(col("neighbor_id"),
+        GraftFunctions.pqEncode(col("q_n"), codebooks).as("codes"))
+      .withColumn("nn_r", GraftFunctions.pqReconNorm(col("codes"), codebooks))
+      .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
+    val qs = queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+      .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
+    val recon = codes.join(broadcast(qs), Seq("__jk")).drop("__jk")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("recon_cos",
+        GraftFunctions.pqAdcDot(col("codes"), col("q_q"), codebooks)
+          .cast(DoubleType) /
+          sqrt(col("nn_r").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("recon_cos").desc, col("neighbor_id").asc)
+    val cand = recon.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("q_q"), col("nn_q"))
+    val exact = corpus
+      .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cosine",
+        Dedup.qdot(col("q_n"), col("q_q")).cast(DoubleType) /
+          sqrt(col("nn_n").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast(LongType).as("rnk"), col("cosine"))
+  }
+
   /** N3 — per-label centroid summary of the embedding corpus (class
     * prototypes: nearest-centroid classifier init, drift monitoring,
     * per-class norm stats). One narrow shuffle on (label, dim) after a

@@ -155,6 +155,44 @@ object LlmQueries {
         Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5),
         floor = 0.25)
     }),
+    // N3 compressed-scan path — PQ top-k (ADC candidates over 16
+    // one-byte codes/row + exact rerank of the top 10k). The codebooks
+    // are driver-trained (deterministic, not SQL-recomputable), so the
+    // oracle reads the MATERIALIZED per-subspace code assignments and
+    // codebook table and replays the exact integer ADC chain — full
+    // hash equivalence, no rows-only gap (the ivf_topk pattern).
+    // Parameters from the PqSpec sweep: m=16/cps=32/rf=10 = recall
+    // .964 on the 50-query gate at 16x scan compression.
+    "pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 16, codesPerSub = 32)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite")) {
+        Similarity.pqCodes(e, "vec_id", "embedding", cbs)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(pqCodesDir)
+        Similarity.pqCodebookTable(s, cbs)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(pqCodebookDir)
+      }
+      Similarity.pqTopK(cbs, e, q, "vec_id", "embedding",
+        k = 5, rerankFactor = 10)
+    }),
+    // N3 — recall gate for the PQ path (the ivf_recall pattern): the
+    // 50-deep ADC candidate stage + exact rerank holds recall@5 >= 0.9
+    // on the 50-query set.
+    "pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 16, codesPerSub = 32)
+      recallGate(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        Similarity.pqTopK(cbs, e, q, "vec_id", "embedding",
+          k = 5, rerankFactor = 10),
+        floor = 0.9)
+    }),
     // N3 — kNN label classification: the downstream consumer of
     // similarity search in a data pipeline (label propagation / weak
     // supervision): majority label over the exact top-5 neighbors,
@@ -430,6 +468,15 @@ object LlmQueries {
   private def ivfCellsDir: String =
     sys.props.getOrElse("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
 
+  /** pq_topk's materialized per-subspace code assignments and codebook
+    * table (ivfCellsDir pattern — separate paths so queries can't
+    * clobber each other within one Verify run).
+    */
+  private def pqCodesDir: String =
+    sys.props.getOrElse("graft.pq.codes.dir", "/tmp/graft_pq_codes")
+  private def pqCodebookDir: String =
+    sys.props.getOrElse("graft.pq.codebook.dir", "/tmp/graft_pq_codebook")
+
   /** semantic_dedup's materialized cell assignments (ivfCellsDir
     * pattern — same lifecycle, separate path so the two queries can't
     * clobber each other within one Verify run).
@@ -638,6 +685,55 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     "ivf_recall" -> recallGateOracle,
     "lsh_recall" -> recallGateOracle,
+    "pq_recall" -> recallGateOracle,
+    // replay the exact ADC chain over the MATERIALIZED codes+codebook:
+    // same candidate window (reconstructed cosine from integer adc and
+    // norms), same exact rerank — every double is the same one-division
+    // chain, so the output hash-matches bit-for-bit
+    "pq_topk" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+         |  FROM '$pqCodesDir/*.parquet'),
+         |cb AS (SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  CAST(code AS BIGINT) AS code, CAST(sub_off AS BIGINT) AS sub_off,
+         |  centroid, CAST(cnorm AS BIGINT) AS cnorm
+         |  FROM '$pqCodebookDir/*.parquet'),
+         |nr AS (SELECT c.vec_id, CAST(sum(cb.cnorm) AS BIGINT) AS nn_r
+         |  FROM codes c JOIN cb ON c.subspace = cb.subspace
+         |    AND c.code = cb.code
+         |  GROUP BY 1),
+         |contrib AS (SELECT c.vec_id AS neighbor_id, q.vec_id AS query_id,
+         |  list_sum(list_transform(range(1, len(cb.centroid)+1),
+         |    i -> cb.centroid[i] * q.qv[cb.sub_off + i])) AS part
+         |  FROM codes c
+         |  JOIN cb ON c.subspace = cb.subspace AND c.code = cb.code
+         |  JOIN qs q ON c.vec_id <> q.vec_id),
+         |ad AS (SELECT query_id, neighbor_id,
+         |  CAST(sum(part) AS BIGINT) AS adc
+         |  FROM contrib GROUP BY 1, 2),
+         |recon AS (SELECT ad.query_id, ad.neighbor_id,
+         |  CAST(ad.adc AS DOUBLE)
+         |    / sqrt(CAST(nr.nn_r AS DOUBLE) * CAST(q.nn AS DOUBLE))
+         |    AS recon_cos
+         |  FROM ad JOIN nr ON ad.neighbor_id = nr.vec_id
+         |  JOIN qs q ON ad.query_id = q.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY recon_cos DESC, neighbor_id) AS crk FROM recon)
+         |  WHERE crk <= 50),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     // exact within-cell pairs over the MATERIALIZED cell assignments
     // (ivf_topk pattern) — same partition, same quantized cosine, same
     // min-id greedy, so every column hash-matches including the doubles
