@@ -62,6 +62,10 @@ object GraftFunctions {
                codebooks: Array[Array[Array[Long]]]): Column =
     c(PqAdcDot(e(codes), e(qvec), codebooks))
 
+  /** Bloom-filter membership probe of a bigint hash column. */
+  def bloomMightContain(hash: Column, bloom: GraftBloomFilter): Column =
+    c(BloomMightContain(e(hash), bloom))
+
   /** Bucketed byte histogram of a binary payload. */
   def byteHistogram(payload: Column, nBuckets: Int): Column =
     c(ByteHistogram(e(payload), nBuckets))

@@ -62,6 +62,50 @@ object CorpusOps {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** `decontaminate` with a Bloom pre-filter on the corpus-side gram
+    * stream — the shape that survives when the eval-gram set outgrows
+    * a comfortable broadcast hash relation. The filter is built
+    * distributed (one typed aggregation, partial bit arrays OR-merge —
+    * GraftBloom.build) over the 64-bit gram hashes and rides into the
+    * scan as a codegen'd expression, so ~all non-contaminated grams
+    * (fp rate ≈ 4e-4 at 16 bits/key) die map-side, before the
+    * broadcast join ever sees them. The join on the surviving gram
+    * STRINGS then makes the result exact: Bloom false positives are
+    * eliminated, and false negatives don't exist, so the output is
+    * row-identical to `decontaminate` — same oracle.
+    *
+    * At 100 TB: a 10⁹-gram eval side is a 2 GB bloom (16 bits/key)
+    * probed at ~constant cost per gram, while the exact join's hash
+    * relation only holds grams that pass — the 1-in-2500 fp stream
+    * plus the true hits — instead of every corpus gram.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, bitsPerGram: Int = 16,
+                         numHashes: Int = 6): DataFrame = {
+    import graft.functions.{GraftBloom, GraftFunctions}
+    val sh = docs.select(col(idCol),
+      TextOps.splitAssign(col(textCol)).as("split"),
+      TextOps.wordShingles(col(textCol), k).as("s"))
+    val evalGrams = sh.filter(col("split") === "test")
+      .select(explode(col("s")).as("g")).distinct()
+    // size the filter from the eval-gram count: one bounded job — the
+    // eval side is benchmark-sized by contract (MBs vs TBs)
+    val nEval = math.max(1L, evalGrams.count())
+    val bloom = GraftBloom.build(
+      evalGrams.select(xxhash64(col("g")).as("h")), "h",
+      GraftBloom.sizeBits(nEval, bitsPerGram), numHashes)
+    val train = sh.filter(col("split") === "train")
+    val hits = train.select(col(idCol), explode(col("s")).as("g"))
+      .filter(GraftFunctions.bloomMightContain(xxhash64(col("g")), bloom))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Global span dedup (C4-style): how much of each document is made
     * of k-word spans that also appear in at least one OTHER document
     * anywhere in the corpus. Unlike the pairwise near-dup family
@@ -177,6 +221,43 @@ object CorpusOps {
       .groupBy(col(srcCol), col("quota_pct"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Scalable global row numbering: assign every document a dense,
+    * deterministic 1-based global id WITHOUT the single-partition
+    * global sort a bare `row_number() OVER (ORDER BY …)` plans (one
+    * task sees 100 TB — the classic driver-shaped bottleneck). The
+    * global order is defined as (shard, id) where shard is a content
+    * hash of the id: within-shard row numbers come from an ordinary
+    * per-shard window (parallel across shards), the shard offsets come
+    * from one `nShards`-row count aggregate (driver-bounded by
+    * construction, like the IVF centroid sample), and the final id is
+    * offset + within-shard rank — a broadcast join of an nShards-row
+    * table, no second shuffle of the data.
+    *
+    * The hash shard also balances the per-shard sort state under id
+    * skew (sequential ids, hot ranges) — partition sizes are governed
+    * by the hash, not the id distribution.
+    */
+  def globalIds(docs: DataFrame, idCol: String,
+                nShards: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = docs.select(col(idCol),
+      pmod(TextOps.polyHash(col(idCol).cast(StringType)),
+        lit(nShards.toLong)).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    val counts = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetDf = offsets.toSeq.toDF("shard", "offset")
+    sharded.withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(offsetDf), Seq("shard"))
+      .select(col(idCol), col("shard"),
+        (col("offset") + col("rn")).as("global_id"))
   }
 
   /** Deterministic global training shuffle: every document gets a

@@ -246,6 +246,10 @@ object LlmQueries {
     // per-shard sort
     "global_shuffle" -> ((s, d) =>
       CorpusOps.globalShuffle(docs(s, d), "doc_id", nShards = 8)),
+    // corpus op — dense global row ids without a single-partition
+    // global sort: per-shard windows + an nShards-row offset join
+    "global_ids" -> ((s, d) =>
+      CorpusOps.globalIds(docs(s, d), "doc_id", nShards = 64)),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -363,6 +367,13 @@ object LlmQueries {
     // 3-word shingle with the content-hash test split
     "decontaminate" -> ((s, d) =>
       CorpusOps.decontaminate(docs(s, d), "doc_id", "text")),
+    // the same decontamination with a distributed-built Bloom
+    // pre-filter on the corpus gram stream (the eval-side-outgrows-
+    // broadcast shape); exact by construction — Bloom false positives
+    // die in the gram-string join, false negatives don't exist — so it
+    // shares decontaminate's oracle verbatim
+    "decontaminate_bloom" -> ((s, d) =>
+      CorpusOps.decontaminateBloom(docs(s, d), "doc_id", "text")),
     // Corpus ops — global span dedup: per-doc fraction of 5-word spans
     // that also occur in another document (C4 boilerplate profile)
     "span_dedup" -> ((s, d) =>
@@ -554,6 +565,27 @@ object LlmQueries {
        |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
        |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= $maxDist""".stripMargin
   }
+
+  /** Shared by decontaminate and decontaminate_bloom: the Bloom
+    * variant is exact by construction, so both compare to the same
+    * brute-force overlap SQL.
+    */
+  private lazy val decontaminateOracle: String =
+    s"""WITH $shinglesCte,
+         |f AS (SELECT doc_id, ${sqlPolyHash("text")} % 10 AS b
+         |  FROM documents),
+         |eg AS (SELECT DISTINCT unnest(sh.s) AS g
+         |  FROM sh JOIN f USING(doc_id) WHERE f.b >= 9),
+         |tg AS (SELECT sh.doc_id, unnest(sh.s) AS g
+         |  FROM sh JOIN f USING(doc_id) WHERE f.b < 8),
+         |hits AS (SELECT tg.doc_id, count(*) AS n
+         |  FROM tg JOIN eg USING(g) GROUP BY tg.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+         |  coalesce(hits.n, 0) > 0 AS contaminated
+         |FROM (SELECT sh.doc_id FROM sh JOIN f USING(doc_id)
+         |      WHERE f.b < 8) d
+         |LEFT JOIN hits USING(doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -823,6 +855,16 @@ object LlmQueries {
          |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY order_h, doc_id) AS BIGINT) AS pos
          |FROM h""".stripMargin,
+    // the global order is DEFINED as (shard, doc_id), so one global
+    // row_number reproduces per-shard rank + offset exactly
+    "global_ids" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % 64 AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (ORDER BY shard, doc_id) AS BIGINT)
+         |    AS global_id
+         |FROM s""".stripMargin,
     "knn_classify" ->
       s"""WITH $quantCte,
          |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
@@ -1141,22 +1183,8 @@ object LlmQueries {
     "approx_distinct" ->
       """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
         |FROM events""".stripMargin,
-    "decontaminate" ->
-      s"""WITH $shinglesCte,
-         |f AS (SELECT doc_id, ${sqlPolyHash("text")} % 10 AS b
-         |  FROM documents),
-         |eg AS (SELECT DISTINCT unnest(sh.s) AS g
-         |  FROM sh JOIN f USING(doc_id) WHERE f.b >= 9),
-         |tg AS (SELECT sh.doc_id, unnest(sh.s) AS g
-         |  FROM sh JOIN f USING(doc_id) WHERE f.b < 8),
-         |hits AS (SELECT tg.doc_id, count(*) AS n
-         |  FROM tg JOIN eg USING(g) GROUP BY tg.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
-         |  coalesce(hits.n, 0) > 0 AS contaminated
-         |FROM (SELECT sh.doc_id FROM sh JOIN f USING(doc_id)
-         |      WHERE f.b < 8) d
-         |LEFT JOIN hits USING(doc_id)""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+    "decontaminate_bloom" -> decontaminateOracle,
     "span_dedup" ->
       s"""WITH t5 AS (SELECT doc_id, string_split(text, ' ') AS w
          |  FROM documents),

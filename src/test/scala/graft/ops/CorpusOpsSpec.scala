@@ -99,6 +99,24 @@ class CorpusOpsSpec extends SparkSuite {
       }
   }
 
+  test("globalIds: dense 1..N, stable across partitionings, ordered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val out = CorpusOps.globalIds(docs, "doc_id", nShards = 16)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense cover of 1..N, no dup ids
+    assert(rows.map(_._3).sorted.toSeq === (1L to n))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // the id order IS (shard, doc_id): sorting rows one way sorts both
+    assert(rows.sortBy(_._3).map(r => (r._2, r._1)).toSeq ===
+      rows.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    // stable under a different input partitioning
+    val re = CorpusOps.globalIds(docs.repartition(13), "doc_id", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(re.toSeq === rows.map(r => (r._1, r._3)).sortBy(_._1).toSeq)
+  }
+
   test("domainMix: deterministic, quota-bounded, all sources present") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = CorpusOps.domainMix(docs, "doc_id", "source").collect()
