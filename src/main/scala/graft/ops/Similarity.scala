@@ -373,6 +373,16 @@ object Similarity {
     val cand = recon.withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"), col("q_q"), col("nn_q"))
+    rerankExact(corpus, cand, k)
+  }
+
+  /** Shared exact-rerank tail of the compressed ANN paths: fetch the
+    * full vectors of the `(query, neighbor)` candidates (candidates
+    * broadcast — |Q|·R rows — corpus joined by id) and re-rank by the
+    * exact quantized cosine to the final top-k.
+    */
+  private def rerankExact(corpus: DataFrame, cand: DataFrame,
+                          k: Int): DataFrame = {
     val exact = corpus
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .join(broadcast(cand), Seq("neighbor_id"))
@@ -385,6 +395,55 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rnk").cast(LongType).as("rnk"), col("cosine"))
+  }
+
+  /** N3 — the full FAISS "IVFADC" composition: IVF cells prune the
+    * candidate space (each corpus vector posts into `nAssign` cells,
+    * each query probes its `nProbe` nearest — candidate cost is the
+    * probed fraction of the corpus, not all of it), PQ codes score
+    * the survivors by reconstructed cosine WITHOUT touching full
+    * vectors, and the exact rerank re-scores only the per-query
+    * top `k·rerankFactor`. At 100 TB this is the index layout that
+    * makes ANN feasible at all: the partition key is the cell, the
+    * scanned payload is 16 bytes of codes, and full vectors are
+    * fetched for a bounded candidate set.
+    *
+    * Every stage is the same deterministic integer arithmetic as its
+    * standalone parent (ivfTopKWith / pqTopK), so the composition is
+    * oracle-checkable end-to-end from materialized cells + codes.
+    */
+  def ivfPqTopK(centroids: Array[Array[Long]],
+                codebooks: Array[Array[Array[Long]]],
+                emb: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int = 5,
+                nProbe: Int = 12, nAssign: Int = 2,
+                rerankFactor: Int = 10): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      Dedup.quantize(col(vecCol)).as("q_n"))
+    val codes = corpus
+      .withColumn("codes", GraftFunctions.pqEncode(col("q_n"), codebooks))
+      .withColumn("nn_r", GraftFunctions.pqReconNorm(col("codes"), codebooks))
+      .withColumn("cell", explode(GraftFunctions.nearestCentroids(
+        col("q_n"), centroids, nAssign)))
+      .select(col("neighbor_id"), col("codes"), col("nn_r"), col("cell"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+      .withColumn("cell", explode(
+        GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val recon = codes.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("recon_cos",
+        GraftFunctions.pqAdcDot(col("codes"), col("q_q"), codebooks)
+          .cast(DoubleType) /
+          sqrt(col("nn_r").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("recon_cos").desc, col("neighbor_id").asc)
+    val cand = recon.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("q_q"), col("nn_q"))
+    rerankExact(corpus, cand, k)
   }
 
   /** N3 — per-label centroid summary of the embedding corpus (class

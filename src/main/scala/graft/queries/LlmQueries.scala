@@ -193,6 +193,48 @@ object LlmQueries {
           k = 5, rerankFactor = 10),
         floor = 0.9)
     }),
+    // N3 — the IVFADC composition (FAISS IVF+PQ): cells prune, codes
+    // score, exact rerank finishes. Cells/codes/codebook materialize
+    // to their own dirs (identical training is deterministic, but
+    // separate paths keep the queries un-coupled in one Verify run).
+    "ivfpq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      val cts = Similarity.trainCentroids(e, "vec_id", "embedding", 32)
+      val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 16, codesPerSub = 32)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite")) {
+        Similarity.ivfCells(e, "vec_id", "embedding", cts, n = 2)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(q, "vec_id", "embedding", cts, n = 14)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(ivfpqCellsDir)
+        Similarity.pqCodes(e, "vec_id", "embedding", cbs)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(ivfpqCodesDir)
+        Similarity.pqCodebookTable(s, cbs)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(ivfpqCodebookDir)
+      }
+      Similarity.ivfPqTopK(cts, cbs, e, q, "vec_id", "embedding",
+        k = 5, nProbe = 14, nAssign = 2, rerankFactor = 20)
+    }),
+    // N3 — recall gate for the composed path (floor from PqSpec's
+    // measurement on the 50-query set)
+    "ivfpq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val cts = Similarity.trainCentroids(e, "vec_id", "embedding", 32)
+      val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 16, codesPerSub = 32)
+      recallGate(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        Similarity.ivfPqTopK(cts, cbs, e, q, "vec_id", "embedding",
+          k = 5, nProbe = 14, nAssign = 2, rerankFactor = 20),
+        floor = 0.9)
+    }),
     // N3 — kNN label classification: the downstream consumer of
     // similarity search in a data pipeline (label propagation / weak
     // supervision): majority label over the exact top-5 neighbors,
@@ -488,6 +530,15 @@ object LlmQueries {
   private def pqCodebookDir: String =
     sys.props.getOrElse("graft.pq.codebook.dir", "/tmp/graft_pq_codebook")
 
+  /** ivfpq_topk's materialized sidecars (cells + codes + codebook). */
+  private def ivfpqCellsDir: String =
+    sys.props.getOrElse("graft.ivfpq.cells.dir", "/tmp/graft_ivfpq_cells")
+  private def ivfpqCodesDir: String =
+    sys.props.getOrElse("graft.ivfpq.codes.dir", "/tmp/graft_ivfpq_codes")
+  private def ivfpqCodebookDir: String =
+    sys.props.getOrElse("graft.ivfpq.codebook.dir",
+      "/tmp/graft_ivfpq_codebook")
+
   /** semantic_dedup's materialized cell assignments (ivfCellsDir
     * pattern — same lifecycle, separate path so the two queries can't
     * clobber each other within one Verify run).
@@ -718,6 +769,61 @@ object LlmQueries {
     "ivf_recall" -> recallGateOracle,
     "lsh_recall" -> recallGateOracle,
     "pq_recall" -> recallGateOracle,
+    "ivfpq_recall" -> recallGateOracle,
+    // the IVFADC composition: candidates gated by the materialized
+    // cell join, scored by the same replayed ADC chain as pq_topk,
+    // finished by the same exact rerank
+    "ivfpq_topk" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
+         |cells AS (SELECT * FROM '$ivfpqCellsDir/*.parquet'),
+         |cand0 AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+         |  FROM '$ivfpqCodesDir/*.parquet'),
+         |cb AS (SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  CAST(code AS BIGINT) AS code, CAST(sub_off AS BIGINT) AS sub_off,
+         |  centroid, CAST(cnorm AS BIGINT) AS cnorm
+         |  FROM '$ivfpqCodebookDir/*.parquet'),
+         |nr AS (SELECT c.vec_id, CAST(sum(cb.cnorm) AS BIGINT) AS nn_r
+         |  FROM codes c JOIN cb ON c.subspace = cb.subspace
+         |    AND c.code = cb.code
+         |  GROUP BY 1),
+         |contrib AS (SELECT c0.query_id, c0.neighbor_id,
+         |  list_sum(list_transform(range(1, len(cb.centroid)+1),
+         |    i -> cb.centroid[i] * q.qv[cb.sub_off + i])) AS part
+         |  FROM cand0 c0
+         |  JOIN codes c ON c0.neighbor_id = c.vec_id
+         |  JOIN cb ON c.subspace = cb.subspace AND c.code = cb.code
+         |  JOIN qs q ON c0.query_id = q.vec_id),
+         |ad AS (SELECT query_id, neighbor_id,
+         |  CAST(sum(part) AS BIGINT) AS adc
+         |  FROM contrib GROUP BY 1, 2),
+         |recon AS (SELECT ad.query_id, ad.neighbor_id,
+         |  CAST(ad.adc AS DOUBLE)
+         |    / sqrt(CAST(nr.nn_r AS DOUBLE) * CAST(q.nn AS DOUBLE))
+         |    AS recon_cos
+         |  FROM ad JOIN nr ON ad.neighbor_id = nr.vec_id
+         |  JOIN qs q ON ad.query_id = q.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY recon_cos DESC, neighbor_id) AS crk FROM recon)
+         |  WHERE crk <= 100),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     // replay the exact ADC chain over the MATERIALIZED codes+codebook:
     // same candidate window (reconstructed cosine from integer adc and
     // norms), same exact rerank — every double is the same one-division

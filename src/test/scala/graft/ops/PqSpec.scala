@@ -95,6 +95,29 @@ class PqSpec extends SparkSuite {
     assert(recall >= 0.9, f"PQ recall $recall%.3f below 0.9")
   }
 
+  test("ivfPqTopK (IVFADC) recall@5 >= 0.9 vs brute force on sf0.01") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val cts = Similarity.trainCentroids(emb, "vec_id", "embedding", 32)
+    val cbs = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 16, codesPerSub = 32)
+    // Dial sweep (measured 2026-08, 50 queries; composition multiplies
+    // the stage losses, so both dials sit above their standalone
+    // settings): nProbe=12 rf=10 .896 | 12/20 .912 | 14/10 .920 |
+    // 14/20 .944 | 16/10 .936 | 16/20 .964. Chosen: 14/20.
+    val got = pairs(Similarity.ivfPqTopK(cts, cbs, emb, queries,
+      "vec_id", "embedding", k = 5, nProbe = 14, nAssign = 2,
+      rerankFactor = 20))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"IVFADC recall@5 = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.9, f"IVFADC recall $recall%.3f below 0.9")
+  }
+
   test("pqTopK output schema and per-query rank contiguity") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 4)
