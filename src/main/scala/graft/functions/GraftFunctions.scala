@@ -62,6 +62,10 @@ object GraftFunctions {
                codebooks: Array[Array[Array[Long]]]): Column =
     c(PqAdcDot(e(codes), e(qvec), codebooks))
 
+  /** Rademacher (±1, deterministic-hash) JL projection to outDim. */
+  def rademacherProject(qvec: Column, outDim: Int, inDim: Int): Column =
+    c(RademacherProject(e(qvec), outDim, inDim))
+
   /** Bloom-filter membership probe of a bigint hash column. */
   def bloomMightContain(hash: Column, bloom: GraftBloomFilter): Column =
     c(BloomMightContain(e(hash), bloom))

@@ -446,6 +446,23 @@ object Similarity {
     rerankExact(corpus, cand, k)
   }
 
+  /** N3 — deterministic JL compression of the embedding corpus: each
+    * quantized vector maps to `outDim` exact-int64 components under
+    * the hash-derived ±1 matrix (RademacherProject). Long-form output
+    * (vec_id, out_dim, value) — no array re-assembly, no row-order
+    * sensitivity. Pure map, zero shuffle; the standard pre-pass that
+    * cuts LSH/dedup/clustering cost by inDim/outDim at 100 TB while
+    * preserving pairwise geometry within the JL bound.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, inDim: Int): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(GraftFunctions.rademacherProject(
+          Dedup.quantize(col(vecCol)), outDim, inDim))
+          .as(Seq("out_dim", "value")))
+      .select(col("vec_id"), col("out_dim").cast(LongType).as("out_dim"),
+        col("value"))
+
   /** N3 — per-label centroid summary of the embedding corpus (class
     * prototypes: nearest-centroid classifier init, drift monitoring,
     * per-class norm stats). One narrow shuffle on (label, dim) after a

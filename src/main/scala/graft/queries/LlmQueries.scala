@@ -278,6 +278,11 @@ object LlmQueries {
     // exact-integer sums + one-division means
     "label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d), "label", "embedding")),
+    // N3 — deterministic JL projection 64 -> 16 dims (hash-derived ±1
+    // weights, exact int64 components — oracle replays the weight hash)
+    "rp_project" -> ((s, d) =>
+      Similarity.randomProject(emb(s, d), "vec_id", "embedding",
+        outDim = 16, inDim = 64)),
     // N4 — heavy hitters: Misra–Gries candidates (bounded-memory,
     // mergeable) + exact verify pass; output is exactly the true
     // freq > N/32 term set (see TextOps.heavyHitters scaladoc)
@@ -770,6 +775,19 @@ object LlmQueries {
     "lsh_recall" -> recallGateOracle,
     "pq_recall" -> recallGateOracle,
     "ivfpq_recall" -> recallGateOracle,
+    // the ±1 weight of coordinate (j, i) is the parity of the same
+    // 31-polynomial fold of "rp:j:i" the Spark kernel precomputes
+    "rp_project" ->
+      s"""WITH $quantCte,
+         |w AS (SELECT j, i0,
+         |  CASE WHEN ${sqlPolyHash(
+               "'rp:' || CAST(j AS VARCHAR) || ':' || CAST(i0 AS VARCHAR)")}
+         |    % 2 = 0 THEN 1 ELSE -1 END AS wt
+         |  FROM range(0, 16) t1(j), range(0, 64) t2(i0)),
+         |p AS (SELECT q.vec_id, w.j AS out_dim,
+         |  CAST(sum(w.wt * q.qv[w.i0 + 1]) AS BIGINT) AS value
+         |  FROM q, w GROUP BY 1, 2)
+         |SELECT vec_id, out_dim, value FROM p""".stripMargin,
     // the IVFADC composition: candidates gated by the materialized
     // cell join, scored by the same replayed ADC chain as pq_topk,
     // finished by the same exact rerank
