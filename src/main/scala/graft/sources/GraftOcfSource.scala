@@ -65,7 +65,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = OcfFormat.sparkSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new OcfScanBuilder(dir,

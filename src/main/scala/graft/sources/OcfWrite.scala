@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 
 /** S8 — the record-store write path as the full DataSourceV2 commit
   * protocol: each task writes a temp container, the driver renames
@@ -40,6 +41,25 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new OcfBatchWrite(dir, doTruncate, info.queryId(),
         new SerializableConfiguration(OcfStore.driverConf()))
+
+    /** S8/S9 — the streaming ingestion sink the reference IS: a
+      * Structured Streaming epoch writes one generation of containers
+      * plus its stats manifest, committed exactly-once under epoch
+      * replay (driver crash between checkpoint and sink commit, or a
+      * restarted query re-running its last epoch). The commit point is
+      * a zero-byte `_epoch-<id>` marker created AFTER containers and
+      * manifest are visible: a replayed epoch whose marker exists is
+      * dropped whole; a replay over a partial install (marker absent)
+      * first retires every `-e<id>.ocf` container of the failed
+      * attempt, so the store never double-counts an epoch. Single
+      * writer per store directory, like Spark's own file sink.
+      */
+    override def toStreaming: StreamingWrite = {
+      if (doTruncate) throw new UnsupportedOperationException(
+        "graft-ocf streaming sink supports Append output mode only")
+      new OcfStreamingWrite(dir, info.queryId(),
+        new SerializableConfiguration(OcfStore.driverConf()))
+    }
   }
 }
 
@@ -135,13 +155,117 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
   }
 }
 
+/** The streaming side of the commit protocol. Epoch-local dest names
+  * end in `-e<epochId>.ocf` so a replayed attempt's partial install is
+  * identifiable (and retirable) by suffix alone, whatever queryId the
+  * re-run carries.
+  */
+class OcfStreamingWrite(dir: String, queryId: String,
+                        conf: SerializableConfiguration)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = OcfStreamingWriterFactory(dir,
+    queryId, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    fs.mkdirs(d)
+    val marker = new Path(d, s"_epoch-$epochId")
+    if (fs.exists(marker)) {
+      // this epoch was fully installed by a previous attempt — a
+      // replay after recovery. Drop its temps; install nothing twice.
+      messages.foreach {
+        case OcfCommit(temp, _, _) if temp.nonEmpty =>
+          fs.delete(new Path(temp), false)
+        case _ => ()
+      }
+      return
+    }
+    // a previous attempt of THIS epoch may have crashed mid-install
+    // (marker absent, some containers visible): retire its files
+    // first — readers filter dot-files, so each rename atomically
+    // removes the orphan from the read set
+    val suffixOcf = s"-e$epochId.ocf"
+    val suffixMf = s"-e$epochId.ndjson"
+    fs.listStatus(d).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith(".") &&
+          (n.endsWith(suffixOcf) || n.endsWith(suffixMf))
+      }
+      .foreach { st =>
+        val hidden = new Path(d, "." + st.getPath.getName + ".stale")
+        require(fs.rename(st.getPath, hidden),
+          s"graft-ocf: failed to retire orphan ${st.getPath}")
+        fs.delete(hidden, false)
+      }
+    val installed = messages.collect {
+      case OcfCommit(temp, dest, _) if temp.nonEmpty =>
+        val t = new Path(temp)
+        val dst = new Path(dest)
+        if (fs.exists(t)) {
+          if (fs.exists(dst))
+            require(fs.delete(dst, false),
+              s"graft-ocf: failed to replace $dst")
+          require(fs.rename(t, dst),
+            s"graft-ocf: commit rename $t -> $dst failed")
+        }
+        dst.getName
+    }.toSet
+    // stats manifest after its containers, marker last: the marker is
+    // the atomic commit point, and stats are never visible for files
+    // that are not
+    val statLines = messages.collect {
+      case OcfCommit(temp, dest, Some(st)) if temp.nonEmpty &&
+          installed.contains(new Path(dest).getName) =>
+        st.copy(file = new Path(dest).getName).toJson
+    }
+    if (statLines.nonEmpty) {
+      val mf = new Path(d, s"_manifest-$queryId-e$epochId.ndjson")
+      val out = fs.create(mf, true)
+      try out.write((statLines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    fs.create(marker, true).close()
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf.value)
+    messages.foreach {
+      case OcfCommit(temp, _, _) if temp != null && temp.nonEmpty =>
+        fs.delete(new Path(temp), false)
+      case _ => ()
+    }
+  }
+}
+
+case class OcfStreamingWriterFactory(dir: String, queryId: String,
+                                     conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new OcfDataWriter(
+      s"$dir/.part-$queryId-$partitionId-$taskId-e$epochId.ocf.tmp",
+      f"$dir/part-$queryId-$partitionId%05d-e$epochId.ocf", conf)
+}
+
 case class OcfWriterFactory(dir: String, queryId: String,
                             conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val temp = s"$dir/.part-$queryId-$partitionId-$taskId.ocf.tmp"
-    private val dest = f"$dir/part-$queryId-$partitionId%05d.ocf"
+      : DataWriter[InternalRow] = new OcfDataWriter(
+    s"$dir/.part-$queryId-$partitionId-$taskId.ocf.tmp",
+    f"$dir/part-$queryId-$partitionId%05d.ocf", conf)
+}
+
+class OcfDataWriter(temp: String, dest: String,
+                    conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
     private var writer: DataFileWriter[GenericRecord] = _
     // running file stats for the commit-time manifest (count +
     // partition/offset/timestamp min-max) — the scan planner's
@@ -190,5 +314,4 @@ case class OcfWriterFactory(dir: String, queryId: String,
 
     override def close(): Unit =
       if (writer != null) { writer.close(); writer = null }
-  }
 }

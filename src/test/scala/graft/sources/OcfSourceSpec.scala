@@ -3,6 +3,7 @@ package graft.sources
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
@@ -543,5 +544,134 @@ class OcfSourceSpec extends SparkSuite {
       assert(got == full.slice(a.toInt, b.toInt),
         s"range [$a,$b) mismatch: got ${got.take(5)}...")
     }
+  }
+
+  // ---- S8/S9 streaming sink: writeStream.format("graft-ocf") ----
+
+  test("S8 streaming sink: store-to-store replication is exactly-once " +
+      "across restart") {
+    // the mirror-maker shape: readStream from one store, writeStream
+    // into another — both ends of the engine's connector, one pipeline
+    val s = spark
+    val src = tmpDir("ocf_repl_src")
+    val dst = tmpDir("ocf_repl_dst")
+    val ckpt = tmpDir("ocf_repl_ckpt")
+    kafkaDf(0, 80).write.format("graft-ocf").mode("overwrite").save(src)
+
+    def run(): Unit = {
+      val q = s.readStream.format("graft-ocf")
+        .option("maxRecordsPerTrigger", "30").load(src)
+        .writeStream.format("graft-ocf")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    val first = spark.read.format("graft-ocf").load(dst)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(first == (0L until 80L).toSet)
+
+    // append to the source, restart on the same checkpoint: the sink
+    // must receive exactly the appended records, once
+    kafkaDf(80, 120).write.format("graft-ocf").mode("append").save(src)
+    run()
+    val second = spark.read.format("graft-ocf").load(dst)
+      .select("offset").collect().map(_.getLong(0)).toSeq
+    assert(second.sorted == (0L until 120L).toSeq,
+      s"expected exactly 0..119 once, got ${second.size} rows")
+
+    // sink hygiene: only containers, manifests, and epoch markers —
+    // every epoch that installed containers also left its marker and
+    // per-epoch stats manifest (pruning works on streamed stores too)
+    val all = new java.io.File(dst).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(all.forall(f => f.endsWith(".ocf") ||
+      (f.startsWith("_manifest-") && f.endsWith(".ndjson")) ||
+      f.startsWith("_epoch-")), s"stray files: $all")
+    assert(all.exists(_.startsWith("_epoch-")))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val stats = OcfStore.manifestStats(dst, conf.value)
+    val ocfs = all.filter(_.endsWith(".ocf"))
+    assert(ocfs.forall(stats.contains),
+      s"every streamed container must be manifested; " +
+        s"missing: ${ocfs.filterNot(stats.contains)}")
+  }
+
+  private def streamRows(from: Int, until: Int): Seq[InternalRow] =
+    (from until until).map { i =>
+      InternalRow(
+        null,
+        s"v$i".getBytes("UTF-8"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("events"),
+        i % 4,
+        i.toLong,
+        1767261600000000L + i * 1000000L,
+        0)
+    }
+
+  private def writeEpoch(dir: String, epochId: Long, rows: Seq[InternalRow],
+      conf: org.apache.spark.util.SerializableConfiguration,
+      queryId: String = "q1")
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val w = OcfStreamingWriterFactory(dir, queryId, conf)
+      .createWriter(0, 0L, epochId)
+    rows.foreach(w.write)
+    val msg = w.commit()
+    w.close()
+    msg
+  }
+
+  test("streaming commit is idempotent under epoch replay") {
+    val dir = tmpDir("ocf_epoch_replay")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val sw = new OcfStreamingWrite(dir, "q1", conf)
+    sw.commit(3L, Array(writeEpoch(dir, 3L, streamRows(0, 40), conf)))
+    val after1 = spark.read.format("graft-ocf").load(dir).count()
+    assert(after1 == 40)
+
+    // a replay of the SAME epoch (restarted query re-running its last
+    // unacknowledged batch, possibly under a different queryId): the
+    // marker must drop the whole install and clean the replay's temp
+    val sw2 = new OcfStreamingWrite(dir, "q2-restart", conf)
+    sw2.commit(3L,
+      Array(writeEpoch(dir, 3L, streamRows(0, 40), conf, "q2-restart")))
+    assert(spark.read.format("graft-ocf").load(dir).count() == 40,
+      "replayed epoch must install nothing")
+    val stray = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+    assert(stray.isEmpty, s"replay temps not cleaned: ${stray.toSeq}")
+  }
+
+  test("a partial epoch install is retired before reinstall") {
+    val dir = tmpDir("ocf_epoch_partial")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    // simulate a crashed attempt: epoch 7's container visible but no
+    // _epoch-7 marker (crash between rename and marker create)
+    val sw = new OcfStreamingWrite(dir, "crashed", conf)
+    val orphanMsg = writeEpoch(dir, 7L, streamRows(0, 25), conf, "crashed")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf.value)
+    // install the container by hand, skip manifest+marker
+    orphanMsg match {
+      case OcfCommit(temp, dest, _) =>
+        fs.rename(new org.apache.hadoop.fs.Path(temp),
+          new org.apache.hadoop.fs.Path(dest))
+    }
+    assert(spark.read.format("graft-ocf").load(dir).count() == 25)
+
+    // the recovered run re-commits epoch 7 with different data layout:
+    // the orphan must be retired, never double-counted
+    val sw2 = new OcfStreamingWrite(dir, "recovered", conf)
+    sw2.commit(7L,
+      Array(writeEpoch(dir, 7L, streamRows(0, 25), conf, "recovered")))
+    val offsets = spark.read.format("graft-ocf").load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSeq
+    assert(offsets.sorted == (0L until 25L).toSeq,
+      s"orphan container double-counted: ${offsets.size} rows")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_epoch-7")))
   }
 }
