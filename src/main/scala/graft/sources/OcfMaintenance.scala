@@ -60,4 +60,34 @@ object OcfMaintenance {
       .write.format("graft-ocf").mode("overwrite").save(dir)
     (before, nFiles)
   }
+
+  /** Rewrite the store time-clustered: containers range-distributed on
+    * (timestamp, partition, offset), so each covers a tight, disjoint
+    * time slice and the commit manifest's timestamp min-max prunes
+    * most of the store for time-range queries — the record store's
+    * analog of Delta's OPTIMIZE ZORDER for the dominant monitoring
+    * access path ("what happened between t1 and t2"). A micro-batch
+    * ingest cadence produces the worst case this fixes: every epoch's
+    * container spans the whole ingest interval per partition, so
+    * time predicates prune nothing until re-clustered.
+    *
+    * `targetFiles` picks the container count (0 = let Spark/AQE
+    * decide); size it to store-bytes / desired-container-size.
+    * Same maintenance-window caveat as `compact`: not safe under an
+    * active streaming reader. Trades the single-partition-per-file
+    * keyed-scan property for time pruning — choose the layout per
+    * store by its read pattern.
+    */
+  def cluster(spark: SparkSession, dir: String,
+              targetFiles: Int = 0): (Int, Int) = {
+    def nFiles: Int =
+      OcfStore.headCounts(dir, OcfStore.driverConf()).size
+    val before = nFiles
+    spark.read.format("graft-ocf").load(dir)
+      .write.format("graft-ocf")
+      .option("layout", "time")
+      .option("targetFiles", targetFiles.toString)
+      .mode("overwrite").save(dir)
+    (before, nFiles)
+  }
 }

@@ -28,10 +28,36 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  // layout=partition (default): cluster containers by the Kafka
+  //   partition column — broker-log layout, single-partition files,
+  //   shuffle-free keyed scans (SupportsReportPartitioning).
+  // layout=time: range-distribute on (timestamp, partition, offset) —
+  //   every container covers a TIGHT time slice, so the manifest's
+  //   timestamp min-max prunes most of a long-lived store for
+  //   time-range queries (the OPTIMIZE-BY-time / Z-order role; trades
+  //   away the single-partition-per-file property).
+  // targetFiles=N (optional): required shuffle partition count for the
+  //   write — the compaction knob for choosing container count.
+  private val timeLayout =
+    "time".equalsIgnoreCase(info.options.get("layout"))
+  private val targetFiles =
+    Option(info.options.get("targetFiles")).map(_.toInt).getOrElse(0)
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
-      Distributions.clustered(Array(Expressions.identity("partition")))
-    override def requiredOrdering(): Array[SortOrder] = Array(
+      if (timeLayout) Distributions.ordered(timeOrder)
+      else Distributions.clustered(Array(Expressions.identity("partition")))
+    override def requiredOrdering(): Array[SortOrder] =
+      if (timeLayout) timeOrder
+      else Array(
+        Expressions.sort(Expressions.column("partition"),
+          SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("offset"),
+          SortDirection.ASCENDING))
+    override def requiredNumPartitions(): Int = targetFiles
+    private def timeOrder: Array[SortOrder] = Array(
+      Expressions.sort(Expressions.column("timestamp"),
+        SortDirection.ASCENDING),
       Expressions.sort(Expressions.column("partition"),
         SortDirection.ASCENDING),
       Expressions.sort(Expressions.column("offset"),

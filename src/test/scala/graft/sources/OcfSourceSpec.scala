@@ -674,4 +674,68 @@ class OcfSourceSpec extends SparkSuite {
       s"orphan container double-counted: ${offsets.size} rows")
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_epoch-7")))
   }
+
+  test("time-clustered rewrite makes timestamp pruning effective") {
+    import org.apache.spark.sql.sources._
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_cluster")
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+    // the micro-batch worst case: four commits, EACH spanning the full
+    // time range (one per Kafka partition), so every container's
+    // timestamp stats cover everything and time predicates prune zero
+    for (p <- 0 until 4) {
+      (0 until 200).map(i => (i.toLong, s"payload_${p}_$i"))
+        .toDF("id", "props").select(
+          col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit("events").as("topic"),
+          lit(p).cast("int").as("partition"),
+          (col("id") + p * 1000).as("offset"),
+          to_timestamp(from_unixtime(lit(base) + col("id") * 60))
+            .as("timestamp"),
+          lit(0).as("timestampType"))
+        .write.format("graft-ocf")
+        .mode(if (p == 0) "overwrite" else "append").save(dir)
+    }
+    // first quarter of the time range
+    val cut = new Timestamp((base + 50 * 60) * 1000)
+    val filt: Array[Filter] = Array(LessThan("timestamp", cut))
+    val beforePlan = planFiles(dir, filt)
+    val allFiles = planFiles(dir, Array.empty)
+    assert(allFiles.size >= 4)
+    assert(beforePlan.size == allFiles.size,
+      s"pre-cluster, every container spans the full range: " +
+        s"${beforePlan.size} vs ${allFiles.size}")
+    val expected = spark.read.format("graft-ocf").load(dir)
+      .where(col("timestamp") < lit(cut))
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+    val (nb, na) = OcfMaintenance.cluster(spark, dir, targetFiles = 8)
+    assert(na == 8, s"targetFiles=8 must yield 8 containers, got $na " +
+      s"(before: $nb)")
+
+    // now containers are disjoint time slices: the same predicate
+    // keeps only the slice(s) overlapping the first quarter
+    val afterPlan = planFiles(dir, filt)
+    assert(afterPlan.size <= 3,
+      s"time pruning still reads ${afterPlan.size} of $na containers")
+    // and describe() shows tight, non-degenerate time bounds
+    val d = OcfMaintenance.describe(spark, dir)
+      .select("min_ts_us", "max_ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(d.length == 8)
+    val fullSpanUs = 199L * 60 * 1000000
+    d.foreach { case (lo, hi) =>
+      assert(hi - lo < fullSpanUs / 2,
+        s"container time span not tightened: [$lo,$hi]")
+    }
+    // exactness never depends on layout
+    val got = spark.read.format("graft-ocf").load(dir)
+      .where(col("timestamp") < lit(cut))
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
 }
