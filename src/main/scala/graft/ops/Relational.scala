@@ -268,4 +268,21 @@ object Relational {
           .otherwise(lit("unchanged")))
       .drop("__old", "__new")
   }
+
+  /** N9 — CDC apply: collapse an ordered upsert/delete changelog into
+    * final table state. The latest row per key wins (GroupedTopK k=1:
+    * a bounded-heap per-group pass — ONE shuffle on the key, no
+    * global or per-partition sort), then keys whose winning op
+    * satisfies `isDelete` are tombstoned out of the result. This is
+    * the batch twin of applying a Debezium-style change feed to a
+    * snapshot; `logCompact` (StreamOps.scala) is its keep-tombstones
+    * sibling, exactly as broker log compaction retains deletes until
+    * the retention pass.
+    */
+  def cdcApply(changelog: DataFrame, keys: Seq[String], seqCol: String,
+               isDelete: org.apache.spark.sql.Column): DataFrame =
+    graft.plans.GroupedTopK(changelog, keys,
+      Seq((seqCol, false)), k = 1, rankName = "__rnk")
+      .filter(!isDelete)
+      .drop("__rnk")
 }

@@ -450,6 +450,16 @@ object Queries {
       Relational.snapshotDiff(
         snap(ev.filter(col("event_id") < 5000)), snap(ev), "user_id")
     }),
+    // N9 CDC apply: the event stream read as a changelog on user_id —
+    // every event upserts (event_type, props, value), 'error' acts as
+    // the delete tombstone; final state = latest op per key, with
+    // tombstoned keys absent
+    "cdc_apply" -> ((s, d) =>
+      Relational.cdcApply(
+        events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), col("props"), col("value")),
+        Seq("user_id"), "event_id",
+        col("event_type") === "error")),
     // PII scrub over the event payloads: mask email-like tokens and
     // digit runs, count matches (pure map — no shuffle)
     "pii_scrub" -> ((s, d) =>
@@ -763,6 +773,13 @@ object Queries {
         |         THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id""".stripMargin,
+    "cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, props, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, props, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "ntile_stats" ->
       """WITH s AS (SELECT o_orderpriority,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS pc, o_orderkey

@@ -260,4 +260,25 @@ class AsOfSpec extends SparkSuite {
     assert(rows(2L) === (("no pii here", 0L, 0L)))
     assert(rows(3L) === (("<EMAIL> <EMAIL> 42", 2L, 0L)))
   }
+
+  test("cdcApply: latest op wins, trailing tombstones drop the key, " +
+      "resurrected keys survive") {
+    val s = spark
+    import s.implicits._
+    // key 1: upsert, upsert            -> latest upsert kept
+    // key 2: upsert, delete            -> absent (tombstoned)
+    // key 3: upsert, delete, upsert    -> resurrected, latest kept
+    // key 4: delete only               -> absent
+    val log = Seq(
+      (1L, 10L, "up", "a"), (1L, 20L, "up", "b"),
+      (2L, 11L, "up", "c"), (2L, 21L, "del", ""),
+      (3L, 12L, "up", "d"), (3L, 22L, "del", ""), (3L, 32L, "up", "e"),
+      (4L, 13L, "del", ""))
+      .toDF("k", "seq", "op", "payload")
+    val got = Relational.cdcApply(log, Seq("k"), "seq",
+        col("op") === "del")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .toSet
+    assert(got == Set((1L, 20L, "b"), (3L, 32L, "e")))
+  }
 }
