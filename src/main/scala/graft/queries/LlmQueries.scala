@@ -193,6 +193,34 @@ object LlmQueries {
           k = 5, rerankFactor = 10),
         floor = 0.9)
     }),
+    // N3 — binary-quantization (sign-bit) top-k: 256-bit hyperplane
+    // signatures, XOR+popcount candidate scan (8× compression vs
+    // float32), exact quantized-cosine rerank on the 100-deep window.
+    // Signatures materialize for the oracle (pq_topk pattern).
+    "bq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.bqSignatures(e, "vec_id", "embedding", 256)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.bqSignatures(q, "vec_id", "embedding", 256)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(bqSigsDir)
+      Similarity.bqTopK(e, q, "vec_id", "embedding", k = 5,
+        nBits = 256, rerankFactor = 20)
+    }),
+    // N3 — recall gate for the BQ path (ivf_recall pattern)
+    "bq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      recallGate(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        Similarity.bqTopK(e, q, "vec_id", "embedding", k = 5,
+          nBits = 256, rerankFactor = 20),
+        floor = 0.9)
+    }),
     // N3 — the IVFADC composition (FAISS IVF+PQ): cells prune, codes
     // score, exact rerank finishes. Cells/codes/codebook materialize
     // to their own dirs (identical training is deterministic, but
@@ -535,6 +563,10 @@ object LlmQueries {
   private def pqCodebookDir: String =
     sys.props.getOrElse("graft.pq.codebook.dir", "/tmp/graft_pq_codebook")
 
+  /** bq_topk's materialized packed sign signatures (both sides). */
+  private def bqSigsDir: String =
+    sys.props.getOrElse("graft.bq.sigs.dir", "/tmp/graft_bq_sigs")
+
   /** ivfpq_topk's materialized sidecars (cells + codes + codebook). */
   private def ivfpqCellsDir: String =
     sys.props.getOrElse("graft.ivfpq.cells.dir", "/tmp/graft_ivfpq_cells")
@@ -775,6 +807,43 @@ object LlmQueries {
     "lsh_recall" -> recallGateOracle,
     "pq_recall" -> recallGateOracle,
     "ivfpq_recall" -> recallGateOracle,
+    "bq_recall" -> recallGateOracle,
+    // hamming + rerank replayed over the MATERIALIZED signatures: the
+    // candidate window is the same (ham, neighbor_id)-ordered top-50,
+    // the rerank the same quantized-cosine chain — bit-exact across
+    // engines (xor/bit_count on int64 are two's-complement in both)
+    "bq_topk" ->
+      s"""WITH $quantCte,
+         |sc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+         |  CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3
+         |  FROM '$bqSigsDir/*.parquet' WHERE side = 'c'),
+         |sq AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+         |  CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3
+         |  FROM '$bqSigsDir/*.parquet' WHERE side = 'q'),
+         |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(bit_count(xor(c.s0, q.s0)) AS BIGINT)
+         |     + CAST(bit_count(xor(c.s1, q.s1)) AS BIGINT)
+         |     + CAST(bit_count(xor(c.s2, q.s2)) AS BIGINT)
+         |     + CAST(bit_count(xor(c.s3, q.s3)) AS BIGINT) AS ham
+         |  FROM sc c JOIN sq q ON c.vec_id <> q.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ham, neighbor_id) AS crk FROM h)
+         |  WHERE crk <= 100),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine
+         |FROM r WHERE rnk <= 5""".stripMargin,
     // the ±1 weight of coordinate (j, i) is the parity of the same
     // 31-polynomial fold of "rp:j:i" the Spark kernel precomputes
     "rp_project" ->

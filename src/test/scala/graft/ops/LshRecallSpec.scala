@@ -32,6 +32,23 @@ class LshRecallSpec extends SparkSuite {
     assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
   }
 
+  test("bqTopK recall@5 >= 0.9 vs brute force on sf0.01") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    // 256 sign bits keep enough angular resolution on this mostly
+    // isotropic corpus (128 measured 0.76) that the 100-deep hamming
+    // window contains the true top-5 almost always; the exact rerank
+    // does the rest
+    val bq = pairs(
+      Similarity.bqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nBits = 256, rerankFactor = 20))
+    val recall = (exact intersect bq).size.toDouble / exact.size
+    info(f"BQ recall@5 = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.9, f"BQ recall $recall%.3f below 0.9")
+  }
+
   test("lshTopK multiprobe recall is bounded and documented") {
     // This fixture's true top-5 neighbors sit at cosine ~0.3-0.4 —
     // P[sign bit agrees] ≈ 0.6, so 8-bit bucket LSH cannot reach high
