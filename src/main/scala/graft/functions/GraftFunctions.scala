@@ -107,6 +107,14 @@ object GraftFunctions {
     */
   def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
 
+  /** Fused marker-stopword language-ID vote of a lowercased text
+    * column (ties broken by marker order; "unknown" when no marker
+    * token occurs).
+    */
+  def langIdVote(loweredText: Column,
+                 markers: Seq[(String, Seq[String])]): Column =
+    c(LangIdVote(e(loweredText), markers))
+
   /** Explode an Avro OCF binary blob into rows of the target schema.
     * `permissive` drops undecodable blobs instead of failing the task.
     */
@@ -172,7 +180,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mg_candidates"),
       new ExpressionInfo(classOf[MisraGries].getName,
         "graft_mg_candidates"),
-      (args: Seq[Expression]) => MisraGries(args(0), intArg(args, 1))))
+      (args: Seq[Expression]) => MisraGries(args(0), intArg(args, 1))),
+    (FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangIdVote].getName, "graft_langid"),
+      (args: Seq[Expression]) =>
+        LangIdVote(args(0), graft.ops.TextOps.langMarkers)))
 
   private def intArg(args: Seq[Expression], i: Int): Int =
     args(i).eval(null).asInstanceOf[Number].intValue()

@@ -473,3 +473,105 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression)
       : RepetitionStats = copy(child = newChild)
 }
+
+/** Fused language-ID vote of an (already-lowercased) text column: one
+  * loop splits on single spaces (empties kept, exactly `split(t, " ")`
+  * / DuckDB `string_split`) and counts exact marker-stopword hits per
+  * language; the result is the first language in marker order whose
+  * count is positive and maximal, else "unknown" — bit-identical to
+  * the unfused `greatest` + `when`-chain over four interpreted
+  * higher-order `filter` calls it replaces (TextOps.langId), which
+  * re-tokenized the document once per embedded subexpression.
+  */
+case class LangIdVote(child: Expression,
+                      markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  require(markers.nonEmpty && markers.forall(_._2.nonEmpty))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid_vote"
+
+  @transient private lazy val langs: Array[String] =
+    markers.map(_._1).toArray
+  // markers are distinct across languages (asserted at construction),
+  // so a token votes for at most one language and matching can stop at
+  // the first hit
+  @transient private lazy val markerChars: Array[Array[Array[Char]]] =
+    markers.map(_._2.map(_.toCharArray).toArray).toArray
+  require(markers.flatMap(_._2).distinct.size ==
+    markers.map(_._2.size).sum, "marker tokens must be globally distinct")
+
+  private def spanEquals(s: String, from: Int, until: Int,
+                         m: Array[Char]): Boolean = {
+    if (until - from != m.length) return false
+    var j = 0
+    while (j < m.length) {
+      if (s.charAt(from + j) != m(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  def compute(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val counts = new Array[Int](langs.length)
+    var from = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        var l = 0
+        var matched = false
+        while (l < langs.length && !matched) {
+          val ms = markerChars(l)
+          var k = 0
+          while (k < ms.length && !matched) {
+            if (spanEquals(s, from, i, ms(k))) {
+              counts(l) += 1
+              matched = true
+            }
+            k += 1
+          }
+          l += 1
+        }
+        from = i + 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > best) best = counts(l)
+      l += 1
+    }
+    if (best == 0) return LangIdVote.unknown
+    l = 0
+    while (l < counts.length) {
+      if (counts(l) == best) return UTF8String.fromString(langs(l))
+      l += 1
+    }
+    LangIdVote.unknown // unreachable: best > 0 came from some counts(l)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langid", this,
+      classOf[LangIdVote].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LangIdVote = copy(child = newChild)
+}
+
+object LangIdVote {
+  private val unknown = UTF8String.fromString("unknown")
+}

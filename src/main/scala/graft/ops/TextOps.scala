@@ -90,16 +90,8 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "les", "des", "et", "est"))
 
-  def langId(text: Column): Column = {
-    val w = tokens(lower(text))
-    val counts = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(w, t => markers.map(m => t === lit(m)).reduce(_ || _)))
-    }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    counts.foldRight(lit("unknown"): Column) { case ((lang, c), acc) =>
-      when(c > 0 && c === best, lit(lang)).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column =
+    graft.functions.GraftFunctions.langIdVote(lower(text), langMarkers)
 
   /** Quality scoring: token stats + alpha ratio + stopword ratio and a
     * blended score — all integer-derived doubles (deterministic).

@@ -54,6 +54,29 @@ object PerfProbe {
         graft.ops.Similarity.semanticDedup(
           emb, "vec_id", "embedding", cts, tau = 0.3).count()
       }
+    // langid: fused codegen kernel vs the greatest/when tree over four
+    // interpreted higher-order filters (each embedding re-tokenizes)
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    def langIdUnfused(text: org.apache.spark.sql.Column) = {
+      val w = split(lower(text), " ")
+      val counts = graft.ops.TextOps.langMarkers.map { case (lang, ms) =>
+        lang -> size(filter(w, t => ms.map(m => t === lit(m)).reduce(_ || _)))
+      }
+      val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+      counts.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+        case ((lang, c), acc) =>
+          when(c > 0 && c === best, lit(lang)).otherwise(acc)
+      }
+    }
+    time("langid_confusion/unfused", 3) {
+      docs.select(col("lang"), langIdUnfused(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1))).count()
+    }
+    time("langid_confusion/fused", 3) {
+      docs.select(col("lang"),
+          graft.ops.TextOps.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1))).count()
+    }
     spark.stop()
   }
 }

@@ -197,4 +197,44 @@ class KernelSpec extends SparkSuite {
     assert(r.getStruct(1).getString(4) == "bin") // PNG is not WAV
     assert(r.getStruct(2).getString(3) == "bin") // ... nor MP4
   }
+
+  test("LangIdVote matches the unfused greatest/when specification") {
+    // the readable Catalyst form the fused kernel replaced — four
+    // interpreted higher-order filters + greatest + a when chain
+    def spec(text: org.apache.spark.sql.Column) = {
+      val w = split(lower(text), " ")
+      val counts = TextOps.langMarkers.map { case (lang, ms) =>
+        lang -> size(filter(w, t => ms.map(m => t === lit(m)).reduce(_ || _)))
+      }
+      val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+      counts.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+        case ((lang, c), acc) => when(c > 0 && c === best, lit(lang))
+          .otherwise(acc)
+      }
+    }
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "The quick fox and the dog",       // en
+      "el la los de y",                  // es
+      "der die das und ist",             // de
+      "le les des et est",               // fr
+      "xyz qqq",                         // unknown
+      "",                                // empty text
+      "the el",                          // tie -> en precedence
+      "de de the",                       // es marker twice beats en once
+      "LE LES the",                      // case folding feeds the vote
+      "a  a",                            // empty tokens between spaces
+      " the ")                           // leading/trailing empties
+    val bad = (cases ++ texts).toDF("t")
+      .select(col("t"), TextOps.langId(col("t")).as("k"),
+        spec(col("t")).as("s"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+    // and the SQL registration path resolves
+    Seq("el la the").toDF("t").createOrReplaceTempView("langid_probe")
+    assert(spark.sql(
+      "SELECT graft_langid(lower(t)) AS l FROM langid_probe")
+      .collect().head.getString(0) == "es")
+  }
 }
