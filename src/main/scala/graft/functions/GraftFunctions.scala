@@ -115,6 +115,12 @@ object GraftFunctions {
                  markers: Seq[(String, Seq[String])]): Column =
     c(LangIdVote(e(loweredText), markers))
 
+  /** Hashed-linear classifier score: Σ over tokens of
+    * weights[polyHash31(token) mod weights.length].
+    */
+  def linearScore(text: Column, weights: Array[Long]): Column =
+    c(HashedLinearScore(e(text), weights))
+
   /** Explode an Avro OCF binary blob into rows of the target schema.
     * `permissive` drops undecodable blobs instead of failing the task.
     */

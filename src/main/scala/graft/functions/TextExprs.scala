@@ -575,3 +575,66 @@ case class LangIdVote(child: Expression,
 object LangIdVote {
   private val unknown = UTF8String.fromString("unknown")
 }
+
+/** Hashed-linear text-classifier score (the fastText/VW inference
+  * shape: tokenize → hash to a fixed-width weight table → sum): one
+  * loop per row folds each single-space token's 31-polynomial hash
+  * (mod 1e9+7, the oracle-visible PolyHash31 recipe) into an index
+  * mod weights.length and accumulates that integer weight. Pure int64
+  * arithmetic — order-independent and bit-identical to the DuckDB
+  * list_transform/list_reduce oracle form. At 100 TB this is the
+  * model-based quality-filter pass: a pure map, no shuffle, with the
+  * weight table a per-task array (a real model would broadcast it).
+  */
+case class HashedLinearScore(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+  require(weights.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_linear_score"
+
+  def compute(u: UTF8String): Long = {
+    val s = u.toString
+    val d = weights.length
+    var acc = 0L
+    var h = 0L
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        acc += weights((h % d).toInt) // h in [0, 1e9+7) — no negatives
+        h = 0L
+      } else h = (h * 31 + s.charAt(i)) % graft.ops.TextOps.FpMod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("linearScore", this,
+      classOf[HashedLinearScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HashedLinearScore = copy(child = newChild)
+
+  // Array[Long] is compared by reference in case-class equality, which
+  // would defeat Catalyst's canonicalization/CSE of identical scorers
+  override def equals(other: Any): Boolean = other match {
+    case h: HashedLinearScore =>
+      child == h.child && java.util.Arrays.equals(weights, h.weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+}

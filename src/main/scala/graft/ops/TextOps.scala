@@ -93,6 +93,31 @@ object TextOps {
   def langId(text: Column): Column =
     graft.functions.GraftFunctions.langIdVote(lower(text), langMarkers)
 
+  /** Deterministic integer weight table for the hashed-linear quality
+    * classifier (fastText/VW inference shape): weights in [-8, 8],
+    * seeded so the exact values are interpolated into the oracle SQL.
+    * A trained model would ship its own table; the shape — hash each
+    * token into a fixed-width table, sum the hit weights — is the
+    * production one.
+    */
+  val classifierDim: Int = 64
+  val classifierWeights: Array[Long] = {
+    val rng = new scala.util.Random(7L)
+    Array.fill(classifierDim)(rng.nextInt(17).toLong - 8L)
+  }
+
+  /** Model-based quality filtering (N4 extension): per-document hashed
+    * bag-of-words linear score, pure int64 map (codegen kernel
+    * HashedLinearScore — no shuffle, the 100 TB classifier pass), with
+    * `kept = score > 0` as the filter verdict.
+    */
+  def classifyScore(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions.linearScore(
+        col(textCol), classifierWeights).as("score"))
+      .withColumn("kept", col("score") > 0L)
+
   /** Quality scoring: token stats + alpha ratio + stopword ratio and a
     * blended score — all integer-derived doubles (deterministic).
     * `extra` columns (e.g. a langId derivation) ride along in the SAME

@@ -357,6 +357,10 @@ object LlmQueries {
         .select(col("lang"), col("term"), col("cnt"),
           col("rnk").cast(LongType).as("rnk"))
     }),
+    // N4 — model-based quality filter: hashed-linear classifier score
+    // (fastText inference shape), pure int64 map, kept = score > 0
+    "quality_classify" -> ((s, d) =>
+      TextOps.classifyScore(docs(s, d), "doc_id", "text")),
     // N4 — lang-ID confusion counts against the fixture's labeled lang
     "langid_confusion" -> ((s, d) =>
       docs(s, d).select(col("lang"),
@@ -1105,6 +1109,23 @@ object LlmQueries {
          |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
          |  (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) AS fingerprint
          |FROM documents""".stripMargin,
+    "quality_classify" -> {
+      // the weight table interpolated as a DuckDB list literal; token
+      // hash = the fingerprint polyHash recipe, index = 1-based
+      val ws = TextOps.classifierWeights
+        .map(w => s"CAST($w AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+         |    string_split(text, ' '),
+         |    t -> ($ws)[1 + CAST(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(t)+1),
+         |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc*31+c) % ${TextOps.FpMod})
+         |      % ${TextOps.classifierDim} AS INT)])), 0) AS BIGINT) AS score
+         |  FROM documents)
+         |SELECT doc_id, score, score > 0 AS kept FROM scored""".stripMargin
+    },
     "langid" -> {
       val markers = TextOps.langMarkers
       val counts = markers.map { case (lang, ms) =>

@@ -198,6 +198,21 @@ class KernelSpec extends SparkSuite {
     assert(r.getStruct(2).getString(3) == "bin") // ... nor MP4
   }
 
+  test("HashedLinearScore matches the unfused element_at/aggregate spec") {
+    val ws = TextOps.classifierWeights
+    def spec(text: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(split(text, " "), t => element_at(
+          lit(ws),
+          (TextOps.polyHash(t) % ws.length).cast("int") + 1)),
+        lit(0L), (acc, w) => acc + w)
+    val bad = df.select(col("t"),
+        graft.functions.GraftFunctions.linearScore(col("t"), ws).as("k"),
+        spec(col("t")).as("s"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
   test("LangIdVote matches the unfused greatest/when specification") {
     // the readable Catalyst form the fused kernel replaced — four
     // interpreted higher-order filters + greatest + a when chain
