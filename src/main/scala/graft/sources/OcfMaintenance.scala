@@ -90,4 +90,67 @@ object OcfMaintenance {
       .mode("overwrite").save(dir)
     (before, nFiles)
   }
+
+  /** Broker-style time retention (Kafka `retention.ms`, reference
+    * stores its offsets against a broker that enforces exactly this):
+    * drop every container whose manifest proves ALL its records are
+    * older than `beforeTsUs` (epoch microseconds) — whole segments,
+    * never record surgery, exactly as a broker expires whole log
+    * segments by their largest timestamp. Unmanifested containers are
+    * kept conservatively (no stats, no proof). Returns
+    * (containers deleted, records deleted).
+    *
+    * Safe under a LIVE streaming reader, unlike compact/cluster:
+    * deletion never renames surviving containers, so per-file cursors
+    * stay valid; a cursor pointing into a deleted container simply
+    * vanishes from the next trigger's head listing — the engine-owned
+    * twin of Kafka's out-of-range → reset-to-earliest on a truncated
+    * log. Stale manifest lines for deleted files are harmless (stats
+    * are only ever looked up for files present in the listing).
+    */
+  def retain(spark: SparkSession, dir: String, beforeTsUs: Long)
+      : (Int, Long) = {
+    val conf = OcfStore.driverConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return (0, 0L)
+    val stats = OcfStore.manifestStats(dir, conf)
+    val victims = fs.listStatus(d).toSeq
+      .filter(st => st.getPath.getName.endsWith(".ocf") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => stats.get(st.getPath.getName)
+        .filter(s => s.count > 0 && s.maxTsUs < beforeTsUs)
+        .map(s => (st.getPath, s.count)))
+    victims.foreach { case (p, _) => fs.delete(p, false) }
+    (victims.size, victims.map(_._2).sum)
+  }
+
+  /** Broker-style size retention (Kafka `retention.bytes`): keep the
+    * newest containers (by manifest max timestamp, name as tiebreak)
+    * whose cumulative on-disk size fits `maxBytes`; delete the rest.
+    * Unmanifested containers are kept conservatively and don't count
+    * toward the budget. Same live-reader safety as `retain`.
+    */
+  def retainBytes(spark: SparkSession, dir: String, maxBytes: Long)
+      : (Int, Long) = {
+    val conf = OcfStore.driverConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return (0, 0L)
+    val stats = OcfStore.manifestStats(dir, conf)
+    val manifested = fs.listStatus(d).toSeq
+      .filter(st => st.getPath.getName.endsWith(".ocf") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => stats.get(st.getPath.getName)
+        .map(s => (st.getPath, st.getLen, s)))
+      .sortBy { case (p, _, s) => (-s.maxTsUs, p.getName) }
+    var budget = maxBytes
+    val victims = manifested.dropWhile { case (_, len, _) =>
+      val fits = len <= budget
+      if (fits) budget -= len
+      fits
+    }
+    victims.foreach { case (p, _, _) => fs.delete(p, false) }
+    (victims.size, victims.map(_._3.count).sum)
+  }
 }

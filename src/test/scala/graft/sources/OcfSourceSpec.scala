@@ -675,6 +675,76 @@ class OcfSourceSpec extends SparkSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_epoch-7")))
   }
 
+  test("time retention deletes exactly the provably-expired containers") {
+    val dir = tmpDir("ocf_retain")
+    stratifiedStore(dir) // partition p holds ts [base + p*50m, +50m)
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime * 1000L
+    // watermark at the start of partition 2's range: partitions 0 and 1
+    // are wholly older -> deleted; 2 and 3 survive
+    val cut = base + 100L * 60 * 1000000
+    val (nDel, recDel) = OcfMaintenance.retain(spark, dir, cut)
+    assert(nDel == 2 && recDel == 100L, s"got ($nDel, $recDel)")
+    val left = spark.read.format("graft-ocf").load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(left == (100L until 200L).toSet)
+    // idempotent: nothing else is provably expired
+    assert(OcfMaintenance.retain(spark, dir, cut) == ((0, 0L)))
+    // an unmanifested store is never touched (no stats, no proof)
+    val dir2 = tmpDir("ocf_retain_nomanifest")
+    stratifiedStore(dir2)
+    new java.io.File(dir2).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).foreach(_.delete())
+    assert(OcfMaintenance.retain(spark, dir2, Long.MaxValue) == ((0, 0L)))
+    assert(spark.read.format("graft-ocf").load(dir2).count() == 200L)
+  }
+
+  test("size retention keeps the newest containers within the budget") {
+    val dir = tmpDir("ocf_retain_bytes")
+    stratifiedStore(dir)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ocf")).map(_.length()).sorted
+    // budget for the two largest: the two oldest-by-timestamp must go
+    val budget = sizes.takeRight(2).sum + sizes.head - 1
+    val (nDel, recDel) = OcfMaintenance.retainBytes(spark, dir, budget)
+    assert(nDel == 2 && recDel == 100L, s"got ($nDel, $recDel)")
+    // survivors are the NEWEST by manifest max timestamp = partitions 2,3
+    val left = spark.read.format("graft-ocf").load(dir)
+      .select("partition").distinct().collect().map(_.getInt(0)).toSet
+    assert(left == Set(2, 3))
+  }
+
+  test("a live stream survives retention truncation, Kafka-style") {
+    val s = spark
+    val dir = tmpDir("ocf_retain_stream")
+    val ckpt = tmpDir("ocf_retain_stream_ckpt")
+    stratifiedStore(dir)
+    def run(): Set[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = s.readStream.format("graft-ocf").load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("offset").collect().foreach(r => buf.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSet
+    }
+    assert(run() == (0L until 200L).toSet)
+    // expire the two oldest containers AFTER they were consumed, then
+    // append a new generation: the restarted cursor set must simply
+    // drop the vanished files and deliver exactly the appended rows
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime * 1000L
+    val (nDel, _) = OcfMaintenance.retain(spark, dir,
+      base + 100L * 60 * 1000000)
+    assert(nDel == 2)
+    kafkaDf(200, 240).write.format("graft-ocf").mode("append").save(dir)
+    assert(run() == (200L until 240L).toSet,
+      "post-retention restart must deliver exactly the appended records")
+  }
+
   test("time-clustered rewrite makes timestamp pruning effective") {
     import org.apache.spark.sql.sources._
     val s = spark
