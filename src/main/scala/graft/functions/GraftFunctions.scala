@@ -121,6 +121,12 @@ object GraftFunctions {
   def linearScore(text: Column, weights: Array[Long]): Column =
     c(HashedLinearScore(e(text), weights))
 
+  /** Fused per-document quality counters [n_chars, n_tokens,
+    * n_distinct_tokens, n_stop_tokens, alpha_chars].
+    */
+  def qualityStats(text: Column, stopwords: Seq[String]): Column =
+    c(TokenQualityStats(e(text), stopwords))
+
   /** Explode an Avro OCF binary blob into rows of the target schema.
     * `permissive` drops undecodable blobs instead of failing the task.
     */

@@ -638,3 +638,81 @@ case class HashedLinearScore(child: Expression, weights: Array[Long])
   override def hashCode(): Int =
     31 * child.hashCode() + java.util.Arrays.hashCode(weights)
 }
+
+/** Fused per-document quality counters
+  * [n_chars, n_tokens, n_distinct_tokens, n_stop_tokens, alpha_chars]
+  * in one loop per row: single-space tokens (empties kept), distinct
+  * via a per-row hash set, stopword hits against a fixed list, alpha =
+  * count of 'a'..'z' in the RAW text — bit-identical to the
+  * length/split/array_distinct/filter/regexp_replace tree it replaces
+  * (TextOps.quality), which ran an interpreted higher-order filter AND
+  * a regex pass over every document.
+  */
+case class TokenQualityStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  require(stopwords.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quality_stats"
+
+  @transient private lazy val stopChars: Array[Array[Char]] =
+    stopwords.map(_.toCharArray).toArray
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val len = s.length
+    var alpha = 0L
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') alpha += 1
+      i += 1
+    }
+    val distinct = new java.util.HashSet[String]()
+    var nTok = 0L
+    var nStop = 0L
+    var from = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        nTok += 1
+        distinct.add(s.substring(from, i))
+        var k = 0
+        var hit = false
+        while (k < stopChars.length && !hit) {
+          val m = stopChars(k)
+          if (i - from == m.length) {
+            var j = 0
+            while (j < m.length && s.charAt(from + j) == m(j)) j += 1
+            hit = j == m.length
+          }
+          k += 1
+        }
+        if (hit) nStop += 1
+        from = i + 1
+      }
+      i += 1
+    }
+    // length() counts codepoints, not UTF-16 units — match it exactly
+    new GenericArrayData(Array(s.codePointCount(0, len).toLong,
+      nTok, distinct.size.toLong, nStop, alpha))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qualityStats", this,
+      classOf[TokenQualityStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TokenQualityStats = copy(child = newChild)
+}

@@ -27,6 +27,52 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** An LSH banding plan: `bands` bands of `rowsPerBand` hashes;
+    * `missProb` = P[a pair at the target collision probability shares
+    * NO band] = (1 - p^r)^b; `fpFactor` = expected bands shared by a
+    * pair at `pLow` ≈ b·pLow^r (the candidate-cost driver).
+    */
+  case class LshPlan(rowsPerBand: Int, bands: Int,
+                     missProb: Double, fpFactor: Double) {
+    def signatureWidth: Int = rowsPerBand * bands
+  }
+
+  /** Size LSH band parameters from the miss budget instead of folklore.
+    * For each rows-per-band r, the minimal band count b satisfies
+    * (1 - p^r)^b ≤ maxMiss, where `p` is a qualifying pair's per-hash
+    * collision probability (MinHash: p = the jaccard threshold;
+    * hyperplane LSH: p = 1 - acos(s)/π). Among the (r, b) meeting the
+    * budget within `maxWidth` total hashes (the map-side signature
+    * cost), pick the one minimizing the false-positive factor
+    * b·pLow^r — expected band collisions for an UNinteresting pair
+    * (hyperplane: pLow = 0.5, a random high-d pair). At 100 TB the
+    * shuffle is O(n·b) but the verify join is O(collisions), and a
+    * small r also concentrates rows into few buckets per band — the
+    * shape the hot-bucket cap then truncates (recall loss) — so FP
+    * factor, not signature width, is the right objective.
+    * The sweep measured in PerfProbe (s=0.4 ⇒ p≈0.631: (3,56)→9e-8,
+    * (3,64)→9e-9, (4,96)→6e-8, (5,160)→5e-8) sits on exactly this
+    * frontier; embeddingPairs' shipped (4,96) is this function's pick
+    * at maxMiss=1e-7, maxWidth=512.
+    */
+  def lshPlan(p: Double, maxMiss: Double, pLow: Double = 0.5,
+              maxWidth: Int = 512, maxBands: Int = 4096): LshPlan = {
+    require(p > 0 && p < 1 && maxMiss > 0 && maxMiss < 1)
+    require(pLow >= 0 && pLow < 1)
+    val candidates = (1 to 16).flatMap { r =>
+      val pr = math.pow(p, r)
+      // minimal bands: (1-p^r)^b <= maxMiss
+      val b = math.ceil(math.log(maxMiss) / math.log1p(-pr)).toInt
+      if (b >= 1 && b <= maxBands && r * b <= maxWidth)
+        Some(LshPlan(r, b, math.pow(1 - pr, b), b * math.pow(pLow, r)))
+      else None
+    }
+    require(candidates.nonEmpty,
+      s"no plan within width<=$maxWidth, bands<=$maxBands meets " +
+        s"miss<=$maxMiss at p=$p")
+    candidates.minBy(pl => (pl.fpFactor, pl.signatureWidth))
+  }
+
   /** Candidate pairs from LSH banding: input (id, bandIdx, bandHash)
     * exploded rows. One aggregation groups each band bucket's ids,
     * then in-bucket pairs unfold locally — a single shuffle on the

@@ -124,21 +124,28 @@ object TextOps {
     * projection, so composite annotators stay one scan + one map
     * instead of self-joining the table per derived column.
     */
+  /** The quality stopword list (distinct from the langid markers). */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
   def quality(docs: DataFrame, idCol: String, textCol: String,
               extra: Seq[Column] = Nil): DataFrame = {
-    val t = col(textCol)
-    val w = tokens(t)
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val nTok = size(w).cast(LongType)
-    val nStop = size(filter(w, x => stop.map(s => x === lit(s)).reduce(_ || _)))
-      .cast(LongType)
-    val alphaChars = length(regexp_replace(t, "[^a-z]", "")).cast(LongType)
-    val nChars = length(t).cast(LongType)
+    // all five integer counters come from ONE fused loop per row
+    // (TokenQualityStats kernel) instead of an interpreted stopword
+    // filter + a regex pass + an array_distinct materialization; the
+    // repeated `st` references collapse to a single evaluation via
+    // whole-stage-codegen subexpression elimination
+    val st = graft.functions.GraftFunctions.qualityStats(
+      col(textCol), qualityStopwords)
+    val nChars = element_at(st, 1)
+    val nTok = element_at(st, 2)
+    val nStop = element_at(st, 4)
+    val alphaChars = element_at(st, 5)
     docs.select(
       col(idCol) +:
       nChars.as("n_chars") +:
       nTok.as("n_tokens") +:
-      size(array_distinct(w)).cast(LongType).as("n_distinct_tokens") +:
+      element_at(st, 3).as("n_distinct_tokens") +:
       (nChars.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len") +:
       (alphaChars.cast(DoubleType) / nChars.cast(DoubleType)).as("alpha_ratio") +:
       (nStop.cast(DoubleType) / nTok.cast(DoubleType)).as("stopword_ratio") +:

@@ -198,6 +198,25 @@ class KernelSpec extends SparkSuite {
     assert(r.getStruct(2).getString(3) == "bin") // ... nor MP4
   }
 
+  test("TokenQualityStats matches the unfused length/filter/regex spec") {
+    val stop = TextOps.qualityStopwords
+    def spec(t: org.apache.spark.sql.Column) = {
+      val w = split(t, " ")
+      array(
+        length(t).cast("long"),
+        size(w).cast("long"),
+        size(array_distinct(w)).cast("long"),
+        size(filter(w, x => stop.map(s => x === lit(s)).reduce(_ || _)))
+          .cast("long"),
+        length(regexp_replace(t, "[^a-z]", "")).cast("long"))
+    }
+    val bad = df.select(col("t"),
+        graft.functions.GraftFunctions.qualityStats(col("t"), stop).as("k"),
+        spec(col("t")).as("s"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
   test("HashedLinearScore matches the unfused element_at/aggregate spec") {
     val ws = TextOps.classifierWeights
     def spec(text: org.apache.spark.sql.Column) =

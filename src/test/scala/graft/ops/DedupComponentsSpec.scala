@@ -173,4 +173,37 @@ class DedupComponentsSpec extends SparkSuite {
     assert(persisted.exists { case (id, _, keep) => id == 101L && keep })
     assert(persisted.exists { case (id, _, keep) => id == 100L && !keep })
   }
+
+  test("lshPlan: lowest candidate cost that meets the miss budget") {
+    // the PerfProbe sweep point: s=0.4 angular => p = 1 - acos(0.4)/pi
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    assert(math.abs(p - 0.631) < 1e-3)
+    // the documented sweep magnitudes reproduce through the formula
+    def miss(r: Int, b: Int) = math.pow(1 - math.pow(p, r), b)
+    assert(miss(3, 64) < 1e-8 && miss(3, 64) > 1e-9)
+    assert(miss(4, 96) < 1e-7 && miss(4, 96) > 1e-8)
+
+    for (pp <- Seq(0.3, 0.5, 0.6312, 0.8, 0.95);
+         budget <- Seq(1e-3, 1e-6, 1e-9)) {
+      val plan = Dedup.lshPlan(pp, budget, pLow = 0.5)
+      assert(plan.missProb <= budget,
+        s"p=$pp budget=$budget -> $plan misses too often")
+      assert(plan.signatureWidth <= 512)
+      // brute-force: no in-budget plan has a lower FP factor
+      val better = for {
+        r <- 1 to 16; b <- 1 to 4096
+        if r * b <= 512 &&
+          math.pow(1 - math.pow(pp, r), b) <= budget &&
+          b * math.pow(0.5, r) < plan.fpFactor - 1e-12
+      } yield (r, b)
+      assert(better.isEmpty,
+        s"p=$pp budget=$budget: $plan beaten by ${better.take(3)}")
+    }
+    // embeddingPairs' shipped (4, 96) is this frontier's pick at its
+    // miss budget (the planner's minimal b=94 rounds up to the shipped
+    // 96 = 4 hashes x 24 words)
+    val shipped = Dedup.lshPlan(p, 1e-7)
+    assert(shipped.rowsPerBand == 4 && (shipped.bands max 96) == 96,
+      s"got $shipped")
+  }
 }
