@@ -108,6 +108,28 @@ object StreamingPipelines {
     }
   }
 
+  /** The streaming corpus-cleanup pipeline — corpus_clean's in-flight
+    * twin, the shape a continuously-ingesting training-data pipeline
+    * runs: model-based quality filter (hashed-linear classifier,
+    * kept = score > 0), language-ID annotation, then near-duplicate
+    * suppression within the watermark. Every stage is a pure
+    * per-row codegen map except the final dedup, whose state is
+    * bounded by the watermark — at 100 TB/day the filter sheds rows
+    * BEFORE the only stateful operator, so dedup state holds only
+    * surviving documents. Same operator code runs batch (deterministic
+    * earliest-wins keep), asserted equivalent in tests.
+    */
+  def corpusFilterStream(docs: DataFrame, tsCol: String, idCol: String,
+                         textCol: String,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val scored = docs
+      .withColumn("score", graft.functions.GraftFunctions.linearScore(
+        col(textCol), graft.ops.TextOps.classifierWeights))
+      .filter(col("score") > 0L)
+      .withColumn("lang_id", graft.ops.TextOps.langId(col(textCol)))
+    nearDupSuppress(scored, tsCol, idCol, textCol, watermark)
+  }
+
   /** Stream-stream event join — the capability the reference never had
     * (its only join is the batch lag zip, M3): attribute each
     * `purchase` to the same user's preceding `click` within

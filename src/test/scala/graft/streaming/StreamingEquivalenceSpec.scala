@@ -305,6 +305,67 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got.size == 3)
   }
 
+  test("streaming corpus filter: classify -> langid -> dedup, " +
+    "stream == batch") {
+    val s = spark
+    import s.implicits._
+    val t0 = ts("2026-01-01 10:00:00")
+    def at(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    // varied texts: some re-posts (dedup), classifier-mixed scores
+    // (filter), marker words (langid) — all three stages must act
+    val docs = (0 until 24).map { i =>
+      val body = i % 4 match {
+        case 0 => "the quick brown fox and the lazy dog"   // en markers
+        case 1 => s"el rapido zorro marron numero_$i y la y"
+        case 2 => "viral template body reposted everywhere" // duplicate
+        case 3 => s"payload_$i assorted words scan merge sort table"
+      }
+      (i.toLong, body, at(i))
+    }
+    val batch = StreamingPipelines.corpusFilterStream(
+        docs.toDF("doc_id", "text", "ts"), "ts", "doc_id", "text")
+      .select("doc_id", "score", "lang_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // the fixture must exercise every stage (deterministic weights)
+    val rawScores = graft.ops.TextOps.classifyScore(
+        docs.toDF("doc_id", "text", "ts"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rawScores.values.exists(_ <= 0L),
+      "fixture must include classifier-dropped docs")
+    assert(batch.nonEmpty && batch.size < rawScores.count(_._2 > 0L),
+      "dedup must suppress at least one surviving re-post")
+    assert(batch.exists(_._3 == "en") && batch.exists(_._3 == "es"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipelines.corpusFilterStream(
+        input.toDF().toDF("doc_id", "text", "ts"), "ts", "doc_id", "text")
+      .writeStream.format("memory").queryName("corpus_filter_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("cf_ckpt"))
+      .start()
+    input.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("corpus_filter_stream")
+      .select("doc_id", "score", "lang_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // same survivor count and identical rows up to the dedup pick;
+    // scores/langs of survivors must match the batch twin's exactly
+    // for the docs both kept (the streaming dedup pick is
+    // arrival-order, batch is earliest-(ts,id) — same size, possibly
+    // different representative within a duplicate set)
+    assert(streamed.size == batch.size,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}")
+    val batchById = batch.map(t => t._1 -> ((t._2, t._3))).toMap
+    val common = streamed.filter(t => batchById.contains(t._1))
+    assert(common.forall(t => batchById(t._1) == ((t._2, t._3))))
+    // single-partition single-batch arrival: MemoryStream delivered in
+    // order, so the earliest doc per signature wins on both paths
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("streaming near-dup suppression: one survivor per signature, " +
     "stream == batch") {
     val s = spark
