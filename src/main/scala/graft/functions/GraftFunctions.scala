@@ -70,6 +70,14 @@ object GraftFunctions {
   def bloomMightContain(hash: Column, bloom: GraftBloomFilter): Column =
     c(BloomMightContain(e(hash), bloom))
 
+  /** SQ8 encode: per-dimension int8 codes of a quantized vector. */
+  def sq8Encode(qvec: Column, maxs: Array[Long]): Column =
+    c(Sq8Encode(e(qvec), maxs))
+
+  /** Exact integer dot of two SQ8 code vectors under per-dim scales. */
+  def scaledDot(a: Column, b: Column, maxs: Array[Long]): Column =
+    c(ScaledDot(e(a), e(b), maxs))
+
   /** Bucketed byte histogram of a binary payload. */
   def byteHistogram(payload: Column, nBuckets: Int): Column =
     c(ByteHistogram(e(payload), nBuckets))

@@ -556,6 +556,86 @@ object Similarity {
           element_at(col("__sig"), i + 1).as(s"s$i")): _*)
   }
 
+  /** Per-dimension symmetric scales for SQ8: corpus max-abs of each
+    * milli-quantized dimension (floored at 1). ONE aggregate pass —
+    * at 100 TB a map-side max-reduce, no vector shuffle; the result
+    * (dim longs) is a plan-time constant like the IVF centroids.
+    */
+  def sq8Calibrate(df: DataFrame, vecCol: String, dim: Int): Array[Long] = {
+    val q = df.select(Dedup.quantize(col(vecCol)).as("__q"))
+    val row = q.agg(
+      greatest(max(abs(element_at(col("__q"), 1))), lit(1L)).as("m0"),
+      (1 until dim).map(i =>
+        greatest(max(abs(element_at(col("__q"), i + 1))), lit(1L))
+          .as(s"m$i")): _*).collect().head
+    Array.tabulate(dim)(row.getLong)
+  }
+
+  /** SQ8 code vectors (one signed byte per dimension, carried as
+    * int64 for arithmetic): pure function of (vector, scales) —
+    * replayable by the oracle from a materialized copy.
+    */
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String,
+               maxs: Array[Long]): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      graft.functions.GraftFunctions.sq8Encode(
+        Dedup.quantize(col(vecCol)), maxs).as("codes"))
+
+  /** N3 compressed-scan path — scalar-quantization (SQ8) top-k: the
+    * candidate stage scans ONLY the code vectors (1 byte/dim at rest —
+    * 8× vs float32, the FAISS SQ8 trade), scoring candidates by the
+    * exact integer scaled dot Σ a_d·b_d·m_d² (ScaledDot kernel, one
+    * codegen loop per pair) — keeping the rerankFactor·k best
+    * (tie-break neighbor_id) through the bounded-heap GroupedTopK,
+    * then exact quantized-cosine rerank by id. Near-lossless for
+    * near-isotropic embeddings (recall@5 = 1.0 on the fixture gate —
+    * sq8_recall), vs BQ's 0.97 at the same 8× compression: SQ8 keeps
+    * magnitudes where BQ keeps only signs. Deterministic end to end →
+    * full DuckDB oracle over materialized codes + scales (pq_topk
+    * pattern).
+    *
+    * At 100 TB: the code table (id + dim bytes) is what scans; queries
+    * broadcast; the rerank joins |Q|·rerankFactor·k candidate rows
+    * back to full vectors by id — the wide embedding column is never
+    * scanned twice.
+    */
+  def sq8TopK(emb: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, maxs: Array[Long], k: Int = 5,
+              rerankFactor: Int = 20): DataFrame = {
+    // single-bucket equi key (not a constant: a lit would fold to a
+    // nested-loop cross join) — the bqTopK broadcast-join shape
+    val csig = sq8Codes(emb, idCol, vecCol, maxs)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
+    val qsig = sq8Codes(queries, idCol, vecCol, maxs)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+      .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
+    val cand = graft.plans.GroupedTopK(
+      csig.join(broadcast(qsig), Seq("__jk")).drop("__jk")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("approx", graft.functions.GraftFunctions
+          .scaledDot(col("codes"), col("qcodes"), maxs))
+        .select("query_id", "neighbor_id", "approx"),
+      Seq("query_id"), Seq("approx" -> false, "neighbor_id" -> true),
+      k * rerankFactor, "crk")
+      .select("query_id", "neighbor_id")
+    val n = emb.select(col(idCol).as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("q_n"))
+      .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
+    val q = queries.select(col(idCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+    val scored = cand.join(n, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        Dedup.qdot(col("q_n"), col("q_q")).cast(DoubleType) /
+          sqrt(col("nn_n").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    graft.plans.GroupedTopK(scored, Seq("query_id"),
+      Seq("cosine" -> false, "neighbor_id" -> true), k, "rnk")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("cosine"))
+  }
+
   /** N3 — binary-quantization (BQ) top-k: the compressed-scan path.
     * The candidate stage touches ONLY the packed signatures — per
     * query, hamming distance is w XOR+popcount word ops

@@ -221,6 +221,44 @@ object LlmQueries {
           nBits = 256, rerankFactor = 20),
         floor = 0.9)
     }),
+    // N3 — scalar-quantization (SQ8) top-k: per-dimension int8 codes
+    // against corpus max-abs scales (one calibration aggregate),
+    // exact integer scaled-dot candidate scan + exact rerank. Codes
+    // and scales materialize for the oracle (pq_topk pattern).
+    "sq8_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      val maxs = Similarity.sq8Calibrate(e, "embedding", 64)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite")) {
+        Similarity.sq8Codes(e, "vec_id", "embedding", maxs)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.sq8Codes(q, "vec_id", "embedding", maxs)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(sq8CodesDir)
+        import s.implicits._
+        maxs.zipWithIndex.map { case (m, i) => (i.toLong, m) }.toSeq
+          .toDF("dim", "m")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(sq8MaxsDir)
+      }
+      Similarity.sq8TopK(e, q, "vec_id", "embedding", maxs,
+        k = 5, rerankFactor = 20)
+    }),
+    // N3 — recall gate for the SQ8 path (ivf_recall pattern): SQ8
+    // keeps magnitudes, so at the same 8x compression as BQ the gate
+    // holds a higher floor
+    "sq8_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val maxs = Similarity.sq8Calibrate(e, "embedding", 64)
+      recallGate(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+        Similarity.sq8TopK(e, q, "vec_id", "embedding", maxs,
+          k = 5, rerankFactor = 20),
+        floor = 0.95)
+    }),
     // N3 — the IVFADC composition (FAISS IVF+PQ): cells prune, codes
     // score, exact rerank finishes. Cells/codes/codebook materialize
     // to their own dirs (identical training is deterministic, but
@@ -571,6 +609,12 @@ object LlmQueries {
   private def bqSigsDir: String =
     sys.props.getOrElse("graft.bq.sigs.dir", "/tmp/graft_bq_sigs")
 
+  /** sq8_topk's materialized code vectors and per-dim scales. */
+  private def sq8CodesDir: String =
+    sys.props.getOrElse("graft.sq8.codes.dir", "/tmp/graft_sq8_codes")
+  private def sq8MaxsDir: String =
+    sys.props.getOrElse("graft.sq8.maxs.dir", "/tmp/graft_sq8_maxs")
+
   /** ivfpq_topk's materialized sidecars (cells + codes + codebook). */
   private def ivfpqCellsDir: String =
     sys.props.getOrElse("graft.ivfpq.cells.dir", "/tmp/graft_ivfpq_cells")
@@ -812,6 +856,39 @@ object LlmQueries {
     "pq_recall" -> recallGateOracle,
     "ivfpq_recall" -> recallGateOracle,
     "bq_recall" -> recallGateOracle,
+    "sq8_recall" -> recallGateOracle,
+    // the scaled-dot candidate scan + exact rerank replayed over the
+    // MATERIALIZED codes and per-dim scales: Σ a_d·b_d·m_d² is plain
+    // int64 arithmetic in both engines
+    "sq8_topk" ->
+      s"""WITH $quantCte,
+         |ml AS (SELECT list(m ORDER BY dim) AS ml
+         |  FROM '$sq8MaxsDir/*.parquet'),
+         |cc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, codes
+         |  FROM '$sq8CodesDir/*.parquet' WHERE side = 'c'),
+         |cq AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, codes
+         |  FROM '$sq8CodesDir/*.parquet' WHERE side = 'q'),
+         |ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(list_sum(list_transform(range(1, len(c.codes)+1),
+         |    d -> c.codes[d] * q.codes[d] * ml.ml[d] * ml.ml[d]))
+         |    AS BIGINT) AS approx
+         |  FROM cc c JOIN cq q ON c.vec_id <> q.vec_id, ml),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, neighbor_id) AS crk FROM ap)
+         |  WHERE crk <= 100),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine
+         |FROM r WHERE rnk <= 5""".stripMargin,
     // hamming + rerank replayed over the MATERIALIZED signatures: the
     // candidate window is the same (ham, neighbor_id)-ordered top-50,
     // the rerank the same quantized-cosine chain — bit-exact across

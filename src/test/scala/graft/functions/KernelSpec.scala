@@ -198,6 +198,44 @@ class KernelSpec extends SparkSuite {
     assert(r.getStruct(2).getString(3) == "bin") // ... nor MP4
   }
 
+  test("Sq8Encode / ScaledDot match their zip_with specifications") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextInt(4001).toLong - 2000L))
+    }
+    val maxs = Array.tabulate(8)(i =>
+      math.max(1L, vecs.map(v => math.abs(v._2(i))).max))
+    val pairs = vecs.grouped(2).collect { case Seq(a, b) =>
+      (a._1, a._2, b._2) }.toSeq.toDF("id", "qa", "qb")
+    // encode spec: round-half-even-free double chain, clamped
+    def encSpec(c: org.apache.spark.sql.Column) =
+      zip_with(c, lit(maxs), (x, m) =>
+        greatest(lit(-127L), least(lit(127L),
+          round(x.cast("double") * 127.0 / m.cast("double")).cast("long"))))
+    val badEnc = pairs.select(
+        GraftFunctions.sq8Encode(col("qa"), maxs).as("k"),
+        encSpec(col("qa")).as("s"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(badEnc.isEmpty, s"encode mismatches: ${badEnc.take(3).mkString}")
+    // scaled dot spec over the ENCODED vectors
+    val enc = pairs.select(
+      GraftFunctions.sq8Encode(col("qa"), maxs).as("ca"),
+      GraftFunctions.sq8Encode(col("qb"), maxs).as("cb"))
+    def dotSpec(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(zip_with(a, b, (x, y) => x * y), lit(maxs.map(m => m * m)),
+          (xy, m2) => xy * m2),
+        lit(0L), (acc, v) => acc + v)
+    val badDot = enc.select(
+        GraftFunctions.scaledDot(col("ca"), col("cb"), maxs).as("k"),
+        dotSpec(col("ca"), col("cb")).as("s"))
+      .filter(col("k") =!= col("s")).collect()
+    assert(badDot.isEmpty, s"dot mismatches: ${badDot.take(3).mkString}")
+  }
+
   test("TokenQualityStats matches the unfused length/filter/regex spec") {
     val stop = TextOps.qualityStopwords
     def spec(t: org.apache.spark.sql.Column) = {
