@@ -90,9 +90,11 @@ class OcfScanBuilder(dir: String, maxPerTrigger: Option[Long],
                      conf: SerializableConfiguration)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = OcfFormat.sparkSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -103,39 +105,67 @@ class OcfScanBuilder(dir: String, maxPerTrigger: Option[Long],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** LIMIT n directly over the scan plans only the leading containers
+    * (ranges truncated at n rows total). Spark only pushes a limit
+    * here when no filter sits between it and the scan (all our
+    * filters are residual, so a filtered query keeps its Filter node
+    * and never reaches this path) — the capped scan therefore always
+    * produces every row the limit can keep. `isPartiallyPushed`
+    * stays true: Spark retains its own Limit, the cap is purely an
+    * I/O bound.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new OcfScan(dir, maxPerTrigger, conf, required, pushed)
+    new OcfScan(dir, maxPerTrigger, conf, required, pushed, limit)
 }
 
 class OcfScan(dir: String, maxPerTrigger: Option[Long],
               conf: SerializableConfiguration,
               required: StructType = OcfFormat.sparkSchema,
-              filters: Array[Filter] = Array.empty)
+              filters: Array[Filter] = Array.empty,
+              limit: Option[Int] = None)
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-ocf scan of $dir, columns=[${required.fieldNames.mkString(",")}]" +
-      (if (filters.nonEmpty) s", pushed=[${filters.mkString(",")}]" else "")
+      (if (filters.nonEmpty) s", pushed=[${filters.mkString(",")}]" else "") +
+      limit.map(n => s", limit=$n").getOrElse("")
 
   /** The pruned file plan, computed ONCE per scan so the partitioning
-    * report and the planned input partitions can never disagree:
-    * (file, rowCount, soleKafkaPartition-or-None).
+    * report, the statistics, and the planned input partitions can
+    * never disagree. Static pushed filters drop files their manifest
+    * stats prove irrelevant; a pushed LIMIT then truncates the tail
+    * (ranges cut at `limit` rows total — valid because Spark only
+    * pushes a limit with no filter in between).
     */
-  private lazy val plannedFiles: Seq[(String, Long, Option[Int])] = {
-    val stats = OcfStore.manifestStats(dir, conf.value)
-    OcfStore.headCounts(dir, conf.value).toSeq.sortBy(_._1)
-      .filter { case (f, _) =>
+  private lazy val plannedFiles: Seq[OcfLiveFile] = {
+    val kept = OcfStore.liveFiles(dir, conf.value)
+      .filter(f =>
         // keep a file unless its stats PROVE no row can match; a
         // file absent from the manifest is kept conservatively
-        stats.get(f).forall(st => OcfFilters.mayMatch(st, filters))
-      }
-      .map { case (f, n) =>
-        (f, n, stats.get(f).map(_.partitions).collect {
-          case Seq(p) => p
-        })
-      }
+        f.stats.forall(st => OcfFilters.mayMatch(st, filters)))
+    limit match {
+      case Some(n) =>
+        var budget = n.toLong
+        kept.flatMap { f =>
+          if (budget <= 0L) None
+          else {
+            val take = math.min(f.count, budget)
+            budget -= take
+            Some(f.copy(count = take))
+          }
+        }
+      case None => kept
+    }
   }
+
+  private def soleKey(f: OcfLiveFile): Option[Int] =
+    f.stats.map(_.partitions).collect { case Seq(p) => p }
 
   /** Storage-partitioned execution (the broker-log layout paying off at
     * read time): the V2 writer clusters containers by the Kafka
@@ -149,7 +179,7 @@ class OcfScan(dir: String, maxPerTrigger: Option[Long],
     */
   private lazy val keyed: Boolean =
     required.fieldNames.contains("partition") &&
-      plannedFiles.nonEmpty && plannedFiles.forall(_._3.isDefined)
+      plannedFiles.nonEmpty && plannedFiles.forall(f => soleKey(f).isDefined)
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -163,13 +193,64 @@ class OcfScan(dir: String, maxPerTrigger: Option[Long],
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(plannedFiles.size)
 
+  /** Manifest-backed scan statistics, AFTER file pruning and limit
+    * truncation — the CBO signal that lets a pruned monitoring scan
+    * broadcast in a join instead of defaulting to "unknown = huge"
+    * (which forces sort-merge at any scale). Rows are exact (commit
+    * manifests / block counts); bytes are the container bytes when the
+    * payload blobs are read, or rows x fixed metadata width when
+    * column pruning dropped key/value — a metadata scan of a 100 TB
+    * store is kilobytes per million rows, and the estimate says so.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = plannedFiles.map(_.count).sum
+    val payload = required.fieldNames.contains("key") ||
+      required.fieldNames.contains("value")
+    val bytes =
+      if (payload) plannedFiles.map(_.bytes).sum
+      else rows * OcfFormat.metadataRowBytes(required)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** DPP seam: a runtime filter (the classic case — a join against a
+    * small dimension produces an IN-set over `partition`) prunes
+    * whole containers by manifest stats at execution time, exactly
+    * like static pushdown but with values Spark only learns after
+    * planning. Advisory as always: Spark re-evaluates the join, the
+    * stats only drop provably irrelevant files. Disabled when the
+    * scan reported KeyGroupedPartitioning (the partition count is a
+    * contract the runtime prune must not break) and when a limit was
+    * pushed (the cap was computed over the unfiltered file order and
+    * a post-cap prune could starve the limit).
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (keyed || limit.isDefined) Array.empty
+    else Array("partition", "offset", "timestamp")
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[Filter]): Unit =
+    runtimeFilters = fs.filter(OcfFilters.supported)
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      plannedFiles.map { case (f, n, pk) =>
-        if (keyed)
-          OcfKeyedRange(s"$dir/$f", 0L, n, pk.get): InputPartition
-        else OcfRange(s"$dir/$f", 0L, n): InputPartition
-      }.toArray
+      plannedFiles
+        .filter(f => runtimeFilters.isEmpty ||
+          f.stats.forall(st => OcfFilters.mayMatch(st, runtimeFilters)))
+        .map { f =>
+          if (keyed)
+            OcfKeyedRange(s"$dir/${f.name}", 0L, f.count, soleKey(f).get)
+              : InputPartition
+          else OcfRange(s"$dir/${f.name}", 0L, f.count): InputPartition
+        }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       OcfReaderFactory(conf, required)
   }
@@ -522,10 +603,18 @@ object OcfStore extends org.apache.spark.internal.Logging {
     * streaming engine calls latestOffset twice per trigger — with the
     * manifest the steady-state cost is one file listing.
     */
-  def headCounts(dir: String, conf: Configuration): Map[String, Long] = {
+  def headCounts(dir: String, conf: Configuration): Map[String, Long] =
+    liveFiles(dir, conf).map(f => f.name -> f.count).toMap
+
+  /** One listing's full view of the store: every live container with
+    * its record count, byte length, and (when manifested) commit-time
+    * stats — the single driver-side walk behind head counts, file
+    * pruning, and scan statistics. Sorted by name (= commit order).
+    */
+  def liveFiles(dir: String, conf: Configuration): Seq[OcfLiveFile] = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
-    if (!fs.exists(d)) return Map.empty
+    if (!fs.exists(d)) return Seq.empty
     val listing = fs.listStatus(d).toSeq
     val files = listing
       .filter(st => st.getPath.getName.endsWith(".ocf") &&
@@ -543,7 +632,8 @@ object OcfStore extends org.apache.spark.internal.Logging {
     files
       .map { st =>
         val name = st.getPath.getName
-        val n = stats.get(name).map(_.count).getOrElse {
+        val fstats = stats.get(name)
+        val n = fstats.map(_.count).getOrElse {
           val key = (st.getPath.toString, st.getLen, st.getModificationTime)
           countCache.computeIfAbsent(key, _ => {
             containerOpens.incrementAndGet()
@@ -556,7 +646,14 @@ object OcfStore extends org.apache.spark.internal.Logging {
             } finally s.close()
           })
         }
-        name -> n
-      }.toMap
+        OcfLiveFile(name, n, st.getLen, fstats)
+      }.sortBy(_.name)
   }
 }
+
+/** A live container as one store listing sees it: record count (from
+  * manifest or block headers), on-disk byte length, and commit-time
+  * stats when the file is manifested.
+  */
+case class OcfLiveFile(name: String, count: Long, bytes: Long,
+                       stats: Option[OcfFileStats])

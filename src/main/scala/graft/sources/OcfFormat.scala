@@ -95,6 +95,18 @@ object OcfFormat {
       schema.getNamespace, false, fields)
   }
 
+  /** Estimated in-memory bytes per row for a payload-free projection
+    * (key/value pruned away) — the width behind the scan's CBO size
+    * estimate. Fixed widths per metadata column plus Spark's per-row
+    * object overhead; topic is a short name string in practice.
+    */
+  def metadataRowBytes(required: StructType): Long = {
+    val width: Map[String, Long] = Map(
+      "topic" -> 16L, "partition" -> 4L, "offset" -> 8L,
+      "timestamp" -> 8L, "timestampType" -> 4L)
+    8L + required.fieldNames.map(width.getOrElse(_, 8L)).sum
+  }
+
   /** Row builder for a pruned projection: one extractor per required
     * column, resolved once per reader (not per record).
     */

@@ -324,6 +324,108 @@ class OcfSourceSpec extends SparkSuite {
       s"unconvertible literals must keep every file, got $planned")
   }
 
+  test("limit pushdown: LIMIT n plans only the leading n rows of I/O") {
+    val dir = tmpDir("ocf_limit")
+    stratifiedStore(dir)
+    // direct: the builder caps planned ranges at the pushed limit
+    val b = new OcfScanBuilder(dir, None, hconf)
+    assert(b.pushLimit(70) && b.isPartiallyPushed())
+    val planned = b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[OcfSlice]).toSeq
+    assert(planned.map(s => s.end - s.start).sum == 70,
+      s"limit 70 should cap planned rows at 70, got $planned")
+    assert(planned.size == 2,
+      s"70 rows over 50-row containers is 2 files, got ${planned.size}")
+    // end-to-end: the scan shows the cap, the result honors the limit
+    val df = spark.read.format("graft-ocf").load(dir).limit(5)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan
+    }
+    assert(scans.nonEmpty && scans.head.description().contains("limit=5"),
+      s"scan should carry the pushed limit: ${scans.map(_.description())}")
+    assert(df.count() == 5)
+    // a filtered query keeps its Filter node, so Spark never pushes
+    // the limit through it — full residual evaluation stays correct
+    assert(spark.read.format("graft-ocf").load(dir)
+      .filter(col("partition") === 3).limit(5).count() == 5)
+  }
+
+  test("estimateStatistics: manifest-exact rows, pruning-aware bytes") {
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_stats_cbo")
+    stratifiedStore(dir)
+    val containerBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".ocf") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+
+    def stats(filters: Array[Filter],
+              required: org.apache.spark.sql.types.StructType =
+                OcfFormat.sparkSchema) = {
+      val b = new OcfScanBuilder(dir, None, hconf)
+      b.pruneColumns(required)
+      b.pushFilters(filters)
+      b.build()
+        .asInstanceOf[org.apache.spark.sql.connector.read
+          .SupportsReportStatistics].estimateStatistics()
+    }
+
+    val full = stats(Array.empty)
+    assert(full.numRows().getAsLong == 200)
+    assert(full.sizeInBytes().getAsLong == containerBytes,
+      "payload scan bytes = container bytes")
+
+    val meta = org.apache.spark.sql.types.StructType(
+      OcfFormat.sparkSchema.filter(f =>
+        Seq("partition", "offset").contains(f.name)))
+    val pruned = stats(Array.empty, meta)
+    assert(pruned.numRows().getAsLong == 200)
+    assert(pruned.sizeInBytes().getAsLong ==
+      200L * OcfFormat.metadataRowBytes(meta) &&
+      pruned.sizeInBytes().getAsLong < containerBytes,
+      "a payload-free projection must report metadata-width bytes")
+
+    val filtered = stats(Array(EqualTo("partition", 2)))
+    assert(filtered.numRows().getAsLong == 50,
+      "stats reflect manifest file pruning")
+
+    // the CBO consequence: a metadata projection of the store is
+    // broadcast-small in the optimized plan, the payload scan is not
+    val slim = spark.read.format("graft-ocf").load(dir)
+      .select("partition", "offset")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val fat = spark.read.format("graft-ocf").load(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(slim < fat,
+      s"pruned scan should plan smaller than payload scan: $slim vs $fat")
+  }
+
+  test("runtime filtering: a join-time IN-set prunes whole containers") {
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_runtime_filter")
+    stratifiedStore(dir)
+    val b = new OcfScanBuilder(dir, None, hconf)
+    b.pruneColumns(org.apache.spark.sql.types.StructType(
+      OcfFormat.sparkSchema.filter(f =>
+        Seq("topic", "offset").contains(f.name))))
+    val scan = b.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set("partition", "offset", "timestamp"))
+    scan.filter(Array[Filter](In("partition", Array(1, 2))))
+    val planned = scan.asInstanceOf[OcfScan].toBatch.planInputPartitions()
+      .map(_.asInstanceOf[OcfSlice]).toSeq
+    assert(planned.map(s => s.end - s.start).sum == 100,
+      s"runtime IN(1,2) must keep exactly the two matching files: $planned")
+    // a limit-capped scan refuses runtime filtering (the cap was
+    // computed over the unfiltered file order)
+    val lb = new OcfScanBuilder(dir, None, hconf)
+    lb.pushLimit(10)
+    assert(lb.build().asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeFiltering].filterAttributes().isEmpty)
+  }
+
   test("streaming planInputPartitions prunes files by pushed filters") {
     import org.apache.spark.sql.sources._
     val dir = tmpDir("ocf_stream_prune")
