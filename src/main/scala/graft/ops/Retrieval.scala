@@ -97,4 +97,52 @@ object Retrieval {
       .select(col("doc_id") +: col("rk") +: col("score") +:
         terms.map(t => col(s"s_$t")): _*)
   }
+
+  /** Exact-phrase search over a positional inverted index — the
+    * retrieval twin of bm25TopK for queries where token ORDER matters.
+    *
+    * One-shuffle formulation (not an n-way adjacency join chain):
+    * postings for just the phrase's terms survive the scan (the
+    * isInCollection filter runs in the codegen stage, so at 100 TB
+    * the exploded stream is those terms' postings, not the corpus),
+    * each posting emits one row per phrase SLOT its token could fill
+    * (slot j at position p ⇒ candidate match start p−j), and a single
+    * aggregation on (doc, start) checks that all `phrase.length`
+    * distinct slots were filled. Duplicate terms in the phrase are
+    * handled by construction: a token matching k slots emits k rows.
+    * Overlapping matches count (positional semantics: "a a" matches
+    * twice in "a a a").
+    *
+    * Output: one row per matching document —
+    * (doc_id, n_matches, first_pos 0-based).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val n = phrase.length
+    val slots: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(_._2)
+      }
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isInCollection(phrase.distinct))
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(typedLit(slots), col("tok"))).as("slot"))
+      .select(col("doc_id"),
+        (col("pos") - col("slot")).as("start"), col("slot"))
+      .filter(col("start") >= 0)
+      .groupBy(col("doc_id"), col("start"))
+      // a start is a match iff every slot 0..n-1 was filled there.
+      // Within a (doc, start) group each slot appears AT MOST once
+      // (slot j here can only come from the posting at pos start+j),
+      // so a plain count equals the distinct-slot count — no
+      // count(DISTINCT) expand/extra shuffle needed
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast(LongType).as("first_pos"))
+  }
 }

@@ -340,6 +340,20 @@ object LlmQueries {
     // Retrieval scaladoc for the cross-engine exactness argument)
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
+    // N4 — exact-phrase search via positional inverted index: one
+    // explode to (doc, match-start, slot) and one aggregation that
+    // checks every phrase slot filled (see Retrieval.phraseSearch).
+    // Two phrases in one result: a 2-gram with volume, and a phrase
+    // with a DUPLICATED term ("a a the") proving the slot machinery
+    // against the oracle, overlaps included
+    "phrase_search" -> ((s, d) => {
+      def one(ph: Seq[String]) =
+        Retrieval.phraseSearch(docs(s, d), "doc_id", "text", ph)
+          .withColumn("phrase", lit(ph.mkString(" ")))
+      one(Seq("table", "part")).unionByName(one(Seq("a", "a", "the")))
+        .select(col("phrase"), col("doc_id"), col("n_matches"),
+          col("first_pos"))
+    }),
     // N3 — per-label centroid summary (class prototypes), long-form
     // exact-integer sums + one-division means
     "label_centroids" -> ((s, d) =>
@@ -1060,6 +1074,27 @@ object LlmQueries {
          |  CAST(coalesce(s.n_similar, 0) AS BIGINT) AS n_similar,
          |  s.dup_of, s.n_similar IS NULL AS keep
          |FROM cells c LEFT JOIN s ON c.vec_id = s.vec_id""".stripMargin,
+    // positional phrase semantics replayed exactly: 1-based DuckDB
+    // list index i ⇔ Spark 0-based pos i-1; overlapping matches count
+    "phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1))
+        |  AS i, toks FROM t),
+        |m2 AS (SELECT doc_id, i FROM p2
+        |  WHERE toks[i] = 'table' AND toks[i+1] = 'part'),
+        |p3 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2))
+        |  AS i, toks FROM t),
+        |m3 AS (SELECT doc_id, i FROM p3
+        |  WHERE toks[i] = 'a' AND toks[i+1] = 'a' AND toks[i+2] = 'the')
+        |SELECT 'table part' AS phrase, doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(i) - 1 AS BIGINT) AS first_pos FROM m2 GROUP BY doc_id
+        |UNION ALL
+        |SELECT 'a a the' AS phrase, doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(i) - 1 AS BIGINT) AS first_pos FROM m3
+        |  GROUP BY doc_id""".stripMargin,
     // the same rational-idf BM25 chain, term order and association
     // order replicated verbatim (see Retrieval.bm25TopK scaladoc)
     "bm25_search" ->

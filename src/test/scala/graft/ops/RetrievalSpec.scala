@@ -74,6 +74,61 @@ class RetrievalSpec extends SparkSuite {
       s"global top-k must not global-sort:\n$plan")
   }
 
+  test("phraseSearch: positional adjacency, overlaps, duplicate terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the table part is here and the table part again"),
+      (2L, "table part"),
+      (3L, "part table"),            // reversed — no match
+      (4L, "table filler part"),     // gap — no match
+      (5L, "a a a"),                 // "a a" matches twice (overlap)
+      (6L, "table"))                 // prefix only — no match
+      .toDF("doc_id", "text")
+
+    val two = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("table", "part")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(two === Map(
+      1L -> ((2L, 1L)),   // positions 1 and 7
+      2L -> ((1L, 0L))),
+      s"adjacency must be exact and ordered: $two")
+
+    val dup = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dup === Map(5L -> ((2L, 0L))),
+      s"'a a' in 'a a a' overlaps twice: $dup")
+
+    // a phrase longer than any document matches nothing and the
+    // start>=0 guard kills phantom negative starts
+    assert(Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("table", "part", "is", "here", "and", "the", "table", "part",
+        "again", "overrun")).collect().isEmpty)
+  }
+
+  test("phraseSearch plan: postings filter precedes the explode; the " +
+    "match check is one aggregation, never a join chain") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val qe = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("x", "y", "z")).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"slot aggregation replaces the n-way adjacency join:\n$plan")
+    // the postings filter runs BEFORE the slot explode (scan-side kill
+    // of non-phrase tokens), and exactly two exchanges remain:
+    // (doc,start) slot check + per-doc rollup — no count(DISTINCT)
+    // expand layer
+    assert(plan.indexOf("Filter tok") > plan.indexOf("element_at") ||
+      plan.indexOf("IN (x,y,z)") > 0, s"postings filter missing:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"plain count must replace count(DISTINCT slot):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 shuffles:\n$plan")
+  }
+
   test("semanticDedup: within-cell near-dups drop to the min id; " +
     "cross-cell twins are untouched by construction") {
     val s = spark
