@@ -76,6 +76,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         col("cosine"))
 
+  /** Hard-negative mining — the contrastive-training consumer of
+    * similarity search: for each anchor vector, the top-k most-cosine-
+    * similar corpus vectors with a DIFFERENT label ("looks the same,
+    * isn't" — the near-miss examples a triplet/contrastive loss needs
+    * to sharpen a decision boundary). Same single-bucket broadcast
+    * shape as bruteForceTopK (anchors are the small side by contract);
+    * the different-label predicate is one codegen'd comparison on the
+    * probe stream, and ranking runs through the bounded-heap
+    * GroupedTopK operator — per-anchor state is k rows, never a
+    * per-partition sort. At 100 TB the corpus side streams once; for
+    * large anchor sets the LSH/IVF candidate generators compose in
+    * front exactly as for plain top-k.
+    */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String,
+                    k: Int = 5): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neg_label"),
+      Dedup.quantize(col(vecCol)).as("q_n"))
+      .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
+      .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
+    val qs = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("label_q"),
+      Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+      .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
+    val pairs = corpus.join(broadcast(qs), Seq("__jk")).drop("__jk")
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neg_label") =!= col("label_q"))
+      .withColumn("cosine",
+        Dedup.qdot(col("q_n"), col("q_q")).cast(DoubleType) /
+          sqrt(col("nn_n").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    graft.plans.GroupedTopK(pairs, Seq("query_id"),
+      Seq("cosine" -> false, "neighbor_id" -> true), k, "rnk")
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("rnk"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH top-k with multiprobe: the scale path. Each
     * vector gets an nBits-bit sign signature from fixed pseudo-random
     * hyperplanes (HyperplaneBands with a single band — deterministic

@@ -322,6 +322,14 @@ object LlmQueries {
         .select(col("query_id"), col("label").as("pred_label"),
           col("votes"))
     }),
+    // N3 — hard-negative mining: per anchor, the top-5 most-similar
+    // vectors with a DIFFERENT label (contrastive-training prep);
+    // bounded-heap GroupedTopK ranking, exact quantized cosine
+    "hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      Similarity.hardNegatives(e, q, "vec_id", "embedding", "label", k = 5)
+    }),
     // N2/N3 — SemDeDup: k-means cells (same driver-trained coarse
     // quantizer as IVF), within-cell exact quantized cosine, min-id
     // greedy keep. Cell assignments materialize beside the ivf cells
@@ -1074,6 +1082,25 @@ object LlmQueries {
          |  CAST(coalesce(s.n_similar, 0) AS BIGINT) AS n_similar,
          |  s.dup_of, s.n_similar IS NULL AS keep
          |FROM cells c LEFT JOIN s ON c.vec_id = s.vec_id""".stripMargin,
+    // the topk_cosine chain with labels joined on both sides and the
+    // different-label predicate in the pair filter
+    "hard_negatives" ->
+      s"""WITH $quantCte,
+         |nl AS (SELECT n.vec_id, n.qv, n.nn, e.label FROM n
+         |  JOIN embeddings e ON n.vec_id = e.vec_id),
+         |qs AS (SELECT vec_id, qv, nn, label FROM nl WHERE vec_id < 50),
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  a.label AS neg_label,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM nl a JOIN qs b
+         |  ON a.vec_id <> b.vec_id AND a.label <> b.label),
+         |r AS (SELECT query_id, neighbor_id, neg_label,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, neg_label, rnk, cosine FROM r
+         |WHERE rnk <= 5""".stripMargin,
     // positional phrase semantics replayed exactly: 1-based DuckDB
     // list index i ⇔ Spark 0-based pos i-1; overlapping matches count
     "phrase_search" ->

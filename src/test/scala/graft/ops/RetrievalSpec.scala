@@ -129,6 +129,31 @@ class RetrievalSpec extends SparkSuite {
       s"expected exactly 2 shuffles:\n$plan")
   }
 
+  test("hardNegatives: nearest different-label wins; same-label twins " +
+    "and self are excluded") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    // anchor 1 (label 0): identical twin 2 shares its label (must be
+    // excluded); 3 is close but label 1 (the hard negative); 4 is
+    // orthogonal label 1 (an easy negative, ranked after 3)
+    val emb = Seq(
+      (1L, v(1, 0, 0), 0),
+      (2L, v(1, 0, 0), 0),
+      (3L, v(0.9, 0.1, 0), 1),
+      (4L, v(0, 1, 0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") === 1L)
+    val out = Similarity.hardNegatives(emb, anchors, "vec_id",
+        "embedding", "label", k = 2)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 4L),
+      s"hard negative 3 ranks before easy negative 4: ${out.toSeq}")
+    assert(out.forall(_.getInt(2) === 1), "negatives carry their label")
+    assert(out.forall(r => r.getLong(1) != 2L),
+      "same-label twin is never a negative")
+  }
+
   test("semanticDedup: within-cell near-dups drop to the min id; " +
     "cross-cell twins are untouched by construction") {
     val s = spark
