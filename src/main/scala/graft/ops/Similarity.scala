@@ -285,6 +285,53 @@ object Similarity {
     * `sampleCap` vectors, and the fixed sample order + iteration count
     * make every codebook deterministic.
     */
+  /** The persisted-IVF index artifact — the daily-delta ANN workflow's
+    * reusable half (the `incrementalDedup` band-index precedent, for
+    * vectors): one row per (vector, assigned cell) carrying the
+    * quantized vector and its self-dot, so probing needs NO access to
+    * the raw corpus. Written once per index build; each day's batch
+    * probes it via `ivfProbeIndex`. At 100 TB the index is a parquet
+    * table partitionable by cell — a probe touches nProbe cells' rows,
+    * never the corpus.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Long]], nAssign: Int = 2): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      Dedup.quantize(col(vecCol)).as("q"))
+      .withColumn("nn", Dedup.qdot(col("q"), col("q")))
+      .withColumn("cell", explode(
+        GraftFunctions.nearestCentroids(col("q"), centroids, nAssign)))
+      .select("vec_id", "cell", "q", "nn")
+
+  /** Probe a persisted IVF index with a (small, broadcast) query
+    * batch: each query fans out to its nProbe nearest cells, the
+    * index side streams once through a cell-keyed hash join, pairs
+    * that met in several probed cells dedupe before the exact
+    * quantized-cosine rank. Per-batch cost is independent of how many
+    * batches were probed before — the index is immutable.
+    */
+  def ivfProbeIndex(centroids: Array[Array[Long]], index: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 5, nProbe: Int = 8): DataFrame = {
+    val qs = queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+      .withColumn("cell", explode(
+        GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val scored = index.join(broadcast(qs), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine",
+        Dedup.qdot(col("q"), col("q_q")).cast(DoubleType) /
+          sqrt(col("nn").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast(LongType).as("rnk"), col("cosine"))
+  }
+
   def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                        m: Int = 8, codesPerSub: Int = 32, iters: Int = 5,
                        sampleCap: Int = 4096): Array[Array[Array[Long]]] = {

@@ -127,6 +127,36 @@ object LlmQueries {
       Similarity.ivfTopKWith(cts, e, q, "vec_id", "embedding",
         k = 5, nProbe = 12, nAssign = 2)
     }),
+    // N3 — INCREMENTAL ANN: the daily-delta twin of dedup_incremental
+    // for vectors. Corpus (doc_id % 5 != 0) builds a PERSISTED IVF
+    // index artifact (vec_id, cell, quantized vec, self-dot) once; the
+    // batch (the other 20%) probes the read-back artifact without
+    // touching raw corpus vectors — per-batch cost independent of how
+    // many batches probed before. Bench (skipWrite) builds the index
+    // inline: identical rows, no cross-sf artifact clobber.
+    "ann_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val batch = e.filter(col("vec_id") % 5 === 0)
+      val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 32)
+      val built = Similarity.ivfIndex(corpus, "vec_id", "embedding", cts,
+        nAssign = 2)
+      val index =
+        if (sys.props.contains("graft.ivf.cells.skipWrite")) built
+        else {
+          built.write.mode("overwrite").parquet(annIndexDir)
+          s.read.parquet(annIndexDir)
+        }
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        index.select("vec_id", "cell").withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annCellsDir)
+      Similarity.ivfProbeIndex(cts, index, batch, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+    }),
     // N3 — driver-visible recall gate for the IVF scale path: recall@5
     // vs the IN-PLAN exact top-k (same corpus, 50 queries), emitted as
     // one boolean row. Hashes equal to the oracle's `true` iff recall
@@ -618,6 +648,14 @@ object LlmQueries {
   private def ivfCellsDir: String =
     sys.props.getOrElse("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
 
+  /** ann_incremental's persisted index artifact and its oracle-side
+    * cell materialization (ivfCellsDir pattern).
+    */
+  private def annIndexDir: String =
+    sys.props.getOrElse("graft.ann.index.dir", "/tmp/graft_ann_index")
+  private def annCellsDir: String =
+    sys.props.getOrElse("graft.ann.cells.dir", "/tmp/graft_ann_cells")
+
   /** pq_topk's materialized per-subspace code assignments and codebook
     * table (ivfCellsDir pattern — separate paths so queries can't
     * clobber each other within one Verify run).
@@ -1082,6 +1120,27 @@ object LlmQueries {
          |  CAST(coalesce(s.n_similar, 0) AS BIGINT) AS n_similar,
          |  s.dup_of, s.n_similar IS NULL AS keep
          |FROM cells c LEFT JOIN s ON c.vec_id = s.vec_id""".stripMargin,
+    // the ivf_topk oracle pattern over ann_incremental's materialized
+    // cells: candidates = corpus-index cells x batch probe cells,
+    // exact quantized cosine, top-5
+    "ann_incremental" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$annCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     // the topk_cosine chain with labels joined on both sides and the
     // different-label predicate in the pair filter
     "hard_negatives" ->

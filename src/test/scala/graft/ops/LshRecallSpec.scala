@@ -32,6 +32,31 @@ class LshRecallSpec extends SparkSuite {
     assert(recall >= 0.9, f"IVF recall $recall%.3f below 0.9")
   }
 
+  test("ivfProbeIndex: a written-and-read-back index probes " +
+    "identically to the inline build; neighbors come only from the " +
+    "indexed corpus") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 32)
+    val inline = Similarity.ivfIndex(corpus, "vec_id", "embedding", cts,
+      nAssign = 2)
+    val dir = tmpDir("ann_index")
+    inline.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    def run(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbeIndex(cts, ix, batch, "vec_id", "embedding",
+        k = 5, nProbe = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val a = run(inline)
+    val b = run(persisted)
+    assert(a == b, "persisted index must probe bit-identically")
+    assert(b.forall(_._2 % 5 != 0),
+      "every neighbor comes from the indexed corpus, never the batch")
+    assert(b.nonEmpty)
+  }
+
   test("bqTopK recall@5 >= 0.9 vs brute force on sf0.01") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.filter(col("vec_id") < 50)
