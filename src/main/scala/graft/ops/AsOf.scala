@@ -75,6 +75,66 @@ object AsOf {
           carryCols.map(c => col("__match." + c).as(c))): _*)
   }
 
+  /** Forward as-of join (inclusive): for every `probe` row, the single
+    * EARLIEST `build` row with the same `key` and
+    * `build.buildTs >= probe.probeTs` — the "next quote/price after
+    * the order" direction; nulls when no later build row exists.
+    *
+    * The mirror of `asofJoin`: same one-shuffle merge shape, with the
+    * window frame flipped to (currentRow, unboundedFollowing) and a
+    * `first(ignoreNulls)` carry. Ordering (ts, side, tie) puts probe
+    * rows BEFORE build rows at equal timestamps, so the boundary is
+    * inclusive; builds at equal timestamps tie-break by SMALLEST
+    * `buildTie` (matching `row_number() ... ORDER BY ts ASC, tie ASC
+    * = 1`).
+    *
+    * Nulls (the asofJoin:41-46 policy, forward twin): null-ts/null-key
+    * build rows are dropped; null-ts/null-key probe rows are routed
+    * AROUND the merge and emitted unmatched — in an ascending sort
+    * they would otherwise land before every build row and the forward
+    * frame would hand them the first build of the whole key.
+    */
+  def asofJoinForward(build: DataFrame, probe: DataFrame, key: String,
+                      buildTs: String, probeTs: String,
+                      buildTie: String): DataFrame = {
+    val carryCols = build.columns.filterNot(_ == key).toSeq
+    val probeCols = probe.columns.filterNot(_ == key).toSeq
+    val carryT = build.select(struct(carryCols.map(col): _*).as("s"))
+      .schema("s").dataType
+    val probeT = probe.select(struct(probeCols.map(col): _*).as("s"))
+      .schema("s").dataType
+    val b = build.filter(col(buildTs).isNotNull && col(key).isNotNull)
+      .select(
+        col(key), col(buildTs).as("__ts"), lit(1).as("__side"),
+        col(buildTie).cast("long").as("__tie"),
+        struct(carryCols.map(col): _*).as("__carry"),
+        lit(null).cast(probeT).as("__probe"))
+    val p = probe.filter(col(probeTs).isNotNull && col(key).isNotNull)
+      .select(
+        col(key), col(probeTs).as("__ts"), lit(0).as("__side"),
+        lit(Long.MinValue).as("__tie"),
+        lit(null).cast(carryT).as("__carry"),
+        struct(probeCols.map(col): _*).as("__probe"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = b.unionByName(p)
+      .withColumn("__match",
+        first(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col(key) +:
+        (probeCols.map(c => col("__probe." + c).as(c)) ++
+          carryCols.map(c => col("__match." + c).as(c))): _*)
+    val carryFields = carryT
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fields
+    val unmatched = probe
+      .filter(col(probeTs).isNull || col(key).isNull)
+      .select(col(key) +: (probeCols.map(col) ++
+        carryFields.toSeq.map(f =>
+          lit(null).cast(f.dataType).as(f.name))): _*)
+    matched.unionByName(unmatched)
+  }
+
   /** Time-proximity self range-join: for every row, the number of OTHER
     * rows (any key) within ±`windowSec` seconds — rows with no neighbor
     * report 0.

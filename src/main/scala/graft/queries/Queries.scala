@@ -416,6 +416,21 @@ object Queries {
         key = "user_id", buildTs = "click_ts", probeTs = "purchase_ts",
         buildTie = "click_id")
     }),
+    // forward as-of (inclusive): every purchase matched to the user's
+    // EARLIEST click at-or-after it — the mirror merge (flipped frame,
+    // first() carry), e.g. "next touchpoint after conversion"
+    "asof_join_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      AsOf.asofJoinForward(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+        key = "user_id", buildTs = "click_ts", probeTs = "purchase_ts",
+        buildTie = "click_id")
+    }),
     // bucketed time-proximity range join: per event, how many other
     // events (any user) landed within ±60 s — the oracle runs the n²
     // inequality self-join this formulation avoids
@@ -718,6 +733,19 @@ object Queries {
         |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id
         |    AND c.click_ts <= p.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+        |FROM j WHERE rn = 1""".stripMargin,
+    "asof_join_forward" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.purchase_id, p.purchase_ts,
+        |    c.click_id, c.click_ts,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts ASC, c.click_id ASC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.click_ts >= p.purchase_ts)
         |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
         |FROM j WHERE rn = 1""".stripMargin,
     // two-sided BETWEEN instead of abs(Δ): the abs() form defeats

@@ -42,6 +42,58 @@ class AsOfSpec extends SparkSuite {
       200L -> -1L, 300L -> -1L))
   }
 
+  test("asofJoinForward: inclusive boundary, earliest-wins tie-break, " +
+    "no-match nulls, null-ts probe routed around the merge") {
+    val s = spark
+    import s.implicits._
+    val clicks = Seq(
+      (1L, Some(10L), Some(ts("2026-01-01 00:00:10"))),
+      (1L, Some(11L), Some(ts("2026-01-01 00:00:10"))), // same ts — LOWER id wins
+      (1L, Some(12L), Some(ts("2026-01-01 00:00:30"))),
+      (1L, Some(13L), None), // null-ts build row: dropped
+      (2L, Some(20L), Some(ts("2026-01-01 00:05:00"))))
+      .toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq(
+      (1L, 100L, Some(ts("2026-01-01 00:00:10"))), // equal ts → inclusive
+      (1L, 101L, Some(ts("2026-01-01 00:00:11"))), // next is click 12
+      (1L, 102L, Some(ts("2026-01-01 00:00:31"))), // AFTER all clicks → null
+      (2L, 200L, Some(ts("2026-01-01 00:04:59"))), // before click 20
+      (3L, 300L, Some(ts("2026-01-01 00:00:01"))), // key with no clicks
+      (1L, 103L, None)) // null-ts probe: unmatched, not first-of-key
+      .toDF("user_id", "purchase_id", "purchase_ts")
+    val got = AsOf.asofJoinForward(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", "click_id")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(100L -> 10L, 101L -> 12L, 102L -> -1L,
+      200L -> 20L, 300L -> -1L, 103L -> -1L))
+  }
+
+  test("property: asofJoinForward equals the naive earliest-at-or-after " +
+    "pick") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val builds = (1 to 120).map(i =>
+      (rnd.nextInt(6).toLong, i.toLong, ts(f"2026-01-01 00:${rnd.nextInt(50)}%02d:${rnd.nextInt(60)}%02d")))
+    val probes = (1 to 80).map(i =>
+      (rnd.nextInt(8).toLong, (1000 + i).toLong, ts(f"2026-01-01 00:${rnd.nextInt(50)}%02d:${rnd.nextInt(60)}%02d")))
+    val b = builds.toDF("user_id", "click_id", "click_ts")
+    val p = probes.toDF("user_id", "purchase_id", "purchase_ts")
+    val got = AsOf.asofJoinForward(b, p, "user_id",
+      "click_ts", "purchase_ts", "click_id")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val want = probes.map { case (u, pid, pts) =>
+      val cands = builds.filter(bb => bb._1 == u && !bb._3.before(pts))
+      pid -> (if (cands.isEmpty) -1L
+              else cands.minBy(bb => (bb._3.getTime, bb._2))._2)
+    }.toMap
+    assert(got === want)
+  }
+
   test("asofJoin never matches null keys (join semantics)") {
     val s = spark
     import s.implicits._
