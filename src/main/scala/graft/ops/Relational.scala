@@ -39,6 +39,43 @@ object Relational {
     sum(cents(price) * (lit(100L) - cents(discount)) *
       (lit(100L) + cents(tax))).cast(DoubleType) / lit(1000000.0)
 
+  /** Data-quality audit gate (the pre-training "expectations" pass):
+    * evaluate a declarative set of row-level constraints in ONE scan —
+    * every check is a codegen'd boolean folded into a single
+    * aggregate — plus optional key-uniqueness checks, and emit one
+    * row per check: (check_name, n_rows, n_violations, pass). A row
+    * where a predicate evaluates to NULL counts as a violation
+    * (unknown fails the gate). `uniqueKeys` are PRIMARY-KEY checks:
+    * violations = rows − count(distinct non-null key), so NULL keys
+    * count as violations alongside duplicates. At 100 TB this is one
+    * map over the data and a one-row aggregate, never a scan per
+    * expectation; uniqueness rides the same aggregate as
+    * count(distinct).
+    */
+  def dataAudit(df: DataFrame, checks: Seq[(String, Column)],
+                uniqueKeys: Seq[String] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
+    val vio = checks.map { case (n, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$n")
+    }
+    val uniq = uniqueKeys.map(k =>
+      (count(lit(1)) - count_distinct(col(k))).as(s"__u_$k"))
+    val aggCols = vio ++ uniq :+ count(lit(1)).as("__n")
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows =
+      checks.map { case (n, _) =>
+        struct(lit(n).as("check_name"),
+          col(s"__v_$n").as("n_violations"))
+      } ++ uniqueKeys.map(k =>
+        struct(lit(s"unique:$k").as("check_name"),
+          col(s"__u_$k").as("n_violations")))
+    agg.select(col("__n").as("n_rows"), explode(array(rows: _*)).as("c"))
+      .select(col("c.check_name").as("check_name"), col("n_rows"),
+        col("c.n_violations").as("n_violations"),
+        (col("c.n_violations") === 0L).as("pass"))
+  }
+
   /** TPC-H Q1-style pricing summary: the canonical scan→filter→agg. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem

@@ -479,6 +479,36 @@ object Queries {
     // digit runs, count matches (pure map — no shuffle)
     "pii_scrub" -> ((s, d) =>
       TextOps.piiScrub(events(s, d), "event_id", "props", minDigits = 2)),
+    // data-quality audit gate: every expectation a codegen'd boolean
+    // in ONE aggregate pass (never a scan per check) + key uniqueness;
+    // two checks intentionally fail on the fixture (value<=400 and the
+    // event_type enum missing 'error') so both verdicts are exercised
+    "data_audit" -> ((s, d) =>
+      Relational.dataAudit(events(s, d),
+        Seq(
+          "event_id_not_null" -> col("event_id").isNotNull,
+          "user_id_not_null" -> col("user_id").isNotNull,
+          "value_positive" -> (col("value") > 0),
+          "value_le_400" -> (col("value") <= 400),
+          "event_type_known" -> col("event_type")
+            .isin("click", "view", "purchase", "signup"),
+          "ts_in_2024" ->
+            (col("ts") >= lit("2024-01-01").cast(TimestampType) &&
+              col("ts") < lit("2025-01-01").cast(TimestampType))),
+        uniqueKeys = Seq("event_id"))),
+    // window-rank family: percent_rank / cume_dist / dense_rank per
+    // user over exact integer cents (ties are real and both engines
+    // agree on the SQL-standard peer semantics)
+    "rank_features" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("cents"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("drk", dense_rank().over(w).cast(LongType))
+    }),
     // equi-depth buckets: per-priority price quartiles via ntile —
     // the window sorts within each group's partition, never globally
     "ntile_stats" -> ((s, d) => {
@@ -818,6 +848,43 @@ object Queries {
         |SELECT o_orderpriority, q, count(*) AS n,
         |  min(pc) AS min_cents, max(pc) AS max_cents
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "data_audit" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN coalesce(event_id IS NOT NULL, false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_eid,
+        |  CAST(sum(CASE WHEN coalesce(user_id IS NOT NULL, false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_uid,
+        |  CAST(sum(CASE WHEN coalesce(value > 0, false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_pos,
+        |  CAST(sum(CASE WHEN coalesce(value <= 400, false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_400,
+        |  CAST(sum(CASE WHEN coalesce(event_type IN
+        |    ('click', 'view', 'purchase', 'signup'), false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_enum,
+        |  CAST(sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01'
+        |    AND ts < TIMESTAMP '2025-01-01', false)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_ts,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS u_eid
+        |  FROM events)
+        |SELECT 'event_id_not_null' AS check_name, n AS n_rows,
+        |  v_eid AS n_violations, v_eid = 0 AS pass FROM a
+        |UNION ALL SELECT 'user_id_not_null', n, v_uid, v_uid = 0 FROM a
+        |UNION ALL SELECT 'value_positive', n, v_pos, v_pos = 0 FROM a
+        |UNION ALL SELECT 'value_le_400', n, v_400, v_400 = 0 FROM a
+        |UNION ALL SELECT 'event_type_known', n, v_enum, v_enum = 0 FROM a
+        |UNION ALL SELECT 'ts_in_2024', n, v_ts, v_ts = 0 FROM a
+        |UNION ALL SELECT 'unique:event_id', n, u_eid, u_eid = 0
+        |  FROM a""".stripMargin,
+    "rank_features" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, cents,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY cents)
+        |    AS pr,
+        |  cume_dist() OVER (PARTITION BY user_id ORDER BY cents) AS cd,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY cents)
+        |    AS BIGINT) AS drk
+        |FROM t""".stripMargin,
     "cumulative_users" ->
       """WITH f AS (SELECT user_id,
         |  CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day

@@ -28,6 +28,31 @@ class SemanticsSpec extends SparkSuite {
       lit(0).as("timestampType"))
   }
 
+  test("dataAudit: one row per check; NULL predicates count as " +
+    "violations; uniqueness rides the same pass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), Some(10.0)),
+      (Some(1L), Some(-5.0)),   // duplicate id + negative value
+      (Some(2L), None),         // null value -> 'value_positive' UNKNOWN
+      (None, Some(3.0)))        // null id
+      .toDF("id", "v")
+    val out = Relational.dataAudit(df,
+      Seq("id_not_null" -> col("id").isNotNull,
+        "value_positive" -> (col("v") > 0)),
+      uniqueKeys = Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("id_not_null") === ((4L, 1L, false)))
+    // -5 fails, NULL v is unknown => also a violation
+    assert(out("value_positive") === ((4L, 2L, false)))
+    // primary-key semantics: violations = rows - distinct NON-NULL
+    // keys, so both the duplicate id 1 and the null id count (4-2=2)
+    assert(out("unique:id") === ((4L, 2L, false)),
+      s"uniqueness counts rows minus distinct non-null keys: $out")
+  }
+
   test("A4 invariant: recovered offset is strictly above current, or 0") {
     // the reference picks the smallest broker offset > current, else 0
     // (reference `…InputDStream.scala:352-370`, find on ascending list
