@@ -143,6 +143,15 @@ object GraftFunctions {
                      permissive: Boolean = false): Column =
     c(AvroOcfExplode(e(bytes), schema, permissive))
 
+  /** Dead-letter decode: rows of (target schema + decode_error) —
+    * null error for clean records, one error-carrying all-null row per
+    * poison container (see AvroOcfExplodeDlq).
+    */
+  def avroOcfExplodeDlq(bytes: Column,
+                        schema: org.apache.spark.sql.types.StructType)
+      : Column =
+    c(AvroOcfExplodeDlq(e(bytes), schema))
+
   private[functions] val registry: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_bands"),

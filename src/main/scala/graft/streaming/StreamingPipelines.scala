@@ -72,6 +72,31 @@ object StreamingPipelines {
     kafka.withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("topic", "partition", "offset")
 
+  /** Dead-letter decode routing — the payload-error half of the
+    * reference's X3 error handling (its state machine only recovered
+    * PROTOCOL errors; a poison payload either killed the stream
+    * (strict) or vanished silently (permissive)). One decode pass
+    * annotates every record: clean rows carry null `decode_error`,
+    * a poison container yields one quarantine row with the raw value
+    * bytes, the record identity (topic, partition, offset,
+    * timestamp), and the exception text. Callers split on
+    * `decode_error IS NULL` — in foreachBatch one materialization
+    * serves the main sink and the DLQ sink; the stream NEVER dies on
+    * bad bytes, and nothing is dropped without a trace. Works
+    * identically on batch frames (same operator code).
+    */
+  def decodeWithDlq(kafka: DataFrame,
+                    schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    kafka.select(
+      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("value").as("__raw"),
+      graft.functions.GraftFunctions
+        .avroOcfExplodeDlq(col("value"), schema))
+      .withColumn("raw",
+        when(col("decode_error").isNotNull, col("__raw")))
+      .drop("__raw")
+
   /** Streaming near-dup suppression — the in-flight ingest twin of the
     * batch near-dup pass: drop any document whose 64-bit SimHash
     * signature (fused SimHash64 kernel) was already seen within the

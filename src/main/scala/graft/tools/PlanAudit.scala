@@ -30,8 +30,15 @@ object PlanAudit {
           .count(l => l.contains("PushedFilters: [") &&
             !l.contains("PushedFilters: []"))
         val topk = plan.linesIterator.count(_.contains("GroupedTopK ["))
+        // the shuffle budget: real exchanges only (a ReusedExchange is
+        // the optimizer sharing one shuffle between consumers — free)
+        val exch = plan.linesIterator.count(l =>
+          l.contains("Exchange ") && !l.contains("ReusedExchange"))
+        val wsc = plan.linesIterator
+          .count(_.contains("WholeStageCodegen"))
         println(f"AUDIT $name%-22s bnlj=$bnlj cart=$cart bhj=$bhj " +
-          f"shuffleJoin=$smj pushedScans=$pushed groupedTopK=$topk")
+          f"shuffleJoin=$smj pushedScans=$pushed groupedTopK=$topk " +
+          f"exchanges=$exch codegenSpans=$wsc")
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}")
       }

@@ -38,6 +38,71 @@ class AvroOcfSpec extends SparkSuite {
     assert(got == data)
   }
 
+  test("decodeWithDlq: poison containers quarantine with raw bytes " +
+    "and error text; clean records pass; nothing vanishes") {
+    val s = spark
+    import s.implicits._
+    val good = AvroOcf.serialize(AvroOcf.eventSchema,
+      Seq(rec(1, "click", 10), rec(2, "view", 11)).iterator)
+    val poison = "not an avro container".getBytes("UTF-8")
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val kafka = Seq(
+      (good, "events", 0, 100L, ts),
+      (poison, "events", 0, 101L, ts),
+      (good, "events", 1, 102L, ts))
+      .toDF("value", "topic", "partition", "offset", "timestamp")
+    val out = graft.streaming.StreamingPipelines
+      .decodeWithDlq(kafka, AvroOcf.eventStructType)
+    val clean = out.filter(col("decode_error").isNull)
+    val dlq = out.filter(col("decode_error").isNotNull)
+    assert(clean.count() == 4, "two good blobs x two records")
+    assert(clean.select("raw").collect().forall(_.isNullAt(0)),
+      "clean rows carry no raw bytes")
+    val q = dlq.collect()
+    assert(q.length == 1, "one poison container, one quarantine row")
+    val r = q.head
+    assert(r.getAs[Long]("offset") == 101L,
+      "quarantine keeps the record identity")
+    assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("raw"), poison),
+      "quarantine keeps the raw bytes for replay")
+    assert(r.getAs[String]("decode_error").nonEmpty)
+    assert(r.isNullAt(r.fieldIndex("event_id")))
+  }
+
+  test("decodeWithDlq on a stream: the query survives poison bytes " +
+    "and the quarantine is exact (stream == batch)") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{KafkaRecord, KafkaShapedStream}
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val good = AvroOcf.serialize(AvroOcf.eventSchema,
+      Seq(rec(5, "click", 50)).iterator)
+    val data = Seq(
+      KafkaRecord(null, good, "events", 0, 1L, ts, 0),
+      KafkaRecord(null, "garbage".getBytes, "events", 0, 2L, ts, 0),
+      KafkaRecord(null, good, "events", 1, 3L, ts, 0))
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = graft.streaming.StreamingPipelines
+      .decodeWithDlq(kafkaStream, AvroOcf.eventStructType)
+      .writeStream.format("memory").queryName("dlq_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("dlq_ckpt"))
+      .start()
+    input.addData(data)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("dlq_stream")
+    assert(got.filter(col("decode_error").isNull).count() == 2)
+    val dlqRows = got.filter(col("decode_error").isNotNull).collect()
+    assert(dlqRows.map(_.getAs[Long]("offset")).toSeq == Seq(2L))
+    // the same operator code on the batch frame agrees row-for-row
+    val batch = graft.streaming.StreamingPipelines
+      .decodeWithDlq(s.createDataset(data).toDF(),
+        AvroOcf.eventStructType)
+    assert(batch.orderBy("offset", "event_id").collect().toSeq ==
+      got.orderBy("offset", "event_id").collect().toSeq)
+  }
+
   test("AvroOcfExplode: one blob explodes to N typed rows, distributed") {
     val s = spark
     import s.implicits._
