@@ -194,6 +194,41 @@ object TextOps {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** Contrastive positive-pair generation (SimCSE/Contriever-style
+    * same-document positives): for every document with at least two
+    * chunks, pair the anchor (chunk 0) with one deterministically
+    * hash-picked OTHER chunk — two views of the same document for a
+    * contrastive encoder, with `Similarity.hardNegatives` supplying
+    * the negative side. The pick is a pure function of the doc id
+    * (replay-stable, no rand()); chunking is `chunkDocs`, and the
+    * chunk statistics come from the chunk stream itself — no second
+    * text scan. Output: (doc_id, n_chunks, pos_idx, anchor_tokens,
+    * pos_tokens).
+    */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 16, overlap: Int = 4)
+      : DataFrame = {
+    val chunks = chunkDocs(docs, idCol, textCol, chunkTokens, overlap)
+    val stats = chunks.groupBy(col(idCol))
+      .agg((max(col("chunk_idx")) + 1L).as("n_chunks"))
+      .filter(col("n_chunks") >= 2L)
+      .withColumn("pos_idx",
+        pmod(polyHash(col(idCol).cast(StringType)),
+          col("n_chunks") - 1L) + 1L)
+    val anchor = chunks.filter(col("chunk_idx") === 0L)
+      .select(col(idCol), col("n_chunk_tokens").as("anchor_tokens"))
+    // all three frames derive from `chunks`: renamed join keys keep
+    // the self-join unambiguous
+    val pos = chunks.select(col(idCol).as("__pid"),
+      col("chunk_idx").as("__pidx"),
+      col("n_chunk_tokens").as("pos_tokens"))
+    stats.join(anchor, Seq(idCol))
+      .join(pos, col(idCol) === col("__pid") &&
+        col("pos_idx") === col("__pidx"))
+      .select(col(idCol), col("n_chunks"), col("pos_idx"),
+        col("anchor_tokens"), col("pos_tokens"))
+  }
+
   /** Deterministic train/val/test assignment by CONTENT hash: bucket =
     * polyHash(text) mod 10 → train (bucket < trainBuckets), val, test.
     * Keying the split on content rather than doc id means

@@ -571,6 +571,12 @@ object LlmQueries {
         .select(col("lang"), col("doc_id"), col("hsh"),
           col("rnk").cast(LongType).as("rnk"))
     }),
+    // N4 — contrastive positive pairs: anchor chunk 0 + a hash-picked
+    // other chunk per multi-chunk doc (two views of one document;
+    // hard_negatives is the negative side)
+    "contrastive_pairs" -> ((s, d) =>
+      TextOps.contrastivePairs(docs(s, d), "doc_id", "text",
+        chunkTokens = 16, overlap = 4)),
     // Corpus ops — sequence packing: chunk stream → fixed-length
     // training sequences (concat-and-split, per-shard)
     "seq_pack" -> ((s, d) =>
@@ -1665,6 +1671,23 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1""".stripMargin,
+    // the seq_pack chunk-count replay + polyHash pick: pos_idx =
+    // hash(doc_id) % (n_chunks-1) + 1; token counts from the slice
+    // widths least(16, n - idx*12)
+    "contrastive_pairs" ->
+      s"""WITH b AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |p AS (SELECT doc_id, n,
+         |  CAST((greatest(n - 16, 0) + 11) // 12 + 1 AS BIGINT)
+         |    AS n_chunks FROM b),
+         |e AS (SELECT doc_id, n, n_chunks,
+         |  ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} % (n_chunks - 1) + 1
+         |    AS pos_idx
+         |  FROM p WHERE n_chunks >= 2)
+         |SELECT doc_id, n_chunks, CAST(pos_idx AS BIGINT) AS pos_idx,
+         |  CAST(least(16, n) AS BIGINT) AS anchor_tokens,
+         |  CAST(least(16, n - pos_idx * 12) AS BIGINT) AS pos_tokens
+         |FROM e""".stripMargin,
     "seq_pack" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

@@ -99,6 +99,32 @@ class CorpusOpsSpec extends SparkSuite {
       }
   }
 
+  test("contrastivePairs: multi-chunk docs pair anchor 0 with an " +
+    "in-range other chunk; single-chunk docs are excluded") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 40 toks -> 3 chunks
+      (2L, "just a few tokens"),                      // 1 chunk -> excluded
+      (3L, (1 to 17).map(i => s"t$i").mkString(" "))) // 2 chunks
+      .toDF("doc_id", "text")
+    val out = TextOps.contrastivePairs(docs, "doc_id", "text",
+      chunkTokens = 16, overlap = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(1L, 3L), s"single-chunk doc excluded: $out")
+    val (n1, p1, a1, t1) = out(1L)
+    assert(n1 == 3L && p1 >= 1L && p1 < n1 && a1 == 16L && t1 >= 1L)
+    val (n3, p3, a3, t3) = out(3L)
+    // 17 tokens, stride 12: chunk 0 = 16 toks, chunk 1 = toks 13..17
+    assert(n3 == 2L && p3 == 1L && a3 == 16L && t3 == 5L)
+    // replay-stable: the pick is a pure function of the doc id
+    val again = TextOps.contrastivePairs(docs.repartition(7), "doc_id",
+      "text", chunkTokens = 16, overlap = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === out.map { case (k, v) => k -> v._2 })
+  }
+
   test("globalIds: dense 1..N, stable across partitionings, ordered") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()
