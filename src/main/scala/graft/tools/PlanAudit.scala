@@ -34,11 +34,9 @@ object PlanAudit {
         // the optimizer sharing one shuffle between consumers — free)
         val exch = plan.linesIterator.count(l =>
           l.contains("Exchange ") && !l.contains("ReusedExchange"))
-        val wsc = plan.linesIterator
-          .count(_.contains("WholeStageCodegen"))
         println(f"AUDIT $name%-22s bnlj=$bnlj cart=$cart bhj=$bhj " +
           f"shuffleJoin=$smj pushedScans=$pushed groupedTopK=$topk " +
-          f"exchanges=$exch codegenSpans=$wsc")
+          f"exchanges=$exch")
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}")
       }
