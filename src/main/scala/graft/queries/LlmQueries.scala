@@ -571,6 +571,36 @@ object LlmQueries {
         .select(col("lang"), col("doc_id"), col("hsh"),
           col("rnk").cast(LongType).as("rnk"))
     }),
+    // N3/N4 end-to-end — RAG chunk retrieval: documents → overlapping
+    // chunks → 64-bit SimHash sign-embedding per chunk → global top-20
+    // chunks for a fixed text query by hamming distance (angular
+    // similarity on sign vectors, the bq_topk geometry applied to
+    // TEXT). Exact integers end to end; the global top-k plans as
+    // TakeOrderedAndProject, never a global sort
+    "rag_chunk_search" -> ((s, d) => {
+      val chunks = TextOps.chunkDocs(docs(s, d), "doc_id", "text",
+        chunkTokens = 16, overlap = 4)
+      val sigs = chunks.select(col("doc_id"), col("chunk_idx"),
+        graft.functions.GraftFunctions.simhash64(col("chunk_text"))
+          .as("sg"))
+        .select(col("doc_id"), col("chunk_idx"),
+          element_at(col("sg"), 1).as("sim_lo"),
+          element_at(col("sg"), 2).as("sim_hi"))
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        sigs.coalesce(1).write.mode("overwrite").parquet(ragSigsDir)
+      val (qlo, qhi) = ragQuerySig
+      val scored = sigs.withColumn("hamming",
+        (bit_count(col("sim_lo").bitwiseXOR(lit(qlo))) +
+          bit_count(col("sim_hi").bitwiseXOR(lit(qhi)))).cast(LongType))
+        .select(col("doc_id"), col("chunk_idx"), col("hamming"))
+      val top = scored
+        .orderBy(col("hamming"), col("doc_id"), col("chunk_idx"))
+        .limit(20)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("hamming"), col("doc_id"), col("chunk_idx")))
+          .cast(LongType))
+    }),
     // N4 — contrastive positive pairs: anchor chunk 0 + a hash-picked
     // other chunk per multi-chunk doc (two views of one document;
     // hard_negatives is the negative side)
@@ -661,6 +691,28 @@ object LlmQueries {
     sys.props.getOrElse("graft.ann.index.dir", "/tmp/graft_ann_index")
   private def annCellsDir: String =
     sys.props.getOrElse("graft.ann.cells.dir", "/tmp/graft_ann_cells")
+
+  /** rag_chunk_search's materialized chunk signatures. */
+  private def ragSigsDir: String =
+    sys.props.getOrElse("graft.rag.sigs.dir", "/tmp/graft_rag_sigs")
+
+  /** The fixed retrieval query for rag_chunk_search, and its SimHash
+    * signature computed ONCE via the kernel's interpreted eval — the
+    * same constant is a literal in the Spark plan and in the oracle
+    * SQL, so both engines score against the identical probe.
+    */
+  private val ragQueryText = "spark stream window agg"
+  private lazy val ragQuerySig: (Long, Long) = {
+    val arr = graft.functions.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(ragQueryText),
+        org.apache.spark.sql.types.StringType))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    (arr(0), arr(1))
+  }
 
   /** pq_topk's materialized per-subspace code assignments and codebook
     * table (ivfCellsDir pattern — separate paths so queries can't
@@ -1671,6 +1723,22 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1""".stripMargin,
+    // the bq_topk hamming replay over the materialized chunk
+    // signatures; the probe signature is the same interpolated
+    // constant the Spark plan uses
+    "rag_chunk_search" -> {
+      val (qlo, qhi) = ragQuerySig
+      s"""WITH s AS (SELECT * FROM '$ragSigsDir/*.parquet'),
+         |h AS (SELECT doc_id, chunk_idx,
+         |  CAST(bit_count(xor(sim_lo, CAST($qlo AS BIGINT)))
+         |     + bit_count(xor(sim_hi, CAST($qhi AS BIGINT)))
+         |    AS BIGINT) AS hamming FROM s),
+         |r AS (SELECT doc_id, chunk_idx, hamming,
+         |  CAST(row_number() OVER (ORDER BY hamming, doc_id, chunk_idx)
+         |    AS BIGINT) AS rk FROM h)
+         |SELECT doc_id, chunk_idx, hamming, rk FROM r
+         |WHERE rk <= 20""".stripMargin
+    },
     // the seq_pack chunk-count replay + polyHash pick: pos_idx =
     // hash(doc_id) % (n_chunks-1) + 1; token counts from the slice
     // widths least(16, n - idx*12)
