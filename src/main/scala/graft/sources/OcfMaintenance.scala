@@ -91,6 +91,53 @@ object OcfMaintenance {
     (before, nFiles)
   }
 
+  /** Consolidate the per-commit stats manifests into ONE. A
+    * micro-batch writer installs one `_manifest-<id>.ndjson` per
+    * trigger, so a long-lived streaming store accrues thousands of
+    * tiny manifests — the metadata twin of the small-files problem
+    * (every planner listing parses them all, and retention deletes
+    * containers but never their manifest lines). One pass rewrites
+    * the merged, LIVE-FILES-ONLY stats as a single manifest and
+    * retires the old ones. Returns (manifests before, stale lines
+    * dropped).
+    *
+    * Crash-safe and live-reader-safe: the consolidated file is
+    * written dot-prefixed (invisible), renamed into place, and only
+    * then are the old manifests deleted. Its `_manifest-z` name
+    * sorts AFTER every writer-generated `_manifest-<uuid>` (hex <
+    * 'z'), so during the crash window where both generations coexist
+    * the consolidated stats win the last-by-name merge — and the
+    * values are identical anyway, since container files are
+    * immutable under append commits. No container bytes move.
+    */
+  def compactManifests(spark: SparkSession, dir: String): (Int, Long) = {
+    val conf = OcfStore.driverConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return (0, 0L)
+    val listing = fs.listStatus(d).toSeq
+    val manifests = listing.map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") &&
+        p.getName.startsWith("_manifest-") &&
+        p.getName.endsWith(".ndjson"))
+    if (manifests.isEmpty) return (0, 0L)
+    val live = listing.map(_.getPath.getName)
+      .filter(n => n.endsWith(".ocf") && !n.startsWith(".")).toSet
+    val stats = OcfStore.manifestStats(dir, conf)
+    val (kept, stale) = stats.values.toSeq.partition(s => live(s.file))
+    val name = s"_manifest-z${System.currentTimeMillis()}.ndjson"
+    val tmp = new org.apache.hadoop.fs.Path(d, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try kept.sortBy(_.file)
+      .foreach(s => out.write((s.toJson + "\n").getBytes("UTF-8")))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(d, name)))
+      throw new java.io.IOException(
+        s"graft-ocf: failed to install consolidated manifest $name")
+    manifests.foreach(p => fs.delete(p, false))
+    (manifests.size, stale.size.toLong)
+  }
+
   /** Broker-style time retention (Kafka `retention.ms`, reference
     * stores its offsets against a broker that enforces exactly this):
     * drop every container whose manifest proves ALL its records are

@@ -777,6 +777,41 @@ class OcfSourceSpec extends SparkSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_epoch-7")))
   }
 
+  test("manifest consolidation: one file replaces the per-commit pile, " +
+    "stale lines drop, pruning and later appends keep working") {
+    val dir = tmpDir("ocf_manifest_compact")
+    stratifiedStore(dir)
+    def manifests = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("_manifest-") &&
+        f.getName.endsWith(".ndjson")).map(_.getName).sorted
+    assert(manifests.length == 4, "one manifest per commit")
+    val statsBefore = OcfStore.manifestStats(dir, hconf.value)
+    // simulate retention having deleted partition 0's container:
+    // its manifest line goes stale
+    val victim = statsBefore.values.find(_.partitions == Seq(0)).get.file
+    assert(new java.io.File(dir, victim).delete())
+
+    val (nBefore, stale) =
+      OcfMaintenance.compactManifests(spark, dir)
+    assert(nBefore == 4 && stale == 1L, s"got ($nBefore, $stale)")
+    assert(manifests.length == 1 &&
+      manifests.head.startsWith("_manifest-z"),
+      s"consolidated name must win last-by-name: ${manifests.toSeq}")
+    val statsAfter = OcfStore.manifestStats(dir, hconf.value)
+    assert(statsAfter == statsBefore - victim,
+      "consolidation preserves live stats exactly, drops stale lines")
+    // pruning still proves files irrelevant off the consolidated stats
+    val byPart = planFiles(dir,
+      Array(org.apache.spark.sql.sources.EqualTo("partition", 2)))
+    assert(byPart.map(_.end).sum == 50)
+    // a later append commit coexists: its manifest merges alongside
+    kafkaDf(200, 210).write.format("graft-ocf").mode("append").save(dir)
+    assert(manifests.length == 2)
+    val merged = OcfStore.manifestStats(dir, hconf.value)
+    assert(merged.size == statsAfter.size + 1,
+      "appended commit's stats merge with the consolidated manifest")
+  }
+
   test("time retention deletes exactly the provably-expired containers") {
     val dir = tmpDir("ocf_retain")
     stratifiedStore(dir) // partition p holds ts [base + p*50m, +50m)
