@@ -777,6 +777,62 @@ class OcfSourceSpec extends SparkSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_epoch-7")))
   }
 
+  test("multi-store read: load(a, b) unions stores with per-store " +
+    "offset keys — the connector-level multi-topic subscribe") {
+    val s = spark
+    import s.implicits._
+    def store(dir: String, topic: String, from: Int, until: Int): Unit =
+      (from until until).map(i => (i.toLong, s"p_$i"))
+        .toDF("id", "props").select(
+          col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit(topic).as("topic"),
+          (col("id") % 2).cast("int").as("partition"),
+          col("id").as("offset"),
+          lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+          lit(0).as("timestampType"))
+        .write.format("graft-ocf").mode("overwrite").save(dir)
+    val dirA = tmpDir("ocf_multi_a"); val dirB = tmpDir("ocf_multi_b")
+    store(dirA, "clicks", 0, 30)
+    store(dirB, "views", 100, 140)
+
+    // batch: one source, both stores, topics preserved
+    val both = spark.read.format("graft-ocf").load(dirA, dirB)
+    assert(both.count() == 70)
+    assert(both.groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("clicks" -> 30L, "views" -> 40L))
+    // pushed filters still prune per store through the same plan
+    assert(both.filter(col("offset") >= 100).count() == 40)
+    // writes must target exactly one store
+    intercept[Exception] {
+      both.limit(1).write.format("graft-ocf")
+        .option("paths", s"""["$dirA","$dirB"]""")
+        .mode("append").save()
+    }
+
+    // streaming: dir-qualified offset keys, admission control spans
+    // both stores in stable order
+    val stream = spark.readStream.format("graft-ocf")
+      .option("paths", s"""["$dirA","$dirB"]""")
+      .option("maxRecordsPerTrigger", "25")
+      .load()
+    val q = stream.select(col("topic"), col("offset"))
+      .writeStream.format("memory").queryName("multi_store")
+      .option("checkpointLocation", tmpDir("multi_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("multi_store")
+      assert(got.count() == 70, "all records from both stores arrive")
+      assert(got.select("topic").distinct().count() == 2)
+      // the checkpointed offsets carry dir-qualified keys
+      val prog = q.lastProgress.sources.head.endOffset
+      assert(prog.contains(dirA) && prog.contains(dirB),
+        s"offset keys must be dir-qualified: $prog")
+    } finally q.stop()
+  }
+
   test("manifest consolidation: one file replaces the per-commit pile, " +
     "stale lines drop, pruning and later appends keep working") {
     val dir = tmpDir("ocf_manifest_compact")
