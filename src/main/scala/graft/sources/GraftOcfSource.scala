@@ -92,8 +92,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
       new SerializableConfiguration(OcfStore.driverConf()))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(dirs.size == 1,
-      s"graft-ocf writes target exactly one store, got $dirs")
+    require(dirs.size == 1 && !dirs.head.exists("*?[{".contains(_)),
+      s"graft-ocf writes target exactly one literal store, got $dirs")
     new OcfWriteBuilder(dirs.head, info)
   }
 }
@@ -652,18 +652,43 @@ object OcfStore extends org.apache.spark.internal.Logging {
   def headCounts(dir: String, conf: Configuration): Map[String, Long] =
     liveFiles(dir, conf).map(f => f.name -> f.count).toMap
 
+  private def isGlob(p: String): Boolean =
+    p.exists("*?[{".contains(_))
+
+  /** Expand glob store paths (S3 — store DISCOVERY, the engine-owned
+    * twin of the reference's 15 s topic-partition discovery timer,
+    * reference `…InputDStream.scala:64-72,266-285`): literal dirs pass
+    * through, glob dirs list their current matches. Called per
+    * trigger by the streaming side, so a store directory that appears
+    * AFTER the stream starts is discovered at the next trigger and
+    * its cursors start at 0 — no restart, exactly as the reference
+    * registers newly-found partitions on the fly.
+    */
+  def expandDirs(dirs: Seq[String], conf: Configuration): Seq[String] =
+    dirs.flatMap { d =>
+      if (!isGlob(d)) Seq(d)
+      else {
+        val p = new Path(d)
+        val fs = p.getFileSystem(conf)
+        Option(fs.globStatus(p)).toSeq.flatten
+          .filter(_.isDirectory)
+          .map(_.getPath.toUri.getPath)
+      }
+    }.distinct.sorted
+
   /** The multi-store listing as (stable key, full path, file). One
-    * store keeps plain basenames as keys — existing checkpoints stay
-    * readable; several stores qualify the key with its directory, so
+    * LITERAL store keeps plain basenames as keys — existing
+    * checkpoints stay readable; several stores (or any glob, whose
+    * expansion can grow) qualify the key with its directory, so
     * same-named containers in different stores never collide in the
     * offset map. Keys sort in (dir, name) order either way.
     */
   def keyedLiveFiles(dirs: Seq[String], conf: Configuration)
       : Seq[(String, String, OcfLiveFile)] =
-    if (dirs.sizeIs == 1)
+    if (dirs.sizeIs == 1 && !isGlob(dirs.head))
       liveFiles(dirs.head, conf)
         .map(f => (f.name, s"${dirs.head}/${f.name}", f))
-    else dirs.sorted.flatMap { d =>
+    else expandDirs(dirs, conf).flatMap { d =>
       liveFiles(d, conf).map(f => (s"$d/${f.name}", s"$d/${f.name}", f))
     }
 

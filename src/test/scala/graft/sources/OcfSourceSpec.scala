@@ -833,6 +833,48 @@ class OcfSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("S3 store discovery: a glob path picks up stores that appear " +
+    "MID-STREAM at the next trigger, no restart") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ocf_discover")
+    def store(name: String, topic: String, n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"p_$i")).toDF("id", "props")
+        .select(
+          col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit(topic).as("topic"), lit(0).cast("int").as("partition"),
+          col("id").as("offset"),
+          lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+          lit(0).as("timestampType"))
+        .write.format("graft-ocf").mode("overwrite")
+        .save(s"$root/$name")
+    store("topic_a", "a", 10)
+
+    // batch glob read sees the current expansion
+    assert(spark.read.format("graft-ocf").load(s"$root/topic_*")
+      .count() == 10)
+
+    val q = spark.readStream.format("graft-ocf")
+      .load(s"$root/topic_*")
+      .select(col("topic"))
+      .writeStream.format("memory").queryName("discovered")
+      .option("checkpointLocation", tmpDir("discover_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("discovered").count() == 10)
+      // a NEW store materializes while the stream runs...
+      store("topic_b", "b", 7)
+      q.processAllAvailable()
+      // ...and its records arrive without a restart
+      val byTopic = s.table("discovered").groupBy("topic").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTopic == Map("a" -> 10L, "b" -> 7L),
+        s"discovery must register the new store: $byTopic")
+    } finally q.stop()
+  }
+
   test("manifest consolidation: one file replaces the per-commit pile, " +
     "stale lines drop, pruning and later appends keep working") {
     val dir = tmpDir("ocf_manifest_compact")
