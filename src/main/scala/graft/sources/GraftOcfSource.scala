@@ -315,7 +315,9 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
                           conf: SerializableConfiguration,
                           required: StructType = OcfFormat.sparkSchema,
                           filters: Array[Filter] = Array.empty)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .ReportsSourceMetrics {
   def this(dir: String, maxPerTrigger: Option[Long],
            conf: SerializableConfiguration, required: StructType,
            filters: Array[Filter]) =
@@ -324,6 +326,28 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
   private def keyedHeads: Map[String, Long] =
     OcfStore.keyedLiveFiles(dirs, conf.value)
       .map(t => t._1 -> t._3.count).toMap
+
+  /** Consumer-lag observability in every StreamingQueryProgress (the
+    * metrics surface Kafka's source exposes as records-behind; X6's
+    * per-source half): how many committed records the last consumed
+    * offset trails the store heads by, and how many stores the
+    * subscription currently tracks (grows under glob discovery).
+    */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val head = keyedHeads
+    val consumed =
+      if (latestConsumed.isPresent)
+        latestConsumed.get.asInstanceOf[OcfOffset].counts
+      else Map.empty[String, Long]
+    val behind = head.map { case (k, h) =>
+      math.max(h - consumed.getOrElse(k, 0L), 0L)
+    }.sum
+    java.util.Map.of(
+      "recordsBehindLatest", behind.toString,
+      "storesTracked",
+      OcfStore.expandDirs(dirs, conf.value).size.toString)
+  }
 
   override def initialOffset(): Offset = OcfOffset(Map.empty)
   override def latestOffset(): Offset = OcfOffset(keyedHeads)

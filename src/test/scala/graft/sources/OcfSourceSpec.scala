@@ -833,6 +833,32 @@ class OcfSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("source metrics: recordsBehindLatest drains to zero through " +
+    "admission-controlled triggers") {
+    val dir = tmpDir("ocf_metrics")
+    kafkaDf(0, 40).write.format("graft-ocf").mode("overwrite").save(dir)
+    val q = spark.readStream.format("graft-ocf")
+      .option("maxRecordsPerTrigger", "10").load(dir)
+      .writeStream.format("memory").queryName("src_metrics")
+      .option("checkpointLocation", tmpDir("metrics_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val metrics = q.recentProgress.toSeq
+        .map(_.sources.head.metrics.asScala.toMap)
+        .filter(_.nonEmpty)
+      assert(metrics.nonEmpty, "source metrics must surface in progress")
+      // mid-drain triggers report a positive backlog...
+      assert(metrics.exists(_("recordsBehindLatest").toLong > 0L),
+        s"expected a mid-drain backlog: $metrics")
+      // ...and the final trigger reports none
+      assert(metrics.last("recordsBehindLatest").toLong == 0L,
+        s"drained stream must be 0 behind: ${metrics.last}")
+      assert(metrics.last("storesTracked") == "1")
+    } finally q.stop()
+  }
+
   test("S3 store discovery: a glob path picks up stores that appear " +
     "MID-STREAM at the next trigger, no restart") {
     val s = spark
