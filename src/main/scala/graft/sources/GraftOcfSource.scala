@@ -317,7 +317,9 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
                           filters: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
-      .ReportsSourceMetrics {
+      .ReportsSourceMetrics
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
   def this(dir: String, maxPerTrigger: Option[Long],
            conf: SerializableConfiguration, required: StructType,
            filters: Array[Filter]) =
@@ -349,8 +351,19 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
       OcfStore.expandDirs(dirs, conf.value).size.toString)
   }
 
+  /** Trigger.AvailableNow (the standard backfill pattern: consume
+    * everything that exists, then stop): the head is SNAPSHOTTED once
+    * at query start, admission-controlled triggers drain up to it,
+    * and records committed after the snapshot wait for the next run —
+    * a bounded, restart-resumable batch over the streaming source.
+    */
+  private var availableNowHead: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(keyedHeads)
+
   override def initialOffset(): Offset = OcfOffset(Map.empty)
-  override def latestOffset(): Offset = OcfOffset(keyedHeads)
+  override def latestOffset(): Offset =
+    OcfOffset(availableNowHead.getOrElse(keyedHeads))
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset =
     OcfOffset.fromJson(json)
@@ -367,7 +380,7 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[OcfOffset].counts
-    val head = keyedHeads
+    val head = availableNowHead.getOrElse(keyedHeads)
     limit match {
       case r: ReadMaxRows =>
         var budget = r.maxRows()

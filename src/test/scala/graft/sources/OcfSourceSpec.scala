@@ -833,6 +833,32 @@ class OcfSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: drains the start-time snapshot in " +
+    "bounded triggers, stops, and leaves later records for a next run") {
+    val dir = tmpDir("ocf_available_now")
+    kafkaDf(0, 40).write.format("graft-ocf").mode("overwrite").save(dir)
+    val ckpt = tmpDir("an_ckpt")
+    val outDir = tmpDir("an_out")
+    // a durable sink: the memory sink rejects checkpoint recovery, and
+    // run-two resuming from run-one's checkpoint is the point here
+    def run(): Long = {
+      val q = spark.readStream.format("graft-ocf")
+        .option("maxRecordsPerTrigger", "15").load(dir)
+        .select(col("offset"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).count()
+    }
+    assert(run() == 40L, "first run consumes the whole snapshot")
+    // records appended AFTER the first run wait for the next one
+    kafkaDf(40, 55).write.format("graft-ocf").mode("append").save(dir)
+    assert(run() == 55L, "second run picks up exactly the appended tail")
+  }
+
   test("source metrics: recordsBehindLatest drains to zero through " +
     "admission-controlled triggers") {
     val dir = tmpDir("ocf_metrics")
