@@ -143,6 +143,12 @@ object GraftFunctions {
                      permissive: Boolean = false): Column =
     c(AvroOcfExplode(e(bytes), schema, permissive))
 
+  /** Greedy longest-match WordPiece segmentation against a fixed
+    * subword vocabulary; single-char fallback for OOV spans.
+    */
+  def wordPieces(text: Column, vocab: Seq[String]): Column =
+    c(WordPieces(e(text), vocab))
+
   /** Dead-letter decode: rows of (target schema + decode_error) —
     * null error for clean records, one error-carrying all-null row per
     * poison container (see AvroOcfExplodeDlq).

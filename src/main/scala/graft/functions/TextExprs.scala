@@ -90,6 +90,80 @@ case class HashedCharGrams(child: Expression, n: Int)
       : HashedCharGrams = copy(child = newChild)
 }
 
+/** Greedy longest-match WordPiece segmentation against a FIXED
+  * subword vocabulary — the real tokenizer shape (BERT's WordPiece /
+  * the greedy half of BPE apply), one tight loop per row: each
+  * whitespace word is consumed left-to-right by the longest vocab
+  * entry prefixing the remainder, single-character fallback for
+  * out-of-vocabulary spans. Deterministic and SQL-replayable: the
+  * oracle replays the same greedy loop as a recursive CTE with the
+  * vocabulary inlined longest-first.
+  */
+case class WordPieces(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty && vocab.forall(_.nonEmpty) &&
+    vocab == vocab.distinct, "non-empty distinct vocab")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_pieces"
+
+  // longest-first, ties by lexical order — the match order IS the
+  // tokenizer definition, so it must be stable
+  private val ordered: Array[String] =
+    vocab.sortBy(v => (-v.length, v)).toArray
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var wFrom = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        var p = wFrom
+        while (p < i) {
+          var matched: String = null
+          var v = 0
+          while (matched == null && v < ordered.length) {
+            val cand = ordered(v)
+            if (p + cand.length <= i && s.startsWith(cand, p))
+              matched = cand
+            v += 1
+          }
+          if (matched == null) {
+            out += UTF8String.fromString(s.substring(p, p + 1))
+            p += 1
+          } else {
+            out += UTF8String.fromString(matched)
+            p += matched.length
+          }
+        }
+        wFrom = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordPieces", this,
+      classOf[WordPieces].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordPieces = copy(child = newChild)
+}
+
 /** Sorted distinct 64-bit hashes of the k-word shingles of a string:
   * the fused form of `wordShingles` + per-shingle hashing. Tokens are
   * the single-space split (empties kept — same as Spark `split` and

@@ -194,6 +194,31 @@ object TextOps {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** The fixture subword vocabulary for `wordPieceTokens`: chosen so
+    * the corpus words exercise every path — exact hits ("spark",
+    * "table"), multi-piece splits ("value" → val+ue, "scan" → sc+an),
+    * and single-char OOV fallback ("batch" → b+a+t+ch).
+    */
+  val wordPieceVocab: Seq[String] = Seq(
+    "window", "spark", "table", "sort", "part", "val", "row", "key",
+    "ue", "th", "an", "ch", "sc", "e", "a")
+
+  /** Real subword tokenization (N4 beyond the BPE-ish regex count):
+    * greedy longest-match WordPiece per whitespace word, single-char
+    * fallback — one codegen loop per row (functions.WordPieces).
+    * Output: (doc_id, n_pieces, pieces as a space-joined string) —
+    * the full segmentation, so the oracle equality is over the exact
+    * token sequence, not just counts.
+    */
+  def wordPieceTokens(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions
+        .wordPieces(col(textCol), wordPieceVocab).as("p"))
+      .select(col(idCol),
+        size(col("p")).cast(LongType).as("n_pieces"),
+        concat_ws(" ", col("p")).as("pieces"))
+
   /** Contrastive positive-pair generation (SimCSE/Contriever-style
     * same-document positives): for every document with at least two
     * chunks, pair the anchor (chunk 0) with one deterministically

@@ -432,6 +432,12 @@ object LlmQueries {
     "chunk_docs" -> ((s, d) =>
       TextOps.chunkDocs(docs(s, d), "doc_id", "text",
         chunkTokens = 16, overlap = 4)),
+    // N4 — REAL subword tokenization: greedy longest-match WordPiece
+    // against a fixed vocabulary, full segmentation compared (not
+    // just counts); the oracle replays the greedy loop as a
+    // recursive CTE with the vocabulary inlined longest-first
+    "wordpiece" -> ((s, d) =>
+      TextOps.wordPieceTokens(docs(s, d), "doc_id", "text")),
     // N4 — top terms per language: term counts ranked per group; the
     // RankLimitToGroupedTopK rule plans this through the bounded-heap
     // custom operator automatically
@@ -691,6 +697,15 @@ object LlmQueries {
     sys.props.getOrElse("graft.ann.index.dir", "/tmp/graft_ann_index")
   private def annCellsDir: String =
     sys.props.getOrElse("graft.ann.cells.dir", "/tmp/graft_ann_cells")
+
+  /** The WordPieces greedy loop as SQL: one CASE arm per vocab entry,
+    * longest-first with lexical tie-break — the exact match order the
+    * expression uses (functions.WordPieces.ordered).
+    */
+  private def wordPieceCase: String =
+    TextOps.wordPieceVocab.sortBy(v => (-v.length, v))
+      .map(v => s"WHEN starts_with(rest, '$v') THEN '$v'")
+      .mkString("CASE ", " ", " ELSE substr(rest, 1, 1) END")
 
   /** rag_chunk_search's materialized chunk signatures. */
   private def ragSigsDir: String =
@@ -1723,6 +1738,28 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
         |FROM documents GROUP BY 1""".stripMargin,
+    // the greedy WordPiece loop as a recursive CTE: each step peels
+    // the longest-prefix vocab match (or one OOV char) off the
+    // remaining word; the piece sequence re-joins in (word, piece)
+    // order
+    "wordpiece" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ')
+         |    AS toks FROM documents),
+         |w AS (SELECT doc_id, i AS wi, toks[i] AS word FROM
+         |  (SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |seg AS (
+         |  SELECT doc_id, wi, word AS rest, 0 AS pi,
+         |    CAST(NULL AS VARCHAR) AS piece FROM w
+         |  UNION ALL
+         |  SELECT doc_id, wi, substr(rest, length(m) + 1), pi + 1, m
+         |  FROM (SELECT doc_id, wi, rest, pi, $wordPieceCase AS m
+         |        FROM seg WHERE rest <> '')),
+         |p AS (SELECT doc_id, wi, pi, piece FROM seg
+         |  WHERE piece IS NOT NULL)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         |  string_agg(piece, ' ' ORDER BY wi, pi) AS pieces
+         |FROM p GROUP BY doc_id""".stripMargin,
     // the bq_topk hamming replay over the materialized chunk
     // signatures; the probe signature is the same interpolated
     // constant the Spark plan uses

@@ -33,6 +33,30 @@ class KernelSpec extends SparkSuite {
     texts.zipWithIndex.map(_.swap).toDF("id", "t")
   }
 
+  test("WordPieces: greedy longest-match, OOV single-char fallback, " +
+    "word boundaries respected") {
+    val s = spark
+    import s.implicits._
+    def pieces(t: String): Seq[String] =
+      Seq((1, t)).toDF("id", "t")
+        .select(GraftFunctions.wordPieces(col("t"),
+          TextOps.wordPieceVocab).as("p"))
+        .collect().head.getSeq[String](0)
+    assert(pieces("spark") == Seq("spark"))
+    assert(pieces("value") == Seq("val", "ue"),
+      "longest prefix wins over char fallback")
+    assert(pieces("scan") == Seq("sc", "an"))
+    assert(pieces("batch") == Seq("b", "a", "t", "ch"),
+      "OOV chars fall back one at a time")
+    assert(pieces("the") == Seq("th", "e"))
+    assert(pieces("spark table") == Seq("spark", "table"),
+      "pieces never straddle a word boundary")
+    assert(pieces("sparka") == Seq("spark", "a"))
+    // a vocab entry longer than the word remainder cannot match
+    assert(pieces("spar") == Seq("s", "p", "a", "r"))
+    assert(pieces("") == Seq())
+  }
+
   test("HashedCharGrams matches charGrams cardinality on every input") {
     val bad = df.select(
         size(GraftFunctions.hashedCharGrams(col("t"), 5)).as("k"),
