@@ -332,23 +332,32 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
   /** Consumer-lag observability in every StreamingQueryProgress (the
     * metrics surface Kafka's source exposes as records-behind; X6's
     * per-source half): how many committed records the last consumed
-    * offset trails the store heads by, and how many stores the
-    * subscription currently tracks (grows under glob discovery).
+    * offset trails the store heads by, and how many stores currently
+    * hold live containers (grows under glob discovery; an empty
+    * store has nothing to track). ONE listing serves both numbers.
+    *
+    * After checkpoint recovery the engine hands back a
+    * SerializedOffset (the raw log line), not an OcfOffset — parse
+    * by json, never cast (the Kafka connector's own defense).
     */
   override def metrics(latestConsumed: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
-    val head = keyedHeads
+    val live = OcfStore.keyedLiveFiles(dirs, conf.value)
     val consumed =
-      if (latestConsumed.isPresent)
-        latestConsumed.get.asInstanceOf[OcfOffset].counts
+      if (latestConsumed.isPresent) latestConsumed.get match {
+        case o: OcfOffset => o.counts
+        case other => OcfOffset.fromJson(other.json).counts
+      }
       else Map.empty[String, Long]
-    val behind = head.map { case (k, h) =>
-      math.max(h - consumed.getOrElse(k, 0L), 0L)
+    val behind = live.map { case (k, _, f) =>
+      math.max(f.count - consumed.getOrElse(k, 0L), 0L)
     }.sum
+    val stores = live
+      .map(t => t._2.substring(0, t._2.lastIndexOf('/')))
+      .distinct.size
     java.util.Map.of(
       "recordsBehindLatest", behind.toString,
-      "storesTracked",
-      OcfStore.expandDirs(dirs, conf.value).size.toString)
+      "storesTracked", stores.toString)
   }
 
   /** Trigger.AvailableNow (the standard backfill pattern: consume
