@@ -37,7 +37,15 @@ object Bench {
       try rawIters.toInt
       catch { case _: NumberFormatException => sys.error(
         s"SPARK_GRAFT_BENCH_ITERS must be an integer, got '$rawIters'") })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name filter for local iteration on specific queries;
+    // driver runs never set it so the published bench covers everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -309,11 +309,16 @@ object Queries {
     // pre-projected distinct key sets
     "intersect_loyal" -> ((s, d) => {
       // intersect already returns distinct rows (Distinct over a
-      // left-semi) — no explicit distinct on the inputs
+      // left-semi) — no explicit distinct on the inputs.
+      // year-as-range (not year(col)): a raw-column range predicate
+      // reaches the parquet scan as PushedFilters and skips whole
+      // row groups by min/max stats; year() would force a full scan.
+      def inYear(y: Int) =
+        col("o_orderdate") >= lit(s"$y-01-01").cast("date") &&
+          col("o_orderdate") <= lit(s"$y-12-31").cast("date")
       val o = Tables.orders(s, d)
-      o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
-        .intersect(o.filter(year(col("o_orderdate")) === 1998)
-          .select(col("o_custkey")))
+      o.filter(inYear(1996)).select(col("o_custkey"))
+        .intersect(o.filter(inYear(1998)).select(col("o_custkey")))
     }),
     "except_churned" -> ((s, d) =>
       Relational.churnedCustomers(Tables.orders(s, d))),

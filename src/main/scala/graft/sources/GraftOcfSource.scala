@@ -289,25 +289,31 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
     new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters)
 }
 
-/** Streaming offset: per-file consumed record counts (files are named
-  * by the store's writer, flat layout, so basenames are stable keys
-  * with no JSON-hostile characters).
+/** Streaming offset: per-file consumed record counts. With
+  * multi-store/glob reads the keys are full directory paths, so they
+  * must round-trip through REAL JSON (Jackson, field-order
+  * independent, escaping-correct) — a path containing a comma or
+  * quote would corrupt a hand-rolled format on checkpoint recovery.
+  * Keys are emitted sorted so the offset string is deterministic
+  * (offset equality is string equality in the offset log).
   */
 case class OcfOffset(counts: Map[String, Long]) extends Offset {
-  override def json: String = counts.toSeq.sorted
-    .map { case (f, c) => "\"" + f + "\":" + c }.mkString("{", ",", "}")
+  override def json: String = {
+    val node = OcfOffset.mapper.createObjectNode()
+    counts.toSeq.sorted.foreach { case (f, c) => node.put(f, c) }
+    OcfOffset.mapper.writeValueAsString(node)
+  }
 }
 
 object OcfOffset {
+  private[sources] val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   def fromJson(s: String): OcfOffset = {
-    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
-    if (body.isEmpty) OcfOffset(Map.empty)
-    else OcfOffset(body.split(",").map { kv =>
-      // split on the closing quote-colon, not a bare colon: multi-dir
-      // keys are full paths and may carry a URI scheme (s3a://...)
-      val Array(k, v) = kv.split("\":", 2)
-      k.trim.stripPrefix("\"") -> v.trim.toLong
-    }.toMap)
+    val n = mapper.readTree(s)
+    require(n != null && n.isObject, s"malformed OcfOffset: $s")
+    OcfOffset(n.fields().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
   }
 }
 
@@ -325,9 +331,21 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
            filters: Array[Filter]) =
     this(Seq(dir), maxPerTrigger, conf, required, filters)
 
-  private def keyedHeads: Map[String, Long] =
-    OcfStore.keyedLiveFiles(dirs, conf.value)
-      .map(t => t._1 -> t._3.count).toMap
+  /** Last store listing, refreshed by every keyedHeads call (i.e. by
+    * each trigger's latestOffset). metrics() reuses it instead of
+    * re-listing: progress reporting is per-trigger too, so against an
+    * object store this halves-to-thirds the steady-state LIST cost
+    * without changing what the numbers mean (both describe the same
+    * trigger).
+    */
+  @volatile private var lastListing
+      : Option[Seq[(String, String, OcfLiveFile)]] = None
+
+  private def keyedHeads: Map[String, Long] = {
+    val live = OcfStore.keyedLiveFiles(dirs, conf.value)
+    lastListing = Some(live)
+    live.map(t => t._1 -> t._3.count).toMap
+  }
 
   /** Consumer-lag observability in every StreamingQueryProgress (the
     * metrics surface Kafka's source exposes as records-behind; X6's
@@ -342,7 +360,8 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
     */
   override def metrics(latestConsumed: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
-    val live = OcfStore.keyedLiveFiles(dirs, conf.value)
+    val live = lastListing
+      .getOrElse(OcfStore.keyedLiveFiles(dirs, conf.value))
     val consumed =
       if (latestConsumed.isPresent) latestConsumed.get match {
         case o: OcfOffset => o.counts
@@ -718,7 +737,10 @@ object OcfStore extends org.apache.spark.internal.Logging {
         val fs = p.getFileSystem(conf)
         Option(fs.globStatus(p)).toSeq.flatten
           .filter(_.isDirectory)
-          .map(_.getPath.toUri.getPath)
+          // full qualified path, NOT toUri.getPath: stripping the
+          // scheme/authority would re-resolve s3a://bucket/... matches
+          // against the default filesystem (wrong bucket, or failure)
+          .map(_.getPath.toString)
       }
     }.distinct.sorted
 

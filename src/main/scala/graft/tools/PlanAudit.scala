@@ -30,10 +30,13 @@ object PlanAudit {
           .count(l => l.contains("PushedFilters: [") &&
             !l.contains("PushedFilters: []"))
         val topk = plan.linesIterator.count(_.contains("GroupedTopK ["))
-        // the shuffle budget: real exchanges only (a ReusedExchange is
-        // the optimizer sharing one shuffle between consumers — free)
+        // the shuffle budget: real shuffles only — a ReusedExchange is
+        // the optimizer sharing one shuffle between consumers (free),
+        // and a BroadcastExchange moves only the small side (not a
+        // shuffle of the big table), so neither counts
         val exch = plan.linesIterator.count(l =>
-          l.contains("Exchange ") && !l.contains("ReusedExchange"))
+          l.contains("Exchange ") && !l.contains("ReusedExchange") &&
+            !l.contains("BroadcastExchange"))
         println(f"AUDIT $name%-22s bnlj=$bnlj cart=$cart bhj=$bhj " +
           f"shuffleJoin=$smj pushedScans=$pushed groupedTopK=$topk " +
           f"exchanges=$exch")
