@@ -9,20 +9,21 @@ import graft.queries.Queries
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The rebuild of the reference's one shipped analytical query: Kafka
-    * record decode → tokenize → sliding-window word count (reference
-    * `examples/.../KafkaWordCount.scala:67-72`).
+    * record decode → tokenize → sliding-window word count at the
+    * reference's TRUE geometry — 10-minute window, 2-SECOND slide
+    * (reference `examples/.../KafkaWordCount.scala:67-72`,
+    * `reduceByKeyAndWindow(_+_, _-_, Minutes(10), Seconds(2), 2)`).
     *
-    * Slide = 2 minutes, not seconds: Spark plans a sliding window as an
-    * Expand with (window/slide) projections per row, so a 2-second
-    * slide meant 300 copies of every event before the aggregate — and
-    * a generated switch too large for janino, silently dropping the
-    * whole stage out of codegen.
+    * Not `window(ts, "10 minutes", "2 seconds")`: that plans an Expand
+    * with 300 projections per row (and a janino-breaking generated
+    * switch). The slice-aggregated form (per-2s-slice counts + a
+    * per-word 299-slice bounded RANGE window) is the inverse-function
+    * incremental trick in relational form — no Expand, one shuffle.
     */
   def entry(spark: SparkSession): DataFrame =
-    StreamOps.wordCountWindow(
+    StreamOps.wordCountSlidingSlices(
       KafkaShape.decodeUtf8(
-        KafkaShape.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))),
-      "10 minutes", Some("2 minutes"))
+        KafkaShape.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all

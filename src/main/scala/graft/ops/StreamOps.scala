@@ -37,6 +37,42 @@ object StreamOps {
       .select(col("win.start").as("w_start"), col("word"), col("cnt"))
   }
 
+  /** A1 in the reference's TRUE geometry — 10-minute window sliding
+    * every 2 SECONDS (reference `examples/.../KafkaWordCount.scala:72`,
+    * `reduceByKeyAndWindow(_+_, _-_, Minutes(10), Seconds(2), 2)`), the
+    * inverse-function incremental trick in relational form.
+    *
+    * `window(ts, "10 minutes", "2 seconds")` would plan an Expand with
+    * window/slide = 300 projections per input row (300x the data before
+    * the aggregate, and a janino-breaking generated switch). Instead:
+    * (1) aggregate once per (word, 2-s slice) — one shuffle, map-side
+    * partial agg, output ≤ one row per word per slice; (2) a per-word
+    * RANGE window over slice index bounded at 299 preceding slices
+    * sums the last 10 minutes — exactly the DStream's running count at
+    * each slice where the word occurs (`_+_` adds the new slice,
+    * `_-_` retires the slice falling off the back; the RANGE bound IS
+    * that retirement, declaratively). No Expand anywhere; the window
+    * is partitioned by word, so at 100 TB it parallelizes per word and
+    * each partition holds (word x live-slice) rows, not raw events.
+    */
+  def wordCountSlidingSlices(decoded: DataFrame,
+                             sliceSec: Long = 2L,
+                             slices: Long = 300L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = sliceSec * 1000000L
+    val perSlice = decoded
+      .select(explode(split(col("value_str"), " ")).as("word"),
+        expr(s"unix_micros(ts) div ${w}L").as("slice"))
+      .groupBy(col("word"), col("slice"))
+      .agg(count(lit(1)).as("c"))
+    val running = Window.partitionBy(col("word")).orderBy(col("slice"))
+      .rangeBetween(-(slices - 1), Window.currentRow)
+    perSlice.select(
+      col("word"),
+      timestamp_micros(col("slice") * w).as("slice_ts"),
+      sum(col("c")).over(running).as("cnt"))
+  }
+
   /** A3 + S10/S11 — per-partition offset bounds. min = the earliest
     * replayable offset (recovery default 0 / "earliest"), max = the head
     * offset a `startFromLatestKafkaOffset` consumer would seed from

@@ -37,6 +37,11 @@ object Queries {
     "wordcount_sliding" -> ((s, d) =>
       StreamOps.wordCountWindow(
         KafkaShape.decodeUtf8(kafka(s, d)), "10 minutes", Some("5 minutes"))),
+    // A1 at the reference's TRUE 2-second slide: slice-aggregated
+    // running count (no Expand — see wordCountSlidingSlices scaladoc)
+    "wordcount_sliding_2s" -> ((s, d) =>
+      StreamOps.wordCountSlidingSlices(
+        KafkaShape.decodeUtf8(kafka(s, d)))),
     // S1/S2 + P1/P2: Kafka shape → UTF-8 decode round trip
     "kafka_roundtrip" -> ((s, d) => KafkaShape.decodeUtf8(kafka(s, d))),
     // P6: modulo shard predicate (consumer 1 of 4)
@@ -149,6 +154,17 @@ object Queries {
         |                        - s.off*1000000) AS w_start
         |  FROM words, (SELECT unnest([0, 300]) AS off) s)
         |SELECT w_start, word, count(*) AS cnt FROM ex GROUP BY 1, 2""".stripMargin,
+    "wordcount_sliding_2s" ->
+      """WITH words AS (
+        |  SELECT ts, unnest(string_split(props, ' ')) AS word FROM events),
+        |slices AS (
+        |  SELECT word, epoch_us(ts) // 2000000 AS slice, count(*) AS c
+        |  FROM words GROUP BY 1, 2)
+        |SELECT word, make_timestamp(slice * 2000000) AS slice_ts,
+        |       CAST(sum(c) OVER (PARTITION BY word ORDER BY slice
+        |         RANGE BETWEEN 299 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cnt
+        |FROM slices""".stripMargin,
     "kafka_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
         |       'events' AS topic, user_id % 8 AS kpartition,
