@@ -130,6 +130,16 @@ object Queries {
     // key) through the k=1 GroupedTopK custom operator
     "log_compact" -> ((s, d) =>
       StreamOps.logCompact(KafkaShape.decodeUtf8(kafka(s, d)))),
+    // cleanup.policy=compact as a STORE REWRITE: write the store,
+    // compact it in place (latest per key, original offsets kept),
+    // read the surviving generation back — the broker-side cleaner
+    // pass, vs log_compact's query-side view of the same contract
+    "ocf_compact_by_key" -> ((s, d) => {
+      val dir = graft.tools.TempDirs.create("graft_ocf_ckey")
+      kafka(s, d).write.format("graft-ocf").mode("overwrite").save(dir)
+      graft.sources.OcfMaintenance.compactByKey(s, dir)
+      KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
+    }),
     // M3: the lag join (partition 3 uncommitted → -1 path)
     "lag_join" -> ((s, d) => {
       val k = kafka(s, d)
@@ -276,6 +286,16 @@ object Queries {
         |    PARTITION BY topic, kpartition, key_str
         |    ORDER BY koffset DESC) AS BIGINT) AS rnk FROM k)
         |SELECT key_str, value_str, topic, kpartition, koffset, ts, rnk
+        |FROM r WHERE rnk = 1""".stripMargin,
+    "ocf_compact_by_key" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key_str,
+        |    props AS value_str, 'events' AS topic,
+        |    user_id % 8 AS kpartition, event_id AS koffset, ts
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY topic, kpartition, key_str
+        |    ORDER BY koffset DESC) AS rnk FROM k)
+        |SELECT key_str, value_str, topic, kpartition, koffset, ts
         |FROM r WHERE rnk = 1""".stripMargin,
     "lag_join" ->
       """WITH heads AS (

@@ -61,6 +61,46 @@ object OcfMaintenance {
     (before, nFiles)
   }
 
+  /** Kafka `cleanup.policy=compact` as a store rewrite: keep only the
+    * highest-offset record per (topic, partition, key) — the broker
+    * contract the reference relies on for its offsets/monitor topics'
+    * latest-state reads — then reinstall the store through the same
+    * overwrite commit as `compact` (new generation before old retires;
+    * crash leaves old or new, never neither). Selection runs through
+    * the k=1 GroupedTopK operator, so reducer state is ONE row per
+    * live key regardless of how deep each key's history is — on a
+    * 100 TB compacted topic that is O(keys), where the row_number
+    * window form would sort every key's full record history.
+    *
+    * `dropTombstones=true` additionally deletes keys whose LATEST
+    * record has a null value — the cleaner's final-state semantics
+    * after `delete.retention.ms`; the default keeps tombstones so
+    * downstream consumers still observe the delete markers.
+    *
+    * Surviving records keep their original offsets (compaction removes
+    * records, never renumbers — Kafka's invariant). Container names do
+    * change, so a LIVE streaming reader's per-file cursors vanish and
+    * the next trigger re-delivers the compacted survivors once
+    * (at-least-once across a maintenance rewrite; checkpoint recovery
+    * itself is safe — proven in OcfSourceSpec). Returns
+    * (records before, records after), both manifest-backed counts.
+    */
+  def compactByKey(spark: SparkSession, dir: String,
+                   dropTombstones: Boolean = false): (Long, Long) = {
+    def records: Long =
+      OcfStore.headCounts(dir, OcfStore.driverConf()).values.sum
+    val before = records
+    val latest = graft.plans.GroupedTopK(
+      spark.read.format("graft-ocf").load(dir),
+      Seq("topic", "partition", "key"),
+      Seq(("offset", false)), k = 1, rankName = "rnk").drop("rnk")
+    val kept =
+      if (dropTombstones) latest.filter(col("value").isNotNull)
+      else latest
+    kept.write.format("graft-ocf").mode("overwrite").save(dir)
+    (before, records)
+  }
+
   /** Rewrite the store time-clustered: containers range-distributed on
     * (timestamp, partition, offset), so each covers a tight, disjoint
     * time slice and the commit manifest's timestamp min-max prunes

@@ -1032,6 +1032,77 @@ class OcfSourceSpec extends SparkSuite {
       "post-retention restart must deliver exactly the appended records")
   }
 
+  test("compact-by-key keeps latest-per-key with original offsets, " +
+    "drops tombstoned keys on request, and a live stream survives") {
+    val s = spark
+    import s.implicits._
+    def keyedGen(dir: String, v: Int): Unit =
+      (0 until 10).map { k =>
+        // key k3's FINAL record (v=2) is a tombstone (null value)
+        val value: String = if (v == 2 && k == 3) null else s"v${v}_k$k"
+        (k, value)
+      }.toDF("k", "value")
+        .select(
+          concat(lit("k"), col("k")).cast("binary").as("key"),
+          col("value").cast("binary").as("value"),
+          lit("events").as("topic"),
+          (col("k") % 2).cast("int").as("partition"),
+          (col("k") * 10 + v).cast("long").as("offset"),
+          lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+          lit(0).as("timestampType"))
+        .write.format("graft-ocf")
+        .mode(if (v == 0) "overwrite" else "append").save(dir)
+    val dir = tmpDir("ocf_compact_key")
+    val ckpt = tmpDir("ocf_compact_key_ckpt")
+    (0 until 3).foreach(keyedGen(dir, _))
+
+    def run(): Set[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = s.readStream.format("graft-ocf").load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("offset").collect().foreach(r => buf.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSet
+    }
+    // a reader consumes the full 30-record history...
+    assert(run().size == 30)
+
+    val (before, after) = OcfMaintenance.compactByKey(spark, dir)
+    assert((before, after) == ((30L, 10L)))
+    val got = spark.read.format("graft-ocf").load(dir)
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("offset"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // latest generation (v=2) per key, ORIGINAL offsets preserved,
+    // and the tombstone retained by default
+    val want = (0 until 10).map { k =>
+      (s"k$k", if (k == 3) null else s"v2_k$k", k * 10L + 2L)
+    }.toSet
+    assert(got == want)
+
+    // checkpoint recovery across the generation swap: old cursors
+    // vanish harmlessly, the compacted survivors re-deliver ONCE
+    // (at-least-once across a maintenance rewrite), then appends flow
+    assert(run() == (0 until 10).map(k => k * 10L + 2L).toSet)
+    kafkaDf(500, 505).write.format("graft-ocf").mode("append").save(dir)
+    assert(run() == (500L until 505L).toSet,
+      "post-compaction appends must deliver exactly once")
+
+    // cleaner final-state semantics: dropping tombstones deletes k3
+    val (b2, a2) = OcfMaintenance.compactByKey(spark, dir,
+      dropTombstones = true)
+    assert(b2 == 15L && a2 == 14L, s"got ($b2, $a2)")
+    assert(spark.read.format("graft-ocf").load(dir)
+      .filter(col("value").isNull).count() == 0)
+  }
+
   test("time-clustered rewrite makes timestamp pruning effective") {
     import org.apache.spark.sql.sources._
     val s = spark
