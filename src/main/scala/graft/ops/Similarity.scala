@@ -332,6 +332,66 @@ object Similarity {
         col("rnk").cast(LongType).as("rnk"), col("cosine"))
   }
 
+  /** The persisted IVFADC serving index (`ivfIndex`'s compressed
+    * sibling — FAISS's on-disk IVF+PQ layout): one row per (vector,
+    * assigned cell) carrying ONLY the `m` one-byte PQ codes and the
+    * reconstructed norm — ~24 B of payload per posting at m=16, not
+    * the raw or quantized vector. At 100 TB of vectors this is the
+    * difference between an index that fits hot storage and one that
+    * IS the corpus; partition the parquet by cell and a probe reads
+    * nProbe cells' postings, nothing else.
+    */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Long]],
+                 codebooks: Array[Array[Array[Long]]],
+                 nAssign: Int = 2): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        Dedup.quantize(col(vecCol)).as("q"))
+      .withColumn("codes", GraftFunctions.pqEncode(col("q"), codebooks))
+      .withColumn("nn_r",
+        GraftFunctions.pqReconNorm(col("codes"), codebooks))
+      .withColumn("cell", explode(
+        GraftFunctions.nearestCentroids(col("q"), centroids, nAssign)))
+      .select("vec_id", "cell", "codes", "nn_r")
+
+  /** Probe a persisted IVFADC index: the ADC candidate stage touches
+    * ONLY the read-back index (cell-keyed join, 16-byte code scan,
+    * integer ADC scoring — `ivfPqTopK`'s exact arithmetic), and the
+    * final refine fetches just the per-query top `k*rerankFactor`
+    * survivors' vectors from `corpus` BY KEY — bounded point lookups
+    * (FAISS's refine stage), not a corpus scan. Per-batch cost is
+    * independent of how many batches probed before.
+    */
+  def ivfPqProbeIndex(centroids: Array[Array[Long]],
+                      codebooks: Array[Array[Array[Long]]],
+                      index: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 5, nProbe: Int = 8,
+                      rerankFactor: Int = 20): DataFrame = {
+    val qs = queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+      .withColumn("cell", explode(
+        GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val recon = index.join(broadcast(qs), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("recon_cos",
+        GraftFunctions.pqAdcDot(col("codes"), col("q_q"), codebooks)
+          .cast(DoubleType) /
+          sqrt(col("nn_r").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("recon_cos").desc, col("vec_id").asc)
+    val cand = recon.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_q"), col("nn_q"))
+    rerankExact(
+      corpus.select(col(idCol).as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("q_n")),
+      cand, k)
+  }
+
   def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                        m: Int = 8, codesPerSub: Int = 32, iters: Int = 5,
                        sampleCap: Int = 4096): Array[Array[Array[Long]]] = {

@@ -157,6 +157,51 @@ object LlmQueries {
       Similarity.ivfProbeIndex(cts, index, batch, "vec_id", "embedding",
         k = 5, nProbe = 8)
     }),
+    // N3 — INCREMENTAL ANN over the COMPRESSED index: ann_incremental
+    // persists raw-quantized postings; a 100 TB vector store persists
+    // IVF cells + PQ codes (ivfPqIndex, ~24 B/posting) as the serving
+    // artifact instead. The batch probes the read-back index (ADC
+    // candidates touch only codes), and the exact refine fetches the
+    // bounded survivor set from the corpus by key. Oracle sidecars
+    // (cells + codes) DERIVE FROM THE ARTIFACT, so the hash check
+    // covers the persisted bytes, not a parallel in-memory build.
+    "ann_incremental_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val batch = e.filter(col("vec_id") % 5 === 0)
+      val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 32)
+      val cbs = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+        m = 16, codesPerSub = 32)
+      val built = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+        cts, cbs, nAssign = 2)
+      val index =
+        if (sys.props.contains("graft.ivf.cells.skipWrite")) built
+        else {
+          built.write.mode("overwrite").parquet(annIvfpqIndexDir)
+          s.read.parquet(annIvfpqIndexDir)
+        }
+      if (!sys.props.contains("graft.ivf.cells.skipWrite")) {
+        index.select("vec_id", "cell").withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annIvfpqCellsDir)
+        index.dropDuplicates("vec_id")
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("subspace", "code")))
+          .select(col("vec_id"),
+            col("subspace").cast(LongType).as("subspace"),
+            col("code").cast(LongType).as("code"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annIvfpqCodesDir)
+        Similarity.pqCodebookTable(s, cbs)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annIvfpqCodebookDir)
+      }
+      Similarity.ivfPqProbeIndex(cts, cbs, index, corpus, batch,
+        "vec_id", "embedding", k = 5, nProbe = 8, rerankFactor = 20)
+    }),
     // N3 — driver-visible recall gate for the IVF scale path: recall@5
     // vs the IN-PLAN exact top-k (same corpus, 50 queries), emitted as
     // one boolean row. Hashes equal to the oracle's `true` iff recall
@@ -757,6 +802,22 @@ object LlmQueries {
     sys.props.getOrElse("graft.ivfpq.codebook.dir",
       "/tmp/graft_ivfpq_codebook")
 
+  /** ann_incremental_ivfpq's persisted serving index + oracle sidecars
+    * (cells derive from the read-back index; codes/codebook alongside).
+    */
+  private def annIvfpqIndexDir: String =
+    sys.props.getOrElse("graft.ann.ivfpq.index.dir",
+      "/tmp/graft_ann_ivfpq_index")
+  private def annIvfpqCellsDir: String =
+    sys.props.getOrElse("graft.ann.ivfpq.cells.dir",
+      "/tmp/graft_ann_ivfpq_cells")
+  private def annIvfpqCodesDir: String =
+    sys.props.getOrElse("graft.ann.ivfpq.codes.dir",
+      "/tmp/graft_ann_ivfpq_codes")
+  private def annIvfpqCodebookDir: String =
+    sys.props.getOrElse("graft.ann.ivfpq.codebook.dir",
+      "/tmp/graft_ann_ivfpq_codebook")
+
   /** semantic_dedup's materialized cell assignments (ivfCellsDir
     * pattern — same lifecycle, separate path so the two queries can't
     * clobber each other within one Verify run).
@@ -1196,6 +1257,60 @@ object LlmQueries {
     // the ivf_topk oracle pattern over ann_incremental's materialized
     // cells: candidates = corpus-index cells x batch probe cells,
     // exact quantized cosine, top-5
+    // the ivfpq_topk ADC replay, but over sidecars DERIVED from the
+    // persisted serving index (cells+codes are the artifact's bytes);
+    // queries are the 20% batch, candidates the 80% corpus
+    "ann_incremental_ivfpq" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id % 5 = 0),
+         |cells AS (SELECT * FROM '$annIvfpqCellsDir/*.parquet'),
+         |cand0 AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+         |  FROM '$annIvfpqCodesDir/*.parquet'),
+         |cb AS (SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  CAST(code AS BIGINT) AS code, CAST(sub_off AS BIGINT) AS sub_off,
+         |  centroid, CAST(cnorm AS BIGINT) AS cnorm
+         |  FROM '$annIvfpqCodebookDir/*.parquet'),
+         |nr AS (SELECT c.vec_id, CAST(sum(cb.cnorm) AS BIGINT) AS nn_r
+         |  FROM codes c JOIN cb ON c.subspace = cb.subspace
+         |    AND c.code = cb.code
+         |  GROUP BY 1),
+         |contrib AS (SELECT c0.query_id, c0.neighbor_id,
+         |  list_sum(list_transform(range(1, len(cb.centroid)+1),
+         |    i -> cb.centroid[i] * q.qv[cb.sub_off + i])) AS part
+         |  FROM cand0 c0
+         |  JOIN codes c ON c0.neighbor_id = c.vec_id
+         |  JOIN cb ON c.subspace = cb.subspace AND c.code = cb.code
+         |  JOIN qs q ON c0.query_id = q.vec_id),
+         |ad AS (SELECT query_id, neighbor_id,
+         |  CAST(sum(part) AS BIGINT) AS adc
+         |  FROM contrib GROUP BY 1, 2),
+         |recon AS (SELECT ad.query_id, ad.neighbor_id,
+         |  CAST(ad.adc AS DOUBLE)
+         |    / sqrt(CAST(nr.nn_r AS DOUBLE) * CAST(q.nn AS DOUBLE))
+         |    AS recon_cos
+         |  FROM ad JOIN nr ON ad.neighbor_id = nr.vec_id
+         |  JOIN qs q ON ad.query_id = q.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY recon_cos DESC, neighbor_id) AS crk FROM recon)
+         |  WHERE crk <= 100),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     "ann_incremental" ->
       s"""WITH $quantCte,
          |cells AS (SELECT * FROM '$annCellsDir/*.parquet'),
