@@ -1032,6 +1032,85 @@ class OcfSourceSpec extends SparkSuite {
       "post-retention restart must deliver exactly the appended records")
   }
 
+  test("schema evolution through the store scan: evolved (field added, " +
+    "reordered) and older (field dropped) writer schemas read against " +
+    "the fixed frame") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmpDir("ocf_evolve")
+    kafkaDf(0, 10).write.format("graft-ocf").mode("overwrite").save(dir)
+
+    // EVOLVED writer: a `headers` field added mid-record AND the field
+    // order permuted — by-name resolution must skip the unknown field
+    // wherever it sits and rebind every known one
+    val evolved = new Schema.Parser().parse(
+      """{"type":"record","name":"KafkaStoreRecord","fields":[
+        |{"name":"offset","type":"long"},
+        |{"name":"headers","type":"string"},
+        |{"name":"key","type":["null","bytes"],"default":null},
+        |{"name":"value","type":["null","bytes"],"default":null},
+        |{"name":"topic","type":"string"},
+        |{"name":"partition","type":"int"},
+        |{"name":"timestamp_us","type":"long"},
+        |{"name":"timestamp_type","type":"int"}]}""".stripMargin)
+    // OLDER writer: `key` does not exist yet — the reader schema's
+    // null default must fill it
+    val older = new Schema.Parser().parse(
+      """{"type":"record","name":"KafkaStoreRecord","fields":[
+        |{"name":"value","type":["null","bytes"],"default":null},
+        |{"name":"topic","type":"string"},
+        |{"name":"partition","type":"int"},
+        |{"name":"offset","type":"long"},
+        |{"name":"timestamp_us","type":"long"},
+        |{"name":"timestamp_type","type":"int"}]}""".stripMargin)
+
+    def writeContainer(name: String, sch: Schema, offsets: Range)(
+        fill: (GenericData.Record, Int) => Unit): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, new java.io.File(dir, name))
+      try offsets.foreach { o =>
+        val r = new GenericData.Record(sch)
+        r.put("topic", "events")
+        r.put("partition", 0)
+        r.put("offset", o.toLong)
+        r.put("timestamp_us", 0L)
+        r.put("timestamp_type", 0)
+        fill(r, o)
+        w.append(r)
+      } finally w.close()
+    }
+    writeContainer("zzz-evolved.ocf", evolved, 100 until 105) { (r, o) =>
+      r.put("headers", s"h$o")
+      r.put("key", java.nio.ByteBuffer.wrap(s"ek$o".getBytes))
+      r.put("value", java.nio.ByteBuffer.wrap(s"ev$o".getBytes))
+    }
+    writeContainer("zzz-older.ocf", older, 200 until 205) { (r, o) =>
+      r.put("value", java.nio.ByteBuffer.wrap(s"ov$o".getBytes))
+    }
+
+    val back = spark.read.format("graft-ocf").load(dir)
+    assert(back.count() == 20)
+    // evolved rows: known fields rebound by name, unknown field skipped
+    val ev = back.filter(col("offset").between(100, 104))
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("offset"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(ev == (100 until 105)
+      .map(o => (s"ek$o", s"ev$o", o.toLong)).toSet)
+    // older rows: the dropped field reads as the reader-default null
+    val old = back.filter(col("offset").between(200, 204))
+      .select(col("key"), col("value").cast("string"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1)))
+    assert(old.length == 5 && old.forall(_._1.isEmpty) &&
+      old.map(_._2).toSet == (200 until 205).map(o => s"ov$o").toSet)
+    // the PRUNED reader schema resolves against both variants too
+    assert(back.select("offset").count() == 20)
+    assert(back.filter(col("offset") >= 100).select("topic").count() == 10)
+  }
+
   test("compact-by-key keeps latest-per-key with original offsets, " +
     "drops tombstoned keys on request, and a live stream survives") {
     val s = spark
