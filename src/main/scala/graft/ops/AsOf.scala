@@ -147,13 +147,25 @@ object AsOf {
     * exploded buckets are distinct). Cost: 3× row replication + an
     * equi-shuffle whose matching work is proportional to true bucket
     * co-residency — vs |n|² comparisons for the inequality self-join
-    * the DuckDB oracle runs. Hot buckets (burst traffic) are a skew
-    * risk at scale; mitigate with a narrower window or salting the
-    * bucket join (graft.ops.Skew) — not needed at this density.
-    * `idCol` must be unique: self-pairs are excluded by id equality.
+    * the DuckDB oracle runs.
+    *
+    * Hot buckets (burst traffic) are the skew risk at scale: one
+    * reducer receives a whole burst's bucket. Mitigation is WIRED IN:
+    * one map-side-combined pre-aggregation counts rows per bucket, and
+    * buckets above `hotBucketThreshold` take the salted path
+    * (`Skew.saltedJoin`: build rows split across `saltBuckets`
+    * reducers by a deterministic id-hash salt, probe rows replicated
+    * per salt) while the cold majority joins plain — the explicit
+    * two-path skew join, paying replication only where the burst is.
+    * Every pair still meets exactly once: a build row holds ONE salt,
+    * and hot/cold route by the same broadcast bucket set on both
+    * sides. `idCol` must be unique: self-pairs are excluded by id
+    * equality.
     */
   def timeProximityCount(ev: DataFrame, idCol: String, tsCol: String,
-                         windowSec: Int): DataFrame = {
+                         windowSec: Int,
+                         hotBucketThreshold: Long = 4000000L,
+                         saltBuckets: Int = 8): DataFrame = {
     require(windowSec > 0,
       s"windowSec must be positive (got $windowSec): a 0-width bucket " +
         "divides by zero; for simultaneous-only pairing use windowSec=1 " +
@@ -167,7 +179,29 @@ object AsOf {
       col("__us").as("__bus"), bucket.as("__bucket"))
     val probe = base.select(col(idCol), col("__us"),
       explode(array(bucket - 1, bucket, bucket + 1)).as("__bucket"))
-    val counts = probe.join(build, Seq("__bucket"))
+    val joined =
+      if (saltBuckets <= 1) probe.join(build, Seq("__bucket"))
+      else {
+        // hot-bucket census: #hot <= n/threshold by definition, so the
+        // set broadcasts; routing both sides by the SAME set keeps the
+        // two paths disjoint and exhaustive
+        val hot = broadcast(
+          base.groupBy(bucket.as("__bucket"))
+            .agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > hotBucketThreshold)
+            .select(col("__bucket"), lit(1).as("__hot")))
+        val buildT = build.join(hot, Seq("__bucket"), "left")
+        val probeT = probe.join(hot, Seq("__bucket"), "left")
+        val cold = probeT.filter(col("__hot").isNull).drop("__hot")
+          .join(buildT.filter(col("__hot").isNull).drop("__hot"),
+            Seq("__bucket"))
+        val hotJ = Skew.saltedJoin(
+          buildT.filter(col("__hot").isNotNull).drop("__hot"),
+          probeT.filter(col("__hot").isNotNull).drop("__hot"),
+          "__bucket", saltBy = "__bid", saltBuckets = saltBuckets)
+        cold.unionByName(hotJ)
+      }
+    val counts = joined
       .filter(col("__bid") =!= col(idCol) &&
         abs(col("__bus") - col("__us")) <= w)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_concurrent"))

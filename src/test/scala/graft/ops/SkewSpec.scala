@@ -46,6 +46,32 @@ class SkewSpec extends SparkSuite {
     assert(plain.size == 4, "null-payload rows must survive the join")
   }
 
+  test("timeProximityCount auto-salts hot buckets and stays " +
+    "row-identical under burst traffic") {
+    val s = spark
+    import s.implicits._
+    // burst: 400 events inside one 60-second bucket (≫ the threshold),
+    // plus sparse singles two minutes apart (below it)
+    val rows = (0 until 400).map(i => (i.toLong, 60L + (i % 50))) ++
+      (0 until 20).map(i => (1000L + i, 10000L + i * 120L))
+    val ev = rows.toDF("event_id", "sec")
+      .select(col("event_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    def collectCounts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // saltBuckets=1 disables the census + two-path split entirely
+    val plain = collectCounts(
+      AsOf.timeProximityCount(ev, "event_id", "ts", 60, saltBuckets = 1))
+    val salted = collectCounts(
+      AsOf.timeProximityCount(ev, "event_id", "ts", 60,
+        hotBucketThreshold = 100, saltBuckets = 8))
+    assert(salted == plain,
+      "the salted two-path join must be row-identical to the plain join")
+    // burst rows all see the other 399; sparse rows see nobody
+    assert((0 until 400).forall(i => salted(i.toLong) == 399L))
+    assert((0 until 20).forall(i => salted(1000L + i) == 0L))
+  }
+
   test("the hot key spreads across salt buckets") {
     val s = spark
     import s.implicits._
