@@ -73,12 +73,20 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
       * plus its stats manifest, committed exactly-once under epoch
       * replay (driver crash between checkpoint and sink commit, or a
       * restarted query re-running its last epoch). The commit point is
-      * a zero-byte `_epoch-<id>` marker created AFTER containers and
-      * manifest are visible: a replayed epoch whose marker exists is
-      * dropped whole; a replay over a partial install (marker absent)
-      * first retires every `-e<id>.ocf` container of the failed
-      * attempt, so the store never double-counts an epoch. Single
-      * writer per store directory, like Spark's own file sink.
+      * a zero-byte `_epoch-<queryId>-<id>` marker created AFTER
+      * containers and manifest are visible: a replayed epoch whose
+      * marker exists is dropped whole; a replay over a partial install
+      * (marker absent) first retires every `part-<queryId>-*-e<id>.ocf`
+      * container of the failed attempt, so the store never
+      * double-counts an epoch.
+      *
+      * Epoch state is scoped PER WRITER (the queryId Spark passes here
+      * is the checkpoint-stable streaming query id, so a restart
+      * replays under the same scope): several concurrent streaming
+      * queries may append to one store — their epoch numberings are
+      * independent, and one writer's marker or sweep can never drop or
+      * retire another writer's installs. The multi-producer topic,
+      * exactly as brokers allow.
       */
     override def toStreaming: StreamingWrite = {
       if (doTruncate) throw new UnsupportedOperationException(
@@ -182,9 +190,14 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
 }
 
 /** The streaming side of the commit protocol. Epoch-local dest names
-  * end in `-e<epochId>.ocf` so a replayed attempt's partial install is
-  * identifiable (and retirable) by suffix alone, whatever queryId the
-  * re-run carries.
+  * carry the writer's queryId prefix AND the `-e<epochId>.ocf` suffix,
+  * so a replayed attempt's partial install is identifiable (and
+  * retirable) by THIS writer's re-run without touching the installs of
+  * any other query appending to the same store concurrently. Spark's
+  * streaming queryId is the checkpoint-stable query id, so a
+  * same-checkpoint restart replays in the same scope; a
+  * reset-checkpoint re-run is a new writer whose epoch 0 must append,
+  * not collide with the old writer's epoch 0.
   */
 class OcfStreamingWrite(dir: String, queryId: String,
                         conf: SerializableConfiguration)
@@ -199,10 +212,12 @@ class OcfStreamingWrite(dir: String, queryId: String,
     val d = new Path(dir)
     val fs = d.getFileSystem(conf.value)
     fs.mkdirs(d)
-    val marker = new Path(d, s"_epoch-$epochId")
+    val marker = new Path(d, s"_epoch-$queryId-$epochId")
     if (fs.exists(marker)) {
-      // this epoch was fully installed by a previous attempt — a
-      // replay after recovery. Drop its temps; install nothing twice.
+      // this epoch was fully installed by a previous attempt OF THIS
+      // WRITER — a replay after recovery. Drop its temps; install
+      // nothing twice. Another writer's same-numbered epoch has its
+      // own marker and never trips this.
       messages.foreach {
         case OcfCommit(temp, _, _) if temp.nonEmpty =>
           fs.delete(new Path(temp), false)
@@ -210,17 +225,21 @@ class OcfStreamingWrite(dir: String, queryId: String,
       }
       return
     }
-    // a previous attempt of THIS epoch may have crashed mid-install
-    // (marker absent, some containers visible): retire its files
-    // first — readers filter dot-files, so each rename atomically
-    // removes the orphan from the read set
+    // a previous attempt of THIS WRITER's epoch may have crashed
+    // mid-install (marker absent, some containers visible): retire its
+    // files first — readers filter dot-files, so each rename atomically
+    // removes the orphan from the read set. Scoped by queryId prefix:
+    // a concurrent query's epoch-N containers are NOT this writer's
+    // orphans.
+    val prefixOcf = s"part-$queryId-"
     val suffixOcf = s"-e$epochId.ocf"
-    val suffixMf = s"-e$epochId.ndjson"
+    val mfName = s"_manifest-$queryId-e$epochId.ndjson"
     fs.listStatus(d).toSeq
       .filter { st =>
         val n = st.getPath.getName
         !n.startsWith(".") &&
-          (n.endsWith(suffixOcf) || n.endsWith(suffixMf))
+          ((n.startsWith(prefixOcf) && n.endsWith(suffixOcf)) ||
+            n == mfName)
       }
       .foreach { st =>
         val hidden = new Path(d, "." + st.getPath.getName + ".stale")

@@ -735,11 +735,12 @@ class OcfSourceSpec extends SparkSuite {
     assert(after1 == 40)
 
     // a replay of the SAME epoch (restarted query re-running its last
-    // unacknowledged batch, possibly under a different queryId): the
-    // marker must drop the whole install and clean the replay's temp
-    val sw2 = new OcfStreamingWrite(dir, "q2-restart", conf)
+    // unacknowledged batch — Spark's streaming queryId is the
+    // checkpoint-stable query id, so the replay commits under the same
+    // id): the marker must drop the whole install and clean the temp
+    val sw2 = new OcfStreamingWrite(dir, "q1", conf)
     sw2.commit(3L,
-      Array(writeEpoch(dir, 3L, streamRows(0, 40), conf, "q2-restart")))
+      Array(writeEpoch(dir, 3L, streamRows(0, 40), conf, "q1")))
     assert(spark.read.format("graft-ocf").load(dir).count() == 40,
       "replayed epoch must install nothing")
     val stray = new java.io.File(dir).listFiles().map(_.getName)
@@ -765,16 +766,60 @@ class OcfSourceSpec extends SparkSuite {
     }
     assert(spark.read.format("graft-ocf").load(dir).count() == 25)
 
-    // the recovered run re-commits epoch 7 with different data layout:
-    // the orphan must be retired, never double-counted
-    val sw2 = new OcfStreamingWrite(dir, "recovered", conf)
+    // the recovered run re-commits epoch 7 (same checkpoint => same
+    // stable queryId): the orphan must be retired, never double-counted
+    val sw2 = new OcfStreamingWrite(dir, "crashed", conf)
     sw2.commit(7L,
-      Array(writeEpoch(dir, 7L, streamRows(0, 25), conf, "recovered")))
+      Array(writeEpoch(dir, 7L, streamRows(0, 25), conf, "crashed")))
     val offsets = spark.read.format("graft-ocf").load(dir)
       .select("offset").collect().map(_.getLong(0)).toSeq
     assert(offsets.sorted == (0L until 25L).toSeq,
       s"orphan container double-counted: ${offsets.size} rows")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_epoch-7")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(dir, "_epoch-crashed-7")))
+  }
+
+  test("two concurrent streaming writers with colliding epoch numbers " +
+    "append to one store without dropping or retiring each other") {
+    val dir = tmpDir("ocf_two_writers")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val wa = new OcfStreamingWrite(dir, "writer-a", conf)
+    val wb = new OcfStreamingWrite(dir, "writer-b", conf)
+    // interleaved commits with OVERLAPPING epoch numbers — each
+    // writer's epoch scope is independent, so b's epoch 0 must append
+    // even though a's _epoch marker for 0 already exists, and a's
+    // epoch-1 sweep must not retire b's just-installed epoch-1 files
+    wa.commit(0L,
+      Array(writeEpoch(dir, 0L, streamRows(0, 10), conf, "writer-a")))
+    wb.commit(0L,
+      Array(writeEpoch(dir, 0L, streamRows(100, 110), conf, "writer-b")))
+    wb.commit(1L,
+      Array(writeEpoch(dir, 1L, streamRows(110, 120), conf, "writer-b")))
+    wa.commit(1L,
+      Array(writeEpoch(dir, 1L, streamRows(10, 20), conf, "writer-a")))
+    val offsets = spark.read.format("graft-ocf").load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSeq.sorted
+    assert(offsets == ((0L until 20L) ++ (100L until 120L)).toSeq,
+      s"both writers' rows exactly once, got ${offsets.size} rows")
+    // each writer's epochs stay replay-protected in their own scope
+    val wa2 = new OcfStreamingWrite(dir, "writer-a", conf)
+    wa2.commit(1L,
+      Array(writeEpoch(dir, 1L, streamRows(10, 20), conf, "writer-a")))
+    assert(spark.read.format("graft-ocf").load(dir).count() == 40,
+      "writer-a's epoch-1 replay must install nothing")
+    // every container from both writers is manifested, and manifest
+    // consolidation keeps both writers' stats
+    val stats = OcfStore.manifestStats(dir, conf.value)
+    val ocfs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".ocf") && !n.startsWith("."))
+    assert(ocfs.forall(stats.contains),
+      s"unmanifested containers: ${ocfs.filterNot(stats.contains).toSeq}")
+    val (nManifests, stale) = OcfMaintenance.compactManifests(spark, dir)
+    assert(nManifests == 4 && stale == 0L, s"got ($nManifests, $stale)")
+    assert(OcfStore.manifestStats(dir, conf.value).keySet ==
+      stats.keySet, "consolidation must keep both writers' stats")
+    assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
   test("multi-store read: load(a, b) unions stores with per-store " +
