@@ -45,6 +45,65 @@ object AsOfStream {
   implicit val csEnc: Encoder[CarryState] = Encoders.product[CarryState]
   implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
 
+  /** Forward-match output: one row per probe that found its
+    * first-at-or-after build (append-mode streams cannot emit a
+    * provisional "no match yet" and retract it later, so a probe with
+    * no subsequent build stays pending — the batch
+    * `AsOf.asofJoinForward` re-run is the completeness repair path
+    * that also emits the null-matched leftovers).
+    */
+  final case class ForwardMatch(key: Long, probeId: Long, probeTsUs: Long,
+                                buildId: Long, buildTsUs: Long)
+
+  /** Pending probes awaiting their forward match. */
+  final case class ForwardState(pending: Seq[(Long, Long)])
+
+  implicit val fmEnc: Encoder[ForwardMatch] = Encoders.product[ForwardMatch]
+  implicit val fsEnc: Encoder[ForwardState] = Encoders.product[ForwardState]
+
+  /** Streaming twin of graft.ops.AsOf.asofJoinForward — the INVERSE
+    * state shape of `asofEnrich`: backward as-of carries one latest
+    * build per key (O(1) state, probes emit immediately); the forward
+    * join cannot emit a probe until its matching build ARRIVES, so the
+    * state buffers the key's pending probes and each incoming build
+    * flushes every pending probe at-or-before its timestamp. State is
+    * O(probes between consecutive builds) per key — bounded by feed
+    * interleaving, not stream length; a key whose builds stop leaves
+    * its tail probes pending (see ForwardMatch scaladoc).
+    *
+    * Ordering contract per microbatch: (tsUs, probe-before-build, id)
+    * — a probe at the build's exact timestamp matches it (inclusive
+    * boundary), and of several builds at one timestamp the LOWEST id
+    * flushes first and wins (earliest-wins, the batch tie-break).
+    */
+  def asofEnrichForward(tagged: Dataset[TaggedEvent])
+      : Dataset[ForwardMatch] =
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[ForwardState, ForwardMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[ForwardState]) =>
+          var pending =
+            state.getOption.map(_.pending).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[ForwardMatch]
+          // probe (side 1) sorts BEFORE build (side 0) at equal ts —
+          // the forward window's inclusive boundary; equal-ts builds
+          // flush in ascending id order so the lowest id wins
+          it.toSeq.sortBy(e => (e.tsUs, -e.side, e.id)).foreach { e =>
+            if (e.side == 1) pending = pending :+ (e.id, e.tsUs)
+            else {
+              val (matched, still) = pending.partition(_._2 <= e.tsUs)
+              matched.foreach { case (pid, pts) =>
+                out += ForwardMatch(key, pid, pts, e.id, e.tsUs)
+              }
+              pending = still
+            }
+          }
+          // only keys with probes still waiting occupy the state store
+          if (pending.nonEmpty) state.update(ForwardState(pending))
+          else if (state.exists) state.remove()
+          out.result().iterator
+      }
+
   def asofEnrich(tagged: Dataset[TaggedEvent]): Dataset[EnrichedProbe] =
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[CarryState, EnrichedProbe](

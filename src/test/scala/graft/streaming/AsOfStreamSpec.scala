@@ -77,6 +77,90 @@ class AsOfStreamSpec extends SparkSuite {
       (1L, 101L, 12L)))
   }
 
+  test("forward stream equals the batch forward join on matched rows; " +
+    "matchless probes stay pending") {
+    val s = spark
+    import s.implicits._
+    // forward fixture: equal-ts build tie (ids 41,42 — LOWEST must
+    // win), probe at the build's exact ts (inclusive), two probes
+    // flushed by one later build, a probe with no later build (batch
+    // emits null, stream emits nothing), and a build-only key
+    val fwdFixture = Seq(
+      TaggedEvent(1L, 1, 100L, 1000L), // probe, waits
+      TaggedEvent(1L, 1, 101L, 1200L), // probe, waits
+      TaggedEvent(1L, 0, 40L, 1500L),  // flushes both 100 and 101
+      TaggedEvent(2L, 1, 200L, 2000L), // probe at build ts — inclusive
+      TaggedEvent(2L, 0, 41L, 2000L),  // equal-ts tie: 41 beats 42
+      TaggedEvent(2L, 0, 42L, 2000L),
+      TaggedEvent(3L, 1, 300L, 9000L), // no later build: stays pending
+      TaggedEvent(4L, 0, 50L, 100L))   // build-only key: no output
+
+    val input = MemoryStream[TaggedEvent](AsOfStream.teEnc, s)
+    val q = AsOfStream.asofEnrichForward(input.toDS())
+      .writeStream.format("memory").queryName("asof_fwd_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof_fwd_ckpt"))
+      .start()
+    val ordered = fwdFixture.sortBy(e => (e.tsUs, -e.side, e.id))
+    ordered.grouped(3).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = s.table("asof_fwd_stream")
+      .select("key", "probeId", "buildId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // batch twin, restricted to its matched rows
+    val builds = fwdFixture.filter(_.side == 0)
+      .map(e => (e.key, e.id, e.tsUs)).toDF("user_id", "click_id", "us")
+      .select(col("user_id"), col("click_id"),
+        timestamp_micros(col("us")).as("click_ts"))
+    val probes = fwdFixture.filter(_.side == 1)
+      .map(e => (e.key, e.id, e.tsUs)).toDF("user_id", "purchase_id", "us")
+      .select(col("user_id"), col("purchase_id"),
+        timestamp_micros(col("us")).as("purchase_ts"))
+    val batch = AsOf.asofJoinForward(builds, probes, "user_id",
+      "click_ts", "purchase_ts", "click_id")
+      .select("user_id", "purchase_id", "click_id").collect()
+    val batchMatched = batch.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batchMatched)
+    assert(got === Set((1L, 100L, 40L), (1L, 101L, 40L), (2L, 200L, 41L)))
+    // the matchless probe is exactly the batch null row
+    assert(batch.filter(_.isNullAt(2)).map(_.getLong(1)).toSeq ==
+      Seq(300L))
+  }
+
+  test("forward pending state recovers from a checkpoint restart") {
+    val s = spark
+    import s.implicits._
+    val seen = new ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = tmpDir("asof_fwd_restart_ckpt")
+    val input1 = MemoryStream[TaggedEvent](AsOfStream.teEnc, s)
+    def run() = AsOfStream.asofEnrichForward(input1.toDS())
+      .writeStream
+      .foreachBatch { (ds: Dataset[AsOfStream.ForwardMatch], _: Long) =>
+        ds.collect().foreach(m => seen.add(m.probeId -> m.buildId))
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = run()
+    // a probe with no build yet: must park in the state store
+    input1.addData(Seq(TaggedEvent(7L, 1, 700L, 100L)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.isEmpty, "probe must stay pending until a build arrives")
+
+    // same source + checkpoint: the pending probe must come back from
+    // the state store and match the post-restart build
+    input1.addData(Seq(TaggedEvent(7L, 0, 70L, 200L)))
+    val q2 = run()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.asScala.toSet === Set(700L -> 70L))
+  }
+
   test("carry state recovers from a checkpoint restart") {
     val s = spark
     import s.implicits._
