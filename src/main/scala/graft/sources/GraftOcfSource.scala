@@ -392,7 +392,13 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def initialOffset(): Offset = OcfOffset(Map.empty)
   override def latestOffset(): Offset =
     OcfOffset(availableNowHead.getOrElse(keyedHeads))
-  override def reportLatestOffset(): Offset = latestOffset()
+  // progress reporting reuses the trigger's listing (the metrics()
+  // discipline): the number it feeds — "latest known head" — is
+  // per-trigger by definition, so a fresh LIST buys nothing
+  override def reportLatestOffset(): Offset =
+    OcfOffset(availableNowHead.getOrElse(
+      lastListing.map(_.map(t => t._1 -> t._3.count).toMap)
+        .getOrElse(keyedHeads)))
   override def deserializeOffset(json: String): Offset =
     OcfOffset.fromJson(json)
 

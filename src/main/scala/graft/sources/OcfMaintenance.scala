@@ -178,6 +178,47 @@ object OcfMaintenance {
     (manifests.size, stale.size.toLong)
   }
 
+  /** Prune old streaming epoch markers. The sink leaves one zero-byte
+    * `_epoch-<queryId>-<id>` marker per committed trigger — the
+    * replay-dedup record — so a long-lived stream accrues one marker
+    * per trigger forever: the metadata small-files problem again
+    * (every maintenance listing walks them), solved the same way as
+    * `compactManifests` solved the per-commit manifest pile.
+    *
+    * Safe horizon: Spark re-commits at most the LAST unacknowledged
+    * epoch per query on recovery, so only each writer's newest marker
+    * is ever consulted again; `keepLast` per writer (default 20) is a
+    * deep margin over that, covering even a manually rolled-back
+    * checkpoint a few epochs deep. Markers of legacy un-scoped form
+    * (`_epoch-<id>`) group under one writer key and age out the same
+    * way. Returns markers deleted.
+    */
+  def pruneEpochMarkers(spark: SparkSession, dir: String,
+                        keepLast: Int = 20): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1: the newest marker " +
+      "is the live replay-dedup record and must survive")
+    val conf = OcfStore.driverConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return 0
+    // _epoch-<queryId>-<epochId>: epochId is the suffix after the last
+    // dash; everything between prefix and it is the writer scope
+    val markers = fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("_epoch-"))
+      .flatMap { p =>
+        val body = p.getName.stripPrefix("_epoch-")
+        val cut = body.lastIndexOf('-')
+        val (writer, epoch) =
+          if (cut < 0) ("", body) else (body.take(cut), body.drop(cut + 1))
+        epoch.toLongOption.map(e => (writer, e, p))
+      }
+    val victims = markers.groupBy(_._1).values.toSeq.flatMap { ms =>
+      ms.sortBy(-_._2).drop(keepLast)
+    }
+    victims.foreach { case (_, _, p) => fs.delete(p, false) }
+    victims.size
+  }
+
   /** Broker-style time retention (Kafka `retention.ms`, reference
     * stores its offsets against a broker that enforces exactly this):
     * drop every container whose manifest proves ALL its records are

@@ -822,6 +822,39 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
+  test("epoch-marker pruning keeps the newest markers per writer; " +
+    "replay protection survives for the live horizon") {
+    val dir = tmpDir("ocf_marker_prune")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val wa = new OcfStreamingWrite(dir, "writer-a", conf)
+    val wb = new OcfStreamingWrite(dir, "writer-b", conf)
+    (0 until 6).foreach { e =>
+      wa.commit(e.toLong,
+        Array(writeEpoch(dir, e.toLong, streamRows(e * 5, e * 5 + 5),
+          conf, "writer-a")))
+    }
+    wb.commit(0L,
+      Array(writeEpoch(dir, 0L, streamRows(100, 105), conf, "writer-b")))
+    def markers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("_epoch-")).sorted.toSeq
+    assert(markers.size == 7)
+    val deleted = OcfMaintenance.pruneEpochMarkers(spark, dir, keepLast = 2)
+    // writer-a keeps epochs 4,5; writer-b keeps its only marker
+    assert(deleted == 4 && markers == Seq("_epoch-writer-a-4",
+      "_epoch-writer-a-5", "_epoch-writer-b-0"), s"got $markers")
+    // replay of the newest (the only epoch Spark can re-commit) is
+    // still dropped; rows stay exactly-once
+    val wa2 = new OcfStreamingWrite(dir, "writer-a", conf)
+    wa2.commit(5L,
+      Array(writeEpoch(dir, 5L, streamRows(25, 30), conf, "writer-a")))
+    assert(spark.read.format("graft-ocf").load(dir).count() == 35)
+    // idempotent, and keepLast=1 trims to the single live marker
+    assert(OcfMaintenance.pruneEpochMarkers(spark, dir, 2) == 0)
+    assert(OcfMaintenance.pruneEpochMarkers(spark, dir, 1) == 1)
+    assert(markers == Seq("_epoch-writer-a-5", "_epoch-writer-b-0"))
+  }
+
   test("multi-store read: load(a, b) unions stores with per-store " +
     "offset keys — the connector-level multi-topic subscribe") {
     val s = spark
