@@ -86,10 +86,17 @@ class OcfTable(options: CaseInsensitiveStringMap)
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val starting = Option(opts.get("startingOffsets"))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("earliest")
+    require(starting == "earliest" || starting == "latest",
+      s"graft-ocf startingOffsets must be earliest|latest, got $starting")
     new OcfScanBuilder(dirs,
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
-      new SerializableConfiguration(OcfStore.driverConf()))
+      new SerializableConfiguration(OcfStore.driverConf()),
+      startLatest = starting == "latest")
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(dirs.size == 1 && !dirs.head.exists("*?[{".contains(_)),
@@ -108,7 +115,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
   * predicate per row — exactness never depends on the stats.
   */
 class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
-                     conf: SerializableConfiguration)
+                     conf: SerializableConfiguration,
+                     startLatest: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -143,14 +151,16 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit)
+    new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
+      startLatest)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               conf: SerializableConfiguration,
               required: StructType = OcfFormat.sparkSchema,
               filters: Array[Filter] = Array.empty,
-              limit: Option[Int] = None)
+              limit: Option[Int] = None,
+              startLatest: Boolean = false)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -286,7 +296,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters)
+    new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters,
+      startLatest)
 }
 
 /** Streaming offset: per-file consumed record counts. With
@@ -320,7 +331,8 @@ object OcfOffset {
 class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
                           conf: SerializableConfiguration,
                           required: StructType = OcfFormat.sparkSchema,
-                          filters: Array[Filter] = Array.empty)
+                          filters: Array[Filter] = Array.empty,
+                          startLatest: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
       .ReportsSourceMetrics
@@ -389,7 +401,15 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowHead = Some(keyedHeads)
 
-  override def initialOffset(): Offset = OcfOffset(Map.empty)
+  /** Kafka's `startingOffsets` contract: earliest (default) begins
+    * every cursor at 0 and replays the whole store; latest SNAPSHOTS
+    * the head at query start — the backlog is skipped, only records
+    * committed after the stream started flow. The snapshot is taken
+    * once and checkpointed (Spark persists initialOffset), so a
+    * restart never re-snapshots and the boundary is stable.
+    */
+  override def initialOffset(): Offset =
+    if (startLatest) OcfOffset(keyedHeads) else OcfOffset(Map.empty)
   override def latestOffset(): Offset =
     OcfOffset(availableNowHead.getOrElse(keyedHeads))
   // progress reporting reuses the trigger's listing (the metrics()

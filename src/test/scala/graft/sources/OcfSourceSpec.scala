@@ -822,6 +822,48 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
+  test("startingOffsets=latest skips the backlog and delivers only " +
+    "post-start records; the snapshot survives restart") {
+    val s = spark
+    val dir = tmpDir("ocf_start_latest")
+    val ckpt = tmpDir("ocf_start_latest_ckpt")
+    kafkaDf(0, 50).write.format("graft-ocf").mode("overwrite").save(dir)
+    def run(): Set[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = s.readStream.format("graft-ocf")
+        .option("startingOffsets", "latest").load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("offset").collect().foreach(r => buf.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSet
+    }
+    // the 50-record backlog is snapshotted away at query start
+    assert(run() == Set.empty[Long])
+    kafkaDf(50, 60).write.format("graft-ocf").mode("append").save(dir)
+    // post-start appends flow; the checkpointed snapshot boundary
+    // holds across restart (no backlog replay, no re-snapshot)
+    assert(run() == (50L until 60L).toSet)
+    // and earliest (the default) still replays everything
+    val all = s.readStream.format("graft-ocf").load(dir)
+    val q2 = all.writeStream.format("memory").queryName("start_earliest")
+      .option("checkpointLocation", tmpDir("ocf_start_earliest_ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(s.table("start_earliest").count() == 60)
+    } finally q2.stop()
+    intercept[IllegalArgumentException] {
+      s.read.format("graft-ocf").option("startingOffsets", "bogus")
+        .load(dir).count()
+    }
+  }
+
   test("epoch-marker pruning keeps the newest markers per writer; " +
     "replay protection survives for the live horizon") {
     val dir = tmpDir("ocf_marker_prune")
