@@ -95,7 +95,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
     new OcfScanBuilder(dirs,
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
       new SerializableConfiguration(OcfStore.driverConf()),
-      startLatest = starting == "latest")
+      startLatest = starting == "latest",
+      minPartitions = Option(opts.get("minPartitions")).map(_.toInt))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -116,7 +117,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
   */
 class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
                      conf: SerializableConfiguration,
-                     startLatest: Boolean = false)
+                     startLatest: Boolean = false,
+                     minPartitions: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -152,7 +154,7 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
 
   override def build(): Scan =
     new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
-      startLatest)
+      startLatest, minPartitions)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
@@ -160,7 +162,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               required: StructType = OcfFormat.sparkSchema,
               filters: Array[Filter] = Array.empty,
               limit: Option[Int] = None,
-              startLatest: Boolean = false)
+              startLatest: Boolean = false,
+              minPartitions: Option[Int] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -279,17 +282,41 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
     runtimeFilters = fs.filter(OcfFilters.supported)
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      plannedFiles
+    /** Kafka's `minPartitions` knob: a store compacted into few large
+      * containers would otherwise cap scan parallelism at the file
+      * count (one mega-container = ONE task — the inverse of the
+      * small-files problem). When the planned partition count falls
+      * short, file ranges split into ~total/minPartitions row chunks;
+      * the reader block-skips to mid-file starts, so a split costs
+      * header walking, not decode. Keyed scans are exempt: their
+      * partition layout IS the KeyGroupedPartitioning contract.
+      */
+    override def planInputPartitions(): Array[InputPartition] = {
+      val kept = plannedFiles
         .filter { case (_, _, f) => runtimeFilters.isEmpty ||
           f.stats.forall(st => OcfFilters.mayMatch(st, runtimeFilters))
         }
-        .map { case (_, path, f) =>
-          if (keyed)
-            OcfKeyedRange(path, 0L, f.count, soleKey(f).get)
-              : InputPartition
-          else OcfRange(path, 0L, f.count): InputPartition
+      if (keyed)
+        kept.map { case (_, path, f) =>
+          OcfKeyedRange(path, 0L, f.count, soleKey(f).get): InputPartition
         }.toArray
+      else {
+        val target = minPartitions.getOrElse(0)
+        val total = kept.map(_._3.count).sum
+        if (target <= kept.size || total <= kept.size)
+          kept.map { case (_, path, f) =>
+            OcfRange(path, 0L, f.count): InputPartition
+          }.toArray
+        else {
+          val chunk = math.max(1L, (total + target - 1) / target)
+          kept.flatMap { case (_, path, f) =>
+            (0L until f.count by chunk).map(st =>
+              OcfRange(path, st, math.min(st + chunk, f.count))
+                : InputPartition)
+          }.toArray
+        }
+      }
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       OcfReaderFactory(conf, required)
   }

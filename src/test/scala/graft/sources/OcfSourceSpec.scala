@@ -822,6 +822,28 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
+  test("minPartitions splits large containers into parallel ranges, " +
+    "losslessly") {
+    val s = spark
+    val dir = tmpDir("ocf_minparts")
+    // compact the whole store into ONE container — the parallelism
+    // worst case minPartitions exists to fix
+    kafkaDf(0, 200).write.format("graft-ocf")
+      .option("targetFiles", "1").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".ocf") &&
+        !f.getName.startsWith(".")) == 1)
+    val plain = s.read.format("graft-ocf").load(dir)
+    assert(plain.rdd.getNumPartitions == 1)
+    val split = s.read.format("graft-ocf")
+      .option("minPartitions", "8").load(dir)
+    assert(split.rdd.getNumPartitions >= 8,
+      s"got ${split.rdd.getNumPartitions} partitions")
+    assert(split.select("offset").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 200L).toSeq,
+      "range splitting must be lossless and duplicate-free")
+  }
+
   test("startingOffsets=latest skips the backlog and delivers only " +
     "post-start records; the snapshot survives restart") {
     val s = spark
