@@ -96,7 +96,9 @@ class OcfTable(options: CaseInsensitiveStringMap)
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
       new SerializableConfiguration(OcfStore.driverConf()),
       startLatest = starting == "latest",
-      minPartitions = Option(opts.get("minPartitions")).map(_.toInt))
+      minPartitions = Option(opts.get("minPartitions")).map(_.toInt),
+      maxBytesPerTrigger =
+        Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -118,7 +120,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
 class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
                      conf: SerializableConfiguration,
                      startLatest: Boolean = false,
-                     minPartitions: Option[Int] = None)
+                     minPartitions: Option[Int] = None,
+                     maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -154,7 +157,7 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
 
   override def build(): Scan =
     new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
-      startLatest, minPartitions)
+      startLatest, minPartitions, maxBytesPerTrigger)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
@@ -163,7 +166,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               filters: Array[Filter] = Array.empty,
               limit: Option[Int] = None,
               startLatest: Boolean = false,
-              minPartitions: Option[Int] = None)
+              minPartitions: Option[Int] = None,
+              maxBytesPerTrigger: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -324,7 +328,7 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters,
-      startLatest)
+      startLatest, maxBytesPerTrigger)
 }
 
 /** Streaming offset: per-file consumed record counts. With
@@ -359,7 +363,8 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
                           conf: SerializableConfiguration,
                           required: StructType = OcfFormat.sparkSchema,
                           filters: Array[Filter] = Array.empty,
-                          startLatest: Boolean = false)
+                          startLatest: Boolean = false,
+                          maxBytes: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
       .ReportsSourceMetrics
@@ -449,9 +454,15 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def deserializeOffset(json: String): Offset =
     OcfOffset.fromJson(json)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxPerTrigger.map(n => ReadLimit.maxRows(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq ++
+      maxBytes.map(n => ReadLimit.maxBytes(n)).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** The admission-controlled head: advance each file's cursor in key
     * order until the per-trigger row budget is spent — the microbatch
@@ -462,21 +473,59 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[OcfOffset].counts
     val head = availableNowHead.getOrElse(keyedHeads)
-    limit match {
-      case r: ReadMaxRows =>
-        var budget = r.maxRows()
-        OcfOffset(head.toSeq.sortBy(_._1).map { case (f, h) =>
-          val s = from.getOrElse(f, 0L)
-          // clamp: a file whose head shrank below the cursor (store
-          // rewrite) must neither refund the budget nor move its
-          // offset backward
-          val take = math.min(math.max(h - s, 0L), math.max(budget, 0L))
-          budget -= take
-          f -> (s + take)
-        }.toMap)
-      case _ => OcfOffset(head)
+    // the byte bound admits by manifest-backed container width
+    // (bytes/record per file) — the same estimated-bytes admission the
+    // Kafka connector's maxBytesPerTrigger performs, zero bytes opened
+    def caps(l: ReadLimit): (Option[Long], Option[Long]) = l match {
+      case r: ReadMaxRows => (Some(r.maxRows()), None)
+      case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        (None, Some(b.maxBytes()))
+      case c: org.apache.spark.sql.connector.read.streaming
+          .CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft(
+          (Option.empty[Long], Option.empty[Long])) {
+          case ((r1, b1), (r2, b2)) =>
+            ((r1.toSeq ++ r2.toSeq).minOption,
+              (b1.toSeq ++ b2.toSeq).minOption)
+        }
+      case _ => (None, None)
+    }
+    val (rowCap, byteCap) = caps(limit)
+    if (rowCap.isEmpty && byteCap.isEmpty) OcfOffset(head)
+    else {
+      val avgBytes: Map[String, Double] = lastListing
+        .map(_.map(t => t._1 ->
+          (if (t._3.count > 0) t._3.bytes.toDouble / t._3.count
+           else 0.0)).toMap)
+        .getOrElse(Map.empty)
+      var rows = rowCap.getOrElse(Long.MaxValue)
+      var bytes = byteCap.getOrElse(Long.MaxValue)
+      var admittedAny = false
+      OcfOffset(head.toSeq.sortBy(_._1).map { case (f, h) =>
+        val s = from.getOrElse(f, 0L)
+        // clamp: a file whose head shrank below the cursor (store
+        // rewrite) must neither refund the budget nor move its
+        // offset backward
+        val avail = math.max(h - s, 0L)
+        val a = avgBytes.getOrElse(f, 0.0)
+        val byBytes =
+          if (byteCap.isEmpty) Long.MaxValue
+          else if (a <= 0) avail // width unknown: rows-only fallback
+          else math.max((bytes / a).toLong, 0L)
+        var take = Seq(avail, math.max(rows, 0L), byBytes).min
+        // progress guarantee (the file-source discipline): a byte
+        // budget smaller than one record still admits one, else the
+        // stream stalls forever on a wide record
+        if (take == 0L && avail > 0L && !admittedAny && rows > 0L &&
+          bytes > 0L) take = 1L
+        if (take > 0L) admittedAny = true
+        rows -= take
+        if (a > 0) bytes -= math.ceil(take * a).toLong
+        f -> (s + take)
+      }.toMap)
     }
   }
+
 
   /** Offset cursors advance over EVERY file (bookkeeping must stay
     * monotone whatever the predicate), but a file whose manifest stats

@@ -822,6 +822,51 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
+  test("maxBytesPerTrigger bounds each microbatch by manifest-backed " +
+    "container width, composing with the row bound") {
+    val s = spark
+    val dir = tmpDir("ocf_maxbytes")
+    kafkaDf(0, 200).write.format("graft-ocf").mode("overwrite").save(dir)
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".ocf") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    val avg = totalBytes / 200.0
+    def batchSizes(opts: Map[String, String]): Seq[Long] = {
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      var reader = s.readStream.format("graft-ocf")
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          sizes.add(df.count()); ()
+        }
+        .option("checkpointLocation", tmpDir("ocf_maxbytes_ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      sizes.iterator().asScala.toSeq.filter(_ > 0)
+    }
+    // byte budget for ~40 records/trigger: every record delivered
+    // exactly once across several bounded batches
+    val byBytes = batchSizes(Map(
+      "maxBytesPerTrigger" -> math.ceil(avg * 40).toLong.toString))
+    assert(byBytes.sum == 200 && byBytes.size >= 4,
+      s"expected >=4 bounded batches, got $byBytes")
+    assert(byBytes.forall(_ <= 50),
+      s"a batch overshot the byte budget: $byBytes")
+    // composite: the stricter row bound wins
+    val composed = batchSizes(Map(
+      "maxBytesPerTrigger" -> math.ceil(avg * 40).toLong.toString,
+      "maxRecordsPerTrigger" -> "10"))
+    assert(composed.sum == 200 && composed.forall(_ <= 10),
+      s"row bound must cap composite admission: $composed")
+    // a budget below one record still makes progress (one per trigger)
+    val tiny = batchSizes(Map("maxBytesPerTrigger" -> "1"))
+    assert(tiny.sum == 200 && tiny.forall(_ == 1),
+      s"sub-record budget must admit exactly one: ${tiny.take(5)}...")
+  }
+
   test("minPartitions splits large containers into parallel ranges, " +
     "losslessly") {
     val s = spark
