@@ -666,6 +666,24 @@ object LlmQueries {
           chunkTokens = 16, overlap = 4),
         "doc_id", "chunk_idx", "n_chunk_tokens",
         seqLen = 64, shards = 8)),
+    // Corpus ops — deterministic dataloader sharding: every doc gets a
+    // shard (Knuth multiplicative hash of doc_id — uniform, seedless,
+    // reproducible across runs and engines: exact integer arithmetic,
+    // no engine-specific hash) and a pseudo-random position within its
+    // shard — the (num_workers, worker_rank, index) contract a
+    // distributed training job reads by. The per-shard window is
+    // 64-way parallel (each sorts n/64 rows); no global order anywhere.
+    "train_shards" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+            .as("h"))
+        .withColumn("shard", pmod(col("h"), lit(64L)))
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
     // JSONL interchange round trip: write the corpus as line-delimited
     // JSON (the standard LLM corpus format), read it back with an
     // EXPLICIT schema — at 100 TB schema inference is a second full
@@ -1925,5 +1943,15 @@ object LlmQueries {
         |SELECT CAST(shard AS BIGINT) AS shard,
         |  CAST((cum - 1) // 64 AS BIGINT) AS seq_id,
         |  count(*) AS n_chunks, CAST(sum(nt) AS BIGINT) AS n_tokens
-        |FROM win GROUP BY 1, 2""".stripMargin)
+        |FROM win GROUP BY 1, 2""".stripMargin,
+    // exact integer Knuth hash replayed verbatim: shard assignment and
+    // intra-shard order are engine-independent by construction
+    "train_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |  (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+        |s AS (SELECT doc_id, h, h % 64 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin)
 }
