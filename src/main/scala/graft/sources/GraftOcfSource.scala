@@ -173,6 +173,9 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    OcfScanMetrics.supported
   override def description(): String =
     s"graft-ocf scan of ${dirs.mkString(",")}, " +
       s"columns=[${required.fieldNames.mkString(",")}]" +
@@ -693,6 +696,34 @@ object OcfFilters {
   }
 }
 
+/** Per-scan observability in the Spark UI (the DSv2 CustomMetric
+  * seam, X6's task-level half): every SQL node for a graft-ocf scan
+  * reports containers opened, block-header skips (the records jumped
+  * over WITHOUT decode to reach mid-file range starts — the cheap
+  * part of admission slicing), and records actually decoded. Sum
+  * aggregation across tasks, the same surface the built-in file and
+  * Kafka sources use.
+  */
+private class OcfSumMetric(val name0: String, val desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = name0
+  override def description(): String = desc
+}
+
+private case class OcfTaskMetric(name0: String, value0: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = name0
+  override def value(): Long = value0
+}
+
+object OcfScanMetrics {
+  def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new OcfSumMetric("containersOpened", "containers opened"),
+      new OcfSumMetric("recordsSkipped", "records block-skipped (no decode)"),
+      new OcfSumMetric("recordsDecoded", "records decoded"))
+}
+
 case class OcfReaderFactory(conf: SerializableConfiguration,
                             required: StructType = OcfFormat.sparkSchema)
     extends PartitionReaderFactory {
@@ -708,6 +739,8 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
         new GenericDatumReader[GenericRecord](null: org.apache.avro.Schema,
           OcfFormat.prunedAvroSchema(required)))
       private val toRow = OcfFormat.rowExtractor(required)
+      private var skipped = 0L
+      private var decoded = 0L
       // skip to the range start by BLOCK headers (no record decode)
       // first, then decode only the in-block remainder — repeated
       // admission-controlled slices of one large file stay O(blocks),
@@ -716,6 +749,7 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
       while (idx < r.start && stream.hasNext &&
         idx + stream.getBlockCount <= r.start) {
         idx += stream.getBlockCount
+        skipped += stream.getBlockCount
         stream.nextBlock()
       }
       while (idx < r.start && stream.hasNext) { stream.next(); idx += 1 }
@@ -723,10 +757,15 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
 
       override def next(): Boolean =
         if (idx < r.end && stream.hasNext) {
-          current = stream.next(); idx += 1; true
+          current = stream.next(); idx += 1; decoded += 1; true
         } else false
       override def get(): InternalRow = toRow(current)
       override def close(): Unit = stream.close()
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(OcfTaskMetric("containersOpened", 1L),
+          OcfTaskMetric("recordsSkipped", skipped),
+          OcfTaskMetric("recordsDecoded", decoded))
     }
   }
 }

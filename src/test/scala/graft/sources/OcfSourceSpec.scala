@@ -822,6 +822,22 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
+  test("scan custom metrics report containers opened, block skips, " +
+    "and records decoded") {
+    val s = spark
+    val dir = tmpDir("ocf_scan_metrics")
+    kafkaDf(0, 200).write.format("graft-ocf")
+      .option("targetFiles", "1").mode("overwrite").save(dir)
+    // a mid-file range forces the block-skip path
+    val df = s.read.format("graft-ocf")
+      .option("minPartitions", "4").load(dir)
+    df.count()
+    val scanNode = df.queryExecution.executedPlan.collectLeaves().head
+    val names = scanNode.metrics.keySet
+    assert(Set("containersOpened", "recordsSkipped", "recordsDecoded")
+      .subsetOf(names), s"scan metrics missing from $names")
+  }
+
   test("maxBytesPerTrigger bounds each microbatch by manifest-backed " +
     "container width, composing with the row bound") {
     val s = spark
