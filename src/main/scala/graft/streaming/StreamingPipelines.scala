@@ -34,6 +34,27 @@ object StreamingPipelines {
       KafkaShape.decodeUtf8(kafka).withWatermark("ts", watermark),
       windowDur, slide)
 
+  /** A1 streaming at the reference's TRUE 2-second slide: decode →
+    * tokenize → typed per-word slice state
+    * ([[SlidingWordCountStream.slidingCounts]] — the
+    * `reduceByKeyAndWindow(_+_, _-_)` inverse-function machine on the
+    * state store, ≤300 live slices per word). Emits the updated
+    * 10-minute trailing total at every touched 2-s tick, the
+    * DStream's per-batch print.
+    */
+  def wordCountStream2s(kafka: DataFrame,
+                        sliceSec: Long = 2L,
+                        slices: Long = 300L)
+      : org.apache.spark.sql.Dataset[SlidingWordCountStream.SliceTotal] = {
+    import SlidingWordCountStream.waEnc
+    SlidingWordCountStream.slidingCounts(
+      KafkaShape.decodeUtf8(kafka)
+        .select(explode(split(col("value_str"), " ")).as("word"),
+          unix_micros(col("ts")).as("tsUs"))
+        .as[SlidingWordCountStream.WordAt](waEnc),
+      sliceSec, slices)
+  }
+
   /** N4 streaming — per-window heavy-hitter candidates over the
     * decoded token stream: the Misra–Gries aggregate
     * ([[graft.functions.MisraGries]]) runs INSIDE the streaming state

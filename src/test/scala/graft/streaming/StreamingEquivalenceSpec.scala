@@ -54,6 +54,36 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("A1 streaming twin at the TRUE 2-second slide: per-tick totals " +
+    "equal the batch slice-aggregated form") {
+    val s = spark
+    import s.implicits._
+    val data = records(200)
+    val (input, kafkaStream) = KafkaShapedStream.memory(s)
+    val q = StreamingPipelines.wordCountStream2s(kafkaStream)
+      .writeStream.format("memory").queryName("wc2s_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("wc2s_ckpt"))
+      .start()
+    // in-order feed, a few microbatches (the operator's contract)
+    data.grouped(80).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = s.table("wc2s_stream")
+      .groupBy("word", "sliceTsUs").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = StreamOps.wordCountSlidingSlices(
+      KafkaShape.decodeUtf8(s.createDataset(data).toDF()))
+      .select(col("word"), unix_micros(col("slice_ts")), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("watermark drops late data in append mode") {
     val s = spark
     val (input, kafkaStream) = KafkaShapedStream.memory(s)
