@@ -779,6 +779,35 @@ class OcfSourceSpec extends SparkSuite {
       new org.apache.hadoop.fs.Path(dir, "_epoch-crashed-7")))
   }
 
+  test("two LIVE streaming queries replicate two sources into one " +
+    "destination store concurrently, exactly once each") {
+    // the fan-in shape through Spark's own wiring (real queries, real
+    // checkpoints — distinct stable queryIds end-to-end), on top of
+    // the commit-protocol unit test below
+    val s = spark
+    val srcA = tmpDir("ocf_fanin_a")
+    val srcB = tmpDir("ocf_fanin_b")
+    val dst = tmpDir("ocf_fanin_dst")
+    kafkaDf(0, 60).write.format("graft-ocf").mode("overwrite").save(srcA)
+    kafkaDf(100, 160).write.format("graft-ocf").mode("overwrite").save(srcB)
+    def start(src: String, ckpt: String) =
+      s.readStream.format("graft-ocf")
+        .option("maxRecordsPerTrigger", "25").load(src)
+        .writeStream.format("graft-ocf")
+        .option("checkpointLocation", ckpt)
+        .start(dst)
+    val qa = start(srcA, tmpDir("ocf_fanin_ckpt_a"))
+    val qb = start(srcB, tmpDir("ocf_fanin_ckpt_b"))
+    try {
+      qa.processAllAvailable()
+      qb.processAllAvailable()
+    } finally { qa.stop(); qb.stop() }
+    val offsets = spark.read.format("graft-ocf").load(dst)
+      .select("offset").collect().map(_.getLong(0)).toSeq
+    assert(offsets.sorted == ((0L until 60L) ++ (100L until 160L)).toSeq,
+      s"both pipelines exactly once, got ${offsets.size} rows")
+  }
+
   test("two concurrent streaming writers with colliding epoch numbers " +
     "append to one store without dropping or retiring each other") {
     val dir = tmpDir("ocf_two_writers")
