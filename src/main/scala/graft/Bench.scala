@@ -41,6 +41,13 @@ object Bench {
     // driver runs never set it so the published bench covers everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) sys.error(
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — a typo here would " +
+          "silently publish an empty bench")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

@@ -158,9 +158,10 @@ object AsOf {
     * per salt) while the cold majority joins plain — the explicit
     * two-path skew join, paying replication only where the burst is.
     * Every pair still meets exactly once: a build row holds ONE salt,
-    * and hot/cold route by the same broadcast bucket set on both
-    * sides. `idCol` must be unique: self-pairs are excluded by id
-    * equality.
+    * and hot/cold route by the same literal bucket set on both sides
+    * (resolved at plan-build time, so the no-burst common case keeps
+    * the plain single-join plan). `idCol` must be unique: self-pairs
+    * are excluded by id equality.
     */
   def timeProximityCount(ev: DataFrame, idCol: String, tsCol: String,
                          windowSec: Int,
@@ -179,25 +180,28 @@ object AsOf {
       col("__us").as("__bus"), bucket.as("__bucket"))
     val probe = base.select(col(idCol), col("__us"),
       explode(array(bucket - 1, bucket, bucket + 1)).as("__bucket"))
+    // hot-bucket census, resolved at PLAN-BUILD time (the
+    // trainCentroids discipline): #hot <= n/threshold by definition,
+    // so the collected id set is tiny, and the COMMON case — no hot
+    // bucket — keeps the plain single-join plan with zero overhead.
+    // The two-path split only enters the plan when a burst exists.
+    val hotIds: Seq[Long] =
+      if (saltBuckets <= 1) Seq.empty
+      else base.groupBy(bucket.as("__bucket"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > hotBucketThreshold)
+        .select("__bucket").limit(10000)
+        .collect().map(_.getLong(0)).toSeq
     val joined =
-      if (saltBuckets <= 1) probe.join(build, Seq("__bucket"))
+      if (hotIds.isEmpty) probe.join(build, Seq("__bucket"))
       else {
-        // hot-bucket census: #hot <= n/threshold by definition, so the
-        // set broadcasts; routing both sides by the SAME set keeps the
-        // two paths disjoint and exhaustive
-        val hot = broadcast(
-          base.groupBy(bucket.as("__bucket"))
-            .agg(count(lit(1)).as("__bn"))
-            .filter(col("__bn") > hotBucketThreshold)
-            .select(col("__bucket"), lit(1).as("__hot")))
-        val buildT = build.join(hot, Seq("__bucket"), "left")
-        val probeT = probe.join(hot, Seq("__bucket"), "left")
-        val cold = probeT.filter(col("__hot").isNull).drop("__hot")
-          .join(buildT.filter(col("__hot").isNull).drop("__hot"),
-            Seq("__bucket"))
-        val hotJ = Skew.saltedJoin(
-          buildT.filter(col("__hot").isNotNull).drop("__hot"),
-          probeT.filter(col("__hot").isNotNull).drop("__hot"),
+        // routing both sides by the SAME literal set keeps the two
+        // paths disjoint and exhaustive
+        val isHot = col("__bucket").isin(hotIds: _*)
+        val cold = probe.filter(!isHot).join(build.filter(!isHot),
+          Seq("__bucket"))
+        val hotJ = Skew.saltedJoin(build.filter(isHot),
+          probe.filter(isHot),
           "__bucket", saltBy = "__bid", saltBuckets = saltBuckets)
         cold.unionByName(hotJ)
       }

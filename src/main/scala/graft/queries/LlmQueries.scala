@@ -678,8 +678,13 @@ object LlmQueries {
         .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       docs(s, d)
         .select(col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-            .as("h"))
+          // fold to 31 bits BEFORE the Knuth multiply: b < 2^31 keeps
+          // b*2654435761 < 2^63, so the arithmetic is exact (no ANSI
+          // overflow, no silent wrap divergence) for EVERY long doc_id
+          expr("(doc_id % 2147483648L + doc_id div 2147483648L) " +
+            "% 2147483648L").as("b"))
+        .withColumn("h",
+          pmod(col("b") * lit(2654435761L), lit(4294967296L)))
         .withColumn("shard", pmod(col("h"), lit(64L)))
         .withColumn("pos", row_number().over(w).cast(LongType))
         .select(col("doc_id"), col("shard"), col("pos"))
@@ -1947,8 +1952,11 @@ object LlmQueries {
     // exact integer Knuth hash replayed verbatim: shard assignment and
     // intra-shard order are engine-independent by construction
     "train_shards" ->
-      """WITH h AS (SELECT doc_id,
-        |  (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+      """WITH b AS (SELECT doc_id,
+        |  (doc_id % 2147483648 + doc_id // 2147483648)
+        |    % 2147483648 AS b FROM documents),
+        |h AS (SELECT doc_id,
+        |  (b * 2654435761) % 4294967296 AS h FROM b),
         |s AS (SELECT doc_id, h, h % 64 AS shard FROM h)
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard

@@ -289,6 +289,10 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
     runtimeFilters = fs.filter(OcfFilters.supported)
 
   override def toBatch: Batch = new Batch {
+    if (startLatest) throw new IllegalArgumentException(
+      "graft-ocf: startingOffsets=latest is not valid for batch reads " +
+        "(a batch over 'from the head' is empty by definition) — the " +
+        "Kafka connector rejects it the same way")
     /** Kafka's `minPartitions` knob: a store compacted into few large
       * containers would otherwise cap scan parallelism at the file
       * count (one mega-container = ONE task — the inverse of the
@@ -331,7 +335,7 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters,
-      startLatest, maxBytesPerTrigger)
+      startLatest, maxBytesPerTrigger, minPartitions)
 }
 
 /** Streaming offset: per-file consumed record counts. With
@@ -354,6 +358,19 @@ object OcfOffset {
   private[sources] val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Cursor lookup with legacy-key fallback: checkpoints written
+    * before glob expansion kept fully-qualified paths recorded
+    * SCHEME-STRIPPED keys (toUri.getPath). A direct miss retries the
+    * stripped form so an upgraded glob/multi-dir stream resumes its
+    * old cursors instead of replaying the store from 0.
+    */
+  private[sources] def cursor(counts: Map[String, Long],
+                              key: String): Long =
+    counts.get(key).orElse {
+      val stripped = new Path(key).toUri.getPath
+      if (stripped != key) counts.get(stripped) else None
+    }.getOrElse(0L)
+
   def fromJson(s: String): OcfOffset = {
     val n = mapper.readTree(s)
     require(n != null && n.isObject, s"malformed OcfOffset: $s")
@@ -367,7 +384,8 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
                           required: StructType = OcfFormat.sparkSchema,
                           filters: Array[Filter] = Array.empty,
                           startLatest: Boolean = false,
-                          maxBytes: Option[Long] = None)
+                          maxBytes: Option[Long] = None,
+                          minPartitions: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
       .ReportsSourceMetrics
@@ -416,7 +434,7 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
       }
       else Map.empty[String, Long]
     val behind = live.map { case (k, _, f) =>
-      math.max(f.count - consumed.getOrElse(k, 0L), 0L)
+      math.max(f.count - OcfOffset.cursor(consumed, k), 0L)
     }.sum
     val stores = live
       .map(t => t._2.substring(0, t._2.lastIndexOf('/')))
@@ -505,7 +523,7 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
       var bytes = byteCap.getOrElse(Long.MaxValue)
       var admittedAny = false
       OcfOffset(head.toSeq.sortBy(_._1).map { case (f, h) =>
-        val s = from.getOrElse(f, 0L)
+        val s = OcfOffset.cursor(from, f)
         // clamp: a file whose head shrank below the cursor (store
         // rewrite) must neither refund the budget nor move its
         // offset backward
@@ -545,19 +563,33 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
     val s = start.asInstanceOf[OcfOffset].counts
     val live = OcfStore.keyedLiveFiles(dirs, conf.value)
       .map(t => t._1 -> t).toMap
-    end.asInstanceOf[OcfOffset].counts.toSeq.sortBy(_._1).flatMap {
-      case (k, e) =>
-        val from = s.getOrElse(k, 0L)
+    val ranges = end.asInstanceOf[OcfOffset].counts.toSeq.sortBy(_._1)
+      .flatMap { case (k, e) =>
+        val from = OcfOffset.cursor(s, k)
         live.get(k) match {
           case Some((_, path, f)) =>
             val mayMatch = filters.isEmpty ||
               f.stats.forall(st => OcfFilters.mayMatch(st, filters))
-            if (e > from && mayMatch)
-              Some(OcfRange(path, from, e): InputPartition)
+            if (e > from && mayMatch) Some((path, from, e))
             else None
           case None => None // retired container: truncated-log replay
         }
-    }.toArray
+      }
+    // the batch scan's minPartitions discipline, per microbatch: a
+    // trigger draining one mega-container must not run as one task
+    val target = minPartitions.getOrElse(0)
+    val total = ranges.map { case (_, f, e) => e - f }.sum
+    if (target <= ranges.size || total <= ranges.size)
+      ranges.map { case (path, f, e) =>
+        OcfRange(path, f, e): InputPartition
+      }.toArray
+    else {
+      val chunk = math.max(1L, (total + target - 1) / target)
+      ranges.flatMap { case (path, f, e) =>
+        (f until e by chunk).map(st =>
+          OcfRange(path, st, math.min(st + chunk, e)): InputPartition)
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -752,7 +784,12 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
         skipped += stream.getBlockCount
         stream.nextBlock()
       }
-      while (idx < r.start && stream.hasNext) { stream.next(); idx += 1 }
+      // in-block positioning decodes records it will not emit — that
+      // is real decode work, so it counts in recordsDecoded (skipped
+      // counts only the header-walk jumps that decode nothing)
+      while (idx < r.start && stream.hasNext) {
+        stream.next(); idx += 1; decoded += 1
+      }
       private var current: GenericRecord = _
 
       override def next(): Boolean =

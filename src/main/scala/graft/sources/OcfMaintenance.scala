@@ -39,6 +39,15 @@ object OcfMaintenance {
 
   /** Rewrite the store in place; returns (filesBefore, filesAfter).
     *
+    * NOT safe under an active streaming WRITER either (true of every
+    * whole-store rewrite here: compact/cluster/compactByKey): the
+    * overwrite commit retires every current container, and a writer
+    * epoch committed between this rewrite's read and its install
+    * would lose its containers while its epoch marker survives —
+    * suppressing the writer's replay, breaking its exactly-once.
+    * Rewrites are maintenance-window operations: stop writers (and
+    * for compact/cluster/compactByKey, readers), rewrite, restart.
+    *
     * NOT safe under an active streaming reader: stream offsets are
     * per-file cursors keyed by container NAME, and compaction installs
     * a new generation under new names — a live cursor would see the
@@ -78,7 +87,9 @@ object OcfMaintenance {
     * downstream consumers still observe the delete markers.
     *
     * Surviving records keep their original offsets (compaction removes
-    * records, never renumbers — Kafka's invariant). Container names do
+    * records, never renumbers — Kafka's invariant). Same
+    * maintenance-window contract as `compact` for concurrent WRITERS
+    * (see its scaladoc). Container names do
     * change, so a LIVE streaming reader's per-file cursors vanish and
     * the next trigger re-delivers the compacted survivors once
     * (at-least-once across a maintenance rewrite; checkpoint recovery

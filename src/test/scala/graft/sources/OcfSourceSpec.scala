@@ -932,6 +932,25 @@ class OcfSourceSpec extends SparkSuite {
     assert(split.select("offset").collect().map(_.getLong(0)).sorted
       .toSeq == (0L until 200L).toSeq,
       "range splitting must be lossless and duplicate-free")
+    // the STREAMING side honors it too: each microbatch over the one
+    // container plans >= 8 tasks, rows exactly once
+    val parts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = s.readStream.format("graft-ocf")
+      .option("minPartitions", "8").load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        parts.add(df.rdd.getNumPartitions)
+        df.select("offset").collect().foreach(r => rows.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", tmpDir("ocf_minparts_ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(parts.iterator().asScala.exists(_ >= 8),
+      s"streaming microbatch must split: ${parts.iterator().asScala.toSeq}")
+    assert(rows.iterator().asScala.toSeq.sorted == (0L until 200L).toSeq)
   }
 
   test("startingOffsets=latest skips the backlog and delivers only " +
