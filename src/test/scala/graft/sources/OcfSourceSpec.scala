@@ -851,6 +851,17 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 40)
   }
 
+  test("offset cursor lookup falls back to legacy scheme-stripped keys") {
+    val counts = Map(
+      "/data/store/part-0.ocf" -> 42L, // legacy glob key (pre-upgrade)
+      "part-1.ocf" -> 7L)              // single-store basename key
+    // current listing emits qualified keys; the old cursor must resolve
+    assert(OcfOffset.cursor(counts, "file:/data/store/part-0.ocf") == 42L)
+    // exact hits still win, and misses stay 0
+    assert(OcfOffset.cursor(counts, "part-1.ocf") == 7L)
+    assert(OcfOffset.cursor(counts, "file:/data/store/part-9.ocf") == 0L)
+  }
+
   test("scan custom metrics report containers opened, block skips, " +
     "and records decoded") {
     val s = spark
