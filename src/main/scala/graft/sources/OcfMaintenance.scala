@@ -66,9 +66,17 @@ object OcfMaintenance {
     // installs renamed temps only at driver commit, after every read
     // task has finished — same-dir rewrite is ordered, not racy
     spark.read.format("graft-ocf").load(dir)
-      .write.format("graft-ocf").mode("overwrite").save(dir)
+      .write.format("graft-ocf")
+      .option("expectedContainers", containerNames(dir).mkString(","))
+      .mode("overwrite").save(dir)
     (before, nFiles)
   }
+
+  /** Live container basenames — the optimistic-concurrency witness a
+    * rewrite hands to its overwrite commit.
+    */
+  private def containerNames(dir: String): Seq[String] =
+    OcfStore.headCounts(dir, OcfStore.driverConf()).keys.toSeq.sorted
 
   /** Kafka `cleanup.policy=compact` as a store rewrite: keep only the
     * highest-offset record per (topic, partition, key) — the broker
@@ -108,7 +116,9 @@ object OcfMaintenance {
     val kept =
       if (dropTombstones) latest.filter(col("value").isNotNull)
       else latest
-    kept.write.format("graft-ocf").mode("overwrite").save(dir)
+    kept.write.format("graft-ocf")
+      .option("expectedContainers", containerNames(dir).mkString(","))
+      .mode("overwrite").save(dir)
     (before, records)
   }
 
@@ -138,6 +148,7 @@ object OcfMaintenance {
       .write.format("graft-ocf")
       .option("layout", "time")
       .option("targetFiles", targetFiles.toString)
+      .option("expectedContainers", containerNames(dir).mkString(","))
       .mode("overwrite").save(dir)
     (before, nFiles)
   }

@@ -42,6 +42,13 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     "time".equalsIgnoreCase(info.options.get("layout"))
   private val targetFiles =
     Option(info.options.get("targetFiles")).map(_.toInt).getOrElse(0)
+  // expectedContainers=<comma list of .ocf basenames>: optimistic
+  // concurrency for whole-store rewrites — the overwrite commit aborts
+  // if the store holds containers the rewrite never read (a writer
+  // installed an epoch mid-rewrite), instead of silently retiring them
+  private val expectedContainers: Option[Set[String]] =
+    Option(info.options.get("expectedContainers"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
@@ -66,7 +73,8 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     // a later generation can never rename over an earlier one
     override def toBatch: BatchWrite =
       new OcfBatchWrite(dir, doTruncate, info.queryId(),
-        new SerializableConfiguration(OcfStore.driverConf()))
+        new SerializableConfiguration(OcfStore.driverConf()),
+        expectedContainers)
 
     /** S8/S9 — the streaming ingestion sink the reference IS: a
       * Structured Streaming epoch writes one generation of containers
@@ -102,7 +110,8 @@ case class OcfCommit(temp: String, dest: String,
     extends WriterCommitMessage
 
 class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
-                    conf: SerializableConfiguration)
+                    conf: SerializableConfiguration,
+                    expectedContainers: Option[Set[String]] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = OcfWriterFactory(dir, queryId, conf)
@@ -130,6 +139,27 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
           }
           .map(_.getPath)
       else Seq.empty
+    // optimistic-concurrency GUARD (not a lock — it narrows the
+    // whole-rewrite hazard window to the commit instant): containers
+    // present now that the rewrite never read mean a writer committed
+    // mid-rewrite; retiring them would lose that epoch while its
+    // marker suppressed replay. Abort — the store is untouched, the
+    // rewrite is safely retryable.
+    if (truncate) expectedContainers.foreach { exp =>
+      val surprise = oldFiles.map(_.getName)
+        .filter(_.endsWith(".ocf")).toSet -- exp
+      if (surprise.nonEmpty) {
+        messages.foreach {
+          case OcfCommit(temp, _, _) if temp.nonEmpty =>
+            fs.delete(new Path(temp), false)
+          case _ => ()
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"graft-ocf: store $dir gained containers after the rewrite " +
+            s"read it (${surprise.toSeq.sorted.mkString(", ")}) — " +
+            "aborting the overwrite; retry the rewrite")
+      }
+    }
     val installed = messages.collect {
       case OcfCommit(temp, dest, _) if temp.nonEmpty =>
         val t = new Path(temp)

@@ -1006,6 +1006,38 @@ class OcfSourceSpec extends SparkSuite {
     }
   }
 
+  test("overwrite rewrite aborts when a writer committed mid-rewrite " +
+    "(optimistic concurrency guard), store untouched and retryable") {
+    val s = spark
+    val dir = tmpDir("ocf_rewrite_guard")
+    kafkaDf(0, 40).write.format("graft-ocf").mode("overwrite").save(dir)
+    val witness = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".ocf") && !n.startsWith("."))
+      .sorted.mkString(",")
+    // a concurrent writer's epoch lands AFTER the rewrite read the
+    // store (simulated: the witness predates this append)
+    kafkaDf(100, 110).write.format("graft-ocf").mode("append").save(dir)
+    val data = s.read.format("graft-ocf").load(dir)
+      .filter(col("offset") < 40) // "the rewrite's input": pre-append
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      data.write.format("graft-ocf")
+        .option("expectedContainers", witness)
+        .mode("overwrite").save(dir)
+    }
+    assert(ex.getMessage.contains("gained containers"),
+      s"expected the guard abort, got: ${ex.getMessage}")
+    // nothing lost, nothing retired: both generations fully readable
+    assert(s.read.format("graft-ocf").load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSet ==
+      ((0L until 40L) ++ (100L until 110L)).toSet)
+    // no stray temps from the aborted install
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.getName.endsWith(".tmp")), "temps must be cleaned")
+    // the retry with a FRESH witness succeeds
+    OcfMaintenance.compact(s, dir)
+    assert(s.read.format("graft-ocf").load(dir).count() == 50)
+  }
+
   test("epoch-marker pruning keeps the newest markers per writer; " +
     "replay protection survives for the live horizon") {
     val dir = tmpDir("ocf_marker_prune")
