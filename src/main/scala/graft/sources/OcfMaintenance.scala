@@ -73,10 +73,20 @@ object OcfMaintenance {
   }
 
   /** Live container basenames — the optimistic-concurrency witness a
-    * rewrite hands to its overwrite commit.
+    * rewrite hands to its overwrite commit. A plain LIST (no record
+    * counting — headCounts would open unmanifested containers just to
+    * learn their names). Captured when the writer chain is built,
+    * strictly before the rewrite's scan lists the store, so a writer
+    * epoch landing in that gap is read AND flagged — a conservative
+    * spurious abort, never a loss; the rewrite retries.
     */
-  private def containerNames(dir: String): Seq[String] =
-    OcfStore.headCounts(dir, OcfStore.driverConf()).keys.toSeq.sorted
+  private def containerNames(dir: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(OcfStore.driverConf())
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".ocf") && !n.startsWith(".")).sorted
+  }
 
   /** Kafka `cleanup.policy=compact` as a store rewrite: keep only the
     * highest-offset record per (topic, partition, key) — the broker

@@ -149,11 +149,7 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
       val surprise = oldFiles.map(_.getName)
         .filter(_.endsWith(".ocf")).toSet -- exp
       if (surprise.nonEmpty) {
-        messages.foreach {
-          case OcfCommit(temp, _, _) if temp.nonEmpty =>
-            fs.delete(new Path(temp), false)
-          case _ => ()
-        }
+        abort(messages) // same cleanup Spark runs on commit failure
         throw new java.util.ConcurrentModificationException(
           s"graft-ocf: store $dir gained containers after the rewrite " +
             s"read it (${surprise.toSeq.sorted.mkString(", ")}) — " +
