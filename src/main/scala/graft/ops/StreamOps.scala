@@ -96,6 +96,18 @@ object StreamOps {
         min(when(col("offset") > lit(current), col("offset"))),
         lit(0L)).as("recovered_offset"))
 
+  /** Kafka `Consumer.offsetsForTimes` — per partition, the earliest
+    * offset whose record timestamp is at-or-after the lookup time
+    * (null when the partition has no such record, exactly the API's
+    * null entry). One aggregation, map-side combined; at scale the
+    * timestamp predicate prunes containers via the stats manifest
+    * before a byte is decoded.
+    */
+  def offsetsForTimes(kafka: DataFrame, tsUs: Long): DataFrame =
+    kafka.groupBy(col("partition").cast(LongType).as("kpartition"))
+      .agg(min(when(expr("unix_micros(timestamp)") >= lit(tsUs),
+        col("offset"))).as("first_offset_at_or_after"))
+
   /** A5 — throughput meter, batch analog: events/sec per partition per
     * hour bucket (reference per-partition EWMA `Meter.mark(consumed)`,
     * `…InputDStream.scala:101,228,387-389`).

@@ -53,6 +53,10 @@ object Queries {
     // A4: OffsetOutOfRange recovery offset
     "first_offset_above" -> ((s, d) =>
       StreamOps.firstOffsetAbove(kafka(s, d), 500L)),
+    // Consumer.offsetsForTimes: earliest offset at-or-after a lookup
+    // timestamp per partition (2024-01-15T00:00Z)
+    "offsets_for_times" -> ((s, d) =>
+      StreamOps.offsetsForTimes(kafka(s, d), 1705276800000000L)),
     // S5: one microbatch's half-open offset-range slice
     "offset_slice" -> ((s, d) =>
       KafkaShape.decodeUtf8(
@@ -193,6 +197,11 @@ object Queries {
       """SELECT user_id % 8 AS kpartition,
         |       coalesce(min(event_id) FILTER (WHERE event_id > 500), 0)
         |         AS recovered_offset
+        |FROM events GROUP BY 1""".stripMargin,
+    "offsets_for_times" ->
+      """SELECT user_id % 8 AS kpartition,
+        |       min(event_id) FILTER (WHERE epoch_us(ts) >= 1705276800000000)
+        |         AS first_offset_at_or_after
         |FROM events GROUP BY 1""".stripMargin,
     "offset_slice" ->
       """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,

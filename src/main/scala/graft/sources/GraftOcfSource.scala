@@ -92,13 +92,18 @@ class OcfTable(options: CaseInsensitiveStringMap)
       .getOrElse("earliest")
     require(starting == "earliest" || starting == "latest",
       s"graft-ocf startingOffsets must be earliest|latest, got $starting")
+    val startTs = Option(opts.get("startingTimestamp")).map(_.toLong)
+    require(startTs.isEmpty || starting == "earliest",
+      "graft-ocf: startingTimestamp and startingOffsets=latest are " +
+        "mutually exclusive")
     new OcfScanBuilder(dirs,
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
       new SerializableConfiguration(OcfStore.driverConf()),
       startLatest = starting == "latest",
       minPartitions = Option(opts.get("minPartitions")).map(_.toInt),
       maxBytesPerTrigger =
-        Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
+        Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
+      startTsUs = startTs)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -121,7 +126,8 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
                      conf: SerializableConfiguration,
                      startLatest: Boolean = false,
                      minPartitions: Option[Int] = None,
-                     maxBytesPerTrigger: Option[Long] = None)
+                     maxBytesPerTrigger: Option[Long] = None,
+                     startTsUs: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -157,7 +163,7 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
 
   override def build(): Scan =
     new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
-      startLatest, minPartitions, maxBytesPerTrigger)
+      startLatest, minPartitions, maxBytesPerTrigger, startTsUs)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
@@ -167,7 +173,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               limit: Option[Int] = None,
               startLatest: Boolean = false,
               minPartitions: Option[Int] = None,
-              maxBytesPerTrigger: Option[Long] = None)
+              maxBytesPerTrigger: Option[Long] = None,
+              startTsUs: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -335,7 +342,7 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters,
-      startLatest, maxBytesPerTrigger, minPartitions)
+      startLatest, maxBytesPerTrigger, minPartitions, startTsUs)
 }
 
 /** Streaming offset: per-file consumed record counts. With
@@ -385,7 +392,8 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
                           filters: Array[Filter] = Array.empty,
                           startLatest: Boolean = false,
                           maxBytes: Option[Long] = None,
-                          minPartitions: Option[Int] = None)
+                          minPartitions: Option[Int] = None,
+                          startTsUs: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming
       .ReportsSourceMetrics
@@ -462,7 +470,17 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
     * restart never re-snapshots and the boundary is stable.
     */
   override def initialOffset(): Offset =
-    if (startLatest) OcfOffset(keyedHeads) else OcfOffset(Map.empty)
+    if (startLatest) OcfOffset(keyedHeads)
+    else startTsUs match {
+      // Kafka's startingOffsetsByTimestamp: seed each cursor at the
+      // first record at-or-after the timestamp (manifest-resolved for
+      // most containers, a timestamp-only driver scan for boundary
+      // ones). Checkpointed like every initialOffset — stable across
+      // restart, never re-resolved.
+      case Some(ts) =>
+        OcfOffset(OcfStore.cursorsAtTimestamp(dirs, ts, conf.value))
+      case None => OcfOffset(Map.empty)
+    }
   override def latestOffset(): Offset =
     OcfOffset(availableNowHead.getOrElse(keyedHeads))
   // progress reporting reuses the trigger's listing (the metrics()
@@ -894,6 +912,47 @@ object OcfStore extends org.apache.spark.internal.Logging {
     */
   def headCounts(dir: String, conf: Configuration): Map[String, Long] =
     liveFiles(dir, conf).map(f => f.name -> f.count).toMap
+
+  /** Kafka `startingOffsetsByTimestamp` for the store: per live
+    * container, the cursor of the FIRST record whose timestamp is
+    * at-or-after `tsUs` (the consumer seek position; count = skip the
+    * whole file). Manifest stats resolve most files without opening
+    * them (minTsUs >= ts => 0, maxTsUs < ts => count); only boundary
+    * or unmanifested containers are scanned, driver-side, with the
+    * timestamp-only pruned reader schema — the payload blobs are
+    * seeked over, never allocated.
+    */
+  def cursorsAtTimestamp(dirs: Seq[String], tsUs: Long,
+                         conf: Configuration): Map[String, Long] =
+    keyedLiveFiles(dirs, conf).map { case (key, path, f) =>
+      val cursor = f.stats match {
+        case Some(st) if st.minTsUs >= tsUs => 0L
+        case Some(st) if st.maxTsUs < tsUs => f.count
+        case _ => firstIndexAtOrAfter(path, tsUs, conf)
+      }
+      key -> cursor
+    }.toMap
+
+  private def firstIndexAtOrAfter(path: String, tsUs: Long,
+                                  conf: Configuration): Long = {
+    val p = new Path(path)
+    val tsOnly = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = new DataFileStream[GenericRecord](
+      p.getFileSystem(conf).open(p),
+      new GenericDatumReader[GenericRecord](null: org.apache.avro.Schema,
+        OcfFormat.prunedAvroSchema(tsOnly)))
+    try {
+      var idx = 0L
+      while (stream.hasNext) {
+        val r = stream.next()
+        if (r.get("timestamp_us").asInstanceOf[Long] >= tsUs) return idx
+        idx += 1
+      }
+      idx
+    } finally stream.close()
+  }
 
   private def isGlob(p: String): Boolean =
     p.exists("*?[{".contains(_))

@@ -964,6 +964,46 @@ class OcfSourceSpec extends SparkSuite {
     assert(rows.iterator().asScala.toSeq.sorted == (0L until 200L).toSeq)
   }
 
+  test("startingTimestamp seeds cursors at the first record at-or-after " +
+    "the timestamp: manifest fast path, boundary scan, restart-stable") {
+    val s = spark
+    val dir = tmpDir("ocf_start_ts")
+    stratifiedStore(dir) // partition p: offsets p*50..p*50+49, ts base+id*60s
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime * 1000L
+    // cutoff mid-partition-2's container: files p0/p1 wholly older
+    // (manifest skip, no open), p3 wholly newer (manifest zero), p2 is
+    // the BOUNDARY container resolved by the timestamp-only scan
+    val cutUs = base + 125L * 60 * 1000000
+    def run(ckpt: String): Set[Long] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = s.readStream.format("graft-ocf")
+        .option("startingTimestamp", cutUs.toString).load(dir)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("offset").collect().foreach(r => buf.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSet
+    }
+    val ckpt = tmpDir("ocf_start_ts_ckpt")
+    assert(run(ckpt) == (125L until 200L).toSet,
+      "must start exactly at the first at-or-after record")
+    // restart on the same checkpoint: nothing replays, appends flow
+    kafkaDf(500, 505).write.format("graft-ocf").mode("append").save(dir)
+    assert(run(ckpt) == (500L until 505L).toSet)
+    // mutually exclusive with startingOffsets=latest (validated at
+    // scan build — a batch read triggers it synchronously)
+    intercept[IllegalArgumentException] {
+      s.read.format("graft-ocf")
+        .option("startingTimestamp", "0")
+        .option("startingOffsets", "latest").load(dir).count()
+    }
+  }
+
   test("startingOffsets=latest skips the backlog and delivers only " +
     "post-start records; the snapshot survives restart") {
     val s = spark
