@@ -689,6 +689,29 @@ object LlmQueries {
         .withColumn("pos", row_number().over(w).cast(LongType))
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
+    // Corpus ops — deterministic MIXTURE SAMPLING: per-source doc
+    // budgets (the data-mixture step of corpus assembly: upweight
+    // src0/src1, floor everything else), filled lowest-Knuth-hash
+    // first so the sample is reproducible across runs and engines.
+    // Selection runs through GroupedTopK at k = max budget — bounded
+    // O(sources x maxBudget) reducer state however large each source
+    // is — then the per-source budget trims the rank. No global sort,
+    // no per-source history sort.
+    "mixture_sample" -> ((s, d) => {
+      val budget = coalesce(
+        element_at(map(lit("src0"), lit(15L), lit("src1"), lit(10L)),
+          col("source")), lit(5L))
+      val hashed = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("(doc_id % 2147483648L + doc_id div 2147483648L) " +
+            "% 2147483648L").as("b"))
+        .withColumn("h",
+          pmod(col("b") * lit(2654435761L), lit(4294967296L)))
+      graft.plans.GroupedTopK(hashed, Seq("source"),
+        Seq(("h", true), ("doc_id", true)), k = 15, rankName = "rk")
+        .filter(col("rk") <= budget)
+        .select(col("doc_id"), col("source"), col("rk"))
+    }),
     // JSONL interchange round trip: write the corpus as line-delimited
     // JSON (the standard LLM corpus format), read it back with an
     // EXPLICIT schema — at 100 TB schema inference is a second full
@@ -1949,6 +1972,20 @@ object LlmQueries {
         |  CAST((cum - 1) // 64 AS BIGINT) AS seq_id,
         |  count(*) AS n_chunks, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM win GROUP BY 1, 2""".stripMargin,
+    // the GroupedTopK selection replayed as a rank window + the same
+    // per-source budget CASE — exact integer hash, bit-identical
+    "mixture_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  (doc_id % 2147483648 + doc_id // 2147483648)
+        |    % 2147483648 AS b FROM documents),
+        |h AS (SELECT doc_id, source,
+        |  (b * 2654435761) % 4294967296 AS h FROM b),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY h, doc_id) AS BIGINT) AS rk FROM h)
+        |SELECT doc_id, source, rk FROM r
+        |WHERE rk <= CASE source WHEN 'src0' THEN 15
+        |                        WHEN 'src1' THEN 10 ELSE 5 END""".stripMargin,
     // exact integer Knuth hash replayed verbatim: shard assignment and
     // intra-shard order are engine-independent by construction
     "train_shards" ->
