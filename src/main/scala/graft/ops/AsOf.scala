@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * a nested-loop join — the bucketed/merge forms below keep the work
   * proportional to rows + true matches and plan as one equi-shuffle.
   */
-object AsOf {
+object AsOf extends org.apache.spark.internal.Logging {
 
   /** As-of join (inclusive): for every `probe` row, the single latest
     * `build` row with the same `key` and `build.buildTs <= probe.probeTs`,
@@ -186,12 +186,22 @@ object AsOf {
     // bucket — keeps the plain single-join plan with zero overhead.
     // The two-path split only enters the plan when a burst exists.
     val hotIds: Seq[Long] =
-      if (saltBuckets <= 1) Seq.empty
-      else base.groupBy(bucket.as("__bucket"))
-        .agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") > hotBucketThreshold)
-        .select("__bucket").limit(10000)
-        .collect().map(_.getLong(0)).toSeq
+      if (saltBuckets <= 1 || ev.isStreaming) Seq.empty
+      else {
+        // hottest-first so a cap (defensive; #hot <= n/threshold, so
+        // reaching it means a degenerate threshold) drops the LEAST
+        // hot buckets deterministically, and the drop is logged
+        val hot = base.groupBy(bucket.as("__bucket"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > hotBucketThreshold)
+          .orderBy(col("__bn").desc, col("__bucket"))
+          .limit(10001)
+          .collect().map(_.getLong(0)).toSeq
+        if (hot.size > 10000)
+          logWarning("timeProximityCount: over 10000 hot buckets — " +
+            "salting only the hottest 10000; raise hotBucketThreshold")
+        hot.take(10000)
+      }
     val joined =
       if (hotIds.isEmpty) probe.join(build, Seq("__bucket"))
       else {

@@ -680,7 +680,10 @@ object LlmQueries {
         .select(col("doc_id"),
           // fold to 31 bits BEFORE the Knuth multiply: b < 2^31 keeps
           // b*2654435761 < 2^63, so the arithmetic is exact (no ANSI
-          // overflow, no silent wrap divergence) for EVERY long doc_id
+          // overflow, no silent wrap divergence) for every
+          // NON-NEGATIVE doc_id — the corpus id contract (synthetic
+          // ids >= 0; negative ids would diverge from the oracle on
+          // %-sign and div-vs-floor semantics)
           expr("(doc_id % 2147483648L + doc_id div 2147483648L) " +
             "% 2147483648L").as("b"))
         .withColumn("h",

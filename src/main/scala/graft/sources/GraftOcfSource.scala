@@ -158,7 +158,10 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
     * stays true: Spark retains its own Limit, the cap is purely an
     * I/O bound.
     */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (startTsUs.isDefined) false // the I/O cap would count pre-seek
+                                   // rows and could starve the limit
+    else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
@@ -310,25 +313,37 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
       * partition layout IS the KeyGroupedPartitioning contract.
       */
     override def planInputPartitions(): Array[InputPartition] = {
+      // startingTimestamp on a BATCH read seeks exactly like the
+      // stream's initialOffset: each file's range starts at its first
+      // at-or-after record (manifest-resolved; boundary containers get
+      // the timestamp-only driver scan), resolved once per scan
+      val seek: Map[String, Long] = startTsUs
+        .map(ts => OcfStore.cursorsAtTimestamp(dirs, ts, conf.value))
+        .getOrElse(Map.empty)
       val kept = plannedFiles
         .filter { case (_, _, f) => runtimeFilters.isEmpty ||
           f.stats.forall(st => OcfFilters.mayMatch(st, runtimeFilters))
         }
+        .map { case (k, path, f) =>
+          (k, path, f, math.min(seek.getOrElse(k, 0L), f.count))
+        }
+        .filter { case (_, _, f, start) => start < f.count }
       if (keyed)
-        kept.map { case (_, path, f) =>
-          OcfKeyedRange(path, 0L, f.count, soleKey(f).get): InputPartition
+        kept.map { case (_, path, f, start) =>
+          OcfKeyedRange(path, start, f.count, soleKey(f).get)
+            : InputPartition
         }.toArray
       else {
         val target = minPartitions.getOrElse(0)
-        val total = kept.map(_._3.count).sum
+        val total = kept.map { case (_, _, f, st) => f.count - st }.sum
         if (target <= kept.size || total <= kept.size)
-          kept.map { case (_, path, f) =>
-            OcfRange(path, 0L, f.count): InputPartition
+          kept.map { case (_, path, f, start) =>
+            OcfRange(path, start, f.count): InputPartition
           }.toArray
         else {
           val chunk = math.max(1L, (total + target - 1) / target)
-          kept.flatMap { case (_, path, f) =>
-            (0L until f.count by chunk).map(st =>
+          kept.flatMap { case (_, path, f, start) =>
+            (start until f.count by chunk).map(st =>
               OcfRange(path, st, math.min(st + chunk, f.count))
                 : InputPartition)
           }.toArray
@@ -913,6 +928,13 @@ object OcfStore extends org.apache.spark.internal.Logging {
   def headCounts(dir: String, conf: Configuration): Map[String, Long] =
     liveFiles(dir, conf).map(f => f.name -> f.count).toMap
 
+  /** THE container-visibility rule — one definition for the reader
+    * listing, the rewrite witness, and the overwrite commit's retire
+    * set, so they can never drift apart.
+    */
+  def isLiveContainer(name: String): Boolean =
+    name.endsWith(".ocf") && !name.startsWith(".")
+
   /** Kafka `startingOffsetsByTimestamp` for the store: per live
     * container, the cursor of the FIRST record whose timestamp is
     * at-or-after `tsUs` (the consumer seek position; count = skip the
@@ -1008,8 +1030,7 @@ object OcfStore extends org.apache.spark.internal.Logging {
     if (!fs.exists(d)) return Seq.empty
     val listing = fs.listStatus(d).toSeq
     val files = listing
-      .filter(st => st.getPath.getName.endsWith(".ocf") &&
-        !st.getPath.getName.startsWith("."))
+      .filter(st => isLiveContainer(st.getPath.getName))
     val stats = manifestStatsFrom(fs, listing)
     // evict superseded keys for THIS dir (rewritten or vanished
     // files) so a long-running driver over a churning store doesn't

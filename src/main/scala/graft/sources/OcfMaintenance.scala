@@ -85,7 +85,7 @@ object OcfMaintenance {
     val fs = d.getFileSystem(OcfStore.driverConf())
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".ocf") && !n.startsWith(".")).sorted
+      .filter(OcfStore.isLiveContainer).sorted
   }
 
   /** Kafka `cleanup.policy=compact` as a store rewrite: keep only the

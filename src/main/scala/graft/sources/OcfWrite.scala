@@ -134,8 +134,9 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
         fs.listStatus(d).toSeq
           .filter { st =>
             val n = st.getPath.getName
-            !n.startsWith(".") && (n.endsWith(".ocf") ||
-              (n.startsWith("_manifest-") && n.endsWith(".ndjson")))
+            OcfStore.isLiveContainer(n) ||
+              (!n.startsWith(".") && n.startsWith("_manifest-") &&
+                n.endsWith(".ndjson"))
           }
           .map(_.getPath)
       else Seq.empty
@@ -147,7 +148,7 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
     // rewrite is safely retryable.
     if (truncate) expectedContainers.foreach { exp =>
       val surprise = oldFiles.map(_.getName)
-        .filter(_.endsWith(".ocf")).toSet -- exp
+        .filter(OcfStore.isLiveContainer).toSet -- exp
       if (surprise.nonEmpty) {
         abort(messages) // same cleanup Spark runs on commit failure
         throw new java.util.ConcurrentModificationException(

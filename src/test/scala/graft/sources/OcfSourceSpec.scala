@@ -995,6 +995,18 @@ class OcfSourceSpec extends SparkSuite {
     // restart on the same checkpoint: nothing replays, appends flow
     kafkaDf(500, 505).write.format("graft-ocf").mode("append").save(dir)
     assert(run(ckpt) == (500L until 505L).toSet)
+    // the BATCH read honors the same seek (not silently ignored):
+    // whole-file manifest skip + boundary-scan precision
+    val batchSeek = s.read.format("graft-ocf")
+      .option("startingTimestamp", cutUs.toString).load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    // the appended container's records all predate the cutoff, so the
+    // batch seek skips the whole file (contrast the STREAM above,
+    // where startingTimestamp only seeds the INITIAL cursors and later
+    // appends flow regardless — Kafka's semantics for both)
+    assert(batchSeek == (125L until 200L).toSet,
+      "batch startingTimestamp must seek exactly like the stream's " +
+        "initial cursors")
     // mutually exclusive with startingOffsets=latest (validated at
     // scan build — a batch read triggers it synchronously)
     intercept[IllegalArgumentException] {
