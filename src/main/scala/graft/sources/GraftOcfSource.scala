@@ -96,6 +96,9 @@ class OcfTable(options: CaseInsensitiveStringMap)
     require(startTs.isEmpty || starting == "earliest",
       "graft-ocf: startingTimestamp and startingOffsets=latest are " +
         "mutually exclusive")
+    val endTs = Option(opts.get("endingTimestamp")).map(_.toLong)
+    require(endTs.isEmpty || startTs.forall(_ <= endTs.get),
+      "graft-ocf: startingTimestamp must be <= endingTimestamp")
     new OcfScanBuilder(dirs,
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
       new SerializableConfiguration(OcfStore.driverConf()),
@@ -103,7 +106,7 @@ class OcfTable(options: CaseInsensitiveStringMap)
       minPartitions = Option(opts.get("minPartitions")).map(_.toInt),
       maxBytesPerTrigger =
         Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
-      startTsUs = startTs)
+      startTsUs = startTs, endTsUs = endTs)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -127,7 +130,8 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
                      startLatest: Boolean = false,
                      minPartitions: Option[Int] = None,
                      maxBytesPerTrigger: Option[Long] = None,
-                     startTsUs: Option[Long] = None)
+                     startTsUs: Option[Long] = None,
+                     endTsUs: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -159,14 +163,14 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
     * I/O bound.
     */
   override def pushLimit(n: Int): Boolean =
-    if (startTsUs.isDefined) false // the I/O cap would count pre-seek
-                                   // rows and could starve the limit
+    if (startTsUs.isDefined || endTsUs.isDefined)
+      false // the I/O cap would count pre-seek rows and starve the limit
     else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
     new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
-      startLatest, minPartitions, maxBytesPerTrigger, startTsUs)
+      startLatest, minPartitions, maxBytesPerTrigger, startTsUs, endTsUs)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
@@ -177,7 +181,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               startLatest: Boolean = false,
               minPartitions: Option[Int] = None,
               maxBytesPerTrigger: Option[Long] = None,
-              startTsUs: Option[Long] = None)
+              startTsUs: Option[Long] = None,
+              endTsUs: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -313,11 +318,19 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
       * partition layout IS the KeyGroupedPartitioning contract.
       */
     override def planInputPartitions(): Array[InputPartition] = {
-      // startingTimestamp on a BATCH read seeks exactly like the
-      // stream's initialOffset: each file's range starts at its first
-      // at-or-after record (manifest-resolved; boundary containers get
-      // the timestamp-only driver scan), resolved once per scan
+      // starting/endingTimestamp on a BATCH read seek exactly like
+      // the stream's initial cursors: a range runs from the first
+      // at-or-after-start record to the first at-or-after-end record
+      // (manifest-resolved; boundary containers get the timestamp-only
+      // driver scan) — together they replay one time slice of the
+      // store, Kafka's (starting|ending)OffsetsByTimestamp pair.
+      // Note: like Kafka's, the slice is positional (cursor-bounded),
+      // exact when containers are time-ordered (the streaming sink's
+      // layout); records inside the cursor range keep their own ts.
       val seek: Map[String, Long] = startTsUs
+        .map(ts => OcfStore.cursorsAtTimestamp(dirs, ts, conf.value))
+        .getOrElse(Map.empty)
+      val stop: Map[String, Long] = endTsUs
         .map(ts => OcfStore.cursorsAtTimestamp(dirs, ts, conf.value))
         .getOrElse(Map.empty)
       val kept = plannedFiles
@@ -325,7 +338,9 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
           f.stats.forall(st => OcfFilters.mayMatch(st, runtimeFilters))
         }
         .map { case (k, path, f) =>
-          (k, path, f, math.min(seek.getOrElse(k, 0L), f.count))
+          val end = math.min(stop.getOrElse(k, f.count), f.count)
+          (k, path, f.copy(count = end),
+            math.min(seek.getOrElse(k, 0L), end))
         }
         .filter { case (_, _, f, start) => start < f.count }
       if (keyed)

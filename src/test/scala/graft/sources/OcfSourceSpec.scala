@@ -1007,6 +1007,19 @@ class OcfSourceSpec extends SparkSuite {
     assert(batchSeek == (125L until 200L).toSet,
       "batch startingTimestamp must seek exactly like the stream's " +
         "initial cursors")
+    // starting+ending bound one TIME SLICE of the store: [125, 150)
+    val slice = s.read.format("graft-ocf")
+      .option("startingTimestamp", cutUs.toString)
+      .option("endingTimestamp", (base + 150L * 60 * 1000000).toString)
+      .load(dir)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(slice == (125L until 150L).toSet,
+      s"time-slice replay must bound both ends, got ${slice.size} rows")
+    intercept[IllegalArgumentException] {
+      s.read.format("graft-ocf")
+        .option("startingTimestamp", "10")
+        .option("endingTimestamp", "5").load(dir).count()
+    }
     // mutually exclusive with startingOffsets=latest (validated at
     // scan build — a batch read triggers it synchronously)
     intercept[IllegalArgumentException] {
