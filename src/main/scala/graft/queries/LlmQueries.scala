@@ -284,16 +284,21 @@ object LlmQueries {
           .coalesce(1)
           .write.mode("overwrite").parquet(bqSigsDir)
       Similarity.bqTopK(e, q, "vec_id", "embedding", k = 5,
-        nBits = 256, rerankFactor = 20)
+        nBits = 256, rerankFactor = 80)
     }),
-    // N3 — recall gate for the BQ path (ivf_recall pattern)
+    // N3 — recall gate for the BQ path (ivf_recall pattern). The
+    // candidate window is rf=80 (400 deep), RecallProbe-measured: a
+    // sign-only 256-bit code needs a deeper window as the corpus
+    // grows — rf=20 holds 0.9 at 500 vectors but drops to 0.856 at
+    // 5000, rf=80 gives 0.984 there (and the rerank still touches a
+    // bounded 400 vectors per query, corpus-size independent).
     "bq_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 50)
       recallGate(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
         Similarity.bqTopK(e, q, "vec_id", "embedding", k = 5,
-          nBits = 256, rerankFactor = 20),
+          nBits = 256, rerankFactor = 80),
         floor = 0.9)
     }),
     // N3 — scalar-quantization (SQ8) top-k: per-dimension int8 codes
@@ -576,9 +581,12 @@ object LlmQueries {
       Multimodal.byteHistogram(Multimodal.withPayload(docs(s, d)))),
     // N7 — approx distinct with an in-query tolerance check: the row
     // hashes equal to the oracle iff the HLL++ estimate is within 5%.
+    // rsd is pinned at 0.01 so the 5% tolerance is a ~5-sigma bound —
+    // the default rsd 0.05 makes "within 5%" a one-sigma coin flip
+    // that failed at sf0.1 (est. 1500 missed by >5%)
     "approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
-        .agg(approx_count_distinct(col("user_id")).as("approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           countDistinct(col("user_id")).as("exact_cnt"))
         .select(col("exact_cnt"),
           (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
@@ -1156,7 +1164,7 @@ object LlmQueries {
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY ham, neighbor_id) AS crk FROM h)
-         |  WHERE crk <= 100),
+         |  WHERE crk <= 400),
          |scored AS (SELECT cand.query_id, cand.neighbor_id,
          |  CAST($dotAb AS DOUBLE)
          |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
