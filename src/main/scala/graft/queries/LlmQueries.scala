@@ -252,11 +252,14 @@ object LlmQueries {
           .write.mode("overwrite").parquet(pqCodebookDir)
       }
       Similarity.pqTopK(cbs, e, q, "vec_id", "embedding",
-        k = 5, rerankFactor = 10)
+        k = 5, rerankFactor = 40)
     }),
-    // N3 — recall gate for the PQ path (the ivf_recall pattern): the
-    // 50-deep ADC candidate stage + exact rerank holds recall@5 >= 0.9
-    // on the 50-query set.
+    // N3 — recall gate for the PQ path (the ivf_recall pattern). The
+    // ADC candidate window is rf=40 (200 deep), RecallProbe-measured:
+    // like BQ, a fixed-depth window loses recall as the corpus grows —
+    // rf=10 held 0.964 at 500 vectors but fell to 0.888 at 5000;
+    // rf=40 gives 0.988 there, and the exact rerank still touches a
+    // bounded 200 vectors per query, corpus-size independent.
     "pq_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 50)
@@ -265,7 +268,7 @@ object LlmQueries {
       recallGate(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
         Similarity.pqTopK(cbs, e, q, "vec_id", "embedding",
-          k = 5, rerankFactor = 10),
+          k = 5, rerankFactor = 40),
         floor = 0.9)
     }),
     // N3 — binary-quantization (sign-bit) top-k: 256-bit hyperplane
@@ -1280,7 +1283,7 @@ object LlmQueries {
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY recon_cos DESC, neighbor_id) AS crk FROM recon)
-         |  WHERE crk <= 50),
+         |  WHERE crk <= 200),
          |scored AS (SELECT cand.query_id, cand.neighbor_id,
          |  CAST($dotAb AS DOUBLE)
          |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine

@@ -39,6 +39,13 @@ object RecallProbe {
         k = 5, rerankFactor = rf))
       println(f"PROBE sq8 rf=$rf%-4d recall@5=$sq%.3f")
     }
+    val cbs = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      m = 16, codesPerSub = 32)
+    for (rf <- Seq(10, 20, 40, 80)) {
+      val pq = recall(Similarity.pqTopK(cbs, e, q, "vec_id", "embedding",
+        k = 5, rerankFactor = rf))
+      println(f"PROBE pq rf=$rf%-4d recall@5=$pq%.3f")
+    }
     spark.stop()
   }
 }
