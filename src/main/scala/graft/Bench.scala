@@ -66,7 +66,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    // a BENCH_ONLY subset run must never masquerade as the published
+    // full bench: it goes to a sibling file, so a stray filter env var
+    // in a publishing environment can't produce a partial bench.json
+    // that looks complete
+    val outFile = if (only.isDefined) "bench_subset.json" else "bench.json"
+    Files.writeString(Paths.get(outFile), line + "\n")
     spark.stop()
   }
 }

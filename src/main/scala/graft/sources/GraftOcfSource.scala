@@ -327,12 +327,19 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
       // Note: like Kafka's, the slice is positional (cursor-bounded),
       // exact when containers are time-ordered (the streaming sink's
       // layout); records inside the cursor range keep their own ts.
-      val seek: Map[String, Long] = startTsUs
-        .map(ts => OcfStore.cursorsAtTimestamp(dirs, ts, conf.value))
-        .getOrElse(Map.empty)
-      val stop: Map[String, Long] = endTsUs
-        .map(ts => OcfStore.cursorsAtTimestamp(dirs, ts, conf.value))
-        .getOrElse(Map.empty)
+      // BOTH cursor maps resolve against the scan's own single
+      // listing (plannedFiles): no re-list between planning and
+      // seeking, so a container committed in between can't slip in
+      // half-resolved, and a boundary container is driver-scanned
+      // ONCE for start and stop together
+      val needTs = startTsUs.toSeq ++ endTsUs.toSeq
+      val cursors: Map[Long, Map[String, Long]] =
+        if (needTs.isEmpty) Map.empty
+        else OcfStore.cursorsAtTimestamps(plannedFiles, needTs, conf.value)
+      val seek: Map[String, Long] =
+        startTsUs.map(cursors).getOrElse(Map.empty)
+      val stop: Map[String, Long] =
+        endTsUs.map(cursors).getOrElse(Map.empty)
       val kept = plannedFiles
         .filter { case (_, _, f) => runtimeFilters.isEmpty ||
           f.stats.forall(st => OcfFilters.mayMatch(st, runtimeFilters))
@@ -428,7 +435,8 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
     with org.apache.spark.sql.connector.read.streaming
       .ReportsSourceMetrics
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsTriggerAvailableNow {
+      .SupportsTriggerAvailableNow
+    with org.apache.spark.internal.Logging {
   def this(dir: String, maxPerTrigger: Option[Long],
            conf: SerializableConfiguration, required: StructType,
            filters: Array[Filter]) =
@@ -567,6 +575,13 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
           (if (t._3.count > 0) t._3.bytes.toDouble / t._3.count
            else 0.0)).toMap)
         .getOrElse(Map.empty)
+      // a file with no width of its own (absent from the listing
+      // snapshot, or zero-count) borrows the store-wide mean so the
+      // byte bound still applies; with NO width known anywhere the
+      // admission caps at a conservative row count instead of
+      // silently unbounding maxBytesPerTrigger
+      val knownW = avgBytes.values.filter(_ > 0)
+      val meanW = if (knownW.nonEmpty) knownW.sum / knownW.size else 0.0
       var rows = rowCap.getOrElse(Long.MaxValue)
       var bytes = byteCap.getOrElse(Long.MaxValue)
       var admittedAny = false
@@ -577,10 +592,15 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
         // offset backward
         val avail = math.max(h - s, 0L)
         val a = avgBytes.getOrElse(f, 0.0)
+        val w = if (a > 0) a else meanW
         val byBytes =
           if (byteCap.isEmpty) Long.MaxValue
-          else if (a <= 0) avail // width unknown: rows-only fallback
-          else math.max((bytes / a).toLong, 0L)
+          else if (w > 0) math.max((bytes / w).toLong, 0L)
+          else {
+            logWarning(s"graft-ocf: no bytes/record estimate for $f — " +
+              "byte-based admission capped at 4096 rows this trigger")
+            4096L
+          }
         var take = Seq(avail, math.max(rows, 0L), byBytes).min
         // progress guarantee (the file-source discipline): a byte
         // budget smaller than one record still admits one, else the
@@ -589,7 +609,7 @@ class OcfMicroBatchStream(dirs: Seq[String], maxPerTrigger: Option[Long],
           bytes > 0L) take = 1L
         if (take > 0L) admittedAny = true
         rows -= take
-        if (a > 0) bytes -= math.ceil(take * a).toLong
+        if (w > 0) bytes -= math.ceil(take * w).toLong
         f -> (s + take)
       }.toMap)
     }
@@ -672,12 +692,26 @@ case class OcfKeyedRange(file: String, start: Long, end: Long, pk: Int)
 case class OcfFileStats(file: String, count: Long,
                         minOffset: Long, maxOffset: Long,
                         minTsUs: Long, maxTsUs: Long,
-                        partitions: Seq[Int]) {
+                        partitions: Seq[Int],
+                        tsIdx: Seq[OcfTsIdxEntry] = Seq.empty) {
   def toJson: String =
     s"""{"file":"$file","count":$count,"minOffset":$minOffset,""" +
       s""""maxOffset":$maxOffset,"minTsUs":$minTsUs,"maxTsUs":$maxTsUs,""" +
-      s""""partitions":[${partitions.mkString(",")}]}"""
+      s""""partitions":[${partitions.mkString(",")}]""" +
+      (if (tsIdx.isEmpty) "}"
+       else s""","tsIdx":[${tsIdx.map(e =>
+         s"[${e.endCount},${e.maxTsUs},${e.nextPos}]").mkString(",")}]}""")
 }
+
+/** One block-index segment of a container: records
+  * [previous endCount, endCount) carry timestamps <= maxTsUs, and the
+  * NEXT segment starts at Avro sync position nextPos
+  * (`DataFileWriter.sync()` / `DataFileReader.seek` contract). The
+  * timestamp seek skips every leading segment whose maxTsUs proves it
+  * holds no qualifying record — a block-skip instead of a
+  * full-container driver decode.
+  */
+case class OcfTsIdxEntry(endCount: Long, maxTsUs: Long, nextPos: Long)
 
 object OcfFileStats {
   // Jackson (on Spark's classpath) instead of a regex: parsing is
@@ -694,7 +728,15 @@ object OcfFileStats {
         Some(OcfFileStats(n.get("file").asText(), n.get("count").asLong(),
           n.get("minOffset").asLong(), n.get("maxOffset").asLong(),
           n.get("minTsUs").asLong(), n.get("maxTsUs").asLong(),
-          n.get("partitions").elements().asScala.map(_.asInt()).toSeq))
+          n.get("partitions").elements().asScala.map(_.asInt()).toSeq,
+          // optional (pre-r9 manifests lack it): block-level ts index
+          if (n.has("tsIdx"))
+            n.get("tsIdx").elements().asScala.collect {
+              case e if e.isArray && e.size == 3 =>
+                OcfTsIdxEntry(e.get(0).asLong(), e.get(1).asLong(),
+                  e.get(2).asLong())
+            }.toSeq
+          else Seq.empty))
       else None // unknown manifest line: ignore (forward-compat)
     } catch { case scala.util.control.NonFatal(_) => None }
 }
@@ -961,33 +1003,109 @@ object OcfStore extends org.apache.spark.internal.Logging {
     */
   def cursorsAtTimestamp(dirs: Seq[String], tsUs: Long,
                          conf: Configuration): Map[String, Long] =
-    keyedLiveFiles(dirs, conf).map { case (key, path, f) =>
-      val cursor = f.stats match {
-        case Some(st) if st.minTsUs >= tsUs => 0L
-        case Some(st) if st.maxTsUs < tsUs => f.count
-        case _ => firstIndexAtOrAfter(path, tsUs, conf)
-      }
-      key -> cursor
-    }.toMap
+    cursorsAtTimestamps(keyedLiveFiles(dirs, conf), Seq(tsUs),
+      conf)(tsUs)
 
-  private def firstIndexAtOrAfter(path: String, tsUs: Long,
-                                  conf: Configuration): Long = {
+  /** Several seek timestamps resolved against ONE listing: each
+    * container is consulted once — stats answer what they can, and a
+    * boundary/unmanifested container gets a SINGLE driver scan that
+    * resolves every still-open timestamp in one pass (the batch
+    * time-slice's start and stop cursors shared one decode). Callers
+    * that already hold a listing pass it in, so planning never lists
+    * the store twice and a container committed between listings can't
+    * slip half-resolved into the plan.
+    */
+  def cursorsAtTimestamps(files: Seq[(String, String, OcfLiveFile)],
+                          tss: Seq[Long], conf: Configuration)
+      : Map[Long, Map[String, Long]] = {
+    val distinctTs = tss.distinct
+    val acc = distinctTs
+      .map(ts => ts -> Map.newBuilder[String, Long]).toMap
+    files.foreach { case (key, path, f) =>
+      val byStats: Map[Long, Option[Long]] = distinctTs.map { ts =>
+        ts -> (f.stats match {
+          case Some(st) if st.minTsUs >= ts => Some(0L)
+          case Some(st) if st.maxTsUs < ts => Some(f.count)
+          case _ => None
+        })
+      }.toMap
+      val need = distinctTs.filter(ts => byStats(ts).isEmpty)
+      val scanned: Map[Long, Long] =
+        if (need.isEmpty) Map.empty
+        else firstIndicesAtOrAfter(path, f.stats, need, conf)
+      distinctTs.foreach { ts =>
+        acc(ts) += key -> byStats(ts).getOrElse(scanned(ts))
+      }
+    }
+    acc.map { case (ts, b) => ts -> b.result() }
+  }
+
+  /** Records decoded by timestamp seeks since JVM start — the
+    * block-skip effectiveness counter (driver-side only; tests assert
+    * a deep seek into an indexed mega-container decodes one segment,
+    * not the file).
+    */
+  private[sources] val seekRecordsDecoded =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** The boundary-container scan: first record index at-or-after each
+    * requested timestamp. With a manifest block index
+    * (`OcfFileStats.tsIdx`) the scan SEEKS to the first segment whose
+    * maxTs can hold a qualifying record — every leading segment is
+    * skipped without touching its bytes (records there all carry
+    * timestamps below every still-open seek target, so the answer
+    * cannot lie in them); without one it decodes sequentially from
+    * record 0 (pre-index stores keep working). Either way the payload
+    * blobs are seeked over via the timestamp-only pruned reader
+    * schema, never allocated.
+    */
+  private def firstIndicesAtOrAfter(path: String,
+                                    stats: Option[OcfFileStats],
+                                    tss: Seq[Long],
+                                    conf: Configuration): Map[Long, Long] = {
     val p = new Path(path)
     val tsOnly = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("timestamp",
         org.apache.spark.sql.types.TimestampType)))
-    val stream = new DataFileStream[GenericRecord](
-      p.getFileSystem(conf).open(p),
-      new GenericDatumReader[GenericRecord](null: org.apache.avro.Schema,
-        OcfFormat.prunedAvroSchema(tsOnly)))
-    try {
-      var idx = 0L
-      while (stream.hasNext) {
-        val r = stream.next()
-        if (r.get("timestamp_us").asInstanceOf[Long] >= tsUs) return idx
-        idx += 1
+    val datum = new GenericDatumReader[GenericRecord](
+      null: org.apache.avro.Schema, OcfFormat.prunedAvroSchema(tsOnly))
+    val idx = stats.map(_.tsIdx).getOrElse(Seq.empty)
+    // per target: the first record index that could qualify, and the
+    // sync position to seek there (-1 = file head)
+    def startFor(ts: Long): (Long, Long) =
+      if (idx.isEmpty) (0L, -1L)
+      else idx.indexWhere(_.maxTsUs >= ts) match {
+        case 0 => (0L, -1L)
+        case -1 => (idx.last.endCount, idx.last.nextPos) // tail only
+        case i => (idx(i - 1).endCount, idx(i - 1).nextPos)
       }
-      idx
+    val (startIdx, seekPos) = tss.map(startFor).minBy(_._1)
+    val stream: DataFileStream[GenericRecord] =
+      if (seekPos < 0L)
+        new DataFileStream[GenericRecord](p.getFileSystem(conf).open(p),
+          datum)
+      else {
+        val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+          new org.apache.avro.mapred.FsInput(p, conf), datum)
+        r.seek(seekPos)
+        r
+      }
+    try {
+      val out = scala.collection.mutable.Map.empty[Long, Long]
+      val pending = scala.collection.mutable.Set(tss: _*)
+      var i = startIdx
+      while (stream.hasNext && pending.nonEmpty) {
+        val r = stream.next()
+        seekRecordsDecoded.incrementAndGet()
+        val rts = r.get("timestamp_us").asInstanceOf[Long]
+        val hit = pending.filter(rts >= _).toSeq
+        hit.foreach { ts => out(ts) = i; pending -= ts }
+        i += 1
+      }
+      // targets unresolved at EOF: i = startIdx + records after the
+      // seek point = the file record count, the skip-whole-file cursor
+      pending.foreach(ts => out(ts) = i)
+      out.toMap
     } finally stream.close()
   }
 

@@ -346,6 +346,15 @@ class OcfDataWriter(temp: String, dest: String,
     private var minOff = Long.MaxValue; private var maxOff = Long.MinValue
     private var minTs = Long.MaxValue; private var maxTs = Long.MinValue
     private val parts = scala.collection.mutable.SortedSet[Int]()
+    // block-level timestamp index: every `segRecords` records the
+    // current Avro block is closed (`sync()`) and the segment's
+    // (endCount, maxTs, nextSegmentPos) is recorded — the manifest
+    // entry that lets the timestamp seek block-skip a mega-container
+    // instead of decoding it from record 0 on the driver
+    private val segRecords = OcfDataWriter.tsIndexEvery
+    private var segMaxTs = Long.MinValue
+    private var lastSegEnd = 0L
+    private val tsIdx = scala.collection.mutable.ArrayBuffer[OcfTsIdxEntry]()
 
     override def write(row: InternalRow): Unit = {
       if (writer == null) {
@@ -364,6 +373,12 @@ class OcfDataWriter(temp: String, dest: String,
       if (off > maxOff) maxOff = off
       if (ts < minTs) minTs = ts
       if (ts > maxTs) maxTs = ts
+      if (ts > segMaxTs) segMaxTs = ts
+      if (count - lastSegEnd >= segRecords) {
+        tsIdx += OcfTsIdxEntry(count, segMaxTs, writer.sync())
+        lastSegEnd = count
+        segMaxTs = Long.MinValue
+      }
     }
 
     override def commit(): WriterCommitMessage =
@@ -372,7 +387,7 @@ class OcfDataWriter(temp: String, dest: String,
         writer.close(); writer = null
         OcfCommit(temp, dest, Some(OcfFileStats(
           new Path(dest).getName, count, minOff, maxOff, minTs, maxTs,
-          parts.toSeq)))
+          parts.toSeq, tsIdx.toSeq)))
       }
 
     override def abort(): Unit = {
@@ -386,4 +401,15 @@ class OcfDataWriter(temp: String, dest: String,
 
     override def close(): Unit =
       if (writer != null) { writer.close(); writer = null }
+}
+
+object OcfDataWriter {
+  /** Segment length of the block-level timestamp index (records per
+    * indexed Avro block). Overridable for tests via
+    * `graft.ocf.tsIndexEvery`; at the default a 10M-record
+    * mega-container carries ~2.4k manifest triples (~60 KB) and the
+    * driver-side timestamp seek decodes at most one segment.
+    */
+  def tsIndexEvery: Int =
+    sys.props.get("graft.ocf.tsIndexEvery").map(_.toInt).getOrElse(4096)
 }

@@ -18,6 +18,31 @@ object SparkSuite {
     .getOrCreate()
 }
 
+/** Mixin that runs the WHOLE suite on the RocksDB state store
+  * provider — the store a 100-TB deployment would run (and
+  * `transformWithState`'s contract). Suites execute sequentially in
+  * the forked test JVM, so the session-conf swap cannot race.
+  */
+trait RocksDBStateStore extends org.scalatest.BeforeAndAfterAll {
+  self: SparkSuite =>
+  private val key = "spark.sql.streaming.stateStore.providerClass"
+  private var prev: Option[String] = None
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+  }
+  override protected def afterAll(): Unit = {
+    prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    super.afterAll()
+  }
+}
+
 abstract class SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSuite.spark
@@ -26,6 +51,16 @@ abstract class SparkSuite extends AnyFunSuite {
   }
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` on the RocksDB state store provider —
+    * `transformWithState`'s contract and the store the 100-TB
+    * deployment would run, so every streaming suite exercises it
+    * rather than the default HDFS-backed store.
+    */
+  def withRocksDB(body: => Unit): Unit =
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"))(body)
 
   /** Run `body` with SQL confs set, restoring prior values after. */
   def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {

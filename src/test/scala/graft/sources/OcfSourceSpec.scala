@@ -1604,4 +1604,68 @@ class OcfSourceSpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(got == expected)
   }
+
+  test("block-level ts index: the timestamp seek block-skips a " +
+    "mega-container instead of decoding it from record 0") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_tsidx")
+    val baseUs = 1700000000000000L // 2023-11-14T22:13:20Z
+    // one single-partition container, time-ordered (the streaming
+    // sink's layout), 1000 records at 1-second spacing; index every
+    // 100 records so the file carries 9 interior sync points
+    val prev = sys.props.get("graft.ocf.tsIndexEvery")
+    sys.props("graft.ocf.tsIndexEvery") = "100"
+    try {
+      (0 until 1000).map(_.toLong).toDF("id").select(
+        col("id").cast("string").cast("binary").as("key"),
+        col("id").cast("string").cast("binary").as("value"),
+        lit("events").as("topic"), lit(0).as("partition"),
+        col("id").as("offset"),
+        timestamp_micros(lit(baseUs) + col("id") * 1000000L)
+          .as("timestamp"),
+        lit(0).as("timestampType"))
+        .repartition(1)
+        .write.format("graft-ocf").mode("overwrite").save(dir)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.ocf.tsIndexEvery") = v
+        case None => sys.props.remove("graft.ocf.tsIndexEvery")
+      }
+    }
+    val stats = OcfStore.manifestStats(dir, hconf.value).values.toSeq
+    assert(stats.size == 1 && stats.head.tsIdx.size == 10,
+      s"expected 10 index segments, got ${stats.map(_.tsIdx.size)}")
+    // manifest JSON round-trips the index
+    assert(OcfFileStats.fromJson(stats.head.toJson).contains(stats.head))
+
+    // a deep seek (record 803) resolves exactly and decodes only the
+    // records of ONE 100-record segment, not the 803 before it
+    val before = OcfStore.seekRecordsDecoded.get()
+    val cur = OcfStore.cursorsAtTimestamp(Seq(dir),
+      baseUs + 803L * 1000000L, hconf.value)
+    val decoded = OcfStore.seekRecordsDecoded.get() - before
+    assert(cur.values.toSeq == Seq(803L), s"wrong cursor: $cur")
+    assert(decoded <= 110L,
+      s"seek decoded $decoded records — block index not applied")
+
+    // one shared decode resolves start AND stop cursors of a time
+    // slice; the sliced batch read stays exact on the indexed store
+    val sliced = spark.read.format("graft-ocf")
+      .option("startingTimestamp", (baseUs + 300L * 1000000L).toString)
+      .option("endingTimestamp", (baseUs + 700L * 1000000L).toString)
+      .load(dir).select("offset").as[Long].collect().toSet
+    assert(sliced == (300L until 700L).toSet,
+      s"time slice wrong: ${sliced.size} rows")
+
+    // stats still short-circuit the edges: a seek before/after the
+    // container's span touches no bytes
+    val b2 = OcfStore.seekRecordsDecoded.get()
+    assert(OcfStore.cursorsAtTimestamp(Seq(dir), baseUs - 1L,
+      hconf.value).values.toSeq == Seq(0L))
+    assert(OcfStore.cursorsAtTimestamp(Seq(dir),
+      baseUs + 5000L * 1000000L, hconf.value).values.toSeq == Seq(1000L))
+    assert(OcfStore.seekRecordsDecoded.get() == b2,
+      "edge seeks must resolve from stats alone")
+  }
 }

@@ -33,7 +33,7 @@ class AsOfStreamSpec extends SparkSuite {
     TaggedEvent(1L, 0, 12L, 1500L),
     TaggedEvent(1L, 1, 101L, 2000L)) // later batch, sees 12
 
-  test("stream equals batch over the same in-order input") {
+  test("stream equals batch over the same in-order input") (withRocksDB {
     val s = spark
     import s.implicits._
 
@@ -75,10 +75,10 @@ class AsOfStreamSpec extends SparkSuite {
     assert(got === expected)
     assert(got === Set((1L, 100L, 11L), (2L, 200L, -1L), (2L, 201L, 20L),
       (1L, 101L, 12L)))
-  }
+  })
 
   test("forward stream equals the batch forward join on matched rows; " +
-    "matchless probes stay pending") {
+    "matchless probes stay pending") (withRocksDB {
     val s = spark
     import s.implicits._
     // forward fixture: equal-ts build tie (ids 41,42 — LOWEST must
@@ -130,9 +130,9 @@ class AsOfStreamSpec extends SparkSuite {
     // the matchless probe is exactly the batch null row
     assert(batch.filter(_.isNullAt(2)).map(_.getLong(1)).toSeq ==
       Seq(300L))
-  }
+  })
 
-  test("forward pending state recovers from a checkpoint restart") {
+  test("forward pending state recovers from a checkpoint restart") (withRocksDB {
     val s = spark
     import s.implicits._
     val seen = new ConcurrentLinkedQueue[(Long, Long)]()
@@ -159,9 +159,9 @@ class AsOfStreamSpec extends SparkSuite {
     q2.processAllAvailable()
     q2.stop()
     assert(seen.asScala.toSet === Set(700L -> 70L))
-  }
+  })
 
-  test("carry state recovers from a checkpoint restart") {
+  test("carry state recovers from a checkpoint restart") (withRocksDB {
     val s = spark
     import s.implicits._
 
@@ -190,5 +190,69 @@ class AsOfStreamSpec extends SparkSuite {
     q2.stop()
 
     assert(seen.asScala.toSet === Set(700L -> 70L))
-  }
+  })
+
+  test("idle carry is evicted after retention: a later probe sees " +
+    "None, and the store holds only active keys") (withRocksDB {
+    val s = spark
+    val input = MemoryStream[TaggedEvent](AsOfStream.teEnc, s)
+    // retention 1 s of event time
+    val q = AsOfStream.asofEnrich(input.toDS(), retentionMs = 1000L)
+      .writeStream.format("memory").queryName("asof_evict")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof_evict_ckpt"))
+      .start()
+    // key 1 carries a build; an immediate probe enriches from it
+    input.addData(Seq(TaggedEvent(1L, 0, 10L, 0L),
+      TaggedEvent(1L, 1, 100L, 500000L)))
+    q.processAllAvailable()
+    // key 2 advances the watermark 10 s past key 1's last activity...
+    input.addData(Seq(TaggedEvent(2L, 0, 20L, 10L * 1000000L)))
+    q.processAllAvailable()
+    // ...and the next trigger applies it: key 1's timer fires
+    input.addData(Seq(TaggedEvent(2L, 0, 21L, 11L * 1000000L)))
+    q.processAllAvailable()
+    // a probe for key 1 now finds no carry — evicted, not stale
+    input.addData(Seq(TaggedEvent(1L, 1, 101L, 12L * 1000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("asof_evict")
+      .select("probeId", "buildId").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === Set(100L -> 10L, 101L -> -1L),
+      "the pre-retention probe enriches; the post-retention probe " +
+        s"must see an evicted carry: $got")
+  })
+
+  test("idle pending probes are abandoned after retention: a build " +
+    "arriving past the horizon flushes nothing") (withRocksDB {
+    val s = spark
+    val input = MemoryStream[TaggedEvent](AsOfStream.teEnc, s)
+    val q = AsOfStream.asofEnrichForward(input.toDS(),
+      retentionMs = 1000L)
+      .writeStream.format("memory").queryName("asof_fwd_evict")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("asof_fwd_evict_ckpt"))
+      .start()
+    // key 1 parks a pending probe
+    input.addData(Seq(TaggedEvent(1L, 1, 100L, 0L)))
+    q.processAllAvailable()
+    // key 2 runs the watermark 10 s past key 1's last activity, then
+    // the next trigger fires key 1's retention timer
+    input.addData(Seq(TaggedEvent(2L, 1, 200L, 10L * 1000000L)))
+    q.processAllAvailable()
+    input.addData(Seq(TaggedEvent(2L, 0, 20L, 11L * 1000000L)))
+    q.processAllAvailable()
+    // key 1's build arrives after the horizon: the abandoned probe
+    // must NOT match (the batch forward join is the repair path)
+    input.addData(Seq(TaggedEvent(1L, 0, 10L, 12L * 1000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("asof_fwd_evict")
+      .select("probeId", "buildId").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(200L -> 20L),
+      s"only key 2's live pair may match: $got")
+  })
 }

@@ -7,14 +7,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 
-import graft.SparkSuite
+import graft.{RocksDBStateStore, SparkSuite}
 
 /** S10 streaming — committed-offset recovery: a restarted query resumes
   * from the checkpoint's offset log and reprocesses NOTHING (the strict
   * upgrade over the reference's HBase read-back + at-least-once replay,
   * reference `…InputDStream.scala:178-196,207-211`).
   */
-class CheckpointRecoverySpec extends SparkSuite {
+class CheckpointRecoverySpec extends SparkSuite with RocksDBStateStore {
 
   test("restart from checkpoint resumes after the committed offset") {
     val s = spark

@@ -4,14 +4,14 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Row}
 
-import graft.SparkSuite
+import graft.{RocksDBStateStore, SparkSuite}
 
 /** S9/S10/X6 streaming: the foreachBatch commit-log sink appends one
   * row per (topic, partition) per microbatch with accumulating
   * `processed` totals; recovery reads return the committed head
   * offsets; the listener captures per-batch observed source metrics.
   */
-class CommitLogStreamSpec extends SparkSuite {
+class CommitLogStreamSpec extends SparkSuite with RocksDBStateStore {
 
   private def rec(userId: Long, offset: Long, sec: Int): KafkaRecord =
     KafkaRecord.ofEvent(userId, s"p$offset", offset,

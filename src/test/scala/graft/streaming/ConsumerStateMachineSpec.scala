@@ -35,45 +35,31 @@ class ConsumerStateMachineSpec extends SparkSuite {
   }
 
   test("transformWithState health monitor: cursor/processed/EWMA " +
-    "evolve per trigger through RocksDB-backed typed state") {
+    "evolve per trigger through RocksDB-backed typed state") (withRocksDB {
     val s = spark
-    val prevProvider =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
-    try {
-      val input = MemoryStream[FetchEvent](
-        ConsumerStateMachine.feEnc, s)
-      val q = PartitionHealthTws(input.toDS())
-        .writeStream.format("memory").queryName("tws_health")
-        .outputMode("append")
-        .option("checkpointLocation", tmpDir("tws_ckpt"))
-        .start()
-      // trigger 1: two delivered records + one error on partition 0
-      input.addData(ev(0), ev(1), ev(7, err = 5))
-      q.processAllAvailable()
-      // trigger 2: one delivered record, an old replay never rewinds
-      input.addData(ev(2), ev(1))
-      q.processAllAvailable()
-      q.stop()
-      val rows = s.table("tws_health")
-        .orderBy("generation").collect()
-        .map(r => (r.getLong(5), r.getLong(2), r.getLong(3),
-          r.getDouble(4)))
-      // gen 1: cursor 2, processed 2, ewma seeded at 2.0
-      // gen 2: cursor 3, processed 4 (replay counts), ewma (2+2)/2
-      assert(rows.toSeq == Seq((1L, 2L, 2L, 2.0), (2L, 3L, 4L, 2.0)),
-        s"unexpected health evolution: ${rows.toSeq}")
-    } finally {
-      prevProvider match {
-        case Some(p) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
-  }
+    val input = MemoryStream[FetchEvent](
+      ConsumerStateMachine.feEnc, s)
+    val q = PartitionHealthTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_health")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("tws_ckpt"))
+      .start()
+    // trigger 1: two delivered records + one error on partition 0
+    input.addData(ev(0), ev(1), ev(7, err = 5))
+    q.processAllAvailable()
+    // trigger 2: one delivered record, an old replay never rewinds
+    input.addData(ev(2), ev(1))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table("tws_health")
+      .orderBy("generation").collect()
+      .map(r => (r.getLong(5), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // gen 1: cursor 2, processed 2, ewma seeded at 2.0
+    // gen 2: cursor 3, processed 4 (replay counts), ewma (2+2)/2
+    assert(rows.toSeq == Seq((1L, 2L, 2L, 2.0), (2L, 3L, 4L, 2.0)),
+      s"unexpected health evolution: ${rows.toSeq}")
+  })
 
   test("streaming: state persists across microbatches per partition") {
     val s = spark

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.SparkSuite
+import graft.{RocksDBStateStore, SparkSuite}
 import graft.engine.KafkaShape
 import graft.ops.StreamOps
 
@@ -15,7 +15,7 @@ import graft.ops.StreamOps
   * exactly-once output (reference semantics:
   * `…InputDStream.scala:310` store-before-persist ⇒ replay possible).
   */
-class StreamingEquivalenceSpec extends SparkSuite {
+class StreamingEquivalenceSpec extends SparkSuite with RocksDBStateStore {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 

@@ -56,7 +56,8 @@ def main(sf_dir, out_dir, names):
                   f"  duck ={b[bad] if bad < len(b) else None}", flush=True)
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail", flush=True)
-    sys.exit(0)
+    # mirror oracle_check.py: automation must see failures in the code
+    sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
