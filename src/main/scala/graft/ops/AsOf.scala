@@ -162,6 +162,14 @@ object AsOf extends org.apache.spark.internal.Logging {
     * (resolved at plan-build time, so the no-burst common case keeps
     * the plain single-join plan). `idCol` must be unique: self-pairs
     * are excluded by id equality.
+    *
+    * NOTE — eager census: for a BATCH input this call runs one small
+    * Spark job BEFORE returning (the hot-bucket count over `ev`), so
+    * plan composition is not fully lazy here and `ev` is scanned
+    * twice per call (once by the census — map-side combined, (id, ts)
+    * columns only — and once by the returned plan). Callers for whom
+    * the extra scan matters should pass a cached or checkpointed
+    * `ev`; streaming inputs skip the census entirely.
     */
   def timeProximityCount(ev: DataFrame, idCol: String, tsCol: String,
                          windowSec: Int,

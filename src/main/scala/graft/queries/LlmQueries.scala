@@ -157,6 +157,30 @@ object LlmQueries {
       Similarity.ivfProbeIndex(cts, index, batch, "vec_id", "embedding",
         k = 5, nProbe = 8)
     }),
+    // N3 — the PROBE-ONLY bench twin of ann_incremental: the serving
+    // index is trained, written, and memoized ONCE per (session,
+    // sf dir); every call reads the artifact back and probes. Bench
+    // iterations after the first therefore time exactly what
+    // production pays per daily batch — the probe — instead of
+    // re-paying index construction, which in production is amortized
+    // across batches. Output is row-identical to ann_incremental
+    // (same deterministic centroid training, corpus/batch split, and
+    // probe parameters).
+    "ann_incremental_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      val batch = e.filter(col("vec_id") % 5 === 0)
+      val (cts, indexDir) = annProbeArtifact(s, d)
+      val index = s.read.parquet(indexDir)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        index.select("vec_id", "cell").withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annProbeCellsDir)
+      Similarity.ivfProbeIndex(cts, index, batch, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+    }),
     // N3 — INCREMENTAL ANN over the COMPRESSED index: ann_incremental
     // persists raw-quantized postings; a 100 TB vector store persists
     // IVF cells + PQ codes (ivfPqIndex, ~24 B/posting) as the serving
@@ -802,6 +826,31 @@ object LlmQueries {
     sys.props.getOrElse("graft.ann.index.dir", "/tmp/graft_ann_index")
   private def annCellsDir: String =
     sys.props.getOrElse("graft.ann.cells.dir", "/tmp/graft_ann_cells")
+  private def annProbeCellsDir: String =
+    sys.props.getOrElse("graft.ann.probe.cells.dir",
+      "/tmp/graft_ann_probe_cells")
+
+  /** ann_incremental_probe's once-per-(session, sf) serving artifact:
+    * centroids train and the IVF index persists on first use; later
+    * calls (bench iterations) reuse both, so the timed query is the
+    * probe alone. The index dir is sf-qualified — two scale factors in
+    * one session never clobber each other's artifact.
+    */
+  private val annProbeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Long]], String)]()
+  private def annProbeArtifact(s: SparkSession, d: String)
+      : (Array[Array[Long]], String) =
+    annProbeMemo.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 32)
+      val dir = sys.props.getOrElse("graft.ann.probe.index.dir",
+        "/tmp/graft_ann_probe_index_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", cts, nAssign = 2)
+        .write.mode("overwrite").parquet(dir)
+      (cts, dir)
+    })
 
   /** The WordPieces greedy loop as SQL: one CASE arm per vocab entry,
     * longest-first with lexical tie-break — the exact match order the
@@ -1361,6 +1410,24 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY recon_cos DESC, neighbor_id) AS crk FROM recon)
          |  WHERE crk <= 100),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_incremental_probe" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$annProbeCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
          |scored AS (SELECT cand.query_id, cand.neighbor_id,
          |  CAST($dotAb AS DOUBLE)
          |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine

@@ -826,10 +826,26 @@ object OcfFilters {
   * aggregation across tasks, the same surface the built-in file and
   * Kafka sources use.
   */
-private class OcfSumMetric(val name0: String, val desc: String)
+// Zero-arg metric classes: the SQL UI re-instantiates each
+// CustomMetric by reflection to aggregate task values — a
+// constructor-parameterized class fails that lookup and Spark logs a
+// SparkException per update (noise, and no UI aggregation)
+private[sources] final class OcfContainersOpenedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = name0
-  override def description(): String = desc
+  override def name(): String = "containersOpened"
+  override def description(): String = "containers opened"
+}
+
+private[sources] final class OcfRecordsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "recordsSkipped"
+  override def description(): String = "records block-skipped (no decode)"
+}
+
+private[sources] final class OcfRecordsDecodedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "recordsDecoded"
+  override def description(): String = "records decoded"
 }
 
 private case class OcfTaskMetric(name0: String, value0: Long)
@@ -840,10 +856,8 @@ private case class OcfTaskMetric(name0: String, value0: Long)
 
 object OcfScanMetrics {
   def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(
-      new OcfSumMetric("containersOpened", "containers opened"),
-      new OcfSumMetric("recordsSkipped", "records block-skipped (no decode)"),
-      new OcfSumMetric("recordsDecoded", "records decoded"))
+    Array(new OcfContainersOpenedMetric, new OcfRecordsSkippedMetric,
+      new OcfRecordsDecodedMetric)
 }
 
 case class OcfReaderFactory(conf: SerializableConfiguration,

@@ -1605,6 +1605,137 @@ class OcfSourceSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("compact-by-key racing TWO appending writers: the guard " +
+    "aborts, no row lost or doubled, the retry converges over all " +
+    "three generations") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_ckey_race")
+    // duplicate keys across offsets: key = id % 10, partition = id % 4
+    def keyedDf(from: Int, until: Int) =
+      (from until until).map(_.toLong).toDF("id").select(
+        (col("id") % 10).cast("string").cast("binary").as("key"),
+        concat(lit("v"), col("id")).cast("binary").as("value"),
+        lit("events").as("topic"),
+        (col("id") % 4).cast("int").as("partition"),
+        col("id").as("offset"),
+        lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+        lit(0).as("timestampType"))
+    keyedDf(0, 100).write.format("graft-ocf").mode("overwrite").save(dir)
+    // the rewrite's input and witness, snapshotted BEFORE the writers
+    // land (persist pins the input to the pre-race read)
+    val input = graft.plans.GroupedTopK(
+      s.read.format("graft-ocf").load(dir),
+      Seq("topic", "partition", "key"), Seq(("offset", false)),
+      k = 1, rankName = "rnk").drop("rnk").persist()
+    input.count()
+    val witness = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".ocf") && !n.startsWith("."))
+      .sorted.mkString(",")
+    // two independent writers commit epochs mid-rewrite
+    keyedDf(100, 120).write.format("graft-ocf").mode("append").save(dir)
+    keyedDf(120, 140).write.format("graft-ocf").mode("append").save(dir)
+    // the stale-witness overwrite must abort — retiring the store
+    // now would drop both writers' epochs
+    intercept[java.util.ConcurrentModificationException] {
+      input.write.format("graft-ocf")
+        .option("expectedContainers", witness)
+        .mode("overwrite").save(dir)
+    }
+    input.unpersist()
+    // nothing lost, nothing doubled: all three generations intact
+    val offs = s.read.format("graft-ocf").load(dir)
+      .select("offset").as[Long].collect()
+    assert(offs.length == 140 && offs.toSet == (0L until 140L).toSet,
+      s"store corrupted after aborted rewrite: ${offs.length} rows")
+    // the retry reads everything and keeps the TRUE latest per key:
+    // ids 120..139 cover every (partition, key) residue class mod 20
+    OcfMaintenance.compactByKey(s, dir)
+    val survivors = s.read.format("graft-ocf").load(dir)
+      .select("offset").as[Long].collect()
+    assert(survivors.length == 20 &&
+      survivors.toSet == (120L until 140L).toSet,
+      s"wrong survivors: ${survivors.sorted.toSeq}")
+  }
+
+  test("retention racing a compaction rewrite converges: resurrection " +
+    "is bounded to the raced pass, no live row lost, no duplicates") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_retain_race")
+    def tsDf(from: Int, until: Int, ts: String) =
+      (from until until).map(_.toLong).toDF("id").select(
+        col("id").cast("string").cast("binary").as("key"),
+        concat(lit("v"), col("id")).cast("binary").as("value"),
+        lit("events").as("topic"),
+        (col("id") % 4).cast("int").as("partition"),
+        col("id").as("offset"),
+        lit(Timestamp.valueOf(ts)).as("timestamp"),
+        lit(0).as("timestampType"))
+    // two time generations in separate containers
+    tsDf(0, 100, "2026-01-01 00:00:00").write.format("graft-ocf")
+      .mode("overwrite").save(dir)
+    tsDf(100, 200, "2026-06-01 00:00:00").write.format("graft-ocf")
+      .mode("append").save(dir)
+    val cutUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(Timestamp.valueOf("2026-03-01 00:00:00"))
+    // the compaction's input, read and pinned BEFORE retention runs
+    val input = s.read.format("graft-ocf").load(dir).persist()
+    input.count()
+    val witness = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".ocf") && !n.startsWith("."))
+      .sorted.mkString(",")
+    // retention deletes the expired generation mid-rewrite
+    val (deleted, delRecords) = OcfMaintenance.retain(s, dir, cutUs)
+    assert(deleted > 0 && delRecords == 100L,
+      s"retention must claim the old generation: ($deleted, $delRecords)")
+    // the rewrite commits with its stale witness: containers only
+    // VANISHED (the guard watches for gained epochs), so it installs
+    // its pre-retention snapshot — the expired rows resurrect, but
+    // nothing is lost or doubled
+    input.write.format("graft-ocf")
+      .option("expectedContainers", witness)
+      .mode("overwrite").save(dir)
+    input.unpersist()
+    val afterRace = s.read.format("graft-ocf").load(dir)
+      .select("offset").as[Long].collect()
+    assert(afterRace.length == 200 &&
+      afterRace.toSet == (0L until 200L).toSet,
+      s"race must not lose or double rows: ${afterRace.length}")
+    // the rewrite merged both generations into partition-clustered
+    // containers, so every container's manifest max-ts is now live and
+    // a re-run of retention conservatively reclaims NOTHING — padding
+    // expired rows is a space anomaly, never a correctness one
+    val (_, r2) = OcfMaintenance.retain(s, dir, cutUs)
+    assert(r2 == 0L,
+      s"mixed containers must be kept conservatively, reclaimed $r2")
+    val after2 = s.read.format("graft-ocf").load(dir)
+      .select("offset").as[Long].collect()
+    assert(after2.length == 200 && after2.toSet == (0L until 200L).toSet,
+      "second retention pass must not corrupt the store")
+    // query-level correctness is layout-independent: the time filter
+    // serves exactly the live generation
+    val live = s.read.format("graft-ocf").load(dir)
+      .filter(col("timestamp") >=
+        lit(Timestamp.valueOf("2026-03-01 00:00:00")))
+      .select("offset").as[Long].collect()
+    assert(live.length == 100 && live.toSet == (100L until 200L).toSet,
+      s"live rows lost or doubled: ${live.length}")
+    // physical reclaim after the race needs the time-clustered layout
+    // (the cluster test proves tight slices); retention then converges
+    OcfMaintenance.cluster(s, dir, targetFiles = 8)
+    val (_, r3) = OcfMaintenance.retain(s, dir, cutUs)
+    val finalRows = s.read.format("graft-ocf").load(dir)
+      .select("offset").as[Long].collect()
+    assert(finalRows.length == finalRows.toSet.size,
+      "post-cluster retention doubled a row")
+    assert((100L until 200L).toSet.subsetOf(finalRows.toSet),
+      "post-cluster retention lost a live row")
+    assert(finalRows.toSet.subsetOf((0L until 200L).toSet))
+    assert(r3 >= 50L,
+      s"time-clustered retention should reclaim most expired rows: $r3")
+  }
+
   test("block-level ts index: the timestamp seek block-skips a " +
     "mega-container instead of decoding it from record 0") {
     val s = spark
