@@ -18,18 +18,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    * a long (nanosAsLong); normalize to microsecond TimestampType by
-    * truncation (matches DuckDB's ns→us cast direction for ts >= 0).
+  /** `events.ts` arrives as whatever the driver's generator wrote that
+    * round — TIMESTAMP(MICROS, NTZ) today, TIMESTAMP(NANOS) in earlier
+    * rounds (readable only as a long via nanosAsLong) — so normalize by
+    * the OBSERVED read type to microsecond TimestampType. The session
+    * timezone is pinned to UTC everywhere (builder + oracle `SET
+    * TimeZone='UTC'`), so the NTZ→TimestampType cast is instant-
+    * preserving and matches DuckDB's naive TIMESTAMP reading.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Required before planning the scan. Set defensively because the
-    // driver owns some sessions (entry smoke); guarded so repeated
+    // nanosAsLong must be set BEFORE planning a TIMESTAMP(NANOS) scan;
+    // harmless no-op on the current MICROS layout. Guarded so repeated
     // table getters don't mutate session conf on every call.
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy nanos-as-long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already microsecond TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
