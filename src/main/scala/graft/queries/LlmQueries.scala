@@ -79,6 +79,26 @@ object LlmQueries {
         dd.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", threshold = 0.5)
     }),
+    // N1/N2 streaming twin, batch path — the SAME operator code the
+    // continuously-ingesting pipeline runs (stream-static probe of the
+    // persisted band index + windowed verdict aggregate), executed on
+    // a batch frame with a deterministic synthetic event time; the
+    // true streaming path (watermark, RocksDB, checkpoint restart) is
+    // DedupStreamSpec's contract.
+    "dedup_incremental_stream" -> ((s, d) => {
+      val dd = docs(s, d)
+        .withColumn("ts", timestamp_seconds(col("doc_id") * 60))
+      val corpus = dd.filter(col("doc_id") % 5 =!= 0)
+      val batch = dd.filter(col("doc_id") % 5 === 0)
+      graft.streaming.DedupStream.incrementalDedupStream(
+          batch,
+          Dedup.corpusBandIndex(corpus, "doc_id", "text"),
+          graft.streaming.DedupStream.corpusSets(corpus, "doc_id", "text"),
+          "doc_id", "text", "ts", threshold = 0.5, windowDur = "1 hour")
+        .select(col("window.start").as("w_start"), col("doc_id"),
+          col("n_matches"), col("best_match_id"), col("best_jaccard"),
+          col("keep"))
+    }),
     // N2 — char-5-gram jaccard via minhash-banded candidates
     "neardup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
@@ -1061,6 +1081,31 @@ object LlmQueries {
          |  row_number() OVER (PARTITION BY batch_id
          |    ORDER BY jaccard DESC, corpus_id) AS rk FROM p)
          |SELECT d.doc_id,
+         |  CAST(coalesce(cnt.n_matches, 0) AS BIGINT) AS n_matches,
+         |  best.best_match_id, best.best_jaccard,
+         |  coalesce(cnt.n_matches, 0) = 0 AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN cnt ON d.doc_id = cnt.batch_id
+         |LEFT JOIN best ON d.doc_id = best.batch_id AND best.rk = 1""".stripMargin,
+    "dedup_incremental_stream" ->
+      s"""WITH $shinglesCte,
+         |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND len(s) > 0),
+         |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0 AND len(s) > 0),
+         |v AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |  CAST(len(list_intersect(b.s, c.s)) AS BIGINT) AS inter,
+         |  len(b.s) AS lb, len(c.s) AS lc
+         |  FROM b CROSS JOIN c),
+         |p AS (SELECT batch_id, corpus_id,
+         |  CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) AS jaccard
+         |  FROM v
+         |  WHERE CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) >= 0.5),
+         |cnt AS (SELECT batch_id, count(*) AS n_matches FROM p GROUP BY 1),
+         |best AS (SELECT batch_id, corpus_id AS best_match_id,
+         |  jaccard AS best_jaccard,
+         |  row_number() OVER (PARTITION BY batch_id
+         |    ORDER BY jaccard DESC, corpus_id) AS rk FROM p)
+         |SELECT make_timestamp((d.doc_id*60)//3600*3600*1000000) AS w_start,
+         |  d.doc_id,
          |  CAST(coalesce(cnt.n_matches, 0) AS BIGINT) AS n_matches,
          |  best.best_match_id, best.best_jaccard,
          |  coalesce(cnt.n_matches, 0) = 0 AS keep
