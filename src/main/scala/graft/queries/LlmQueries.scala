@@ -201,6 +201,34 @@ object LlmQueries {
       Similarity.ivfProbeIndex(cts, index, batch, "vec_id", "embedding",
         k = 5, nProbe = 8)
     }),
+    // N3 streaming twin, batch path — the ANN SERVING shape: query
+    // vectors probe the IVF index and rank via the mergeable
+    // bounded-heap TopKAgg (k hits of state per key — the
+    // streaming-legal rank), windowed on a deterministic synthetic
+    // event time. The true streaming path (watermark, RocksDB,
+    // micro-batches) is AnnStreamSpec's contract; rows here must equal
+    // ann_incremental's plus the window column.
+    "ann_stream_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val batch = e.filter(col("vec_id") % 5 === 0)
+        .withColumn("ts", timestamp_seconds(col("vec_id") * 60))
+      val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 32)
+      val index = Similarity.ivfIndex(corpus, "vec_id", "embedding", cts,
+        nAssign = 2)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        index.select("vec_id", "cell").withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annStreamCellsDir)
+      graft.streaming.AnnStream.ivfProbeStream(cts, index, batch,
+          "vec_id", "embedding", "ts", k = 5, nProbe = 8,
+          windowDur = "1 hour")
+        .select(col("window.start").as("w_start"), col("query_id"),
+          col("neighbor_id"), col("rnk"), col("cosine"))
+    }),
     // N3 — INCREMENTAL ANN over the COMPRESSED index: ann_incremental
     // persists raw-quantized postings; a 100 TB vector store persists
     // IVF cells + PQ codes (ivfPqIndex, ~24 B/posting) as the serving
@@ -849,6 +877,9 @@ object LlmQueries {
   private def annProbeCellsDir: String =
     sys.props.getOrElse("graft.ann.probe.cells.dir",
       "/tmp/graft_ann_probe_cells")
+  private def annStreamCellsDir: String =
+    sys.props.getOrElse("graft.ann.stream.cells.dir",
+      "/tmp/graft_ann_stream_cells")
 
   /** ann_incremental_probe's once-per-(session, sf) serving artifact:
     * centroids train and the IVF index persists on first use; later
@@ -1501,6 +1532,26 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_stream_probe" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$annStreamCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT make_timestamp((query_id*60)//3600*3600*1000000)
+         |    AS w_start,
+         |  query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     // the topk_cosine chain with labels joined on both sides and the
     // different-label predicate in the pair filter
     "hard_negatives" ->

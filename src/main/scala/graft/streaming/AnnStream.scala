@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{GraftFunctions, TopKAgg}
+import graft.ops.Dedup
+
+/** Streaming twin of `graft.ops.Similarity.ivfProbeIndex` — the ANN
+  * SERVING path: query vectors arrive on a stream and each probes the
+  * persisted IVF index, getting the same exact-quantized-cosine top-k
+  * the batch probe returns, per micro-batch.
+  *
+  * Dataflow: quantize + nearest-cells fan-out (stateless codegen) →
+  * stream-static join against the cell-keyed index (on a
+  * cell-partitioned store the scan reads only probed cells' postings;
+  * `cache()` the index frame when it fits — the static side is
+  * re-planned every trigger) → windowed top-k aggregate.
+  *
+  * The ranking itself is the part Structured Streaming forbids as a
+  * window function (`row_number` over a stream has no incremental
+  * form), so it runs as [[graft.functions.TopKAgg]] — a mergeable
+  * bounded-heap aggregate whose per-key state is exactly k hits, the
+  * incremental twin of the batch rank-limit. State is bounded two
+  * ways: k hits per (window, query) key, and the watermark retires
+  * whole windows — nothing grows with stream lifetime. A candidate
+  * meeting a query in several probed cells folds inside the heap (the
+  * batch probe's `dropDuplicates` pre-rank), so ranks never count a
+  * neighbor twice.
+  */
+object AnnStream {
+
+  /** @param centroids trained cell centroids (quantized rows from
+    *                  `Similarity.trainCentroids` — the same array the
+    *                  index was built with)
+    * @param index     static IVF index (vec_id, cell, q, nn) from
+    *                  `Similarity.ivfIndex` or its persisted read-back
+    * @param queries   streaming frame with `tsCol`, `idCol`, `vecCol`
+    * @return (window, query_id, neighbor_id, rnk, cosine) — identical
+    *         rows to `Similarity.ivfProbeIndex` plus the window,
+    *         emitted when the watermark closes the window. Runs
+    *         unchanged on a batch frame (asserted in AnnStreamSpec).
+    */
+  def ivfProbeStream(centroids: Array[Array[Long]], index: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     tsCol: String, k: Int = 5, nProbe: Int = 8,
+                     watermark: String = "10 minutes",
+                     windowDur: String = "10 minutes"): DataFrame = {
+    val qs = (if (queries.isStreaming)
+        queries.withWatermark(tsCol, watermark) else queries)
+      .select(col(tsCol), col(idCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("q_q"))
+      .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
+      .withColumn("cell", explode(
+        GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val scored = qs
+      .join(index.select(col("vec_id"), col("cell"), col("q"), col("nn")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        Dedup.qdot(col("q"), col("q_q")).cast(DoubleType) /
+          sqrt(col("nn").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+    val topk = udaf(new TopKAgg(k))
+    scored
+      .groupBy(window(col(tsCol), windowDur), col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("window"), col("query_id"), posexplode(col("top")))
+      .select(col("window"), col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("col.score").as("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.engine.Tables
+import graft.functions.TopKAgg
+import graft.ops.Similarity
+
+case class QVec(ts: Timestamp, vec_id: Long, embedding: Array[Float])
+
+object AnnStreamSpec {
+  implicit val qvEnc: org.apache.spark.sql.Encoder[QVec] =
+    org.apache.spark.sql.Encoders.product[QVec]
+}
+
+/** Streaming IVF probe: identical rows to the batch
+  * `Similarity.ivfProbeIndex` over the same query set, and the
+  * bounded-heap aggregate's dedup/tie-break/cap contract.
+  */
+class AnnStreamSpec extends SparkSuite {
+  import AnnStreamSpec.qvEnc
+
+  test("TopKAgg: caps at k, folds duplicate ids, breaks score ties " +
+    "by smaller id") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq( // group 1: 4 distinct ids, one duplicated with a
+      (1L, 0.9, 10L), (1L, 0.8, 11L), (1L, 0.9, 10L), // worse copy
+      (1L, 0.8, 9L), (1L, 0.7, 12L), // tie at 0.8 → id 9 before 11
+      (2L, 0.5, 20L)) // group 2: fewer than k hits
+      .toDF("g", "score", "id")
+    val tk = udaf(new TopKAgg(3))
+    val got = rows.groupBy("g").agg(tk(col("score"), col("id")).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("pos"), col("col.id"), col("col.score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 0, 10L, 0.9), (1L, 1, 9L, 0.8), (1L, 2, 11L, 0.8),
+      (2L, 0, 20L, 0.5)), s"got $got")
+  }
+
+  test("streaming IVF probe equals the batch probe, across " +
+    "micro-batches, on RocksDB")(withRocksDB {
+    val s = spark
+    val emb = Tables.embeddings(s, "/root/testdata/sf0.001")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val queriesB = emb.filter(col("vec_id") % 5 === 0 &&
+      col("vec_id") < 60)
+    val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16)
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding", cts,
+      nAssign = 2).cache()
+    val want = Similarity.ivfProbeIndex(cts, index, queriesB, "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val feed = queriesB.select("vec_id", "embedding").collect()
+      .map(r => QVec(new Timestamp(1000L + r.getLong(0)), r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val input = MemoryStream[QVec](qvEnc, s)
+    val q = AnnStream.ivfProbeStream(cts, index, input.toDF(), "vec_id",
+        "embedding", "ts", k = 5, nProbe = 4,
+        watermark = "1 second", windowDur = "1 minute")
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ann_ckpt"))
+      .start()
+    feed.grouped(5).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // sentinel far past the window end closes it for append emission
+    input.addData(QVec(new Timestamp(10_000_000L), 999_999L,
+      feed.head.embedding))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = s.table("ann_stream")
+      .filter(col("query_id") =!= 999_999L)
+      .select("query_id", "neighbor_id", "rnk", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want,
+      s"stream/batch diverge: only-stream=${got diff want}, " +
+        s"only-batch=${want diff got}")
+    assert(got.nonEmpty && got.forall(_._2 % 5 != 0),
+      "neighbors come only from the indexed corpus")
+  })
+}
