@@ -44,6 +44,29 @@ class AnnStreamSpec extends SparkSuite {
       (2L, 0, 20L, 0.5)), s"got $got")
   }
 
+  test("property: TopKAgg equals sort-based top-k for random inputs " +
+    "at random reduce/merge splits") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 0 until 50) {
+      val k = 1 + rng.nextInt(8)
+      val agg = new TopKAgg(k)
+      val n = rng.nextInt(60)
+      // small id/score domains force duplicate ids and score ties
+      val xs = Seq.fill(n)((rng.nextInt(5) / 4.0, rng.nextInt(12).toLong))
+      // random split into partial buffers, then pairwise merge
+      val parts = if (xs.isEmpty) Seq(Seq.empty)
+        else xs.grouped(1 + rng.nextInt(xs.length)).toSeq
+      val merged = parts
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduceLeft(agg.merge)
+      val got = agg.finish(merged).map(h => (h.score, h.id)).toSeq
+      val want = xs.groupBy(_._2)
+        .map { case (id, hits) => (hits.map(_._1).max, id) }.toSeq
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == want, s"trial $trial k=$k: $got != $want")
+    }
+  }
+
   test("streaming IVF probe equals the batch probe, across " +
     "micro-batches, on RocksDB")(withRocksDB {
     val s = spark
