@@ -19,7 +19,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bench must not clobber the verify-time ivf cell materialization
-    // (/tmp/graft_ivf_cells): the driver may interleave this main
+    // (/tmp/graft_ivf_cells_<sfTag>): the driver may interleave this main
     // between Verify and the DuckDB compare, and the compare reads the
     // cells written for ITS sf dir. Skipping the side-write also keeps
     // the timed ivf_topk a pure query.
@@ -52,6 +52,15 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // machine-load self-reporting: r8/r9 both published artifacts
+    // inflated ~1.5-3x by concurrent load (sbt test running in the
+    // same window). Recording the OS load average before/after plus
+    // bench wall-clock makes a contaminated window detectable from
+    // the artifact alone: with 32 HW threads, loadAvg much above the
+    // bench's own parallelism means the numbers are not the code's.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+    val wall0 = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -60,11 +69,15 @@ object Bench {
       }
       name -> times.min
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val loadAfter = osBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""load":{"avg1mBefore":$loadBefore,"avg1mAfter":$loadAfter,""" +
+      s""""wallSec":$wallSec,"iters":$iters,"hwThreads":${Runtime.getRuntime.availableProcessors}}}"""
     println(line)
     // a BENCH_ONLY subset run must never masquerade as the published
     // full bench: it goes to a sibling file, so a stray filter env var

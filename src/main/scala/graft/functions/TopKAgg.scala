@@ -31,8 +31,16 @@ class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Array[TopHit], Array[TopHit]] {
   require(k > 0, "top-k needs k > 0")
 
-  private def better(aS: Double, aI: Long, bS: Double, bI: Long): Boolean =
-    aS > bS || (aS == bS && aI < bI)
+  // Double.compare ordering, NOT IEEE >/==: insert must agree with the
+  // sort comparator `ord` on NaN (a zero-norm vector yields cosine
+  // 0/0 = NaN), else output becomes arrival-order-dependent. Under
+  // Double.compare, NaN is the largest double — it ranks first AND can
+  // displace, consistently, instead of ranking first only when it
+  // arrived while the buffer was under capacity.
+  private def better(aS: Double, aI: Long, bS: Double, bI: Long): Boolean = {
+    val c = java.lang.Double.compare(aS, bS)
+    c > 0 || (c == 0 && aI < bI)
+  }
 
   /** Insert (score, id) into sorted-desc `b`, dedup by id, cap at k. */
   private def insert(b: Array[TopHit], score: Double,

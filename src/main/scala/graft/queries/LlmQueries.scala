@@ -30,8 +30,27 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
-  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def docs(s: SparkSession, d: String) = {
+    tagDataset(d); Tables.documents(s, d)
+  }
+  private def emb(s: SparkSession, d: String) = {
+    tagDataset(d); Tables.embeddings(s, d)
+  }
+
+  /** Tag of the dataset dir this JVM's queries run against, recorded
+    * when a closure resolves its input tables. Every oracle sidecar
+    * dir embeds it, so two concurrent runs at different scale factors
+    * can never clobber each other's artifacts and poison the DuckDB
+    * compare. The handshake is sound because Verify dumps `oracleSql`
+    * AFTER running every query in the same JVM — the tag the closures
+    * recorded is the one the SQL strings interpolate. An explicit
+    * `-Dgraft.<x>.dir=` prop still overrides per sidecar.
+    */
+  @volatile private var dsTag: String = "default"
+  private def tagDataset(d: String): Unit =
+    dsTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def sidecar(prop: String, base: String): String =
+    sys.props.getOrElse(prop, s"${base}_${dsTag}")
 
   /** Driver-visible recall gate shared by the approximate ANN paths:
     * one boolean row that hashes equal to the oracle's `true` iff
@@ -865,21 +884,19 @@ object LlmQueries {
     * the oracle string within one Verify run.
     */
   private def ivfCellsDir: String =
-    sys.props.getOrElse("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
+    sidecar("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
 
   /** ann_incremental's persisted index artifact and its oracle-side
     * cell materialization (ivfCellsDir pattern).
     */
   private def annIndexDir: String =
-    sys.props.getOrElse("graft.ann.index.dir", "/tmp/graft_ann_index")
+    sidecar("graft.ann.index.dir", "/tmp/graft_ann_index")
   private def annCellsDir: String =
-    sys.props.getOrElse("graft.ann.cells.dir", "/tmp/graft_ann_cells")
+    sidecar("graft.ann.cells.dir", "/tmp/graft_ann_cells")
   private def annProbeCellsDir: String =
-    sys.props.getOrElse("graft.ann.probe.cells.dir",
-      "/tmp/graft_ann_probe_cells")
+    sidecar("graft.ann.probe.cells.dir", "/tmp/graft_ann_probe_cells")
   private def annStreamCellsDir: String =
-    sys.props.getOrElse("graft.ann.stream.cells.dir",
-      "/tmp/graft_ann_stream_cells")
+    sidecar("graft.ann.stream.cells.dir", "/tmp/graft_ann_stream_cells")
 
   /** ann_incremental_probe's once-per-(session, sf) serving artifact:
     * centroids train and the IVF index persists on first use; later
@@ -914,7 +931,7 @@ object LlmQueries {
 
   /** rag_chunk_search's materialized chunk signatures. */
   private def ragSigsDir: String =
-    sys.props.getOrElse("graft.rag.sigs.dir", "/tmp/graft_rag_sigs")
+    sidecar("graft.rag.sigs.dir", "/tmp/graft_rag_sigs")
 
   /** The fixed retrieval query for rag_chunk_search, and its SimHash
     * signature computed ONCE via the kernel's interpreted eval — the
@@ -939,52 +956,46 @@ object LlmQueries {
     * clobber each other within one Verify run).
     */
   private def pqCodesDir: String =
-    sys.props.getOrElse("graft.pq.codes.dir", "/tmp/graft_pq_codes")
+    sidecar("graft.pq.codes.dir", "/tmp/graft_pq_codes")
   private def pqCodebookDir: String =
-    sys.props.getOrElse("graft.pq.codebook.dir", "/tmp/graft_pq_codebook")
+    sidecar("graft.pq.codebook.dir", "/tmp/graft_pq_codebook")
 
   /** bq_topk's materialized packed sign signatures (both sides). */
   private def bqSigsDir: String =
-    sys.props.getOrElse("graft.bq.sigs.dir", "/tmp/graft_bq_sigs")
+    sidecar("graft.bq.sigs.dir", "/tmp/graft_bq_sigs")
 
   /** sq8_topk's materialized code vectors and per-dim scales. */
   private def sq8CodesDir: String =
-    sys.props.getOrElse("graft.sq8.codes.dir", "/tmp/graft_sq8_codes")
+    sidecar("graft.sq8.codes.dir", "/tmp/graft_sq8_codes")
   private def sq8MaxsDir: String =
-    sys.props.getOrElse("graft.sq8.maxs.dir", "/tmp/graft_sq8_maxs")
+    sidecar("graft.sq8.maxs.dir", "/tmp/graft_sq8_maxs")
 
   /** ivfpq_topk's materialized sidecars (cells + codes + codebook). */
   private def ivfpqCellsDir: String =
-    sys.props.getOrElse("graft.ivfpq.cells.dir", "/tmp/graft_ivfpq_cells")
+    sidecar("graft.ivfpq.cells.dir", "/tmp/graft_ivfpq_cells")
   private def ivfpqCodesDir: String =
-    sys.props.getOrElse("graft.ivfpq.codes.dir", "/tmp/graft_ivfpq_codes")
+    sidecar("graft.ivfpq.codes.dir", "/tmp/graft_ivfpq_codes")
   private def ivfpqCodebookDir: String =
-    sys.props.getOrElse("graft.ivfpq.codebook.dir",
-      "/tmp/graft_ivfpq_codebook")
+    sidecar("graft.ivfpq.codebook.dir", "/tmp/graft_ivfpq_codebook")
 
   /** ann_incremental_ivfpq's persisted serving index + oracle sidecars
     * (cells derive from the read-back index; codes/codebook alongside).
     */
   private def annIvfpqIndexDir: String =
-    sys.props.getOrElse("graft.ann.ivfpq.index.dir",
-      "/tmp/graft_ann_ivfpq_index")
+    sidecar("graft.ann.ivfpq.index.dir", "/tmp/graft_ann_ivfpq_index")
   private def annIvfpqCellsDir: String =
-    sys.props.getOrElse("graft.ann.ivfpq.cells.dir",
-      "/tmp/graft_ann_ivfpq_cells")
+    sidecar("graft.ann.ivfpq.cells.dir", "/tmp/graft_ann_ivfpq_cells")
   private def annIvfpqCodesDir: String =
-    sys.props.getOrElse("graft.ann.ivfpq.codes.dir",
-      "/tmp/graft_ann_ivfpq_codes")
+    sidecar("graft.ann.ivfpq.codes.dir", "/tmp/graft_ann_ivfpq_codes")
   private def annIvfpqCodebookDir: String =
-    sys.props.getOrElse("graft.ann.ivfpq.codebook.dir",
-      "/tmp/graft_ann_ivfpq_codebook")
+    sidecar("graft.ann.ivfpq.codebook.dir", "/tmp/graft_ann_ivfpq_codebook")
 
   /** semantic_dedup's materialized cell assignments (ivfCellsDir
     * pattern — same lifecycle, separate path so the two queries can't
     * clobber each other within one Verify run).
     */
   private def semdedupCellsDir: String =
-    sys.props.getOrElse("graft.semdedup.cells.dir",
-      "/tmp/graft_semdedup_cells")
+    sidecar("graft.semdedup.cells.dir", "/tmp/graft_semdedup_cells")
 
   /** The fixed query-term set for bm25_search; the left-to-right order
     * here is the score association order replicated in the oracle.
@@ -1077,7 +1088,7 @@ object LlmQueries {
          |      WHERE f.b < 8) d
          |LEFT JOIN hits USING(doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS keep_id,
         |       count(*) AS n_dups

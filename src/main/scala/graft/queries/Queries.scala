@@ -1000,6 +1000,10 @@ object Queries {
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries
-  val oracles: Map[String, String] =
+  // def, not val: LlmQueries.oracles interpolates sidecar dirs that are
+  // namespaced by the dataset tag the query closures record at run time;
+  // a val would freeze the "default" tag at object init, before any
+  // query has run.
+  def oracles: Map[String, String] =
     streamOracles ++ relationalOracles ++ LlmQueries.oracles
 }

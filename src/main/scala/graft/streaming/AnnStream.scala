@@ -13,10 +13,11 @@ import graft.ops.Dedup
   * the batch probe returns, per micro-batch.
   *
   * Dataflow: quantize + nearest-cells fan-out (stateless codegen) →
-  * stream-static join against the cell-keyed index (on a
-  * cell-partitioned store the scan reads only probed cells' postings;
-  * `cache()` the index frame when it fits — the static side is
-  * re-planned every trigger) → windowed top-k aggregate.
+  * stream-static join against the cell-keyed index (the static side
+  * is re-planned every trigger, so the API persists the projected
+  * postings by default — `cacheIndex`; on a cell-partitioned store
+  * the cold read touches only probed cells' postings) →
+  * windowed top-k aggregate.
   *
   * The ranking itself is the part Structured Streaming forbids as a
   * window function (`row_number` over a stream has no incremental
@@ -37,6 +38,19 @@ object AnnStream {
     * @param index     static IVF index (vec_id, cell, q, nn) from
     *                  `Similarity.ivfIndex` or its persisted read-back
     * @param queries   streaming frame with `tsCol`, `idCol`, `vecCol`
+    * @param cacheIndex when true (default) and `queries` is streaming,
+    *                  the projected index is persisted
+    *                  (MEMORY_AND_DISK) so each trigger probes the
+    *                  cached postings instead of re-scanning the
+    *                  source — Structured Streaming re-plans the
+    *                  static side of a stream-static join EVERY
+    *                  micro-batch, and at 100 TB an uncached
+    *                  per-trigger index re-scan is a table scan per
+    *                  micro-batch, not a probe. The index is the
+    *                  small amortized artifact (~24-100 B/posting),
+    *                  sized to fit executor storage; spill to disk is
+    *                  the fallback, never a correctness issue.
+    *                  Asserted cached-per-trigger in AnnStreamSpec.
     * @return (window, query_id, neighbor_id, rnk, cosine) — identical
     *         rows to `Similarity.ivfProbeIndex` plus the window,
     *         emitted when the watermark closes the window. Runs
@@ -46,7 +60,8 @@ object AnnStream {
                      queries: DataFrame, idCol: String, vecCol: String,
                      tsCol: String, k: Int = 5, nProbe: Int = 8,
                      watermark: String = "10 minutes",
-                     windowDur: String = "10 minutes"): DataFrame = {
+                     windowDur: String = "10 minutes",
+                     cacheIndex: Boolean = true): DataFrame = {
     val qs = (if (queries.isStreaming)
         queries.withWatermark(tsCol, watermark) else queries)
       .select(col(tsCol), col(idCol).as("query_id"),
@@ -54,9 +69,14 @@ object AnnStream {
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val postings = {
+      val p = index.select(col("vec_id"), col("cell"), col("q"), col("nn"))
+      if (cacheIndex && queries.isStreaming)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else p
+    }
     val scored = qs
-      .join(index.select(col("vec_id"), col("cell"), col("q"), col("nn")),
-        Seq("cell"))
+      .join(postings, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         Dedup.qdot(col("q"), col("q_q")).cast(DoubleType) /

@@ -61,8 +61,19 @@ object DedupStream {
   /** @param docs      streaming frame with `tsCol`, `idCol`, `textCol`
     * @param index     static band index (`idCol`, band_idx, band_hash)
     *                  from `Dedup.corpusBandIndex` (or its persisted
-    *                  read-back) — cache it; it is scanned per trigger
+    *                  read-back). Must have been built with the SAME
+    *                  `numPerms`/`bands` passed here — a mismatch
+    *                  hashes the stream's bands differently and
+    *                  silently yields near-zero candidates, so it is
+    *                  rejected up front (band_idx range check).
     * @param sets      static corpus shingle sets from [[corpusSets]]
+    * @param cacheStatic when true (default) and `docs` is streaming,
+    *                  persist the index and shingle-set frames
+    *                  (MEMORY_AND_DISK): Structured Streaming
+    *                  re-plans the static side of a stream-static
+    *                  join every micro-batch, and at corpus scale an
+    *                  uncached re-scan per trigger is a table scan,
+    *                  not an index probe. Asserted in DedupStreamSpec.
     * @param windowDur tumbling event-time window that scopes the
     *                  verdict aggregate (each doc id yields one row
     *                  regardless — the window only bounds state)
@@ -78,8 +89,33 @@ object DedupStream {
                              threshold: Double = 0.5,
                              numPerms: Int = 128, bands: Int = 32,
                              watermark: String = "10 minutes",
-                             windowDur: String = "10 minutes")
+                             windowDur: String = "10 minutes",
+                             cacheStatic: Boolean = true)
       : DataFrame = {
+    // Reject a band-parameter mismatch with the supplied index up
+    // front: the stream's band hashes are a function of
+    // (numPerms, bands), so probing an index built with different
+    // parameters is not an error Spark can see — it just matches
+    // (almost) nothing. band_idx is dense in [0, bands), so the
+    // observed max pins the index's bands exactly — every indexed doc
+    // emits ALL band indices 0..bands-1, so a non-empty index has
+    // max(band_idx) == bands-1. numPerms has no witness column and
+    // rides on the documented contract. One tiny agg job at stream
+    // construction, never per trigger.
+    val maxBand = index.agg(max(col("band_idx"))).head()
+    if (!maxBand.isNullAt(0)) {
+      val got = maxBand.getInt(0)
+      require(got == bands - 1,
+        s"band index was built with ${got + 1} bands but bands=$bands " +
+          "was passed — probing with mismatched band parameters " +
+          "silently matches nothing; pass the parameters the index " +
+          "was built with (Dedup.corpusBandIndex defaults)")
+    }
+    val cache = cacheStatic && docs.isStreaming
+    def persistIf(df: DataFrame): DataFrame =
+      if (cache)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val withSets = (if (docs.isStreaming)
         docs.withWatermark(tsCol, watermark) else docs)
       .select(col(tsCol), col(idCol).as("doc_id"),
@@ -94,11 +130,11 @@ object DedupStream {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val cands = banded.join(
-      index.select(col(idCol).as("corpus_id"), col("band_idx"),
-        col("band_hash")),
+      persistIf(index.select(col(idCol).as("corpus_id"), col("band_idx"),
+        col("band_hash"))),
       Seq("band_idx", "band_hash"), "left_outer")
     val verified = cands
-      .join(sets, Seq("corpus_id"), "left_outer")
+      .join(persistIf(sets), Seq("corpus_id"), "left_outer")
       .withColumn("inter",
         GraftFunctions.sortedIntersectCount(col("set_b"), col("set_c")))
       .withColumn("jaccard",

@@ -35,12 +35,29 @@ object PerfProbe {
       Dedup.embeddingPairsGrouped(emb, "vec_id", "embedding", 0.4).count()
     }
     // band-parameter sweep, all within the <1e-7 miss budget at s=0.4
-    // (p=0.6312): (4,96)→6e-8, (3,64)→9e-9, (3,56)→9e-8, (5,160)→5e-8
-    for ((r, b) <- Seq((3, 56), (3, 64), (4, 96), (5, 160)))
+    // (p=0.6312): (4,96)→6e-8, (3,64)→9e-9, (3,56)→9e-8, (5,160)→5e-8,
+    // (6,256)→6e-8, (7,400)→1e-7. The random-pair (cosine≈0) candidate
+    // mass scales with b/2^r — 6.0, 5.0, 4.0, 3.1 for r=4..7 — so
+    // higher r prunes candidates at the cost of more posting rows.
+    for ((r, b) <- Seq((3, 56), (3, 64), (4, 96), (5, 160), (6, 256),
+        (7, 400)))
       time(s"embedding_pairs r=$r b=$b", 3) {
         Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4,
           bands = b, rowsPerBand = r).count()
       }
+    // candidate-volume diagnostic: the verify-join row count each
+    // config pays (the knob the sweep is actually turning)
+    for ((r, b) <- Seq((4, 96), (5, 160), (6, 256), (7, 400))) {
+      val q = emb.select(col("vec_id"), Dedup.quantize(col("embedding")).as("q"))
+      val banded = q.select(col("vec_id"), posexplode(
+          graft.functions.GraftFunctions.hyperplaneBands(col("q"), b, r)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_hash")
+      val n = banded.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) / 2"))).head().getLong(0)
+      println(s"CANDS r=$r b=$b candidateRows=$n")
+    }
     // semantic_dedup nCentroids dial: pair cost is Σ|cell|² (fewer,
     // larger cells → more pairs). sf0.1 measured (min of 3):
     // k=8→0.23s, k=32→0.22s, k=128→0.27s — flat, because 2000 vectors

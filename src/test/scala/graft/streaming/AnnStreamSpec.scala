@@ -15,6 +15,15 @@ case class QVec(ts: Timestamp, vec_id: Long, embedding: Array[Float])
 object AnnStreamSpec {
   implicit val qvEnc: org.apache.spark.sql.Encoder[QVec] =
     org.apache.spark.sql.Encoders.product[QVec]
+
+  /** Sort-based reference for TopKAgg: best score per id, ranked by
+    * (-score, id), first k. `.toSeq` BEFORE `.map` — mapping the Map
+    * directly would re-key by score and collapse tied ids.
+    */
+  def modelTopK(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    xs.groupBy(_._2).toSeq
+      .map { case (id, hits) => (hits.map(_._1).max, id) }
+      .sortBy { case (s, i) => (-s, i) }.take(k)
 }
 
 /** Streaming IVF probe: identical rows to the batch
@@ -60,10 +69,28 @@ class AnnStreamSpec extends SparkSuite {
         .map(_.foldLeft(agg.zero)(agg.reduce))
         .reduceLeft(agg.merge)
       val got = agg.finish(merged).map(h => (h.score, h.id)).toSeq
-      val want = xs.groupBy(_._2)
-        .map { case (id, hits) => (hits.map(_._1).max, id) }.toSeq
-        .sortBy { case (s, i) => (-s, i) }.take(k)
+      val want = AnnStreamSpec.modelTopK(xs, k)
       assert(got == want, s"trial $trial k=$k: $got != $want")
+    }
+  }
+
+  test("property: TopKAgg through the Spark udaf path (shuffle-driven " +
+    "reduce/merge) equals sort-based top-k") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val tk = udaf(new TopKAgg(4))
+    for (trial <- 0 until 5) {
+      val n = 20 + rng.nextInt(120)
+      val xs = Seq.fill(n)((rng.nextInt(5) / 4.0, rng.nextInt(12).toLong))
+      val got = xs.toDF("score", "id")
+        .repartition(7, (col("id") * 31 + col("score") * 100).cast("int"))
+        .agg(tk(col("score"), col("id")).as("t"))
+        .select(posexplode(col("t")))
+        .select(col("col.score"), col("col.id"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      val want = AnnStreamSpec.modelTopK(xs, 4)
+      assert(got == want, s"trial $trial: $got != $want")
     }
   }
 
@@ -102,6 +129,15 @@ class AnnStreamSpec extends SparkSuite {
     input.addData(QVec(new Timestamp(10_000_000L), 999_999L,
       feed.head.embedding))
     q.processAllAvailable()
+    // the static index side must probe the persisted postings per
+    // trigger (cacheIndex default), not re-scan the source — at scale
+    // an uncached static side is a table scan per micro-batch
+    val lastPlan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+    assert(lastPlan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.nonEmpty, s"expected cached static index scan in trigger plan:\n$lastPlan")
     q.stop()
 
     val got = s.table("ann_stream")

@@ -72,6 +72,19 @@ class DedupStreamSpec extends SparkSuite {
       .toMap
   }
 
+  test("mismatched band parameters against the supplied index are " +
+    "rejected at construction") {
+    val s = spark
+    val index = Dedup.corpusBandIndex(corpusDF, "doc_id", "text") // 32 bands
+    val input = MemoryStream[DedupDoc](docEnc, s)
+    val e = intercept[IllegalArgumentException] {
+      DedupStream.incrementalDedupStream(input.toDF(), index,
+        DedupStream.corpusSets(corpusDF, "doc_id", "text"),
+        "doc_id", "text", "ts", bands = 16)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+  }
+
   test("stream verdicts equal the batch incremental dedup, across " +
     "micro-batches, on RocksDB")(withRocksDB {
     val s = spark
@@ -96,6 +109,17 @@ class DedupStreamSpec extends SparkSuite {
     // the 0-10s window and the append-mode aggregate emits
     input.addData(Doc(new Timestamp(100000L), 999L, "flush sentinel"))
     q.processAllAvailable()
+    // both static sides (band index + shingle sets) must probe the
+    // persisted cache per trigger (cacheStatic default) — an uncached
+    // static side is a corpus re-scan per micro-batch at scale
+    val lastPlan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+    val cachedScans = lastPlan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cachedScans.size >= 2,
+      s"expected cached index AND sets scans in trigger plan:\n$lastPlan")
     q.stop()
 
     val got = verdicts(s.table("dedup_stream")
