@@ -50,13 +50,18 @@ object Dedup {
     * small r also concentrates rows into few buckets per band — the
     * shape the hot-bucket cap then truncates (recall loss) — so FP
     * factor, not signature width, is the right objective.
-    * The sweep measured in PerfProbe (s=0.4 ⇒ p≈0.631: (3,56)→9e-8,
-    * (3,64)→9e-9, (4,96)→6e-8, (5,160)→5e-8) sits on exactly this
-    * frontier; embeddingPairs' shipped (4,96) is this function's pick
-    * at maxMiss=1e-7, maxWidth=512.
+    * The sweep measured in PerfProbe (s=0.4 ⇒ p≈0.631, sf0.1 idle,
+    * min of 3: (4,96)→3.18 s, (5,160)→2.12, (6,256)→1.83, (7,400)→
+    * 1.69) confirms the objective empirically — runtime tracks the FP
+    * factor b·pLow^r (6.0, 5.0, 4.0, 3.1), while the signature cost
+    * of even r·b=1536 hashes stays under 0.5 s — which is why the
+    * default width budget is 2048, not the 512 an earlier round
+    * shipped (that cap was what held the old (4,96) default);
+    * embeddingPairs' shipped (6,256) is this function's pick at
+    * maxMiss=1e-7 (minimal b=247 rounded up to 256).
     */
   def lshPlan(p: Double, maxMiss: Double, pLow: Double = 0.5,
-              maxWidth: Int = 512, maxBands: Int = 4096): LshPlan = {
+              maxWidth: Int = 2048, maxBands: Int = 4096): LshPlan = {
     require(p > 0 && p < 1 && maxMiss > 0 && maxMiss < 1)
     require(pLow >= 0 && pLow < 1)
     val candidates = (1 to 16).flatMap { r =>
@@ -312,15 +317,18 @@ object Dedup {
     * product (the brute-force form lives only in the DuckDB oracle).
     *
     * Miss probability per pair at cosine s: (1 − p^r)^b with
-    * p = 1 − arccos(s)/π; defaults r=4, b=96 give < 1e-7 at s=0.4.
-    * At petabyte corpus scale raise rowsPerBand (bucket selectivity
-    * grows 2^r) and bands together to hold recall while keeping the
-    * per-band bucket join sparse; candidates are verified exactly, so
-    * false positives only cost compute, never correctness.
+    * p = 1 − arccos(s)/π; defaults r=6, b=256 give 6e-8 at s=0.4.
+    * Candidate mass for the near-orthogonal bulk scales with b/2^r
+    * (4.0 at the default vs 6.0 for r=4,b=96), and candidates are
+    * verified exactly, so false positives only cost compute, never
+    * correctness. At petabyte corpus scale raise rowsPerBand (bucket
+    * selectivity grows 2^r) and bands together — (7,400) holds the
+    * 1e-7 budget with ratio 3.1 — trading posting volume (∝ b) for
+    * candidate volume (∝ b/2^r) as n² grows against n.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.4,
-                     bands: Int = 96, rowsPerBand: Int = 4): DataFrame = {
+                     bands: Int = 256, rowsPerBand: Int = 6): DataFrame = {
     val q = emb.select(col(idCol), quantize(col(vecCol)).as("q"))
       .withColumn("nn", qdot(col("q"), col("q")))
     val banded = q
@@ -334,18 +342,32 @@ object Dedup {
     // codegen loop per candidate row, so verifying duplicates is
     // cheaper than deduplicating them; survivors (tiny) dedupe at the
     // end. The dims side is small per bucket, and the verify joins
-    // broadcast under AQE. Measured (tools/PerfProbe, sf0.1, min of
-    // 3): this self-join shape 4.08 s vs 10.04 s for the bandPairs
-    // group-unfold+distinct (embeddingPairsGrouped) — collect_list
-    // over the fat 96-band explode dominates there, while jaccard-
-    // style ops (narrower bands, higher thresholds) favor grouping.
-    // Band-parameter sweep within the <1e-7 miss budget at s=0.4
-    // (same run): (r=4,b=96) 3.98 s BEATS (3,56) 4.41, (3,64) 4.91,
-    // (5,160) 4.51 — coarser bands blow up candidates faster than
-    // they save posting, finer bands pay posting without pruning
-    // enough. The default stays (4, 96).
+    // broadcast under AQE. Measured (tools/PerfProbe embpairs, sf0.1
+    // regenerated data, min of 3, with the probe-side repartition
+    // below): this self-join shape 2.9-3.2 s vs 12.4 s for the
+    // bandPairs group-unfold+distinct (embeddingPairsGrouped) —
+    // collect_list over the fat band explode dominates there, while
+    // jaccard-style ops (narrower bands, higher thresholds) favor
+    // grouping. Band-parameter sweep within the <1e-7 miss budget at
+    // s=0.4 (same run): (r=6,b=256) 1.83 s and (7,400) 1.69 s BEAT
+    // (4,96) 3.18, (5,160) 2.12, (3,56) 3.01, (3,64) 3.20 — higher r
+    // prunes the near-orthogonal candidate bulk (b/2^r) faster than
+    // the extra posting rows cost. Default moved to (6, 256); (7,400)
+    // sits exactly AT the 1e-7 budget, too thin a margin to default.
+    // The probe side MUST be spread across shuffle partitions by the
+    // join key before the bucket self-join: a small embeddings file
+    // arrives as ONE scan partition, and without this repartition the
+    // whole candidate production + verify chain runs in a single task
+    // (measured sf0.1: 12.5M candidate rows at ~2M rows/s on one
+    // thread — 6 s of a 7 s query; repartitioned it fans out across
+    // all cores). Join strategy stays with AQE: at this scale the
+    // build side broadcasts (so the repartitioned side's partitioning
+    // sets the parallelism); at corpus scale both sides are large and
+    // the planner's shuffle join REUSES this key-repartition for the
+    // probe side instead of adding one.
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"),
-      col("band_hash"))
+        col("band_hash"))
+      .repartition(col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"),
       col("band_hash"))
     val cands = a.join(b, Seq("band_idx", "band_hash"))

@@ -21,6 +21,10 @@ object PerfProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg selects one probe section (embpairs | semdedup
+    // | langid | ...) so a retune doesn't pay the whole suite
+    val section = args.lift(1)
+    def in(name: String): Boolean = section.forall(_ == name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,6 +32,29 @@ object PerfProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    if (in("embpairs")) {
+    // stage-level decomposition: where does embedding_pairs' time go?
+    // (banded explode alone / + bucket self-join / full with verify)
+    val q0 = emb.select(col("vec_id"), Dedup.quantize(col("embedding")).as("q"))
+    def bandedFor(b: Int, r: Int) =
+      q0.select(col("vec_id"), posexplode(
+          graft.functions.GraftFunctions.hyperplaneBands(col("q"), b, r)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_hash")
+    for ((r, b) <- Seq((4, 96), (6, 256))) {
+      time(s"stage banded r=$r b=$b", 3) { bandedFor(b, r).count() }
+      time(s"stage cands  r=$r b=$b", 3) {
+        val bd = bandedFor(b, r)
+        bd.select(col("vec_id").as("id_a"), col("band_idx"), col("band_hash"))
+          .join(bd.select(col("vec_id").as("id_b"), col("band_idx"),
+            col("band_hash")), Seq("band_idx", "band_hash"))
+          .filter(col("id_a") < col("id_b")).count()
+      }
+      val n = bandedFor(b, r).groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) div 2")).cast("long")).head().getLong(0)
+      println(s"CANDS r=$r b=$b candidateRows=$n")
+    }
     time("embedding_pairs/self-join", 3) {
       Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4).count()
     }
@@ -45,19 +72,8 @@ object PerfProbe {
         Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4,
           bands = b, rowsPerBand = r).count()
       }
-    // candidate-volume diagnostic: the verify-join row count each
-    // config pays (the knob the sweep is actually turning)
-    for ((r, b) <- Seq((4, 96), (5, 160), (6, 256), (7, 400))) {
-      val q = emb.select(col("vec_id"), Dedup.quantize(col("embedding")).as("q"))
-      val banded = q.select(col("vec_id"), posexplode(
-          graft.functions.GraftFunctions.hyperplaneBands(col("q"), b, r)))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_hash")
-      val n = banded.groupBy("band_idx", "band_hash")
-        .agg(count(lit(1)).as("sz"))
-        .agg(sum(expr("sz * (sz - 1) / 2"))).head().getLong(0)
-      println(s"CANDS r=$r b=$b candidateRows=$n")
     }
+    if (in("semdedup"))
     // semantic_dedup nCentroids dial: pair cost is Σ|cell|² (fewer,
     // larger cells → more pairs). sf0.1 measured (min of 3):
     // k=8→0.23s, k=32→0.22s, k=128→0.27s — flat, because 2000 vectors
@@ -71,6 +87,7 @@ object PerfProbe {
         graft.ops.Similarity.semanticDedup(
           emb, "vec_id", "embedding", cts, tau = 0.3).count()
       }
+    if (in("langid")) {
     // langid: fused codegen kernel vs the greatest/when tree over four
     // interpreted higher-order filters (each embedding re-tokenizes)
     val docs = graft.engine.Tables.documents(spark, sfDir)
@@ -93,6 +110,7 @@ object PerfProbe {
       docs.select(col("lang"),
           graft.ops.TextOps.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1))).count()
+    }
     }
     spark.stop()
   }

@@ -182,28 +182,29 @@ class DedupComponentsSpec extends SparkSuite {
     def miss(r: Int, b: Int) = math.pow(1 - math.pow(p, r), b)
     assert(miss(3, 64) < 1e-8 && miss(3, 64) > 1e-9)
     assert(miss(4, 96) < 1e-7 && miss(4, 96) > 1e-8)
+    assert(miss(6, 256) < 1e-7 && miss(6, 256) > 1e-8)
 
     for (pp <- Seq(0.3, 0.5, 0.6312, 0.8, 0.95);
          budget <- Seq(1e-3, 1e-6, 1e-9)) {
       val plan = Dedup.lshPlan(pp, budget, pLow = 0.5)
       assert(plan.missProb <= budget,
         s"p=$pp budget=$budget -> $plan misses too often")
-      assert(plan.signatureWidth <= 512)
+      assert(plan.signatureWidth <= 2048)
       // brute-force: no in-budget plan has a lower FP factor
       val better = for {
         r <- 1 to 16; b <- 1 to 4096
-        if r * b <= 512 &&
+        if r * b <= 2048 &&
           math.pow(1 - math.pow(pp, r), b) <= budget &&
           b * math.pow(0.5, r) < plan.fpFactor - 1e-12
       } yield (r, b)
       assert(better.isEmpty,
         s"p=$pp budget=$budget: $plan beaten by ${better.take(3)}")
     }
-    // embeddingPairs' shipped (4, 96) is this frontier's pick at its
-    // miss budget (the planner's minimal b=94 rounds up to the shipped
-    // 96 = 4 hashes x 24 words)
+    // embeddingPairs' shipped (6, 256) is this frontier's pick at its
+    // miss budget (the planner's minimal b=247 rounds up to the
+    // shipped 256 = 6 hashes x 64-band words x 4)
     val shipped = Dedup.lshPlan(p, 1e-7)
-    assert(shipped.rowsPerBand == 4 && (shipped.bands max 96) == 96,
+    assert(shipped.rowsPerBand == 6 && (shipped.bands max 256) == 256,
       s"got $shipped")
   }
 }
