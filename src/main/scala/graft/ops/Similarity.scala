@@ -261,13 +261,21 @@ object Similarity {
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    // A pair can meet in several probed cells — dedupe before ranking.
+    // Score FIRST, then dedupe on the three scalar columns: a
+    // dropDuplicates that still carries the vector arrays plans as a
+    // SortAggregate-with-first(array) behind two exchanges (measured
+    // ~2 s of a 2.3 s probe at sf0.1), while the scalar form is one
+    // codegen HashAggregate. The cosine is deterministic per pair, so
+    // scoring duplicates ≤ nProbe times costs one fused loop each and
+    // no correctness.
     val scored = corpus.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      // a pair can meet in several probed cells — dedupe before ranking
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         Dedup.qdot(col("q_n"), col("q_q")).cast(DoubleType) /
           sqrt(col("nn_n").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -318,12 +326,15 @@ object Similarity {
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    // score-then-dedupe on scalars — see ivfTopKWith for why the
+    // array-carrying dropDuplicates is the expensive form
     val scored = index.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("cosine",
         Dedup.qdot(col("q"), col("q_q")).cast(DoubleType) /
           sqrt(col("nn").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+      .select("query_id", "vec_id", "cosine")
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -368,22 +379,28 @@ object Similarity {
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int = 5, nProbe: Int = 8,
                       rerankFactor: Int = 20): DataFrame = {
-    val qs = queries.select(col(idCol).as("query_id"),
+    val qsFlat = queries.select(col(idCol).as("query_id"),
       Dedup.quantize(col(vecCol)).as("q_q"))
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
-      .withColumn("cell", explode(
-        GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val qs = qsFlat.withColumn("cell", explode(
+      GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    // ADC-score then dedupe on scalars (see ivfTopKWith); the query
+    // vector the exact rerank needs is re-attached to the tiny
+    // rank-cut survivor set by a broadcast join instead of riding
+    // through the dedup aggregate as a first(array)
     val recon = index.join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("recon_cos",
         GraftFunctions.pqAdcDot(col("codes"), col("q_q"), codebooks)
           .cast(DoubleType) /
           sqrt(col("nn_r").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+      .select("query_id", "vec_id", "recon_cos")
+      .dropDuplicates("query_id", "vec_id")
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("recon_cos").desc, col("vec_id").asc)
     val cand = recon.withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= k * rerankFactor)
+      .join(broadcast(qsFlat), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("q_q"), col("nn_q"))
     rerankExact(
@@ -571,22 +588,26 @@ object Similarity {
       .withColumn("cell", explode(GraftFunctions.nearestCentroids(
         col("q_n"), centroids, nAssign)))
       .select(col("neighbor_id"), col("codes"), col("nn_r"), col("cell"))
-    val qs = queries.select(col(idCol).as("query_id"),
+    val qsFlat = queries.select(col(idCol).as("query_id"),
       Dedup.quantize(col(vecCol)).as("q_q"))
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
-      .withColumn("cell", explode(
-        GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    val qs = qsFlat.withColumn("cell", explode(
+      GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+    // score-then-dedupe on scalars + broadcast re-attach of the query
+    // vector for the exact rerank (see ivfPqProbeIndex)
     val recon = codes.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("recon_cos",
         GraftFunctions.pqAdcDot(col("codes"), col("q_q"), codebooks)
           .cast(DoubleType) /
           sqrt(col("nn_r").cast(DoubleType) * col("nn_q").cast(DoubleType)))
+      .select("query_id", "neighbor_id", "recon_cos")
+      .dropDuplicates("query_id", "neighbor_id")
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("recon_cos").desc, col("neighbor_id").asc)
     val cand = recon.withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= k * rerankFactor)
+      .join(broadcast(qsFlat), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_q"), col("nn_q"))
     rerankExact(corpus, cand, k)
   }

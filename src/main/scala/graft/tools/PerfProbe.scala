@@ -73,6 +73,32 @@ object PerfProbe {
           bands = b, rowsPerBand = r).count()
       }
     }
+    if (in("fanout")) {
+    // Single-row-group parquet arrives as ONE scan partition, so all
+    // pre-shuffle map work (shingling, minhash, quantize) runs in one
+    // task. A/B each heavy op against a round-robin fan-out of its
+    // input to decide where an input-parallelism guard pays.
+    val docs0 = graft.engine.Tables.documents(spark, sfDir)
+    val docsR = docs0.repartition(32)
+    val embR = emb.repartition(32)
+    def ab(label: String)(f: DataFrame => DataFrame,
+                          base: DataFrame, fanned: DataFrame): Unit = {
+      time(s"$label/as-is", 3) { f(base).count() }
+      time(s"$label/fanout", 3) { f(fanned).count() }
+    }
+    ab("neardup_minhash")(d => Dedup.minhashPairs(d, "doc_id", "text"),
+      docs0, docsR)
+    ab("neardup_ngram")(d => Dedup.ngramJaccardPairs(d, "doc_id",
+      "text", threshold = 0.5, n = 5), docs0, docsR)
+    ab("simhash_pairs")(d => Dedup.simhashPairs(d, "doc_id", "text",
+      maxDist = 3), docs0, docsR)
+    ab("dedup_corpus")(d => Dedup.dedupCorpus(d, "doc_id", "text",
+      threshold = 0.5), docs0, docsR)
+    ab("decontaminate_bloom")(d =>
+      graft.ops.CorpusOps.decontaminateBloom(d, "doc_id", "text"),
+      docs0, docsR)
+    val _ = embR
+    }
     if (in("semdedup"))
     // semantic_dedup nCentroids dial: pair cost is Σ|cell|² (fewer,
     // larger cells → more pairs). sf0.1 measured (min of 3):
