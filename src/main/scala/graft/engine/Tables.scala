@@ -25,6 +25,14 @@ object Tables {
     * timezone is pinned to UTC everywhere (builder + oracle `SET
     * TimeZone='UTC'`), so the NTZ→TimestampType cast is instant-
     * preserving and matches DuckDB's naive TIMESTAMP reading.
+    *
+    * Predicate pushdown SURVIVES the cast: Catalyst unwraps the
+    * NTZ→Timestamp cast in binary comparisons under the UTC session,
+    * so a ts-range filter lands in the parquet scan's PushedFilters
+    * as bounds on the NTZ column (verified via `PerfProbe pushdown`:
+    * `PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,...),
+    * LessThan(ts,...)]`) — time-bounded event queries still prune row
+    * groups/partitions at scale.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // nanosAsLong must be set BEFORE planning a TIMESTAMP(NANOS) scan;

@@ -99,6 +99,20 @@ object PerfProbe {
       docs0, docsR)
     val _ = embR
     }
+    if (in("pushdown")) {
+    // does a ts-range predicate reach the parquet scan through the
+    // NTZ->TimestampType normalization cast in Tables.events?
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val bounded = ev.filter(col("ts") >= lit("2026-01-01 10:00:00")
+      .cast("timestamp") && col("ts") < lit("2026-01-01 11:00:00")
+      .cast("timestamp"))
+    val plan = bounded.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("<no scan line>")
+    println(s"PUSHDOWN events.ts: $scan")
+    println(s"PUSHDOWN has-range: ${
+      scan.contains("GreaterThanOrEqual(ts") || scan.contains("LessThan(ts")}")
+    }
     if (in("semdedup"))
     // semantic_dedup nCentroids dial: pair cost is Σ|cell|² (fewer,
     // larger cells → more pairs). sf0.1 measured (min of 3):
