@@ -44,7 +44,9 @@ object CorpusOps {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
+    // floor BEFORE the shingle kernel + bloom probes: a one-partition
+    // scan serializes the whole train-side map stage (no-op at scale)
+    val sh = Parallelism.floor(docs).select(col(idCol),
       TextOps.splitAssign(col(textCol)).as("split"),
       TextOps.wordShingles(col(textCol), k).as("s"))
     val evalGrams = sh.filter(col("split") === "test")
@@ -83,7 +85,9 @@ object CorpusOps {
                          k: Int = 3, bitsPerGram: Int = 16,
                          numHashes: Int = 6): DataFrame = {
     import graft.functions.{GraftBloom, GraftFunctions}
-    val sh = docs.select(col(idCol),
+    // floor BEFORE the shingle kernel + bloom probes: a one-partition
+    // scan serializes the whole train-side map stage (no-op at scale)
+    val sh = Parallelism.floor(docs).select(col(idCol),
       TextOps.splitAssign(col(textCol)).as("split"),
       TextOps.wordShingles(col(textCol), k).as("s"))
     val evalGrams = sh.filter(col("split") === "test")

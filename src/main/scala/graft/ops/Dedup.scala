@@ -149,7 +149,9 @@ object Dedup {
                    numPerms: Int = 128, bands: Int = 32,
                    maxBucket: Int = 4096): DataFrame =
     bandedJaccardPairs(
-      docs.select(col(idCol),
+      // floor BEFORE the shingle/minhash kernels: a one-partition scan
+      // would serialize them (Parallelism.floor is a no-op at scale)
+      Parallelism.floor(docs).select(col(idCol),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
         .filter(size(col("sh")) > 0),
       idCol, "sh", threshold, numPerms, bands, maxBucket)
@@ -194,7 +196,7 @@ object Dedup {
                         numPerms: Int = 128, bands: Int = 32,
                         maxBucket: Int = 4096): DataFrame =
     bandedJaccardPairs(
-      docs.select(col(idCol),
+      Parallelism.floor(docs).select(col(idCol),
         GraftFunctions.hashedCharGrams(col(textCol), n).as("g"))
         .filter(size(col("g")) > 0),
       idCol, "g", threshold, numPerms, bands, maxBucket)

@@ -311,6 +311,54 @@ object Similarity {
         GraftFunctions.nearestCentroids(col("q"), centroids, nAssign)))
       .select("vec_id", "cell", "q", "nn")
 
+  /** Upsert a vector delta into a persisted IVF index WITHOUT
+    * retraining: postings for incoming ids are dropped first
+    * (re-embedding a document re-assigns its cells — overwrite-by-id
+    * semantics), then fresh postings for the delta append. Centroids
+    * stay FIXED across maintenance — the production invariant: moving
+    * the coarse quantizer moves every assignment, which IS a rebuild,
+    * so retraining is a scheduled rare event while upserts run daily.
+    *
+    * Maintained-equals-rebuilt is exact (asserted in SimilarityOpsSpec
+    * and by the `ann_index_upsert` oracle, whose corpus-side cells are
+    * recomputed from scratch): with fixed centroids, assignment is a
+    * pure function of the vector, so (index \ ids) ∪ assign(delta) ==
+    * assign(finalCorpus).
+    *
+    * At 100 TB: the delta is broadcast into a left-anti join (no
+    * shuffle of the index), fresh postings are a pure map over the
+    * delta, and on a cell-partitioned parquet store the rewrite
+    * touches only the delta's cells (dynamic partition overwrite) —
+    * daily cost scales with the delta, never the corpus.
+    */
+  def ivfIndexUpsert(index: DataFrame, adds: DataFrame, idCol: String,
+                     vecCol: String, centroids: Array[Array[Long]],
+                     nAssign: Int = 2): DataFrame =
+    index.join(broadcast(adds.select(col(idCol).as("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+      .unionByName(ivfIndex(adds, idCol, vecCol, centroids, nAssign))
+
+  /** Tombstone ids out of a persisted IVF index (the delete half of
+    * maintenance): a broadcast left-anti join on the posting key —
+    * never a rewrite of untouched cells.
+    */
+  def ivfIndexDelete(index: DataFrame, ids: DataFrame,
+                     idCol: String): DataFrame =
+    index.join(broadcast(ids.select(col(idCol).as("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+
+  /** Per-cell posting census of a persisted IVF index — the serving
+    * health metric: probe tail latency follows the largest probed
+    * cell, so skew here (dead centroids, hot cells after months of
+    * upserts under fixed centroids) is the signal that schedules the
+    * rare retrain+rebuild. One map-side-combinable aggregation.
+    */
+  def ivfCellStats(index: DataFrame): DataFrame =
+    index.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_postings"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+
   /** Probe a persisted IVF index with a (small, broadcast) query
     * batch: each query fans out to its nProbe nearest cells, the
     * index side streams once through a cell-keyed hash join, pairs

@@ -248,6 +248,64 @@ object LlmQueries {
         .select(col("window.start").as("w_start"), col("query_id"),
           col("neighbor_id"), col("rnk"), col("cosine"))
     }),
+    // N3 — IVF INDEX MAINTENANCE: the day-2 operation of a persisted
+    // vector store — delete tombstoned ids, upsert the day's delta,
+    // centroids FIXED (retraining is a scheduled rebuild, not
+    // maintenance). The probe runs over the maintained index, and the
+    // oracle's corpus-side cell assignments are recomputed FROM
+    // SCRATCH over the final corpus — so a green hash proves the
+    // maintained index is row-equivalent to a full rebuild, the
+    // invariant that makes daily delta-cost (broadcast anti-join +
+    // delta map) safe to run for months.
+    "ann_index_upsert" -> ((s, d) => {
+      val e = emb(s, d)
+      val isBatch = col("vec_id") % 5 === 0
+      val corpus0 = e.filter(!isBatch && col("vec_id") % 7 =!= 0)
+      val adds = e.filter(!isBatch && col("vec_id") % 7 === 0)
+      val dels = e.filter(col("vec_id") % 11 === 0)
+      val batch = e.filter(isBatch)
+      val cts = Similarity.trainCentroids(corpus0, "vec_id", "embedding", 32)
+      val maintained = Similarity.ivfIndexUpsert(
+        Similarity.ivfIndexDelete(
+          Similarity.ivfIndex(corpus0, "vec_id", "embedding", cts,
+            nAssign = 2),
+          dels, "vec_id"),
+        adds, "vec_id", "embedding", cts, nAssign = 2)
+      // final corpus after delete-then-upsert: (corpus0 minus dels)
+      // plus ALL adds (an added id tombstoned earlier is re-added)
+      val finalCorpus = e.filter(!isBatch &&
+        ((col("vec_id") % 7 =!= 0 && col("vec_id") % 11 =!= 0) ||
+          col("vec_id") % 7 === 0))
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.ivfCells(finalCorpus, "vec_id", "embedding", cts, n = 2)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annUpsertCellsDir)
+      Similarity.ivfProbeIndex(cts, maintained, batch, "vec_id",
+        "embedding", k = 5, nProbe = 8)
+    }),
+    // N3 — per-cell posting census of the persisted index: the skew
+    // signal (probe tail latency follows the largest probed cell)
+    // that schedules the rare retrain. Oracle recomputes assignments
+    // from scratch and aggregates in SQL.
+    "ann_cell_stats" -> ((s, d) => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val cts = Similarity.trainCentroids(corpus, "vec_id", "embedding", 32)
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.ivfCells(corpus, "vec_id", "embedding", cts, n = 2)
+          .withColumn("side", lit("c"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annCellStatsDir)
+      Similarity.ivfCellStats(
+          Similarity.ivfIndex(corpus, "vec_id", "embedding", cts,
+            nAssign = 2))
+        .select(col("cell").cast(LongType).as("cell"),
+          col("n_postings"), col("min_vec_id"), col("max_vec_id"))
+    }),
     // N3 — INCREMENTAL ANN over the COMPRESSED index: ann_incremental
     // persists raw-quantized postings; a 100 TB vector store persists
     // IVF cells + PQ codes (ivfPqIndex, ~24 B/posting) as the serving
@@ -895,6 +953,10 @@ object LlmQueries {
     sidecar("graft.ann.cells.dir", "/tmp/graft_ann_cells")
   private def annProbeCellsDir: String =
     sidecar("graft.ann.probe.cells.dir", "/tmp/graft_ann_probe_cells")
+  private def annUpsertCellsDir: String =
+    sidecar("graft.ann.upsert.cells.dir", "/tmp/graft_ann_upsert_cells")
+  private def annCellStatsDir: String =
+    sidecar("graft.ann.cellstats.cells.dir", "/tmp/graft_ann_cellstats")
   private def annStreamCellsDir: String =
     sidecar("graft.ann.stream.cells.dir", "/tmp/graft_ann_stream_cells")
 
@@ -1543,6 +1605,31 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_index_upsert" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$annUpsertCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_cell_stats" ->
+      s"""SELECT CAST(cell AS BIGINT) AS cell,
+         |  count(*) AS n_postings,
+         |  min(vec_id) AS min_vec_id,
+         |  max(vec_id) AS max_vec_id
+         |FROM '$annCellStatsDir/*.parquet' WHERE side = 'c'
+         |GROUP BY 1""".stripMargin,
     "ann_stream_probe" ->
       s"""WITH $quantCte,
          |cells AS (SELECT * FROM '$annStreamCellsDir/*.parquet'),
