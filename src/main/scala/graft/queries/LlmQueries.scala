@@ -306,6 +306,46 @@ object LlmQueries {
         .select(col("cell").cast(LongType).as("cell"),
           col("n_postings"), col("min_vec_id"), col("max_vec_id"))
     }),
+    // N3 — the PERSISTED posting-store form of index maintenance:
+    // the same delete/upsert day as ann_index_upsert, but applied as
+    // an append-only changelog on disk (AnnIndexStore: seq'd posting
+    // generations + tombstones, latest-wins read, no rewrite of
+    // untouched files) and probed from the read-back store. The
+    // oracle recomputes the final corpus' cells from scratch, so a
+    // green hash proves changelog-resolution == rebuild through the
+    // persisted bytes.
+    "ann_index_store" -> ((s, d) => {
+      val e = emb(s, d)
+      val isBatch = col("vec_id") % 5 === 0
+      val corpus0 = e.filter(!isBatch && col("vec_id") % 7 =!= 0)
+      val adds = e.filter(!isBatch && col("vec_id") % 7 === 0)
+      val dels = e.filter(col("vec_id") % 11 === 0)
+      val batch = e.filter(isBatch)
+      val cts = Similarity.trainCentroids(corpus0, "vec_id", "embedding", 32)
+      val store = annStoreDir
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(store), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      graft.sources.AnnIndexStore.append(corpus0, "vec_id", "embedding",
+        cts, store, 0L)
+      graft.sources.AnnIndexStore.tombstone(dels, "vec_id", store, 1L)
+      graft.sources.AnnIndexStore.append(adds, "vec_id", "embedding",
+        cts, store, 2L)
+      val maintained = graft.sources.AnnIndexStore.read(s, store)
+      val finalCorpus = e.filter(!isBatch &&
+        ((col("vec_id") % 7 =!= 0 && col("vec_id") % 11 =!= 0) ||
+          col("vec_id") % 7 === 0))
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.ivfCells(finalCorpus, "vec_id", "embedding", cts, n = 2)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(annStoreCellsDir)
+      Similarity.ivfProbeIndex(cts, maintained, batch, "vec_id",
+        "embedding", k = 5, nProbe = 8)
+    }),
     // N3 — INCREMENTAL ANN over the COMPRESSED index: ann_incremental
     // persists raw-quantized postings; a 100 TB vector store persists
     // IVF cells + PQ codes (ivfPqIndex, ~24 B/posting) as the serving
@@ -955,6 +995,10 @@ object LlmQueries {
     sidecar("graft.ann.probe.cells.dir", "/tmp/graft_ann_probe_cells")
   private def annUpsertCellsDir: String =
     sidecar("graft.ann.upsert.cells.dir", "/tmp/graft_ann_upsert_cells")
+  private def annStoreDir: String =
+    sidecar("graft.ann.store.dir", "/tmp/graft_ann_store")
+  private def annStoreCellsDir: String =
+    sidecar("graft.ann.store.cells.dir", "/tmp/graft_ann_store_cells")
   private def annCellStatsDir: String =
     sidecar("graft.ann.cellstats.cells.dir", "/tmp/graft_ann_cellstats")
   private def annStreamCellsDir: String =
@@ -1608,6 +1652,24 @@ object LlmQueries {
     "ann_index_upsert" ->
       s"""WITH $quantCte,
          |cells AS (SELECT * FROM '$annUpsertCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_index_store" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$annStoreCellsDir/*.parquet'),
          |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
          |    cc.vec_id AS neighbor_id
          |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc

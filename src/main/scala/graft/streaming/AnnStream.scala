@@ -32,6 +32,45 @@ import graft.ops.Dedup
   */
 object AnnStream {
 
+  /** STREAMING INDEX MAINTENANCE: vector deltas (`opCol` ∈
+    * {"add", "del"}) arrive on a stream and fold into the persisted
+    * [[graft.sources.AnnIndexStore]] changelog per micro-batch —
+    * appends assign cells under the FIXED centroids and write only
+    * their own `seq=<batchId>` files; deletes append tombstones.
+    * Within one micro-batch a delete of an id wins over its add
+    * (tombstones kill appends at the same seq); a later batch's
+    * re-add resurrects.
+    *
+    * Exactly-once under replay: both writers overwrite their own
+    * batchId-keyed subdirectory, so a recovered epoch rewrites the
+    * same files (the OcfWrite epoch-commit pattern). After any prefix
+    * of batches, `AnnIndexStore.read` equals a batch rebuild over the
+    * corpus that prefix implies — asserted, with checkpoint restart,
+    * in AnnIndexStoreSpec.
+    *
+    * Returns the started query; callers own checkpoint placement via
+    * `checkpointLocation`.
+    */
+  def indexMaintainStream(deltas: DataFrame, dir: String,
+                          centroids: Array[Array[Long]], idCol: String,
+                          vecCol: String, opCol: String,
+                          checkpointLocation: String,
+                          nAssign: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deltas.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val adds = batch.filter(col(opCol) === "add")
+        val dels = batch.filter(col(opCol) === "del")
+        if (!adds.isEmpty)
+          graft.sources.AnnIndexStore.append(adds, idCol, vecCol,
+            centroids, dir, batchId, nAssign)
+        if (!dels.isEmpty)
+          graft.sources.AnnIndexStore.tombstone(dels, idCol, dir, batchId)
+        ()
+      }
+      .start()
+
   /** @param centroids trained cell centroids (quantized rows from
     *                  `Similarity.trainCentroids` — the same array the
     *                  index was built with)
