@@ -43,6 +43,9 @@ object GraftFunctions {
   def polyHash(s: Column, m: Long): Column =
     c(PolyHash31(e(s), m))
 
+  /** Luhn (mod-10) checksum validity of an all-digit string. */
+  def luhnValid(digits: Column): Column = c(LuhnValid(e(digits)))
+
   /** The nProbe nearest IVF centroid indices for a quantized vector. */
   def nearestCentroids(qvec: Column, centroids: Array[Array[Long]],
                        nProbe: Int): Column =
@@ -189,6 +192,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PolyHash31].getName, "graft_poly_hash"),
       (args: Seq[Expression]) => PolyHash31(args(0),
         args(1).eval(null).asInstanceOf[Number].longValue())),
+    (FunctionIdentifier("graft_luhn_valid"),
+      new ExpressionInfo(classOf[LuhnValid].getName, "graft_luhn_valid"),
+      (args: Seq[Expression]) => LuhnValid(args(0))),
     (FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName,
         "graft_repetition_stats"),

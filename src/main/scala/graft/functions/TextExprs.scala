@@ -224,6 +224,57 @@ case class HashedWordShingles(child: Expression, k: Int)
       : HashedWordShingles = copy(child = newChild)
 }
 
+/** Luhn (mod-10) checksum validation of an all-digit string — the
+  * N10 PII detector upgrade from "looks like a card number" to "IS a
+  * syntactically valid card number" (ISO/IEC 7812): walking from the
+  * rightmost digit, every second digit doubles (minus 9 on overflow)
+  * and the running sum must be ≡ 0 (mod 10). Returns false for empty
+  * strings, any non-digit character, or lengths outside [13, 19]
+  * (the PAN length envelope) — so a digit-run extractor can feed
+  * candidates straight in. One codegen loop per row; the DuckDB
+  * oracle recomputes the same fold with list arithmetic.
+  */
+case class LuhnValid(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_luhn_valid"
+
+  def compute(u: UTF8String): Boolean = {
+    val s = u.toString
+    if (s.length < 13 || s.length > 19) return false
+    var sum = 0
+    var alt = false
+    var i = s.length - 1
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("luhn", this, classOf[LuhnValid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LuhnValid = copy(child = newChild)
+}
+
 /** The oracle-visible rolling polynomial hash:
   * fold(chars)(acc·31 + codepoint) mod `m` — bit-identical to the
   * DuckDB `list_reduce(..., (acc, c) -> (acc*31+c) % m)` oracle form

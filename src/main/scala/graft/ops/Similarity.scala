@@ -910,4 +910,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         col("cosine"))
   }
+
+  /** Margin-based bitext/pair mining (the CCMatrix/LASER recipe,
+    * Artetxe & Schwenk margin scoring): mine the best cross-group
+    * match per anchor, scored not by raw cosine but by the RATIO of
+    * the pair's cosine to the mean of both endpoints' k-NN
+    * neighborhoods — raw cosine over-selects "hub" vectors that are
+    * close to everything; the margin normalizes each side by how
+    * promiscuous it is. margin(x,y) = 2·cos(x,y) / (penₖ(x) + penₖ(y))
+    * with penₖ(v) = mean of v's top-k cross-group cosines.
+    *
+    * Determinism discipline: cosines are exact-integer-derived
+    * (milli-quantized dots), and each penalty mean folds its top-k
+    * scores in rank order via `aggregate(sort_array(...))` — a fixed
+    * IEEE summation order, so margins are bit-identical across
+    * partitionings and engines (the DuckDB oracle folds the same
+    * ordered list with `list_reduce`).
+    *
+    * Scale shape: one broadcast of the smaller group, the larger
+    * streams once; both penalty tables are per-id aggregates
+    * (broadcast-sized relative to the pair stream) joined back before
+    * the bounded per-anchor top-1. At corpus scale the all-pairs
+    * stage is replaced by any N3 candidate generator (IVF/LSH) in
+    * front — the margin math is unchanged.
+    */
+  def marginMine(emb: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, labelA: Int, labelB: Int,
+                 k: Int = 4): DataFrame = {
+    val x = emb.filter(col(labelCol) === labelA)
+      .select(col(idCol).as("x_id"), Dedup.quantize(col(vecCol)).as("q_x"))
+      .withColumn("nn_x", Dedup.qdot(col("q_x"), col("q_x")))
+      .withColumn("__jk", pmod(xxhash64(col("x_id")), lit(1L)))
+    val y = emb.filter(col(labelCol) === labelB)
+      .select(col(idCol).as("y_id"), Dedup.quantize(col(vecCol)).as("q_y"))
+      .withColumn("nn_y", Dedup.qdot(col("q_y"), col("q_y")))
+      .withColumn("__jk", pmod(xxhash64(col("y_id")), lit(1L)))
+    val pairs = x.join(broadcast(y), Seq("__jk")).drop("__jk")
+      .withColumn("cosine",
+        Dedup.qdot(col("q_x"), col("q_y")).cast(DoubleType) /
+          sqrt(col("nn_x").cast(DoubleType) * col("nn_y").cast(DoubleType)))
+      .select("x_id", "y_id", "cosine")
+
+    def penalty(keyCol: String, otherCol: String, out: String) = {
+      val ranked = graft.plans.GroupedTopK(pairs, Seq(keyCol),
+        Seq("cosine" -> false, otherCol -> true), k, "rnk")
+      ranked.groupBy(keyCol).agg(
+        (aggregate(
+          sort_array(collect_list(struct(col("rnk"), col("cosine")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("cosine")) / k).as(out))
+    }
+    val px = penalty("x_id", "y_id", "pen_x")
+    val py = penalty("y_id", "x_id", "pen_y")
+
+    val scored = pairs
+      .join(broadcast(px), Seq("x_id"))
+      .join(broadcast(py), Seq("y_id"))
+      .withColumn("margin",
+        col("cosine") * lit(2.0) / (col("pen_x") + col("pen_y")))
+    graft.plans.GroupedTopK(scored, Seq("x_id"),
+      Seq("margin" -> false, "y_id" -> true), 1, "mrk")
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
+  }
 }

@@ -316,6 +316,35 @@ object TextOps {
         .cast(LongType).as("n_nums"))
   }
 
+  /** N10 — validated payment-card detection: the PII upgrade from
+    * "13–19 digits in a row" to "a syntactically valid PAN". Card-like
+    * candidates (digit runs with optional single space/dash
+    * separators) are extracted per document, normalized, and checked
+    * with the Luhn mod-10 expression ([[graft.functions.LuhnValid]],
+    * one codegen loop per candidate) — a naive digit-run mask
+    * over-redacts order ids and timestamps; the checksum keeps the
+    * false-positive rate where a real scrubbing pipeline needs it.
+    * Output: one row per candidate with the normalized digits, the
+    * validity verdict, and the keep-last-4 mask. Pure map over the
+    * corpus — no shuffle, no state; at 100 TB this runs in the same
+    * codegen stage as the other stateless corpus filters.
+    */
+  def piiCards(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val pattern = "[0-9](?:[ -]?[0-9]){12,18}"
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+          .as("cand"))
+      .withColumn("card_digits", regexp_replace(col("cand"), "[ -]", ""))
+      .filter(length(col("card_digits")).between(13, 19))
+      .select(col(idCol), col("card_digits"),
+        graft.functions.GraftFunctions.luhnValid(col("card_digits"))
+          .as("luhn_valid"),
+        expr("concat(repeat('*', length(card_digits) - 4), " +
+          "substring(card_digits, length(card_digits) - 3, 4))")
+          .as("masked"))
+  }
+
   /** N4 — corpus heavy hitters, sketch-then-verify: tokens with
     * frequency > N/theta (stop-word discovery, boilerplate tokens,
     * vocabulary pruning). Pass 1 runs the Misra–Gries aggregate

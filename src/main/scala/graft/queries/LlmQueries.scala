@@ -143,6 +143,14 @@ object LlmQueries {
       Similarity.bruteForceTopKExec(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5)
     }),
+    // N3 — margin-based bitext/pair mining (CCMatrix/LASER scoring):
+    // best cross-label match per anchor, ranked by cosine normalized
+    // against both endpoints' k-NN neighborhood means — exact-integer
+    // cosines + rank-ordered IEEE folds keep every margin bit-identical
+    // to the DuckDB refold
+    "margin_mine" -> ((s, d) =>
+      Similarity.marginMine(emb(s, d), "vec_id", "embedding", "label",
+        labelA = 0, labelB = 1, k = 4)),
     // N3 scale path — IVF top-k. The coarse quantizer is driver-trained
     // k-means (deterministic, but not SQL-recomputable), so the oracle
     // reads the MATERIALIZED cell assignments (written here to
@@ -699,6 +707,24 @@ object LlmQueries {
     // (fastText inference shape), pure int64 map, kept = score > 0
     "quality_classify" -> ((s, d) =>
       TextOps.classifyScore(docs(s, d), "doc_id", "text")),
+    // N10 — Luhn-validated card detection: candidates come from a
+    // deterministic per-doc synthetic PAN (the fixture corpus carries
+    // no digits) embedded with dash separators plus a short decoy run;
+    // the op extracts, normalizes, checksum-validates (LuhnValid
+    // codegen kernel) and masks. The oracle re-derives the same PAN
+    // with integer arithmetic and refolds the Luhn sum in SQL.
+    "pii_cards" -> ((s, d) => {
+      val pan = concat(
+        lpad(((col("doc_id") * lit(2654435761L)) % lit(999999999999999L))
+          .cast("string"), 15, "0"),
+        (col("doc_id") % 10).cast("string"))
+      val synth = docs(s, d).select(col("doc_id"),
+        concat(lit("card "),
+          substring(pan, 1, 4), lit("-"), substring(pan, 5, 4),
+          lit("-"), substring(pan, 9, 4), lit("-"), substring(pan, 13, 4),
+          lit(" ref 123")).as("txt"))
+      TextOps.piiCards(synth, "doc_id", "txt")
+    }),
     // N4 — lang-ID confusion counts against the fixture's labeled lang
     "langid_confusion" -> ((s, d) =>
       docs(s, d).select(col("lang"),
@@ -1329,6 +1355,34 @@ object LlmQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "margin_mine" ->
+      s"""WITH $quantCte,
+         |xs AS (SELECT n.vec_id AS x_id, n.qv, n.nn FROM n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 0),
+         |ys AS (SELECT n.vec_id AS y_id, n.qv, n.nn FROM n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 1),
+         |pairs AS (SELECT a.x_id, b.y_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM xs a CROSS JOIN ys b),
+         |rx AS (SELECT x_id, cosine, row_number() OVER (PARTITION BY x_id
+         |  ORDER BY cosine DESC, y_id) AS rnk FROM pairs),
+         |px AS (SELECT x_id, list_reduce(
+         |    list(CAST(cosine AS DOUBLE) ORDER BY rnk),
+         |    (acc, v) -> acc + v) / 4 AS pen_x
+         |  FROM rx WHERE rnk <= 4 GROUP BY x_id),
+         |ry AS (SELECT y_id, cosine, row_number() OVER (PARTITION BY y_id
+         |  ORDER BY cosine DESC, x_id) AS rnk FROM pairs),
+         |py AS (SELECT y_id, list_reduce(
+         |    list(CAST(cosine AS DOUBLE) ORDER BY rnk),
+         |    (acc, v) -> acc + v) / 4 AS pen_y
+         |  FROM ry WHERE rnk <= 4 GROUP BY y_id),
+         |m AS (SELECT p.x_id, p.y_id, p.cosine,
+         |  p.cosine * 2.0 / (px.pen_x + py.pen_y) AS margin
+         |  FROM pairs p JOIN px USING (x_id) JOIN py USING (y_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY x_id
+         |  ORDER BY margin DESC, y_id) AS mrk FROM m)
+         |SELECT x_id, y_id, cosine, margin FROM r WHERE mrk = 1""".stripMargin,
     "ivf_topk" ->
       s"""WITH $quantCte,
          |cells AS (SELECT * FROM '$ivfCellsDir/*.parquet'),
@@ -1878,6 +1932,33 @@ object LlmQueries {
          |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
          |  (acc, c) -> (acc*31+c) % ${TextOps.FpMod}) AS fingerprint
          |FROM documents""".stripMargin,
+    "pii_cards" ->
+      """WITH c AS (SELECT doc_id,
+        |  lpad(CAST((doc_id * 2654435761) % 999999999999999 AS VARCHAR),
+        |       15, '0') || CAST(doc_id % 10 AS VARCHAR) AS pan
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |  'card ' || substr(pan, 1, 4) || '-' || substr(pan, 5, 4) || '-'
+        |    || substr(pan, 9, 4) || '-' || substr(pan, 13, 4)
+        |    || ' ref 123' AS txt FROM c),
+        |e AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(txt, '[0-9](?:[ -]?[0-9]){12,18}'))
+        |    AS cand FROM t),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(cand, '[ -]', '', 'g') AS card_digits FROM e),
+        |f AS (SELECT doc_id, card_digits FROM n
+        |  WHERE len(card_digits) BETWEEN 13 AND 19)
+        |SELECT doc_id, card_digits,
+        |  list_sum(list_transform(range(1, len(card_digits) + 1),
+        |    i -> CASE WHEN (len(card_digits) - i) % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(substr(card_digits, i, 1) AS INT) > 9
+        |           THEN 2 * CAST(substr(card_digits, i, 1) AS INT) - 9
+        |           ELSE 2 * CAST(substr(card_digits, i, 1) AS INT) END
+        |      ELSE CAST(substr(card_digits, i, 1) AS INT) END)) % 10 = 0
+        |    AS luhn_valid,
+        |  repeat('*', len(card_digits) - 4)
+        |    || substr(card_digits, len(card_digits) - 3, 4) AS masked
+        |FROM f""".stripMargin,
     "quality_classify" -> {
       // the weight table interpolated as a DuckDB list literal; token
       // hash = the fingerprint polyHash recipe, index = 1-based

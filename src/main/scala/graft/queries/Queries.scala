@@ -112,6 +112,22 @@ object Queries {
       kafka(s, d).write.format("graft-ocf").mode("overwrite").save(dir)
       KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
     }),
+    // S1 + manifest key Bloom: the compacted-topic point lookup —
+    // a `WHERE key IN (…)` scan over a store written with
+    // `keyBloomBits` opens only the containers whose Bloom filter
+    // admits a probed key (clustered write => one container per Kafka
+    // partition holds each key); every other container is pruned off
+    // the manifest without an open. At 100 TB this is the difference
+    // between a metadata lookup and a full store scan.
+    "ocf_key_lookup" -> ((s, d) => {
+      val dir = graft.tools.TempDirs.create("graft_ocf_keylookup")
+      kafka(s, d).write.format("graft-ocf")
+        .option("keyBloomBits", "131072").option("targetFiles", "8")
+        .mode("overwrite").save(dir)
+      val back = s.read.format("graft-ocf").load(dir)
+      KafkaShape.decodeUtf8(back.filter(col("key").isin(
+        "7".getBytes("UTF-8"), "42".getBytes("UTF-8"))))
+    }),
     // M1: shard-union-aggregate equivalence
     "union_shards" -> ((s, d) => StreamOps.unionShards(kafka(s, d), 4)),
     // M2: group-by-leader batching
@@ -270,6 +286,11 @@ object Queries {
         |       'events' AS topic, user_id % 8 AS kpartition,
         |       event_id AS koffset, ts
         |FROM events""".stripMargin,
+    "ocf_key_lookup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events WHERE user_id IN (7, 42)""".stripMargin,
     "union_shards" ->
       """SELECT 'events' AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions

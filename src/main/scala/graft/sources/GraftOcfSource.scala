@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -686,21 +686,130 @@ case class OcfKeyedRange(file: String, start: Long, end: Long, pk: Int)
 
 /** Per-container statistics, written into the commit manifest and used
   * to (a) serve head counts without opening containers and (b) prune
-  * files against pushed partition/offset/timestamp predicates.
+  * files against pushed partition/offset/timestamp predicates — and,
+  * when the writer opted in (`keyBloomBits`), key-equality predicates
+  * via a per-container Bloom filter over record keys.
   * Timestamps are epoch microseconds (the on-disk representation).
   */
 case class OcfFileStats(file: String, count: Long,
                         minOffset: Long, maxOffset: Long,
                         minTsUs: Long, maxTsUs: Long,
                         partitions: Seq[Int],
-                        tsIdx: Seq[OcfTsIdxEntry] = Seq.empty) {
+                        tsIdx: Seq[OcfTsIdxEntry] = Seq.empty,
+                        keyBloom: Option[OcfKeyBloom] = None) {
   def toJson: String =
     s"""{"file":"$file","count":$count,"minOffset":$minOffset,""" +
       s""""maxOffset":$maxOffset,"minTsUs":$minTsUs,"maxTsUs":$maxTsUs,""" +
       s""""partitions":[${partitions.mkString(",")}]""" +
-      (if (tsIdx.isEmpty) "}"
+      (if (tsIdx.isEmpty) ""
        else s""","tsIdx":[${tsIdx.map(e =>
-         s"[${e.endCount},${e.maxTsUs},${e.nextPos}]").mkString(",")}]}""")
+         s"[${e.endCount},${e.maxTsUs},${e.nextPos}]").mkString(",")}]""") +
+      keyBloom.map(kb => s""","keyBloom":${kb.toJson}""").getOrElse("") +
+      "}"
+}
+
+/** Per-container Bloom filter over record KEYS plus the null-key
+  * census — the manifest side of point-lookup container skipping (the
+  * compacted-topic access pattern: `WHERE key = X` over a 100 TB store
+  * must open only the containers whose filter admits the key).
+  *
+  * The filter is conservative by construction (no false negatives for
+  * added keys), the scan contract stays advisory (Spark re-evaluates
+  * the predicate per row), and stats without the field — every
+  * pre-r10 manifest — simply never prune on key. Hashing is
+  * Kirsch–Mitzenmacher double hashing off one stable 64-bit FNV-1a
+  * avalanched with Murmur3's fmix64, so write-side and scan-side
+  * membership agree across JVMs and Spark upgrades.
+  */
+case class OcfKeyBloom(bits: Int, hashes: Int, nulls: Long,
+                       words: Array[Long]) {
+  require(Integer.bitCount(bits) == 1, s"bloom bits must be 2^n: $bits")
+
+  def mightContain(key: Array[Byte]): Boolean = {
+    val h1 = OcfKeyBloom.hash64(key)
+    val h2 = (h1 >>> 32) | 1L // odd => full period mod 2^n
+    var i = 0
+    while (i < hashes) {
+      val bit = ((h1 + i * h2) & (bits - 1)).toInt
+      if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def toJson: String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+    s"""{"bits":$bits,"hashes":$hashes,"nulls":$nulls,"b64":"$b64"}"""
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case b: OcfKeyBloom => bits == b.bits && hashes == b.hashes &&
+      nulls == b.nulls && java.util.Arrays.equals(words, b.words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (bits, hashes, nulls, java.util.Arrays.hashCode(words)).hashCode()
+}
+
+object OcfKeyBloom {
+  /** Stable 64-bit key hash: FNV-1a over the bytes, then Murmur3
+    * fmix64 to avalanche (FNV alone clusters on short/sequential
+    * keys, which would correlate the double-hash probes).
+    */
+  def hash64(key: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < key.length) {
+      h ^= (key(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** Mutable accumulator used by the writer task: fixed bit budget,
+    * k=5 probes (≈1% FPP at 10 bits/key, degrading gracefully —
+    * never incorrectly — when a container holds more keys).
+    */
+  final class Builder(requestedBits: Int) {
+    val bits: Int =
+      Integer.highestOneBit(math.max(64, requestedBits) * 2 - 1)
+    val hashes = 5
+    private val words = new Array[Long](bits >>> 6)
+    private var nulls = 0L
+
+    def addNull(): Unit = nulls += 1
+    def add(key: Array[Byte]): Unit = {
+      val h1 = hash64(key)
+      val h2 = (h1 >>> 32) | 1L
+      var i = 0
+      while (i < hashes) {
+        val bit = ((h1 + i * h2) & (bits - 1)).toInt
+        words(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    def result(): OcfKeyBloom = OcfKeyBloom(bits, hashes, nulls, words)
+  }
+
+  def fromJson(n: com.fasterxml.jackson.databind.JsonNode)
+      : Option[OcfKeyBloom] =
+    try {
+      val raw = java.util.Base64.getDecoder.decode(n.get("b64").asText())
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      val words = new Array[Long](raw.length / 8)
+      var i = 0
+      while (i < words.length) { words(i) = bb.getLong; i += 1 }
+      val bits = n.get("bits").asInt()
+      if (Integer.bitCount(bits) == 1 && words.length == (bits >>> 6))
+        Some(OcfKeyBloom(bits, n.get("hashes").asInt(),
+          n.get("nulls").asLong(), words))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** One block-index segment of a container: records
@@ -736,7 +845,10 @@ object OcfFileStats {
                 OcfTsIdxEntry(e.get(0).asLong(), e.get(1).asLong(),
                   e.get(2).asLong())
             }.toSeq
-          else Seq.empty))
+          else Seq.empty,
+          // optional (pre-r10 manifests lack it): key Bloom filter
+          if (n.has("keyBloom")) OcfKeyBloom.fromJson(n.get("keyBloom"))
+          else None))
       else None // unknown manifest line: ignore (forward-compat)
     } catch { case scala.util.control.NonFatal(_) => None }
 }
@@ -751,10 +863,18 @@ object OcfFilters {
   private val statCols = Set("partition", "offset", "timestamp")
 
   def supported(f: Filter): Boolean = f match {
+    // key predicates decide against the manifest's key Bloom filter /
+    // null census (containers written without one never prune)
+    case EqualTo("key", v)  => v != null && v.isInstanceOf[Array[Byte]]
+    case In("key", vs) =>
+      vs != null && vs.nonEmpty &&
+        vs.forall(v => v != null && v.isInstanceOf[Array[Byte]])
+    case IsNull("key")      => true
+    case IsNotNull("key")   => true
     case EqualTo(c, v)            => statCols(c) && v != null
     case GreaterThan(c, v)        => statCols(c) && v != null
-    case GreaterThanOrEqual(c, v) => statCols(c) && v != null
     case LessThan(c, v)           => statCols(c) && v != null
+    case GreaterThanOrEqual(c, v) => statCols(c) && v != null
     case LessThanOrEqual(c, v)    => statCols(c) && v != null
     case In(c, vs) =>
       statCols(c) && vs != null && vs.nonEmpty && vs.forall(_ != null)
@@ -794,6 +914,18 @@ object OcfFilters {
       filters.forall(f => mayMatchOne(st, f))
 
   private def mayMatchOne(st: OcfFileStats, f: Filter): Boolean = f match {
+    // key predicates: Bloom membership + null census. Stats without a
+    // keyBloom (writer never opted in, or a pre-r10 manifest) keep the
+    // file — `forall` on the Option is the conservative default.
+    case EqualTo("key", v: Array[Byte]) =>
+      st.keyBloom.forall(_.mightContain(v))
+    case In("key", vs) =>
+      st.keyBloom.forall(kb => vs.exists {
+        case b: Array[Byte] => kb.mightContain(b)
+        case _ => true
+      })
+    case IsNull("key") => st.keyBloom.forall(_.nulls > 0L)
+    case IsNotNull("key") => st.keyBloom.forall(_.nulls < st.count)
     // partition has an exact (small) value set — use it for equality
     case EqualTo("partition", v) =>
       lit("partition", v).forall(x => st.partitions.contains(x.toInt))

@@ -49,6 +49,13 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
   private val expectedContainers: Option[Set[String]] =
     Option(info.options.get("expectedContainers"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  // keyBloomBits=N (optional, 0=off): each container's manifest entry
+  // carries an N-bit Bloom filter over record keys (+ null-key
+  // census), so key-equality scans skip containers without opening
+  // them — the compacted-topic point-lookup path. Rounded up to a
+  // power of two; ~10 bits per expected distinct key ≈ 1% FPP.
+  private val keyBloomBits =
+    Option(info.options.get("keyBloomBits")).map(_.toInt).getOrElse(0)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
@@ -74,7 +81,7 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new OcfBatchWrite(dir, doTruncate, info.queryId(),
         new SerializableConfiguration(OcfStore.driverConf()),
-        expectedContainers)
+        expectedContainers, keyBloomBits)
 
     /** S8/S9 — the streaming ingestion sink the reference IS: a
       * Structured Streaming epoch writes one generation of containers
@@ -100,7 +107,7 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
       if (doTruncate) throw new UnsupportedOperationException(
         "graft-ocf streaming sink supports Append output mode only")
       new OcfStreamingWrite(dir, info.queryId(),
-        new SerializableConfiguration(OcfStore.driverConf()))
+        new SerializableConfiguration(OcfStore.driverConf()), keyBloomBits)
     }
   }
 }
@@ -111,10 +118,12 @@ case class OcfCommit(temp: String, dest: String,
 
 class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
                     conf: SerializableConfiguration,
-                    expectedContainers: Option[Set[String]] = None)
+                    expectedContainers: Option[Set[String]] = None,
+                    keyBloomBits: Int = 0)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = OcfWriterFactory(dir, queryId, conf)
+      : DataWriterFactory =
+    OcfWriterFactory(dir, queryId, conf, keyBloomBits)
 
   // Hadoop FileSystem signals most failures by RETURNING FALSE, not
   // throwing — an unchecked rename would report job success while a
@@ -227,12 +236,13 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
   * not collide with the old writer's epoch 0.
   */
 class OcfStreamingWrite(dir: String, queryId: String,
-                        conf: SerializableConfiguration)
+                        conf: SerializableConfiguration,
+                        keyBloomBits: Int = 0)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = OcfStreamingWriterFactory(dir,
-    queryId, conf)
+    queryId, conf, keyBloomBits)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -317,26 +327,30 @@ class OcfStreamingWrite(dir: String, queryId: String,
 }
 
 case class OcfStreamingWriterFactory(dir: String, queryId: String,
-                                     conf: SerializableConfiguration)
+                                     conf: SerializableConfiguration,
+                                     keyBloomBits: Int = 0)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new OcfDataWriter(
       s"$dir/.part-$queryId-$partitionId-$taskId-e$epochId.ocf.tmp",
-      f"$dir/part-$queryId-$partitionId%05d-e$epochId.ocf", conf)
+      f"$dir/part-$queryId-$partitionId%05d-e$epochId.ocf", conf,
+      keyBloomBits)
 }
 
 case class OcfWriterFactory(dir: String, queryId: String,
-                            conf: SerializableConfiguration)
+                            conf: SerializableConfiguration,
+                            keyBloomBits: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new OcfDataWriter(
     s"$dir/.part-$queryId-$partitionId-$taskId.ocf.tmp",
-    f"$dir/part-$queryId-$partitionId%05d.ocf", conf)
+    f"$dir/part-$queryId-$partitionId%05d.ocf", conf, keyBloomBits)
 }
 
 class OcfDataWriter(temp: String, dest: String,
-                    conf: SerializableConfiguration)
+                    conf: SerializableConfiguration,
+                    keyBloomBits: Int = 0)
     extends DataWriter[InternalRow] {
     private var writer: DataFileWriter[GenericRecord] = _
     // running file stats for the commit-time manifest (count +
@@ -355,6 +369,9 @@ class OcfDataWriter(temp: String, dest: String,
     private var segMaxTs = Long.MinValue
     private var lastSegEnd = 0L
     private val tsIdx = scala.collection.mutable.ArrayBuffer[OcfTsIdxEntry]()
+    // optional key Bloom filter for point-lookup container skipping
+    private val keyBloom: OcfKeyBloom.Builder =
+      if (keyBloomBits > 0) new OcfKeyBloom.Builder(keyBloomBits) else null
 
     override def write(row: InternalRow): Unit = {
       if (writer == null) {
@@ -368,6 +385,10 @@ class OcfDataWriter(temp: String, dest: String,
       writer.append(OcfFormat.toRecord(row))
       count += 1
       parts += row.getInt(3)
+      if (keyBloom != null) {
+        if (row.isNullAt(0)) keyBloom.addNull()
+        else keyBloom.add(row.getBinary(0))
+      }
       val off = row.getLong(4); val ts = row.getLong(5)
       if (off < minOff) minOff = off
       if (off > maxOff) maxOff = off
@@ -387,7 +408,8 @@ class OcfDataWriter(temp: String, dest: String,
         writer.close(); writer = null
         OcfCommit(temp, dest, Some(OcfFileStats(
           new Path(dest).getName, count, minOff, maxOff, minTs, maxTs,
-          parts.toSeq, tsIdx.toSeq)))
+          parts.toSeq, tsIdx.toSeq,
+          Option(keyBloom).map(_.result()))))
       }
 
     override def abort(): Unit = {

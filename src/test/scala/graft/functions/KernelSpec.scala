@@ -333,4 +333,42 @@ class KernelSpec extends SparkSuite {
       "SELECT graft_langid(lower(t)) AS l FROM langid_probe")
       .collect().head.getString(0) == "es")
   }
+
+  test("LuhnValid: known PANs, check-digit sensitivity, length and " +
+    "charset envelope") {
+    val s = spark
+    import s.implicits._
+    def luhn(xs: String*): Seq[Boolean] =
+      xs.map(x => (1, x)).toDF("id", "t")
+        .select(GraftFunctions.luhnValid(col("t")).as("v"))
+        .collect().map(_.getBoolean(0)).toSeq
+
+    // canonical test PANs (Visa/Mastercard/Amex published test numbers)
+    assert(luhn("4111111111111111", "5500005555555559", "378282246310005")
+      == Seq(true, true, true))
+    // a single check-digit flip always invalidates
+    assert(luhn("4111111111111112", "4111111111111110")
+      == Seq(false, false))
+    // length envelope [13, 19] and digits-only
+    assert(luhn("411111111111", "41111111111111111111",
+      "4111-1111-1111-1111", "", "4111111111111a11")
+      == Seq(false, false, false, false, false))
+    // reference fold: brute-force Luhn over random digit strings
+    def model(ds: String): Boolean = {
+      if (ds.length < 13 || ds.length > 19) false
+      else ds.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(3)
+    val samples = Seq.fill(200)(
+      (1 to (13 + rnd.nextInt(7))).map(_ => rnd.nextInt(10)).mkString)
+    assert(luhn(samples: _*) == samples.map(model),
+      "expression disagrees with the reference fold")
+    // SQL registration path
+    Seq("4111111111111111").toDF("t").createOrReplaceTempView("luhn_probe")
+    assert(spark.sql("SELECT graft_luhn_valid(t) AS v FROM luhn_probe")
+      .collect().head.getBoolean(0))
+  }
 }

@@ -14,7 +14,8 @@ class DeterminismSpec extends SparkSuite {
   private val names = Seq("q1_pricing", "q5_region_revenue",
     "rollup_summary", "embedding_pairs", "text_quality",
     "throughput_ewma", "corpus_clean", "span_dedup",
-    "repetition_stats", "props_json", "user_features")
+    "repetition_stats", "props_json", "user_features",
+    "margin_mine", "pii_cards")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
