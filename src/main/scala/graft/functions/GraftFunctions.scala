@@ -152,6 +152,12 @@ object GraftFunctions {
   def wordPieces(text: Column, vocab: Seq[String]): Column =
     c(WordPieces(e(text), vocab))
 
+  /** BPE apply against an ordered merge table: lowest-rank pair,
+    * leftmost occurrence, one merge per step (see BpeEncode).
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    c(BpeEncode(e(text), merges))
+
   /** Dead-letter decode: rows of (target schema + decode_error) —
     * null error for clean records, one error-carrying all-null row per
     * poison container (see AvroOcfExplodeDlq).

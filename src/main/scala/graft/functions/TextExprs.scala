@@ -164,6 +164,105 @@ case class WordPieces(child: Expression, vocab: Seq[String])
       : WordPieces = copy(child = newChild)
 }
 
+/** Byte-pair-encoding APPLY against a FIXED ordered merge table — the
+  * other half of the subword-tokenizer pair (WordPieces is the greedy
+  * longest-match form; this is the merge-rank form GPT-2/SentencePiece
+  * BPE uses). Each whitespace word starts as its character sequence;
+  * while any adjacent token pair appears in the merge table, the pair
+  * with the LOWEST rank is merged at its LEFTMOST occurrence, one
+  * merge per step. Single-occurrence-per-step semantics make the loop
+  * SQL-replayable: the oracle replays it as a recursive CTE over the
+  * persisted merge table ('|a|b|' substring search on a
+  * '|'-separated token string + one splice per recursion step), so the
+  * full segmentation is hash-compared, not just counts. Merging one
+  * occurrence at a time reaches the same fixpoint as the classic
+  * all-occurrences pass: re-scanning always re-selects the same pair
+  * while any occurrence of it remains.
+  *
+  * The merge table itself is driver-trained (Sennrich count-and-merge
+  * over the top-K corpus words — see TextOps.learnBpeMerges) and
+  * broadcast into the kernel as a literal, the same
+  * trained-model-as-artifact shape as the IVF centroids.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty && merges == merges.distinct,
+    "non-empty distinct merge table")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  private val lefts: Array[String] = merges.map(_._1).toArray
+  private val rights: Array[String] = merges.map(_._2).toArray
+
+  /** One word → its BPE token sequence, appended to `out`. */
+  private def encodeWord(s: String, from: Int, until: Int,
+                         out: scala.collection.mutable.ArrayBuffer[UTF8String])
+      : Unit = {
+    var toks = new Array[String](until - from)
+    var n = 0
+    var i = from
+    while (i < until) { toks(n) = String.valueOf(s.charAt(i)); n += 1; i += 1 }
+    var merged = true
+    while (merged && n > 1) {
+      merged = false
+      // lowest rank first; leftmost occurrence of that pair
+      var r = 0
+      while (!merged && r < lefts.length) {
+        val a = lefts(r); val b = rights(r)
+        var j = 0
+        while (!merged && j < n - 1) {
+          if (toks(j) == a && toks(j + 1) == b) {
+            toks(j) = a + b
+            var k = j + 1
+            while (k < n - 1) { toks(k) = toks(k + 1); k += 1 }
+            n -= 1
+            merged = true
+          }
+          j += 1
+        }
+        r += 1
+      }
+    }
+    var t = 0
+    while (t < n) { out += UTF8String.fromString(toks(t)); t += 1 }
+  }
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var wFrom = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > wFrom) encodeWord(s, wFrom, i, out)
+        wFrom = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeEncode", this,
+      classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeEncode = copy(child = newChild)
+}
+
 /** Sorted distinct 64-bit hashes of the k-word shingles of a string:
   * the fused form of `wordShingles` + per-shingle hashing. Tokens are
   * the single-space split (empties kept — same as Spark `split` and

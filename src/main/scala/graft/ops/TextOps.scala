@@ -289,6 +289,71 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit(bpeTokenPattern), lit(0)))
         .cast(LongType).as("n_bpe_tokens"))
 
+  /** Learn a BPE merge table, Sennrich count-and-merge: the pair-count
+    * statistics come from the TOP-K corpus words only (one distributed
+    * word count + a TakeOrdered head — the bounded-collect shape the
+    * IVF/PQ codebook training already uses), and the merge loop runs on
+    * the driver over those K (word, count) rows. Fully deterministic:
+    * top-K by (count desc, word asc), best pair by (count desc, pair
+    * asc), training-side merges applied left-to-right non-overlapping.
+    * At 100 TB the word count is the only distributed stage — its
+    * output is vocabulary-sized, and K bounds everything after it.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+                     topWords: Int = 256, nMerges: Int = 40)
+      : Seq[(String, String)] = {
+    val top: Array[(String, Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var segs: Array[(Array[String], Long)] =
+      top.map { case (w, c) => (w.map(String.valueOf(_)).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, c) <- segs; j <- 0 until toks.length - 1)
+        counts.updateWith((toks(j), toks(j + 1)))(
+          o => Some(o.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b))
+        segs = segs.map { case (toks, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < toks.length) {
+            if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += toks(j); j += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE tokenization of each document against a fixed merge table —
+    * the full segmentation (flattened token string + count), pure
+    * codegen map over the corpus, no shuffle. See
+    * [[graft.functions.BpeEncode]] for the merge semantics the oracle
+    * replays.
+    */
+  def bpeTokens(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftFunctions
+          .bpeEncode(col(textCol), merges).as("t"))
+      .select(col(idCol),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        concat_ws(" ", col("t")).as("toks"))
+
   /** Email-like pattern, restricted (like [[bpeTokenPattern]]) to
     * constructs whose semantics match between Java regex and RE2. */
   val emailPattern: String =

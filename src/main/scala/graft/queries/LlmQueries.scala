@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
-import graft.ops.{CorpusOps, Dedup, Multimodal, Retrieval, Sessionize, Similarity, TextOps}
+import graft.ops.{CorpusOps, Dedup, Graph, Multimodal, Retrieval, Sessionize, Similarity, TextOps}
 
 /** The LLM-data-pipeline query registry (SURVEY.md §2 rows N1–N7):
   * dedup (exact / MinHash / n-gram / SimHash / embedding-cosine),
@@ -665,6 +665,17 @@ object LlmQueries {
     // global sort: per-shard windows + an nShards-row offset join
     "global_ids" -> ((s, d) =>
       CorpusOps.globalIds(docs(s, d), "doc_id", nShards = 64)),
+    // corpus op — link-graph authority (the CommonCrawl-style domain
+    // quality signal): integer PageRank, 3 synchronous steps, one
+    // shuffle join per step; the link graph is synthesized
+    // deterministically from the dense doc ids (the corpus carries no
+    // hyperlinks) — real deployments feed their own edge list
+    "link_rank" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.pageRank(dd, "doc_id",
+        Graph.syntheticLinks(dd, "doc_id", n), iters = 3)
+    }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -688,6 +699,13 @@ object LlmQueries {
     // recursive CTE with the vocabulary inlined longest-first
     "wordpiece" -> ((s, d) =>
       TextOps.wordPieceTokens(docs(s, d), "doc_id", "text")),
+    // N4 — REAL BPE: merge table driver-trained on the corpus's top
+    // words (Sennrich count-and-merge, bounded collect), apply as a
+    // codegen kernel (lowest-rank pair, leftmost occurrence, one merge
+    // per step); the oracle replays the apply loop as a recursive CTE
+    // over the persisted merge table, full segmentation compared
+    "bpe_tokenize" -> ((s, d) =>
+      TextOps.bpeTokens(docs(s, d), "doc_id", "text", bpeArtifact(s, d))),
     // N4 — top terms per language: term counts ranked per group; the
     // RankLimitToGroupedTopK rule plans this through the bounded-heap
     // custom operator automatically
@@ -1050,6 +1068,29 @@ object LlmQueries {
       Similarity.ivfIndex(corpus, "vec_id", "embedding", cts, nAssign = 2)
         .write.mode("overwrite").parquet(dir)
       (cts, dir)
+    })
+
+  /** bpe_tokenize's merge-table artifact: learned once per (session,
+    * dataset dir) and persisted for the oracle's recursive-CTE replay —
+    * the trained-model-as-artifact shape of the IVF centroids. pat/rep
+    * are the '|'-separated substring forms the SQL splices with
+    * ('|a|b|' → '|ab|'); tokens never contain '|' (whitespace words).
+    */
+  private def bpeMergesDir: String =
+    sidecar("graft.bpe.merges.dir", "/tmp/graft_bpe_merges")
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+  private def bpeArtifact(s: SparkSession, d: String)
+      : Seq[(String, String)] =
+    bpeMemo.computeIfAbsent(d, _ => {
+      val merges = TextOps.learnBpeMerges(docs(s, d), "text")
+      val rows = merges.zipWithIndex.map { case ((a, b), r) =>
+        (r, s"|$a|$b|", s"|$a$b|")
+      }
+      import s.implicits._
+      rows.toDF("rank", "pat", "rep")
+        .coalesce(1).write.mode("overwrite").parquet(bpeMergesDir)
+      merges
     })
 
   /** The WordPieces greedy loop as SQL: one CASE arm per vocab entry,
@@ -2339,6 +2380,72 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
          |  string_agg(piece, ' ' ORDER BY wi, pi) AS pieces
          |FROM p GROUP BY doc_id""".stripMargin,
+    // integer PageRank unrolled: the synthetic affine-mod link graph
+    // rebuilt in SQL, then the three steps as chained CTEs — every
+    // rank a pure Long chain (DIV-truncated per-edge contributions,
+    // 15/85 damping in integer hundredths), so the fold is
+    // bit-identical regardless of join or partition order; odeg is 3
+    // by construction (the Spark side computes it from the edge list)
+    "link_rank" -> {
+      def step(prev: String, out: String): String =
+        s"""$out AS (SELECT d.doc_id AS node,
+           |  150000000000 + COALESCE(SUM(r.rank // 3), 0) * 85 // 100
+           |    AS rank
+           |  FROM documents d
+           |  LEFT JOIN e ON e.dst = d.doc_id
+           |  LEFT JOIN $prev r ON r.node = e.src
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+         |    AS dst FROM
+         |  (SELECT doc_id AS src,
+         |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+         |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+         |r0 AS (SELECT doc_id AS node,
+         |  CAST(1000000000000 AS BIGINT) AS rank FROM documents),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+    },
+    // the BPE apply loop as a recursive CTE over the persisted merge
+    // table: each word starts as '|c1|...|cn|'; each step joins
+    // LATERAL to the lowest-rank merge whose '|a|b|' pattern occurs
+    // and splices its leftmost occurrence — exactly the kernel's
+    // (min-rank, leftmost, one-per-step) semantics; the fixpoint row
+    // per word is arg_max(seq, step)
+    "bpe_tokenize" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT rank, pat, rep FROM '$bpeMergesDir/*.parquet'),
+         |w AS (SELECT doc_id, i AS wi, toks[i] AS word FROM
+         |  (SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks))) AS i
+         |   FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |         FROM documents))),
+         |chars AS (SELECT doc_id, wi,
+         |  '|' || string_agg(substr(word, ci, 1), '|' ORDER BY ci)
+         |      || '|' AS seq
+         |  FROM w, unnest(generate_series(1, length(word))) t(ci)
+         |  GROUP BY doc_id, wi),
+         |seg AS (
+         |  SELECT doc_id, wi, seq, 0 AS step FROM chars
+         |  UNION ALL
+         |  SELECT s.doc_id, s.wi,
+         |    substr(s.seq, 1, b.p - 1) || b.rep
+         |      || substr(s.seq, b.p + length(b.pat)),
+         |    s.step + 1
+         |  FROM seg s, LATERAL (
+         |    SELECT m.pat, m.rep, position(m.pat IN s.seq) AS p
+         |    FROM m WHERE position(m.pat IN s.seq) > 0
+         |    ORDER BY m.rank LIMIT 1) b),
+         |fin AS (SELECT doc_id, wi, arg_max(seq, step) AS seq
+         |  FROM seg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(len(string_split(trim(seq, '|'), '|'))) AS BIGINT)
+         |    AS n_tokens,
+         |  string_agg(replace(trim(seq, '|'), '|', ' '), ' '
+         |    ORDER BY wi) AS toks
+         |FROM fin GROUP BY doc_id""".stripMargin,
     // the bq_topk hamming replay over the materialized chunk
     // signatures; the probe signature is the same interpolated
     // constant the Spark plan uses

@@ -57,6 +57,88 @@ class KernelSpec extends SparkSuite {
     assert(pieces("") == Seq())
   }
 
+  test("BpeEncode: lowest-rank pair merges first at its leftmost " +
+    "occurrence, words never straddle") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("s", "t"))
+    def toks(t: String): Seq[String] =
+      Seq((1, t)).toDF("id", "t")
+        .select(GraftFunctions.bpeEncode(col("t"), merges).as("p"))
+        .collect().head.getSeq[String](0)
+    assert(toks("the") == Seq("the"))
+    assert(toks("than") == Seq("th", "an"))
+    assert(toks("these") == Seq("the", "s", "e"),
+      "rank-0 th before rank-1 the; no merge for s,e")
+    assert(toks("stand") == Seq("st", "an", "d"),
+      "rank-2 an merges before rank-3 st")
+    assert(toks("the stand") == Seq("the", "st", "an", "d"))
+    assert(toks("") == Seq())
+    // self-overlapping pair: leftmost-one-per-step reaches the
+    // all-occurrences fixpoint
+    assert(Seq((1, "aaaa aaa")).toDF("id", "t")
+      .select(GraftFunctions.bpeEncode(col("t"),
+        Seq(("a", "a"))).as("p"))
+      .collect().head.getSeq[String](0) == Seq("aa", "aa", "aa", "a"))
+    // a later merge over earlier merge outputs
+    assert(Seq((1, "aaaa")).toDF("id", "t")
+      .select(GraftFunctions.bpeEncode(col("t"),
+        Seq(("a", "a"), ("aa", "aa"))).as("p"))
+      .collect().head.getSeq[String](0) == Seq("aaaa"))
+  }
+
+  test("BpeEncode agrees with an independent reference fold on " +
+    "generated texts under learned merges") {
+    val merges = TextOps.learnBpeMerges(df, "t", topWords = 64,
+      nMerges = 24)
+    assert(merges.nonEmpty && merges == merges.distinct)
+    // reference model: repeatedly scan merges in rank order, merge the
+    // leftmost occurrence — written functionally, not the kernel's
+    // in-place array loop
+    def refWord(w: String): List[String] = {
+      var toks = w.map(String.valueOf(_)).toList
+      var changed = true
+      while (changed) {
+        changed = false
+        val it = merges.iterator
+        while (!changed && it.hasNext) {
+          val (a, b) = it.next()
+          val i = toks.zip(toks.drop(1)).indexWhere(p => p._1 == a && p._2 == b)
+          if (i >= 0) {
+            toks = toks.take(i) ::: (a + b) :: toks.drop(i + 2)
+            changed = true
+          }
+        }
+      }
+      toks
+    }
+    def ref(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).toSeq.flatMap(refWord)
+    val got = df.select(col("t"),
+        GraftFunctions.bpeEncode(col("t"), merges).as("p"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    got.foreach { case (t, p) =>
+      assert(p == ref(t), s"mismatch on '$t'")
+      assert(p.mkString == t.replace(" ", ""),
+        s"tokens must respell the text: '$t'")
+    }
+  }
+
+  test("learnBpeMerges is deterministic and greedily count-ordered") {
+    val s = spark
+    import s.implicits._
+    // corpus: 'aab' x3, 'abb' x2 — pair counts round 1:
+    // (a,a)=3, (a,b)=5, (b,b)=2 -> merge (a,b);
+    // round 2: 'a ab' x3, 'ab b' x2 -> (a,ab)=3, (ab,b)=2 -> (a,ab)
+    val corpus = (Seq.fill(3)("aab") ++ Seq.fill(2)("abb"))
+      .zipWithIndex.map(_.swap).toDF("id", "t")
+    val m = TextOps.learnBpeMerges(corpus, "t", topWords = 10, nMerges = 2)
+    assert(m == Seq(("a", "b"), ("a", "ab")))
+    val again = TextOps.learnBpeMerges(corpus, "t", topWords = 10,
+      nMerges = 2)
+    assert(m == again)
+  }
+
   test("HashedCharGrams matches charGrams cardinality on every input") {
     val bad = df.select(
         size(GraftFunctions.hashedCharGrams(col("t"), 5)).as("k"),
