@@ -241,6 +241,42 @@ object Relational {
           .as("p90_cents"))
   }
 
+  /** Robust per-group outlier flags: lower-median + MAD (median
+    * absolute deviation), |x − med| > k·MAD — the monitoring-pipeline
+    * anomaly pass that survives heavy-tailed metrics where a
+    * mean/stddev z-score is dragged by the outliers it's hunting.
+    *
+    * Medians are the LOWER median (the element at rank (n+1) div 2 of
+    * the within-group sort), never the interpolated midpoint: a
+    * selected element is bit-identical across engines, while a+(b−a)/2
+    * vs (a+b)/2 interpolation formulas differ in IEEE rounding. Both
+    * medians are one window pass each (row_number + count over the
+    * group); group frames join back broadcast (group cardinality is
+    * the dimension's, not the fact's). At 100 TB the within-group sort
+    * is the cost — swap in percentile_approx (see priceQuantilesApprox)
+    * when the exact flag boundary stops mattering.
+    */
+  def robustAnomalies(df: DataFrame, groupCol: String, valCol: String,
+                      k: Double = 3.0): DataFrame = {
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(c))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+      in.select(col(groupCol), col(c))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col(groupCol), col(c).as(out))
+    }
+    val med = lowerMedian(df, valCol, "med")
+    val withDev = df.join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(valCol) - col("med")))
+    val mad = lowerMedian(withDev, "adev", "mad")
+    withDev.join(broadcast(mad), groupCol)
+      .withColumn("is_anom", col("adev") > lit(k) * col("mad"))
+  }
+
   /** Set difference: customers active in year A but not in year B.
     * Dataset.except plans as a left-anti over pre-projected key sets —
     * one shuffle per side on the key, no wide rows move.

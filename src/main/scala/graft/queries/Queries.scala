@@ -254,6 +254,26 @@ object Queries {
         |FROM dense LEFT JOIN h
         |  ON dense.kpartition = h.kpartition
         | AND dense.hour_start = h.hour_start""".stripMargin,
+    // lower medians as rank-selected elements (rn = (n+1) DIV 2), the
+    // MAD fold and 3.0x boundary as the same IEEE ops as the plan
+    "anomaly_mad" ->
+      """WITH v AS (SELECT event_type AS g, value AS v FROM events),
+        |r AS (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM v),
+        |med AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |a AS (SELECT v.g, v.v, m.med, abs(v.v - m.med) AS adev
+        |  FROM v JOIN med m ON v.g = m.g),
+        |r2 AS (SELECT g, adev,
+        |  row_number() OVER (PARTITION BY g ORDER BY adev) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM a),
+        |mad AS (SELECT g, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT a.g AS event_type, a.med, mad.mad,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN a.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anom
+        |FROM a JOIN mad ON a.g = mad.g
+        |GROUP BY 1, 2, 3""".stripMargin,
     "multi_topic" ->
       """SELECT 'events_' || event_type AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions,
@@ -391,6 +411,17 @@ object Queries {
     // pivot with explicit value list (single pass, map-side combine)
     "pivot_events" -> ((s, d) =>
       Relational.eventTypePivot(Tables.events(s, d))),
+    // robust anomaly flags: lower-median + MAD per event type, summary
+    // per group (the flagged rows are the op's output; the registry row
+    // aggregates so the compare is group-sized). Doubles are selected
+    // elements and IEEE products, never sums — bit-stable both engines.
+    "anomaly_mad" -> ((s, d) =>
+      Relational.robustAnomalies(
+          Tables.events(s, d).select(col("event_type"), col("value")),
+          "event_type", "value")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"))),
     // Q12-shape conditional aggregation
     "ship_priority" -> ((s, d) => Relational.shipMonthPriority(
       Tables.lineitem(s, d), Tables.orders(s, d))),

@@ -313,4 +313,37 @@ object OcfMaintenance {
     victims.foreach { case (p, _, _) => fs.delete(p, false) }
     (victims.size, victims.map(_._3.count).sum)
   }
+
+  /** VACUUM: collect the dot-file debris the crash-safe protocols can
+    * leave behind — `.part-*.ocf.tmp` task temps whose writer died
+    * between write and commit-rename (a clean abort deletes its temp;
+    * a hard executor/driver crash cannot), and `.*.stale` retired-
+    * generation containers whose rewrite crashed between the hide-
+    * rename and the delete. Readers filter dot-files, so debris is
+    * invisible to every query — it only eats storage; on a long-lived
+    * 100 TB store the temps of years of crashed tasks are real money.
+    *
+    * Deletion is gated on `olderThanMs` of mtime quiet time: an
+    * IN-FLIGHT writer's live temp is younger than any sane horizon
+    * (its task is actively appending), so the default 24 h horizon
+    * never races an active write. Visible files are never touched, so
+    * vacuum is safe under live readers AND writers — unlike the
+    * whole-store rewrites above. Returns (files deleted, bytes freed).
+    */
+  def vacuum(spark: SparkSession, dir: String,
+             olderThanMs: Long = 24L * 3600 * 1000): (Int, Long) = {
+    val conf = OcfStore.driverConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return (0, 0L)
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val victims = fs.listStatus(d).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith(".") &&
+        (n.endsWith(".ocf.tmp") || n.endsWith(".stale")) &&
+        st.getModificationTime < horizon
+    }
+    victims.foreach(st => fs.delete(st.getPath, false))
+    (victims.size, victims.map(_.getLen).sum)
+  }
 }

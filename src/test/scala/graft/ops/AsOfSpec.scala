@@ -313,6 +313,26 @@ class AsOfSpec extends SparkSuite {
     assert(rows(3L) === (("<EMAIL> <EMAIL> 42", 2L, 0L)))
   }
 
+  test("robustAnomalies: lower median on even counts, MAD=0 groups, " +
+      "strict k*MAD boundary") {
+    val s = spark
+    import s.implicits._
+    // group a: values 1,2,3,100 -> sorted rank (4+1) div 2 = 2 -> med=2;
+    //   adevs 1,0,1,98 -> sorted 0,1,1,98 -> mad=1 -> anom iff adev>3
+    // group b: 5,5,5,9 -> med=5, adevs 0,0,0,4 -> mad=0 -> anom iff adev>0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)).toDF("g", "v")
+    val got = Relational.robustAnomalies(df, "g", "v")
+      .select("g", "v", "med", "mad", "is_anom")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(("a", 100.0)) === ((2.0, 1.0, true)))
+    assert(got(("a", 3.0)) === ((2.0, 1.0, false)),
+      "adev=1 <= 3*mad: not anomalous")
+    assert(got(("b", 9.0)) === ((5.0, 0.0, true)), "MAD=0: any deviation flags")
+    assert(got(("b", 5.0)) === ((5.0, 0.0, false)))
+  }
+
   test("cdcApply: latest op wins, trailing tombstones drop the key, " +
       "resurrected keys survive") {
     val s = spark

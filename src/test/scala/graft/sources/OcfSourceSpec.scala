@@ -1344,6 +1344,34 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir2).count() == 200L)
   }
 
+  test("vacuum collects aged dot-file debris, spares live temps and " +
+      "every visible file") {
+    val dir = tmpDir("ocf_vacuum")
+    kafkaDf(0, 100).write.format("graft-ocf").mode("overwrite").save(dir)
+    val before = spark.read.format("graft-ocf").load(dir).count()
+    // plant crash debris: an orphaned task temp and a stale retiree,
+    // both aged past the horizon; plus a FRESH in-flight temp
+    def plant(name: String, ageMs: Long): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+      f
+    }
+    val oldTmp = plant(".part-dead-0-7.ocf.tmp", 48L * 3600 * 1000)
+    val oldStale = plant(".part-old-00001.ocf.stale", 48L * 3600 * 1000)
+    val liveTmp = plant(".part-live-1-9.ocf.tmp", 0L)
+    val (n, bytes) = OcfMaintenance.vacuum(spark, dir)
+    assert(n == 2 && bytes == 6L, s"got ($n, $bytes)")
+    assert(!oldTmp.exists() && !oldStale.exists())
+    assert(liveTmp.exists(), "a temp younger than the horizon survives")
+    // visible files untouched: store reads identically
+    assert(spark.read.format("graft-ocf").load(dir).count() == before)
+    // idempotent
+    assert(OcfMaintenance.vacuum(spark, dir, 3600 * 1000) == ((0, 0L)))
+    // missing dir: no-op
+    assert(OcfMaintenance.vacuum(spark, dir + "_absent") == ((0, 0L)))
+  }
+
   test("size retention keeps the newest containers within the budget") {
     val dir = tmpDir("ocf_retain_bytes")
     stratifiedStore(dir)
