@@ -277,6 +277,40 @@ object Relational {
       .withColumn("is_anom", col("adev") > lit(k) * col("mad"))
   }
 
+  /** Running z-score anomaly flags — the STREAMING-shaped form of
+    * anomaly detection (each event judged against the history BEFORE
+    * it, flag-then-update), as a batch window query. Stats are exact
+    * integer cents: with prior (n, s=Σx, q=Σx²), |x−μ| > k·σ is
+    * cross-multiplied to (x·n − s)² > k²·(n·q − s²) — no division, no
+    * sqrt, evaluated in DECIMAL(38,0) so the squares never overflow
+    * and the flag is bit-identical in any engine. Warm-up: no flag
+    * before `minPrior` prior events. One window pass per group ordered
+    * by (tsCol, idCol) — a total order, so replay-stable.
+    * [[graft.streaming.AnomalyStream]] is the serving twin: identical
+    * fold as per-key transformWithState state, stream == batch.
+    */
+  def runningAnomalies(events: DataFrame, groupCol: String,
+                       valCol: String, tsCol: String, idCol: String,
+                       k: Int = 3, minPrior: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    events
+      .select(col(groupCol), col(tsCol), col(idCol),
+        cents(col(valCol)).as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(expr("x * x")).over(w))
+      .withColumn("is_anom",
+        col("n") >= minPrior &&
+          expr(s"CAST(x * n - s AS DECIMAL(38,0)) " +
+            s"* CAST(x * n - s AS DECIMAL(38,0)) " +
+            s"> ${k * k} * (CAST(n AS DECIMAL(38,0)) " +
+            s"* CAST(q AS DECIMAL(38,0)) " +
+            s"- CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"))
+  }
+
   /** Set difference: customers active in year A but not in year B.
     * Dataset.except plans as a left-anti over pre-projected key sets —
     * one shuffle per side on the key, no wide rows move.

@@ -164,6 +164,50 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
   }
 
+  /** Collocation mining: top-k adjacent bigrams by PMI — the phrase
+    * detector (word2vec's phrase pass / NLTK collocations) that turns
+    * "new york" into a unit before tokenizer training. PMI is ranked
+    * through ONE correctly-rounded division of exact integer counts,
+    * pmi_ratio = (c_ab·N) / (c_a·c_b) as doubles — bit-identical in
+    * any engine, no logs (log is monotone, so log-PMI ranks the same).
+    * `minCount` kills the hapax noise PMI is notorious for. Shape:
+    * one explode for bigrams + one for unigrams, two hash aggregates,
+    * broadcast joins of the (vocabulary-sized) count frames, bounded
+    * top-k — no sort of the corpus.
+    */
+  def collocations(docs: DataFrame, textCol: String, k: Int = 50,
+                   minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("t"))
+    val big = toks
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(element_at(t, i + 1) AS w1, " +
+          "element_at(t, i + 2) AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    // one-row total joined on a constant key: single-bucket
+    // BroadcastHashJoin, never a nested-loop cartesian
+    val n = toks
+      .select(sum(greatest(size(col("t")) - 1, lit(0))).as("n"))
+      .select(lit(1).as("jk"), col("n"))
+    big
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))),
+        "w2")
+      .withColumn("jk", lit(1))
+      .join(broadcast(n), "jk")
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * col("n")).cast(DoubleType) /
+          (col("c_a") * col("c_b")).cast(DoubleType)).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Document fingerprint: rolling polynomial hash of the whole text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), polyHash(col(textCol)).as("fingerprint"))

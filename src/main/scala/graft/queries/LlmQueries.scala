@@ -680,6 +680,12 @@ object LlmQueries {
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
     "term_stats" -> ((s, d) => TextOps.termStats(docs(s, d), "doc_id", "text")),
+    // N4 — collocation mining: top-50 adjacent bigrams by PMI, the
+    // phrase-detection pass before tokenizer training; ranked through
+    // one correctly-rounded division of exact integer counts (log is
+    // monotone — log-PMI ranks identically), min-count 5 floor
+    "collocations" -> ((s, d) =>
+      TextOps.collocations(docs(s, d), "text")),
     // N4 — polynomial document fingerprint
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
     // N4 — language-ID heuristic
@@ -2380,6 +2386,27 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
          |  string_agg(piece, ' ' ORDER BY wi, pi) AS pieces
          |FROM p GROUP BY doc_id""".stripMargin,
+    // PMI replay: same integer counts, same single division, same
+    // (ratio desc, w1, w2) total order
+    "collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM
+        |  (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |   FROM t)),
+        |cb AS (SELECT w1, w2, count(*) AS c_ab FROM b
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |cu AS (SELECT w, count(*) AS c_w FROM
+        |  (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+        |nn AS (SELECT sum(greatest(len(t) - 1, 0)) AS n FROM t),
+        |s AS (SELECT w1, w2, c_ab, a.c_w AS c_a, bb.c_w AS c_b,
+        |  CAST(c_ab * n AS DOUBLE) / CAST(a.c_w * bb.c_w AS DOUBLE)
+        |    AS pmi_ratio
+        |  FROM cb JOIN cu a ON cb.w1 = a.w
+        |  JOIN cu bb ON cb.w2 = bb.w, nn),
+        |r AS (SELECT *, row_number() OVER
+        |  (ORDER BY pmi_ratio DESC, w1, w2) AS rk FROM s)
+        |SELECT w1, w2, c_ab, c_a, c_b, pmi_ratio FROM r
+        |WHERE rk <= 50""".stripMargin,
     // integer PageRank unrolled: the synthetic affine-mod link graph
     // rebuilt in SQL, then the three steps as chained CTEs — every
     // rank a pure Long chain (DIV-truncated per-edge contributions,

@@ -274,6 +274,25 @@ object Queries {
         |    AS BIGINT) AS n_anom
         |FROM a JOIN mad ON a.g = mad.g
         |GROUP BY 1, 2, 3""".stripMargin,
+    // the same cross-multiplied DECIMAL(38,0) predicate over
+    // preceding-frame integer sums; the empty first frame short-
+    // circuits on n >= 30
+    "anomaly_running" ->
+      """WITH e AS (SELECT event_type AS g, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |w AS (SELECT g, x,
+        |  count(*) OVER pre AS n, sum(x) OVER pre AS s,
+        |  sum(x * x) OVER pre AS q
+        |  FROM e WINDOW pre AS (PARTITION BY g ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT g AS event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN n >= 30 AND
+        |    CAST(x * n - s AS DECIMAL(38,0))
+        |      * CAST(x * n - s AS DECIMAL(38,0))
+        |    > 9 * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))
+        |      - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM w GROUP BY 1""".stripMargin,
     "multi_topic" ->
       """SELECT 'events_' || event_type AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions,
@@ -420,6 +439,15 @@ object Queries {
           Tables.events(s, d).select(col("event_type"), col("value")),
           "event_type", "value")
         .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"))),
+    // running z-score flags (the streaming-shaped anomaly form:
+    // flag-then-update against prior history, exact integer/decimal
+    // cross-multiplied predicate); AnomalyStream is the serving twin
+    "anomaly_running" -> ((s, d) =>
+      Relational.runningAnomalies(Tables.events(s, d),
+          "event_type", "value", "ts", "event_id")
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"))),
     // Q12-shape conditional aggregation
