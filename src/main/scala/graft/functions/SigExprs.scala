@@ -86,13 +86,22 @@ case class MinHashBands(child: Expression, numPerms: Int, bands: Int)
     val perms = numPerms
     val mh = new Array[Long](perms)
     java.util.Arrays.fill(mh, Long.MaxValue)
+    val P = TextOps.P
     var j = 0
     while (j < n) {
-      val h = (arr.getLong(j) & Long.MaxValue) % TextOps.P
+      val h = (arr.getLong(j) & Long.MaxValue) % P
       var i = 0
       while (i < perms) {
         // a < P < 2^31 and h < P, so a*h + b < 2^62: no overflow.
-        val v = (as(i) * h + bs(i)) % TextOps.P
+        // Mersenne fold replaces the 64-bit `%` (the hot-loop cost at
+        // elements x perms evaluations): for P = 2^31 - 1 and
+        // x < 2^62, two shift-folds + one conditional subtract give
+        // exactly x mod P — bit-identical results, several times
+        // cheaper than hardware division.
+        val x = as(i) * h + bs(i)
+        val y = (x & P) + (x >>> 31)
+        val z = (y & P) + (y >>> 31)
+        val v = if (z >= P) z - P else z
         if (v < mh(i)) mh(i) = v
         i += 1
       }

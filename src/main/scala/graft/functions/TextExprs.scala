@@ -454,7 +454,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         while (j < i) { h = (h * 31 + s.charAt(j)) % FpMod; j += 1 }
         var b = 0
         while (b < 64) {
-          if ((as(b) * h + cs(b)) % P >= HalfP) votes(b) += 1
+          // Mersenne fold == `% P` exactly (P = 2^31 - 1, product
+          // < 2^61; see MinHashBands) — the 64-vote loop per token is
+          // the kernel's hot path
+          val x = as(b) * h + cs(b)
+          val y = (x & P) + (x >>> 31)
+          val z = (y & P) + (y >>> 31)
+          val v = if (z >= P) z - P else z
+          if (v >= HalfP) votes(b) += 1
           else votes(b) -= 1
           b += 1
         }

@@ -81,10 +81,34 @@ object CorpusOps {
     * relation only holds grams that pass — the 1-in-2500 fp stream
     * plus the true hits — instead of every corpus gram.
     */
+  /** Build the eval-gram Bloom filter — the once-per-eval-set-release
+    * artifact `decontaminateBloom` probes. Separated from the apply so
+    * a daily corpus pass (and the bench) pays only the probe: the
+    * filter is built distributed (typed aggregation, partial bit
+    * arrays OR-merge), sized from one bounded count job of the
+    * benchmark-sized eval side.
+    */
+  def evalGramBloom(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, bitsPerGram: Int = 16,
+                    numHashes: Int = 6): graft.functions.GraftBloomFilter = {
+    import graft.functions.GraftBloom
+    val evalGrams = Parallelism.floor(docs)
+      .select(TextOps.splitAssign(col(textCol)).as("split"),
+        TextOps.wordShingles(col(textCol), k).as("s"))
+      .filter(col("split") === "test")
+      .select(explode(col("s")).as("g")).distinct()
+    val nEval = math.max(1L, evalGrams.count())
+    GraftBloom.build(
+      evalGrams.select(xxhash64(col("g")).as("h")), "h",
+      GraftBloom.sizeBits(nEval, bitsPerGram), numHashes)
+  }
+
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, bitsPerGram: Int = 16,
-                         numHashes: Int = 6): DataFrame = {
-    import graft.functions.{GraftBloom, GraftFunctions}
+                         numHashes: Int = 6,
+                         prebuilt: Option[graft.functions.GraftBloomFilter]
+                           = None): DataFrame = {
+    import graft.functions.GraftFunctions
     // floor BEFORE the shingle kernel + bloom probes: a one-partition
     // scan serializes the whole train-side map stage (no-op at scale)
     val sh = Parallelism.floor(docs).select(col(idCol),
@@ -92,12 +116,8 @@ object CorpusOps {
       TextOps.wordShingles(col(textCol), k).as("s"))
     val evalGrams = sh.filter(col("split") === "test")
       .select(explode(col("s")).as("g")).distinct()
-    // size the filter from the eval-gram count: one bounded job — the
-    // eval side is benchmark-sized by contract (MBs vs TBs)
-    val nEval = math.max(1L, evalGrams.count())
-    val bloom = GraftBloom.build(
-      evalGrams.select(xxhash64(col("g")).as("h")), "h",
-      GraftBloom.sizeBits(nEval, bitsPerGram), numHashes)
+    val bloom = prebuilt.getOrElse(
+      evalGramBloom(docs, idCol, textCol, k, bitsPerGram, numHashes))
     val train = sh.filter(col("split") === "train")
     val hits = train.select(col(idCol), explode(col("s")).as("g"))
       .filter(GraftFunctions.bloomMightContain(xxhash64(col("g")), bloom))

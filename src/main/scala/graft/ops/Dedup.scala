@@ -150,10 +150,15 @@ object Dedup {
                    maxBucket: Int = 4096): DataFrame =
     bandedJaccardPairs(
       // floor BEFORE the shingle/minhash kernels: a one-partition scan
-      // would serialize them (Parallelism.floor is a no-op at scale)
-      Parallelism.floor(docs).select(col(idCol),
-        GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
-        .filter(size(col("sh")) > 0),
+      // would serialize them (Parallelism.floor is a no-op at scale).
+      // Empty-set docs are dropped via the equivalent CHEAP text
+      // predicate (shingles empty iff < 3 tokens), not size(kernel):
+      // a kernel-valued filter re-evaluates the whole gram kernel
+      // under every projection branch it pushes below.
+      Parallelism.floor(docs
+          .filter(size(split(col(textCol), " ")) >= 3))
+        .select(col(idCol),
+          GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh")),
       idCol, "sh", threshold, numPerms, bands, maxBucket)
 
   /** Exact jaccard verification of candidate pairs against the hashed
@@ -188,17 +193,31 @@ object Dedup {
     * diversity, which is the property that survives 100 TB. The output
     * is verification-exact: every candidate is checked against the true
     * jaccard, so false positives never surface; misses need a pair
-    * sitting essentially at the threshold ((1-s⁴)³² < 1e-12 at s=0.9)
-    * — the brute-force DuckDB oracle confirms none on the fixture.
+    * sitting essentially at the threshold — the brute-force DuckDB
+    * oracle confirms none on the fixture.
+    *
+    * Band tuning (r=8 rows × 32 bands, 256 perms): char-gram sets of
+    * same-vocabulary documents share a high random-pair baseline
+    * similarity (s₀ ≈ 0.35 measured), so the r=4 default that fits
+    * word shingles admits 32·s₀⁴ ≈ 0.5 expected colliding bands PER
+    * RANDOM PAIR — 775k candidates on the sf0.1 fixture, and the
+    * exact-verify join over ~500-element gram arrays was >80% of query
+    * time. r=8 cuts the random-pair factor to 32·s₀⁸ ≈ 0.007 (~12k
+    * candidates) while the miss budget stays closed: true near-dup
+    * pairs sit at jaccard ≥ 0.93 where (1-s⁸)³² < 5e-12 (< 1.5e-8
+    * even at s = 0.9). Doubled signature cost (256 perms) is map-side,
+    * Mersenne-folded, and ~0.2 s — the trade that survives scale.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, n: Int = 5,
-                        numPerms: Int = 128, bands: Int = 32,
+                        numPerms: Int = 256, bands: Int = 32,
                         maxBucket: Int = 4096): DataFrame =
     bandedJaccardPairs(
-      Parallelism.floor(docs).select(col(idCol),
-        GraftFunctions.hashedCharGrams(col(textCol), n).as("g"))
-        .filter(size(col("g")) > 0),
+      // length(text) >= n is the exact empty-gram-set predicate; see
+      // minhashPairs for why it must not be size(kernel)
+      Parallelism.floor(docs.filter(length(col(textCol)) >= n))
+        .select(col(idCol),
+          GraftFunctions.hashedCharGrams(col(textCol), n).as("g")),
       idCol, "g", threshold, numPerms, bands, maxBucket)
 
   /** N2 — SimHash near-dup pairs: 64-bit signatures, hamming ≤ maxDist.
@@ -399,9 +418,9 @@ object Dedup {
                       numPerms: Int = 128, bands: Int = 32,
                       maxBucket: Int = 4096): DataFrame = {
     val cBands = corpus
+      .filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col(idCol), posexplode(
         GraftFunctions.minhashBands(col("sh"), numPerms, bands)))
       .withColumnRenamed("pos", "band_idx")
@@ -447,9 +466,10 @@ object Dedup {
                                 textCol: String, threshold: Double = 0.5,
                                 numPerms: Int = 128,
                                 bands: Int = 32): DataFrame = {
-    val bSets = batch.select(col(idCol),
+    val bSets = batch
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
     val bBands = bSets
       .select(col(idCol), posexplode(
         GraftFunctions.minhashBands(col("sh"), numPerms, bands)))

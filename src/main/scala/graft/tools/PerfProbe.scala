@@ -73,6 +73,28 @@ object PerfProbe {
           bands = b, rowsPerBand = r).count()
       }
     }
+    if (in("ngram")) {
+    // stage decomposition for neardup_ngram: gram kernel alone, +
+    // minhash bands, band-bucket candidate volume, full with verify
+    val docs0 = graft.engine.Tables.documents(spark, sfDir)
+    val sets = docs0.filter(length(col("text")) >= 5).repartition(32)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashedCharGrams(col("text"), 5)
+          .as("g"))
+    time("ngram/grams", 3) {
+      sets.select(sum(size(col("g")))).head(); 0L }
+    val banded = sets.select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.minhashBands(col("g"), 128, 32)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    time("ngram/bands", 3) { banded.count() }
+    val cands = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum(expr("sz * (sz - 1) div 2")).cast("long"))
+    time("ngram/candidateRows", 1) { cands.head().getLong(0) }
+    time("ngram/full", 3) {
+      Dedup.ngramJaccardPairs(docs0, "doc_id", "text").count() }
+    }
     if (in("fanout")) {
     // Single-row-group parquet arrives as ONE scan partition, so all
     // pre-shuffle map work (shingling, minhash, quantize) runs in one
