@@ -314,6 +314,67 @@ object OcfMaintenance {
     (victims.size, victims.map(_._3.count).sum)
   }
 
+  /** OPTIMIZE ZORDER twin: rewrite the store ordered by the Morton
+    * interleave of (partition, time-bucket), so every container covers
+    * a tight rectangle in (partition × time) space and the manifest's
+    * min-max stats prune containers for BOTH partition-equality and
+    * time-range predicates — where layout=partition serves only the
+    * first and layout=time only the second. The multi-dimensional
+    * data-skipping rewrite a long-lived 100 TB store runs when its
+    * queries slice both ways.
+    *
+    * The interleaved sort key is computed here and the frame
+    * range-partitioned + sorted BEFORE the sink (`layout=presorted`):
+    * DSv2's ordering API can only sort by columns, not by a bit
+    * interleave. Time buckets are `tsBucketUs`-wide (default 1 h) and
+    * capped to 16 bits (wrap via mod — interleaving only needs
+    * locality, not order beyond the cap); partition uses its low 16
+    * bits. Same maintenance-window safety contract as `cluster`.
+    * Returns (filesBefore, filesAfter).
+    */
+  def clusterZOrder(spark: SparkSession, dir: String,
+                    targetFiles: Int = 8,
+                    tsBucketUs: Long = 3600L * 1000000): (Int, Int) = {
+    def nFiles: Int =
+      OcfStore.headCounts(dir, OcfStore.driverConf()).size
+    val before = nFiles
+    val df = spark.read.format("graft-ocf").load(dir)
+    // min-max scale each dimension onto the FULL 16-bit width before
+    // interleaving: raw interleave lets whichever dimension has the
+    // higher magnitude own the top z-bits (a 6-bit hour bucket above a
+    // 2-bit partition id sorts purely by time) — scaling makes both
+    // dimensions share the high bits, which is what gives the Morton
+    // curve its rectangle locality. One bounded stats job, the same
+    // min/max pass every OPTIMIZE ZORDER implementation runs.
+    val tb = floor(unix_micros(col("timestamp")) / tsBucketUs)
+      .cast("bigint")
+    val stats = df.select(
+      min(col("partition").cast("bigint")).as("p0"),
+      max(col("partition").cast("bigint")).as("p1"),
+      min(tb).as("t0"), max(tb).as("t1")).head()
+    val (pLo, pHi) = (stats.getLong(0), stats.getLong(1))
+    val (tLo, tHi) = (stats.getLong(2), stats.getLong(3))
+    def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi <= lo) lit(0L)
+      else floor((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("bigint")
+    val p16 = scaled(col("partition").cast("bigint"), pLo, pHi)
+    val t16 = scaled(tb, tLo, tHi)
+    val z = (0 until 16).map { i =>
+      (shiftleft(shiftright(p16, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(t16, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("_z", z)
+      .repartitionByRange(math.max(1, targetFiles), col("_z"),
+        col("partition"), col("offset"))
+      .sortWithinPartitions(col("_z"), col("partition"), col("offset"))
+      .drop("_z")
+      .write.format("graft-ocf")
+      .option("layout", "presorted")
+      .option("expectedContainers", containerNames(dir).mkString(","))
+      .mode("overwrite").save(dir)
+    (before, nFiles)
+  }
+
   /** VACUUM: collect the dot-file debris the crash-safe protocols can
     * leave behind — `.part-*.ocf.tmp` task temps whose writer died
     * between write and commit-rename (a clean abort deletes its temp;

@@ -38,8 +38,15 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
   //   away the single-partition-per-file property).
   // targetFiles=N (optional): required shuffle partition count for the
   //   write — the compaction knob for choosing container count.
+  // layout=presorted: NO required distribution/ordering — the caller
+  //   already laid the frame out (OcfMaintenance.clusterZOrder
+  //   range-partitions + sorts on a Morton-interleaved (partition,
+  //   time) key the DSv2 ordering API cannot express) and the sink
+  //   must not reshuffle it.
   private val timeLayout =
     "time".equalsIgnoreCase(info.options.get("layout"))
+  private val presorted =
+    "presorted".equalsIgnoreCase(info.options.get("layout"))
   private val targetFiles =
     Option(info.options.get("targetFiles")).map(_.toInt).getOrElse(0)
   // expectedContainers=<comma list of .ocf basenames>: optimistic
@@ -59,10 +66,12 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
-      if (timeLayout) Distributions.ordered(timeOrder)
+      if (presorted) Distributions.unspecified()
+      else if (timeLayout) Distributions.ordered(timeOrder)
       else Distributions.clustered(Array(Expressions.identity("partition")))
     override def requiredOrdering(): Array[SortOrder] =
-      if (timeLayout) timeOrder
+      if (presorted) Array.empty
+      else if (timeLayout) timeOrder
       else Array(
         Expressions.sort(Expressions.column("partition"),
           SortDirection.ASCENDING),

@@ -1344,6 +1344,68 @@ class OcfSourceSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir2).count() == 200L)
   }
 
+  test("z-order rewrite prunes on BOTH partition and time where the " +
+      "partition layout prunes only one") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.sources._
+    val dir = tmpDir("ocf_zorder")
+    // a grid store: every partition spans the FULL time range (the
+    // shape where single-column clustering cannot serve both slices)
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+    for (p <- 0 until 4) {
+      (0 until 64)
+        .map(i => (p * 1000L + i, s"payload_${p}_$i")).toDF("id", "props")
+        .select(
+          col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit("events").as("topic"),
+          lit(p).cast("int").as("partition"),
+          col("id").as("offset"),
+          to_timestamp(from_unixtime(lit(base) + (col("id") % 1000) * 3600))
+            .as("timestamp"),
+          lit(0).cast("int").as("timestampType"))
+        .write.format("graft-ocf")
+        .mode(if (p == 0) "overwrite" else "append").save(dir)
+    }
+    val wantRows = spark.read.format("graft-ocf").load(dir)
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // before: partition layout — a time-range slice prunes nothing
+    val tsLo = Timestamp.valueOf("2026-01-01 10:00:00")
+    val tsHi = new Timestamp(tsLo.getTime + 8L * 3600 * 1000)
+    def tsSlice(d: String) = planFiles(d, Array(
+      GreaterThanOrEqual("timestamp", tsLo), LessThan("timestamp", tsHi)))
+    val beforeAll = planFiles(dir, Array.empty)
+    assert(tsSlice(dir).size == beforeAll.size,
+      "partition layout: every container spans the full time range")
+
+    val (nb, na) = OcfMaintenance.clusterZOrder(spark, dir,
+      targetFiles = 8)
+    assert(nb == 4 && na == 8, s"got ($nb, $na)")
+    // rows survive the rewrite exactly
+    val got = spark.read.format("graft-ocf").load(dir)
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == wantRows)
+    val afterAll = planFiles(dir, Array.empty)
+    // time-range slice now prunes containers...
+    assert(tsSlice(dir).size < afterAll.size,
+      s"z-order: ts slice must prune, got ${tsSlice(dir).size} of " +
+        s"${afterAll.size}")
+    // ...and partition-equality still prunes too — both dimensions
+    val byPart = planFiles(dir, Array(EqualTo("partition", 0)))
+    assert(byPart.size < afterAll.size,
+      s"z-order: partition slice must prune, got ${byPart.size} of " +
+        s"${afterAll.size}")
+    // the combined rectangle prunes at least as hard as either slice
+    val rect = planFiles(dir, Array(EqualTo("partition", 0),
+      GreaterThanOrEqual("timestamp", tsLo), LessThan("timestamp", tsHi)))
+    assert(rect.size <= math.min(byPart.size, tsSlice(dir).size))
+    assert(rect.map(_.end).sum < wantRows.size,
+      "rectangle scan must read a strict subset of records")
+  }
+
   test("vacuum collects aged dot-file debris, spares live temps and " +
       "every visible file") {
     val dir = tmpDir("ocf_vacuum")
