@@ -241,6 +241,36 @@ object Relational {
           .as("p90_cents"))
   }
 
+  /** Incremental view maintenance: fold a CDC changelog into a
+    * persisted (count, sum) aggregate WITHOUT rescanning the base
+    * facts — the materialized-view delta-apply every warehouse runs
+    * nightly, and the only shape that survives when the base table is
+    * 100 TB and the day's changes are gigabytes. Changelog rows are
+    * (key, op ∈ I|U|D, old_cents, new_cents): I contributes (+1,
+    * +new), D (−1, −old), U (0, new−old). Deltas aggregate at
+    * changelog size, then ONE outer join keyed by the group column
+    * merges them into the summary; groups whose count reaches zero
+    * drop (their row disappears, exactly as a recompute would).
+    * Pure integer arithmetic — maintained == recomputed bit-for-bit,
+    * which is precisely what the oracle asserts.
+    */
+  def maintainAggregate(summary: DataFrame, changelog: DataFrame,
+                        keyCol: String): DataFrame = {
+    val deltas = changelog.select(col(keyCol),
+        when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+          .otherwise(0L).as("dn"),
+        (coalesce(col("new_cents"), lit(0L))
+          - coalesce(col("old_cents"), lit(0L))).as("dv"))
+      .groupBy(col(keyCol)).agg(sum("dn").as("dn"), sum("dv").as("dv"))
+    summary.join(deltas, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+          .as("sum_cents"))
+      .filter(col("n_events") > 0)
+  }
+
   /** Robust per-group outlier flags: lower-median + MAD (median
     * absolute deviation), |x − med| > k·MAD — the monitoring-pipeline
     * anomaly pass that survives heavy-tailed metrics where a

@@ -274,6 +274,24 @@ object Queries {
         |    AS BIGINT) AS n_anom
         |FROM a JOIN mad ON a.g = mad.g
         |GROUP BY 1, 2, 3""".stripMargin,
+    // scratch recompute of the post-changelog state: per event the
+    // CDC day resolves to present/absent/new-value by the same
+    // disjoint id classes; a green hash proves the delta fold equals
+    // this recompute
+    "ivm_user_totals" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |fin AS (
+        |  SELECT user_id, cents FROM e WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 7 = 0 AND event_id % 13 <> 0
+        |      THEN cents + 5 ELSE cents END AS cents
+        |  FROM e WHERE event_id % 10 <> 0
+        |    AND NOT (event_id % 13 = 0 AND event_id % 7 <> 0))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY 1""".stripMargin,
     // the same cross-multiplied DECIMAL(38,0) predicate over
     // preceding-frame integer sums; the empty first frame short-
     // circuits on n >= 30
@@ -441,6 +459,35 @@ object Queries {
         .groupBy(col("event_type"), col("med"), col("mad"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"))),
+    // incremental view maintenance: a persisted per-user (count, sum)
+    // summary + a deterministic CDC day (inserts id%10==0, deletes
+    // id%13==0, updates id%7==0 at +5 cents, disjoint) folded by
+    // maintainAggregate — delta-sized work, one keyed outer join,
+    // never a fact rescan; the oracle recomputes the final state from
+    // scratch, so a green hash proves maintained == recomputed
+    "ivm_user_totals" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val summary = base.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val inserts = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), lit("I").as("op"),
+          lit(null).cast(LongType).as("old_cents"),
+          col("cents").as("new_cents"))
+      val deletes = base.filter(col("event_id") % 13 === 0 &&
+          col("event_id") % 7 =!= 0)
+        .select(col("user_id"), lit("D").as("op"),
+          col("cents").as("old_cents"),
+          lit(null).cast(LongType).as("new_cents"))
+      val updates = base.filter(col("event_id") % 7 === 0 &&
+          col("event_id") % 13 =!= 0)
+        .select(col("user_id"), lit("U").as("op"),
+          col("cents").as("old_cents"),
+          (col("cents") + 5L).as("new_cents"))
+      Relational.maintainAggregate(summary,
+        inserts.unionByName(deletes).unionByName(updates), "user_id")
+    }),
     // running z-score flags (the streaming-shaped anomaly form:
     // flag-then-update against prior history, exact integer/decimal
     // cross-multiplied predicate); AnomalyStream is the serving twin

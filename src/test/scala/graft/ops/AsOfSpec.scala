@@ -313,6 +313,29 @@ class AsOfSpec extends SparkSuite {
     assert(rows(3L) === (("<EMAIL> <EMAIL> 42", 2L, 0L)))
   }
 
+  test("maintainAggregate: new keys appear, emptied keys drop, " +
+      "updates shift sums without touching counts") {
+    val s = spark
+    import s.implicits._
+    val summary = Seq((1L, 2L, 300L), (2L, 1L, 50L), (3L, 1L, 70L))
+      .toDF("user_id", "n_events", "sum_cents")
+    val changelog = Seq(
+      // key 1: one delete (-1, -100), one update (+0, +25)
+      (1L, "D", Some(100L), None), (1L, "U", Some(75L), Some(100L)),
+      // key 2: delete its only row -> group must disappear
+      (2L, "D", Some(50L), None),
+      // key 9: insert to a key the summary has never seen
+      (9L, "I", None, Some(40L)))
+      .toDF("user_id", "op", "old_cents", "new_cents")
+    val got = Relational.maintainAggregate(summary, changelog, "user_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 225L)), // 300 - 100 + (100 - 75)
+      3L -> ((1L, 70L)),  // untouched key passes through
+      9L -> ((1L, 40L))), s"got $got")
+  }
+
   test("robustAnomalies: lower median on even counts, MAD=0 groups, " +
       "strict k*MAD boundary") {
     val s = spark
