@@ -189,23 +189,48 @@ object TextOps {
     val uni = toks
       .select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
-    // one-row total joined on a constant key: single-bucket
-    // BroadcastHashJoin, never a nested-loop cartesian
+    // one-row total joined through a single-bucket BroadcastHashJoin
+    // (the Similarity.bruteForceTopK pattern): the key must be a
+    // non-foldable expression of a real column — a lit(1) pair
+    // constant-folds to `true` and degrades to a nested-loop join
     val n = toks
       .select(sum(greatest(size(col("t")) - 1, lit(0))).as("n"))
-      .select(lit(1).as("jk"), col("n"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
     big
       .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))),
         "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))),
         "w2")
-      .withColumn("jk", lit(1))
-      .join(broadcast(n), "jk")
+      .withColumn("__jk", pmod(xxhash64(col("c_ab")), lit(1L)))
+      .join(broadcast(n), "__jk")
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
         ((col("c_ab") * col("n")).cast(DoubleType) /
           (col("c_a") * col("c_b")).cast(DoubleType)).as("pmi_ratio"))
       .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
       .limit(k)
+  }
+
+  /** Token-rarity profile: per document, the sum and mean of each
+    * token's GLOBAL corpus frequency — the cheap lexical-likelihood
+    * filter (a unigram LM without logs): gibberish and OCR noise score
+    * low because their tokens are corpus-rare, boilerplate scores
+    * high. Integer sums + ONE correctly-rounded division per doc keep
+    * it bit-stable cross-engine. Shape: one explode + the
+    * vocabulary-sized tf frame broadcast back onto the token stream,
+    * one doc-keyed aggregate — two shuffles total, no self-join of the
+    * corpus.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(tf), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"))
+      .withColumn("mean_tf",
+        col("sum_tf").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
   /** Document fingerprint: rolling polynomial hash of the whole text. */

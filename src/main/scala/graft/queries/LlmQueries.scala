@@ -670,6 +670,11 @@ object LlmQueries {
     // monotone — log-PMI ranks identically), min-count 5 floor
     "collocations" -> ((s, d) =>
       TextOps.collocations(docs(s, d), "text")),
+    // N4 — lexical-likelihood filter: per-doc sum/mean of global token
+    // frequency (a unigram LM without logs; integer sums + one
+    // division)
+    "token_rarity" -> ((s, d) =>
+      TextOps.tokenRarity(docs(s, d), "doc_id", "text")),
     // N4 — polynomial document fingerprint
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
     // N4 — language-ID heuristic
@@ -2420,6 +2425,15 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
          |  string_agg(piece, ' ' ORDER BY wi, pi) AS pieces
          |FROM p GROUP BY doc_id""".stripMargin,
+    "token_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM t GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+        |  CAST(sum(tf.tf) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_tf
+        |FROM t JOIN tf USING (term) GROUP BY 1""".stripMargin,
     // PMI replay: same integer counts, same single division, same
     // (ratio desc, w1, w2) total order
     "collocations" ->
