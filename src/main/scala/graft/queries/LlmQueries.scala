@@ -851,6 +851,47 @@ object LlmQueries {
           (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
             col("exact_cnt").cast(DoubleType) <= 0.05).as("within_tol"))
     }),
+    // N7 — sketch ALGEBRA: pairwise audience overlap between event
+    // segments by inclusion-exclusion over HLL sketches
+    // (est(A)+est(B)-est(A∪B) via the scalar hll_union) — the
+    // cross-segment analysis that at 100 TB runs on sketch rows, not
+    // raw users. Exact overlap rides along as the gate (the per-user
+    // segment list is bounded by the segment vocabulary, so the
+    // user-keyed equi-self-join is scalable — never an inequality
+    // join): the row hashes equal to the oracle iff every estimate
+    // lands within 5% of the exact union size.
+    "audience_overlap" -> ((s, d) => {
+      val ue = Tables.events(s, d)
+        .select(col("event_type").as("seg"), col("user_id")).distinct()
+      val sizes = ue.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val exact = ue.select(col("seg").as("seg_a"), col("user_id"))
+        .join(ue.select(col("seg").as("seg_b"), col("user_id")), "user_id")
+        .filter(col("seg_a") < col("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      val sk = ue.groupBy(col("seg"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      exact
+        .join(broadcast(sk.select(col("seg").as("seg_a"),
+          col("sk").as("sk_a"))), "seg_a")
+        .join(broadcast(sk.select(col("seg").as("seg_b"),
+          col("sk").as("sk_b"))), "seg_b")
+        .join(broadcast(sizes.select(col("seg").as("seg_a"),
+          col("n").as("n_a"))), "seg_a")
+        .join(broadcast(sizes.select(col("seg").as("seg_b"),
+          col("n").as("n_b"))), "seg_b")
+        .select(col("seg_a"), col("seg_b"), col("exact_overlap"),
+          col("n_a"), col("n_b"),
+          (expr("hll_sketch_estimate(sk_a)")
+            + expr("hll_sketch_estimate(sk_b)")
+            - expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+            .as("approx_overlap"))
+        .select(col("seg_a"), col("seg_b"), col("exact_overlap"),
+          (abs(col("approx_overlap") - col("exact_overlap"))
+            .cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("exact_overlap"))
+              .cast(DoubleType) <= 0.05).as("within_tol"))
+    }),
     // Corpus ops — benchmark decontamination: train docs sharing any
     // 3-word shingle with the content-hash test split
     "decontaminate" -> ((s, d) =>
@@ -2371,6 +2412,13 @@ object LlmQueries {
     "distinct_users_sketch" ->
       """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
         |FROM events""".stripMargin,
+    "audience_overlap" ->
+      """WITH ue AS (SELECT DISTINCT event_type AS seg, user_id
+        |  FROM events)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |  count(*) AS exact_overlap, true AS within_tol
+        |FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.seg < b.seg
+        |GROUP BY 1, 2""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "decontaminate_bloom" -> decontaminateOracle,
     "span_dedup" ->
