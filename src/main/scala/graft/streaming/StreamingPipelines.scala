@@ -167,13 +167,32 @@ object StreamingPipelines {
     */
   def corpusFilterStream(docs: DataFrame, tsCol: String, idCol: String,
                          textCol: String,
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes",
+                         evalBloom: Option[graft.functions.GraftBloomFilter]
+                           = None): DataFrame = {
     val scored = docs
       .withColumn("score", graft.functions.GraftFunctions.linearScore(
         col(textCol), graft.ops.TextOps.classifierWeights))
       .filter(col("score") > 0L)
       .withColumn("lang_id", graft.ops.TextOps.langId(col(textCol)))
-    nearDupSuppress(scored, tsCol, idCol, textCol, watermark)
+    // optional in-flight decontamination: drop any document sharing a
+    // 3-word shingle with the eval set, probed through the broadcast
+    // Bloom (CorpusOps.evalGramBloom — the once-per-release artifact)
+    // as a stateless codegen map BEFORE dedup state sees the doc. The
+    // Bloom errs only toward over-dropping (false positives ~4e-4 at
+    // 16 bits/gram; false negatives don't exist), the safe direction
+    // for a contamination gate — the exact-join refinement stays a
+    // batch-side audit.
+    // hash domain must match the bloom build (xxhash64 over the STRING
+    // shingle, CorpusOps.evalGramBloom) — not the splitmix-hashed
+    // shingle kernel
+    val decon = evalBloom.fold(scored) { bloom =>
+      scored.filter(!exists(
+        graft.ops.TextOps.wordShingles(col(textCol), 3),
+        g => graft.functions.GraftFunctions
+          .bloomMightContain(xxhash64(g), bloom)))
+    }
+    nearDupSuppress(decon, tsCol, idCol, textCol, watermark)
   }
 
   /** Stream-stream event join — the capability the reference never had

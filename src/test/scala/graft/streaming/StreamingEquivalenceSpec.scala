@@ -396,6 +396,60 @@ class StreamingEquivalenceSpec extends SparkSuite with RocksDBStateStore {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("in-flight decontamination drops exactly the eval-contaminated " +
+    "docs before dedup state, stream == batch") {
+    val s = spark
+    import s.implicits._
+    val t0 = ts("2026-01-01 10:00:00")
+    def at(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    // eval set: one fixed phrase; two corpus docs contain its 3-gram
+    // built directly over the eval phrase's shingle hashes (the
+    // CorpusOps.evalGramBloom artifact shape, minus its content-hash
+    // split selection — the test controls the eval set explicitly)
+    val evalDocs = Seq((100L, "secret benchmark answer key phrase"))
+      .toDF("doc_id", "text")
+    val bloom = graft.functions.GraftBloom.build(
+      evalDocs.select(explode(
+          graft.ops.TextOps.wordShingles(col("text"), 3)).as("g"))
+        .select(xxhash64(col("g")).as("h")),
+      "h", graft.functions.GraftBloom.sizeBits(8, 16), 6)
+    val docs = Seq(
+      (0L, "the quick brown fox and the lazy dog jumps the fence", at(0)),
+      (1L, "contains the secret benchmark answer key phrase inline", at(1)),
+      (2L, "plain sort merge scan table the quick brown words", at(2)),
+      (3L, "another secret benchmark answer leak right here", at(3)))
+      .toDF("doc_id", "text", "ts")
+    val kept = StreamingPipelines.corpusFilterStream(
+        docs, "ts", "doc_id", "text", evalBloom = Some(bloom))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptNoBloom = StreamingPipelines.corpusFilterStream(
+        docs, "ts", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 and 3 share a 3-shingle with the eval phrase ("secret
+    // benchmark answer") — they must be gone, and ONLY they
+    assert((keptNoBloom -- kept) == Set(1L, 3L).intersect(keptNoBloom),
+      s"kept=$kept keptNoBloom=$keptNoBloom")
+    assert(!kept.contains(1L) && !kept.contains(3L))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipelines.corpusFilterStream(
+        input.toDF().toDF("doc_id", "text", "ts"), "ts", "doc_id",
+        "text", evalBloom = Some(bloom))
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("decon_ckpt"))
+      .start()
+    input.addData(docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("decon_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == kept, s"stream=$streamed batch=$kept")
+  }
+
   test("streaming near-dup suppression: one survivor per signature, " +
     "stream == batch") {
     val s = spark
