@@ -314,6 +314,81 @@ object OcfMaintenance {
     (victims.size, victims.map(_._3.count).sum)
   }
 
+  /** Maintenance ADVISOR: one metadata-only pass over the listing +
+    * manifests that tells an operator (or a scheduler) which of the
+    * maintenance operations this store needs right now — the nightly
+    * triage a fleet of 100 TB stores runs before spending any rewrite
+    * I/O. Pure driver-side listing arithmetic: no container is ever
+    * opened. One row per firing rule: (rule, severity, metric, detail).
+    *
+    *  - `compact`      many small containers (micro-batch cadence debris)
+    *  - `consolidate`  per-commit manifest pile grown past a threshold
+    *  - `cluster_time` every container spans most of the store's time
+    *                   range — ts-range pruning is dead until a
+    *                   cluster/clusterZOrder rewrite
+    *  - `vacuum`       aged dot-file crash debris is eating storage
+    *  - `key_bloom`    no container carries a key Bloom — point lookups
+    *                   scan everything (informational)
+    */
+  def advise(spark: SparkSession, dir: String,
+             smallFiles: Int = 64, manifestPile: Int = 8,
+             debrisHorizonMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    val conf = OcfStore.driverConf()
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, String)]
+    if (fs.exists(d)) {
+      val listing = fs.listStatus(d).toSeq
+      val stats = OcfStore.manifestStats(dir, conf).values.toSeq
+      val containers = listing.filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".ocf") && !n.startsWith(".")
+      }
+      if (containers.size > smallFiles)
+        out += (("compact", "warn", containers.size.toLong,
+          s"${containers.size} containers (> $smallFiles): micro-batch " +
+            "cadence debris; one compact() pass restores few-file scans"))
+      val manifests = listing
+        .filter(_.getPath.getName.startsWith("_manifest-"))
+      if (manifests.size > manifestPile)
+        out += (("consolidate", "warn", manifests.size.toLong,
+          s"${manifests.size} manifest files (> $manifestPile): " +
+            "compactManifests() collapses the per-commit pile"))
+      if (stats.size >= 2) {
+        val lo = stats.map(_.minTsUs).min
+        val hi = stats.map(_.maxTsUs).max
+        if (hi > lo) {
+          val spanFrac = stats.map(s =>
+            (s.maxTsUs - s.minTsUs).toDouble / (hi - lo))
+          val wide = spanFrac.count(_ > 0.5)
+          if (wide * 2 > stats.size)
+            out += (("cluster_time", "info", wide.toLong,
+              s"$wide of ${stats.size} containers span >50% of the " +
+                "store's time range: ts pruning is ineffective until a " +
+                "cluster()/clusterZOrder() rewrite"))
+        }
+      }
+      val horizon = System.currentTimeMillis() - debrisHorizonMs
+      val debris = listing.count { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith(".") &&
+          (n.endsWith(".ocf.tmp") || n.endsWith(".stale")) &&
+          st.getModificationTime < horizon
+      }
+      if (debris > 0)
+        out += (("vacuum", "info", debris.toLong,
+          s"$debris aged dot-file orphans: vacuum() reclaims them"))
+      if (stats.nonEmpty && stats.forall(_.keyBloom.isEmpty))
+        out += (("key_bloom", "info", stats.size.toLong,
+          "no container carries a key Bloom: key-equality scans open " +
+            "every container (write with keyBloomBits to enable " +
+            "point-lookup skipping)"))
+    }
+    out.toSeq.toDF("rule", "severity", "metric", "detail")
+  }
+
   /** OPTIMIZE ZORDER twin: rewrite the store ordered by the Morton
     * interleave of (partition, time-bucket), so every container covers
     * a tight rectangle in (partition × time) space and the manifest's

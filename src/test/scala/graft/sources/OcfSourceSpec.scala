@@ -1406,6 +1406,52 @@ class OcfSourceSpec extends SparkSuite {
       "rectangle scan must read a strict subset of records")
   }
 
+  test("advise fires exactly the rules a store's metadata warrants") {
+    val s = spark
+    def rules(dir: String, smallFiles: Int = 64): Map[String, String] =
+      OcfMaintenance.advise(s, dir, smallFiles = smallFiles)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // a healthy 4-container stratified store: each container holds a
+    // tight time slice -> no cluster_time; no debris; blooms absent
+    val dir = tmpDir("ocf_advise")
+    stratifiedStore(dir)
+    val r1 = rules(dir)
+    assert(!r1.contains("compact") && !r1.contains("vacuum") &&
+      !r1.contains("cluster_time"), s"got $r1")
+    assert(r1.contains("key_bloom"), "bloomless store -> informational")
+    // low smallFiles threshold -> compact fires
+    assert(rules(dir, smallFiles = 2).contains("compact"))
+    // plant aged debris -> vacuum fires
+    val f = new java.io.File(dir, ".part-dead-0-1.ocf.tmp")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1))
+    assert(f.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(rules(dir).contains("vacuum"))
+    // a time-grid store (every container spans the full range) ->
+    // cluster_time fires
+    import s.implicits._
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+    def wideCommit(dir: String, from: Int, mode: String): Unit =
+      (from until from + 100)
+        .map(i => (i.toLong, s"p_$i")).toDF("id", "props")
+        .select(col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit("events").as("topic"),
+          (col("id") % 4).cast("int").as("partition"),
+          col("id").as("offset"),
+          to_timestamp(from_unixtime(lit(base) + (col("id") % 100) * 3600))
+            .as("timestamp"),
+          lit(0).cast("int").as("timestampType"))
+        .write.format("graft-ocf").mode(mode).save(dir)
+    val dir2 = tmpDir("ocf_advise_grid")
+    wideCommit(dir2, 0, "overwrite")
+    wideCommit(dir2, 100, "append")
+    val r2 = OcfMaintenance.advise(s, dir2).collect()
+      .map(_.getString(0)).toSet
+    assert(r2.contains("cluster_time"), s"got $r2")
+    // absent store -> empty advice, correct schema
+    assert(OcfMaintenance.advise(s, dir + "_absent").collect().isEmpty)
+  }
+
   test("vacuum collects aged dot-file debris, spares live temps and " +
       "every visible file") {
     val dir = tmpDir("ocf_vacuum")
