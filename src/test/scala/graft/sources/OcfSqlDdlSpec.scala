@@ -55,4 +55,54 @@ class OcfSqlDdlSpec extends SparkSuite {
       assert(v == "payload_7")
     } finally spark.sql("DROP TABLE IF EXISTS events_store")
   }
+
+  test("CALL graft.system.* drives the maintenance suite from SQL") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    val dir = tmpDir("ocf_call")
+    // a many-container store: one commit per 20-row slice
+    for (i <- 0 until 5)
+      (i * 20 until (i + 1) * 20).map(j => (j.toLong, s"p_$j"))
+        .toDF("id", "props")
+        .select(col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit("events").as("topic"),
+          (col("id") % 4).cast("int").as("partition"),
+          col("id").as("offset"),
+          lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+          lit(0).cast("int").as("timestampType"))
+        .write.format("graft-ocf")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+
+    // advise returns the triage table (bloomless store -> key_bloom row)
+    val advice = s.sql(s"CALL graft.system.advise(dir => '$dir')")
+      .collect().map(_.getString(0)).toSet
+    assert(advice.contains("key_bloom"), s"got $advice")
+
+    // vacuum: plant aged debris, CALL collects it
+    val f = new java.io.File(dir, ".part-dead-0-1.ocf.tmp")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2))
+    assert(f.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val vac = s.sql(s"CALL graft.system.vacuum(dir => '$dir')").head()
+    assert(vac.getInt(0) == 1 && vac.getLong(1) == 2L)
+    assert(!f.exists())
+
+    // compact: 5 containers -> fewer; rows survive
+    val before = s.read.format("graft-ocf").load(dir).count()
+    val comp = s.sql(s"CALL graft.system.compact(dir => '$dir')").head()
+    assert(comp.getInt(0) == 5 && comp.getInt(1) < 5, s"got $comp")
+    assert(s.read.format("graft-ocf").load(dir).count() == before)
+
+    // defaulted parameter: zorder without target_files/ts_bucket_us
+    val z = s.sql(s"CALL graft.system.zorder(dir => '$dir')").head()
+    assert(z.getInt(1) == 8, s"got $z")
+    assert(s.read.format("graft-ocf").load(dir).count() == before)
+
+    // unknown procedure fails cleanly
+    intercept[Exception] {
+      s.sql(s"CALL graft.system.nope(dir => '$dir')").collect()
+    }
+  }
 }
