@@ -143,6 +143,17 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
         one(intLong, n, bytes)
       }
     },
+    "ann_compact" -> new Proc("ann_compact", Array(
+      ProcedureParameter.in("dir", StringType)
+        .comment("AnnIndexStore directory").build(),
+      ProcedureParameter.in("compact_seq", LongType).build())) {
+      override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        val dir = in.getString(0)
+        AnnIndexStore.compact(spark, dir, in.getLong(1))
+        val n = AnnIndexStore.read(spark, dir).count()
+        one(StructType(Seq(StructField("live_postings", LongType))), n)
+      }
+    },
     "advise" -> new Proc("advise", Array(dirParam)) {
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
         val schema = StructType(Seq(StructField("rule", StringType),
