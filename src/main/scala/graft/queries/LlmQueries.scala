@@ -605,6 +605,20 @@ object LlmQueries {
     }),
     // N4 — BM25 keyword retrieval (rational-idf variant; see
     // Retrieval scaladoc for the cross-engine exactness argument)
+    // N4 — the PERSISTED serving form of keyword retrieval: a full
+    // inverted-index posting store maintained by append-only deltas
+    // (TextIndexStore: seq'd generations + tombstones, latest-wins per
+    // doc, 64-way term-bucket partitioning), probed by the same
+    // rational-BM25 chain as bm25_search. The store build (base
+    // append, tombstone day, re-add day) is memoized per (session,
+    // sf); the timed query is the daily probe of the read-back store.
+    // Oracle recomputes BM25 from scratch over the final corpus —
+    // green hash proves changelog-resolution == rebuild.
+    "text_index_store" -> ((s, d) => {
+      val dir = textIndexArtifact(s, d)
+      graft.sources.TextIndexStore.bm25Probe(s, dir,
+        Seq("spark", "stream", "vector", "query"), k = 10)
+    }),
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
     // N4 — exact-phrase search via positional inverted index: one
@@ -1162,6 +1176,32 @@ object LlmQueries {
     pqMemo.computeIfAbsent(s"$d#$tag",
       _ => Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
         m = 16, codesPerSub = 32))
+
+  /** text_index_store's once-per-(session, sf) changelog-day build:
+    * base corpus (doc_id % 7 != 0) at seq 0, tombstones (% 11 == 0) at
+    * seq 1, the % 7 == 0 docs appended at seq 2 (resurrecting any
+    * tombstoned among them — strictly-higher seq wins). Final live
+    * corpus: (%7 != 0 && %11 != 0) || %7 == 0.
+    */
+  private def textIndexDir: String =
+    sidecar("graft.text.index.dir", "/tmp/graft_text_index")
+  private val textIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def textIndexArtifact(s: SparkSession, d: String): String =
+    textIndexMemo.computeIfAbsent(d, _ => {
+      val dd = docs(s, d)
+      val dir = textIndexDir
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      graft.sources.TextIndexStore.append(
+        dd.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", dir, 0L)
+      graft.sources.TextIndexStore.tombstone(
+        dd.filter(col("doc_id") % 11 === 0), "doc_id", dir, 1L)
+      graft.sources.TextIndexStore.append(
+        dd.filter(col("doc_id") % 7 === 0), "doc_id", "text", dir, 2L)
+      dir
+    })
 
   /** distinct_users_sketch's per-day HLL sketch artifact. */
   private def hllSketchDir: String =
@@ -1993,6 +2033,46 @@ object LlmQueries {
         |  GROUP BY doc_id""".stripMargin,
     // the same rational-idf BM25 chain, term order and association
     // order replicated verbatim (see Retrieval.bm25TopK scaladoc)
+    // from-scratch BM25 over the post-changelog corpus: a green hash
+    // proves the store's latest-wins resolution reproduced it exactly
+    "text_index_store" ->
+      """WITH fin AS (SELECT doc_id, text FROM documents
+        |  WHERE (doc_id % 7 <> 0 AND doc_id % 11 <> 0)
+        |     OR doc_id % 7 = 0),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM fin),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_len FROM l),
+        |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM l),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM e WHERE term IN ('spark', 'stream', 'vector', 'query')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  (CAST(2*(st.n_docs - dfq.df) + 1 AS DOUBLE)
+        |     / CAST(2*dfq.df + 1 AS DOUBLE))
+        |  * (CAST(44*tf.tf*st.sum_len AS DOUBLE)
+        |     / CAST(20*tf.tf*st.sum_len + 6*st.sum_len
+        |            + 18*tf.dl*st.n_docs AS DOUBLE)) AS score_t
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |p AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN term = 'spark' THEN score_t END), 0.0)
+        |    AS s_spark,
+        |  coalesce(max(CASE WHEN term = 'stream' THEN score_t END), 0.0)
+        |    AS s_stream,
+        |  coalesce(max(CASE WHEN term = 'vector' THEN score_t END), 0.0)
+        |    AS s_vector,
+        |  coalesce(max(CASE WHEN term = 'query' THEN score_t END), 0.0)
+        |    AS s_query
+        |  FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, s_spark, s_stream, s_vector, s_query,
+        |  ((s_spark + s_stream) + s_vector) + s_query AS score FROM p),
+        |k AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rk,
+        |  score, s_spark, s_stream, s_vector, s_query FROM r)
+        |SELECT * FROM k WHERE rk <= 10""".stripMargin,
     "bm25_search" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents),

@@ -274,6 +274,21 @@ object Queries {
         |    AS BIGINT) AS n_anom
         |FROM a JOIN mad ON a.g = mad.g
         |GROUP BY 1, 2, 3""".stripMargin,
+    // the same rank-selected p99 + integer ceil salt
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY 1),
+        |r AS (SELECT cnt,
+        |  row_number() OVER (ORDER BY cnt, user_id) AS rn,
+        |  count(*) OVER () AS n FROM c)
+        |SELECT max(n) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |  max(cnt) AS max_cnt,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |    THEN cnt END) AS p99_cnt,
+        |  CAST(sum(cnt) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_cnt,
+        |  least(32, (max(cnt) * max(n) + sum(cnt) - 1) // sum(cnt))
+        |    AS salt
+        |FROM r""".stripMargin,
     // scratch recompute of the post-changelog state: per event the
     // CDC day resolves to present/absent/new-value by the same
     // disjoint id classes; a green hash proves the delta fold equals
@@ -459,6 +474,33 @@ object Queries {
         .groupBy(col("event_type"), col("med"), col("mad"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"))),
+    // pre-join skew triage: the per-key histogram summary that decides
+    // whether a join needs Skew.saltedJoin and at what factor — run on
+    // metadata-scale aggregates, never the fact rows twice. p99 is a
+    // rank-selected element (price_quantiles pattern), mean the single
+    // division, recommended salt an integer ceil of max/mean capped 32
+    "skew_report" -> ((s, d) => {
+      val counts = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt"), col("user_id"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+        .agg(
+          max(col("n")).as("n_keys"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_cnt"),
+          max(when(col("rn") === ceil(lit(0.99) * col("n")), col("cnt")))
+            .as("p99_cnt"))
+        .select(col("n_keys"), col("total"), col("max_cnt"), col("p99_cnt"),
+          (col("total").cast(DoubleType) / col("n_keys").cast(DoubleType))
+            .as("mean_cnt"),
+          least(lit(32L),
+            expr("(max_cnt * n_keys + total - 1) DIV total")).as("salt"))
+    }),
     // incremental view maintenance: a persisted per-user (count, sum)
     // summary + a deterministic CDC day (inserts id%10==0, deletes
     // id%13==0, updates id%7==0 at +5 cents, disjoint) folded by

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The persisted text-index changelog: latest-wins resolution must be
+  * row-equivalent to indexing the current corpus from scratch —
+  * including re-adds over tombstones and re-indexed (changed) document
+  * text — and the probe must stay bucket-pruned and survive
+  * compaction unchanged.
+  */
+class TextIndexStoreSpec extends SparkSuite {
+
+  private def corpus(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def livePostings(dir: String): Set[(Long, String, Long, Long)] =
+    TextIndexStore.read(spark, dir)._1
+      .select("doc_id", "term", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def scratch(docs: org.apache.spark.sql.DataFrame, dir: String)
+      : Set[(Long, String, Long, Long)] = {
+    TextIndexStore.append(docs, "doc_id", "text", dir, 0L)
+    livePostings(dir)
+  }
+
+  test("append/tombstone/re-add/re-index resolve latest-wins and " +
+    "equal a from-scratch index; compaction preserves it") {
+    val dir = tmpDir("text_idx")
+    TextIndexStore.append(corpus(
+      (1L, "spark stream spark"), (2L, "vector query"),
+      (3L, "old text here"), (4L, "stream stream")),
+      "doc_id", "text", dir, 0L)
+    // delete 2 and 3; re-add 3 with CHANGED text; re-index 4 too
+    TextIndexStore.tombstone(corpus((2L, ""), (3L, "")), "doc_id", dir, 1L)
+    TextIndexStore.append(corpus(
+      (3L, "fresh vector text"), (4L, "stream query")),
+      "doc_id", "text", dir, 2L)
+
+    val want = scratch(corpus(
+      (1L, "spark stream spark"), (3L, "fresh vector text"),
+      (4L, "stream query")), tmpDir("text_idx_scratch"))
+    assert(livePostings(dir) == want,
+      "changelog resolution must equal from-scratch indexing")
+    // docstats: only live docs, latest dl
+    val stats = TextIndexStore.read(spark, dir)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(1L -> 3L, 3L -> 3L, 4L -> 2L))
+
+    // probe before/after compaction is identical
+    def probe() = TextIndexStore
+      .bm25Probe(spark, dir, Seq("spark", "stream"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+    TextIndexStore.compact(spark, dir, compactSeq = 9L)
+    assert(probe() == before, "compaction must not change the probe")
+    assert(livePostings(dir) == want)
+    // tombstones directory cleared
+    assert(!new java.io.File(dir, "tombstones").exists())
+  }
+
+  test("probe scan prunes to the query terms' hash buckets") {
+    val dir = tmpDir("text_idx_prune")
+    TextIndexStore.append(corpus(
+      (1L, "spark stream"), (2L, "merge sort table scan window batch")),
+      "doc_id", "text", dir, 0L)
+    val probe = TextIndexStore.bm25Probe(spark, dir, Seq("spark"), k = 3)
+    // the bucket predicate constant-folds to a literal partition
+    // filter on the postings scan (house plan-string check — the
+    // executedPlan nests scans under AQE wrappers)
+    val plan = probe.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("bucket"),
+      s"expected a bucket partition filter in:\n$plan")
+    assert(!plan.contains("PartitionFilters: []") ||
+      plan.split("PartitionFilters: ").exists(s =>
+        s.startsWith("[") && !s.startsWith("[]")),
+      s"every postings scan unpruned:\n$plan")
+  }
+}
