@@ -67,6 +67,31 @@ class TextIndexStoreSpec extends SparkSuite {
     assert(!new java.io.File(dir, "tombstones").exists())
   }
 
+  test("streaming maintenance folds add/del micro-batches into the " +
+    "same live index a batch rebuild implies")(withRocksDB {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("text_idx_stream")
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.product[(Long, String, String)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](enc, s)
+    val q = graft.streaming.TextIndexStream.maintainStream(
+      input.toDF().toDF("doc_id", "text", "op"),
+      dir, "doc_id", "text", "op", tmpDir("text_idx_ckpt"))
+    input.addData(Seq((1L, "spark stream", "add"),
+      (2L, "vector query", "add")))
+    q.processAllAvailable()
+    input.addData(Seq((2L, "", "del"), (3L, "fresh text", "add"),
+      (1L, "spark spark reindexed", "add")))
+    q.processAllAvailable()
+    q.stop()
+    val want = scratch(corpus(
+      (1L, "spark spark reindexed"), (3L, "fresh text")),
+      tmpDir("text_idx_stream_scratch"))
+    assert(livePostings(dir) == want)
+  })
+
   test("probe scan prunes to the query terms' hash buckets") {
     val dir = tmpDir("text_idx_prune")
     TextIndexStore.append(corpus(
