@@ -154,6 +154,17 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
         one(StructType(Seq(StructField("live_postings", LongType))), n)
       }
     },
+    "text_compact" -> new Proc("text_compact", Array(
+      ProcedureParameter.in("dir", StringType)
+        .comment("TextIndexStore directory").build(),
+      ProcedureParameter.in("compact_seq", LongType).build())) {
+      override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        val dir = in.getString(0)
+        TextIndexStore.compact(spark, dir, in.getLong(1))
+        val n = TextIndexStore.read(spark, dir)._1.count()
+        one(StructType(Seq(StructField("live_postings", LongType))), n)
+      }
+    },
     "advise" -> new Proc("advise", Array(dirParam)) {
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
         val schema = StructType(Seq(StructField("rule", StringType),
