@@ -619,6 +619,33 @@ object LlmQueries {
       graft.sources.TextIndexStore.bm25Probe(s, dir,
         Seq("spark", "stream", "vector", "query"), k = 10)
     }),
+    // N4 — SEARCH-AS-A-STREAM, batch path: fixed request set (term
+    // subsets over the fixture vocabulary) probing the persisted text
+    // index through bm25ProbeStream's exact plan — static-side
+    // precomputed BM25 partials, term-sorted deterministic fold,
+    // TopKAgg ranking. The streaming run of the same function is
+    // asserted stream==batch in TextIndexStoreSpec.
+    "text_probe_stream" -> ((s, d) => {
+      val dir = textIndexArtifact(s, d)
+      val (posts, stats) = graft.sources.TextIndexStore.read(s, dir)
+      val srow = stats.agg(count(lit(1)).as("n"),
+        sum(col("dl")).as("sl")).head()
+      import s.implicits._
+      val reqs = (0 until 8).map { r =>
+        val terms = r % 4 match {
+          case 0 => Seq("spark", "stream")
+          case 1 => Seq("vector", "query")
+          case 2 => Seq("spark", "query", "vector")
+          case _ => Seq("stream")
+        }
+        (new java.sql.Timestamp(1700000000000L + r * 60000L),
+          r.toLong, terms)
+      }.toDF("ts", "req_id", "terms")
+      graft.streaming.TextIndexStream.bm25ProbeStream(posts,
+          srow.getLong(0), srow.getLong(1), reqs, "ts", "req_id",
+          "terms", k = 10)
+        .select(col("req_id"), col("doc_id"), col("rk"), col("score"))
+    }),
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
     // N4 — exact-phrase search via positional inverted index: one
@@ -2033,6 +2060,49 @@ object LlmQueries {
         |  GROUP BY doc_id""".stripMargin,
     // the same rational-idf BM25 chain, term order and association
     // order replicated verbatim (see Retrieval.bm25TopK scaladoc)
+    // per-request replay over the post-changelog corpus: same score_t
+    // rationals, the SAME term-sorted left fold (list_reduce over
+    // [0.0] ++ list(score ORDER BY term)), same (score desc, doc)
+    // rank order as TopKAgg
+    "text_probe_stream" ->
+      """WITH fin AS (SELECT doc_id, text FROM documents
+        |  WHERE (doc_id % 7 <> 0 AND doc_id % 11 <> 0)
+        |     OR doc_id % 7 = 0),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM fin),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_len FROM l),
+        |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM l),
+        |tfq AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM e WHERE term IN ('spark', 'stream', 'vector', 'query')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq
+        |  GROUP BY 1),
+        |sc AS (SELECT tfq.doc_id, tfq.term,
+        |  (CAST(2*(st.n_docs - dfq.df) + 1 AS DOUBLE)
+        |     / CAST(2*dfq.df + 1 AS DOUBLE))
+        |  * (CAST(44*tfq.tf*st.sum_len AS DOUBLE)
+        |     / CAST(20*tfq.tf*st.sum_len + 6*st.sum_len
+        |            + 18*tfq.dl*st.n_docs AS DOUBLE)) AS score_t
+        |  FROM tfq JOIN dfq ON tfq.term = dfq.term CROSS JOIN st),
+        |req AS (SELECT * FROM (VALUES
+        |  (0, ['spark', 'stream']), (1, ['vector', 'query']),
+        |  (2, ['spark', 'query', 'vector']), (3, ['stream']),
+        |  (4, ['spark', 'stream']), (5, ['vector', 'query']),
+        |  (6, ['spark', 'query', 'vector']), (7, ['stream']))
+        |  AS t(req_id, terms)),
+        |hit AS (SELECT req_id, doc_id, sc.term, score_t
+        |  FROM req JOIN sc ON list_contains(req.terms, sc.term)),
+        |ag AS (SELECT req_id, doc_id,
+        |  list_reduce(list_prepend(0.0, list(score_t ORDER BY term)),
+        |    (a, b) -> a + b) AS score
+        |  FROM hit GROUP BY 1, 2),
+        |r AS (SELECT req_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY req_id
+        |    ORDER BY score DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(req_id AS BIGINT) AS req_id, doc_id,
+        |  CAST(rk AS BIGINT) AS rk, score FROM r
+        |WHERE rk <= 10""".stripMargin,
     // from-scratch BM25 over the post-changelog corpus: a green hash
     // proves the store's latest-wins resolution reproduced it exactly
     "text_index_store" ->

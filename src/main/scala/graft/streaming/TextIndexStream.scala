@@ -2,6 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TopKAgg
 
 /** Streaming maintenance for the persisted text index — the
   * [[AnnStream.indexMaintainStream]] twin for keyword retrieval: each
@@ -14,6 +17,71 @@ import org.apache.spark.sql.functions._
   * documented algebra); a later batch's re-add resurrects.
   */
 object TextIndexStream {
+
+  /** Search-as-a-stream: streaming requests (ts, req_id,
+    * terms array<string>) probe the live text index — the
+    * [[AnnStream.ivfProbeStream]] twin for keyword retrieval.
+    *
+    * The static side is fully precomputed: per-(term, doc) BM25
+    * partials depend only on the index (tf, dl, df and the corpus
+    * stats), so `scoredPostings` carries ready `score_t` values and
+    * each trigger's work is one stream-static equi-join on term plus
+    * two chained streaming aggregations (Spark 4 multiple-stateful-
+    * operator support, append mode): per-(window, req, doc) the
+    * matched term partials collect and fold in TERM-SORTED order — a
+    * deterministic left fold, bit-stable regardless of arrival or
+    * partial-aggregation order, unlike a naive double sum — then
+    * TopKAgg ranks k docs per request with k hits of state per key.
+    * `cacheIndex` persists the scored postings so triggers don't
+    * re-resolve the store (the ivfProbeStream contract).
+    *
+    * @param postings live postings from `TextIndexStore.read(...)._1`
+    * @param nDocs    corpus-stat literals from the docstats side —
+    * @param sumLen   trained-artifact style (bounded one-row agg)
+    */
+  def bm25ProbeStream(postings: DataFrame, nDocs: Long, sumLen: Long,
+                      requests: DataFrame, tsCol: String,
+                      reqIdCol: String, termsCol: String, k: Int = 10,
+                      watermark: String = "10 minutes",
+                      windowDur: String = "10 minutes",
+                      cacheIndex: Boolean = true): DataFrame = {
+    val n = lit(nDocs); val sl = lit(sumLen)
+    val scoredPostings = {
+      val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val p = postings.join(broadcast(dfreq), "term")
+        .withColumn("score_t",
+          ((lit(2L) * (n - col("df")) + lit(1L)).cast(DoubleType)
+            / (lit(2L) * col("df") + lit(1L)).cast(DoubleType))
+          * ((lit(44L) * col("tf") * sl).cast(DoubleType)
+            / (lit(20L) * col("tf") * sl + lit(6L) * sl
+              + lit(18L) * col("dl") * n).cast(DoubleType)))
+        .select(col("term"), col("doc_id"), col("score_t"))
+      if (cacheIndex && requests.isStreaming)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else p
+    }
+    val qs = (if (requests.isStreaming)
+        requests.withWatermark(tsCol, watermark) else requests)
+      .select(col(tsCol), col(reqIdCol).as("req_id"),
+        explode(col(termsCol)).as("term"))
+    val folded = qs.join(scoredPostings, Seq("term"))
+      .groupBy(window(col(tsCol), windowDur), col("req_id"),
+        col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("score_t")))
+        .as("hits"))
+      // term-sorted deterministic left fold (terms are distinct per
+      // request, so struct sort orders by term alone)
+      .withColumn("score", expr(
+        "aggregate(array_sort(hits), 0.0D, (acc, h) -> acc + h.score_t)"))
+    val topk = udaf(new TopKAgg(k))
+    folded
+      .groupBy(col("window"), col("req_id"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("window"), col("req_id"), posexplode(col("top")))
+      .select(col("window"), col("req_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rk"),
+        col("col.score").as("score"))
+  }
 
   def maintainStream(deltas: DataFrame, dir: String, idCol: String,
                      textCol: String, opCol: String,

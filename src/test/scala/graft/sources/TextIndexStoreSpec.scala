@@ -92,6 +92,72 @@ class TextIndexStoreSpec extends SparkSuite {
     assert(livePostings(dir) == want)
   })
 
+  test("streaming BM25 probe equals the batch probe across " +
+    "micro-batches, static side cached")(withRocksDB {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("text_idx_probe")
+    TextIndexStore.append(corpus(
+      (1L, "spark stream spark window"), (2L, "vector query stream"),
+      (3L, "spark vector vector"), (4L, "query query stream spark"),
+      (5L, "merge sort table")), "doc_id", "text", dir, 0L)
+    val (posts, stats) = TextIndexStore.read(s, dir)
+    val srow = stats.agg(count(lit(1)).as("n"), sum(col("dl")).as("sl"))
+      .head()
+    implicit val enc: org.apache.spark.sql.Encoder[
+        (java.sql.Timestamp, Long, Seq[String])] =
+      org.apache.spark.sql.Encoders.product[
+        (java.sql.Timestamp, Long, Seq[String])]
+    def reqRows = (0 until 6).map { r =>
+      val terms = r % 3 match {
+        case 0 => Seq("spark", "stream")
+        case 1 => Seq("vector", "query", "spark")
+        case _ => Seq("query")
+      }
+      (new java.sql.Timestamp(1700000000000L + r * 1000L), r.toLong, terms)
+    }
+    val want = graft.streaming.TextIndexStream.bm25ProbeStream(posts,
+        srow.getLong(0), srow.getLong(1),
+        reqRows.toDF("ts", "req_id", "terms"), "ts", "req_id", "terms",
+        k = 3)
+      .select("req_id", "doc_id", "rk", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Seq[String])](enc, s)
+    val q = graft.streaming.TextIndexStream.bm25ProbeStream(posts,
+        srow.getLong(0), srow.getLong(1),
+        input.toDF().toDF("ts", "req_id", "terms"), "ts", "req_id",
+        "terms", k = 3, watermark = "1 second", windowDur = "1 minute")
+      .writeStream.format("memory").queryName("text_probe")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("text_probe_ckpt"))
+      .start()
+    reqRows.grouped(2).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // sentinel far past the window closes it for append emission
+    input.addData(Seq((new java.sql.Timestamp(1700099000000L), 999L,
+      Seq("spark"))))
+    q.processAllAvailable()
+    val lastPlan = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+    assert(lastPlan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }.nonEmpty, "static scored postings must probe from cache")
+    q.stop()
+    val got = s.table("text_probe").filter(col("req_id") =!= 999L)
+      .select("req_id", "doc_id", "rk", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want,
+      s"stream/batch diverge: only-stream=${got diff want}, " +
+        s"only-batch=${want diff got}")
+  })
+
   test("probe scan prunes to the query terms' hash buckets") {
     val dir = tmpDir("text_idx_prune")
     TextIndexStore.append(corpus(
