@@ -19,7 +19,8 @@ class DeterminismSpec extends SparkSuite {
     // r10 second pass: the new oracle-visible doubles — PMI ratio,
     // mean token frequency, MAD medians/products, integer ranks
     "collocations", "token_rarity", "anomaly_mad", "anomaly_running",
-    "link_rank", "ivm_user_totals", "bpe_tokenize")
+    "link_rank", "ivm_user_totals", "bpe_tokenize",
+    "text_index_store", "text_probe_stream", "skew_report")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
