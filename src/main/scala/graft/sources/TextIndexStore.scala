@@ -125,8 +125,19 @@ object TextIndexStore {
                 k: Int = 10): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct, "distinct terms")
     val (posts, stats) = read(spark, dir)
+    if (posts.isEmpty) {
+      // un-appended store: empty result with the probe's schema
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("doc_id", LongType),
+          org.apache.spark.sql.types.StructField("rk", LongType),
+          org.apache.spark.sql.types.StructField("score", DoubleType)) ++
+        terms.map(t => org.apache.spark.sql.types.StructField(
+          s"s_$t", DoubleType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val statsRow = stats.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_len")).head()
+      coalesce(sum(col("dl")), lit(0L)).as("sum_len")).head()
     val nDocs = lit(statsRow.getLong(0))
     val sumLen = lit(statsRow.getLong(1))
     // bucket predicate over foldable bucketOf(lit(term)) expressions:

@@ -158,6 +158,14 @@ class TextIndexStoreSpec extends SparkSuite {
         s"only-batch=${want diff got}")
   })
 
+  test("probing an un-appended store returns an empty, correctly " +
+    "shaped frame") {
+    val df = TextIndexStore.bm25Probe(spark,
+      tmpDir("text_idx_absent"), Seq("spark"), k = 3)
+    assert(df.columns.toSeq == Seq("doc_id", "rk", "score", "s_spark"))
+    assert(df.count() == 0)
+  }
+
   test("probe scan prunes to the query terms' hash buckets") {
     val dir = tmpDir("text_idx_prune")
     TextIndexStore.append(corpus(
