@@ -42,6 +42,59 @@ object CorpusOps {
     * Output: one row per TRAIN doc — n_contaminated_grams (distinct
     * shared shingles) and the contaminated flag.
     */
+  /** Token-budget allocation across sources by integer WATER-FILLING —
+    * the mixture-planning solve behind "fit this corpus into a 10B
+    * token budget without letting any one source dominate": every
+    * source gets min(its supply, L) tokens for the unique level L
+    * where allocations sum to the target, computed CLOSED-FORM from
+    * the sorted prefix sums (no iteration): with caps c_1 ≤ … ≤ c_n
+    * and prefixes P_j, the fill level sits in the first segment where
+    * P_j + (n−j)·c_{j+1} ≥ T, giving L = (T−P_j) div (n−j); the
+    * division remainder goes one token each to the r LARGEST-cap
+    * sources (ties by source name desc — deterministic). Pure integer
+    * arithmetic over a source-cardinality frame: the only corpus-wide
+    * work is the per-source token count.
+    */
+  def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
+                  targetNum: Long, targetDen: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col(sourceCol))
+    val caps = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(split(col(textCol), " "))).cast(LongType).as("cap"))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val ranked = caps
+      .withColumn("j", row_number().over(w).cast(LongType))
+      .withColumn("p", sum(col("cap")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("total", max(col("p")).over(n))
+      .withColumn("target",
+        expr(s"total * $targetNum DIV $targetDen"))
+    // the fill segment: smallest j where filling everyone above j to
+    // this cap meets the target (saturated sources keep their cap)
+    val seg = ranked
+      .withColumn("reach", col("p") + (col("n") - col("j")) * col("cap"))
+      .withColumn("jstar", min(when(col("reach") >= col("target"),
+        col("j"))).over(n))
+    seg
+      .withColumn("pPrev", coalesce(max(when(col("j") === col("jstar") - 1,
+        col("p"))).over(n), lit(0L)))
+      .withColumn("level",
+        expr("(target - pPrev) DIV (n - jstar + 1)"))
+      .withColumn("rem",
+        expr("(target - pPrev) % (n - jstar + 1)"))
+      // remainder: one extra token to the `rem` largest caps (name
+      // desc tie-break): ranks n, n-1, ... n-rem+1
+      .withColumn("alloc",
+        when(col("j") < col("jstar"), col("cap"))
+          .otherwise(least(col("cap"),
+            col("level") + when(col("j") > col("n") - col("rem"), 1L)
+              .otherwise(0L))))
+      .select(col(sourceCol), col("cap"), col("target"), col("alloc"))
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     // floor BEFORE the shingle kernel + bloom probes: a one-partition

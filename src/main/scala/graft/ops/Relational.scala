@@ -241,6 +241,59 @@ object Relational {
           .as("p90_cents"))
   }
 
+  /** Distribution drift between two snapshots of a metric, per group:
+    * add-one-smoothed chi-square over a FIXED bucket grid — the
+    * feature-drift monitor (PSI's χ² cousin) a training pipeline runs
+    * between data refreshes, kept bit-exact instead of log-based:
+    * with per-bucket counts r_b (reference) and o_b (current),
+    * smoothed r' = r+1, o' = o+1 and totals R' = R+nB, C' = C+nB,
+    * each term is (o'·R' − c'·C')² / (r'·C'·R') — every factor an
+    * exact integer below 2^53, so each term costs exactly two IEEE
+    * roundings and the 8-term sum folds left-to-right over the fixed
+    * bucket order (the bm25 association discipline). Buckets observed
+    * in NEITHER snapshot contribute nothing (smoothing applies only to
+    * observed buckets). Two shuffles (bucket counts, group pivot);
+    * flags at the χ²(df=7, 0.99) ≈ 18.48 critical value.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+                        valCol: String, bucketWidthCents: Long = 5000L,
+                        nBuckets: Int = 8,
+                        threshold: Double = 18.48): DataFrame = {
+    def bucketed(df: DataFrame, cnt: String) = df
+      .select(col(groupCol),
+        least(lit(nBuckets - 1),
+          expr(s"CAST(round($valCol * 100) AS BIGINT) " +
+            s"DIV $bucketWidthCents")).as("b"))
+      .groupBy(col(groupCol), col("b")).agg(count(lit(1)).as(cnt))
+    val r = bucketed(ref, "r")
+    val o = bucketed(cur, "o")
+    val grid = r.join(o, Seq(groupCol, "b"), "full_outer")
+      .select(col(groupCol), col("b"),
+        coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val totals = grid.groupBy(col(groupCol))
+      .agg((sum(col("r")) + nBuckets).as("rt"),
+        (sum(col("o")) + nBuckets).as("ot"))
+    val terms = grid.join(broadcast(totals), groupCol)
+      .withColumn("num",
+        ((col("o") + 1) * col("rt")).cast(DoubleType)
+          - ((col("r") + 1) * col("ot")).cast(DoubleType))
+      .withColumn("den",
+        ((col("r") + 1) * col("ot") * col("rt")).cast(DoubleType))
+      .withColumn("term", col("num") * col("num") / col("den"))
+    val perBucket = (0 until nBuckets).map(i =>
+      coalesce(max(when(col("b") === i, col("term"))), lit(0.0))
+        .as(s"t_$i"))
+    val chi = terms.groupBy(col(groupCol))
+      .agg(perBucket.head, perBucket.tail: _*)
+      .withColumn("chi2",
+        (0 until nBuckets).map(i => col(s"t_$i")).reduceLeft(_ + _))
+    chi.join(broadcast(totals), groupCol)
+      .select(col(groupCol), (col("rt") - nBuckets).as("n_ref"),
+        (col("ot") - nBuckets).as("n_cur"), col("chi2"),
+        (col("chi2") > threshold).as("drifted"))
+  }
+
   /** Incremental view maintenance: fold a CDC changelog into a
     * persisted (count, sum) aggregate WITHOUT rescanning the base
     * facts — the materialized-view delta-apply every warehouse runs

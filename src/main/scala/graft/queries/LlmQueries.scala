@@ -954,6 +954,13 @@ object LlmQueries {
     // Corpus ops — deterministic per-source mixing quotas
     "domain_mix" -> ((s, d) =>
       CorpusOps.domainMix(docs(s, d), "doc_id", "source")),
+    // Corpus ops — token-budget allocation by closed-form integer
+    // water-filling (target = half the corpus): min(supply, level)
+    // per source, level from sorted prefix sums, remainder to the
+    // largest caps — the mixture-planning solve, allocations sum to
+    // the target exactly
+    "mixture_plan" -> ((s, d) =>
+      CorpusOps.mixturePlan(docs(s, d), "source", "text", 1L, 2L)),
     // Corpus ops — exact-N-per-group sampling: take exactly k docs per
     // language, chosen by content-hash rank (deterministic, replay-
     // stable, no rand()). The row_number()<=k filter is rewritten into
@@ -2650,6 +2657,33 @@ object LlmQueries {
          |  count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
          |FROM b GROUP BY 1, 2""".stripMargin
     },
+    // the same closed-form water-fill: sorted prefix sums, first
+    // segment reaching the target, DIV/mod level + largest-cap
+    // remainder
+    "mixture_plan" ->
+      """WITH caps AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, cap,
+        |  CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS j,
+        |  sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+        |    AS p,
+        |  CAST(count(*) OVER () AS BIGINT) AS n,
+        |  sum(cap) OVER () AS total FROM caps),
+        |t AS (SELECT *, total * 1 // 2 AS target,
+        |  p + (n - j) * cap AS reach FROM r),
+        |s AS (SELECT *, min(CASE WHEN reach >= target THEN j END)
+        |  OVER () AS jstar FROM t),
+        |x AS (SELECT *, coalesce(max(CASE WHEN j = jstar - 1 THEN p END)
+        |  OVER (), 0) AS pPrev FROM s),
+        |y AS (SELECT *, (target - pPrev) // (n - jstar + 1) AS level,
+        |  (target - pPrev) % (n - jstar + 1) AS rem FROM x)
+        |SELECT source, cap, CAST(target AS BIGINT) AS target,
+        |  CAST(CASE WHEN j < jstar THEN cap
+        |    ELSE least(cap, level +
+        |      CASE WHEN j > n - rem THEN 1 ELSE 0 END) END AS BIGINT)
+        |    AS alloc
+        |FROM y""".stripMargin,
     "sample_per_lang" ->
       s"""WITH h AS (SELECT lang, doc_id,
          |  ${sqlPolyHash("text")} AS hsh FROM documents),

@@ -307,6 +307,42 @@ object Queries {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY 1""".stripMargin,
+    // same smoothed terms, same fixed-order fold
+    "drift_chi2" -> {
+      val tcols = (0 until 8).map(i =>
+        s"coalesce(max(CASE WHEN b = $i THEN term END), 0.0) AS t_$i")
+        .mkString(",\n        |  ")
+      val foldSum = (1 until 8)
+        .foldLeft("t_0") { case (acc, i) => s"($acc + t_$i)" }
+      s"""WITH e AS (SELECT event_type AS g, event_id,
+         |  least(7, CAST(round(value * 100) AS BIGINT) // 5000) AS b
+         |  FROM events),
+         |rr AS (SELECT g, b, count(*) AS r FROM e
+         |  WHERE event_id % 2 = 0 GROUP BY 1, 2),
+         |oo AS (SELECT g, b, count(*) AS o FROM e
+         |  WHERE event_id % 2 = 1 GROUP BY 1, 2),
+         |grid AS (SELECT coalesce(rr.g, oo.g) AS g,
+         |  coalesce(rr.b, oo.b) AS b, coalesce(rr.r, 0) AS r,
+         |  coalesce(oo.o, 0) AS o
+         |  FROM rr FULL JOIN oo ON rr.g = oo.g AND rr.b = oo.b),
+         |tot AS (SELECT g, sum(r) + 8 AS rt, sum(o) + 8 AS ot
+         |  FROM grid GROUP BY 1),
+         |tm AS (SELECT grid.g, b,
+         |  (CAST((o + 1) * rt AS DOUBLE) - CAST((r + 1) * ot AS DOUBLE))
+         |    AS num,
+         |  CAST((r + 1) * ot * rt AS DOUBLE) AS den
+         |  FROM grid JOIN tot ON grid.g = tot.g),
+         |tt AS (SELECT g, b, num * num / den AS term FROM tm),
+         |p AS (SELECT g,
+         |  $tcols
+         |  FROM tt GROUP BY 1)
+         |SELECT p.g AS event_type,
+         |  CAST(rt - 8 AS BIGINT) AS n_ref,
+         |  CAST(ot - 8 AS BIGINT) AS n_cur,
+         |  $foldSum AS chi2,
+         |  $foldSum > 18.48 AS drifted
+         |FROM p JOIN tot ON p.g = tot.g""".stripMargin
+    },
     // the same cross-multiplied DECIMAL(38,0) predicate over
     // preceding-frame integer sums; the empty first frame short-
     // circuits on n >= 30
@@ -500,6 +536,17 @@ object Queries {
             .as("mean_cnt"),
           least(lit(32L),
             expr("(max_cnt * n_keys + total - 1) DIV total")).as("salt"))
+    }),
+    // feature-drift monitor: add-one-smoothed chi-square between the
+    // even/odd event-id snapshots per event type over fixed cents
+    // buckets; every term two IEEE roundings from exact integers, the
+    // 8-term sum folded in fixed bucket order
+    "drift_chi2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Relational.distributionDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "event_type", "value")
     }),
     // incremental view maintenance: a persisted per-user (count, sum)
     // summary + a deterministic CDC day (inserts id%10==0, deletes

@@ -42,6 +42,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(flagged.filter(col("n_contaminated_grams") <= 0).count() === 0L)
   }
 
+  test("mixturePlan: water-filling saturates small sources, levels " +
+    "the rest, sums exactly to the target") {
+    val s = spark
+    import s.implicits._
+    // caps: a=2, b=5, c=9, d=9 (one-word tokens); total 25, target 12
+    // fill: a saturates (2), remaining 10 over {b,c,d}: level 3 rem 1,
+    // extra token to the largest cap by (cap, source) rank -> d
+    val docs = (Seq.fill(2)("a") ++ Seq.fill(5)("b") ++ Seq.fill(9)("c")
+      ++ Seq.fill(9)("d")).zipWithIndex
+      .map { case (src, i) => (i.toLong, src, "w") }
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.mixturePlan(docs, "source", "text", 12L, 25L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 12L, 2L)), "b" -> ((5L, 12L, 3L)),
+      "c" -> ((9L, 12L, 3L)), "d" -> ((9L, 12L, 4L))), s"got $got")
+    assert(got.values.map(_._3).sum == 12L, "allocations sum to target")
+    // degenerate: target = whole corpus -> everyone saturates
+    val full = CorpusOps.mixturePlan(docs, "source", "text", 1L, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(full == Map("a" -> 2L, "b" -> 5L, "c" -> 9L, "d" -> 9L))
+  }
+
   test("spanDedupStats: identical docs fully shared, unique doc zero") {
     val out = CorpusOps.spanDedupStats(fixture, "doc_id", "text", k = 5)
       .collect().map(r => r.getLong(0) ->
