@@ -39,27 +39,46 @@ object TextIndexStream {
     * @param nDocs    corpus-stat literals from the docstats side —
     * @param sumLen   trained-artifact style (bounded one-row agg)
     */
+  /** Per-(term, doc) BM25 partials of the live index — the SERVING
+    * ARTIFACT `probeScored` consumes: scores depend only on the index
+    * (tf, dl, df, corpus stats), so they're computed once per index
+    * generation and persisted/cached, never per request.
+    */
+  def scorePostings(postings: DataFrame, nDocs: Long,
+                    sumLen: Long): DataFrame = {
+    val n = lit(nDocs); val sl = lit(sumLen)
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(broadcast(dfreq), "term")
+      .withColumn("score_t",
+        ((lit(2L) * (n - col("df")) + lit(1L)).cast(DoubleType)
+          / (lit(2L) * col("df") + lit(1L)).cast(DoubleType))
+        * ((lit(44L) * col("tf") * sl).cast(DoubleType)
+          / (lit(20L) * col("tf") * sl + lit(6L) * sl
+            + lit(18L) * col("dl") * n).cast(DoubleType)))
+      .select(col("term"), col("doc_id"), col("score_t"))
+  }
+
   def bm25ProbeStream(postings: DataFrame, nDocs: Long, sumLen: Long,
                       requests: DataFrame, tsCol: String,
                       reqIdCol: String, termsCol: String, k: Int = 10,
                       watermark: String = "10 minutes",
                       windowDur: String = "10 minutes",
-                      cacheIndex: Boolean = true): DataFrame = {
-    val n = lit(nDocs); val sl = lit(sumLen)
-    val scoredPostings = {
-      val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-      val p = postings.join(broadcast(dfreq), "term")
-        .withColumn("score_t",
-          ((lit(2L) * (n - col("df")) + lit(1L)).cast(DoubleType)
-            / (lit(2L) * col("df") + lit(1L)).cast(DoubleType))
-          * ((lit(44L) * col("tf") * sl).cast(DoubleType)
-            / (lit(20L) * col("tf") * sl + lit(6L) * sl
-              + lit(18L) * col("dl") * n).cast(DoubleType)))
-        .select(col("term"), col("doc_id"), col("score_t"))
+                      cacheIndex: Boolean = true): DataFrame =
+    probeScored(scorePostings(postings, nDocs, sumLen), requests,
+      tsCol, reqIdCol, termsCol, k, watermark, windowDur, cacheIndex)
+
+  /** The probe tail against a ready scored-postings frame (in-session
+    * or read back from the persisted artifact).
+    */
+  def probeScored(scored: DataFrame, requests: DataFrame, tsCol: String,
+                  reqIdCol: String, termsCol: String, k: Int = 10,
+                  watermark: String = "10 minutes",
+                  windowDur: String = "10 minutes",
+                  cacheIndex: Boolean = true): DataFrame = {
+    val scoredPostings =
       if (cacheIndex && requests.isStreaming)
-        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else p
-    }
+        scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scored
     val qs = (if (requests.isStreaming)
         requests.withWatermark(tsCol, watermark) else requests)
       .select(col(tsCol), col(reqIdCol).as("req_id"),
