@@ -881,13 +881,7 @@ object LlmQueries {
     "distinct_users_sketch" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id"))
-      val dir = hllSketchMemo.computeIfAbsent(d, _ => {
-        val out = hllSketchDir
-        ev.groupBy(col("day"))
-          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-          .coalesce(1).write.mode("overwrite").parquet(out)
-        out
-      })
+      val dir = hllDailyArtifact(s, d)
       val appr = s.read.parquet(dir)
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
           .as("approx"))
@@ -939,6 +933,36 @@ object LlmQueries {
             .cast(DoubleType) /
             (col("n_a") + col("n_b") - col("exact_overlap"))
               .cast(DoubleType) <= 0.05).as("within_tol"))
+    }),
+    // N7 — rolling 7-day active users from the SAME daily sketches:
+    // each day unions its trailing week's sketch rows (a 7-offset
+    // explode + equi-join — never an inequality join), estimates, and
+    // gates against the exact rolling distinct (which itself uses the
+    // offset-explode shape: every (day, user) row fans to the 7 days
+    // it supports). The DAU/WAU pattern where history is never
+    // re-scanned — only seven sketch rows per day.
+    "rolling_wau_sketch" -> ((s, d) => {
+      val daily = s.read.parquet(hllDailyArtifact(s, d))
+      val win = daily.select(col("day").as("d0"))
+        .withColumn("off", explode(array((0 to 6).map(lit(_)): _*)))
+        .select(col("d0"), date_sub(col("d0"), col("off")).as("day"))
+        .join(daily, "day")
+        .groupBy(col("d0"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("approx"))
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val exact = ev
+        .withColumn("off", explode(array((0 to 6).map(lit(_)): _*)))
+        .select(date_add(col("day"), col("off")).as("d0"),
+          col("user_id"))
+        .join(daily.select(col("day").as("d0")), Seq("d0"), "left_semi")
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("exact_wau"))
+      exact.join(win, "d0")
+        .select(col("d0").as("day"), col("exact_wau"),
+          (abs(col("approx") - col("exact_wau")).cast(DoubleType) /
+            col("exact_wau").cast(DoubleType) <= 0.05).as("within_tol"))
     }),
     // Corpus ops — benchmark decontamination: train docs sharing any
     // 3-word shingle with the content-hash test split
@@ -1253,11 +1277,24 @@ object LlmQueries {
   private val textScoredMemo = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
 
-  /** distinct_users_sketch's per-day HLL sketch artifact. */
+  /** The per-day HLL sketch artifact shared by distinct_users_sketch
+    * and rolling_wau_sketch: one (day, sk) row per calendar day —
+    * the daily job's output, any rollup unions sketch rows only.
+    */
   private def hllSketchDir: String =
     sidecar("graft.hll.sketch.dir", "/tmp/graft_hll_sketches")
   private val hllSketchMemo = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
+  private def hllDailyArtifact(s: SparkSession, d: String): String =
+    hllSketchMemo.computeIfAbsent(d, _ => {
+      val out = hllSketchDir
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
 
   /** decontaminate_bloom's once-per-(session, sf) eval-gram filter. */
   private val evalBloomMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -2608,6 +2645,14 @@ object LlmQueries {
     "distinct_users_sketch" ->
       """SELECT count(DISTINCT user_id) AS exact_cnt, true AS within_tol
         |FROM events""".stripMargin,
+    "rolling_wau_sketch" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT)
+        |    AS exact_wau, true AS within_tol
+        |FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin,
     "audience_overlap" ->
       """WITH ue AS (SELECT DISTINCT event_type AS seg, user_id
         |  FROM events)

@@ -307,6 +307,15 @@ object Queries {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY 1""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY 1)
+        |SELECT c.cohort, CAST(date_diff('day', c.cohort, w.week) // 7
+        |    AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // same smoothed terms, same fixed-order fold
     "drift_chi2" -> {
       val tcols = (0 until 8).map(i =>
@@ -536,6 +545,24 @@ object Queries {
             .as("mean_cnt"),
           least(lit(32L),
             expr("(max_cnt * n_keys + total - 1) DIV total")).as("salt"))
+    }),
+    // cohort retention — THE telemetry query of the reference's
+    // domain: users grouped by first-seen week, the retention matrix
+    // as distinct active users per (cohort, week offset). Two
+    // aggregates + one user-keyed join; weeks truncated to dates so
+    // both engines agree on the grain
+    "cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .withColumn("week_offset",
+          expr("CAST(datediff(week, cohort) AS BIGINT) DIV 7"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     }),
     // feature-drift monitor: add-one-smoothed chi-square between the
     // even/odd event-id snapshots per event type over fixed cents
