@@ -307,6 +307,28 @@ object Queries {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM fin GROUP BY 1""".stripMargin,
+    // same canonical rendering, same char-fold hash, same XOR fold
+    "dataset_fingerprint" -> {
+      def ph(e: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, length($e)+1),
+           |      i -> CAST(ascii(substr($e, i, 1)) AS BIGINT))),
+           |    (acc, c) -> (acc*31+c) % 1000000007)""".stripMargin
+      s"""WITH dr AS (SELECT CAST(doc_id AS VARCHAR) || '|' || lang
+         |    || '|' || source || '|' || CAST(n_chars AS VARCHAR)
+         |    || '|' || text AS rs FROM documents),
+         |dh AS (SELECT ${ph("rs")} AS h FROM dr),
+         |er AS (SELECT CAST(event_id AS VARCHAR) || '|'
+         |    || CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+         |    || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+         |    || '|' || CAST(epoch_us(ts) AS VARCHAR) AS rs FROM events),
+         |eh AS (SELECT ${ph("rs")} AS h FROM er)
+         |SELECT 'documents' AS stage, CAST(count(*) AS BIGINT)
+         |    AS n_rows, bit_xor(h) AS fingerprint FROM dh
+         |UNION ALL
+         |SELECT 'events', CAST(count(*) AS BIGINT), bit_xor(h)
+         |FROM eh""".stripMargin
+    },
     "cohort_retention" ->
       """WITH w AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
@@ -545,6 +567,30 @@ object Queries {
             .as("mean_cnt"),
           least(lit(32L),
             expr("(max_cnt * n_keys + total - 1) DIV total")).as("salt"))
+    }),
+    // dataset fingerprints: an ORDER-INDEPENDENT content hash per
+    // table (bit_xor of the per-row polynomial hash over a canonical
+    // column rendering — integers only, so both engines render
+    // identically) — the reproducibility stamp a pipeline logs per
+    // stage to prove two runs consumed byte-identical inputs, shuffle
+    // layout notwithstanding. XOR commutes, so no sort, no overflow.
+    "dataset_fingerprint" -> ((s, d) => {
+      import graft.ops.TextOps
+      def fp(df: DataFrame, stage: String,
+             rowStr: org.apache.spark.sql.Column) = df
+        .select(TextOps.polyHash(rowStr).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("fingerprint"))
+        .select(lit(stage).as("stage"), col("n_rows"),
+          col("fingerprint"))
+      val docsFp = fp(Tables.documents(s, d), "documents",
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")))
+      val evFp = fp(Tables.events(s, d), "events",
+        concat_ws("|", col("event_id"), col("user_id"),
+          col("event_type"), round(col("value") * 100).cast(LongType),
+          unix_micros(col("ts"))))
+      docsFp.unionByName(evFp)
     }),
     // cohort retention — THE telemetry query of the reference's
     // domain: users grouped by first-seen week, the retention matrix
