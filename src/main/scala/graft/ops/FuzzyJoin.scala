@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Edit-distance (fuzzy) self-join over a string column — the
+  * typo/variant-spelling unifier of an entity-resolution or corpus
+  * normalization pass ("colour"/"color", "acmecorp"/"acme-corp").
+  *
+  * Algorithm: FastSS deletion neighborhoods (Bocek et al. 2007, public
+  * algorithm), the signature-join shape every scale-sane similarity
+  * operator here uses (cf. minhash bands in graft.ops.Dedup): each
+  * string s emits s itself plus its |s| delete-one-character variants
+  * as SIGNATURES; two distinct strings at Levenshtein distance ≤ 1
+  * necessarily share a signature (equal → s itself; substitution at i
+  * → both delete position i; insert/delete → the shorter string IS a
+  * variant of the longer). Candidates come from an equi-join on the
+  * signature, then one exact `levenshtein` verify kills the false
+  * candidates (distinct strings sharing a signature can be at
+  * distance 2, e.g. "ab"/"ba" via "a"... both deletions).
+  *
+  * Why this survives 100× scale where the obvious plan dies:
+  * all-pairs `levenshtein` is O(V²) — at a 1e8-token web-corpus
+  * vocabulary that's 1e16 comparisons. Here the work is
+  * O(V·L) signature rows (~9 per token) through ONE shuffle on the
+  * signature, and bucket width is naturally bounded: a signature of
+  * length L is reachable only from its ≤(L+1)·|Σ|+1 one-edit
+  * super/equal-strings that actually occur, so no hot-bucket cap is
+  * needed (contrast minhash buckets, which do need one). The verify
+  * is a codegen'd levenshtein on candidate pairs only.
+  */
+object FuzzyJoin {
+
+  /** s plus its delete-one-char variants, deduped (deleting either of
+    * a doubled letter yields the same variant).
+    */
+  private def deletionSignatures(tok: String): Column =
+    array_distinct(concat(array(col(tok)),
+      expr(s"transform(sequence(1, length($tok)), i -> " +
+        s"concat(substring($tok, 1, i - 1), " +
+        s"substring($tok, i + 1, length($tok))))")))
+
+  /** All unordered pairs (a < b) of `strings.col(strCol)` at
+    * Levenshtein distance exactly 1 (distance 0 = equal strings is
+    * the degenerate pair; callers wanting it have `groupBy`).
+    * Input must be distinct on strCol; output columns
+    * (tok_a, tok_b, dist).
+    */
+  def editDistancePairs(strings: DataFrame, strCol: String): DataFrame = {
+    val sig = strings
+      .select(col(strCol).as("tok"))
+      .select(col("tok"),
+        explode(deletionSignatures("tok")).as("sig"))
+    val a = sig.select(col("tok").as("tok_a"), col("sig"))
+    val b = sig.select(col("tok").as("tok_b"), col("sig"))
+    a.join(b, Seq("sig"))
+      .where(col("tok_a") < col("tok_b"))
+      // a pair can meet under several shared signatures (bounded by
+      // L+1); collapse before the verify so levenshtein runs once per
+      // candidate pair, not once per witness
+      .select(col("tok_a"), col("tok_b")).distinct()
+      .where(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+      .select(col("tok_a"), col("tok_b"),
+        levenshtein(col("tok_a"), col("tok_b")).cast(LongType).as("dist"))
+  }
+
+  /** The registry form: fuzzy-join the `topK` most frequent tokens of
+    * a document corpus against themselves — the vocabulary-variant
+    * report a tokenizer-training pass runs. Top-k selection is
+    * TakeOrderedAndProject (per-partition partial top-k, no global
+    * sort) under the total order (count DESC, token ASC), so the
+    * vocabulary — and therefore the output — is deterministic.
+    */
+  def vocabFuzzyPairs(docs: DataFrame, textCol: String,
+                      topK: Int = 400): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topK)
+    editDistancePairs(vocab, "tok")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series downsampling and per-key trend analytics over the
+  * events stream — the resample/summarize operators a monitoring or
+  * feature pipeline runs right after ingest (the reference's hourly
+  * monitoring rollups generalized to bar/trend form; cf. reference
+  * `ThroughputMeter` hourly counts).
+  *
+  * Scale shape: both operators are single hash aggregates over
+  * algebraic (map-side-combinable, mergeable) functions — one shuffle
+  * on the group key, O(groups) state, no window-sort of the raw
+  * stream. That also makes them STREAMING-LEGAL: every aggregate here
+  * (min_by/max_by/min/max/count/sum over integer cents) folds
+  * incrementally, so the same plan runs under a watermark in
+  * Structured Streaming (see `graft.streaming.OhlcStream`), unlike a
+  * rank/row_number formulation which streaming forbids.
+  *
+  * Float discipline (graft.ops.Relational): values go through exact
+  * integer cents, time through integer micros/hours, so every result
+  * is order-independent and bit-identical to the DuckDB oracle; the
+  * one double emitted (trend slope) is a single division of two
+  * exactly-computed BIGINTs.
+  */
+object TimeSeries {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** OHLC bars: per (hour, event_type) open/high/low/close/volume.
+    *
+    * Open/close are the values of the first/last event in the bar
+    * under the total order (ts, event_id) — `min_by`/`max_by` over the
+    * (ts, event_id) struct, NOT a row_number window: ties on ts are
+    * broken by the unique event_id, so the result is deterministic
+    * under any shuffle order, and the aggregate stays algebraic
+    * (each partition keeps one candidate per group; merge compares
+    * keys) where a window would sort every event.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"), col("ts"), col("event_id"),
+        cents(col("value")).as("c"))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(
+        min_by(col("c"), struct(col("ts"), col("event_id")))
+          .as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max_by(col("c"), struct(col("ts"), col("event_id")))
+          .as("close_cents"),
+        count(lit(1)).as("n_events"))
+
+  /** Hours since 2024-01-01T00:00Z of a timestamp column — the x axis
+    * for [[trendSlope]]. Hour (not second/micro) resolution keeps
+    * every moment of the closed-form OLS inside BIGINT: with
+    * x ≤ ~1e5 (a decade) and y ≤ ~1e6 cents, n·Σx² and n·Σxy stay
+    * under ~1e18 through ~1e7 rows per key — far beyond any per-user
+    * event count; second resolution would overflow n·Σx² at ~1e3 rows.
+    */
+  private def hoursSince2024: Column =
+    // SQL `div` (integral division), NOT Column `/`: Spark's `/` on
+    // longs is true double division, and raw epoch micros (~1.7e18)
+    // exceed double's 2^53 exact range — a fractional, rounded x would
+    // shift every downstream sum. Offset first, divide second: both
+    // operands stay positive, so truncating div == floor div (what the
+    // DuckDB oracle's `//` computes).
+    expr("(unix_micros(ts) - 1704067200000000L) div 3600000000L")
+
+  /** Per-key linear trend: closed-form OLS slope of value (cents) over
+    * time (hours since 2024-01-01), the drift/trend feature of a
+    * per-entity health pipeline. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    * with every sum an exact BIGINT (one hash aggregate, map-side
+    * combinable), then ONE double division — bit-identical across
+    * engines and partitionings. Keys whose x has no variance (all
+    * events in one hour) have no defined slope and are filtered, so
+    * the output is denominator-safe.
+    */
+  def trendSlope(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .select(col(keyCol), hoursSince2024.as("x"),
+        cents(col("value")).as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .where(col("den") =!= 0L)
+      .select(col(keyCol), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          col("den").cast(DoubleType)).as("slope_cph"))
+}

@@ -82,6 +82,16 @@ object LlmQueries {
     // N2 — MinHash+LSH near-dup with exact-jaccard verification
     "neardup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", threshold = 0.5)),
+    // N2 — edit-distance fuzzy join via FastSS deletion-neighborhood
+    // signatures (never all-pairs): ID-variant entity resolution over
+    // the first 400 customer names (the synthetic documents vocabulary
+    // is 31 distance-separated tokens — zero pairs — so the registry
+    // row exercises the operator where distance-1 structure exists;
+    // the corpus form, vocabFuzzyPairs, is covered by FuzzyJoinSpec)
+    "fuzzy_join" -> ((s, d) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+        Tables.customer(s, d).select(col("c_name").as("tok"))
+          .orderBy(col("tok")).limit(400), "tok")),
     // N1/N2 end-to-end — corpus dedup: pairs → connected components →
     // canonical representative per cluster
     "dedup_corpus" -> ((s, d) =>
@@ -1537,6 +1547,15 @@ object LlmQueries {
       """SELECT user_id, event_type, min(event_id) AS keep_id,
         |       count(*) AS n_dups
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // all-pairs levenshtein is fine for the oracle: the input is
+    // capped at 400 names, so 160k comparisons regardless of sf
+    "fuzzy_join" ->
+      """WITH top AS (SELECT c_name AS tok FROM customer
+        |  ORDER BY c_name LIMIT 400)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  levenshtein(a.tok, b.tok) AS dist
+        |FROM top a JOIN top b
+        |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1""".stripMargin,
     "neardup_minhash" ->
       s"""WITH $shinglesCte,
          |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),

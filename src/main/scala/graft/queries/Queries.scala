@@ -942,7 +942,15 @@ object Queries {
           max(col("event_id")).as("last_event_id"))
         .withColumn("error_rate",
           col("n_errors").cast(DoubleType) /
-            col("n_events").cast(DoubleType))))
+            col("n_events").cast(DoubleType))),
+    // time-series resample: per (hour, type) OHLC bars — open/close by
+    // deterministic min_by/max_by over (ts, event_id), one algebraic
+    // hash aggregate (streaming-legal; see graft.streaming.OhlcStream)
+    "ohlc_bars" -> ((s, d) => graft.ops.TimeSeries.ohlcBars(events(s, d))),
+    // per-user linear trend: closed-form OLS slope over exact BIGINT
+    // sums, one double division at the end
+    "trend_slope" -> ((s, d) =>
+      graft.ops.TimeSeries.trendSlope(events(s, d), "user_id")))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1285,7 +1293,36 @@ object Queries {
         |  max(event_id) AS last_event_id,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS error_rate
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    // open/close via row_number under the same (ts, event_id) total
+    // order the Spark min_by/max_by struct uses
+    "ohlc_bars" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |    event_type, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY hour_start, event_type
+        |    ORDER BY ts, event_id) AS rn,
+        |  row_number() OVER (PARTITION BY hour_start, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rd FROM e)
+        |SELECT hour_start, event_type,
+        |  max(CASE WHEN rn = 1 THEN c END) AS open_cents,
+        |  max(c) AS high_cents, min(c) AS low_cents,
+        |  max(CASE WHEN rd = 1 THEN c END) AS close_cents,
+        |  count(*) AS n_events
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "trend_slope" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |s AS (SELECT user_id, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cph
+        |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin)
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries

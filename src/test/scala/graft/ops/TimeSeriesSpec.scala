@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.streaming.OhlcStream
+
+class TimeSeriesSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def sampleEvents = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // hour 10: open is (10:00:00, id 2) — ts tie with id 5 broken by
+      // id; close is (10:59:00, id 9)
+      (ts("2024-03-01 10:00:00"), "click", 2L, 5.00),
+      (ts("2024-03-01 10:00:00"), "click", 5L, 9.00),
+      (ts("2024-03-01 10:30:00"), "click", 3L, 1.00),
+      (ts("2024-03-01 10:59:00"), "click", 9L, 7.50),
+      // hour 11, single event: open == close == high == low
+      (ts("2024-03-01 11:05:00"), "click", 11L, 2.25),
+      // separate type in hour 10
+      (ts("2024-03-01 10:40:00"), "purchase", 7L, 100.00)
+    ).toDF("ts", "event_type", "event_id", "value")
+  }
+
+  test("ohlcBars: open/close by (ts, event_id) order, high/low/volume") {
+    val bars = TimeSeries.ohlcBars(sampleEvents)
+      .orderBy("hour_start", "event_type").collect()
+    assert(bars.length == 3)
+    val click10 = bars(0)
+    assert(click10.getAs[String]("event_type") == "click")
+    assert(click10.getAs[Long]("open_cents") == 500L)   // id 2 wins tie
+    assert(click10.getAs[Long]("high_cents") == 900L)
+    assert(click10.getAs[Long]("low_cents") == 100L)
+    assert(click10.getAs[Long]("close_cents") == 750L)
+    assert(click10.getAs[Long]("n_events") == 4L)
+    val purch10 = bars(1)
+    assert(purch10.getAs[Long]("open_cents") == 10000L)
+    assert(purch10.getAs[Long]("close_cents") == 10000L)
+    val click11 = bars(2)
+    assert(click11.getAs[Long]("open_cents") == 225L)
+    assert(click11.getAs[Long]("close_cents") == 225L)
+    assert(click11.getAs[Long]("n_events") == 1L)
+  }
+
+  test("ohlcBars is shuffle-order-insensitive (deterministic ties)") {
+    val fwd = TimeSeries.ohlcBars(sampleEvents).collect().map(_.toSeq).toSet
+    val rev = TimeSeries.ohlcBars(
+      sampleEvents.orderBy(col("event_id").desc).repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(fwd == rev)
+  }
+
+  test("trendSlope: exact slope on linear data, zero-variance filtered") {
+    val s = spark
+    import s.implicits._
+    // user 1: y = 200 cents/hour exactly; user 2: all in one hour
+    val base = ts("2024-03-01 00:00:00")
+    val rows = (0 until 5).map { h =>
+      (Timestamp.valueOf(s"2024-03-01 0$h:00:00"), 1L, h.toLong,
+        2.0 * h)
+    } ++ Seq((base, 2L, 100L, 5.0), (base, 2L, 101L, 9.0))
+    val ev = rows.toDF("ts", "user_id", "event_id", "value")
+    val out = TimeSeries.trendSlope(ev, "user_id").collect()
+    assert(out.length == 1) // user 2 has no x variance
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("slope_cph") == 200.0)
+  }
+
+  test("trendSlope is partitioning-insensitive (exact integer sums)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (Timestamp.valueOf(f"2024-03-${1 + rnd.nextInt(20)}%02d " +
+        f"${rnd.nextInt(24)}%02d:00:00"), (i % 7).toLong, i.toLong,
+        rnd.nextInt(10000) / 100.0)
+    }
+    val ev = rows.toDF("ts", "user_id", "event_id", "value")
+    val a = TimeSeries.trendSlope(ev, "user_id")
+      .collect().map(_.toSeq).toSet
+    val b = TimeSeries.trendSlope(ev.repartition(13), "user_id")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("OhlcStream == batch ohlcBars (complete mode, RocksDB)") {
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = MemoryStream[(Timestamp, String, Long, Double)]
+      val streamDf = mem.toDF()
+        .toDF("ts", "event_type", "event_id", "value")
+      val q = OhlcStream.ohlcStream(streamDf, watermarkDelay = None)
+        .writeStream.format("memory").queryName("ohlc_stream_out")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", tmpDir("ohlc_ckpt"))
+        .start()
+      try {
+        val rows = sampleEvents.collect().map(r =>
+          (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        // two batches so merge (not just one partial fold) is exercised
+        mem.addData(rows.take(3).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(3).toSeq: _*)
+        q.processAllAvailable()
+        val got = s.table("ohlc_stream_out").collect().map(_.toSeq).toSet
+        val want = TimeSeries.ohlcBars(sampleEvents)
+          .collect().map(_.toSeq).toSet
+        assert(got == want)
+      } finally q.stop()
+    }
+  }
+}

@@ -20,7 +20,10 @@ class DeterminismSpec extends SparkSuite {
     // mean token frequency, MAD medians/products, integer ranks
     "collocations", "token_rarity", "anomaly_mad", "anomaly_running",
     "link_rank", "ivm_user_totals", "bpe_tokenize",
-    "text_index_store", "text_probe_stream", "skew_report")
+    "text_index_store", "text_probe_stream", "skew_report",
+    // r10 third pass: OLS slope (one division of exact BIGINT sums),
+    // min_by/max_by tie-broken bars, FastSS verify distances
+    "trend_slope", "ohlc_bars", "fuzzy_join")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
