@@ -718,6 +718,16 @@ object LlmQueries {
       Graph.pageRank(dd, "doc_id",
         Graph.syntheticLinks(dd, "doc_id", n), iters = 3)
     }),
+    // corpus op — link-graph triangle census: per-node triangle count
+    // + local clustering coefficient (the link-farm density signal
+    // beside link_rank's authority), degree-ordered orientation so
+    // each triangle surfaces exactly once; same synthesized edge list
+    // as link_rank
+    "graph_triangles" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.triangles(dd, "doc_id", Graph.syntheticLinks(dd, "doc_id", n))
+    }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -2834,6 +2844,36 @@ object LlmQueries {
     // 15/85 damping in integer hundredths), so the fold is
     // bit-identical regardless of join or partition order; odeg is 3
     // by construction (the Spark side computes it from the edge list)
+    // naive id-ordered a<b<c enumeration — fine at oracle scale; the
+    // engine's degree-ordered orientation finds the identical set
+    "graph_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+        |    AS dst FROM
+        |  (SELECT doc_id AS src,
+        |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+        |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+        |u AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |d AS (SELECT node, count(*) AS degree FROM
+        |  (SELECT a AS node FROM u UNION ALL SELECT b FROM u)
+        |  GROUP BY 1),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, count(*) AS n_tri FROM
+        |  (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |   UNION ALL SELECT z FROM t) GROUP BY 1)
+        |SELECT doc_id AS node,
+        |  CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN COALESCE(d.degree, 0) >= 2
+        |    THEN CAST(COALESCE(pn.n_tri, 0) * 2 AS DOUBLE)
+        |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS lcc
+        |FROM documents
+        |LEFT JOIN d ON d.node = doc_id
+        |LEFT JOIN pn ON pn.node = doc_id""".stripMargin,
     "link_rank" -> {
       def step(prev: String, out: String): String =
         s"""$out AS (SELECT d.doc_id AS node,

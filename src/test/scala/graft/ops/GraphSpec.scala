@@ -61,4 +61,56 @@ class GraphSpec extends SparkSuite {
     assert(a.values.sum <= n * 1000000L, "damping + truncation never " +
       "create mass")
   }
+
+  private def triCensus(edges: Seq[(Long, Long)], nodeIds: Seq[Long],
+                        parts: Int = 1): Map[Long, (Long, Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    Graph.triangles(nodeIds.toDF("id").repartition(parts), "id",
+        edges.toDF("src", "dst").repartition(parts))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+  }
+
+  test("triangles: hand-checked K4-minus-an-edge + isolated node") {
+    // 0-1, 0-2, 0-3, 1-2, 1-3 (K4 without 2-3); node 9 isolated.
+    // Triangles: {0,1,2}, {0,1,3}. Direction/duplicates/self-loops in
+    // the input must not matter.
+    val edges = Seq((0L, 1L), (2L, 0L), (0L, 3L), (1L, 2L), (3L, 1L),
+      (1L, 0L), (2L, 2L))
+    val got = triCensus(edges, Seq(0L, 1L, 2L, 3L, 9L))
+    assert(got(0L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(got(1L) == ((3L, 2L, 2.0 * 2 / (3 * 2))))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(9L) == ((0L, 0L, 0.0)))
+  }
+
+  test("triangles match the brute-force census on a random graph, " +
+    "layout-independent") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = Seq.fill(220)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val ids = (0L until n).toSeq
+    // brute-force model
+    val adj = edges.collect { case (a, b) if a != b =>
+      Set(a, b)
+    }.distinct
+    def linked(a: Long, b: Long) = adj.contains(Set(a, b))
+    val want = ids.map { v =>
+      val nbrs = ids.filter(u => u != v && linked(u, v))
+      val tri = (for {
+        i <- nbrs.indices; j <- i + 1 until nbrs.size
+        if linked(nbrs(i), nbrs(j))
+      } yield 1).size.toLong
+      val d = nbrs.size.toLong
+      val lcc = if (d >= 2) 2.0 * tri / (d * (d - 1)) else 0.0
+      v -> ((d, tri, lcc))
+    }.toMap
+    assert(triCensus(edges, ids, parts = 1) == want)
+    assert(triCensus(edges, ids, parts = 7) == want)
+    assert(want.values.map(_._2).sum > 0, "fixture has triangles")
+  }
 }
