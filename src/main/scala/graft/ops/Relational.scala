@@ -475,4 +475,34 @@ object Relational {
       Seq((seqCol, false)), k = 1, rankName = "__rnk")
       .filter(!isDelete)
       .drop("__rnk")
+
+  /** N9 — SCD type-2 build: turn a change feed into a VERSIONED
+    * dimension — every change opens a version row valid over
+    * [valid_from, valid_to), the last version per key open-ended
+    * (valid_to NULL). The point-in-time lookup this enables ("what
+    * was the value when the fact happened") is what `AsOf.asOfJoin`
+    * probes; this operator is how the probed side gets built from raw
+    * changes in the first place.
+    *
+    * Shape: one window over (key) ordered by (ts, seqCol) — the
+    * per-key sort is the inherent cost of interval construction, and
+    * it partitions by key, so 1000 executors each sort only their
+    * keys' history; no global sort. The unique `seqCol` tie-break
+    * makes version numbering deterministic when one key changes twice
+    * in the same tick (the earlier seq's version is closed by the
+    * later one, possibly zero-length — a faithful record, not an
+    * error).
+    */
+  def scdType2(changelog: DataFrame, keyCol: String, tsCol: String,
+               seqCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("valid_from"), col(seqCol))
+    changelog
+      .select(col(keyCol) +: col(tsCol).as("valid_from") +:
+        col(seqCol) +: valueCols.map(col): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version_n", row_number().over(w).cast(LongType))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seqCol)
+  }
 }

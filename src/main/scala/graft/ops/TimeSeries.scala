@@ -93,4 +93,60 @@ object TimeSeries {
       .select(col(keyCol), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
           col("den").cast(DoubleType)).as("slope_cph"))
+
+  /** Time-weighted average value per key — the mean that weights each
+    * observation by how long it was the CURRENT one (a value held for
+    * an hour counts 3600× a value replaced a second later), the
+    * correct aggregate for sampled gauges/prices where plain avg
+    * over-weights bursts. Each event's weight is the micros until the
+    * key's next event (lead over (ts, event_id) — per-key window
+    * sort, no global sort); the last observation has no horizon and
+    * is excluded. Σ(cents·gap) and Σgap are exact BIGINTs (gap sums
+    * telescope to the key's observed span, so cents·span ≤ ~1e17 for
+    * a year at 1e4 cents — no overflow), twap is their one division.
+    * Keys with a single event or a zero span have no defined weight
+    * and are filtered.
+    */
+  def twap(events: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col(keyCol), col("ts"), col("event_id"),
+        cents(col("value")).as("c"))
+      .withColumn("gap_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col("c") * col("gap_us")).as("wsum"),
+        sum(col("gap_us")).as("span_us"))
+      .where(col("span_us") > 0L)
+      .select(col(keyCol), col("span_us"),
+        (col("wsum").cast(DoubleType) / col("span_us").cast(DoubleType))
+          .as("twap_cents"))
+  }
+
+  /** First-order Markov transition matrix of the event stream: counts
+    * and probabilities of (event_type → next event_type) per key's
+    * timeline — the behavioral-model / next-action-prediction
+    * aggregate. Consecutive pairs come from lead over the same
+    * per-key (ts, event_id) window as [[twap]]; probabilities are one
+    * division of exact counts, conditioned on the source type
+    * (Σ p over to_type = 1 per from_type up to rounding).
+    */
+  def eventTransitions(events: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col(keyCol), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
+  }
 }

@@ -950,7 +950,23 @@ object Queries {
     // per-user linear trend: closed-form OLS slope over exact BIGINT
     // sums, one double division at the end
     "trend_slope" -> ((s, d) =>
-      graft.ops.TimeSeries.trendSlope(events(s, d), "user_id")))
+      graft.ops.TimeSeries.trendSlope(events(s, d), "user_id")),
+    // N9 — SCD type-2: the change feed versioned into
+    // [valid_from, valid_to) dimension rows, last version open-ended
+    "scd2_build" -> ((s, d) =>
+      Relational.scdType2(
+        events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "user_id", "ts", "event_id", Seq("event_type", "cents"))),
+    // time-weighted average: each value weighted by how long it was
+    // current (exact integer cents·micros sums, one division)
+    "twap" -> ((s, d) =>
+      graft.ops.TimeSeries.twap(events(s, d), "user_id")),
+    // first-order Markov transition matrix of event types along each
+    // user's timeline
+    "event_transitions" -> ((s, d) =>
+      graft.ops.TimeSeries.eventTransitions(events(s, d), "user_id")))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1322,7 +1338,38 @@ object Queries {
         |SELECT user_id, n,
         |  CAST(n * sxy - sx * sy AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cph
-        |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin)
+        |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin,
+    "scd2_build" ->
+      """SELECT user_id, ts AS valid_from, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  lead(ts) OVER w AS valid_to,
+        |  row_number() OVER w AS version_n,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "twap" ->
+      """WITH g AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+        |  FROM events),
+        |a AS (SELECT user_id, sum(c * gap_us) AS ws,
+        |    sum(gap_us) AS span_us
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(span_us AS BIGINT) AS span_us,
+        |  CAST(ws AS DOUBLE) / CAST(span_us AS DOUBLE) AS twap_cents
+        |FROM a WHERE span_us > 0""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin)
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries

@@ -93,6 +93,43 @@ class TimeSeriesSpec extends SparkSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("twap: duration-weighted, last observation excluded") {
+    val s = spark
+    import s.implicits._
+    // user 1: 1.00 held 1h, then 5.00 held 3h, then a final event
+    // (no horizon — excluded). twap = (100*1 + 500*3)/4 = 400 cents.
+    val ev = Seq(
+      (ts("2024-03-01 00:00:00"), 1L, 1L, 1.00),
+      (ts("2024-03-01 01:00:00"), 1L, 2L, 5.00),
+      (ts("2024-03-01 04:00:00"), 1L, 3L, 99.99),
+      // user 2: single event — no gap, filtered
+      (ts("2024-03-01 00:00:00"), 2L, 4L, 3.00)
+    ).toDF("ts", "user_id", "event_id", "value")
+    val out = TimeSeries.twap(ev, "user_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("user_id") == 1L)
+    assert(out.head.getAs[Long]("span_us") == 4L * 3600L * 1000000L)
+    assert(out.head.getAs[Double]("twap_cents") == 400.0)
+  }
+
+  test("eventTransitions: counts from per-user timelines, rows sum " +
+    "to 1 per source type") {
+    val s = spark
+    import s.implicits._
+    // user 1: a→b→a ; user 2: a→b. Transitions: a→b ×2, b→a ×1.
+    val ev = Seq(
+      (ts("2024-03-01 00:00:00"), 1L, 1L, "a"),
+      (ts("2024-03-01 01:00:00"), 1L, 2L, "b"),
+      (ts("2024-03-01 02:00:00"), 1L, 3L, "a"),
+      (ts("2024-03-01 00:00:00"), 2L, 4L, "a"),
+      (ts("2024-03-01 05:00:00"), 2L, 5L, "b")
+    ).toDF("ts", "user_id", "event_id", "event_type")
+    val out = TimeSeries.eventTransitions(ev, "user_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("OhlcStream == batch ohlcBars (complete mode, RocksDB)") {
     withRocksDB {
       val s = spark

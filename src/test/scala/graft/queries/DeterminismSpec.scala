@@ -23,7 +23,8 @@ class DeterminismSpec extends SparkSuite {
     "text_index_store", "text_probe_stream", "skew_report",
     // r10 third pass: OLS slope (one division of exact BIGINT sums),
     // min_by/max_by tie-broken bars, FastSS verify distances
-    "trend_slope", "ohlc_bars", "fuzzy_join")
+    "trend_slope", "ohlc_bars", "fuzzy_join", "twap",
+    "event_transitions", "graph_triangles")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
