@@ -476,6 +476,49 @@ object Relational {
       .filter(!isDelete)
       .drop("__rnk")
 
+  /** Privacy audit — k-anonymity census: group rows into equivalence
+    * classes over the quasi-identifier columns and report the class-
+    * size distribution (n_classes, n_rows per size, risky = size < k).
+    * The release gate a training-data publisher runs before shipping
+    * user-derived records: every row in a risky class is re-
+    * identifiable to within `size` candidates. Two hash aggregates —
+    * classes, then the size histogram (bounded by distinct sizes) —
+    * nothing keyed finer than the class tuple ever shuffles.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("risky", col("class_size") < k.toLong)
+
+  /** Join-key profiling — referential containment of a child key in a
+    * parent key: distinct child keys, how many resolve in the parent,
+    * the containment ratio (1.0 = a clean foreign key), and how many
+    * CHILD ROWS are orphaned. The schema-discovery / ingest-quality
+    * check run before trusting a join at 100 TB — a 0.94 containment
+    * means 6% of facts silently vanish from every inner join. Shape:
+    * distinct child keys (one shuffle) left-joined to distinct parent
+    * keys, plus one conditional row count; per-pair cost is
+    * O(distinct keys), not O(rows²).
+    */
+  def fkProfile(child: DataFrame, childCol: String, parent: DataFrame,
+                parentCol: String, label: String): DataFrame =
+    child.select(col(childCol).as("ck"))
+      .join(parent.select(col(parentCol).as("pk")).distinct(),
+        col("ck") === col("pk"), "left") // pk distinct → no fanout
+      .agg(countDistinct(col("ck")).as("n_child_keys"),
+        countDistinct(col("pk")).as("n_matched_keys"),
+        sum(when(col("pk").isNull, 1L).otherwise(0L))
+          .as("n_orphan_rows"))
+      .select(lit(label).as("fk"), col("n_child_keys"),
+        col("n_matched_keys"),
+        (col("n_matched_keys").cast(DoubleType) /
+          col("n_child_keys").cast(DoubleType)).as("containment"),
+        col("n_orphan_rows"))
+
   /** N9 — SCD type-2 build: turn a change feed into a VERSIONED
     * dimension — every change opens a version row valid over
     * [valid_from, valid_to), the last version per key open-ended

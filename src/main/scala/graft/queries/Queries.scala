@@ -966,7 +966,25 @@ object Queries {
     // first-order Markov transition matrix of event types along each
     // user's timeline
     "event_transitions" -> ((s, d) =>
-      graft.ops.TimeSeries.eventTransitions(events(s, d), "user_id")))
+      graft.ops.TimeSeries.eventTransitions(events(s, d), "user_id")),
+    // privacy audit — k-anonymity census over (type, hour-of-day,
+    // value-bucket) quasi-identifiers, k=10
+    "k_anonymity" -> ((s, d) =>
+      Relational.kAnonymity(
+        events(s, d).select(col("event_type"),
+          hour(col("ts")).as("hod"),
+          expr("CAST(round(value * 100) AS BIGINT) div 500").as("vb")),
+        Seq("event_type", "hod", "vb"), k = 10)),
+    // join-key profiling — referential containment of the three core
+    // fact→dim keys (1.0 containment = clean FK, orphans = silent
+    // inner-join row loss)
+    "fk_profile" -> ((s, d) =>
+      Relational.fkProfile(Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem->orders")
+        .unionAll(Relational.fkProfile(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer"))
+        .unionAll(Relational.fkProfile(Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", "lineitem->part"))))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1369,7 +1387,40 @@ object Queries {
         |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
         |SELECT c.from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
-        |FROM c JOIN t USING (from_type)""".stripMargin)
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+    "k_anonymity" ->
+      """WITH q AS (SELECT event_type, hour(ts) AS hod,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb
+        |  FROM events),
+        |c AS (SELECT count(*) AS class_size FROM q
+        |  GROUP BY event_type, hod, vb)
+        |SELECT class_size, count(*) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  class_size < 10 AS risky
+        |FROM c GROUP BY 1""".stripMargin,
+    "fk_profile" ->
+      """WITH pairs AS (
+        |  SELECT 'lineitem->orders' AS fk, l_orderkey AS ck,
+        |    pk FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+        |    ON l_orderkey = p.pk
+        |  UNION ALL
+        |  SELECT 'orders->customer', o_custkey,
+        |    pk FROM orders LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |    ON o_custkey = p.pk
+        |  UNION ALL
+        |  SELECT 'lineitem->part', l_partkey,
+        |    pk FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS pk FROM part) p
+        |    ON l_partkey = p.pk)
+        |SELECT fk, count(DISTINCT ck) AS n_child_keys,
+        |  count(DISTINCT pk) AS n_matched_keys,
+        |  CAST(count(DISTINCT pk) AS DOUBLE)
+        |    / CAST(count(DISTINCT ck) AS DOUBLE) AS containment,
+        |  CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphan_rows
+        |FROM pairs GROUP BY fk""".stripMargin)
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries

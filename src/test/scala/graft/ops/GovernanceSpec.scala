@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Data-governance audits: k-anonymity class census and FK
+  * containment profiling, hand-checked.
+  */
+class GovernanceSpec extends SparkSuite {
+
+  test("kAnonymity: class-size histogram and risky flag") {
+    val s = spark
+    import s.implicits._
+    // classes over (a, b): (x,1)x3, (x,2)x1, (y,1)x1 → sizes 3,1,1
+    val df = Seq(("x", 1, 10), ("x", 1, 20), ("x", 1, 30), ("x", 2, 40),
+      ("y", 1, 50)).toDF("a", "b", "v")
+    val out = Relational.kAnonymity(df, Seq("a", "b"), k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(3L -> ((1L, 3L, false)), 1L -> ((2L, 2L, true))))
+  }
+
+  test("fkProfile: containment, matched keys, orphan rows") {
+    val s = spark
+    import s.implicits._
+    // child rows: keys 1,1,2,3 — parent has 1,2 → key 3 orphan (1 row,
+    // but 2 child rows carry key 1)
+    val child = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val parent = Seq(1L, 2L, 9L).toDF("pk0")
+    val r = Relational.fkProfile(child, "k", parent, "pk0", "c->p")
+      .collect().head
+    assert(r.getString(0) == "c->p")
+    assert(r.getAs[Long]("n_child_keys") == 3L)
+    assert(r.getAs[Long]("n_matched_keys") == 2L)
+    assert(r.getAs[Double]("containment") == 2.0 / 3.0)
+    assert(r.getAs[Long]("n_orphan_rows") == 1L)
+  }
+
+  test("fkProfile: duplicate parent keys do not fan out child rows") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(1L, 2L).toDF("k")
+    val parent = Seq(1L, 1L, 1L, 2L).toDF("pk0")
+    val r = Relational.fkProfile(child, "k", parent, "pk0", "x")
+      .collect().head
+    assert(r.getAs[Long]("n_child_keys") == 2L)
+    assert(r.getAs[Long]("n_matched_keys") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Long]("n_orphan_rows") == 0L)
+  }
+}
