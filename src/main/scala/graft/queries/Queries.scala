@@ -967,6 +967,10 @@ object Queries {
     // user's timeline
     "event_transitions" -> ((s, d) =>
       graft.ops.TimeSeries.eventTransitions(events(s, d), "user_id")),
+    // cross-series Pearson correlation of hourly volumes per
+    // event-type pair, zero-filled over the global hour range
+    "series_corr" -> ((s, d) =>
+      graft.ops.TimeSeries.seriesCorr(events(s, d))),
     // privacy audit — k-anonymity census over (type, hour-of-day,
     // value-bucket) quasi-identifiers, k=10
     "k_anonymity" -> ((s, d) =>
@@ -1388,6 +1392,30 @@ object Queries {
         |SELECT c.from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    "series_corr" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |d AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |p AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |    a.c AS x, b2.c AS y
+        |  FROM d a JOIN d b2 ON a.h = b2.h
+        |    AND a.event_type < b2.event_type),
+        |s AS (SELECT type_a, type_b, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r
+        |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
     "k_anonymity" ->
       """WITH q AS (SELECT event_type, hour(ts) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb

@@ -130,6 +130,43 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("seriesCorr: perfect correlation, anti-correlation, zero fill") {
+    val s = spark
+    import s.implicits._
+    // hours 0..3: type a counts (1,2,3,4); type b identical → r = 1;
+    // type c = (4,3,2,1) → r = -1 vs a and b. Counts are made by
+    // repeating events within an hour.
+    def mk(t: String, perHour: Seq[Int]): Seq[(Timestamp, Long, String)] =
+      perHour.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i =>
+          (ts(f"2024-03-01 0$h%d:0$i%d:00"), (h * 100 + i).toLong, t))
+      }
+    val ev = (mk("a", Seq(1, 2, 3, 4)) ++ mk("b", Seq(1, 2, 3, 4)) ++
+      mk("c", Seq(4, 3, 2, 1)))
+      .toDF("ts", "event_id", "event_type")
+    val out = TimeSeries.seriesCorr(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == ((4L, 1.0)))
+    assert(out(("a", "c")) == ((4L, -1.0)))
+    assert(out(("b", "c")) == ((4L, -1.0)))
+
+    // zero-fill: type d active ONLY in hour 0 — its series over the
+    // global range is (5,0,0,0); vs a=(1,2,3,4) brute-force r:
+    val ev2 = (mk("a", Seq(1, 2, 3, 4)) ++ mk("d", Seq(5)))
+      .toDF("ts", "event_id", "event_type")
+    val x = Seq(1.0, 2.0, 3.0, 4.0); val y = Seq(5.0, 0.0, 0.0, 0.0)
+    val n = 4
+    val num = n * x.zip(y).map { case (p, q) => p * q }.sum -
+      x.sum * y.sum
+    val den = math.sqrt((n * x.map(p => p * p).sum - x.sum * x.sum) *
+      (n * y.map(q => q * q).sum - y.sum * y.sum))
+    val got = TimeSeries.seriesCorr(ev2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(got(("a", "d")) - num / den) < 1e-12)
+    assert(got(("a", "d")) < 0, "missing hours count as zero")
+  }
+
   test("OhlcStream == batch ohlcBars (complete mode, RocksDB)") {
     withRocksDB {
       val s = spark

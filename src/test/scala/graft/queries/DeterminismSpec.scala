@@ -24,7 +24,8 @@ class DeterminismSpec extends SparkSuite {
     // r10 third pass: OLS slope (one division of exact BIGINT sums),
     // min_by/max_by tie-broken bars, FastSS verify distances
     "trend_slope", "ohlc_bars", "fuzzy_join", "twap",
-    "event_transitions", "graph_triangles")
+    "event_transitions", "graph_triangles", "series_corr",
+    "k_anonymity", "fk_profile")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
