@@ -195,4 +195,40 @@ class TimeSeriesSpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("OhlcStream append mode: bars finalize once the watermark " +
+    "passes the window end") {
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val mem = MemoryStream[(Timestamp, String, Long, Double)]
+      val q = OhlcStream.ohlcStream(
+          mem.toDF().toDF("ts", "event_type", "event_id", "value"),
+          watermarkDelay = Some("10 minutes"))
+        .writeStream.format("memory").queryName("ohlc_append_out")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("ohlc_append_ckpt"))
+        .start()
+      try {
+        mem.addData(
+          (ts("2024-03-01 10:00:00"), "click", 1L, 5.00),
+          (ts("2024-03-01 10:30:00"), "click", 2L, 9.00))
+        q.processAllAvailable()
+        assert(s.table("ohlc_append_out").count() == 0,
+          "open bar must not emit")
+        // watermark jumps past 11:10 → the hour-10 bar is final
+        mem.addData((ts("2024-03-01 12:00:00"), "click", 3L, 1.00))
+        q.processAllAvailable()
+        mem.addData((ts("2024-03-01 14:00:00"), "click", 4L, 2.00))
+        q.processAllAvailable()
+        val rows = s.table("ohlc_append_out").collect()
+          .map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(5),
+            r.getLong(6)))
+        assert(rows.toSet.contains(
+          (ts("2024-03-01 10:00:00"), 500L, 900L, 2L)),
+          s"finalized hour-10 bar; got ${rows.mkString(",")}")
+      } finally q.stop()
+    }
+  }
 }
