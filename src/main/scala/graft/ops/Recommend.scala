@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Item-to-item collaborative filtering over co-engagement — the
+  * "customers who bought X also bought Y" pass (Amazon-style
+  * item2item CF; Linden et al. 2003, public), which is also the
+  * co-occurrence mining a training-data pipeline runs to build
+  * retrieval candidates from behavioral logs.
+  *
+  * Scale shape: the quadratic step (pairs within one customer's
+  * basket) is bounded BEFORE it happens — each basket is capped to
+  * its `basketCap` smallest item ids (deterministic, via the
+  * GroupedTopK bounded-heap exec, never a per-partition sort), so the
+  * pair unfold is ≤ cap²·customers no matter how pathological one
+  * buyer is; the hot-basket cap is the same discipline as minhash's
+  * hot-bucket cap. Pair counts then rank by LIFT =
+  * (c_ab·N)/(c_a·c_b) — the PMI-ratio trick from collocations: one
+  * correctly-rounded division of exact BIGINTs, bit-stable in any
+  * engine, no logs — and the final per-item top-k is again the
+  * bounded-heap exec, O(items·k) out of the shuffle.
+  */
+object Recommend {
+
+  /** engagement: (cust, item) rows (duplicates fine — deduped here).
+    * Output: per item_a its top-`k` co-engaged item_b by lift desc
+    * (ties → item_b asc), with counts, lift, and 1-based rank `rk`.
+    */
+  def copurchaseTopK(engagement: DataFrame, k: Int = 5,
+                     basketCap: Int = 50): DataFrame = {
+    val distinctCp = engagement
+      .select(col("cust"), col("item")).distinct()
+    val capped = graft.plans.GroupedTopK(distinctCp, Seq("cust"),
+      Seq(("item", true)), k = basketCap, rankName = "__bc")
+      .drop("__bc")
+    val itemCnt = capped.groupBy(col("item"))
+      .agg(count(lit(1)).as("ci"))
+    // one-row customer total attached through a single-bucket
+    // BroadcastHashJoin (the collocations pattern — the key must be a
+    // non-foldable expression of a real column; a literal pair would
+    // constant-fold and degrade to a nested-loop join)
+    val nCust = capped.select(col("cust")).distinct()
+      .agg(count(lit(1)).as("n_cust"))
+      .withColumn("__jk", pmod(xxhash64(col("n_cust")), lit(1L)))
+    val pairs = capped.select(col("cust"), col("item").as("item_a"))
+      .join(capped.select(col("cust"), col("item").as("item_b")), "cust")
+      .where(col("item_a") =!= col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_co"))
+    val scored = pairs
+      .join(itemCnt.select(col("item").as("item_a"), col("ci").as("ca")),
+        "item_a")
+      .join(itemCnt.select(col("item").as("item_b"), col("ci").as("cb")),
+        "item_b")
+      .withColumn("__jk", pmod(xxhash64(col("n_co")), lit(1L)))
+      .join(broadcast(nCust), "__jk")
+      .withColumn("lift",
+        (col("n_co") * col("n_cust")).cast("double") /
+          (col("ca") * col("cb")).cast("double"))
+      .select(col("item_a"), col("item_b"), col("n_co"), col("lift"))
+    graft.plans.GroupedTopK(scored, Seq("item_a"),
+      Seq(("lift", false), ("item_b", true)), k = k, rankName = "rk")
+  }
+}

@@ -476,6 +476,45 @@ object Relational {
       .filter(!isDelete)
       .drop("__rnk")
 
+  /** Robust-stats audit — winsorization report: per group, the exact
+    * p01/p99 order statistics of integer cents and how many rows each
+    * tail clip would touch — the outlier-clipping feature transform's
+    * dry run (MAD's quantile sibling; `robustAnomalies` flags points,
+    * this sizes the clip). Ranks are pure integer arithmetic,
+    * ceil(q·n) = (q·100·n + 99) div 100 — no float quantile math to
+    * drift between engines — and the order statistic is read off a
+    * per-group row_number window ((cents, seq) order: the unique seq
+    * makes tie placement deterministic, and the value AT a rank is
+    * tie-insensitive anyway). One window pass + one broadcast join of
+    * the per-group quantile frame (bounded by group cardinality).
+    */
+  def winsorizeStats(events: DataFrame, groupCol: String,
+                     seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("c"), col(seqCol))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val r = events
+      .select(col(groupCol), cents(col("value")).as("c"), col(seqCol))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(cw))
+    val q = r.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 99) div 100"), col("c")))
+          .as("p01_cents"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("c")))
+          .as("p99_cents"))
+    r.join(broadcast(q.drop("n")), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("p01_cents")).as("p01_cents"),
+        max(col("p99_cents")).as("p99_cents"),
+        sum(when(col("c") < col("p01_cents"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("c") > col("p99_cents"), 1L).otherwise(0L))
+          .as("n_clip_hi"))
+  }
+
   /** Privacy audit — k-anonymity census: group rows into equivalence
     * classes over the quasi-identifier columns and report the class-
     * size distribution (n_classes, n_rows per size, risky = size < k).

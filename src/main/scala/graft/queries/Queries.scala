@@ -979,6 +979,22 @@ object Queries {
           hour(col("ts")).as("hod"),
           expr("CAST(round(value * 100) AS BIGINT) div 500").as("vb")),
         Seq("event_type", "hod", "vb"), k = 10)),
+    // robust-stats audit: exact p01/p99 order statistics per type +
+    // tail-clip row counts (integer rank arithmetic, no float
+    // quantiles)
+    "winsorize_stats" -> ((s, d) =>
+      Relational.winsorizeStats(events(s, d), "event_type", "event_id")),
+    // item2item collaborative filtering: per part, top-5 co-purchased
+    // parts by lift over capped customer baskets (both quadratic steps
+    // bounded: basketCap before the pair unfold, GroupedTopK after)
+    "copurchase_topk" -> ((s, d) =>
+      graft.ops.Recommend.copurchaseTopK(
+        Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_custkey").as("cust"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_partkey").as("item")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("cust"), col("item")))),
     // join-key profiling — referential containment of the three core
     // fact→dim keys (1.0 containment = clean FK, orphans = silent
     // inner-join row loss)
@@ -1416,6 +1432,53 @@ object Queries {
         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
         |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r
         |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
+    "winsorize_stats" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c, event_id
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |q AS (SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 99) // 100 THEN c END)
+        |      AS p01_cents,
+        |    max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END)
+        |      AS p99_cents
+        |  FROM r GROUP BY 1)
+        |SELECT q.event_type, q.n, q.p01_cents, q.p99_cents,
+        |  CAST(sum(CASE WHEN e.c < q.p01_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN e.c > q.p99_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_hi
+        |FROM q JOIN e USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "copurchase_topk" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
+        |    l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l
+        |    ON o.o_orderkey = l.l_orderkey),
+        |capped AS (SELECT cust, item FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY cust
+        |     ORDER BY item) AS bc FROM cp) WHERE bc <= 50),
+        |ic AS (SELECT item, count(*) AS ci FROM capped GROUP BY 1),
+        |nc AS (SELECT count(DISTINCT cust) AS n_cust FROM capped),
+        |pr AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*) AS n_co
+        |  FROM capped a JOIN capped b
+        |    ON a.cust = b.cust AND a.item <> b.item
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT item_a, item_b, n_co,
+        |    CAST(n_co * n_cust AS DOUBLE)
+        |      / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
+        |  FROM pr
+        |  JOIN ic ca ON ca.item = pr.item_a
+        |  JOIN ic cb ON cb.item = pr.item_b
+        |  CROSS JOIN nc)
+        |SELECT item_a, item_b, n_co, lift, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY item_a
+        |  ORDER BY lift DESC, item_b) AS rk FROM sc)
+        |WHERE rk <= 5""".stripMargin,
     "k_anonymity" ->
       """WITH q AS (SELECT event_type, hour(ts) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb

@@ -35,6 +35,38 @@ class GovernanceSpec extends SparkSuite {
     assert(r.getAs[Long]("n_orphan_rows") == 1L)
   }
 
+  test("winsorizeStats: exact integer-rank order statistics and clip " +
+    "counts") {
+    val s = spark
+    import s.implicits._
+    // 200 values 0.01..2.00 → cents 1..200. ceil(n/100)=2 → p01=2;
+    // ceil(99n/100)=198 → p99=198; clip_lo = |{1}| = 1,
+    // clip_hi = |{199,200}| = 2
+    val df = (1 to 200).map(i => ("t", i.toLong, i / 100.0))
+      .toDF("g", "event_id", "value")
+    val r = Relational.winsorizeStats(df, "g", "event_id")
+      .collect().head
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Long]("p01_cents") == 2L)
+    assert(r.getAs[Long]("p99_cents") == 198L)
+    assert(r.getAs[Long]("n_clip_lo") == 1L)
+    assert(r.getAs[Long]("n_clip_hi") == 2L)
+  }
+
+  test("winsorizeStats: tiny groups degrade to min/max, nothing clips") {
+    val s = spark
+    import s.implicits._
+    // n=3: ranks ceil(3/100)=1 → p01=min; ceil(297/100)=3 → p99=max
+    val df = Seq(("g", 1L, 0.50), ("g", 2L, 0.10), ("g", 3L, 0.90))
+      .toDF("g", "event_id", "value")
+    val r = Relational.winsorizeStats(df, "g", "event_id")
+      .collect().head
+    assert(r.getAs[Long]("p01_cents") == 10L)
+    assert(r.getAs[Long]("p99_cents") == 90L)
+    assert(r.getAs[Long]("n_clip_lo") == 0L)
+    assert(r.getAs[Long]("n_clip_hi") == 0L)
+  }
+
   test("fkProfile: duplicate parent keys do not fan out child rows") {
     val s = spark
     import s.implicits._

@@ -25,7 +25,7 @@ class DeterminismSpec extends SparkSuite {
     // min_by/max_by tie-broken bars, FastSS verify distances
     "trend_slope", "ohlc_bars", "fuzzy_join", "twap",
     "event_transitions", "graph_triangles", "series_corr",
-    "k_anonymity", "fk_profile")
+    "k_anonymity", "fk_profile", "winsorize_stats", "copurchase_topk")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
