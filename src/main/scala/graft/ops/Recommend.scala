@@ -26,14 +26,26 @@ object Recommend {
   /** engagement: (cust, item) rows (duplicates fine — deduped here).
     * Output: per item_a its top-`k` co-engaged item_b by lift desc
     * (ties → item_b asc), with counts, lift, and 1-based rank `rk`.
+    * `minCount` floors the pair support BEFORE scoring — the same
+    * hapax kill as collocations' minCount: a pair seen once is noise
+    * to a recommender, and on sparse engagement the singleton tail is
+    * ~all pairs, so the floor is what keeps the score/rank stages
+    * sized by signal rather than by noise.
     */
   def copurchaseTopK(engagement: DataFrame, k: Int = 5,
-                     basketCap: Int = 50): DataFrame = {
+                     basketCap: Int = 50, minCount: Long = 1L): DataFrame = {
     val distinctCp = engagement
       .select(col("cust"), col("item")).distinct()
+    // four consumers read this frame (both pair sides, item counts,
+    // customer count); eagerly materialize once and truncate lineage
+    // so the dedup+cap subtree doesn't re-execute per consumer (the
+    // componentMin pattern — on a cluster, checkpoint() is the
+    // durable form). Bounded: ≤ basketCap rows per customer, two
+    // narrow columns.
     val capped = graft.plans.GroupedTopK(distinctCp, Seq("cust"),
       Seq(("item", true)), k = basketCap, rankName = "__bc")
       .drop("__bc")
+      .localCheckpoint()
     val itemCnt = capped.groupBy(col("item"))
       .agg(count(lit(1)).as("ci"))
     // one-row customer total attached through a single-bucket
@@ -48,10 +60,16 @@ object Recommend {
       .where(col("item_a") =!= col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCount)
+    // catalog-sized count frames broadcast (the collocations pattern)
+    // — without the hint the checkpointed scan has no stats and both
+    // joins fall back to sort-merge, sorting the pair frame twice
     val scored = pairs
-      .join(itemCnt.select(col("item").as("item_a"), col("ci").as("ca")),
+      .join(broadcast(itemCnt
+          .select(col("item").as("item_a"), col("ci").as("ca"))),
         "item_a")
-      .join(itemCnt.select(col("item").as("item_b"), col("ci").as("cb")),
+      .join(broadcast(itemCnt
+          .select(col("item").as("item_b"), col("ci").as("cb"))),
         "item_b")
       .withColumn("__jk", pmod(xxhash64(col("n_co")), lit(1L)))
       .join(broadcast(nCust), "__jk")

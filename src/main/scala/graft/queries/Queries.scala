@@ -986,7 +986,8 @@ object Queries {
       Relational.winsorizeStats(events(s, d), "event_type", "event_id")),
     // item2item collaborative filtering: per part, top-5 co-purchased
     // parts by lift over capped customer baskets (both quadratic steps
-    // bounded: basketCap before the pair unfold, GroupedTopK after)
+    // bounded: basketCap before the pair unfold, GroupedTopK after;
+    // minCount=2 kills the singleton noise tail before scoring)
     "copurchase_topk" -> ((s, d) =>
       graft.ops.Recommend.copurchaseTopK(
         Tables.orders(s, d).select(col("o_orderkey"),
@@ -994,7 +995,8 @@ object Queries {
           .join(Tables.lineitem(s, d).select(col("l_orderkey"),
             col("l_partkey").as("item")),
             col("o_orderkey") === col("l_orderkey"))
-          .select(col("cust"), col("item")))),
+          .select(col("cust"), col("item")),
+        basketCap = 32, minCount = 2L)),
     // join-key profiling — referential containment of the three core
     // fact→dim keys (1.0 containment = clean FK, orphans = silent
     // inner-join row loss)
@@ -1460,14 +1462,14 @@ object Queries {
         |    ON o.o_orderkey = l.l_orderkey),
         |capped AS (SELECT cust, item FROM
         |  (SELECT *, row_number() OVER (PARTITION BY cust
-        |     ORDER BY item) AS bc FROM cp) WHERE bc <= 50),
+        |     ORDER BY item) AS bc FROM cp) WHERE bc <= 32),
         |ic AS (SELECT item, count(*) AS ci FROM capped GROUP BY 1),
         |nc AS (SELECT count(DISTINCT cust) AS n_cust FROM capped),
         |pr AS (SELECT a.item AS item_a, b.item AS item_b,
         |    count(*) AS n_co
         |  FROM capped a JOIN capped b
         |    ON a.cust = b.cust AND a.item <> b.item
-        |  GROUP BY 1, 2),
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |sc AS (SELECT item_a, item_b, n_co,
         |    CAST(n_co * n_cust AS DOUBLE)
         |      / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
