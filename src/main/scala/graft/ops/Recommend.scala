@@ -55,12 +55,18 @@ object Recommend {
     val nCust = capped.select(col("cust")).distinct()
       .agg(count(lit(1)).as("n_cust"))
       .withColumn("__jk", pmod(xxhash64(col("n_cust")), lit(1L)))
-    val pairs = capped.select(col("cust"), col("item").as("item_a"))
+    // count each unordered pair ONCE (a < b) — halves the aggregate's
+    // shuffle volume — and mirror the (small) aggregated frame after,
+    // since co-occurrence is symmetric and every item needs its own
+    // top-k list
+    val half = capped.select(col("cust"), col("item").as("item_a"))
       .join(capped.select(col("cust"), col("item").as("item_b")), "cust")
-      .where(col("item_a") =!= col("item_b"))
+      .where(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minCount)
+    val pairs = half.unionAll(half.select(col("item_b").as("item_a"),
+      col("item_a").as("item_b"), col("n_co")))
     // catalog-sized count frames broadcast (the collocations pattern)
     // — without the hint the checkpointed scan has no stats and both
     // joins fall back to sort-merge, sorting the pair frame twice
