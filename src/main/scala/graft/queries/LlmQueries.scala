@@ -728,6 +728,15 @@ object LlmQueries {
       val n = dd.count()
       Graph.triangles(dd, "doc_id", Graph.syntheticLinks(dd, "doc_id", n))
     }),
+    // corpus op — seed-distance: bounded-hop BFS from the trusted
+    // seed list (doc_id < 5) over the same synthesized link graph;
+    // crawl-depth quality signal, unreached = -1
+    "graph_bfs" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.bfsDistance(dd, "doc_id",
+        Graph.syntheticLinks(dd, "doc_id", n), col("node") < 5L)
+    }),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -2844,6 +2853,24 @@ object LlmQueries {
     // 15/85 damping in integer hundredths), so the fold is
     // bit-identical regardless of join or partition order; odeg is 3
     // by construction (the Spark side computes it from the edge list)
+    // bounded recursion replays the hop relaxation; min(dist) per
+    // node collapses the path multiplicity the recursive walk emits
+    "graph_bfs" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+        |    AS dst FROM
+        |  (SELECT doc_id AS src,
+        |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+        |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+        |walk(node, dist) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT e.dst, walk.dist + 1 FROM walk
+        |  JOIN e ON e.src = walk.node WHERE walk.dist < 3),
+        |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT doc_id AS node,
+        |  CAST(COALESCE(best.dist, -1) AS BIGINT) AS dist
+        |FROM documents LEFT JOIN best ON best.node = doc_id""".stripMargin,
     // naive id-ordered a<b<c enumeration — fine at oracle scale; the
     // engine's degree-ordered orientation finds the identical set
     "graph_triangles" ->
