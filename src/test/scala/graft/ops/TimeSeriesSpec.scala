@@ -196,6 +196,44 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("trendSlope is streaming-legal as-is: algebraic OLS sums run " +
+    "incrementally (complete mode, RocksDB)") {
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val rnd = new scala.util.Random(31)
+      val rows = (0 until 300).map { i =>
+        (Timestamp.valueOf(f"2024-04-${1 + rnd.nextInt(25)}%02d " +
+          f"${rnd.nextInt(24)}%02d:00:00"), (i % 5).toLong, i.toLong,
+          rnd.nextInt(20000) / 100.0)
+      }
+      val batchDf = rows.toDF("ts", "user_id", "event_id", "value")
+      val mem = MemoryStream[(Timestamp, Long, Long, Double)]
+      // the SAME operator, applied to a streaming frame — the whole
+      // point of the exact-integer-sums formulation: OLS folds
+      // incrementally, no window, no sort
+      val q = TimeSeries.trendSlope(
+          mem.toDF().toDF("ts", "user_id", "event_id", "value"),
+          "user_id")
+        .writeStream.format("memory").queryName("trend_stream_out")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir("trend_ckpt"))
+        .start()
+      try {
+        mem.addData(rows.take(120): _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(120): _*)
+        q.processAllAvailable()
+        val got = s.table("trend_stream_out").collect()
+          .map(_.toSeq).toSet
+        val want = TimeSeries.trendSlope(batchDf, "user_id")
+          .collect().map(_.toSeq).toSet
+        assert(got == want && got.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("OhlcStream append mode: bars finalize once the watermark " +
     "passes the window end") {
     withRocksDB {
