@@ -979,6 +979,29 @@ object Queries {
           hour(col("ts")).as("hod"),
           expr("CAST(round(value * 100) AS BIGINT) div 500").as("vb")),
         Seq("event_type", "hod", "vb"), k = 10)),
+    // wide→long melt of the per-user feature frame (the export shape
+    // a feature store ingests) — native unpivot, no explode-of-struct
+    "unpivot_features" -> ((s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast(LongType)).as("value_cents"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .unpivot(Array(col("user_id")),
+          Array(col("n_events"), col("value_cents"), col("n_errors")),
+          "feature", "val")),
+    // GROUPING SETS — the third grouping form beside rollup_summary /
+    // cube_summary: exactly the named combinations, no intermediate
+    // levels; grouping() flags disambiguate "null from grouping"
+    "grouping_sets_summary" -> ((s, d) =>
+      events(s, d).select(col("event_type"),
+          hour(col("ts")).cast(LongType).as("hod"),
+          round(col("value") * 100).cast(LongType).as("c"))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("hod")), Seq()),
+          col("event_type"), col("hod"))
+        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"),
+          grouping(col("event_type")).cast(LongType).as("g_type"),
+          grouping(col("hod")).cast(LongType).as("g_hod"))),
     // robust-stats audit: exact p01/p99 order statistics per type +
     // tail-clip row counts (integer rank arithmetic, no float
     // quantiles)
@@ -1434,6 +1457,28 @@ object Queries {
         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
         |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r
         |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
+    "unpivot_features" ->
+      """WITH f AS (SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, feature, val FROM (
+        |  SELECT user_id, 'n_events' AS feature, n_events AS val FROM f
+        |  UNION ALL
+        |  SELECT user_id, 'value_cents', value_cents FROM f
+        |  UNION ALL
+        |  SELECT user_id, 'n_errors', n_errors FROM f)""".stripMargin,
+    "grouping_sets_summary" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_type, hod, CAST(sum(c) AS BIGINT) AS cents,
+        |  count(*) AS n,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |  CAST(GROUPING(hod) AS BIGINT) AS g_hod
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type), (hod), ())""".stripMargin,
     "winsorize_stats" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS c, event_id
