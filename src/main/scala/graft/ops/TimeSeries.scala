@@ -125,6 +125,39 @@ object TimeSeries {
           .as("twap_cents"))
   }
 
+  /** Recency-weighted engagement: per key, Σ value·2^(−age_days) at a
+    * fixed reference instant — the exponential-decay activity score
+    * every ranking/churn feature set carries, with a half-life of one
+    * day. Computed WITHOUT floating-point accumulation: each event
+    * contributes cents·2^(horizon−age) as a BIGINT (a bit shift, ages
+    * beyond the horizon contribute exactly 0 — at 2^-30 they are
+    * below any feature's resolution anyway), the integer sum commutes
+    * under any partitioning, and ONE final division by 2^horizon
+    * rescales to the decayed-cents double. The fixed `refEpochSec`
+    * (not now()) keeps the feature reproducible run-to-run — the
+    * training-serving-skew rule for temporal features.
+    */
+  def decayScore(events: DataFrame, keyCol: String,
+                 refEpochSec: Long, horizonDays: Int = 20): DataFrame = {
+    // horizon 20: cents(≤1e6)·2^20 ≈ 1e12 per event keeps the BIGINT
+    // sum safe past 1e6 in-horizon events per key; 2^-20 ≈ 1e-6 is
+    // below any engagement feature's resolution
+    val ageDays = expr(s"(${refEpochSec}L - unix_micros(ts)" +
+      " div 1000000L) div 86400L")
+    events
+      .select(col(keyCol), ageDays.as("age"),
+        cents(col("value")).as("c"))
+      .where(col("age") >= 0L && col("age") <= horizonDays.toLong)
+      .select(col(keyCol),
+        (col("c") * expr(s"shiftleft(1L, cast($horizonDays - age" +
+          " as int))")).as("w"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("w")).as("w"))
+      .select(col(keyCol),
+        (col("w").cast(DoubleType) /
+          lit(math.pow(2.0, horizonDays))).as("decayed_cents"))
+  }
+
   /** Cross-series correlation: Pearson r between every pair of event
     * types' HOURLY volumes — the metric-correlation discovery pass of
     * a monitoring pipeline ("errors spike when purchases spike").

@@ -979,6 +979,12 @@ object Queries {
           hour(col("ts")).as("hod"),
           expr("CAST(round(value * 100) AS BIGINT) div 500").as("vb")),
         Seq("event_type", "hod", "vb"), k = 10)),
+    // recency-weighted engagement: exponential day-decay folded in
+    // exact integers (bit shifts), fixed reference instant
+    // 2024-01-31T00:00Z so the feature is reproducible run-to-run
+    "decay_score" -> ((s, d) =>
+      graft.ops.TimeSeries.decayScore(events(s, d), "user_id",
+        refEpochSec = 1706659200L)),
     // wide→long melt of the per-user feature frame (the export shape
     // a feature store ingests) — native unpivot, no explode-of-struct
     "unpivot_features" -> ((s, d) =>
@@ -1457,6 +1463,17 @@ object Queries {
         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
         |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r
         |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
+    "decay_score" ->
+      """WITH e AS (SELECT user_id,
+        |    (1706659200 - epoch_us(ts) // 1000000) // 86400 AS age,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |w AS (SELECT user_id,
+        |    c * (CAST(1 AS BIGINT) << CAST(20 - age AS INT)) AS w
+        |  FROM e WHERE age >= 0 AND age <= 20)
+        |SELECT user_id,
+        |  CAST(sum(w) AS DOUBLE) / CAST(1048576 AS DOUBLE)
+        |    AS decayed_cents
+        |FROM w GROUP BY 1""".stripMargin,
     "unpivot_features" ->
       """WITH f AS (SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

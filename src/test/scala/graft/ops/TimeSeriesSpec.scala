@@ -130,6 +130,24 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("decayScore: per-day halving in exact integers, horizon and " +
+    "future events excluded") {
+    val s = spark
+    import s.implicits._
+    // ref = 2024-01-31T00:00Z. Ages: 0d (Jan 30 12:00 → age 0 after
+    // floor), 1d, 21d (beyond horizon), -1d (future)
+    val ev = Seq(
+      (ts("2024-01-30 12:00:00"), 1L, 1L, 1.00), // 2^-0 → 100
+      (ts("2024-01-29 12:00:00"), 1L, 2L, 2.00), // 2^-1 → 100
+      (ts("2024-01-09 12:00:00"), 1L, 3L, 99.0), // age 21 → dropped
+      (ts("2024-02-01 12:00:00"), 1L, 4L, 99.0), // future → dropped
+      (ts("2024-01-21 00:00:00"), 2L, 5L, 10.24) // age 10 → 1024/2^10=1
+    ).toDF("ts", "user_id", "event_id", "value")
+    val out = TimeSeries.decayScore(ev, "user_id", 1706659200L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 200.0, 2L -> 1.0))
+  }
+
   test("seriesCorr: perfect correlation, anti-correlation, zero fill") {
     val s = spark
     import s.implicits._
