@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkSuite {
     // min_by/max_by tie-broken bars, FastSS verify distances
     "trend_slope", "ohlc_bars", "fuzzy_join", "twap",
     "event_transitions", "graph_triangles", "series_corr",
-    "k_anonymity", "fk_profile", "winsorize_stats", "copurchase_topk")
+    "k_anonymity", "fk_profile", "winsorize_stats", "copurchase_topk",
+    "decay_score", "grouping_sets_summary", "unpivot_features",
+    "graph_bfs")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
