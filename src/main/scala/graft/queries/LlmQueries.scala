@@ -737,6 +737,11 @@ object LlmQueries {
       Graph.bfsDistance(dd, "doc_id",
         Graph.syntheticLinks(dd, "doc_id", n), col("node") < 5L)
     }),
+    // eval metric — exact Mann-Whitney AUC: does document length rank
+    // English membership? (midrank ties, one division at the end)
+    "rank_auc" -> ((s, d) =>
+      graft.ops.Eval.rankAuc(docs(s, d), "n_chars",
+        col("lang") === "en")),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — term document/total frequency (tf-idf integer core)
@@ -2853,6 +2858,22 @@ object LlmQueries {
     // 15/85 damping in integer hundredths), so the fold is
     // bit-identical regardless of join or partition order; odeg is 3
     // by construction (the Spark side computes it from the edge list)
+    "rank_auc" ->
+      """WITH g AS (SELECT n_chars AS s, count(*) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT *, sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS endRank FROM g),
+        |m AS (SELECT np, endRank * 2 - n + 1 AS mid2, n FROM r),
+        |a AS (SELECT CAST(sum(np * mid2) AS BIGINT) AS sum2r,
+        |    CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg FROM m)
+        |SELECT n_pos, n_neg,
+        |  CAST(sum2r - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc
+        |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
     // bounded recursion replays the hop relaxation; min(dist) per
     // node collapses the path multiplicity the recursive walk emits
     "graph_bfs" ->

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+
+class EvalSpec extends SparkSuite {
+
+  private def auc(rows: Seq[(Long, Boolean)], parts: Int = 1): Double = {
+    val s = spark
+    import s.implicits._
+    Eval.rankAuc(rows.toDF("score", "pos").repartition(parts),
+      "score", col("pos")).collect().head.getAs[Double]("auc")
+  }
+
+  /** O(n²) reference: P(pos > neg) + ½ P(pos == neg). */
+  private def brute(rows: Seq[(Long, Boolean)]): Double = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    u / (pos.size * neg.size)
+  }
+
+  test("perfect separation → 1.0; inverted → 0.0; all tied → 0.5") {
+    assert(auc(Seq((10L, true), (9L, true), (1L, false))) == 1.0)
+    assert(auc(Seq((1L, true), (9L, false), (10L, false))) == 0.0)
+    assert(auc(Seq((5L, true), (5L, false), (5L, true))) == 0.5)
+  }
+
+  test("matches the O(n²) reference with heavy ties, layout-stable") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(400)((rnd.nextInt(12).toLong,
+      rnd.nextInt(3) == 0))
+    val want = brute(rows)
+    assert(math.abs(auc(rows) - want) < 1e-12)
+    assert(auc(rows, parts = 7) == auc(rows, parts = 1))
+  }
+
+  test("degenerate single-class input emits no row") {
+    val s = spark
+    import s.implicits._
+    val out = Eval.rankAuc(
+      Seq((1L, true), (2L, true)).toDF("score", "pos"), "score",
+      col("pos")).collect()
+    assert(out.isEmpty)
+  }
+}
