@@ -27,7 +27,7 @@ class DeterminismSpec extends SparkSuite {
     "event_transitions", "graph_triangles", "series_corr",
     "k_anonymity", "fk_profile", "winsorize_stats", "copurchase_topk",
     "decay_score", "grouping_sets_summary", "unpivot_features",
-    "graph_bfs")
+    "graph_bfs", "rank_auc")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
