@@ -179,7 +179,12 @@ object TimeSeries {
     * inputs, so the double is bit-identical in any engine. Zero-
     * variance series are filtered (r undefined).
     */
-  def seriesCorr(events: DataFrame): DataFrame = {
+  /** Zero-filled hourly count series per type over the GLOBAL hour
+    * range — the shared densification for [[seriesCorr]] and
+    * [[cusumChangepoint]] (see seriesCorr's scaladoc for why silent
+    * hours must be explicit zeros and how this stays cartesian-free).
+    */
+  private def denseHourly(events: DataFrame): DataFrame = {
     val cnt = events
       .select(hoursSince2024.as("h"), col("event_type"))
       .groupBy(col("h"), col("event_type"))
@@ -191,13 +196,17 @@ object TimeSeries {
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val dense = perType
+    perType
       .withColumn("lo", min(col("tlo")).over(w))
       .withColumn("hi", max(col("thi")).over(w))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"))).as("h"), col("m"))
       .select(col("event_type"), col("h"),
         coalesce(element_at(col("m"), col("h")), lit(0L)).as("c"))
+  }
+
+  def seriesCorr(events: DataFrame): DataFrame = {
+    val dense = denseHourly(events)
     val a = dense.select(col("h"), col("event_type").as("type_a"),
       col("c").as("x"))
     val b = dense.select(col("h"), col("event_type").as("type_b"),
@@ -217,6 +226,45 @@ object TimeSeries {
           .cast(DoubleType) /
           sqrt(col("vx").cast(DoubleType) * col("vy").cast(DoubleType)))
           .as("r"))
+  }
+
+  /** CUSUM changepoint: per event type, the hour where the cumulative
+    * deviation of the hourly volume from its overall mean peaks — the
+    * classic "when did the behavior change" detector behind every
+    * level-shift alert (Page's CUSUM, public). Division-free: with n
+    * hours and total T, the deviation is scaled by n —
+    * dev_h = c_h·n − T — so the running sum stays an exact BIGINT
+    * (|cusum| ≤ n·T ≲ 1e13 at 100× bench volume) and the argmax is
+    * deterministic (ties → earliest hour). The window runs per type
+    * over HOURS (bounded), never over events; the peak is picked by
+    * the bounded-heap exec, not a sort.
+    *
+    * Output per type: the changepoint hour (start-of-hour timestamp),
+    * the scaled peak |cusum| (divide by n for event units), its sign
+    * (+1 = level was ABOVE the mean before the cut), and n_hours.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val dense = denseHourly(events)
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored = dense
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("c")).over(byType))
+      .withColumn("cusum",
+        sum(col("c") * col("n_hours") - col("total")).over(cum))
+      .withColumn("acs", abs(col("cusum")))
+    graft.plans.GroupedTopK(scored, Seq("event_type"),
+      Seq(("acs", false), ("h", true)), k = 1, rankName = "__r")
+      .select(col("event_type"),
+        timestamp_micros((col("h") + lit(1704067200L / 3600L)) *
+          lit(3600000000L)).as("cp_hour"),
+        col("acs").as("peak_scaled"),
+        signum(col("cusum")).cast(LongType).as("sign"),
+        col("n_hours"))
   }
 
   /** First-order Markov transition matrix of the event stream: counts

@@ -971,6 +971,46 @@ object Queries {
     // event-type pair, zero-filled over the global hour range
     "series_corr" -> ((s, d) =>
       graft.ops.TimeSeries.seriesCorr(events(s, d))),
+    // CUSUM level-shift changepoint per type over the same dense
+    // hourly series — division-free scaled deviations, peak via the
+    // bounded-heap exec
+    "cusum_changepoint" -> ((s, d) =>
+      graft.ops.TimeSeries.cusumChangepoint(events(s, d))),
+    // funnel conversion latency: signup→first-purchase-after deltas,
+    // exact p50/p90 order statistics over SECOND-quantized latency
+    // groups (the rank_auc shape: the rank window runs over latency
+    // cardinality, not converted users) + exact-sum mean
+    "conversion_latency" -> ((s, d) => {
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts")))
+          .as("t_s"))
+        .join(events(s, d).select(col("user_id"),
+          when(col("event_type") === "purchase", col("ts")).as("t_p")),
+          Seq("user_id"))
+        .where(col("t_p") > col("t_s"))
+        .groupBy(col("user_id"), col("t_s"))
+        .agg(min(col("t_p")).as("t_p"))
+        .select((unix_micros(col("t_p")) - unix_micros(col("t_s")))
+          .as("delta_us"))
+      val g = perUser
+        .select(expr("delta_us div 1000000L").as("sec"), col("delta_us"))
+        .groupBy(col("sec"))
+        .agg(count(lit(1)).as("cnt"), sum(col("delta_us")).as("dsum"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wc = W.orderBy(col("sec"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      g.withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("tot", sum(col("dsum")).over(wAll))
+        .agg(max(col("n")).as("n_conv"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("sec")))
+            .as("p50_s"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("sec")))
+            .as("p90_s"),
+          (max(col("tot")).cast(DoubleType) /
+            max(col("n")).cast(DoubleType)).as("mean_us"))
+    }),
     // privacy audit — k-anonymity census over (type, hour-of-day,
     // value-bucket) quasi-identifiers, k=10
     "k_anonymity" -> ((s, d) =>
@@ -1543,6 +1583,54 @@ object Queries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY item_a
         |  ORDER BY lift DESC, item_b) AS rk FROM sc)
         |WHERE rk <= 5""".stripMargin,
+    "conversion_latency" ->
+      """WITH su AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s
+        |  FROM events GROUP BY 1),
+        |pu AS (SELECT e.user_id, su.t_s, min(e.ts) AS t_p
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > su.t_s
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT epoch_us(t_p) - epoch_us(t_s) AS delta_us
+        |  FROM pu),
+        |g AS (SELECT delta_us // 1000000 AS sec, count(*) AS cnt,
+        |    sum(delta_us) AS dsum FROM dl GROUP BY 1),
+        |c AS (SELECT *, sum(cnt) OVER (ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS n, sum(dsum) OVER () AS tot FROM g)
+        |SELECT CAST(max(n) AS BIGINT) AS n_conv,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN sec END) AS p50_s,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN sec END)
+        |    AS p90_s,
+        |  CAST(max(tot) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_us
+        |FROM c""".stripMargin,
+    "cusum_changepoint" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |d AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |r AS (SELECT *,
+        |    count(*) OVER (PARTITION BY event_type) AS n_hours,
+        |    sum(c) OVER (PARTITION BY event_type) AS total FROM d),
+        |cu AS (SELECT *, sum(c * n_hours - total) OVER
+        |    (PARTITION BY event_type ORDER BY h
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cusum FROM r),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, h) AS rk FROM cu)
+        |SELECT event_type,
+        |  make_timestamp((h + 473352) * 3600000000) AS cp_hour,
+        |  CAST(abs(cusum) AS BIGINT) AS peak_scaled,
+        |  CAST(CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1
+        |    ELSE 0 END AS BIGINT) AS sign,
+        |  CAST(n_hours AS BIGINT) AS n_hours
+        |FROM p WHERE rk = 1""".stripMargin,
     "k_anonymity" ->
       """WITH q AS (SELECT event_type, hour(ts) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb

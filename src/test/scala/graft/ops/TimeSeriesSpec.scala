@@ -130,6 +130,32 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("cusumChangepoint: level shift found at the cut, sign reports " +
+    "the pre-cut side") {
+    val s = spark
+    import s.implicits._
+    // type a: hourly counts (1,1,1,5,5,5) over hours 0..5 of
+    // 2024-01-01. dev = c*6-18 → cusum (-12,-24,-36,-24,-12,0):
+    // peak |−36| at hour 2 (the last low hour), sign −1.
+    var id = 0L
+    val rows = Seq(1, 1, 1, 5, 5, 5).zipWithIndex.flatMap {
+      case (n, h) => (0 until n).map { _ =>
+        id += 1
+        (ts(f"2024-01-01 0$h%d:00:00"), id, "a")
+      }
+    }
+    val out = TimeSeries.cusumChangepoint(
+        rows.toDF("ts", "event_id", "event_type"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Timestamp]("cp_hour") ==
+      ts("2024-01-01 02:00:00"))
+    assert(r.getAs[Long]("peak_scaled") == 36L)
+    assert(r.getAs[Long]("sign") == -1L)
+    assert(r.getAs[Long]("n_hours") == 6L)
+  }
+
   test("decayScore: per-day halving in exact integers, horizon and " +
     "future events excluded") {
     val s = spark
