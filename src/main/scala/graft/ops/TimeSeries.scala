@@ -228,6 +228,49 @@ object TimeSeries {
           .as("r"))
   }
 
+  /** Spearman rank correlation between event types' hourly volumes —
+    * [[seriesCorr]]'s robust sibling: monotone association instead of
+    * linear, insensitive to the burst outliers that dominate a
+    * Pearson r on traffic counts. Ranks are computed per type over
+    * its own dense series at 2× scale so midranks (tie averages) stay
+    * integers — mid2 = 2·rank() + ties − 1 = first + last — and ρ is
+    * then exactly the [[seriesCorr]] integer-moment fold on the mid2
+    * series (Pearson is shift/scale invariant, so the 2× never needs
+    * dividing out). The rank window partitions by type and runs over
+    * HOURS, bounded by elapsed time, never by events.
+    */
+  def seriesSpearman(events: DataFrame): DataFrame = {
+    val dense = denseHourly(events)
+    val byC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"))
+    val tieCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("c"))
+    val ranked = dense
+      .withColumn("mid2",
+        rank().over(byC).cast(LongType) * 2L +
+          count(lit(1)).over(tieCnt) - 1L)
+      .select(col("event_type"), col("h"), col("mid2"))
+    val a = ranked.select(col("h"), col("event_type").as("type_a"),
+      col("mid2").as("x"))
+    val b = ranked.select(col("h"), col("event_type").as("type_b"),
+      col("mid2").as("y"))
+    a.join(b, Seq("h")).where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", col("n_hours") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_hours") * col("syy") - col("sy") * col("sy"))
+      .where(col("vx") > 0L && col("vy") > 0L)
+      .select(col("type_a"), col("type_b"), col("n_hours"),
+        ((col("n_hours") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) /
+          sqrt(col("vx").cast(DoubleType) * col("vy").cast(DoubleType)))
+          .as("rho"))
+  }
+
   /** CUSUM changepoint: per event type, the hour where the cumulative
     * deviation of the hourly volume from its overall mean peaks — the
     * classic "when did the behavior change" detector behind every

@@ -971,6 +971,10 @@ object Queries {
     // event-type pair, zero-filled over the global hour range
     "series_corr" -> ((s, d) =>
       graft.ops.TimeSeries.seriesCorr(events(s, d))),
+    // Spearman rho over the same series — monotone association,
+    // midranks exact at 2x integer scale
+    "series_spearman" -> ((s, d) =>
+      graft.ops.TimeSeries.seriesSpearman(events(s, d))),
     // CUSUM level-shift changepoint per type over the same dense
     // hourly series — division-free scaled deviations, peak via the
     // bounded-heap exec
@@ -1583,6 +1587,34 @@ object Queries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY item_a
         |  ORDER BY lift DESC, item_b) AS rk FROM sc)
         |WHERE rk <= 5""".stripMargin,
+    "series_spearman" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |d AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |rk AS (SELECT event_type, h,
+        |    rank() OVER (PARTITION BY event_type ORDER BY c) * 2
+        |      + count(*) OVER (PARTITION BY event_type, c) - 1
+        |      AS mid2 FROM d),
+        |p AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |    a.mid2 AS x, b2.mid2 AS y
+        |  FROM rk a JOIN rk b2 ON a.h = b2.h
+        |    AND a.event_type < b2.event_type),
+        |s AS (SELECT type_a, type_b, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |         * CAST(n*syy - sy*sy AS DOUBLE)) AS rho
+        |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
     "conversion_latency" ->
       """WITH su AS (SELECT user_id,
         |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s

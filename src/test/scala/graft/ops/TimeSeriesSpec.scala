@@ -130,6 +130,31 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("seriesSpearman: monotone nonlinear → rho 1, reversed → -1, " +
+    "Pearson disagrees") {
+    val s = spark
+    import s.implicits._
+    def mk(t: String, perHour: Seq[Int]): Seq[(Timestamp, Long, String)] =
+      perHour.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i =>
+          (ts(f"2024-03-01 0$h%d:${i % 60}%02d:${i / 60}%02d"),
+            (h * 1000 + i).toLong, t))
+      }
+    // a linear, b monotone-but-convex, c strictly decreasing
+    val ev = (mk("a", Seq(1, 2, 3, 4)) ++ mk("b", Seq(1, 2, 5, 90)) ++
+      mk("c", Seq(9, 7, 4, 2)))
+      .toDF("ts", "event_id", "event_type")
+    val rho = TimeSeries.seriesSpearman(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rho(("a", "b")) == 1.0)
+    assert(rho(("a", "c")) == -1.0)
+    assert(rho(("b", "c")) == -1.0)
+    val pearson = TimeSeries.seriesCorr(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(pearson(("a", "b")) < 1.0, "outlier hour drags Pearson " +
+      "below the rank correlation")
+  }
+
   test("cusumChangepoint: level shift found at the cut, sign reports " +
     "the pre-cut side") {
     val s = spark

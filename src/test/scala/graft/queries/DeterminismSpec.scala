@@ -27,7 +27,8 @@ class DeterminismSpec extends SparkSuite {
     "event_transitions", "graph_triangles", "series_corr",
     "k_anonymity", "fk_profile", "winsorize_stats", "copurchase_topk",
     "decay_score", "grouping_sets_summary", "unpivot_features",
-    "graph_bfs", "rank_auc")
+    "graph_bfs", "rank_auc", "series_spearman", "cusum_changepoint",
+    "conversion_latency")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
