@@ -35,23 +35,39 @@ object FuzzyJoin {
   /** s plus its delete-one-char variants, deduped (deleting either of
     * a doubled letter yields the same variant).
     */
-  private def deletionSignatures(tok: String): Column =
-    array_distinct(concat(array(col(tok)),
-      expr(s"transform(sequence(1, length($tok)), i -> " +
-        s"concat(substring($tok, 1, i - 1), " +
-        s"substring($tok, i + 1, length($tok))))")))
+  /** Delete-one-character variants of a string column. */
+  private def delOne(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))
 
-  /** All unordered pairs (a < b) of `strings.col(strCol)` at
-    * Levenshtein distance exactly 1 (distance 0 = equal strings is
-    * the degenerate pair; callers wanting it have `groupBy`).
-    * Input must be distinct on strCol; output columns
-    * (tok_a, tok_b, dist).
+  /** FastSS theorem: ed(u, v) ≤ k ⟹ the k-deletion neighborhoods of
+    * u and v intersect. Depth 1 = s plus its delete-one variants;
+    * depth 2 adds delete-two (deletions of deletions), deduped.
     */
-  def editDistancePairs(strings: DataFrame, strCol: String): DataFrame = {
+  private def deletionSignatures(tok: String, maxDist: Int): Column = {
+    val d1 = delOne(col(tok))
+    val base = concat(array(col(tok)), d1)
+    val all =
+      if (maxDist >= 2) concat(base, flatten(transform(d1, delOne(_))))
+      else base
+    array_distinct(all)
+  }
+
+  /** All unordered pairs (a < b) of `strings.col(strCol)` within
+    * Levenshtein distance `maxDist` (1 or 2; distance 0 = equal
+    * strings is the degenerate pair — callers wanting it have
+    * `groupBy`). Input must be distinct on strCol; output columns
+    * (tok_a, tok_b, dist). Depth-2 neighborhoods are ~L²/2 signatures
+    * per string — the standard FastSS cost curve; beyond k=2, banded
+    * q-gram methods win.
+    */
+  def editDistancePairs(strings: DataFrame, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "FastSS here supports k in {1,2}")
     val sig = strings
       .select(col(strCol).as("tok"))
       .select(col("tok"),
-        explode(deletionSignatures("tok")).as("sig"))
+        explode(deletionSignatures("tok", maxDist)).as("sig"))
     val a = sig.select(col("tok").as("tok_a"), col("sig"))
     val b = sig.select(col("tok").as("tok_b"), col("sig"))
     a.join(b, Seq("sig"))
@@ -60,7 +76,7 @@ object FuzzyJoin {
       // L+1); collapse before the verify so levenshtein runs once per
       // candidate pair, not once per witness
       .select(col("tok_a"), col("tok_b")).distinct()
-      .where(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+      .where(levenshtein(col("tok_a"), col("tok_b")) <= maxDist)
       .select(col("tok_a"), col("tok_b"),
         levenshtein(col("tok_a"), col("tok_b")).cast(LongType).as("dist"))
   }

@@ -92,6 +92,11 @@ object LlmQueries {
       graft.ops.FuzzyJoin.editDistancePairs(
         Tables.customer(s, d).select(col("c_name").as("tok"))
           .orderBy(col("tok")).limit(400), "tok")),
+    // same join at distance <= 2 via depth-2 deletion neighborhoods
+    "fuzzy_join2" -> ((s, d) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+        Tables.customer(s, d).select(col("c_name").as("tok"))
+          .orderBy(col("tok")).limit(400), "tok", maxDist = 2)),
     // N1/N2 end-to-end — corpus dedup: pairs → connected components →
     // canonical representative per cluster
     "dedup_corpus" -> ((s, d) =>
@@ -1580,6 +1585,13 @@ object LlmQueries {
         |  levenshtein(a.tok, b.tok) AS dist
         |FROM top a JOIN top b
         |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1""".stripMargin,
+    "fuzzy_join2" ->
+      """WITH top AS (SELECT c_name AS tok FROM customer
+        |  ORDER BY c_name LIMIT 400)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  levenshtein(a.tok, b.tok) AS dist
+        |FROM top a JOIN top b
+        |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2""".stripMargin,
     "neardup_minhash" ->
       s"""WITH $shinglesCte,
          |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),

@@ -15,10 +15,11 @@ class FuzzyJoinSpec extends SparkSuite {
     d(a.length)(b.length)
   }
 
-  private def bruteForce(vocab: Seq[String]): Set[(String, String)] =
+  private def bruteForce(vocab: Seq[String],
+                         k: Int = 1): Set[(String, String)] =
     (for {
       a <- vocab; b <- vocab
-      if a < b && lev(a, b) <= 1
+      if a < b && lev(a, b) <= k
     } yield (a, b)).toSet
 
   test("editDistancePairs finds exactly the distance-1 pairs") {
@@ -53,6 +54,41 @@ class FuzzyJoinSpec extends SparkSuite {
     val got = FuzzyJoin.editDistancePairs(vocab.toDF("tok"), "tok")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == bruteForce(vocab))
+    assert(got.nonEmpty)
+  }
+
+  test("maxDist = 2: depth-2 deletion neighborhoods find exactly the " +
+    "distance <= 2 pairs") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("color", "colour", "colours", "dolor", "dollar",
+      "cat", "cast", "cars", "ct", "c", "graft", "raft", "rat",
+      "xylophone", "ab", "ba", "abcd", "dcba")
+    val got = FuzzyJoin.editDistancePairs(vocab.toDF("tok"), "tok",
+        maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = bruteForce(vocab, 2).map { case (a, b) =>
+      (a, b, lev(a, b).toLong)
+    }
+    assert(got == want)
+    assert(got.contains(("color", "colours", 2L))) // two insertions
+    assert(got.contains(("ab", "ba", 2L)))         // transposition = 2
+    assert(!got.exists(p => p._1 == "abcd" && p._2 == "dcba"))
+  }
+
+  test("maxDist = 2 on random tiny-alphabet vocab (dense false " +
+    "candidates)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq.fill(150)(
+      (0 until (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    val got = FuzzyJoin.editDistancePairs(vocab.toDF("tok"), "tok",
+        maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == bruteForce(vocab, 2))
     assert(got.nonEmpty)
   }
 
