@@ -49,4 +49,48 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("n_events"))
+
+  /** Time-constrained ordered funnel (the windowFunnel of product
+    * analytics): per user, the deepest prefix of `steps` completed IN
+    * ORDER with every step inside `windowUs` of its anchor (first
+    * step) occurrence; output is the depth histogram. Every anchor
+    * occurrence is tried and the user takes the max depth — greedy
+    * earliest-next-step per anchor is optimal because the only
+    * deadline is the anchor's window, so taking the earliest
+    * candidate can never hurt.
+    *
+    * Built by CHAINING [[AsOf.asofJoinForward]]: step i+1's events
+    * forward-join onto step i's resolved timestamp per anchor — each
+    * chain link is one merge-shaped join keyed by user, so the whole
+    * funnel is `steps.size − 1` shuffles, never a per-user
+    * quadratic expansion (the DuckDB oracle runs exactly that n²
+    * formulation for the cross-check). Anchors whose chain dies early
+    * carry nulls forward and fall out at the depth fold.
+    */
+  def windowFunnel(events: DataFrame, steps: Seq[String],
+                   windowUs: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    def ofType(t: String, tsName: String) =
+      events.filter(col("event_type") === t)
+        .select(col("user_id"), unix_micros(col("ts")).as(tsName),
+          col("event_id"))
+    var cur: DataFrame = ofType(steps.head, "t0").drop("event_id")
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      cur = AsOf.asofJoinForward(
+        ofType(st, s"t${i + 1}"), cur, "user_id",
+        s"t${i + 1}", s"t$i", "event_id").drop("event_id")
+    }
+    val depth = (1 until steps.size).foldLeft(lit(1L)) { (acc, i) =>
+      // prefix conjunction: step i counts only if every earlier step
+      // landed inside the anchor window
+      val ok = (1 to i).map(j =>
+        col(s"t$j").isNotNull &&
+          col(s"t$j") <= col("t0") + lit(windowUs))
+        .reduce(_ && _)
+      acc + when(ok, 1L).otherwise(0L)
+    }
+    cur.select(col("user_id"), depth.as("depth"))
+      .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+  }
 }

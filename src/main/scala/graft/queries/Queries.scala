@@ -980,6 +980,13 @@ object Queries {
     // bounded-heap exec
     "cusum_changepoint" -> ((s, d) =>
       graft.ops.TimeSeries.cusumChangepoint(events(s, d))),
+    // time-constrained ordered funnel (windowFunnel): deepest
+    // signup→click→purchase prefix completed within 24h of each
+    // anchor, per-user max depth histogram — chained as-of-forward
+    // joins, never a per-user quadratic expansion
+    "window_funnel" -> ((s, d) =>
+      Sessionize.windowFunnel(events(s, d),
+        Seq("signup", "click", "purchase"), windowUs = 86400000000L)),
     // funnel conversion latency: signup→first-purchase-after deltas,
     // exact p50/p90 order statistics over SECOND-quantized latency
     // groups (the rank_auc shape: the rank window runs over latency
@@ -1615,6 +1622,31 @@ object Queries {
         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
         |         * CAST(n*syy - sy*sy AS DOUBLE)) AS rho
         |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
+    // n² reference formulation: min-next-step per anchor via
+    // inequality joins — fine at oracle scale
+    "window_funnel" ->
+      """WITH a AS (SELECT user_id, epoch_us(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup'),
+        |s1 AS (SELECT a.user_id, a.t0, min(epoch_us(e.ts)) AS t1
+        |  FROM a LEFT JOIN events e ON e.user_id = a.user_id
+        |    AND e.event_type = 'click' AND epoch_us(e.ts) >= a.t0
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1,
+        |    min(epoch_us(e.ts)) AS t2
+        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase' AND s1.t1 IS NOT NULL
+        |    AND epoch_us(e.ts) >= s1.t1
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT user_id,
+        |    1 + CASE WHEN t1 IS NOT NULL
+        |          AND t1 <= t0 + 86400000000 THEN 1 ELSE 0 END
+        |      + CASE WHEN t1 IS NOT NULL
+        |          AND t1 <= t0 + 86400000000 AND t2 IS NOT NULL
+        |          AND t2 <= t0 + 86400000000 THEN 1 ELSE 0 END
+        |      AS depth FROM s2),
+        |u AS (SELECT user_id, max(depth) AS depth FROM d GROUP BY 1)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
     "conversion_latency" ->
       """WITH su AS (SELECT user_id,
         |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s
