@@ -50,6 +50,40 @@ object Sessionize {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("n_events"))
 
+  /** Top-k session paths: the most common event-type sequences
+    * (truncated to the first `pathLen` steps) across sessions — the
+    * "how do users actually move through the product" report behind
+    * every path-analysis / Sankey view. Sessions use the same
+    * gaps-and-islands assignment as [[gapsAndIslands]]; each session
+    * folds to one path string (sort_array over the unique
+    * (ts, event_id) order makes the fold shuffle-proof), then a hash
+    * count + TakeOrderedAndProject top-k — per-partition partial
+    * top-k, no global sort of the path universe.
+    */
+  def topPaths(events: DataFrame, gapSeconds: Long = 1800,
+               pathLen: Int = 5, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >=
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("h"))
+      .select(concat_ws(">",
+        slice(transform(col("h"), _.getField("event_type")),
+          1, pathLen)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Time-constrained ordered funnel (the windowFunnel of product
     * analytics): per user, the deepest prefix of `steps` completed IN
     * ORDER with every step inside `windowUs` of its anchor (first

@@ -866,6 +866,10 @@ object LlmQueries {
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
     // N6 — sessionization, native session_window form
+    // top-20 most common session paths (first 5 steps) — the
+    // path-analysis / Sankey input over the same session assignment
+    "top_paths" -> ((s, d) =>
+      Sessionize.topPaths(Tables.events(s, d))),
     "sessionize_native" -> ((s, d) =>
       Sessionize.sessionWindow(Tables.events(s, d), gap = "30 minutes")),
     // N5 — REAL header decode (PNG IHDR / JPEG SOF scan / GIF) over
@@ -2581,6 +2585,26 @@ object LlmQueries {
         |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "top_paths" ->
+      """WITH l AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS sess_id FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |    sess_id ORDER BY ts, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sess_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "sessionize_native" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
