@@ -28,7 +28,7 @@ class DeterminismSpec extends SparkSuite {
     "k_anonymity", "fk_profile", "winsorize_stats", "copurchase_topk",
     "decay_score", "grouping_sets_summary", "unpivot_features",
     "graph_bfs", "rank_auc", "series_spearman", "cusum_changepoint",
-    "conversion_latency", "fuzzy_join2", "window_funnel")
+    "conversion_latency", "fuzzy_join2", "window_funnel", "top_paths")
 
   test("results are bit-identical across shuffle partition counts") {
     val d = "/root/testdata/sf0.001"
