@@ -60,15 +60,65 @@ object Bench {
     // bench's own parallelism means the numbers are not the code's.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
-    val wall0 = System.nanoTime()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+    val hwThreads = Runtime.getRuntime.availableProcessors
+    // SELF-DEFENSE against a contaminated window (r9/r10 both
+    // published load-noise as apparent regressions): the previous
+    // COMMITTED bench.json is the per-query reference; any query
+    // whose min-of-N lands >2.5x its committed value (with a 100 ms
+    // absolute floor so micro-queries don't retry on pure jitter) —
+    // or every query, when the window started loaded and there is no
+    // reference — is re-measured once after load drains, and the
+    // final value is the min across both passes. `retried` in the
+    // artifact names the queries that needed it, so a published
+    // bench that had to defend itself says so.
+    val baseline: Map[String, Double] = {
+      val p = Paths.get("bench.json")
+      if (!Files.exists(p)) Map.empty
+      else try {
+        val txt = Files.readString(p)
+        val qs = txt.indexOf("\"queries\":{")
+        if (qs < 0) Map.empty
+        else {
+          val end = txt.indexOf('}', qs)
+          """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+            .findAllMatchIn(txt.substring(qs + "\"queries\":{".length, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    def measure(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.min
+    val wall0 = System.nanoTime()
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, measure(fn))
     }
+    val startedLoaded = loadBefore > hwThreads / 4.0
+    val needRetry = firstPass.filter { case (name, _, v) =>
+      baseline.get(name) match {
+        case Some(b) => v > 2.5 * b && v - b > 0.1
+        case None => startedLoaded
+      }
+    }
+    if (needRetry.nonEmpty) {
+      // drain: wait for avg1m to fall below the threshold, bounded
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (osBean.getSystemLoadAverage > hwThreads / 4.0 &&
+          System.nanoTime() < deadline)
+        Thread.sleep(5000)
+    }
+    val retryMins = needRetry.map { case (name, fn, _) =>
+      name -> measure(fn)
+    }.toMap
+    val results = firstPass.map { case (name, _, v) =>
+      name -> math.min(v, retryMins.getOrElse(name, v))
+    }
+    val retriedJson = needRetry.map(t => "\"" + t._1 + "\"")
+      .mkString("[", ",", "]")
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val loadAfter = osBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -77,7 +127,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""load":{"avg1mBefore":$loadBefore,"avg1mAfter":$loadAfter,""" +
-      s""""wallSec":$wallSec,"iters":$iters,"hwThreads":${Runtime.getRuntime.availableProcessors}}}"""
+      s""""wallSec":$wallSec,"iters":$iters,"hwThreads":$hwThreads},""" +
+      s""""retried":$retriedJson}"""
     println(line)
     // a BENCH_ONLY subset run must never masquerade as the published
     // full bench: it goes to a sibling file, so a stray filter env var

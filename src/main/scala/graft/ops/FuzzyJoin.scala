@@ -32,13 +32,16 @@ import org.apache.spark.sql.types._
   */
 object FuzzyJoin {
 
-  /** s plus its delete-one-char variants, deduped (deleting either of
-    * a doubled letter yields the same variant).
-    */
-  /** Delete-one-character variants of a string column. */
+  /** Delete-one-character variants of a string column. Empty input →
+    * empty array, guarded explicitly: without the guard the result
+    * leaned on sequence(1,0) defaulting to a DESCENDING [1,0] and on
+    * substr tolerating non-positive positions — harmless by accident,
+    * not by contract. */
   private def delOne(s: Column): Column =
-    transform(sequence(lit(1), length(s)), i =>
-      concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))
+    when(length(s) > 0,
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+      .otherwise(array().cast("array<string>"))
 
   /** FastSS theorem: ed(u, v) ≤ k ⟹ the k-deletion neighborhoods of
     * u and v intersect. Depth 1 = s plus its delete-one variants;

@@ -144,6 +144,10 @@ object Graph {
     * per round (the componentMin pattern) so the planner never sees a
     * nested join tree. Unreached nodes report dist = -1 (an explicit
     * verdict, not an absent row).
+    *
+    * `isSeed` is evaluated against `nodes` as passed — write it over
+    * `idCol` (or any other column of the caller's frame), e.g.
+    * `col("doc_id") < 5L`.
     */
   def bfsDistance(nodes: DataFrame, idCol: String, edges: DataFrame,
                   isSeed: org.apache.spark.sql.Column,
@@ -151,8 +155,13 @@ object Graph {
     val ids = nodes.select(col(idCol).cast(LongType).as("node"))
     val e = edges.select(col("src").cast(LongType),
       col("dst").cast(LongType))
-    var settled = ids.where(isSeed)
-      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    // isSeed is evaluated against `nodes` AS PASSED — write it over
+    // idCol (or any column of the caller's frame). The seed filter
+    // runs before the internal rename so a predicate never has to
+    // know the op's private `node` alias.
+    var settled = nodes.where(isSeed)
+      .select(col(idCol).cast(LongType).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
     var frontier = settled.select(col("node"))
     for (hop <- 1 to maxHops) {
       val next = e.join(frontier.withColumnRenamed("node", "src"), "src")

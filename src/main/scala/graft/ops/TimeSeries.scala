@@ -145,6 +145,17 @@ object TimeSeries {
     val ageDays = expr(s"(${refEpochSec}L - unix_micros(ts)" +
       " div 1000000L) div 86400L")
     events
+      // events past the reference SECOND are excluded BEFORE the age
+      // computation: Spark's `div` truncates toward zero, so an event
+      // up to one day past refEpochSec would otherwise get age 0 (kept
+      // at max weight) where floor semantics give age -1 (excluded) —
+      // the age>=0 filter alone cannot see the difference. The filter
+      // is at second grain (matching the floor pipeline: an event
+      // inside [ref, ref+1s) floors to age 0 and is kept); for
+      // positive epochs (any post-1970 ts) `div` == floor here, and
+      // with the filter in place the age numerator is non-negative so
+      // its `div 86400` is floor too.
+      .where(expr(s"unix_micros(ts) div 1000000L <= ${refEpochSec}L"))
       .select(col(keyCol), ageDays.as("age"),
         cents(col("value")).as("c"))
       .where(col("age") >= 0L && col("age") <= horizonDays.toLong)

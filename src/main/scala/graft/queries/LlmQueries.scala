@@ -740,7 +740,7 @@ object LlmQueries {
       val dd = docs(s, d)
       val n = dd.count()
       Graph.bfsDistance(dd, "doc_id",
-        Graph.syntheticLinks(dd, "doc_id", n), col("node") < 5L)
+        Graph.syntheticLinks(dd, "doc_id", n), col("doc_id") < 5L)
     }),
     // eval metric — exact Mann-Whitney AUC: does document length rank
     // English membership? (midrank ties, one division at the end)

@@ -286,8 +286,8 @@ object Queries {
         |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
         |    THEN cnt END) AS p99_cnt,
         |  CAST(sum(cnt) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_cnt,
-        |  least(32, (max(cnt) * max(n) + sum(cnt) - 1) // sum(cnt))
-        |    AS salt
+        |  CAST(least(32, (max(cnt) * max(n) + sum(cnt) - 1) // sum(cnt))
+        |    AS BIGINT) AS salt
         |FROM r""".stripMargin,
     // scratch recompute of the post-changelog state: per event the
     // CDC day resolves to present/absent/new-value by the same
@@ -542,31 +542,40 @@ object Queries {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"))),
     // pre-join skew triage: the per-key histogram summary that decides
-    // whether a join needs Skew.saltedJoin and at what factor — run on
-    // metadata-scale aggregates, never the fact rows twice. p99 is a
-    // rank-selected element (price_quantiles pattern), mean the single
-    // division, recommended salt an integer ceil of max/mean capped 32
+    // whether a join needs Skew.saltedJoin and at what factor. p99 is
+    // an exact rank-selected element found by TWO-PASS selection: pass
+    // 1 reduces the per-key counts to a (cnt → freq) histogram whose
+    // cardinality is bounded by the VALUE DOMAIN of per-key counts
+    // (thousands at any scale), never by key count; the cumulative
+    // walk to rank ceil(0.99·n) happens on that driver-side census
+    // (the hot-bucket-census pattern, bounded like BPE top-256 /
+    // k-means sample caps). No global-order window anywhere: the old
+    // row_number().over(orderBy(cnt)) funneled every per-key count row
+    // through ONE task — at 1e9 users, a single-task sort of 1e9 rows.
+    // Salt = integer ceil of max/mean capped at 32, BigInt-safe.
     "skew_report" -> ((s, d) => {
       val counts = Tables.events(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt"), col("user_id"))
-      counts
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(1))))
-        .agg(
-          max(col("n")).as("n_keys"),
-          sum(col("cnt")).as("total"),
-          max(col("cnt")).as("max_cnt"),
-          max(when(col("rn") === ceil(lit(0.99) * col("n")), col("cnt")))
-            .as("p99_cnt"))
-        .select(col("n_keys"), col("total"), col("max_cnt"), col("p99_cnt"),
-          (col("total").cast(DoubleType) / col("n_keys").cast(DoubleType))
-            .as("mean_cnt"),
-          least(lit(32L),
-            expr("(max_cnt * n_keys + total - 1) DIV total")).as("salt"))
+      val hist = counts.groupBy(col("cnt"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("cnt"))
+        .collect()
+      val nKeys = hist.iterator.map(_.getLong(1)).sum
+      val total = hist.iterator.map(r => r.getLong(0) * r.getLong(1)).sum
+      val maxCnt = if (hist.isEmpty) 0L else hist.last.getLong(0)
+      val rank = math.ceil(0.99 * nKeys).toLong
+      var cum = 0L
+      var p99 = 0L
+      hist.foreach { r =>
+        if (cum < rank) { cum += r.getLong(1); if (cum >= rank) p99 = r.getLong(0) }
+      }
+      val salt = if (total == 0L) 0L
+        else ((BigInt(maxCnt) * nKeys + total - 1) / total).min(32).toLong
+      s.range(1).select(
+        lit(nKeys).as("n_keys"), lit(total).as("total"),
+        lit(maxCnt).as("max_cnt"), lit(p99).as("p99_cnt"),
+        lit(total.toDouble / nKeys).as("mean_cnt"),
+        lit(salt).as("salt"))
     }),
     // dataset fingerprints: an ORDER-INDEPENDENT content hash per
     // table (bit_xor of the per-row polynomial hash over a canonical
@@ -995,8 +1004,11 @@ object Queries {
       val perUser = events(s, d).groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "signup", col("ts")))
           .as("t_s"))
-        .join(events(s, d).select(col("user_id"),
-          when(col("event_type") === "purchase", col("ts")).as("t_p")),
+        // purchases only BEFORE the join: joining all events and
+        // null-filtering after would shuffle + fan out every event
+        // per user when only purchase rows can survive
+        .join(events(s, d).where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("t_p")),
           Seq("user_id"))
         .where(col("t_p") > col("t_s"))
         .groupBy(col("user_id"), col("t_s"))
@@ -1028,7 +1040,13 @@ object Queries {
       Relational.kAnonymity(
         events(s, d).select(col("event_type"),
           hour(col("ts")).as("hod"),
-          expr("CAST(round(value * 100) AS BIGINT) div 500").as("vb")),
+          // FLOOR division (not `div`, which truncates toward zero):
+          // the oracle's `//` floors, and a negative value must land
+          // in the same bucket cross-engine. Double-divide-then-floor
+          // is exact here: quotients are ≥1/500 away from integers
+          // until |cents| ~ 4.5e12, far past any event value
+          expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
+            .cast(LongType).as("vb")),
         Seq("event_type", "hod", "vb"), k = 10)),
     // recency-weighted engagement: exponential day-decay folded in
     // exact integers (bit shifts), fixed reference instant

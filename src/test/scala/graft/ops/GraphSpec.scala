@@ -70,14 +70,14 @@ class GraphSpec extends SparkSuite {
       .toDF("src", "dst")
     val nodes = Seq(0L, 1L, 2L, 3L, 4L, 9L).toDF("id")
     val got = Graph.bfsDistance(nodes, "id", edges,
-        org.apache.spark.sql.functions.col("node") === 0L, maxHops = 3)
+        org.apache.spark.sql.functions.col("id") === 0L, maxHops = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 3 reached in ONE hop via the shortcut, so 4 is at 2, not 4
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
       4L -> 2L, 9L -> -1L))
     // hop cap: with maxHops=1 only the direct neighbors settle
     val capped = Graph.bfsDistance(nodes, "id", edges,
-        org.apache.spark.sql.functions.col("node") === 0L, maxHops = 1)
+        org.apache.spark.sql.functions.col("id") === 0L, maxHops = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> -1L,
       4L -> -1L, 9L -> -1L))

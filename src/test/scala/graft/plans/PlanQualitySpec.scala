@@ -24,4 +24,56 @@ class PlanQualitySpec extends SparkSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** The OTHER 100×-scale plan killer: a `Window` with no partitionBy
+    * funnels every input row through ONE task (global sort + single
+    * consumer). The allowlist pins the queries whose unpartitioned
+    * frame is provably BOUNDED — pre-aggregated to value-domain or
+    * type cardinality, never key/row count — each justified at its
+    * definition site. A new query landing an unpartitioned window
+    * must either bound its frame and join this list, or repartition.
+    */
+  private val boundedFrameAllowlist: Set[String] = Set(
+    // frames over per-DAY / per-SECOND-grain aggregates — calendar /
+    // latency value domain, not user count (see the "rank_auc shape"
+    // comments at the definition sites)
+    "cumulative_users", "conversion_latency",
+    // rank window over per-score-value groups (n_chars domain)
+    "rank_auc",
+    // rk stamp over an already-.limit(k) frame (TakeOrderedAndProject
+    // upstream does the distributed top-k; the window sees k rows)
+    "bm25_search", "text_index_store", "rag_chunk_search",
+    // water-filling over per-SOURCE token caps — source cardinality
+    "mixture_plan",
+    // denseHourly's global-bounds window runs over the one-row-per-
+    // event-type frame (TimeSeries.denseHourly scaladoc); ×2 when the
+    // series self-joins
+    "series_corr", "series_spearman", "cusum_changepoint"
+  )
+
+  test("no registered query plans an unpartitioned window " +
+      "(outside the pinned bounded-frame allowlist)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val d = "/root/testdata/sf0.001"
+    val hits = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan: SparkPlan = fn(spark, d).queryExecution.sparkPlan
+      val unpart = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (unpart.nonEmpty) Some(name -> unpart) else None
+    }
+    val offenders = hits.filterNot { case (n, _) => boundedFrameAllowlist(n) }
+    // the allowlist must not go stale: every pinned name still plans
+    // an unpartitioned window (else it should be removed from the pin)
+    val stale = boundedFrameAllowlist -- hits.map(_._1).toSet
+    assert(offenders.isEmpty,
+      "unpartitioned Window outside allowlist:\n" + offenders.map {
+        case (n, ws) => s"  $n: ${ws.mkString(", ")}"
+      }.mkString("\n"))
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning unpartitioned windows " +
+        s"(remove them): ${stale.mkString(", ")}")
+  }
 }
