@@ -97,12 +97,15 @@ object Bench {
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, measure(fn))
     }
+    // a window that STARTED loaded re-measures every query (the
+    // committed reference itself may be contaminated — r10's was —
+    // so a ratio test against it cannot be the only tripwire);
+    // an apparently-idle window still re-measures any query landing
+    // >2.5x its committed value
     val startedLoaded = loadBefore > hwThreads / 4.0
     val needRetry = firstPass.filter { case (name, _, v) =>
-      baseline.get(name) match {
-        case Some(b) => v > 2.5 * b && v - b > 0.1
-        case None => startedLoaded
-      }
+      startedLoaded || baseline.get(name).exists(b =>
+        v > 2.5 * b && v - b > 0.1)
     }
     if (needRetry.nonEmpty) {
       // drain: wait for avg1m to fall below the threshold, bounded
