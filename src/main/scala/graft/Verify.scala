@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pin the oracle sidecar tag to this run's dataset dir BEFORE any
+    // query runs: a VERIFY_ONLY subset touching no document/embedding
+    // table would otherwise dump sidecar paths under the default tag
+    graft.queries.LlmQueries.tagDataset(sfDir)
     // SPARK_GRAFT_VERIFY_ONLY=a,b re-dumps named queries only (plus the
     // full oracle_sql.json) for targeted in-session re-checks via
     // tools/oracle_check_only.py; the driver never sets it

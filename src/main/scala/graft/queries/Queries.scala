@@ -1104,7 +1104,109 @@ object Queries {
         .unionAll(Relational.fkProfile(Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey", "orders->customer"))
         .unionAll(Relational.fkProfile(Tables.lineitem(s, d), "l_partkey",
-          Tables.part(s, d), "p_partkey", "lineitem->part"))))
+          Tables.part(s, d), "p_partkey", "lineitem->part"))),
+    // data-quality census — per-column profile (row count, nulls,
+    // exact distinct, canonical min/max rendering) in long form: the
+    // ingest-gate report every pipeline stage logs. One aggregate per
+    // column, each scan COLUMN-PRUNED to just that column (parquet
+    // columnar reads make six one-column passes, not six table
+    // scans); canonical renderings are integers (cents / epoch-micros)
+    // or raw ASCII so both engines print identically. At 100 TB swap
+    // countDistinct for approx_count_distinct per tolerance.
+    "table_profile" -> ((s, d) => {
+      val e = events(s, d)
+      def prof(name: String, canon: org.apache.spark.sql.Column) = e
+        .agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - count(col(name))).as("n_null"),
+          countDistinct(col(name)).as("n_distinct"),
+          min(canon).cast(StringType).as("min_s"),
+          max(canon).cast(StringType).as("max_s"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+      prof("event_id", col("event_id"))
+        .unionByName(prof("user_id", col("user_id")))
+        .unionByName(prof("event_type", col("event_type")))
+        .unionByName(prof("value",
+          expr("CAST(round(value * 100) AS BIGINT)")))
+        .unionByName(prof("ts", unix_micros(col("ts"))))
+        .unionByName(prof("props", col("props")))
+    }),
+    // distribution drift between the month's two halves, per
+    // (event_type, value-bucket) — the day-over-day input-drift gate
+    // of a training pipeline. The TIME-SPLIT sibling of drift_chi2
+    // (which compares even/odd snapshots through distributionDrift's
+    // smoothed fixed-grid form): here the grid is data-driven and the
+    // contributions are log-free chi-square terms — PSI needs ln(),
+    // whose last-ulp differs across libms, so each row carries exact
+    // BIGINT counts and ONE division of exact-integer-valued doubles
+    // (d = c1*n2 - c2*n1 is the cross-product deviation; contrib =
+    // d^2/(n1*n2*(c1+c2))) — bit-identical cross-engine. Rollup (sum
+    // of contribs) is the reader's one float fold, deliberately not
+    // hashed.
+    "drift_halves" -> ((s, d) => {
+      val splitUs = 1705363200L * 1000000L // 2024-01-16T00:00Z
+      val b = events(s, d).select(col("event_type"),
+          expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
+            .cast(LongType).as("vb"),
+          when(unix_micros(col("ts")) < splitUs, 1L).otherwise(0L)
+            .as("h1"))
+        .groupBy(col("event_type"), col("vb"))
+        .agg(sum(col("h1")).as("c1"),
+          (count(lit(1)) - sum(col("h1"))).as("c2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      b.withColumn("n1", sum(col("c1")).over(w))
+        .withColumn("n2", sum(col("c2")).over(w))
+        .withColumn("d", col("c1") * col("n2") - col("c2") * col("n1"))
+        .select(col("event_type"), col("vb"), col("c1"), col("c2"),
+          col("d"),
+          when(col("n1") > 0L && col("n2") > 0L,
+            (col("d").cast(DoubleType) * col("d").cast(DoubleType)) /
+              (col("n1").cast(DoubleType) * col("n2").cast(DoubleType) *
+                (col("c1") + col("c2")).cast(DoubleType)))
+            .as("contrib"))
+    }),
+    // Z-order clustering key (Layout.mortonKey): interleave the low
+    // 16 bits of two dimensions and summarize per coarse z-bucket —
+    // the per-bucket (ux, vy) bounding boxes are what parquet min/max
+    // file stats would hold after a repartitionByRange(z) rewrite,
+    // i.e. the file-skipping win the layout buys on BOTH dimensions.
+    // Pure shift/mask expression, stays in the scan's codegen stage.
+    "zorder_layout" -> ((s, d) => {
+      val p = events(s, d).select(
+        pmod(col("user_id"), lit(65536L)).as("ux"),
+        pmod(expr("CAST(round(value * 100) AS BIGINT)"), lit(65536L))
+          .as("vy"))
+      p.select(graft.ops.Layout.mortonKey(col("ux"), col("vy"), 16)
+            .as("z"), col("ux"), col("vy"))
+        .groupBy(shiftright(col("z"), 24).as("zb"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("ux_lo"), max(col("ux")).as("ux_hi"),
+          min(col("vy")).as("vy_lo"), max(col("vy")).as("vy_hi"))
+    }),
+    // exact per-user median event value at 2x integer scale (med2 =
+    // sum of the two middle order statistics; equal middles for odd
+    // counts — so no halving float). The window partitions by
+    // user_id: per-key state is one sort of THAT user's rows,
+    // hash-distributed across the cluster — the per-key exact
+    // order-statistic shape, vs price_quantiles' per-small-group and
+    // conversion_latency's value-domain global forms.
+    "user_median" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      e.withColumn("rn", row_number().over(
+          W.partitionBy(col("user_id"))
+            .orderBy(col("c"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          W.partitionBy(col("user_id"))))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          (sum(when(col("rn") === expr("(n + 1) div 2"), col("c")))
+            + sum(when(col("rn") === expr("(n + 2) div 2"), col("c"))))
+            .as("med2_cents"))
+    }))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1745,7 +1847,67 @@ object Queries {
         |    / CAST(count(DISTINCT ck) AS DOUBLE) AS containment,
         |  CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_orphan_rows
-        |FROM pairs GROUP BY fk""".stripMargin)
+        |FROM pairs GROUP BY fk""".stripMargin,
+    "table_profile" -> Seq(
+        ("event_id", "event_id"),
+        ("user_id", "user_id"),
+        ("event_type", "event_type"),
+        ("value", "CAST(round(value * 100) AS BIGINT)"),
+        ("ts", "epoch_us(ts)"),
+        ("props", "props"))
+      .map { case (name, canon) =>
+        s"""SELECT '$name' AS col_name, count(*) AS n,
+           |  count(*) - count($name) AS n_null,
+           |  count(DISTINCT $name) AS n_distinct,
+           |  CAST(min($canon) AS VARCHAR) AS min_s,
+           |  CAST(max($canon) AS VARCHAR) AS max_s FROM events""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "drift_halves" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END
+        |      AS h1
+        |  FROM events),
+        |c AS (SELECT event_type, vb,
+        |    CAST(sum(h1) AS BIGINT) AS c1,
+        |    CAST(count(*) - sum(h1) AS BIGINT) AS c2
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM c GROUP BY 1)
+        |SELECT c.event_type, vb, c1, c2,
+        |  c1 * n2 - c2 * n1 AS d,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (CAST(c1 * n2 - c2 * n1 AS DOUBLE)
+        |      * CAST(c1 * n2 - c2 * n1 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * CAST(c1 + c2 AS DOUBLE))
+        |  END AS contrib
+        |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
+    "zorder_layout" -> {
+      val z = graft.ops.Layout.mortonKeySql("ux", "vy", 16)
+      s"""WITH p AS (SELECT
+         |    ((user_id % 65536) + 65536) % 65536 AS ux,
+         |    ((CAST(round(value * 100) AS BIGINT) % 65536) + 65536)
+         |      % 65536 AS vy
+         |  FROM events),
+         |zt AS (SELECT $z AS z, ux, vy FROM p)
+         |SELECT z >> 24 AS zb, count(*) AS n,
+         |  min(ux) AS ux_lo, max(ux) AS ux_hi,
+         |  min(vy) AS vy_lo, max(vy) AS vy_hi
+         |FROM zt GROUP BY 1""".stripMargin
+    },
+    "user_median" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT user_id, c,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY c, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM e)
+        |SELECT user_id, max(n) AS n_events,
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c END)
+        |     + sum(CASE WHEN rn = (n + 2) // 2 THEN c END)
+        |    AS BIGINT) AS med2_cents
+        |FROM r GROUP BY 1""".stripMargin)
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries

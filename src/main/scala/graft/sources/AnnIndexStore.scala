@@ -56,34 +56,44 @@ object AnnIndexStore {
     ids.select(col(idCol).cast(LongType).as("vec_id")).distinct()
       .write.mode("overwrite").parquet(s"${tombsDir(dir)}/seq=$seq")
 
-  private def readSeqDirs(spark: SparkSession, base: String): DataFrame = {
+  /** (frame, generation count) — the count lets [[read]] skip
+    * latest-wins resolution on a compacted store.
+    */
+  private def readSeqDirs(spark: SparkSession, base: String)
+      : (DataFrame, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(base)
-    if (!fs.exists(p)) return spark.emptyDataFrame
+    if (!fs.exists(p)) return (spark.emptyDataFrame, 0)
     val seqs = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seq="))
       .map(_.getPath.toString)
-    if (seqs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", base).parquet(seqs: _*)
+    if (seqs.isEmpty) (spark.emptyDataFrame, 0)
+    else (spark.read.option("basePath", base).parquet(seqs: _*), seqs.size)
   }
 
   /** The live index: latest-wins resolution of the posting changelog
     * against the tombstones. Row-equivalent to
     * `Similarity.ivfIndex(currentCorpus)` under the same centroids
     * (asserted in AnnIndexStoreSpec and the `ann_index_store` oracle).
+    * A compacted store (one generation, no tombstones) skips the
+    * resolution joins — every row is live by construction; that is
+    * the steady-state serving read.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val posts = readSeqDirs(spark, postingsDir(dir))
-    if (posts.isEmpty) return posts
+    val (posts, nPostSeqs) = readSeqDirs(spark, postingsDir(dir))
+    if (nPostSeqs == 0 || posts.isEmpty) return spark.emptyDataFrame
+    val (tombs, nTombSeqs) = readSeqDirs(spark, tombsDir(dir))
+    if (nPostSeqs == 1 && nTombSeqs == 0)
+      return posts.select(col("vec_id"),
+        col("cell").cast("int").as("cell"), col("q"), col("nn"))
     val latest = posts.groupBy(col("vec_id").as("l_id"))
       .agg(max(col("seq")).as("l_seq"))
-    val tombs = readSeqDirs(spark, tombsDir(dir))
     val live = posts
       .join(broadcast(latest),
         col("vec_id") === col("l_id") && col("seq") === col("l_seq"))
     val resolved =
-      if (tombs.isEmpty) live
+      if (nTombSeqs == 0 || tombs.isEmpty) live
       else {
         val dmax = tombs.groupBy(col("vec_id").as("d_id"))
           .agg(max(col("seq")).as("d_seq"))

@@ -68,16 +68,20 @@ object TextIndexStore {
     ids.select(col(idCol).cast(LongType).as("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"${tombsDir(dir)}/seq=$seq")
 
-  private def readSeqDirs(spark: SparkSession, base: String): DataFrame = {
+  /** (frame, generation count) for a seq'd directory — the count lets
+    * [[read]] skip latest-wins resolution on a compacted store.
+    */
+  private def readSeqDirs(spark: SparkSession, base: String)
+      : (DataFrame, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(base)
-    if (!fs.exists(p)) return spark.emptyDataFrame
+    if (!fs.exists(p)) return (spark.emptyDataFrame, 0)
     val seqs = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("seq="))
       .map(_.getPath.toString)
-    if (seqs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", base).parquet(seqs: _*)
+    if (seqs.isEmpty) (spark.emptyDataFrame, 0)
+    else (spark.read.option("basePath", base).parquet(seqs: _*), seqs.size)
   }
 
   /** Latest-wins resolution of a seq'd frame keyed by doc_id against
@@ -104,12 +108,22 @@ object TextIndexStore {
     * `text_index_store` rebuild-equivalence oracle).
     */
   def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val tombs = readSeqDirs(spark, tombsDir(dir))
-    val posts = resolve(readSeqDirs(spark, postingsDir(dir)), tombs)
-    val stats = resolve(readSeqDirs(spark, docstatsDir(dir)), tombs)
-    (if (posts.isEmpty) posts
+    val (tombs, nTombSeqs) = readSeqDirs(spark, tombsDir(dir))
+    val (postsRaw, nPostSeqs) = readSeqDirs(spark, postingsDir(dir))
+    val (statsRaw, nStatSeqs) = readSeqDirs(spark, docstatsDir(dir))
+    // compacted fast path: one generation and no tombstones means
+    // every row is live BY CONSTRUCTION — the latest-wins join (a
+    // full-scan aggregate + broadcast build per frame) would resolve
+    // nothing. This is the read a serving tier pays at steady state.
+    def resolved(raw: DataFrame, nSeqs: Int): DataFrame =
+      if (nSeqs == 1 && nTombSeqs == 0) raw
+      else resolve(raw, if (nTombSeqs == 0) spark.emptyDataFrame else tombs)
+    val posts = resolved(postsRaw, nPostSeqs)
+    val stats = resolved(statsRaw, nStatSeqs)
+    (if (nPostSeqs == 0 || posts.isEmpty) spark.emptyDataFrame
      else posts.select("doc_id", "term", "tf", "dl", "bucket"),
-     if (stats.isEmpty) stats else stats.select("doc_id", "dl"))
+     if (nStatSeqs == 0 || stats.isEmpty) spark.emptyDataFrame
+     else stats.select("doc_id", "dl"))
   }
 
   /** BM25 top-k over the read-back store for a fixed term set — the

@@ -1,0 +1,10 @@
+package graft.tools
+object RegCount {
+  def main(args: Array[String]): Unit = {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println(s"queries=${q.size} oracles=${o.size}")
+    println("q-o: " + (q -- o).toSeq.sorted.mkString(","))
+    println("o-q: " + (o -- q).toSeq.sorted.mkString(","))
+  }
+}
