@@ -558,6 +558,41 @@ object Relational {
           col("n_child_keys").cast(DoubleType)).as("containment"),
         col("n_orphan_rows"))
 
+  /** Pre-flight join cardinality + skew profile — the EXACT numbers a
+    * planner estimates: output rows = Σ_k c_left(k)·c_right(k), the
+    * hottest key and its contribution. Run before committing a 100 TB
+    * join: out_rows ≫ max(inputs) means key fanout (a disguised
+    * many-to-many), and max_contrib ≈ out_rows means one key owns the
+    * join — reach for [[graft.ops.Skew.saltedJoin]] (skew_report's
+    * per-key histogram decides the salt width).
+    *
+    * Shape: per-key COUNT aggregates on each side (map-side combined,
+    * one shuffle of distinct keys each), then counts-frame inner join
+    * + one scalar fold — per-join cost is O(distinct keys), raw rows
+    * are never joined. All outputs exact BIGINTs.
+    */
+  def joinSizeProfile(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      label: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k"))
+      .agg(count(lit(1)).as("cr"))
+    lc.join(rc, "k")
+      .select(col("k"), col("cl"), col("cr"),
+        (col("cl") * col("cr")).as("contrib"))
+      .agg(count(lit(1)).as("n_shared_keys"),
+        sum(col("cl")).as("n_left_matched"),
+        sum(col("cr")).as("n_right_matched"),
+        sum(col("contrib")).as("out_rows"),
+        max(col("contrib")).as("max_contrib"),
+        max_by(col("k"), struct(col("contrib"), col("k")))
+          .as("hottest_key"))
+      .select(lit(label).as("join_name"), col("n_shared_keys"),
+        col("n_left_matched"), col("n_right_matched"),
+        col("out_rows"), col("max_contrib"), col("hottest_key"))
+  }
+
   /** N9 — SCD type-2 build: turn a change feed into a VERSIONED
     * dimension — every change opens a version row valid over
     * [valid_from, valid_to), the last version per key open-ended

@@ -127,4 +127,44 @@ object Sessionize {
       .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
       .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
   }
+
+  /** Peak concurrent sessions per day — the capacity-planning gauge
+    * over the sessionization output, as a two-level sweep line.
+    *
+    * The naive sweep (order every session boundary globally, running
+    * sum) is a single-task sort of 2×sessions rows — the global-window
+    * plan killer. Instead the boundaries are first aggregated to
+    * MINUTE-grain net deltas (+1 at the session's start minute, −1 the
+    * minute after its last event; one hash aggregate, map-side
+    * combined), so the running sum runs over a CALENDAR-bounded frame:
+    * at most one row per minute of retention regardless of data volume
+    * (a month is ≤ 44 640 rows at any scale — the cumulative_users
+    * justification for the unpartitioned window). Sessions crossing
+    * midnight are handled by construction: the running sum is global
+    * over the month, only the final max groups by day.
+    *
+    * Within-minute churn note: a session starting and ending inside
+    * the same minute contributes to that minute's peak (start lands at
+    * minute m, the −1 at m+1), so the gauge reads "sessions live at
+    * any instant of the minute" — the conservative capacity number.
+    */
+  def peakConcurrency(events: DataFrame,
+                      gapSeconds: Long = 1800): DataFrame = {
+    val sess = gapsAndIslands(events, gapSeconds)
+    val starts = sess.select(
+      expr("unix_micros(sess_start) div 60000000L").as("minute"),
+      lit(1L).as("delta"))
+    val ends = sess.select(
+      (expr("unix_micros(sess_end) div 60000000L") + 1L).as("minute"),
+      lit(-1L).as("delta"))
+    val perMinute = starts.unionByName(ends)
+      .groupBy(col("minute")).agg(sum(col("delta")).as("delta"))
+    // calendar-bounded frame (see scaladoc) — pinned in the
+    // PlanQualitySpec unpartitioned-window allowlist
+    val w = Window.orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMinute.withColumn("live", sum(col("delta")).over(w))
+      .groupBy(expr("minute div 1440L").as("day_idx"))
+      .agg(max(col("live")).as("peak_concurrent"))
+  }
 }

@@ -972,4 +972,59 @@ object Similarity {
       Seq("margin" -> false, "y_id" -> true), 1, "mrk")
       .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
   }
+
+  /** Embedding-space health monitor: pairwise cosine between
+    * per-group CENTROIDS (e.g. per corpus source) — collapsed
+    * representation shows up as cross-group cosines drifting toward
+    * 1, and a day-over-day run of the same op is the embedding-drift
+    * gate of a training pipeline.
+    *
+    * cos(mean_a, mean_b) = cos(sum_a, sum_b) — scale invariance drops
+    * the 1/n division, so the whole chain to the final cosine is
+    * exact integer arithmetic on milli-quantized components
+    * ([[Dedup.quantize]]): per-(group, dim) BIGINT sums (one shuffle
+    * of groups×dim rows after map-side combine — the raw vectors
+    * never shuffle), then group-pair dots over the TINY sums frame.
+    * The cosine itself is three correctly-rounded IEEE ops on exact
+    * integers — bit-identical cross-engine. Envelope: the dot is
+    * bounded by dim·(n·|q|max)² — BIGINT-safe through ~1e6 rows/group
+    * at dim 64, |q|max 2000; past that, widen the sums to
+    * DECIMAL(38,0) before the pair join.
+    */
+  def centroidSeparation(vectors: DataFrame, idCol: String,
+                         vecCol: String, labels: DataFrame,
+                         labelIdCol: String,
+                         groupCol: String): DataFrame = {
+    val q = vectors
+      .join(labels.select(col(labelIdCol).as("__lid"),
+          col(groupCol).as("grp")),
+        col(idCol) === col("__lid"))
+      .select(col("grp"), Dedup.quantize(col(vecCol)).as("qv"))
+    val sums = q
+      .select(col("grp"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos")).agg(sum(col("v")).as("sv"))
+    val counts = q.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy(col("grp"))
+      .agg(sum(col("sv") * col("sv")).as("nn"))
+    val a = sums.select(col("grp").as("src_a"), col("pos"),
+      col("sv").as("sa"))
+    val b = sums.select(col("grp").as("src_b"), col("pos"),
+      col("sv").as("sb"))
+    a.join(b, Seq("pos")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(broadcast(counts.select(col("grp").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("grp").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .join(broadcast(norms.select(col("grp").as("src_a"),
+        col("nn").as("nn_a"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("grp").as("src_b"),
+        col("nn").as("nn_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("dot"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("nn_a").cast(DoubleType)) *
+            sqrt(col("nn_b").cast(DoubleType)))).as("cos"))
+  }
 }

@@ -171,6 +171,13 @@ object LlmQueries {
     "margin_mine" -> ((s, d) =>
       Similarity.marginMine(emb(s, d), "vec_id", "embedding", "label",
         labelA = 0, labelB = 1, k = 4)),
+    // N3 — embedding-space health: pairwise cosine between per-SOURCE
+    // centroids (cos of sums == cos of means, so the whole chain to
+    // the final cosine is exact integer arithmetic; raw vectors never
+    // shuffle — only groups×dim BIGINT sums do)
+    "centroid_separation" -> ((s, d) =>
+      Similarity.centroidSeparation(emb(s, d), "vec_id", "embedding",
+        docs(s, d), "doc_id", "source")),
     // N3 scale path — IVF top-k. The coarse quantizer is driver-trained
     // k-means (deterministic, but not SQL-recomputable), so the oracle
     // reads the MATERIALIZED cell assignments (written here to
@@ -870,6 +877,13 @@ object LlmQueries {
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
+    // N6 — capacity gauge over the same session assignment: peak
+    // concurrent sessions per day. Two-level sweep line — boundaries
+    // pre-aggregated to minute-grain net deltas so the global running
+    // sum only ever sees a calendar-bounded frame (≤ 44 640 rows for
+    // a month at ANY data volume; allowlisted in PlanQualitySpec)
+    "peak_concurrency" -> ((s, d) =>
+      Sessionize.peakConcurrency(Tables.events(s, d), gapSeconds = 1800)),
     // N6 — sessionization, native session_window form
     // top-20 most common session paths (first 5 steps) — the
     // path-analysis / Sankey input over the same session assignment
@@ -1771,6 +1785,30 @@ object LlmQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY x_id
          |  ORDER BY margin DESC, y_id) AS mrk FROM m)
          |SELECT x_id, y_id, cosine, margin FROM r WHERE mrk = 1""".stripMargin,
+    "centroid_separation" ->
+      """WITH q AS (SELECT d.source AS grp,
+        |    list_transform(e.embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |u AS (SELECT grp, unnest(qv) AS v,
+        |    unnest(range(1, len(qv) + 1)) AS pos FROM q),
+        |sm AS (SELECT grp, pos, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM u GROUP BY 1, 2),
+        |cnt AS (SELECT grp, count(*) AS n FROM q GROUP BY 1),
+        |nrm AS (SELECT grp, CAST(sum(sv * sv) AS BIGINT) AS nn
+        |  FROM sm GROUP BY 1),
+        |dots AS (SELECT a.grp AS src_a, b.grp AS src_b,
+        |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+        |  FROM sm a JOIN sm b ON a.pos = b.pos AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, dot,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(nna.nn AS DOUBLE)) * sqrt(CAST(nnb.nn AS DOUBLE)))
+        |    AS cos
+        |FROM dots
+        |JOIN cnt na ON na.grp = src_a JOIN cnt nb ON nb.grp = src_b
+        |JOIN nrm nna ON nna.grp = src_a
+        |JOIN nrm nnb ON nnb.grp = src_b""".stripMargin,
     "ivf_topk" ->
       s"""WITH $quantCte,
          |cells AS (SELECT * FROM '$ivfCellsDir/*.parquet'),
@@ -2602,6 +2640,30 @@ object LlmQueries {
         |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "peak_concurrency" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM f),
+        |se AS (SELECT user_id, sess_id, min(epoch_us(ts)) AS smin,
+        |    max(epoch_us(ts)) AS smax FROM s GROUP BY 1, 2),
+        |dlt AS (SELECT smin // 60000000 AS minute, 1 AS delta FROM se
+        |  UNION ALL
+        |  SELECT smax // 60000000 + 1, -1 FROM se),
+        |g AS (SELECT minute, CAST(sum(delta) AS BIGINT) AS delta
+        |  FROM dlt GROUP BY 1),
+        |r AS (SELECT minute, CAST(sum(delta) OVER (ORDER BY minute
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live FROM g)
+        |SELECT CAST(minute // 1440 AS BIGINT) AS day_idx,
+        |  CAST(max(live) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY 1""".stripMargin,
     "top_paths" ->
       """WITH l AS (SELECT user_id, ts, event_id, event_type,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -1206,7 +1206,20 @@ object Queries {
           (sum(when(col("rn") === expr("(n + 1) div 2"), col("c")))
             + sum(when(col("rn") === expr("(n + 2) div 2"), col("c"))))
             .as("med2_cents"))
-    }))
+    }),
+    // pre-flight join planning: EXACT cardinality + hottest-key
+    // profile for three join shapes (fact→dim, fact→small dim, and
+    // the events SELF-join whose per-user fanout squares) — per-key
+    // counts join, raw rows never do (Relational.joinSizeProfile)
+    "join_size_profile" -> ((s, d) =>
+      Relational.joinSizeProfile(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem->orders")
+        .unionAll(Relational.joinSizeProfile(
+          Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", "lineitem->supplier"))
+        .unionAll(Relational.joinSizeProfile(
+          events(s, d), "user_id", events(s, d), "user_id",
+          "events-self"))))
 
   val relationalOracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1896,6 +1909,29 @@ object Queries {
          |  min(vy) AS vy_lo, max(vy) AS vy_hi
          |FROM zt GROUP BY 1""".stripMargin
     },
+    "join_size_profile" -> Seq(
+        ("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("events-self", "events", "user_id", "events", "user_id"))
+      .zipWithIndex.map { case ((label, lt, lk, rt, rk), i) =>
+        s"""(WITH lc$i AS (SELECT $lk AS k, count(*) AS cl
+           |    FROM $lt GROUP BY 1),
+           |  rc$i AS (SELECT $rk AS k, count(*) AS cr
+           |    FROM $rt GROUP BY 1),
+           |  j$i AS (SELECT lc$i.k, cl, cr, cl * cr AS contrib
+           |    FROM lc$i JOIN rc$i USING (k))
+           |SELECT '$label' AS join_name, count(*) AS n_shared_keys,
+           |  CAST(sum(cl) AS BIGINT) AS n_left_matched,
+           |  CAST(sum(cr) AS BIGINT) AS n_right_matched,
+           |  CAST(sum(contrib) AS BIGINT) AS out_rows,
+           |  CAST(max(contrib) AS BIGINT) AS max_contrib,
+           |  (SELECT max(k) FROM j$i
+           |    WHERE contrib = (SELECT max(contrib) FROM j$i))
+           |    AS hottest_key
+           |FROM j$i)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "user_median" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),

@@ -48,7 +48,11 @@ class PlanQualitySpec extends SparkSuite {
     // denseHourly's global-bounds window runs over the one-row-per-
     // event-type frame (TimeSeries.denseHourly scaladoc); ×2 when the
     // series self-joins
-    "series_corr", "series_spearman", "cusum_changepoint"
+    "series_corr", "series_spearman", "cusum_changepoint",
+    // sweep-line running sum over MINUTE-grain net deltas — at most
+    // one row per minute of retention at any data volume
+    // (Sessionize.peakConcurrency scaladoc)
+    "peak_concurrency"
   )
 
   test("no registered query plans an unpartitioned window " +
