@@ -40,4 +40,75 @@ object Layout {
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
+
+  /** Hilbert-curve index of (x, y) over a 2^bits × 2^bits grid — the
+    * stronger locality sibling of [[mortonKey]]: consecutive Hilbert
+    * indices are always grid-adjacent (Morton jumps at power-of-two
+    * seams), so equal-size file buckets get tighter bounding boxes —
+    * measurably better min/max skipping on both dimensions; it is the
+    * curve Databricks moved to for liquid clustering. Standard xy2d
+    * bit descent: at each level the quadrant bit pair orients the
+    * remaining sub-curve (conditional reflect + transpose), which
+    * makes the transform inherently sequential in the level index —
+    * here unrolled into one pure integer expression. Each level's
+    * (x, y) rebind references the previous level's twice, so the
+    * expression tree grows ~2^bits: bits = 8 (a 256×256 grid, 65 536
+    * cells) keeps it codegen-friendly and is plenty for file-layout
+    * bucketing — the curve orders FILES, not rows, and no table has
+    * 2^16+ files per clustering dimension pair.
+    */
+  def hilbertKey(xc: Column, yc: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 10, "bits in [1, 10]")
+    var x = xc.cast("long"); var y = yc.cast("long")
+    var d: Column = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L))
+        .otherwise(lit(0L))
+      d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // quadrant re-orientation on OLD (x, y): ry=0 → transpose,
+      // additionally reflecting through s-1 when rx=1
+      val nx = when(ry === 0L,
+        when(rx === 1L, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0L,
+        when(rx === 1L, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = nx; y = ny
+    }
+    d
+  }
+
+  /** The same descent as a chain of SQL CTE levels (the rotation
+    * state forces sequencing; chained CTEs keep the SQL linear where
+    * a single nested expression would grow ~2^bits). Returns the CTE
+    * list to splice after a source CTE exposing `x`/`y`, and the
+    * final level's accumulated-index column name.
+    *
+    * `withHilbertSqlLevels("p", 8)` →
+    * (Seq("h7 AS (SELECT *, ... FROM p)", ..., "h0 AS (...)"),
+    *  "hd0", "h0").
+    */
+  def hilbertSqlLevels(srcCte: String, bits: Int = 8)
+      : (Seq[String], String, String) = {
+    require(bits >= 1 && bits <= 10, "bits in [1, 10]")
+    val levels = ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      val (px, py, pd, prev) =
+        if (i == bits - 1) ("x", "y", "CAST(0 AS BIGINT)", srcCte)
+        else (s"hx${i + 1}", s"hy${i + 1}", s"hd${i + 1}", s"h${i + 1}")
+      s"""h$i AS (SELECT *,
+         |  $pd + $s * $s *
+         |    xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+         |        CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) AS hd$i,
+         |  CASE WHEN ($py & $s) = 0 THEN
+         |    CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $py ELSE $py END
+         |  ELSE $px END AS hx$i,
+         |  CASE WHEN ($py & $s) = 0 THEN
+         |    CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $px ELSE $px END
+         |  ELSE $py END AS hy$i
+         |FROM $prev)""".stripMargin
+    }
+    (levels, "hd0", "h0")
+  }
 }

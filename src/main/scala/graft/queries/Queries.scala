@@ -1185,6 +1185,25 @@ object Queries {
           min(col("ux")).as("ux_lo"), max(col("ux")).as("ux_hi"),
           min(col("vy")).as("vy_lo"), max(col("vy")).as("vy_hi"))
     }),
+    // Hilbert-curve clustering key (Layout.hilbertKey) — the
+    // stronger-locality layout sibling: same per-bucket bounding-box
+    // summary as zorder_layout over a 256×256 grid, 256 buckets of
+    // 256 consecutive curve cells each. Consecutive Hilbert indices
+    // are always grid-adjacent, so the boxes come out tighter than
+    // Morton's at power-of-two seams — the file-skipping delta is
+    // readable directly off the two results
+    "hilbert_layout" -> ((s, d) => {
+      val p = events(s, d).select(
+        pmod(col("user_id"), lit(256L)).as("ux"),
+        pmod(expr("CAST(round(value * 100) AS BIGINT)"), lit(256L))
+          .as("vy"))
+      p.select(graft.ops.Layout.hilbertKey(col("ux"), col("vy"), 8)
+            .as("h"), col("ux"), col("vy"))
+        .groupBy(shiftright(col("h"), 8).as("hb"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ux")).as("ux_lo"), max(col("ux")).as("ux_hi"),
+          min(col("vy")).as("vy_lo"), max(col("vy")).as("vy_hi"))
+    }),
     // exact per-user median event value at 2x integer scale (med2 =
     // sum of the two middle order statistics; equal middles for odd
     // counts — so no halving float). The window partitions by
@@ -1908,6 +1927,19 @@ object Queries {
          |  min(ux) AS ux_lo, max(ux) AS ux_hi,
          |  min(vy) AS vy_lo, max(vy) AS vy_hi
          |FROM zt GROUP BY 1""".stripMargin
+    },
+    "hilbert_layout" -> {
+      val (ctes, dcol, last) = graft.ops.Layout.hilbertSqlLevels("p", 8)
+      s"""WITH p AS (SELECT
+         |    ((user_id % 256) + 256) % 256 AS x,
+         |    ((CAST(round(value * 100) AS BIGINT) % 256) + 256) % 256
+         |      AS y
+         |  FROM events),
+         |${ctes.mkString(",\n")}
+         |SELECT $dcol >> 8 AS hb, count(*) AS n,
+         |  min(x) AS ux_lo, max(x) AS ux_hi,
+         |  min(y) AS vy_lo, max(y) AS vy_hi
+         |FROM $last GROUP BY 1""".stripMargin
     },
     "join_size_profile" -> Seq(
         ("lineitem->orders", "lineitem", "l_orderkey",
