@@ -110,6 +110,19 @@ object GraftFunctions {
   def mgCandidates(term: Column, capacity: Int): Column =
     c(MisraGries(e(term), capacity).toAggregateExpression())
 
+  /** Count–min sketch build (aggregate): depth×2^widthLog2 mergeable
+    * counter table as array<long>; probe with [[cmsEstimate]].
+    */
+  def cmsSketch(term: Column, widthLog2: Int, depth: Int): Column =
+    c(CmsSketch(e(term), widthLog2, depth).toAggregateExpression())
+
+  /** Point-frequency estimate from a [[cmsSketch]] table (always ≥
+    * the true count; ≤ true + 2N/width w.p. ≥ 1−2^−depth).
+    */
+  def cmsEstimate(sketch: Column, term: Column, widthLog2: Int,
+                  depth: Int): Column =
+    c(CmsEstimate(e(sketch), e(term), widthLog2, depth))
+
   /** Fused 64-bit SimHash signature [lo, hi] of a text column. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 

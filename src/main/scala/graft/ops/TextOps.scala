@@ -510,4 +510,43 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(theta.toLong) > lit(n))
   }
+
+  /** Count–min sketch frequency probe, gated against exact counts:
+    * build ONE depth×2^widthLog2 mergeable counter table over the
+    * corpus tokens (`functions.CmsSketch` — bounded memory, bit-
+    * deterministic under any partitioning), probe it for the exact
+    * top-k terms, and emit the two estimate gates per term:
+    * `over_ok` (estimate ≥ true count — the CMS invariant, holds
+    * ALWAYS) and `tight_ok` (estimate ≤ true + 4·(2N/width) + 1 — 4×
+    * the per-query expectation bound, deterministic for a fixed
+    * corpus). The exact side exists to GATE the sketch, the same
+    * shape as the ANN recall gates; production probes ad-hoc terms
+    * the exact pass never counted.
+    *
+    * Plan shape: the 1-row sketch joins the top-k frame through the
+    * single-bucket non-foldable-key equi-join (the scoredPairs
+    * pattern — stays BroadcastHashJoin, never BNLJ); the probe is a
+    * codegen'd static call. Nothing is collected to the driver.
+    */
+  def cmsFrequencyCheck(docs: DataFrame, textCol: String,
+                        widthLog2: Int = 14, depth: Int = 4,
+                        k: Int = 20): DataFrame = {
+    import graft.functions.GraftFunctions
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+    val sk = toks.agg(
+      GraftFunctions.cmsSketch(col("term"), widthLog2, depth).as("sk"),
+      count(lit(1)).as("n"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+    val topk = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("__jk", pmod(xxhash64(col("term")), lit(1L)))
+    val est = GraftFunctions.cmsEstimate(col("sk"), col("term"),
+      widthLog2, depth)
+    topk.join(broadcast(sk), Seq("__jk")).drop("__jk")
+      .select(col("term"), col("cnt"),
+        (est >= col("cnt")).as("over_ok"),
+        (est <= col("cnt") +
+          expr(s"(8 * n) div ${1L << widthLog2} + 1")).as("tight_ok"))
+  }
 }

@@ -715,6 +715,12 @@ object LlmQueries {
     // freq > N/32 term set (see TextOps.heavyHitters scaladoc)
     "heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitters(docs(s, d), "text", theta = 32)),
+    // N4 — count–min sketch point-frequency probe, exact-gated (the
+    // recall-gate pattern): over_ok is the CMS always-overcount
+    // invariant, tight_ok the 4× expectation bound — both
+    // deterministic for the fixed corpus and seeded hashes
+    "cms_frequency" -> ((s, d) =>
+      TextOps.cmsFrequencyCheck(docs(s, d), "text")),
     // corpus op — deterministic global training shuffle: reproducible
     // (shard, pos) placement from the ids alone, one shuffle + one
     // per-shard sort
@@ -2373,6 +2379,17 @@ object LlmQueries {
         |SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM e
         |GROUP BY term
         |HAVING count(*) * 32 > (SELECT count(*) FROM e)""".stripMargin,
+    // the estimate itself needs 64-bit wrapping multiplies DuckDB
+    // cannot express; the gates are the deterministic contract (the
+    // recall-gate pattern) — the exact counts anchor the hash
+    "cms_frequency" ->
+      """WITH e AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM e
+        |  GROUP BY 1),
+        |t AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20)
+        |SELECT term, cnt, true AS over_ok, true AS tight_ok
+        |FROM t""".stripMargin,
     "global_shuffle" ->
       s"""WITH h AS (SELECT doc_id,
          |  ${sqlPolyHash("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
