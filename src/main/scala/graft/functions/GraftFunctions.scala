@@ -110,6 +110,13 @@ object GraftFunctions {
   def mgCandidates(term: Column, capacity: Int): Column =
     c(MisraGries(e(term), capacity).toAggregateExpression())
 
+  /** Hilbert-curve index of (x, y) over a 2^bits grid — fused codegen
+    * kernel (see [[HilbertCurve]] for why this cannot be composed
+    * Column arithmetic).
+    */
+  def hilbertIndex(x: Column, y: Column, bits: Int): Column =
+    c(HilbertIndex(e(x), e(y), bits))
+
   /** Count–min sketch build (aggregate): depth×2^widthLog2 mergeable
     * counter table as array<long>; probe with [[cmsEstimate]].
     */

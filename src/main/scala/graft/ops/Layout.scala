@@ -50,34 +50,15 @@ object Layout {
     * bit descent: at each level the quadrant bit pair orients the
     * remaining sub-curve (conditional reflect + transpose), which
     * makes the transform inherently sequential in the level index —
-    * here unrolled into one pure integer expression. Each level's
-    * (x, y) rebind references the previous level's twice, so the
-    * expression tree grows ~2^bits: bits = 8 (a 256×256 grid, 65 536
-    * cells) keeps it codegen-friendly and is plenty for file-layout
-    * bucketing — the curve orders FILES, not rows, and no table has
-    * 2^16+ files per clustering dimension pair.
+    * so it runs as the fused codegen kernel
+    * [[graft.functions.HilbertIndex]]: composing it from Column
+    * arithmetic would re-reference each level's (x, y) ~5×, and one
+    * analyzer transform destroys the sharing, sending the
+    * canonicalization walk ~5^bits (heap-exhausting at bits = 8).
     */
-  def hilbertKey(xc: Column, yc: Column, bits: Int = 8): Column = {
-    require(bits >= 1 && bits <= 10, "bits in [1, 10]")
-    var x = xc.cast("long"); var y = yc.cast("long")
-    var d: Column = lit(0L)
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L))
-        .otherwise(lit(0L))
-      val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L))
-        .otherwise(lit(0L))
-      d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // quadrant re-orientation on OLD (x, y): ry=0 → transpose,
-      // additionally reflecting through s-1 when rx=1
-      val nx = when(ry === 0L,
-        when(rx === 1L, lit(s - 1) - y).otherwise(y)).otherwise(x)
-      val ny = when(ry === 0L,
-        when(rx === 1L, lit(s - 1) - x).otherwise(x)).otherwise(y)
-      x = nx; y = ny
-    }
-    d
-  }
+  def hilbertKey(xc: Column, yc: Column, bits: Int = 8): Column =
+    graft.functions.GraftFunctions.hilbertIndex(
+      xc.cast("long"), yc.cast("long"), bits)
 
   /** The same descent as a chain of SQL CTE levels (the rotation
     * state forces sequencing; chained CTEs keep the SQL linear where

@@ -101,10 +101,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       ProcedureParameter.in("target_files", IntegerType)
         .defaultValue("8").build(),
       ProcedureParameter.in("ts_bucket_us", LongType)
-        .defaultValue("3600000000").build())) {
+        .defaultValue("3600000000").build(),
+      ProcedureParameter.in("curve", StringType)
+        .defaultValue("'morton'").build())) {
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
         val (b, a) = OcfMaintenance.clusterZOrder(spark, in.getString(0),
-          in.getInt(1), in.getLong(2))
+          in.getInt(1), in.getLong(2), in.getString(3))
         one(twoInts, b, a)
       }
     },

@@ -406,10 +406,21 @@ object OcfMaintenance {
     * locality, not order beyond the cap); partition uses its low 16
     * bits. Same maintenance-window safety contract as `cluster`.
     * Returns (filesBefore, filesAfter).
+    *
+    * `curve = "hilbert"` swaps the interleave for the Hilbert index
+    * ([[graft.ops.Layout.hilbertKey]], 8 bits/dimension): consecutive
+    * sort positions are then always ADJACENT in (partition × time) —
+    * no power-of-two seam jumps — so equal-size containers get
+    * strictly tighter bounding rectangles at the cost of a deeper key
+    * expression; the curve a clustering rewrite graduates to when
+    * both dimensions are range-probed hard (LayoutSpec pins the
+    * adjacency property, the OcfSourceSpec twin test pins the
+    * both-dimension pruning).
     */
   def clusterZOrder(spark: SparkSession, dir: String,
                     targetFiles: Int = 8,
-                    tsBucketUs: Long = 3600L * 1000000): (Int, Int) = {
+                    tsBucketUs: Long = 3600L * 1000000,
+                    curve: String = "morton"): (Int, Int) = {
     def nFiles: Int =
       OcfStore.headCounts(dir, OcfStore.driverConf()).size
     val before = nFiles
@@ -429,15 +440,28 @@ object OcfMaintenance {
       min(tb).as("t0"), max(tb).as("t1")).head()
     val (pLo, pHi) = (stats.getLong(0), stats.getLong(1))
     val (tLo, tHi) = (stats.getLong(2), stats.getLong(3))
-    def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+    def scaled(c: org.apache.spark.sql.Column, lo: Long, hi: Long,
+               full: Long) =
       if (hi <= lo) lit(0L)
-      else floor((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("bigint")
-    val p16 = scaled(col("partition").cast("bigint"), pLo, pHi)
-    val t16 = scaled(tb, tLo, tHi)
-    val z = (0 until 16).map { i =>
-      (shiftleft(shiftright(p16, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(t16, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_.bitwiseOR(_))
+      else floor((c - lit(lo)) * lit(full) / lit(hi - lo)).cast("bigint")
+    val z = curve match {
+      case "morton" =>
+        val p16 = scaled(col("partition").cast("bigint"), pLo, pHi, 65535L)
+        val t16 = scaled(tb, tLo, tHi, 65535L)
+        (0 until 16).map { i =>
+          (shiftleft(shiftright(p16, i).bitwiseAND(lit(1L)), 2 * i + 1))
+            .bitwiseOR(
+              shiftleft(shiftright(t16, i).bitwiseAND(lit(1L)), 2 * i))
+        }.reduce(_.bitwiseOR(_))
+      case "hilbert" =>
+        graft.ops.Layout.hilbertKey(
+          scaled(tb, tLo, tHi, 255L),
+          scaled(col("partition").cast("bigint"), pLo, pHi, 255L),
+          bits = 8)
+      case other =>
+        throw new IllegalArgumentException(
+          s"curve must be morton|hilbert, got $other")
+    }
     df.withColumn("_z", z)
       .repartitionByRange(math.max(1, targetFiles), col("_z"),
         col("partition"), col("offset"))

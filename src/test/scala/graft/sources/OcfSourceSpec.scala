@@ -1346,10 +1346,19 @@ class OcfSourceSpec extends SparkSuite {
 
   test("z-order rewrite prunes on BOTH partition and time where the " +
       "partition layout prunes only one") {
+    zorderPruneCheck("morton", "ocf_zorder")
+  }
+
+  test("hilbert clustering rewrite prunes on BOTH dimensions " +
+      "(curve option of the same maintenance op)") {
+    zorderPruneCheck("hilbert", "ocf_hilbert")
+  }
+
+  private def zorderPruneCheck(curve: String, dirName: String): Unit = {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.sources._
-    val dir = tmpDir("ocf_zorder")
+    val dir = tmpDir(dirName)
     // a grid store: every partition spans the FULL time range (the
     // shape where single-column clustering cannot serve both slices)
     val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
@@ -1381,7 +1390,7 @@ class OcfSourceSpec extends SparkSuite {
       "partition layout: every container spans the full time range")
 
     val (nb, na) = OcfMaintenance.clusterZOrder(spark, dir,
-      targetFiles = 8)
+      targetFiles = 8, curve = curve)
     assert(nb == 4 && na == 8, s"got ($nb, $na)")
     // rows survive the rewrite exactly
     val got = spark.read.format("graft-ocf").load(dir)
