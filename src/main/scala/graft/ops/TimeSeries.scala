@@ -321,6 +321,90 @@ object TimeSeries {
         col("n_hours"))
   }
 
+  /** Lag-k autocorrelation (ACF) of each type's hourly volume for
+    * k = 1..`maxLag` — the periodicity detector next to
+    * [[cusumChangepoint]] (level shifts) and [[seriesCorr]]
+    * (cross-series): a daily-cycle series shows the spike at lag 24
+    * that tells a capacity planner the load is seasonal, not trending.
+    *
+    * Exact-integer form: with n hours and total T, the n-scaled
+    * deviation dev_h = c_h·n − T is an exact BIGINT, and
+    * r_k = Σ dev_h·dev_{h+k} / Σ dev_h² — the n² scale cancels, so no
+    * mean subtraction in floating point ever happens. The products
+    * are summed as DECIMAL(38,0) (the anomaly_running discipline:
+    * dev ~ 1e11 at petabyte volume squares past BIGINT), and the one
+    * double division at the end is bit-identical cross-engine.
+    *
+    * Plan shape: ONE window pass per type over HOURS (all `maxLag`
+    * leads share the same window spec → a single WindowExec, state
+    * bounded by maxLag), explode to (lag, pair) rows — bounded by
+    * hours·types·maxLag, never by events — then one hash aggregate.
+    * The per-type denominator frame is group-cardinality-sized and
+    * broadcast.
+    */
+  def seriesAcf(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    val dense = denseHourly(events)
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val dec = DecimalType(38, 0)
+    val d = dense
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("c")).over(byType))
+      .withColumn("dev", col("c") * col("n_hours") - col("total"))
+    val withLeads = d.select(col("event_type") +: col("dev") +:
+      (1 to maxLag).map(k =>
+        lead(col("dev"), k).over(ord).as(s"dl_$k")): _*)
+    val lagged = withLeads.select(col("event_type"), col("dev"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"),
+          col(s"dl_$k").as("dl"))): _*)).as("x"))
+      .select(col("event_type"), col("x.lag").as("lag"),
+        col("dev"), col("x.dl").as("dl"))
+      .where(col("dl").isNotNull)
+    val num = lagged.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev").cast(dec) * col("dl").cast(dec)).as("num"))
+    val den = d.groupBy(col("event_type"))
+      .agg(sum(col("dev").cast(dec) * col("dev").cast(dec)).as("den"))
+      .where(col("den") > lit(0))
+    num.join(broadcast(den), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("r_acf"))
+  }
+
+  /** Hour-of-day seasonal profile: per (type, hour-of-day 0..23) the
+    * multiplicative index — mean hourly volume at that wall-clock
+    * hour over the type's overall mean — the load-shaping /
+    * staffing-curve aggregate, and the "seasonal naive" baseline a
+    * forecast is judged against. Built on [[denseHourly]] so silent
+    * hours weigh the denominator (an index over only-active hours
+    * overstates quiet slots). index = (c_hod·n_hours) / (T·n_hod):
+    * all exact BIGINT products, one double division; h is hours since
+    * 2024-01-01 UTC so h mod 24 IS the UTC hour of day.
+    */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    val dense = denseHourly(events)
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    dense
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("c")).over(byType))
+      .groupBy(col("event_type"), (col("h") % 24L).as("hod"))
+      .agg(count(lit(1)).as("n_hod_hours"),
+        sum(col("c")).as("events_at_hod"),
+        max(col("n_hours")).as("n_hours"),
+        max(col("total")).as("total"))
+      .where(col("total") > 0L)
+      .select(col("event_type"), col("hod"), col("n_hod_hours"),
+        col("events_at_hod"),
+        ((col("events_at_hod") * col("n_hours")).cast(DoubleType) /
+          (col("total") * col("n_hod_hours")).cast(DoubleType))
+          .as("seasonal_index"))
+  }
+
   /** First-order Markov transition matrix of the event stream: counts
     * and probabilities of (event_type → next event_type) per key's
     * timeline — the behavioral-model / next-action-prediction

@@ -989,6 +989,15 @@ object Queries {
     // bounded-heap exec
     "cusum_changepoint" -> ((s, d) =>
       graft.ops.TimeSeries.cusumChangepoint(events(s, d))),
+    // lag-1..24 autocorrelation per type over the dense hourly
+    // series — exact n-scaled-deviation products in DECIMAL(38,0),
+    // one division; periodicity shows as the lag-24 spike
+    "series_acf" -> ((s, d) =>
+      graft.ops.TimeSeries.seriesAcf(events(s, d))),
+    // hour-of-day seasonal index per type over the same dense
+    // series — exact integer products, one division per cell
+    "seasonal_profile" -> ((s, d) =>
+      graft.ops.TimeSeries.seasonalProfile(events(s, d))),
     // time-constrained ordered funnel (windowFunnel): deepest
     // signup→click→purchase prefix completed within 24h of each
     // anchor, per-user max depth histogram — chained as-of-forward
@@ -1666,6 +1675,62 @@ object Queries {
         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
         |         * CAST(n*syy - sy*sy AS DOUBLE)) AS r
         |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0""".stripMargin,
+    // same dense-hourly CTE as series_corr; n-scaled deviations, the
+    // lag pairing as an equi-join on h + lag, DECIMAL(38,0) products
+    "series_acf" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |st AS (SELECT event_type, count(*) AS n_hours,
+        |    sum(c) AS total FROM dense GROUP BY 1),
+        |d AS (SELECT dense.event_type, h,
+        |    c * n_hours - total AS dev FROM dense
+        |  JOIN st USING (event_type)),
+        |p AS (SELECT d.event_type, k.lag,
+        |    CAST(d.dev AS DECIMAL(38,0))
+        |      * CAST(d2.dev AS DECIMAL(38,0)) AS prod
+        |  FROM d
+        |  JOIN (SELECT unnest(range(1, 25)) AS lag) k ON true
+        |  JOIN d d2 ON d2.event_type = d.event_type
+        |    AND d2.h = d.h + k.lag),
+        |num AS (SELECT event_type, lag, count(*) AS n_pairs,
+        |    sum(prod) AS num FROM p GROUP BY 1, 2),
+        |den AS (SELECT event_type,
+        |    sum(CAST(dev AS DECIMAL(38,0))
+        |      * CAST(dev AS DECIMAL(38,0))) AS den
+        |  FROM d GROUP BY 1)
+        |SELECT num.event_type, CAST(lag AS BIGINT) AS lag,
+        |  n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r_acf
+        |FROM num JOIN den ON num.event_type = den.event_type
+        |WHERE den > 0""".stripMargin,
+    "seasonal_profile" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |st AS (SELECT event_type, count(*) AS n_hours,
+        |    sum(c) AS total FROM dense GROUP BY 1)
+        |SELECT dense.event_type, h % 24 AS hod,
+        |  count(*) AS n_hod_hours,
+        |  CAST(sum(c) AS BIGINT) AS events_at_hod,
+        |  CAST(sum(c) * max(n_hours) AS DOUBLE)
+        |    / CAST(max(total) * count(*) AS DOUBLE) AS seasonal_index
+        |FROM dense JOIN st USING (event_type)
+        |WHERE total > 0
+        |GROUP BY 1, 2""".stripMargin,
     "decay_score" ->
       """WITH e AS (SELECT user_id,
         |    (1706659200 - epoch_us(ts) // 1000000) // 86400 AS age,

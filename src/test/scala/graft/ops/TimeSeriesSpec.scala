@@ -181,6 +181,73 @@ class TimeSeriesSpec extends SparkSuite {
     assert(r.getAs[Long]("n_hours") == 6L)
   }
 
+  test("seriesAcf: alternating series — negative at lag 1, positive " +
+    "at lag 2, exact rationals") {
+    val s = spark
+    import s.implicits._
+    // type a hourly counts (1,5,1,5,1,5) over hours 0..5: n=6, T=18,
+    // dev = 6c-18 = (-12,12)x3. den = 6*144 = 864.
+    // lag1: 5 pairs of (-12*12) = -720 → r = -720/864
+    // lag2: 4 pairs of (+144)    =  576 → r =  576/864
+    var id = 0L
+    val rows = Seq(1, 5, 1, 5, 1, 5).zipWithIndex.flatMap {
+      case (n, h) => (0 until n).map { i =>
+        id += 1
+        (ts(f"2024-01-01 0$h%d:0$i%d:00"), id, "a")
+      }
+    }
+    val ev = rows.toDF("ts", "event_id", "event_type")
+    val out = TimeSeries.seriesAcf(ev, maxLag = 3).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, -720.0 / 864.0)))
+    assert(out(2L) == ((4L, 576.0 / 864.0)))
+    assert(out(3L) == ((3L, -432.0 / 864.0)))
+  }
+
+  test("seriesAcf is partitioning-insensitive (decimal product sums)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (Timestamp.valueOf(f"2024-02-${1 + rnd.nextInt(3)}%02d " +
+        f"${rnd.nextInt(24)}%02d:00:00"), i.toLong,
+        if (i % 3 == 0) "x" else "y")
+    }
+    val ev = rows.toDF("ts", "event_id", "event_type")
+    val a = TimeSeries.seriesAcf(ev, maxLag = 6)
+      .collect().map(_.toSeq).toSet
+    val b = TimeSeries.seriesAcf(ev.repartition(13), maxLag = 6)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("seasonalProfile: hot hour-of-day indexes above 1, silent " +
+    "hours weigh the denominator") {
+    val s = spark
+    import s.implicits._
+    // two days; hod 0 gets 4 events on day one and 1 on day two,
+    // every other hour exactly 1 event → n=48 hours, T=51.
+    // hod0: (5*48)/(51*2) = 40/17; others: (2*48)/(51*2) = 16/17.
+    var id = 0L
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h == 0) 4 else 1
+      (0 until n).map { i =>
+        id += 1
+        (ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:0$i%d:00"),
+          id, "a")
+      }
+    }
+    val out = TimeSeries.seasonalProfile(
+        rows.toDF("ts", "event_id", "event_type"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 24)
+    assert(out(0L) == ((2L, 5L, 240.0 / 102.0)))
+    assert(out(5L) == ((2L, 2L, 96.0 / 102.0)))
+    assert(out(0L)._3 > 1.0 && out(5L)._3 < 1.0)
+  }
+
   test("decayScore: per-day halving in exact integers, horizon and " +
     "future events excluded") {
     val s = spark
