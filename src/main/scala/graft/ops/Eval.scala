@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,5 +52,68 @@ object Eval {
           .cast(DoubleType) /
           (col("n_pos") * col("n_neg") * 2L).cast(DoubleType))
           .as("auc"))
+  }
+
+  /** Welch's two-sample t² per group — the A/B experiment readout
+    * next to [[rankAuc]] (rank-based) and drift_chi2 (categorical):
+    * does arm B's mean target differ from arm A's, variance NOT
+    * assumed equal (the unequal-variance Welch form every experiment
+    * platform defaults to). Emitting t² instead of t keeps the
+    * statistic square-root-free; the caller compares against the
+    * squared critical value (t² > 3.84 ≈ two-sided p < .05 at large
+    * df).
+    *
+    * Exact-integer form: per (group, arm) one hash aggregate folds
+    * n, Σc, Σc² in BIGINT; every derived quantity is integer
+    * arithmetic in DECIMAL(38,0) — with A = s₁n₂ − s₂n₁ and
+    * SSᵢ = nᵢqᵢ − sᵢ², t² = A²·(n₁−1)(n₂−1) /
+    * (SS₁·n₂²(n₂−1) + SS₂·n₁²(n₁−1)) — and the published doubles are
+    * one multiply + one divide of those exact decimals in fixed
+    * order, bit-identical cross-engine. Magnitude envelope: safe to
+    * ~10⁷ rows × 10⁵ cents per (group, arm) (A² ≲ 10³⁴ < 10³⁸);
+    * beyond that, pre-scale cents (the statistic is scale-invariant).
+    *
+    * Shape: ONE map-side-combinable aggregate over (group, arm) then
+    * a group-cardinality pivot — no self-join, no window, nothing
+    * keyed by row count.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, armCol: String,
+                 valueCents: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perArm = df
+      .select(col(groupCol), col(armCol).cast(LongType).as("__arm"),
+        valueCents.as("__c"))
+      .groupBy(col(groupCol), col("__arm"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"),
+        sum(col("__c") * col("__c")).as("q"))
+    val wide = perArm.groupBy(col(groupCol))
+      .agg(
+        max(when(col("__arm") === 0L, col("n"))).as("n1"),
+        max(when(col("__arm") === 0L, col("s"))).as("s1"),
+        max(when(col("__arm") === 0L, col("q"))).as("q1"),
+        max(when(col("__arm") === 1L, col("n"))).as("n2"),
+        max(when(col("__arm") === 1L, col("s"))).as("s2"),
+        max(when(col("__arm") === 1L, col("q"))).as("q2"))
+      .where(col("n1") > 1L && col("n2") > 1L)
+    val a = col("s1").cast(dec) * col("n2") -
+      col("s2").cast(dec) * col("n1")
+    val ss1 = col("n1").cast(dec) * col("q1") -
+      col("s1").cast(dec) * col("s1")
+    val ss2 = col("n2").cast(dec) * col("q2") -
+      col("s2").cast(dec) * col("s2")
+    val den = ss1 * (col("n2").cast(dec) * col("n2") * (col("n2") - 1L)) +
+      ss2 * (col("n1").cast(dec) * col("n1") * (col("n1") - 1L))
+    wide
+      .withColumn("__a", a)
+      .withColumn("__den", den)
+      .where(col("__den") > 0)
+      .select(col(groupCol), col("n1").as("n_a"), col("n2").as("n_b"),
+        (col("__a").cast(DoubleType) /
+          (col("n1").cast(dec) * col("n2")).cast(DoubleType))
+          .as("mean_diff_cents"),
+        ((col("__a") * col("__a")).cast(DoubleType) *
+          ((col("n1") - 1L).cast(dec) * (col("n2") - 1L))
+            .cast(DoubleType) /
+          col("__den").cast(DoubleType)).as("t2"))
   }
 }

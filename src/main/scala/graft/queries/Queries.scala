@@ -1091,6 +1091,37 @@ object Queries {
     // quantiles)
     "winsorize_stats" -> ((s, d) =>
       Relational.winsorizeStats(events(s, d), "event_type", "event_id")),
+    // leave-one-out target encoding of event_type: category summary
+    // broadcast back, per-row (S - c)/(n - 1) — the target-leakage-
+    // safe high-cardinality encoder; singletons → null
+    "loo_encode" -> ((s, d) =>
+      graft.ops.Encode.looEncode(events(s, d), "event_type",
+        round(col("value") * 100).cast(LongType), Seq("event_id"))),
+    // the hashing trick: per-user signed-count feature vector in
+    // sparse COO form over 64 slots — vocabulary-free, polyHash slot
+    // + independent sign bit, SQL-replayable
+    "hash_features" -> ((s, d) =>
+      graft.ops.Encode.hashFeatures(
+        events(s, d)
+          .withColumn("hod",
+            expr("(unix_micros(ts) div 3600000000L) % 24L")
+              .cast(StringType))
+          .withColumn("dow",
+            expr("((unix_micros(ts) div 86400000000L) + 4L) % 7L")
+              .cast(StringType)),
+        "user_id",
+        Seq(concat(lit("type="), col("event_type")),
+          concat(lit("hod="), col("hod")),
+          concat(lit("dow="), col("dow"))),
+        nBuckets = 64)),
+    // Welch two-sample t-squared per event type, arms split by
+    // user-id parity — exact BIGINT moment sums, DECIMAL(38,0)
+    // integer arithmetic, two IEEE ops per published double
+    "ab_welch" -> ((s, d) =>
+      graft.ops.Eval.welchTTest(
+        events(s, d).withColumn("arm", col("user_id") % 2L),
+        "event_type", "arm",
+        round(col("value") * 100).cast(LongType))),
     // item2item collaborative filtering: per part, top-5 co-purchased
     // parts by lift over capped customer baskets (both quadratic steps
     // bounded: basketCap before the pair unfold, GroupedTopK after;
@@ -1785,6 +1816,69 @@ object Queries {
         |    AS BIGINT) AS n_clip_hi
         |FROM q JOIN e USING (event_type)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "loo_encode" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, sum(c) AS s, count(*) AS n
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, CAST(n AS BIGINT) AS n_cat,
+        |  CASE WHEN n > 1 THEN CAST(s - c AS DOUBLE)
+        |    / CAST(n - 1 AS DOUBLE) END AS loo_cents
+        |FROM e JOIN st USING (event_type)""".stripMargin,
+    // same 31-fold polynomial hash as dataset_fingerprint; slot =
+    // h mod 64, sign from the next bit up
+    "hash_features" -> {
+      val ph =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, length(f)+1),
+           |      i -> CAST(ascii(substr(f, i, 1)) AS BIGINT))),
+           |    (acc, c) -> (acc*31+c) % 1000000007)""".stripMargin
+      s"""WITH e AS (SELECT user_id, unnest([
+         |    'type=' || event_type,
+         |    'hod=' || CAST((epoch_us(ts) // 3600000000) % 24
+         |      AS VARCHAR),
+         |    'dow=' || CAST(((epoch_us(ts) // 86400000000) + 4) % 7
+         |      AS VARCHAR)]) AS f
+         |  FROM events),
+         |h AS (SELECT user_id, $ph AS h FROM e)
+         |SELECT user_id, h % 64 AS bucket,
+         |  CAST(sum(1 - 2 * ((h // 64) % 2)) AS BIGINT) AS weight
+         |FROM h GROUP BY 1, 2""".stripMargin
+    },
+    // identical DECIMAL(38,0) integer chain and IEEE op order as
+    // Eval.welchTTest
+    "ab_welch" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |pa AS (SELECT event_type, arm, count(*) AS n, sum(c) AS s,
+        |    sum(c * c) AS q FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 0 THEN s END) AS s1,
+        |    max(CASE WHEN arm = 0 THEN q END) AS q1,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n2,
+        |    max(CASE WHEN arm = 1 THEN s END) AS s2,
+        |    max(CASE WHEN arm = 1 THEN q END) AS q2
+        |  FROM pa GROUP BY 1),
+        |t AS (SELECT event_type, n1, n2,
+        |    CAST(s1 AS DECIMAL(38,0)) * n2
+        |      - CAST(s2 AS DECIMAL(38,0)) * n1 AS a,
+        |    (CAST(n1 AS DECIMAL(38,0)) * q1
+        |        - CAST(s1 AS DECIMAL(38,0)) * s1)
+        |      * (CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1))
+        |    + (CAST(n2 AS DECIMAL(38,0)) * q2
+        |        - CAST(s2 AS DECIMAL(38,0)) * s2)
+        |      * (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)) AS den
+        |  FROM w WHERE n1 > 1 AND n2 > 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n_a,
+        |  CAST(n2 AS BIGINT) AS n_b,
+        |  CAST(a AS DOUBLE)
+        |    / CAST(CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)
+        |    AS mean_diff_cents,
+        |  CAST(a * a AS DOUBLE)
+        |    * CAST(CAST(n1 - 1 AS DECIMAL(38,0)) * (n2 - 1) AS DOUBLE)
+        |    / CAST(den AS DOUBLE) AS t2
+        |FROM t WHERE den > 0""".stripMargin,
     "copurchase_topk" ->
       """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
         |    l.l_partkey AS item

@@ -45,4 +45,38 @@ class EvalSpec extends SparkSuite {
       col("pos")).collect()
     assert(out.isEmpty)
   }
+
+  test("welchTTest: hand-computed t² on unequal variances") {
+    val s = spark
+    import s.implicits._
+    // arm0 cents (100,200,300), arm1 (200,400,600):
+    // μ=200 vs 400, v=10000 vs 40000 → t² = 200²/(50000/3) = 2.4
+    val df = Seq(("g", 0L, 100L), ("g", 0L, 200L), ("g", 0L, 300L),
+      ("g", 1L, 200L), ("g", 1L, 400L), ("g", 1L, 600L))
+      .toDF("grp", "arm", "c")
+    val out = Eval.welchTTest(df, "grp", "arm", col("c")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_diff_cents") == -200.0)
+    assert(r.getAs[Double]("t2") == 2.4)
+  }
+
+  test("welchTTest: missing or singleton arm and zero-variance " +
+    "groups are filtered; layout-stable") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("only_a", 0L, 5L), ("only_a", 0L, 7L),
+      ("single_b", 0L, 5L), ("single_b", 0L, 7L), ("single_b", 1L, 9L),
+      ("const", 0L, 4L), ("const", 0L, 4L),
+      ("const", 1L, 4L), ("const", 1L, 4L),
+      ("ok", 0L, 1L), ("ok", 0L, 3L), ("ok", 1L, 9L), ("ok", 1L, 2L))
+      .toDF("grp", "arm", "c")
+    val out = Eval.welchTTest(df, "grp", "arm", col("c")).collect()
+    assert(out.map(_.getString(0)).toSet == Set("ok"))
+    val a = Eval.welchTTest(df.repartition(7), "grp", "arm", col("c"))
+      .collect().map(_.toSeq).toSet
+    assert(a == out.map(_.toSeq).toSet)
+  }
 }
