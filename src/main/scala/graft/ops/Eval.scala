@@ -116,4 +116,104 @@ object Eval {
             .cast(DoubleType) /
           col("__den").cast(DoubleType)).as("t2"))
   }
+
+  /** Reliability-diagram bins for an integer classifier score against
+    * a binary label — the calibration readout beside [[rankAuc]]
+    * (ranking) and [[welchTTest]] (means): per equi-width score bin,
+    * the mean score vs the observed positive rate; a calibrated
+    * scorer tracks the diagonal. Equi-width bin edges come from a
+    * driver-side (min, max) census — two longs, the skew_report
+    * metadata pattern (the score pass itself is a pure map; the
+    * census is a second scan of the score column only, the standard
+    * two-pass equi-width histogram). bin = (s − lo)·nBins div width
+    * with s ≥ lo, so truncating div IS floor. Exact BIGINT sums; two
+    * one-division doubles per bin.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, isPos: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val rows = df.select(col(scoreCol).cast(LongType).as("s"),
+      when(isPos, 1L).otherwise(0L).as("y"))
+    val head = rows.agg(min(col("s")), max(col("s"))).head
+    val (lo, width) =
+      if (head.isNullAt(0)) (0L, 1L)
+      else (head.getLong(0), head.getLong(1) - head.getLong(0) + 1L)
+    rows
+      .select(expr(s"((s - ${lo}L) * ${nBins}L) div ${width}L")
+        .as("bin"), col("s"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("__ss"),
+        sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__ss").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_score"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("pos_rate"))
+  }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean —
+    * uncertainty quantification that scales (public: the Poisson
+    * bootstrap, Hanley & MacGibbon / Chamandy et al.; each row joins
+    * resample r with a Poisson(1) multiplicity, so no resample ever
+    * materializes and the whole thing is one ×B map into a partial
+    * aggregate — the only way to bootstrap 10^11 rows). Weights are
+    * DETERMINISTIC: the train_shards 31-bit-folded Knuth hash of
+    * (id·B + r) scaled to 2^32, cut at the Poisson(1) CDF thresholds
+    * (⌊F(k)·2^32⌋ for k = 0..3, multiplicity capped at 4 — tail mass
+    * 0.4%), so every engine replays the exact same resamples.
+    *
+    * Output per group: the full-sample mean plus the [≈p05, ≈p95]
+    * interval of the B resample means — rank-SELECTED elements
+    * (loRank = ⌈0.05·B⌉, hiRank = B+1−loRank over the non-empty
+    * resamples), never an interpolation, so the doubles are selected
+    * one-division values, bit-stable. The rank window partitions by
+    * group and sees B rows — bounded by the resample count, never by
+    * data.
+    */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                  valueCents: Column, b: Int = 32): DataFrame = {
+    require(b >= 20, "need >= 20 resamples for a p05/p95 selection")
+    // Poisson(1) CDF at k = 0..3, scaled to 2^32 (exact literals so
+    // the oracle replays them verbatim)
+    val t = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
+    val rows = df.select(col(groupCol),
+      col(idCol).cast(LongType).as("__id"), valueCents.as("__c"))
+    val weighted = rows
+      .select(col(groupCol), col("__id"), col("__c"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("__x", col("__id") * lit(b.toLong) + col("rep"))
+      .withColumn("__b31",
+        expr("(__x % 2147483648L + __x div 2147483648L) % 2147483648L"))
+      .withColumn("__u",
+        pmod(col("__b31") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("__w",
+        t.map(th => (col("__u") >= th).cast(LongType)).reduce(_ + _))
+    val perRep = weighted.groupBy(col(groupCol), col("rep"))
+      .agg(sum(col("__w") * col("__c")).as("__swc"),
+        sum(col("__w")).as("__sw"))
+      .where(col("__sw") > 0L)
+      .select(col(groupCol), col("rep"),
+        (col("__swc").cast(DoubleType) / col("__sw").cast(DoubleType))
+          .as("__m"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__m"), col("rep"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val sel = perRep
+      .withColumn("__rn", row_number().over(wOrd).cast(LongType))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("__loRank", expr("(__cnt + 19) div 20L"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__cnt")).as("n_resamples"),
+        max(when(col("__rn") === col("__loRank"), col("__m")))
+          .as("ci_lo_cents"),
+        max(when(col("__rn") === col("__cnt") + 1L - col("__loRank"),
+          col("__m"))).as("ci_hi_cents"))
+    val full = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__c")).as("__sc"))
+      .select(col(groupCol), col("n_events"),
+        (col("__sc").cast(DoubleType) / col("n_events").cast(DoubleType))
+          .as("mean_cents"))
+    full.join(sel, Seq(groupCol))
+  }
 }

@@ -825,6 +825,18 @@ object LlmQueries {
     // (fastText inference shape), pure int64 map, kept = score > 0
     "quality_classify" -> ((s, d) =>
       TextOps.classifyScore(docs(s, d), "doc_id", "text")),
+    // reliability diagram of the hashed-linear score against the
+    // lang=='en' tag: equi-width decile bins from a two-long driver
+    // census, mean score vs observed rate per bin (the calibration
+    // machinery; a trained classifier plugs in its own score+label)
+    "calibration_bins" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.ops.Eval.calibrationBins(
+        dd.select(graft.functions.GraftFunctions.linearScore(
+            col("text"), TextOps.classifierWeights).as("score"),
+          col("lang")),
+        "score", col("lang") === "en")
+    }),
     // N10 — Luhn-validated card detection: candidates come from a
     // deterministic per-doc synthetic PAN (the fixture corpus carries
     // no digits) embedded with dash separators plus a short decoy run;
@@ -2501,6 +2513,33 @@ object LlmQueries {
          |      % ${TextOps.classifierDim} AS INT)])), 0) AS BIGINT) AS score
          |  FROM documents)
          |SELECT doc_id, score, score > 0 AS kept FROM scored""".stripMargin
+    },
+    // same scored CTE; equi-width decile bins with SQL-side (min,
+    // max) census — (s-lo) >= 0 so // floor == Spark's div truncate
+    "calibration_bins" -> {
+      val ws = TextOps.classifierWeights
+        .map(w => s"CAST($w AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT CAST(coalesce(list_sum(list_transform(
+         |    string_split(text, ' '),
+         |    t -> ($ws)[1 + CAST(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(t)+1),
+         |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc*31+c) % ${TextOps.FpMod})
+         |      % ${TextOps.classifierDim} AS INT)])), 0) AS BIGINT) AS s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |b AS (SELECT min(s) AS lo, max(s) - min(s) + 1 AS width
+         |  FROM scored),
+         |binned AS (SELECT ((s - lo) * 10) // width AS bin, s, y
+         |  FROM scored, b)
+         |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS mean_score,
+         |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS pos_rate
+         |FROM binned GROUP BY 1""".stripMargin
     },
     "langid" -> {
       val markers = TextOps.langMarkers

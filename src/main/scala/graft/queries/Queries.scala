@@ -1122,6 +1122,12 @@ object Queries {
         events(s, d).withColumn("arm", col("user_id") % 2L),
         "event_type", "arm",
         round(col("value") * 100).cast(LongType))),
+    // Poisson-bootstrap p05/p95 CI for the per-type mean — 32
+    // deterministic hash-weighted resamples, one ×32 map into a
+    // partial aggregate, rank-selected interval endpoints
+    "bootstrap_ci" -> ((s, d) =>
+      graft.ops.Eval.bootstrapCi(events(s, d), "event_type",
+        "event_id", round(col("value") * 100).cast(LongType))),
     // item2item collaborative filtering: per part, top-5 co-purchased
     // parts by lift over capped customer baskets (both quadratic steps
     // bounded: basketCap before the pair unfold, GroupedTopK after;
@@ -1879,6 +1885,44 @@ object Queries {
         |    * CAST(CAST(n1 - 1 AS DECIMAL(38,0)) * (n2 - 1) AS DOUBLE)
         |    / CAST(den AS DOUBLE) AS t2
         |FROM t WHERE den > 0""".stripMargin,
+    // same fold31 Knuth hash as train_shards, Poisson(1) CDF cuts at
+    // floor(F(k)*2^32), identical rank selection
+    "bootstrap_ci" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |x AS (SELECT event_type, c, rep,
+        |    event_id * 32 + rep AS xid
+        |  FROM r, (SELECT unnest(range(0, 32)) AS rep)),
+        |wv AS (SELECT event_type, rep, c,
+        |    ((xid % 2147483648 + xid // 2147483648) % 2147483648
+        |      * 2654435761) % 4294967296 AS u FROM x),
+        |ww AS (SELECT event_type, rep, c,
+        |    CAST(u >= 1580030168 AS BIGINT)
+        |    + CAST(u >= 3160060337 AS BIGINT)
+        |    + CAST(u >= 3950075421 AS BIGINT)
+        |    + CAST(u >= 4213413783 AS BIGINT) AS w FROM wv),
+        |m AS (SELECT event_type, rep, sum(w * c) AS swc,
+        |    sum(w) AS sw FROM ww GROUP BY 1, 2),
+        |mm AS (SELECT event_type, rep,
+        |    CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS mr
+        |  FROM m WHERE sw > 0),
+        |rk AS (SELECT event_type, rep, mr,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mr, rep) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM mm),
+        |sel AS (SELECT event_type, CAST(max(cnt) AS BIGINT)
+        |      AS n_resamples,
+        |    max(CASE WHEN rn = (cnt + 19) // 20 THEN mr END)
+        |      AS ci_lo_cents,
+        |    max(CASE WHEN rn = cnt + 1 - (cnt + 19) // 20 THEN mr END)
+        |      AS ci_hi_cents
+        |  FROM rk GROUP BY 1),
+        |f AS (SELECT event_type, count(*) AS n_events, sum(c) AS sc
+        |  FROM r GROUP BY 1)
+        |SELECT f.event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sc AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_cents,
+        |  n_resamples, ci_lo_cents, ci_hi_cents
+        |FROM f JOIN sel ON f.event_type = sel.event_type""".stripMargin,
     "copurchase_topk" ->
       """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
         |    l.l_partkey AS item

@@ -62,6 +62,90 @@ class EvalSpec extends SparkSuite {
     assert(r.getAs[Double]("t2") == 2.4)
   }
 
+  test("calibrationBins: equi-width deciles, exact per-bin means " +
+    "and rates") {
+    val s = spark
+    import s.implicits._
+    // scores 0..19 → width 20, bin = s div 2; label = s >= 10
+    val df = (0L until 20L).map(v => (v, v >= 10L)).toDF("score", "pos")
+    val out = Eval.calibrationBins(df, "score", col("pos"))
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("mean_score"), r.getAs[Double]("pos_rate"))))
+      .toMap
+    assert(out.size == 10)
+    (0L until 10L).foreach { k =>
+      val (n, np, ms, pr) = out(k)
+      assert(n == 2L && ms == 2.0 * k + 0.5)
+      assert(np == (if (k >= 5) 2L else 0L))
+      assert(pr == (if (k >= 5) 1.0 else 0.0))
+    }
+  }
+
+  test("calibrationBins: empty input emits no rows") {
+    val s = spark
+    import s.implicits._
+    val out = Eval.calibrationBins(
+      Seq.empty[(Long, Boolean)].toDF("score", "pos"), "score",
+      col("pos")).collect()
+    assert(out.isEmpty)
+  }
+
+  test("bootstrapCi matches a scala replay of the deterministic " +
+    "Poisson weights; constant values degenerate to a point") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
+    def w(id: Long, rep: Long): Long = {
+      val x = id * 32 + rep
+      val b31 = (x % 2147483648L + x / 2147483648L) % 2147483648L
+      val u = (b31 * 2654435761L) % 4294967296L
+      t.count(u >= _).toLong
+    }
+    val rows = (0 until 100).map(i => ("g", i.toLong, (i % 17).toLong * 10L))
+    val df = rows.toDF("grp", "id", "c")
+    val reps = (0L until 32L).flatMap { rep =>
+      val sw = rows.map { case (_, id, _) => w(id, rep) }.sum
+      val swc = rows.map { case (_, id, c) => w(id, rep) * c }.sum
+      if (sw > 0) Some(swc.toDouble / sw.toDouble) else None
+    }.sorted
+    val loRank = (reps.size + 19) / 20
+    val wantLo = reps(loRank - 1)
+    val wantHi = reps(reps.size - loRank)
+    val out = Eval.bootstrapCi(df, "grp", "id", col("c")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_events") == 100L)
+    assert(r.getAs[Long]("n_resamples") == reps.size.toLong)
+    assert(r.getAs[Double]("ci_lo_cents") == wantLo)
+    assert(r.getAs[Double]("ci_hi_cents") == wantHi)
+    assert(r.getAs[Double]("ci_lo_cents") <=
+      r.getAs[Double]("ci_hi_cents"))
+
+    // constant target → every resample mean equals the value
+    val const = (0 until 50).map(i => ("k", i.toLong, 700L))
+      .toDF("grp", "id", "c")
+    val cr = Eval.bootstrapCi(const, "grp", "id", col("c")).collect().head
+    assert(cr.getAs[Double]("mean_cents") == 700.0)
+    assert(cr.getAs[Double]("ci_lo_cents") == 700.0)
+    assert(cr.getAs[Double]("ci_hi_cents") == 700.0)
+  }
+
+  test("bootstrapCi is partitioning-insensitive") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 400).map(i =>
+      (s"t${i % 3}", i.toLong, rnd.nextInt(5000).toLong))
+      .toDF("grp", "id", "c")
+    val a = Eval.bootstrapCi(df, "grp", "id", col("c"))
+      .collect().map(_.toSeq).toSet
+    val b = Eval.bootstrapCi(df.repartition(11), "grp", "id", col("c"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 3)
+  }
+
   test("welchTTest: missing or singleton arm and zero-variance " +
     "groups are filtered; layout-stable") {
     val s = spark
