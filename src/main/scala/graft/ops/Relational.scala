@@ -533,6 +533,26 @@ object Relational {
         sum(col("class_size")).as("n_rows"))
       .withColumn("risky", col("class_size") < k.toLong)
 
+  /** l-diversity audit — [[kAnonymity]]'s sibling for ATTRIBUTE
+    * disclosure (public: Machanavajjhala et al. 2007): a class can be
+    * k-anonymous yet leak the sensitive column when every row in it
+    * shares one value (l = 1). Per quasi-identifier equivalence
+    * class, the number of DISTINCT sensitive values, reported as the
+    * same census histogram shape as kAnonymity: (l, n_classes,
+    * n_rows, risky = l < threshold). Two hash aggregates; the first
+    * keys on the quasi columns (class cardinality), the distinct
+    * count is per-class exact.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("l_div"),
+        count(lit(1)).as("class_size"))
+      .groupBy(col("l_div"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("risky", col("l_div") < l.toLong)
+
   /** Join-key profiling — referential containment of a child key in a
     * parent key: distinct child keys, how many resolve in the parent,
     * the containment ratio (1.0 = a clean foreign key), and how many

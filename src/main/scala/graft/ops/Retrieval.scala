@@ -145,4 +145,40 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matches"),
         min(col("start")).cast(LongType).as("first_pos"))
   }
+
+  /** Top-k keywords per document by rational-idf TF-IDF — the
+    * keyword-extraction / doc-tagging pass of a corpus pipeline
+    * (weak labels, dedup explanations, index hints). Same log-free
+    * discipline as [[bm25TopK]]: score = tf·N / df, one division of
+    * exact BIGINTs per (doc, term), monotone in the textbook
+    * tf·log(N/df) for single-term ranking so the top-k set per tf
+    * tier is identical; `minLen` crudely drops the stopword tier
+    * (a curated stoplist plugs into the same filter).
+    *
+    * Shape: per-(doc, term) counts → term-keyed df aggregate →
+    * term-keyed equi-join (the standard tf-idf shuffle pair; df is
+    * vocabulary-sized so it is NOT broadcast — at corpus scale the
+    * vocabulary outgrows a driver ship), then the bounded-heap
+    * GroupedTopK keeps k rows per doc with no per-doc sort. N comes
+    * from a one-row pre-pass (the trainCentroids precedent).
+    */
+  def docKeywords(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, minLen: Int = 4): DataFrame = {
+    val nDocs = docs.select(col(idCol)).count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) >= minLen)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast(DoubleType) /
+          col("df").cast(DoubleType))
+    graft.plans.GroupedTopK(scored, Seq("doc_id"),
+      Seq(("score", false), ("term", true)), k, rankName = "rk")
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
 }

@@ -405,6 +405,39 @@ object TimeSeries {
           .as("seasonal_index"))
   }
 
+  /** One-step-ahead forecast backtest over the dense hourly series:
+    * scores the two standard baselines every real forecaster must
+    * beat — naive (ŷ_h = c_{h−1}) and seasonal-naive (ŷ_h = c_{h−24})
+    * — by MAE per type over the hours where BOTH are defined, so the
+    * comparison is paired. `seasonal_wins` (Σ|e_sn| < Σ|e_n|, an
+    * exact integer compare — same denominator, no division needed)
+    * is the one-bit answer to "is this series daily-seasonal enough
+    * that a model should consume [[seasonalProfile]]'s index".
+    * Absolute errors of integer counts are exact BIGINTs; the two
+    * MAEs are one division each. One window pass per type over
+    * HOURS (both lags share the spec), one aggregate.
+    */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val dense = denseHourly(events)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    dense
+      .withColumn("p_naive", lag(col("c"), 1).over(ord))
+      .withColumn("p_seasonal", lag(col("c"), 24).over(ord))
+      .where(col("p_seasonal").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("c") - col("p_naive"))).as("sae_naive"),
+        sum(abs(col("c") - col("p_seasonal"))).as("sae_seasonal"))
+      .select(col("event_type"), col("n_scored"),
+        col("sae_naive"), col("sae_seasonal"),
+        (col("sae_naive").cast(DoubleType) /
+          col("n_scored").cast(DoubleType)).as("mae_naive"),
+        (col("sae_seasonal").cast(DoubleType) /
+          col("n_scored").cast(DoubleType)).as("mae_seasonal"),
+        (col("sae_seasonal") < col("sae_naive")).as("seasonal_wins"))
+  }
+
   /** First-order Markov transition matrix of the event stream: counts
     * and probabilities of (event_type → next event_type) per key's
     * timeline — the behavioral-model / next-action-prediction

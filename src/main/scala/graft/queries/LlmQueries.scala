@@ -825,6 +825,11 @@ object LlmQueries {
     // (fastText inference shape), pure int64 map, kept = score > 0
     "quality_classify" -> ((s, d) =>
       TextOps.classifyScore(docs(s, d), "doc_id", "text")),
+    // top-5 keywords per doc by rational-idf TF-IDF (score = tf·N/df,
+    // one exact division) — tf/df shuffle pair + bounded-heap
+    // GroupedTopK, stopword tier dropped by the length floor
+    "doc_keywords" -> ((s, d) =>
+      graft.ops.Retrieval.docKeywords(docs(s, d), "doc_id", "text")),
     // reliability diagram of the hashed-linear score against the
     // lang=='en' tag: equi-width decile bins from a two-long driver
     // census, mean score vs observed rate per bin (the calibration
@@ -2514,6 +2519,21 @@ object LlmQueries {
          |  FROM documents)
          |SELECT doc_id, score, score > 0 AS kept FROM scored""".stripMargin
     },
+    "doc_keywords" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE length(term) >= 4 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN dfq USING (term), nn),
+        |rk AS (SELECT doc_id, term, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc)
+        |SELECT doc_id, rk, term, tf, df, score
+        |FROM rk WHERE rk <= 5""".stripMargin,
     // same scored CTE; equi-width decile bins with SQL-side (min,
     // max) census — (s-lo) >= 0 so // floor == Spark's div truncate
     "calibration_bins" -> {

@@ -998,6 +998,22 @@ object Queries {
     // series — exact integer products, one division per cell
     "seasonal_profile" -> ((s, d) =>
       graft.ops.TimeSeries.seasonalProfile(events(s, d))),
+    // one-step forecast backtest: naive vs seasonal-naive MAE per
+    // type over the paired scorable hours; exact |e| sums, the
+    // winner decided by an integer compare
+    "forecast_backtest" -> ((s, d) =>
+      graft.ops.TimeSeries.forecastBacktest(events(s, d))),
+    // l-diversity census: distinct event types per (hod, spend
+    // bucket) class — the attribute-disclosure audit beside
+    // k_anonymity
+    "l_diversity" -> ((s, d) =>
+      Relational.lDiversity(
+        events(s, d).select(col("event_type"),
+          hour(col("ts")).as("hod"),
+          // floor semantics, matching k_anonymity's bucket note
+          expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
+            .cast(LongType).as("vb")),
+        Seq("hod", "vb"), "event_type", l = 3)),
     // time-constrained ordered funnel (windowFunnel): deepest
     // signup→click→purchase prefix completed within 24h of each
     // anchor, per-user max depth histogram — chained as-of-forward
@@ -1768,6 +1784,41 @@ object Queries {
         |FROM dense JOIN st USING (event_type)
         |WHERE total > 0
         |GROUP BY 1, 2""".stripMargin,
+    "forecast_backtest" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |lg AS (SELECT event_type, c,
+        |    lag(c, 1) OVER w AS pn, lag(c, 24) OVER w AS ps
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, count(*) AS n_scored,
+        |  CAST(sum(abs(c - pn)) AS BIGINT) AS sae_naive,
+        |  CAST(sum(abs(c - ps)) AS BIGINT) AS sae_seasonal,
+        |  CAST(sum(abs(c - pn)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mae_naive,
+        |  CAST(sum(abs(c - ps)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mae_seasonal,
+        |  sum(abs(c - ps)) < sum(abs(c - pn)) AS seasonal_wins
+        |FROM lg WHERE ps IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "l_diversity" ->
+      """WITH e AS (SELECT hour(ts) AS hod, event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb
+        |  FROM events),
+        |c AS (SELECT hod, vb,
+        |    count(DISTINCT event_type) AS l_div,
+        |    count(*) AS class_size FROM e GROUP BY 1, 2)
+        |SELECT l_div, count(*) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  l_div < 3 AS risky
+        |FROM c GROUP BY 1""".stripMargin,
     "decay_score" ->
       """WITH e AS (SELECT user_id,
         |    (1706659200 - epoch_us(ts) // 1000000) // 86400 AS age,

@@ -19,6 +19,22 @@ class GovernanceSpec extends SparkSuite {
     assert(out == Map(3L -> ((1L, 3L, false)), 1L -> ((2L, 2L, true))))
   }
 
+  test("lDiversity: distinct-sensitive census catches the " +
+    "homogeneous class kAnonymity misses") {
+    val s = spark
+    import s.implicits._
+    // class (x,1): 3 rows but ONE sensitive value (l=1, k-anonymous
+    // yet leaking); class (y,1): 2 rows, 2 values (l=2); class
+    // (z,2): 1 row (l=1)
+    val df = Seq(("x", 1, "flu"), ("x", 1, "flu"), ("x", 1, "flu"),
+      ("y", 1, "flu"), ("y", 1, "cold"), ("z", 2, "flu"))
+      .toDF("a", "b", "diag")
+    val out = Relational.lDiversity(df, Seq("a", "b"), "diag", l = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(1L -> ((2L, 4L, true)), 2L -> ((1L, 2L, false))))
+  }
+
   test("fkProfile: containment, matched keys, orphan rows") {
     val s = spark
     import s.implicits._

@@ -198,4 +198,26 @@ class RetrievalSpec extends SparkSuite {
       !plan.contains("CartesianProduct"),
       s"within-cell pairs must equi-join on cell:\n$plan")
   }
+
+  test("docKeywords: hand-computed tf·N/df ranking, rare terms rise, " +
+    "ties break on term") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta common common gamma"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.docKeywords(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        ((r.getAs[String]("term"), r.getAs[Double]("score")))).toMap
+    // N=2; df: alpha 1, beta 2, common 2, gamma 1
+    assert(out((1L, 1L)) == (("alpha", 4.0)))
+    assert(out((1L, 2L)) == (("beta", 1.0)))   // 1.0 tie → term asc
+    assert(out((1L, 3L)) == (("common", 1.0)))
+    assert(out((2L, 1L)) == (("common", 2.0))) // 2.0 tie → term asc
+    assert(out((2L, 2L)) == (("gamma", 2.0)))
+    assert(out((2L, 3L)) == (("beta", 1.0)))
+    assert(out.size == 6)
+  }
 }

@@ -248,6 +248,30 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out(0L)._3 > 1.0 && out(5L)._3 < 1.0)
   }
 
+  test("forecastBacktest: periodic series — seasonal-naive wins " +
+    "with zero error, scored hours are the paired tail") {
+    val s = spark
+    import s.implicits._
+    // events only at hours 0 and 24 (2 each) → dense series over
+    // h=0..24 is (2,0,...,0,2). Scorable hour: h=24 only.
+    // seasonal pred = c[0] = 2 (err 0); naive pred = c[23] = 0 (err 2)
+    val ev = Seq(
+      (ts("2024-01-01 00:10:00"), 1L, "a"),
+      (ts("2024-01-01 00:20:00"), 2L, "a"),
+      (ts("2024-01-02 00:10:00"), 3L, "a"),
+      (ts("2024-01-02 00:20:00"), 4L, "a"))
+      .toDF("ts", "event_id", "event_type")
+    val out = TimeSeries.forecastBacktest(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_scored") == 1L)
+    assert(r.getAs[Long]("sae_naive") == 2L)
+    assert(r.getAs[Long]("sae_seasonal") == 0L)
+    assert(r.getAs[Double]("mae_naive") == 2.0)
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Boolean]("seasonal_wins"))
+  }
+
   test("decayScore: per-day halving in exact integers, horizon and " +
     "future events excluded") {
     val s = spark

@@ -49,7 +49,7 @@ class PlanQualitySpec extends SparkSuite {
     // event-type frame (TimeSeries.denseHourly scaladoc); ×2 when the
     // series self-joins
     "series_corr", "series_spearman", "cusum_changepoint",
-    "series_acf", "seasonal_profile",
+    "series_acf", "seasonal_profile", "forecast_backtest",
     // sweep-line running sum over MINUTE-grain net deltas — at most
     // one row per minute of retention at any data volume
     // (Sessionize.peakConcurrency scaladoc)
