@@ -353,23 +353,28 @@ object TimeSeries {
       .withColumn("n_hours", count(lit(1)).over(byType))
       .withColumn("total", sum(col("c")).over(byType))
       .withColumn("dev", col("c") * col("n_hours") - col("total"))
+      // the denominator rides the SAME event_type window partition —
+      // one exchange serves all window frames, no separate aggregate
+      // + re-join pass
+      .withColumn("den",
+        sum(col("dev").cast(dec) * col("dev").cast(dec)).over(byType))
     val withLeads = d.select(col("event_type") +: col("dev") +:
+      col("den") +:
       (1 to maxLag).map(k =>
         lead(col("dev"), k).over(ord).as(s"dl_$k")): _*)
     val lagged = withLeads.select(col("event_type"), col("dev"),
+      col("den"),
       explode(array((1 to maxLag).map(k =>
         struct(lit(k.toLong).as("lag"),
           col(s"dl_$k").as("dl"))): _*)).as("x"))
       .select(col("event_type"), col("x.lag").as("lag"),
-        col("dev"), col("x.dl").as("dl"))
+        col("dev"), col("den"), col("x.dl").as("dl"))
       .where(col("dl").isNotNull)
-    val num = lagged.groupBy(col("event_type"), col("lag"))
+    lagged.groupBy(col("event_type"), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("dev").cast(dec) * col("dl").cast(dec)).as("num"))
-    val den = d.groupBy(col("event_type"))
-      .agg(sum(col("dev").cast(dec) * col("dev").cast(dec)).as("den"))
+        sum(col("dev").cast(dec) * col("dl").cast(dec)).as("num"),
+        max(col("den")).as("den"))
       .where(col("den") > lit(0))
-    num.join(broadcast(den), Seq("event_type"))
       .select(col("event_type"), col("lag"), col("n_pairs"),
         (col("num").cast(DoubleType) / col("den").cast(DoubleType))
           .as("r_acf"))
