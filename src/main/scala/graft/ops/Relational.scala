@@ -553,6 +553,52 @@ object Relational {
         sum(col("class_size")).as("n_rows"))
       .withColumn("risky", col("l_div") < l.toLong)
 
+  /** Fixed-horizon LTV: mean cumulative spend in a user's first
+    * h days, for each horizon, averaged over EXACTLY the users whose
+    * observation window covers the horizon (maxDay − firstDay ≥ h−1)
+    * — the day-7/day-30 revenue curve every growth team tracks, with
+    * the censoring handled by cohort-eligibility filtering instead of
+    * the dense per-age grid (which at 10^9 users × ages would dwarf
+    * the fact table). Fixed horizons, not a full curve: the curve's
+    * dense form needs a per-user age grid; three spot horizons need
+    * one conditional sum each.
+    *
+    * Shape: one per-user min(day) aggregate, one user-keyed join
+    * back (no broadcast — user cardinality), one aggregate with h
+    * conditional integer sums, then a horizon-exploded roll-up
+    * (h× user-rows, h ≤ 3). maxDay is a one-row census (the bm25
+    * stats precedent). Exact cents; one division per horizon row.
+    */
+  def ltvHorizons(events: DataFrame,
+                  horizons: Seq[Int] = Seq(7, 14, 30)): DataFrame = {
+    require(horizons.nonEmpty && horizons == horizons.distinct)
+    val e = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000L").as("day"),
+      round(col("value") * 100).cast(LongType).as("c"))
+    val maxDay = e.agg(max(col("day"))).head.getLong(0)
+    val firsts = e.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+    val perUser = e.join(firsts, Seq("user_id"))
+      .groupBy(col("user_id"), col("f"))
+      .agg(horizons.map(h =>
+        sum(when(col("day") < col("f") + h.toLong, col("c"))
+          .otherwise(0L)).as(s"__s$h")).head,
+        horizons.tail.map(h =>
+          sum(when(col("day") < col("f") + h.toLong, col("c"))
+            .otherwise(0L)).as(s"__s$h")): _*)
+    perUser
+      .select(col("f"), explode(array(horizons.map(h =>
+        struct(lit(h.toLong).as("horizon"),
+          col(s"__s$h").as("cents"))): _*)).as("x"))
+      .select(col("f"), col("x.horizon").as("horizon"),
+        col("x.cents").as("cents"))
+      .where(lit(maxDay) - col("f") >= col("horizon") - 1L)
+      .groupBy(col("horizon"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
+      .select(col("horizon"), col("n_users"), col("sum_cents"),
+        (col("sum_cents").cast(DoubleType) /
+          col("n_users").cast(DoubleType)).as("avg_cents"))
+  }
+
   /** Join-key profiling — referential containment of a child key in a
     * parent key: distinct child keys, how many resolve in the parent,
     * the containment ratio (1.0 = a clean foreign key), and how many

@@ -167,4 +167,64 @@ object Sessionize {
       .groupBy(expr("minute div 1440L").as("day_idx"))
       .agg(max(col("live")).as("peak_concurrent"))
   }
+
+  /** Market-basket association rules with SESSIONS as baskets
+    * (Agrawal-Srikant support/confidence/lift, public) — "users who
+    * click in a session also purchase in it?": for every unordered
+    * type pair, co-occurrence support, both conditional confidences,
+    * and lift against independence. The behavioral-association
+    * sibling of [[topPaths]] (which keeps order) and copurchase_topk
+    * (whose baskets are orders).
+    *
+    * Shape: the [[gapsAndIslands]] session stamp (per-user window),
+    * ONE distinct to (user, sess, type) — so the within-session
+    * self-join is bounded by the TYPE VOCABULARY per session, never
+    * by events — then type-keyed counts; the per-type frame is
+    * vocabulary-sized and broadcast. n_sessions comes from one
+    * count pre-pass (the bm25 stats precedent). Every ratio is one
+    * division (lift: one product each side) of exact BIGINTs.
+    */
+  def sessionAssoc(events: DataFrame, gapSeconds: Long = 1800,
+                   minSupport: Long = 2L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val st = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >=
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .select(col("user_id"), col("sess_id"), col("event_type"))
+      .distinct()
+    val nSessions =
+      st.select(col("user_id"), col("sess_id")).distinct().count()
+    val single = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val a = st.select(col("user_id"), col("sess_id"),
+      col("event_type").as("type_a"))
+    val b = st.select(col("user_id"), col("sess_id"),
+      col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "sess_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+      .join(broadcast(single.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(single.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"), lit(nSessions).as("n_sessions"),
+        (col("n_ab").cast(DoubleType) / lit(nSessions).cast(DoubleType))
+          .as("support"),
+        (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("conf_a_to_b"),
+        (col("n_ab").cast(DoubleType) / col("n_b").cast(DoubleType))
+          .as("conf_b_to_a"),
+        ((col("n_ab") * lit(nSessions)).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+  }
 }

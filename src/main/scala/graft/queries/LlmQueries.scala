@@ -912,6 +912,11 @@ object LlmQueries {
     // path-analysis / Sankey input over the same session assignment
     "top_paths" -> ((s, d) =>
       Sessionize.topPaths(Tables.events(s, d))),
+    // session-basket association rules over the same session
+    // assignment: support / both confidences / lift per type pair,
+    // pair unfold bounded by the type vocabulary per session
+    "session_assoc" -> ((s, d) =>
+      Sessionize.sessionAssoc(Tables.events(s, d), gapSeconds = 1800)),
     "sessionize_native" -> ((s, d) =>
       Sessionize.sessionWindow(Tables.events(s, d), gap = "30 minutes")),
     // N5 — REAL header decode (PNG IHDR / JPEG SOF scan / GIF) over
@@ -2716,6 +2721,43 @@ object LlmQueries {
         |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // same session-assignment CTE; distinct (session, type) baskets,
+    // identical one-division ratio chain
+    "session_assoc" ->
+      """WITH l AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, event_type,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS sess_id
+        |  FROM f),
+        |st AS (SELECT DISTINCT user_id, sess_id, event_type FROM s),
+        |ns AS (SELECT count(*) AS n FROM
+        |  (SELECT DISTINCT user_id, sess_id FROM st)),
+        |sg AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.sess_id = b.sess_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |  sa.n_t AS n_a, sb.n_t AS n_b, n_ab,
+        |  CAST(n AS BIGINT) AS n_sessions,
+        |  CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(sa.n_t AS DOUBLE) AS conf_a_to_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(sb.n_t AS DOUBLE) AS conf_b_to_a,
+        |  CAST(n_ab * n AS DOUBLE) / CAST(sa.n_t * sb.n_t AS DOUBLE)
+        |    AS lift
+        |FROM pr
+        |JOIN sg sa ON sa.event_type = pr.type_a
+        |JOIN sg sb ON sb.event_type = pr.type_b, ns
+        |WHERE n_ab >= 2""".stripMargin,
     "peak_concurrency" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -1003,6 +1003,10 @@ object Queries {
     // winner decided by an integer compare
     "forecast_backtest" -> ((s, d) =>
       graft.ops.TimeSeries.forecastBacktest(events(s, d))),
+    // fixed-horizon LTV: mean day-7/14/30 cumulative cents over
+    // exactly the users whose window covers each horizon
+    "ltv_horizons" -> ((s, d) =>
+      Relational.ltvHorizons(events(s, d))),
     // l-diversity census: distinct event types per (hod, spend
     // bucket) class — the attribute-disclosure audit beside
     // k_anonymity
@@ -1807,6 +1811,27 @@ object Queries {
         |    AS mae_seasonal,
         |  sum(abs(c - ps)) < sum(abs(c - pn)) AS seasonal_wins
         |FROM lg WHERE ps IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "ltv_horizons" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |mx AS (SELECT max(day) AS md FROM e),
+        |fs AS (SELECT user_id, min(day) AS f FROM e GROUP BY 1),
+        |pu AS (SELECT e.user_id, f,
+        |    sum(CASE WHEN day < f + 7 THEN c ELSE 0 END) AS s7,
+        |    sum(CASE WHEN day < f + 14 THEN c ELSE 0 END) AS s14,
+        |    sum(CASE WHEN day < f + 30 THEN c ELSE 0 END) AS s30
+        |  FROM e JOIN fs USING (user_id) GROUP BY 1, 2),
+        |x AS (SELECT CAST(7 AS BIGINT) AS horizon, s7 AS cents, f
+        |    FROM pu
+        |  UNION ALL SELECT CAST(14 AS BIGINT), s14, f FROM pu
+        |  UNION ALL SELECT CAST(30 AS BIGINT), s30, f FROM pu)
+        |SELECT horizon, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_cents
+        |FROM x, mx WHERE md - f >= horizon - 1
         |GROUP BY 1""".stripMargin,
     "l_diversity" ->
       """WITH e AS (SELECT hour(ts) AS hod, event_type,

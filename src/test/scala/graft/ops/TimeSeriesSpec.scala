@@ -272,6 +272,28 @@ class TimeSeriesSpec extends SparkSuite {
     assert(r.getAs[Boolean]("seasonal_wins"))
   }
 
+  test("ltvHorizons: cumulative spend inside each horizon, censored " +
+    "users excluded from horizons their window cannot cover") {
+    val s = spark
+    import s.implicits._
+    // u1 first day 0: 5.00 (d0) + 1.00 (d6) + 2.00 (d20) →
+    //   s7 = 600, s14 = 600, s30 = 800
+    // u2 first day 25: 3.00 — maxDay=25 so u2 covers no horizon and
+    //   u1 covers 7 and 14 (25-0 >= 13) but not 30 (25 < 29)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1L, 5.00),
+      (ts("2024-01-07 10:00:00"), 1L, 2L, 1.00),
+      (ts("2024-01-21 10:00:00"), 1L, 3L, 2.00),
+      (ts("2024-01-26 10:00:00"), 2L, 4L, 3.00)
+    ).toDF("ts", "user_id", "event_id", "value")
+    val out = Relational.ltvHorizons(ev).collect()
+      .map(r => r.getAs[Long]("horizon") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("sum_cents"),
+          r.getAs[Double]("avg_cents")))).toMap
+    assert(out == Map(7L -> ((1L, 600L, 600.0)),
+      14L -> ((1L, 600L, 600.0))))
+  }
+
   test("decayScore: per-day halving in exact integers, horizon and " +
     "future events excluded") {
     val s = spark
