@@ -364,4 +364,36 @@ object CorpusOps {
       .withColumn("pos", row_number().over(w).cast(LongType))
       .select("doc_id", "shard", "pos")
   }
+
+  /** Deterministic weighted sampling without replacement by PRIORITY
+    * SAMPLING (public: Duffield–Lund–Thorup 2007): each row gets
+    * priority q = w / u with u a uniform hash in [1, 2^32], and the
+    * sample is the top-k by q — heavy rows are near-certain picks,
+    * light rows enter with probability ∝ w, and (the DLT result)
+    * subset-sum estimates off the sample are near-optimal. The
+    * corpus use: sample documents ∝ quality/length weight for eval
+    * or annotation without a full-corpus shuffle.
+    *
+    * Determinism: u = the train_shards fold31-Knuth hash + 1 (never
+    * zero), so the sample replays bit-identically anywhere; q is ONE
+    * division of exact BIGINTs, ties broken by id. The top-k plans
+    * as TakeOrderedAndProject — per-partition heaps of k, no global
+    * sort (the same shape as bm25's final k).
+    */
+  def prioritySample(docs: DataFrame, idCol: String,
+                     weight: org.apache.spark.sql.Column,
+                     k: Int = 100): DataFrame = {
+    val u = pmod(
+      expr(s"($idCol % 2147483648L + $idCol div 2147483648L)" +
+        " % 2147483648L") * lit(2654435761L),
+      lit(4294967296L)) + lit(1L)
+    docs
+      .select(col(idCol), weight.cast(LongType).as("w"))
+      .where(col("w") > 0L)
+      .withColumn("u", u)
+      .withColumn("priority",
+        col("w").cast(DoubleType) / col("u").cast(DoubleType))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

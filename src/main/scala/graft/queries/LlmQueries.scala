@@ -830,6 +830,12 @@ object LlmQueries {
     // GroupedTopK, stopword tier dropped by the length floor
     "doc_keywords" -> ((s, d) =>
       graft.ops.Retrieval.docKeywords(docs(s, d), "doc_id", "text")),
+    // DLT priority sampling ∝ n_chars: top-100 by w/u with the
+    // fold31-Knuth u — deterministic weighted sample, no full-corpus
+    // shuffle (TakeOrderedAndProject)
+    "weighted_sample" -> ((s, d) =>
+      graft.ops.CorpusOps.prioritySample(docs(s, d), "doc_id",
+        col("n_chars"))),
     // reliability diagram of the hashed-linear score against the
     // lang=='en' tag: equi-width decile bins from a two-long driver
     // census, mean score vs observed rate per bin (the calibration
@@ -2524,6 +2530,14 @@ object LlmQueries {
          |  FROM documents)
          |SELECT doc_id, score, score > 0 AS kept FROM scored""".stripMargin
     },
+    "weighted_sample" ->
+      """WITH b AS (SELECT doc_id, n_chars AS w,
+        |    ((doc_id % 2147483648 + doc_id // 2147483648)
+        |      % 2147483648 * 2654435761) % 4294967296 + 1 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w, u,
+        |  CAST(w AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+        |FROM b ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     "doc_keywords" ->
       """WITH tk AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS term FROM documents),

@@ -182,4 +182,35 @@ class CorpusOpsSpec extends SparkSuite {
       assert(nKept >= 0 && nKept <= nDocs, s"$src kept $nKept of $nDocs")
     }
   }
+
+  test("prioritySample matches a scala replay; heavy rows dominate; " +
+    "layout-stable; zero-weight rows excluded") {
+    val s = spark
+    import s.implicits._
+    def u(id: Long): Long =
+      ((id % 2147483648L + id / 2147483648L) % 2147483648L *
+        2654435761L) % 4294967296L + 1L
+    // 200 light rows (w=1..200) plus one overwhelming row (w=2^40:
+    // q >= 2^40/2^32 = 256 > any light row's q <= 200) and one
+    // zero-weight row that must never appear
+    val rows = (1L to 200L).map(i => (i, i)) ++
+      Seq((999L, 1L << 40), (1000L, 0L))
+    val df = rows.toDF("doc_id", "w")
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, w.toDouble / u(id).toDouble) }
+      .sortBy { case (id, _, q) => (-q, id) }
+      .take(50).map(t => (t._1, t._2)).toSet
+    val got = CorpusOps.prioritySample(df, "doc_id", col("w"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.contains((999L, 1L << 40)), "heavy row is a near-certain pick")
+    assert(!got.exists(_._1 == 1000L), "zero weight never sampled")
+    val again = CorpusOps.prioritySample(df.repartition(7), "doc_id",
+      col("w"), k = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+    val plan = CorpusOps.prioritySample(df, "doc_id", col("w"), k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
 }
