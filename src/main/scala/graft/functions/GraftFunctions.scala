@@ -46,6 +46,9 @@ object GraftFunctions {
   /** Luhn (mod-10) checksum validity of an all-digit string. */
   def luhnValid(digits: Column): Column = c(LuhnValid(e(digits)))
 
+  /** Simpson-diversity numerator Σ c·(c−1) of code-point counts. */
+  def charSimpsonNum(s: Column): Column = c(CharSimpson(e(s)))
+
   /** The nProbe nearest IVF centroid indices for a quantized vector. */
   def nearestCentroids(qvec: Column, centroids: Array[Array[Long]],
                        nProbe: Int): Column =
@@ -221,6 +224,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_luhn_valid"),
       new ExpressionInfo(classOf[LuhnValid].getName, "graft_luhn_valid"),
       (args: Seq[Expression]) => LuhnValid(args(0))),
+    (FunctionIdentifier("graft_char_simpson"),
+      new ExpressionInfo(classOf[CharSimpson].getName,
+        "graft_char_simpson"),
+      (args: Seq[Expression]) => CharSimpson(args(0))),
     (FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName,
         "graft_repetition_stats"),

@@ -417,6 +417,56 @@ case class PolyHash31(child: Expression, m: Long)
       : PolyHash31 = copy(child = newChild)
 }
 
+/** Simpson-diversity numerator of a string's CODE-POINT frequencies:
+  * Σ c_i·(c_i − 1) over the per-code-point counts c_i. Divided by
+  * n·(n−1) downstream it is the probability two random characters of
+  * the document are equal — the log-free repetition/diversity quality
+  * signal (boilerplate and OCR noise concentrate mass on few chars).
+  * Exact integers, so it oracle-checks bit-identically where a
+  * Shannon-entropy kernel (log floats) could not. One pass per row —
+  * the chars never explode into a shuffle; the fused form of the
+  * explode-chars + per-doc-aggregate plan. Code points (not UTF-16
+  * units) so counts match SQL substr/length semantics on all inputs.
+  */
+case class CharSimpson(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_simpson"
+
+  def compute(u: UTF8String): Long = {
+    val cps = u.toString.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    var num = 0L
+    var i = 0
+    while (i < cps.length) {
+      var j = i
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val c = (j - i).toLong
+      num += c * (c - 1)
+      i = j
+    }
+    num
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charSimpson", this,
+      classOf[CharSimpson].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CharSimpson = copy(child = newChild)
+}
+
 /** The 64-bit SimHash signature of a text column as array<bigint>
   * [lo, hi] (two unsigned 32-bit halves — the oracle engine's checked
   * arithmetic would overflow on bit 63), fused into one loop: tokens =

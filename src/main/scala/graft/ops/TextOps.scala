@@ -233,6 +233,100 @@ object TextOps {
         col("sum_tf").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** Bigram language-model likelihood per document — the CCNet/FineWeb
+    * LM quality gate (score a doc by how well a corpus-trained n-gram
+    * model predicts it) in exact fixed-point arithmetic. Real
+    * perplexity sums logs, and float sums are shuffle-order-dependent;
+    * instead each bigram contributes the Laplace-smoothed estimate
+    * floor((c(w1,w2)+1)·2^20 / (c(w1,·)+V)) — a 20-bit fixed-point
+    * p(w2|w1) — and the per-doc INTEGER sum ranks documents the way
+    * average bigram likelihood does, bit-identical in any engine and
+    * any shuffle order. Smoothing with the vocabulary size V is
+    * load-bearing, not a nicety: an UNsmoothed in-corpus ML estimate
+    * scores every hapax bigram with a hapax prefix at p=1 (its only
+    * continuation), ranking gibberish as perfectly predictable. The
+    * one double (`avg_fp`) is a single final division. Shape: one
+    * bigram explode feeding a (w1,w2)-keyed count, prefix counts
+    * re-aggregated FROM the pair counts (never a second corpus pass),
+    * a shuffle join back on the pair key, a vocabulary-bounded
+    * broadcast of the prefix table (the tokenRarity precedent: vocab
+    * grows sublinearly in corpus size), and the 1-row vocab scalar
+    * attached via a constant-key broadcast equi-join (BHJ — the
+    * collocations `__jk` pattern, never a BNLJ cross join). Docs with
+    * fewer than two tokens carry no bigram evidence and are absent by
+    * definition.
+    */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String,
+               scaleBits: Int = 20): DataFrame = {
+    val scale = 1L << scaleBits
+    // guard size>=2 BEFORE sequence(1, size-1): sequence(1, 0) yields a
+    // DESCENDING [1, 0] rather than an empty array (the delOne lesson)
+    val bg = docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pc = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+    val fc = pc.groupBy(col("w1")).agg(sum(col("c_pair")).as("c_prefix"))
+    // vocabulary size over ALL tokens (doc-final-only tokens included,
+    // so V is the true unigram vocab, not just the prefix set)
+    val vocab = docs.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+      .withColumn("__jk", pmod(xxhash64(col("vocab")), lit(1L)))
+    bg.join(pc, Seq("w1", "w2"))
+      .join(broadcast(fc), Seq("w1"))
+      // NON-FOLDABLE constant key on BOTH sides (always 0): a lit key
+      // anywhere constant-folds the equi-condition away and plans a
+      // BNLJ — the collocations __jk precedent keeps it a
+      // single-bucket BroadcastHashJoin
+      .withColumn("__jk", pmod(xxhash64(col("c_pair")), lit(1L)))
+      .join(broadcast(vocab), Seq("__jk"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(expr(s"((c_pair + 1L) * ${scale}L) div (c_prefix + vocab)"))
+          .as("fp_sum"))
+      .withColumn("avg_fp",
+        col("fp_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: distinct-term and total-token
+    * counts at `checkpoints` evenly spaced doc-id cutoffs — the
+    * dataset-card diagnostic that says whether a corpus is still
+    * contributing new vocabulary or has gone redundant (the growth
+    * exponent read off this curve). Exact integers only. Shape: each
+    * term's FIRST doc id (one term-keyed aggregate) makes "vocab at
+    * cutoff c" a simple count of first_doc < c — no per-checkpoint
+    * rescan of the corpus; checkpoints attach by exploding a
+    * k-element literal array (never a cross join). The one driver
+    * read is the max-doc-id scalar (metadata-scale, the hot-bucket
+    * census precedent). Checkpoints whose cutoff lands at 0 docs
+    * have no rows on either side of the inner join and are absent.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Int = 5): DataFrame = {
+    val maxId = docs.agg(max(col(idCol))).head.getLong(0)
+    val cps = (1 to checkpoints).map(k => (maxId + 1) * k / checkpoints)
+    val cpArr = array(cps.map(lit(_)): _*)
+    val firstDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(min(col(idCol)).as("first_doc"))
+    val vocabAt = firstDoc
+      .select(explode(cpArr).as("checkpoint_docs"), col("first_doc"))
+      .where(col("first_doc") < col("checkpoint_docs"))
+      .groupBy(col("checkpoint_docs"))
+      .agg(count(lit(1)).as("vocab_size"))
+    val tokensAt = docs
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast(LongType).as("n"))
+      .select(explode(cpArr).as("checkpoint_docs"), col(idCol), col("n"))
+      .where(col(idCol) < col("checkpoint_docs"))
+      .groupBy(col("checkpoint_docs"))
+      .agg(sum(col("n")).as("total_tokens"))
+    vocabAt.join(tokensAt, Seq("checkpoint_docs"))
+  }
+
   /** Document fingerprint: rolling polynomial hash of the whole text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), polyHash(col(textCol)).as("fingerprint"))

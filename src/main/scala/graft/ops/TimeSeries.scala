@@ -216,6 +216,28 @@ object TimeSeries {
         coalesce(element_at(col("m"), col("h")), lit(0L)).as("c"))
   }
 
+  /** Poisson dispersion index (variance-to-mean ratio) of each type's
+    * hourly arrival counts over the common dense hour grid — the
+    * burstiness diagnostic that sizes stream partitions and admission
+    * buffers: D ~= 1 is Poisson traffic (provision for the mean),
+    * D >> 1 is bursty (provision for the bursts or expect lag spikes).
+    * Exact integers end to end: D = (n*S2 - S1^2) / ((n-1)*S1) with
+    * BIGINT numerator and denominator from one map-side-combinable
+    * aggregate over the dense series, then ONE double division.
+    * n_hours >= 2 and S1 >= 1 are structural here (the grid spans
+    * min..max hour of a type that exists), so the denominator is safe.
+    */
+  def arrivalDispersion(events: DataFrame): DataFrame =
+    denseHourly(events)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_hours"), col("s1"), col("s2"),
+        ((col("n_hours") * col("s2") - col("s1") * col("s1"))
+          .cast(DoubleType) /
+          ((col("n_hours") - 1) * col("s1")).cast(DoubleType))
+          .as("dispersion"))
+
   def seriesCorr(events: DataFrame): DataFrame = {
     val dense = denseHourly(events)
     val a = dense.select(col("h"), col("event_type").as("type_a"),

@@ -767,6 +767,19 @@ object LlmQueries {
         col("lang") === "en")),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
+    // N4 — Simpson character-diversity quality signal: probability two
+    // random chars of the doc are equal — the log-free entropy
+    // stand-in, exact integers via the CharSimpson codegen kernel
+    // (one pass per row, chars never explode into a shuffle)
+    "char_diversity" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_t"),
+        graft.functions.GraftFunctions.charSimpsonNum(col("text"))
+          .as("simpson_num"))
+        .where(col("n_chars_t") >= 2)
+        .withColumn("simpson", col("simpson_num").cast(DoubleType) /
+          (col("n_chars_t") * (col("n_chars_t") - 1))
+            .cast(DoubleType))),
     // N4 — term document/total frequency (tf-idf integer core)
     "term_stats" -> ((s, d) => TextOps.termStats(docs(s, d), "doc_id", "text")),
     // N4 — collocation mining: top-50 adjacent bigrams by PMI, the
@@ -780,6 +793,38 @@ object LlmQueries {
     // division)
     "token_rarity" -> ((s, d) =>
       TextOps.tokenRarity(docs(s, d), "doc_id", "text")),
+    // N4 — bigram-LM quality gate (the CCNet/FineWeb perplexity filter
+    // shape): per-doc sum of 20-bit fixed-point p(w2|w1), exact
+    // integers end to end so the score is shuffle-order- and
+    // engine-independent; one final division for the mean
+    "bigram_lm" -> ((s, d) =>
+      TextOps.bigramLm(docs(s, d), "doc_id", "text")),
+    // N4 — serving twin of bigram_lm: model trained on 4/5 of the
+    // corpus, held-out fifth scored as a (batch-replayed) stream;
+    // coalesce(0) on the left joins IS the Laplace back-off for
+    // unseen bigrams/prefixes
+    "bigram_lm_stream" -> ((s, d) => {
+      val dd = docs(s, d)
+        .withColumn("ts", timestamp_seconds(col("doc_id") * 60))
+      val model = graft.streaming.LmScoreStream.trainModel(
+        dd.filter(col("doc_id") % 5 =!= 0), "text")
+      graft.streaming.LmScoreStream.scoreStream(
+          dd.filter(col("doc_id") % 5 === 0), model,
+          "doc_id", "text", "ts")
+        .select(col("window.start").as("w_start"), col("doc_id"),
+          col("n_bigrams"), col("fp_sum"), col("avg_fp"))
+    }),
+    // N4 — Heaps'-law vocabulary growth at 5 doc-count checkpoints:
+    // per-term FIRST doc id makes each checkpoint a count, never a
+    // rescan; the dataset-card redundancy diagnostic
+    "vocab_growth" -> ((s, d) =>
+      TextOps.vocabGrowth(docs(s, d), "doc_id", "text")),
+    // N2 — EXACT set-similarity self-join (All-Pairs/PPJoin prefix
+    // filtering) on 3-shingle sets at Jaccard >= 0.6: the theorem-
+    // backed counterpart of the banded MinHash join — no false
+    // negatives, no all-pairs stage (rarest-first prefix buckets)
+    "setsim_join" -> ((s, d) =>
+      graft.ops.SetSimJoin.jaccardJoin(docs(s, d), "doc_id", "text")),
     // N4 — polynomial document fingerprint
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
     // N4 — language-ID heuristic
@@ -2475,6 +2520,25 @@ object LlmQueries {
         |  CAST(alpha AS DOUBLE)/CAST(n_chars AS DOUBLE)*0.5
         |    + CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.5 AS quality_score
         |FROM m""".stripMargin,
+    // Simpson replay: per-code-point counts via substr over a
+    // generate_series index, the same Σc(c−1) integer sum (CAST from
+    // HUGEINT), one division
+    "char_diversity" ->
+      """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch,
+        |    count(*) AS c
+        |  FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |sn AS (SELECT doc_id, CAST(sum(c*(c-1)) AS BIGINT)
+        |    AS simpson_num FROM ch GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_t,
+        |  sn.simpson_num,
+        |  CAST(sn.simpson_num AS DOUBLE)
+        |    / CAST(length(d.text) * (length(d.text) - 1) AS DOUBLE)
+        |    AS simpson
+        |FROM documents d JOIN sn USING (doc_id)
+        |WHERE length(d.text) >= 2""".stripMargin,
     "term_stats" ->
       """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -3078,6 +3142,103 @@ object LlmQueries {
         |  CAST(sum(tf.tf) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS mean_tf
         |FROM t JOIN tf USING (term) GROUP BY 1""".stripMargin,
+    // bigram-LM replay: pair counts, prefix counts re-aggregated from
+    // them, the same 20-bit fixed-point floor division (`//` floors,
+    // Spark `div` truncates — identical on the non-negative counts),
+    // and the same single final division; sums CAST from HUGEINT
+    "bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM
+        |  (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |   FROM t WHERE len(w) >= 2)),
+        |pc AS (SELECT w1, w2, count(*) AS c_pair FROM b GROUP BY 1, 2),
+        |fc AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
+        |  FROM pc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(((c_pair + 1) * 1048576) // (c_prefix + vocab))
+        |    AS BIGINT) AS fp_sum,
+        |  CAST(sum(((c_pair + 1) * 1048576) // (c_prefix + vocab))
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_fp
+        |FROM b JOIN pc USING (w1, w2) JOIN fc USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
+    // serving replay: model CTEs over the 4/5 corpus, held-out probes
+    // LEFT-joined (coalesce(0) = the Laplace back-off), same fixed-
+    // point floor division, window start from the synthetic ts
+    "bigram_lm_stream" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |cb AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM
+        |  (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |   FROM t WHERE doc_id % 5 <> 0 AND len(w) >= 2)),
+        |pc AS (SELECT w1, w2, count(*) AS c_pair FROM cb GROUP BY 1, 2),
+        |fc AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
+        |  FROM pc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE doc_id % 5 <> 0)),
+        |pb AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM
+        |  (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |   FROM t WHERE doc_id % 5 = 0 AND len(w) >= 2))
+        |SELECT make_timestamp((doc_id*60)//3600*3600*1000000)
+        |    AS w_start,
+        |  doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(((coalesce(c_pair, 0) + 1) * 1048576)
+        |    // (coalesce(c_prefix, 0) + vocab)) AS BIGINT) AS fp_sum,
+        |  CAST(sum(((coalesce(c_pair, 0) + 1) * 1048576)
+        |    // (coalesce(c_prefix, 0) + vocab)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_fp
+        |FROM pb LEFT JOIN pc USING (w1, w2) LEFT JOIN fc USING (w1)
+        |CROSS JOIN v
+        |GROUP BY 1, 2""".stripMargin,
+    // Heaps replay: first-doc per term, the same (max+1)*k//5 integer
+    // cutoffs, counts vs first_doc/doc_id strictly below each cutoff
+    "vocab_growth" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        |ks AS (SELECT unnest(generate_series(1, 5)) AS k),
+        |cp AS (SELECT CAST((nd * k) // 5 AS BIGINT) AS checkpoint_docs
+        |  FROM n CROSS JOIN ks),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |fd AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY 1),
+        |v AS (SELECT checkpoint_docs, count(*) AS vocab_size
+        |  FROM cp JOIN fd ON fd.first_doc < cp.checkpoint_docs
+        |  GROUP BY 1),
+        |dt AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |tt AS (SELECT checkpoint_docs, CAST(sum(n) AS BIGINT)
+        |    AS total_tokens
+        |  FROM cp JOIN dt ON dt.doc_id < cp.checkpoint_docs
+        |  GROUP BY 1)
+        |SELECT checkpoint_docs, vocab_size, total_tokens
+        |FROM v JOIN tt USING (checkpoint_docs)""".stripMargin,
+    // exact brute-force replay: the equi-join on shared shingles is a
+    // lossless pre-filter (J >= 0.6 > 0 requires a common shingle),
+    // then the same integer Jaccard test and single division
+    "setsim_join" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(ts) AS sh FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
+        |    len(sa.ts) AS na, len(sb.ts) AS nb
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.doc_a
+        |  JOIN s sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+        |    AS jaccard
+        |FROM v WHERE inter * 10 >= 6 * (na + nb - inter)""".stripMargin,
     // PMI replay: same integer counts, same single division, same
     // (ratio desc, w1, w2) total order
     "collocations" ->

@@ -976,6 +976,11 @@ object Queries {
     // user's timeline
     "event_transitions" -> ((s, d) =>
       graft.ops.TimeSeries.eventTransitions(events(s, d), "user_id")),
+    // Poisson dispersion index (variance/mean) of hourly arrivals per
+    // type over the same dense grid — the burstiness number that sizes
+    // partitions and admission buffers; exact integer sums, ONE division
+    "arrival_dispersion" -> ((s, d) =>
+      graft.ops.TimeSeries.arrivalDispersion(events(s, d))),
     // cross-series Pearson correlation of hourly volumes per
     // event-type pair, zero-filled over the global hour range
     "series_corr" -> ((s, d) =>
@@ -1708,6 +1713,24 @@ object Queries {
         |SELECT c.from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    // same dense-hourly CTE family; D = (n*S2 - S1^2)/((n-1)*S1),
+    // integer numerator/denominator, sums CAST from HUGEINT, one division
+    "arrival_dispersion" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |d AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type))
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2,
+        |  CAST(count(*)*sum(c*c) - sum(c)*sum(c) AS DOUBLE)
+        |    / CAST((count(*)-1)*sum(c) AS DOUBLE) AS dispersion
+        |FROM d GROUP BY 1""".stripMargin,
     "series_corr" ->
       """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
         |    // 3600000000 AS h, event_type FROM events),

@@ -453,4 +453,26 @@ class KernelSpec extends SparkSuite {
     assert(spark.sql("SELECT graft_luhn_valid(t) AS v FROM luhn_probe")
       .collect().head.getBoolean(0))
   }
+
+  test("CharSimpson matches the explode-chars reference fold") {
+    val s = spark
+    import s.implicits._
+    def model(t: String): Long =
+      t.codePoints().toArray.groupBy(identity).values
+        .map(g => g.length.toLong * (g.length - 1)).sum
+    // hand cases: "aab" -> a:2 b:1 -> 2; uniform "abc" -> 0; "" -> 0;
+    // all-same "aaaa" -> 4*3 = 12; non-ASCII code points counted once
+    val edge = Seq("aab", "abc", "", "aaaa", "héllo héllo", "aéé")
+    val all = edge ++ texts
+    val got = all.zipWithIndex.map(_.swap).toDF("id", "t")
+      .select(col("id"), GraftFunctions.charSimpsonNum(col("t")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    all.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == model(t), s"mismatch on '$t'")
+    }
+    // SQL registration path
+    Seq("aab").toDF("t").createOrReplaceTempView("simpson_probe")
+    assert(spark.sql("SELECT graft_char_simpson(t) AS v FROM simpson_probe")
+      .collect().head.getLong(0) == 2L)
+  }
 }

