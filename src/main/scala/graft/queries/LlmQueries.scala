@@ -825,6 +825,27 @@ object LlmQueries {
     // negatives, no all-pairs stage (rarest-first prefix buckets)
     "setsim_join" -> ((s, d) =>
       graft.ops.SetSimJoin.jaccardJoin(docs(s, d), "doc_id", "text")),
+    // N2 — MEASURED recall of the banded MinHash join against the
+    // exact prefix-filtered join at the same threshold and the same
+    // hashed shingle sets: the cross-validation row that ties the
+    // probabilistic family to its exact counterpart (at r=4,b=32 a
+    // true 0.6-Jaccard pair collides with p≈0.99; the planted pairs
+    // sit higher, so the 0.9 floor holds with margin at both scales)
+    "neardup_recall" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exact = graft.ops.SetSimJoin.jaccardJoin(dd, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+      val banded = Dedup.minhashPairs(dd, "doc_id", "text",
+          threshold = 0.6)
+        .select(col("doc_a").as("ba"), col("doc_b").as("bb"))
+      exact.join(broadcast(banded),
+          col("doc_a") === col("ba") && col("doc_b") === col("bb"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("ba")).as("n_hit"))
+        .select(col("n_exact"),
+          (col("n_hit").cast(DoubleType) /
+            col("n_exact").cast(DoubleType) >= 0.9).as("recall_ok"))
+    }),
     // N4 — polynomial document fingerprint
     "fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
     // N4 — language-ID heuristic
@@ -3215,6 +3236,27 @@ object LlmQueries {
         |  GROUP BY 1)
         |SELECT checkpoint_docs, vocab_size, total_tokens
         |FROM v JOIN tt USING (checkpoint_docs)""".stripMargin,
+    // the recall-gate oracle shape: exact pair count recomputed from
+    // scratch, recall_ok asserted true (a Spark-side gate failure
+    // hash-mismatches the row)
+    "neardup_recall" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+        |  FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(ts) AS sh FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_a, doc_b,
+        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
+        |    len(sa.ts) AS na, len(sb.ts) AS nb
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.doc_a
+        |  JOIN s sb ON sb.doc_id = cand.doc_b)
+        |SELECT count(*) AS n_exact, true AS recall_ok
+        |FROM v WHERE inter * 10 >= 6 * (na + nb - inter)""".stripMargin,
     // exact brute-force replay: the equi-join on shared shingles is a
     // lossless pre-filter (J >= 0.6 > 0 requires a common shingle),
     // then the same integer Jaccard test and single division

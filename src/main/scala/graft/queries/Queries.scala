@@ -112,6 +112,25 @@ object Queries {
       kafka(s, d).write.format("graft-ocf").mode("overwrite").save(dir)
       KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
     }),
+    // S1 TIME TRAVEL: two committed generations, a rewrite with
+    // keepRetired, then a `timestampAsOf` read pinned between the
+    // commits — the reproducible-training-run read (re-run last
+    // week's job against last week's store) must see EXACTLY the
+    // first generation, post-rewrite, through the snapshot log and
+    // the kept .stale retirees
+    "ocf_time_travel" -> ((s, d) => {
+      val dir = graft.tools.TempDirs.create("graft_ocf_timetravel")
+      val k = kafka(s, d)
+      k.filter(col("offset") % 2 === 0)
+        .write.format("graft-ocf").mode("overwrite").save(dir)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(20)
+      k.filter(col("offset") % 2 === 1)
+        .write.format("graft-ocf").mode("append").save(dir)
+      graft.sources.OcfMaintenance.compact(s, dir, keepRetired = true)
+      KafkaShape.decodeUtf8(s.read.format("graft-ocf")
+        .option("timestampAsOf", t1.toString).load(dir))
+    }),
     // S1 + manifest key Bloom: the compacted-topic point lookup —
     // a `WHERE key IN (…)` scan over a store written with
     // `keyBloomBits` opens only the containers whose Bloom filter
@@ -430,6 +449,13 @@ object Queries {
         |       'events' AS topic, user_id % 8 AS kpartition,
         |       event_id AS koffset, ts
         |FROM events WHERE user_id IN (7, 42)""".stripMargin,
+    // the pinned snapshot is exactly the even-offset first generation,
+    // rewrite notwithstanding
+    "ocf_time_travel" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events WHERE event_id % 2 = 0""".stripMargin,
     "union_shards" ->
       """SELECT 'events' AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions

@@ -167,6 +167,19 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
         one(StructType(Seq(StructField("live_postings", LongType))), n)
       }
     },
+    "snapshots" -> new Proc("snapshots", Array(dirParam)) {
+      override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        val schema = StructType(Seq(
+          StructField("committed_at_ms", LongType),
+          StructField("snapshot_file", StringType),
+          StructField("n_containers", IntegerType)))
+        val rows = OcfStore.listSnapshots(in.getString(0),
+            OcfStore.driverConf())
+          .map { case (ts, f, n) => new GenericInternalRow(
+            Array[Any](ts, s(f), n)): InternalRow }.toArray
+        Collections.singletonList[Scan](Result(schema, rows)).iterator()
+      }
+    },
     "advise" -> new Proc("advise", Array(dirParam)) {
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
         val schema = StructType(Seq(StructField("rule", StringType),

@@ -99,6 +99,15 @@ class OcfTable(options: CaseInsensitiveStringMap)
     val endTs = Option(opts.get("endingTimestamp")).map(_.toLong)
     require(endTs.isEmpty || startTs.forall(_ <= endTs.get),
       "graft-ocf: startingTimestamp must be <= endingTimestamp")
+    // TIME TRAVEL: `timestampAsOf` (epoch millis) pins the scan to the
+    // latest committed snapshot at-or-before the timestamp — the
+    // reproducible-training-run read (batch only; a stream follows
+    // the head by definition)
+    val asOf = Option(opts.get("timestampAsOf")).map(_.toLong)
+    require(asOf.isEmpty || (startTs.isEmpty && endTs.isEmpty),
+      "graft-ocf: timestampAsOf (a snapshot pin) and starting/" +
+        "endingTimestamp (a record-time slice) do not compose yet — " +
+        "slice with a pushed timestamp filter instead")
     new OcfScanBuilder(dirs,
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
       new SerializableConfiguration(OcfStore.driverConf()),
@@ -106,7 +115,7 @@ class OcfTable(options: CaseInsensitiveStringMap)
       minPartitions = Option(opts.get("minPartitions")).map(_.toInt),
       maxBytesPerTrigger =
         Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
-      startTsUs = startTs, endTsUs = endTs)
+      startTsUs = startTs, endTsUs = endTs, asOfMillis = asOf)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -131,7 +140,8 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
                      minPartitions: Option[Int] = None,
                      maxBytesPerTrigger: Option[Long] = None,
                      startTsUs: Option[Long] = None,
-                     endTsUs: Option[Long] = None)
+                     endTsUs: Option[Long] = None,
+                     asOfMillis: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -170,7 +180,8 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
 
   override def build(): Scan =
     new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
-      startLatest, minPartitions, maxBytesPerTrigger, startTsUs, endTsUs)
+      startLatest, minPartitions, maxBytesPerTrigger, startTsUs, endTsUs,
+      asOfMillis)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
@@ -182,7 +193,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               minPartitions: Option[Int] = None,
               maxBytesPerTrigger: Option[Long] = None,
               startTsUs: Option[Long] = None,
-              endTsUs: Option[Long] = None)
+              endTsUs: Option[Long] = None,
+              asOfMillis: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -205,7 +217,11 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
     * because Spark only pushes a limit with no filter in between).
     */
   private lazy val plannedFiles: Seq[(String, String, OcfLiveFile)] = {
-    val kept = OcfStore.keyedLiveFiles(dirs, conf.value)
+    val listed = asOfMillis match {
+      case Some(t) => OcfStore.keyedFilesAsOf(dirs, conf.value, t)
+      case None => OcfStore.keyedLiveFiles(dirs, conf.value)
+    }
+    val kept = listed
       .filter { case (_, _, f) =>
         // keep a file unless its stats PROVE no row can match; a
         // file absent from the manifest is kept conservatively
@@ -377,9 +393,14 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream =
+      : MicroBatchStream = {
+    if (asOfMillis.isDefined) throw new IllegalArgumentException(
+      "graft-ocf: timestampAsOf is a batch-read option — a stream " +
+        "follows the live head by definition (use startingTimestamp " +
+        "to begin a stream at a point in time)")
     new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters,
       startLatest, maxBytesPerTrigger, minPartitions, startTsUs)
+  }
 }
 
 /** Streaming offset: per-file consumed record counts. With
@@ -1075,6 +1096,132 @@ object OcfStore extends org.apache.spark.internal.Logging {
     !name.startsWith(".") && name.startsWith("_manifest-") &&
       name.endsWith(".ndjson")
 
+  private def isSnapshot(name: String): Boolean =
+    !name.startsWith(".") && name.startsWith("_snapshot-") &&
+      name.endsWith(".list")
+
+  /** TIME TRAVEL, write side: record the store's live-container set
+    * after a commit that changed it — one `_snapshot-<millis>-<nonce>
+    * .list` per commit (zero-padded millis so lexical order IS time
+    * order; the nonce keeps concurrent writers from colliding). The
+    * Iceberg-snapshot role in the store's own idiom: the log is plain
+    * names, metadata-scale, and readers never parse it unless a
+    * `timestampAsOf` read asks. Concurrent commits may interleave —
+    * the LAST snapshot at-or-before a requested timestamp wins,
+    * eventually-consistent exactly like reading a topic's high-water
+    * mark.
+    */
+  def writeSnapshot(dir: String, conf: Configuration): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return
+    val names = fs.listStatus(d).map(_.getPath.getName)
+      .filter(isLiveContainer).sorted
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val p = new Path(d,
+      f"_snapshot-${System.currentTimeMillis()}%020d-$nonce.list")
+    val out = fs.create(p, false)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Snapshot census for the catalog surface: (commit millis, file
+    * name, container count) per snapshot, oldest first — Iceberg's
+    * `snapshots` metadata-table role.
+    */
+  def listSnapshots(dir: String, conf: Configuration)
+      : Seq[(Long, String, Int)] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(p => isSnapshot(p.getName))
+      .flatMap { p =>
+        p.getName.stripPrefix("_snapshot-").take(20).toLongOption.map {
+          ts =>
+            val in = fs.open(p)
+            val n =
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().count(_.trim.nonEmpty)
+              finally in.close()
+            (ts, p.getName, n)
+        }
+      }.sortBy(t => (t._1, t._2))
+  }
+
+  /** TIME TRAVEL, read side: the container names of the latest
+    * snapshot at-or-before `asOfMillis`. Errors loudly when the store
+    * has no snapshot that old — silently reading the CURRENT set
+    * would be a wrong-answer time machine.
+    */
+  def snapshotAt(dir: String, conf: Configuration,
+                 asOfMillis: Long): Seq[String] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d))
+      throw new IllegalArgumentException(
+        s"graft-ocf: no store at $dir to time-travel")
+    val snaps = fs.listStatus(d).map(_.getPath)
+      .filter(p => isSnapshot(p.getName))
+      .flatMap { p =>
+        p.getName.stripPrefix("_snapshot-").take(20).toLongOption
+          .map(ts => (ts, p))
+      }
+      .filter(_._1 <= asOfMillis)
+    if (snaps.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft-ocf: $dir has no snapshot at or before $asOfMillis " +
+          "(the store predates snapshot logging, or the timestamp is " +
+          "before its first commit)")
+    val latest = snaps.maxBy { case (ts, p) => (ts, p.getName) }._2
+    val in = fs.open(latest)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The as-of listing twin of [[liveFiles]]: resolve each snapshot
+    * container to its current location — still live under its own
+    * name, or retired-but-kept as `.<name>.stale` (the `keepRetired`
+    * writer option; vacuum's age gate is the time-travel horizon).
+    * A name resolving to neither is a loud error: the data was
+    * vacuumed (or retired without keepRetired) and the snapshot can
+    * no longer be served.
+    */
+  def filesAsOf(dir: String, conf: Configuration,
+                asOfMillis: Long): Seq[(String, String, OcfLiveFile)] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val stats = manifestStats(dir, conf)
+    snapshotAt(dir, conf, asOfMillis).sorted.map { name =>
+      val live = new Path(d, name)
+      val retired = new Path(d, s".$name.stale")
+      val p =
+        if (fs.exists(live)) live
+        else if (fs.exists(retired)) retired
+        else throw new IllegalStateException(
+          s"graft-ocf: snapshot container $name of $dir is gone " +
+            "(vacuumed, or retired without keepRetired=true) — this " +
+            "timestamp is beyond the store's time-travel horizon")
+      val st = fs.getFileStatus(p)
+      val fstats = stats.get(name)
+      val n = fstats.map(_.count).getOrElse {
+        val key = (p.toString, st.getLen, st.getModificationTime)
+        countCache.computeIfAbsent(key, _ => {
+          containerOpens.incrementAndGet()
+          val s = new DataFileStream[GenericRecord](
+            fs.open(p), new GenericDatumReader[GenericRecord]())
+          try {
+            var c = 0L
+            while (s.hasNext) { c += s.getBlockCount; s.nextBlock() }
+            c
+          } finally s.close()
+        })
+      }
+      (name, p.toString, OcfLiveFile(name, n, st.getLen, fstats))
+    }
+  }
+
   private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
                             p: Path): Map[String, OcfFileStats] = {
     val in = fs.open(p)
@@ -1296,6 +1443,23 @@ object OcfStore extends org.apache.spark.internal.Logging {
         .map(f => (f.name, s"${dirs.head}/${f.name}", f))
     else expandDirs(dirs, conf).flatMap { d =>
       liveFiles(d, conf).map(f => (s"$d/${f.name}", s"$d/${f.name}", f))
+    }
+
+  /** The `timestampAsOf` twin of [[keyedLiveFiles]]: every store's
+    * snapshot set at the timestamp, same key qualification. Glob
+    * expansion runs against the CURRENT directory listing (a store
+    * that exists now but has no snapshot that old fails loudly in
+    * filesAsOf — never a silent partial read).
+    */
+  def keyedFilesAsOf(dirs: Seq[String], conf: Configuration,
+                     asOfMillis: Long)
+      : Seq[(String, String, OcfLiveFile)] =
+    if (dirs.sizeIs == 1 && !isGlob(dirs.head))
+      filesAsOf(dirs.head, conf, asOfMillis)
+    else expandDirs(dirs, conf).flatMap { d =>
+      filesAsOf(d, conf, asOfMillis).map { case (_, p, f) =>
+        (s"$d/${f.name}", p, f)
+      }
     }
 
   /** One listing's full view of the store: every live container with

@@ -58,7 +58,8 @@ object OcfMaintenance {
     * is). Batch readers are unaffected: they plan against a single
     * listing, and the commit installs-new-before-retiring-old.
     */
-  def compact(spark: SparkSession, dir: String): (Int, Int) = {
+  def compact(spark: SparkSession, dir: String,
+              keepRetired: Boolean = false): (Int, Int) = {
     def nFiles: Int =
       OcfStore.headCounts(dir, OcfStore.driverConf()).size
     val before = nFiles
@@ -68,6 +69,7 @@ object OcfMaintenance {
     spark.read.format("graft-ocf").load(dir)
       .write.format("graft-ocf")
       .option("expectedContainers", containerNames(dir).mkString(","))
+      .option("keepRetired", keepRetired.toString)
       .mode("overwrite").save(dir)
     (before, nFiles)
   }
@@ -115,7 +117,8 @@ object OcfMaintenance {
     * (records before, records after), both manifest-backed counts.
     */
   def compactByKey(spark: SparkSession, dir: String,
-                   dropTombstones: Boolean = false): (Long, Long) = {
+                   dropTombstones: Boolean = false,
+                   keepRetired: Boolean = false): (Long, Long) = {
     def records: Long =
       OcfStore.headCounts(dir, OcfStore.driverConf()).values.sum
     val before = records
@@ -128,6 +131,7 @@ object OcfMaintenance {
       else latest
     kept.write.format("graft-ocf")
       .option("expectedContainers", containerNames(dir).mkString(","))
+      .option("keepRetired", keepRetired.toString)
       .mode("overwrite").save(dir)
     (before, records)
   }
@@ -150,7 +154,8 @@ object OcfMaintenance {
     * store by its read pattern.
     */
   def cluster(spark: SparkSession, dir: String,
-              targetFiles: Int = 0): (Int, Int) = {
+              targetFiles: Int = 0,
+              keepRetired: Boolean = false): (Int, Int) = {
     def nFiles: Int =
       OcfStore.headCounts(dir, OcfStore.driverConf()).size
     val before = nFiles
@@ -159,6 +164,7 @@ object OcfMaintenance {
       .option("layout", "time")
       .option("targetFiles", targetFiles.toString)
       .option("expectedContainers", containerNames(dir).mkString(","))
+      .option("keepRetired", keepRetired.toString)
       .mode("overwrite").save(dir)
     (before, nFiles)
   }
@@ -282,6 +288,10 @@ object OcfMaintenance {
         .filter(s => s.count > 0 && s.maxTsUs < beforeTsUs)
         .map(s => (st.getPath, s.count)))
     victims.foreach { case (p, _) => fs.delete(p, false) }
+    // retention changed the live set outside a writer commit: log the
+    // post-expiry snapshot so timestampAsOf reads after this point
+    // never resolve to expired containers
+    if (victims.nonEmpty) OcfStore.writeSnapshot(dir, conf)
     (victims.size, victims.map(_._2).sum)
   }
 
@@ -311,6 +321,7 @@ object OcfMaintenance {
       fits
     }
     victims.foreach { case (p, _, _) => fs.delete(p, false) }
+    if (victims.nonEmpty) OcfStore.writeSnapshot(dir, conf)
     (victims.size, victims.map(_._3.count).sum)
   }
 
@@ -420,7 +431,8 @@ object OcfMaintenance {
   def clusterZOrder(spark: SparkSession, dir: String,
                     targetFiles: Int = 8,
                     tsBucketUs: Long = 3600L * 1000000,
-                    curve: String = "morton"): (Int, Int) = {
+                    curve: String = "morton",
+                    keepRetired: Boolean = false): (Int, Int) = {
     def nFiles: Int =
       OcfStore.headCounts(dir, OcfStore.driverConf()).size
     val before = nFiles
@@ -470,6 +482,7 @@ object OcfMaintenance {
       .write.format("graft-ocf")
       .option("layout", "presorted")
       .option("expectedContainers", containerNames(dir).mkString(","))
+      .option("keepRetired", keepRetired.toString)
       .mode("overwrite").save(dir)
     (before, nFiles)
   }
@@ -497,13 +510,26 @@ object OcfMaintenance {
     val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) return (0, 0L)
     val horizon = System.currentTimeMillis() - olderThanMs
-    val victims = fs.listStatus(d).toSeq.filter { st =>
+    val listing = fs.listStatus(d).toSeq
+    val victims = listing.filter { st =>
       val n = st.getPath.getName
       st.isFile && n.startsWith(".") &&
         (n.endsWith(".ocf.tmp") || n.endsWith(".stale")) &&
         st.getModificationTime < horizon
     }
-    victims.foreach(st => fs.delete(st.getPath, false))
-    (victims.size, victims.map(_.getLen).sum)
+    // expired time-travel snapshots go with the retired containers
+    // they reference (same age gate = same horizon); the NEWEST
+    // snapshot always survives — it is the store's current state
+    val snaps = listing.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && n.startsWith("_snapshot-") &&
+        n.endsWith(".list")
+    }.sortBy(_.getPath.getName)
+    val snapVictims =
+      if (snaps.isEmpty) Seq.empty
+      else snaps.init.filter(_.getModificationTime < horizon)
+    (victims ++ snapVictims).foreach(st => fs.delete(st.getPath, false))
+    (victims.size + snapVictims.size,
+      (victims ++ snapVictims).map(_.getLen).sum)
   }
 }

@@ -63,6 +63,12 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
   // power of two; ~10 bits per expected distinct key ≈ 1% FPP.
   private val keyBloomBits =
     Option(info.options.get("keyBloomBits")).map(_.toInt).getOrElse(0)
+  // keepRetired=true: an overwrite RENAMES the old generation to
+  // hidden .stale files instead of deleting them, so timestampAsOf
+  // reads can still serve pre-rewrite snapshots until vacuum's age
+  // gate collects them — the time-travel retention window
+  private val keepRetired =
+    "true".equalsIgnoreCase(info.options.get("keepRetired"))
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
@@ -90,7 +96,7 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new OcfBatchWrite(dir, doTruncate, info.queryId(),
         new SerializableConfiguration(OcfStore.driverConf()),
-        expectedContainers, keyBloomBits)
+        expectedContainers, keyBloomBits, keepRetired)
 
     /** S8/S9 — the streaming ingestion sink the reference IS: a
       * Structured Streaming epoch writes one generation of containers
@@ -128,7 +134,8 @@ case class OcfCommit(temp: String, dest: String,
 class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
                     conf: SerializableConfiguration,
                     expectedContainers: Option[Set[String]] = None,
-                    keyBloomBits: Int = 0)
+                    keyBloomBits: Int = 0,
+                    keepRetired: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
@@ -213,14 +220,19 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
     // first (readers filter dot-files, so each rename atomically
     // removes the file from the read set — a failed delete can then
     // only leave invisible garbage, never a double-counted store),
-    // then best-effort delete the hidden file
+    // then best-effort delete the hidden file — UNLESS keepRetired:
+    // then the hidden files stay for `timestampAsOf` reads of
+    // pre-rewrite snapshots, until vacuum's age gate collects them
+    // (the time-travel retention window)
     oldFiles.filterNot(p => installed.contains(p.getName))
       .foreach { p =>
         val hidden = new Path(p.getParent, "." + p.getName + ".stale")
         require(fs.rename(p, hidden),
           s"graft-ocf: truncate failed to retire $p")
-        fs.delete(hidden, false)
+        if (!keepRetired) fs.delete(hidden, false)
       }
+    // time-travel snapshot log: the live set after THIS commit
+    OcfStore.writeSnapshot(dir, conf.value)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -321,6 +333,8 @@ class OcfStreamingWrite(dir: String, queryId: String,
       finally out.close()
     }
     fs.create(marker, true).close()
+    // time-travel snapshot log: the live set after THIS epoch
+    OcfStore.writeSnapshot(dir, conf.value)
   }
 
   override def abort(epochId: Long,

@@ -56,7 +56,8 @@ class OcfSourceSpec extends SparkSuite {
       .filterNot(_.startsWith("."))
     val files = all.filter(_.endsWith(".ocf"))
     assert(files.nonEmpty && all.forall(f => f.endsWith(".ocf") ||
-      (f.startsWith("_manifest-") && f.endsWith(".ndjson"))),
+      (f.startsWith("_manifest-") && f.endsWith(".ndjson")) ||
+      (f.startsWith("_snapshot-") && f.endsWith(".list"))),
       s"stray files: $all")
     assert(all.exists(_.startsWith("_manifest-")),
       "commit must install a stats manifest")
@@ -690,6 +691,7 @@ class OcfSourceSpec extends SparkSuite {
       .filterNot(_.startsWith("."))
     assert(all.forall(f => f.endsWith(".ocf") ||
       (f.startsWith("_manifest-") && f.endsWith(".ndjson")) ||
+      (f.startsWith("_snapshot-") && f.endsWith(".list")) ||
       f.startsWith("_epoch-")), s"stray files: $all")
     assert(all.exists(_.startsWith("_epoch-")))
     val conf = new org.apache.spark.util.SerializableConfiguration(

@@ -104,5 +104,17 @@ class OcfSqlDdlSpec extends SparkSuite {
     intercept[Exception] {
       s.sql(s"CALL graft.system.nope(dir => '$dir')").collect()
     }
+
+    // snapshots census: one row per commit-time snapshot, container
+    // counts reflecting each generation (the Iceberg snapshots-table
+    // role), ordered oldest-first
+    val snaps = s.sql(s"CALL graft.system.snapshots(dir => '$dir')")
+      .collect()
+    assert(snaps.length >= 3,
+      s"appends + compact + zorder each logged a snapshot: " +
+        s"${snaps.length}")
+    assert(snaps.map(_.getLong(0)).toSeq ==
+      snaps.map(_.getLong(0)).toSeq.sorted, "oldest first")
+    assert(snaps.last.getInt(2) > 0, "current snapshot has containers")
   }
 }
