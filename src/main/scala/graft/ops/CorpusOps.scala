@@ -300,6 +300,42 @@ object CorpusOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Curriculum data ordering: a dense, deterministic 1-based GLOBAL
+    * training position — easy-to-hard by a caller-supplied integer
+    * difficulty bucket (length, LM score decile, quality tier),
+    * hash-shuffled WITHIN each bucket so batches stay decorrelated —
+    * computed without a global sort. Mechanics are globalIds' census
+    * trick re-keyed by a SEMANTIC bucket: per-bucket row_number (an
+    * ordinary partitioned window), bucket offsets from one
+    * bucket-cardinality count aggregate (driver-bounded because the
+    * bucket domain is value-bounded — lengths, deciles — never
+    * key-bounded), final pos = offset + within-bucket rank through a
+    * broadcast join. The 100 TB point: curriculum ordering is a
+    * GLOBAL sort by (bucket, hash) in disguise, and this shape does
+    * it with one shuffle on the bucket key and zero single-task
+    * stages.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String,
+                      bucket: org.apache.spark.sql.Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol), bucket.cast(LongType).as("bucket"))
+      .withColumn("order_h", TextOps.polyHash(
+        concat_ws(":", lit("curr"), col(idCol).cast(StringType))))
+    val counts = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetDf = offsets.toSeq.toDF("bucket", "offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("order_h"), col(idCol))
+    base.withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(offsetDf), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        (col("offset") + col("rn")).as("pos"))
+  }
+
   /** Scalable global row numbering: assign every document a dense,
     * deterministic 1-based global id WITHOUT the single-partition
     * global sort a bare `row_number() OVER (ORDER BY …)` plans (one

@@ -106,6 +106,25 @@ object LlmQueries {
     // canonical representative per cluster
     "dedup_corpus" -> ((s, d) =>
       Dedup.dedupCorpus(docs(s, d), "doc_id", "text", threshold = 0.5)),
+    // N2 — the dedup YIELD report a pipeline logs per run: cluster-size
+    // histogram over the corpus components plus documents/tokens the
+    // canonical-keep policy drops — the "how much did dedup save"
+    // number; exact integers off the same component frame
+    "dedup_yield" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cc = Dedup.dedupCorpus(dd, "doc_id", "text", threshold = 0.5)
+      val toks = dd.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
+      cc.join(toks, "doc_id")
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("dd"),
+          sum(when(!col("kept"), col("n_tok")).otherwise(0L)).as("td"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("dd")).as("docs_dropped"),
+          sum(col("td")).as("tokens_dropped"))
+    }),
     // N1/N2 — INCREMENTAL dedup: the daily-delta operation. Corpus =
     // docs with doc_id % 5 != 0 (the indexed 80%), batch = the other
     // 20%; each batch doc probes the corpus band index and gets a
@@ -730,6 +749,12 @@ object LlmQueries {
     // global sort: per-shard windows + an nShards-row offset join
     "global_ids" -> ((s, d) =>
       CorpusOps.globalIds(docs(s, d), "doc_id", nShards = 64)),
+    // corpus op — curriculum ordering: global easy->hard training
+    // position (64-char length buckets, hash-shuffled within bucket)
+    // via the census+offset trick — a global sort with no global sort
+    "curriculum_order" -> ((s, d) =>
+      CorpusOps.curriculumOrder(docs(s, d), "doc_id",
+        expr("n_chars div 64"))),
     // corpus op — link-graph authority (the CommonCrawl-style domain
     // quality signal): integer PageRank, 3 synchronous steps, one
     // shuffle join per step; the link graph is synthesized
@@ -1824,6 +1849,42 @@ object LlmQueries {
          |SELECT id AS doc_id, comp AS canonical_id, id = comp AS kept
          |FROM l4""".stripMargin
     },
+    // yield replay: the SAME corpus-CC CTE chain as dedup_corpus, then
+    // the per-component fold and the size histogram, sums CAST from
+    // HUGEINT
+    "dedup_yield" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+           |  LEFT JOIN l${k - 1} n ON e.d = n.id
+           |  GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      >= 0.5),
+         |sym AS (SELECT ia AS s, ib AS d FROM pr
+         |        UNION ALL SELECT ib, ia FROM pr),
+         |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
+         |$rounds,
+         |cc AS (SELECT id AS doc_id, comp AS canonical_id,
+         |  id = comp AS kept FROM l4),
+         |tk AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |per AS (SELECT canonical_id, count(*) AS cluster_size,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS dd,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE n_tok END) AS BIGINT)
+         |    AS td
+         |  FROM cc JOIN tk USING (doc_id) GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(dd) AS BIGINT) AS docs_dropped,
+         |  CAST(sum(td) AS BIGINT) AS tokens_dropped
+         |FROM per GROUP BY 1""".stripMargin
+    },
     "simhash_pairs" -> simhashOracle(3),
     "embedding_pairs" ->
       s"""WITH $quantCte,
@@ -2494,6 +2555,17 @@ object LlmQueries {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY order_h, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+    // the global order is DEFINED as (bucket, order_h, doc_id), so one
+    // global row_number reproduces per-bucket rank + census offset
+    "curriculum_order" ->
+      s"""WITH h AS (SELECT doc_id, n_chars // 64 AS bucket,
+         |  ${sqlPolyHash("'curr:' || CAST(doc_id AS VARCHAR)")}
+         |    AS order_h
+         |  FROM documents)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(row_number() OVER (ORDER BY bucket, order_h, doc_id)
+         |    AS BIGINT) AS pos
          |FROM h""".stripMargin,
     // the global order is DEFINED as (shard, doc_id), so one global
     // row_number reproduces per-shard rank + offset exactly

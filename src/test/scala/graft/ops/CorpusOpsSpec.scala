@@ -213,4 +213,26 @@ class CorpusOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$plan")
   }
+
+  test("curriculumOrder: pos is a dense 1..N permutation, bucket-" +
+    "monotone, with no unpartitioned window in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 97L).map(i => (i, (i % 7) * 10)).toDF("id", "len")
+    val out = CorpusOps.curriculumOrder(docs, "id", col("len"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sorted.toSeq == (1L to 97L),
+      "dense global permutation")
+    // bucket never decreases along the position order
+    val byPos = rows.sortBy(_._3).map(_._2)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+      "easy buckets come first")
+    // the plan must not contain a global-order window
+    val unpart = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "no unpartitioned window")
+  }
 }
