@@ -96,4 +96,95 @@ object SetSimJoin {
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
           .as("jaccard"))
   }
+
+  /** The persisted EXACT-incremental artifact (the corpusBandIndex
+    * counterpart with a theorem instead of a probability): the corpus
+    * document-frequency table (the GLOBAL order every future delta
+    * must rank under), each corpus doc's prefix postings, and the
+    * corpus shingle sets for verification. In production all three
+    * are written once per corpus rebuild and read back; a daily delta
+    * probes them without ever re-pairing the corpus.
+    */
+  case class PrefixIndex(dfreq: DataFrame, postings: DataFrame,
+                         sets: DataFrame)
+
+  def prefixIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  tauNum: Int = 6, tauDen: Int = 10): PrefixIndex = {
+    val sets = corpus
+      .select(col(idCol).as("corpus_id"),
+        GraftFunctions.hashedWordShingles(col(textCol), 3).as("set_c"))
+      .where(size(col("set_c")) > 0)
+      .withColumn("n_c", size(col("set_c")))
+    val tok = sets.select(col("corpus_id"), col("n_c"),
+      explode(col("set_c")).as("sh"))
+    val dfreq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val postings = tok.join(dfreq, "sh")
+      .groupBy(col("corpus_id"), col("n_c"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh"))))
+        .as("ord"))
+      .select(col("corpus_id"), col("n_c"), explode(expr(
+        s"slice(ord, 1, size(ord) - " +
+          s"(($tauNum * size(ord) + $tauDen - 1) div $tauDen) + 1)"))
+        .as("o"))
+      .select(col("o.sh").as("sh"), col("corpus_id"), col("n_c"))
+    PrefixIndex(dfreq, postings, sets)
+  }
+
+  /** Exact delta-vs-corpus similarity join against the persisted
+    * prefix index: every (delta doc, corpus doc) pair with Jaccard >=
+    * tau — no false negatives, and the corpus is never re-paired.
+    * The delta ranks its shingles under the CORPUS global order with
+    * df = 0 for unseen shingles (rarest-possible; a shingle shared
+    * with any corpus doc has df >= 1 on both sides, so the
+    * smallest-common-shingle prefix theorem still binds — unseen
+    * shingles only push the delta's prefix cut outward, never drop a
+    * common shingle below it). Delta-side frames broadcast (the
+    * incrementalDedupWithIndex precedent: the delta is the small
+    * side); candidate volume is bounded by the corpus's PREFIX
+    * postings, which rarest-first ordering keeps skew-free.
+    */
+  def probeDelta(delta: DataFrame, index: PrefixIndex, idCol: String,
+                 textCol: String, tauNum: Int = 6,
+                 tauDen: Int = 10): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen)
+    val dSets = delta
+      .select(col(idCol).as("delta_id"),
+        GraftFunctions.hashedWordShingles(col(textCol), 3).as("set_d"))
+      .where(size(col("set_d")) > 0)
+      .withColumn("n_d", size(col("set_d")))
+    val dPrefix = dSets
+      .select(col("delta_id"), col("n_d"), explode(col("set_d")).as("sh"))
+      .join(index.dfreq, Seq("sh"), "left")
+      .groupBy(col("delta_id"), col("n_d"))
+      .agg(sort_array(collect_list(
+        struct(coalesce(col("df"), lit(0L)).as("df"), col("sh"))))
+        .as("ord"))
+      .select(col("delta_id"), col("n_d"), explode(expr(
+        s"slice(ord, 1, size(ord) - " +
+          s"(($tauNum * size(ord) + $tauDen - 1) div $tauDen) + 1)"))
+        .as("o"))
+      .select(col("delta_id"), col("n_d"), col("o.sh").as("sh"))
+    val cand = index.postings
+      .join(broadcast(dPrefix), Seq("sh"))
+      .where(col("n_d") * tauNum <= col("n_c") * tauDen &&
+        col("n_c") * tauNum <= col("n_d") * tauDen)
+      .select(col("delta_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(broadcast(dSets), Seq("delta_id"))
+      .join(index.sets, Seq("corpus_id"))
+      .select(col("delta_id"), col("corpus_id"),
+        GraftFunctions.sortedIntersectCount(col("set_d"), col("set_c"))
+          .as("inter"),
+        col("n_d"), col("n_c"))
+      .where(col("inter") * tauDen >=
+        (col("n_d") + col("n_c") - col("inter")) * tauNum)
+      .select(col("delta_id"), col("corpus_id"),
+        col("inter").cast(LongType).as("inter"),
+        col("n_d").cast(LongType).as("n_d"),
+        col("n_c").cast(LongType).as("n_c"),
+        (col("inter").cast(DoubleType) /
+          (col("n_d") + col("n_c") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+  }
 }

@@ -850,6 +850,34 @@ object LlmQueries {
     // negatives, no all-pairs stage (rarest-first prefix buckets)
     "setsim_join" -> ((s, d) =>
       graft.ops.SetSimJoin.jaccardJoin(docs(s, d), "doc_id", "text")),
+    // N2 — EXACT incremental similarity: the daily delta probes the
+    // persisted corpus prefix index (df table = the frozen global
+    // order, prefix postings, shingle sets) and gets every qualifying
+    // pair BY THEOREM, the corpus never re-paired — the exact
+    // counterpart of dedup_incremental's banded probe
+    "setsim_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val idx = graft.ops.SetSimJoin.prefixIndex(
+        dd.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.ops.SetSimJoin.probeDelta(
+        dd.filter(col("doc_id") % 5 === 0), idx, "doc_id", "text")
+    }),
+    // N2 — the EXACT in-flight near-dup gate (streaming twin of the
+    // prefix-index probe, batch-replayed): per held-out doc, verdict
+    // row with n_matches/best match/keep — DedupStream's contract
+    // with the prefix-filter theorem instead of banding probability
+    "setsim_probe_stream" -> ((s, d) => {
+      val dd = docs(s, d)
+        .withColumn("ts", timestamp_seconds(col("doc_id") * 60))
+      val idx = graft.ops.SetSimJoin.prefixIndex(
+        dd.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.streaming.SetSimStream.exactProbeStream(
+          dd.filter(col("doc_id") % 5 === 0), idx,
+          "doc_id", "text", "ts", windowDur = "1 hour")
+        .select(col("window.start").as("w_start"), col("doc_id"),
+          col("n_matches"), col("best_match_id"), col("best_jaccard"),
+          col("keep"))
+    }),
     // N2 — MEASURED recall of the banded MinHash join against the
     // exact prefix-filtered join at the same threshold and the same
     // hashed shingle sets: the cross-validation row that ties the
@@ -3308,6 +3336,76 @@ object LlmQueries {
         |  GROUP BY 1)
         |SELECT checkpoint_docs, vocab_size, total_tokens
         |FROM v JOIN tt USING (checkpoint_docs)""".stripMargin,
+    // brute-force delta-vs-corpus replay over the same lossless
+    // shared-shingle pre-filter
+    "setsim_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+        |  FROM t WHERE len(w) >= 3),
+        |dd AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+        |cc AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+        |e1 AS (SELECT doc_id, unnest(ts) AS sh FROM dd),
+        |e2 AS (SELECT doc_id, unnest(ts) AS sh FROM cc),
+        |cand AS (SELECT DISTINCT a.doc_id AS delta_id,
+        |    b.doc_id AS corpus_id
+        |  FROM e1 a JOIN e2 b ON a.sh = b.sh),
+        |v AS (SELECT delta_id, corpus_id,
+        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
+        |    len(sa.ts) AS n_d, len(sb.ts) AS n_c
+        |  FROM cand
+        |  JOIN dd sa ON sa.doc_id = cand.delta_id
+        |  JOIN cc sb ON sb.doc_id = cand.corpus_id)
+        |SELECT delta_id, corpus_id, CAST(inter AS BIGINT) AS inter,
+        |  CAST(n_d AS BIGINT) AS n_d, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(inter AS DOUBLE) / CAST(n_d + n_c - inter AS DOUBLE)
+        |    AS jaccard
+        |FROM v WHERE inter * 10 >= 6 * (n_d + n_c - inter)""".stripMargin,
+    // verdict replay over the same brute-force delta-vs-corpus pairs:
+    // count + (jaccard desc, id) best + keep, window start from the
+    // synthetic ts; only docs with >= 1 shingle carry a verdict
+    "setsim_probe_stream" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+        |  FROM t WHERE len(w) >= 3),
+        |dd AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+        |cc AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+        |e1 AS (SELECT doc_id, unnest(ts) AS sh FROM dd),
+        |e2 AS (SELECT doc_id, unnest(ts) AS sh FROM cc),
+        |cand AS (SELECT DISTINCT a.doc_id AS delta_id,
+        |    b.doc_id AS corpus_id
+        |  FROM e1 a JOIN e2 b ON a.sh = b.sh),
+        |v AS (SELECT delta_id, corpus_id,
+        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
+        |    len(sa.ts) AS n_d, len(sb.ts) AS n_c
+        |  FROM cand
+        |  JOIN dd sa ON sa.doc_id = cand.delta_id
+        |  JOIN cc sb ON sb.doc_id = cand.corpus_id),
+        |p AS (SELECT delta_id, corpus_id,
+        |    CAST(inter AS DOUBLE) / CAST(n_d + n_c - inter AS DOUBLE)
+        |      AS jaccard
+        |  FROM v WHERE inter * 10 >= 6 * (n_d + n_c - inter)),
+        |cnt AS (SELECT delta_id, count(*) AS n_matches FROM p
+        |  GROUP BY 1),
+        |best AS (SELECT delta_id, corpus_id AS best_match_id,
+        |    jaccard AS best_jaccard,
+        |    row_number() OVER (PARTITION BY delta_id
+        |      ORDER BY jaccard DESC, corpus_id) AS rk FROM p)
+        |SELECT make_timestamp((d.doc_id*60)//3600*3600*1000000)
+        |    AS w_start,
+        |  d.doc_id,
+        |  CAST(coalesce(cnt.n_matches, 0) AS BIGINT) AS n_matches,
+        |  best.best_match_id, best.best_jaccard,
+        |  coalesce(cnt.n_matches, 0) = 0 AS keep
+        |FROM (SELECT doc_id FROM dd) d
+        |LEFT JOIN cnt ON d.doc_id = cnt.delta_id
+        |LEFT JOIN best ON d.doc_id = best.delta_id AND best.rk = 1"""
+        .stripMargin,
     // the recall-gate oracle shape: exact pair count recomputed from
     // scratch, recall_ok asserted true (a Spark-side gate failure
     // hash-mismatches the row)

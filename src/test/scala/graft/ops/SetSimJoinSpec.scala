@@ -51,6 +51,47 @@ class SetSimJoinSpec extends SparkSuite {
       a == 3L && b == 4L && i == na && i == nb })
   }
 
+  test("probeDelta equals brute-force delta-vs-corpus, including " +
+    "docs whose unseen shingles reorder the prefix") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different sentence about spark engines here"),
+      (3L, "one two three four five six seven eight nine ten"))
+    // 10: near-dup of corpus 1 with UNSEEN leading shingles (df=0
+    // sorts first — the prefix must still catch the common ones);
+    // 11: exact copy of corpus 3; 12: unrelated; 13: too short
+    val delta = Seq(
+      (10L, "zz qq the quick brown fox jumps over the lazy dog today"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (12L, "nothing here overlaps with anything in the corpus set"),
+      (13L, "so short"))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val want = (for {
+      (a, ta) <- delta; (b, tb) <- corpus
+      sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      if inter * 10 >= 6 * (sa.size + sb.size - inter)
+    } yield (a, b, inter, sa.size, sb.size)).toSet
+    val idx = SetSimJoin.prefixIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = SetSimJoin.probeDelta(delta.toDF("doc_id", "text"),
+        idx, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4).toInt))
+      .toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.exists(_._1 == 10L),
+      "the unseen-shingle near-dup must be a real case")
+    assert(want.exists(_._1 == 11L))
+  }
+
   test("tau=1 keeps only identical sets") {
     val s = spark
     import s.implicits._
