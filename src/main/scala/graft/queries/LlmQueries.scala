@@ -448,6 +448,35 @@ object LlmQueries {
     // neighbors sit at cosine ~0.3-0.4 where 8-bit sign-LSH recall is
     // bounded by construction (see Similarity.lshTopK scaladoc and
     // LshRecallSpec) — ivfTopK is the scale path for such corpora.
+    // N3 — Matryoshka truncation evaluation: recall@5 of exact top-k
+    // over the FIRST 16/32/48 dims vs the full 64 — the
+    // dimension-truncation study that decides what an ANN tier can
+    // serve (MRL serving trades dims for memory); a MEASUREMENT row
+    // (exact integer dot chains at every width), not a gate — the
+    // fixture's random embeddings have no matryoshka structure, so
+    // the numbers are the honest baseline a trained-MRL model beats
+    "mrl_eval" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(16, 32, 48).map { dim =>
+        val eT = e.withColumn("embedding",
+          expr(s"slice(embedding, 1, $dim)"))
+        val approx = Similarity.bruteForceTopK(eT,
+            eT.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        exact.join(broadcast(approx),
+            col("query_id") === col("aq") &&
+              col("neighbor_id") === col("an"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
+          .select(lit(dim.toLong).as("dim"), col("n_exact"),
+            col("n_hit"),
+            (col("n_hit").cast(DoubleType) /
+              col("n_exact").cast(DoubleType)).as("recall"))
+      }.reduce(_ unionAll _)
+    }),
     "lsh_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 50)
@@ -2017,6 +2046,42 @@ object LlmQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     "ivf_recall" -> recallGateOracle,
+    // full replay at every width: quantized slices (round-then-slice
+    // == slice-then-round, the transform is per-element), the same
+    // (cosine DESC, neighbor_id) rank, hit counts by pair join
+    "mrl_eval" -> {
+      def dimCtes(dm: String, slice: String) =
+        s"""q$dm AS (SELECT vec_id, list_transform($slice,
+           |  x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |n$dm AS (SELECT vec_id, qv,
+           |  list_sum(list_transform(qv, x -> x*x)) AS nn FROM q$dm),
+           |s$dm AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           |  CAST(list_sum(list_transform(range(1, len(a.qv)+1),
+           |    i -> a.qv[i]*b.qv[i])) AS DOUBLE)
+           |    / sqrt(CAST(a.nn AS DOUBLE)*CAST(b.nn AS DOUBLE)) AS cosine
+           |  FROM n$dm a JOIN (SELECT * FROM n$dm WHERE vec_id < 50) b
+           |    ON a.vec_id <> b.vec_id),
+           |r$dm AS (SELECT query_id, neighbor_id FROM
+           |  (SELECT query_id, neighbor_id, row_number() OVER
+           |    (PARTITION BY query_id
+           |     ORDER BY cosine DESC, neighbor_id) AS rk FROM s$dm)
+           |  WHERE rk <= 5)""".stripMargin
+      def row(dm: Int) =
+        s"""SELECT CAST($dm AS BIGINT) AS dim,
+           |  (SELECT count(*) FROM rf) AS n_exact,
+           |  (SELECT count(*) FROM rf JOIN r$dm
+           |     USING (query_id, neighbor_id)) AS n_hit,
+           |  CAST((SELECT count(*) FROM rf JOIN r$dm
+           |     USING (query_id, neighbor_id)) AS DOUBLE)
+           |    / CAST((SELECT count(*) FROM rf) AS DOUBLE)
+           |    AS recall""".stripMargin
+      s"""WITH ${dimCtes("f", "embedding")},
+         |${Seq(16, 32, 48).map(dm =>
+             dimCtes(dm.toString, s"embedding[1:$dm]")).mkString(",\n")}
+         |${Seq(16, 32, 48).map(row).mkString("\nUNION ALL\n")}"""
+        .stripMargin
+    },
     "lsh_recall" -> recallGateOracle,
     "pq_recall" -> recallGateOracle,
     "ivfpq_recall" -> recallGateOracle,
