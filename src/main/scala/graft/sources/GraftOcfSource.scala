@@ -57,7 +57,18 @@ class GraftOcfSource extends TableProvider with DataSourceRegister {
 }
 
 class OcfTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  /** `_container` / `_pos` (the Iceberg `_file`/`_pos` role): hidden
+    * lineage columns a scan can select to tie any record back to its
+    * container file and position — per-file reprocessing, corruption
+    * triage, sampling by file. Served by the reader from state it
+    * already tracks (the file path and the block-skip cursor), so
+    * selecting them costs nothing extra.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    OcfFormat.metadataColumns
   /** One or many store directories: `load(dir)` arrives as `path`,
     * `load(dirA, dirB, ...)` as a JSON-array `paths` option (Spark's
     * DataSourceV2Utils convention) — the multi-store read is the
@@ -1023,11 +1034,26 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
       // a PRUNED reader schema: Avro schema resolution skips writer
       // fields absent from it during decode — unused key/value byte
       // blobs are seeked over, never allocated
+      private val dataSchema = OcfFormat.dataFields(required)
       private val stream = new DataFileStream[GenericRecord](
         path.getFileSystem(conf.value).open(path),
         new GenericDatumReader[GenericRecord](null: org.apache.avro.Schema,
-          OcfFormat.prunedAvroSchema(required)))
-      private val toRow = OcfFormat.rowExtractor(required)
+          OcfFormat.prunedAvroSchema(dataSchema)))
+      private val toRow = OcfFormat.rowExtractor(dataSchema)
+      // metadata-column plan: -1 = _container, -2 = _pos, else the
+      // ordinal into the data row; resolved once per reader
+      private val metaPlan: Array[Int] = {
+        var di = -1
+        required.fields.map(_.name match {
+          case OcfFormat.ContainerCol => -1
+          case OcfFormat.PosCol => -2
+          case _ => di += 1; di
+        })
+      }
+      private val hasMeta = metaPlan.exists(_ < 0)
+      private val containerName =
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(path.getName)
       private var skipped = 0L
       private var decoded = 0L
       // skip to the range start by BLOCK headers (no record decode)
@@ -1053,7 +1079,23 @@ case class OcfReaderFactory(conf: SerializableConfiguration,
         if (idx < r.end && stream.hasNext) {
           current = stream.next(); idx += 1; decoded += 1; true
         } else false
-      override def get(): InternalRow = toRow(current)
+      override def get(): InternalRow =
+        if (!hasMeta) toRow(current)
+        else {
+          val dr = toRow(current)
+          val vals = new Array[Any](required.length)
+          var i = 0
+          while (i < metaPlan.length) {
+            vals(i) = metaPlan(i) match {
+              case -1 => containerName
+              case -2 => idx - 1 // idx already advanced past current
+              case j => dr.get(j, dataSchema(j).dataType)
+            }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
+        }
       override def close(): Unit = stream.close()
       override def currentMetricsValues()
           : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =

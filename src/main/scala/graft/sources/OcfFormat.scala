@@ -5,7 +5,8 @@ import java.nio.ByteBuffer
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.engine.KafkaShape
@@ -37,6 +38,37 @@ object OcfFormat {
       |{"name":"timestamp_type","type":"int"}]}""".stripMargin)
 
   val sparkSchema = KafkaShape.schema
+
+  /** DSv2 metadata columns (the Iceberg `_file` role): `_container` =
+    * the container file serving the record, `_pos` = the record's
+    * 0-based position within it. Hidden unless selected; the lineage
+    * handle for debugging a bad record back to its file and for
+    * file-granular reprocessing.
+    */
+  val ContainerCol = "_container"
+  val PosCol = "_pos"
+  val metaNames: Set[String] = Set(ContainerCol, PosCol)
+  val metadataColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = ContainerCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "container file name serving this record"
+    },
+    new MetadataColumn {
+      override def name(): String = PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "0-based record position within its container"
+    })
+
+  /** `required` minus the metadata columns — what the Avro decode and
+    * the row extractor actually resolve against the writer schema.
+    */
+  def dataFields(required: StructType): StructType =
+    StructType(required.fields.filterNot(f => metaNames(f.name)))
 
   def toRecord(row: InternalRow): GenericRecord = {
     val r = new GenericData.Record(schema)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.avro.file.DataFileWriter
+import org.apache.avro.file.{CodecFactory, DataFileWriter}
 import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.util.SerializableConfiguration
@@ -69,6 +69,16 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
   // gate collects them — the time-travel retention window
   private val keepRetired =
     "true".equalsIgnoreCase(info.options.get("keepRetired"))
+  // codec=null|deflate|snappy|zstandard[:level] — Avro OCF container
+  // compression. At 100 TB the payload bytes dominate storage and
+  // scan I/O; the codec rides the container header, so readers (and
+  // the block-skip seek) need no option at all. Validated HERE so a
+  // typo fails the job at planning, not per task.
+  private val codec: String = {
+    val c = Option(info.options.get("codec")).getOrElse("null")
+    OcfCodec.validate(c)
+    c
+  }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
@@ -96,7 +106,7 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new OcfBatchWrite(dir, doTruncate, info.queryId(),
         new SerializableConfiguration(OcfStore.driverConf()),
-        expectedContainers, keyBloomBits, keepRetired)
+        expectedContainers, keyBloomBits, keepRetired, codec)
 
     /** S8/S9 — the streaming ingestion sink the reference IS: a
       * Structured Streaming epoch writes one generation of containers
@@ -122,7 +132,8 @@ class OcfWriteBuilder(dir: String, info: LogicalWriteInfo)
       if (doTruncate) throw new UnsupportedOperationException(
         "graft-ocf streaming sink supports Append output mode only")
       new OcfStreamingWrite(dir, info.queryId(),
-        new SerializableConfiguration(OcfStore.driverConf()), keyBloomBits)
+        new SerializableConfiguration(OcfStore.driverConf()), keyBloomBits,
+        codec)
     }
   }
 }
@@ -135,11 +146,12 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
                     conf: SerializableConfiguration,
                     expectedContainers: Option[Set[String]] = None,
                     keyBloomBits: Int = 0,
-                    keepRetired: Boolean = false)
+                    keepRetired: Boolean = false,
+                    codec: String = "null")
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    OcfWriterFactory(dir, queryId, conf, keyBloomBits)
+    OcfWriterFactory(dir, queryId, conf, keyBloomBits, codec)
 
   // Hadoop FileSystem signals most failures by RETURNING FALSE, not
   // throwing — an unchecked rename would report job success while a
@@ -258,12 +270,13 @@ class OcfBatchWrite(dir: String, truncate: Boolean, queryId: String,
   */
 class OcfStreamingWrite(dir: String, queryId: String,
                         conf: SerializableConfiguration,
-                        keyBloomBits: Int = 0)
+                        keyBloomBits: Int = 0,
+                        codec: String = "null")
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = OcfStreamingWriterFactory(dir,
-    queryId, conf, keyBloomBits)
+    queryId, conf, keyBloomBits, codec)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -351,29 +364,57 @@ class OcfStreamingWrite(dir: String, queryId: String,
 
 case class OcfStreamingWriterFactory(dir: String, queryId: String,
                                      conf: SerializableConfiguration,
-                                     keyBloomBits: Int = 0)
+                                     keyBloomBits: Int = 0,
+                                     codec: String = "null")
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new OcfDataWriter(
       s"$dir/.part-$queryId-$partitionId-$taskId-e$epochId.ocf.tmp",
       f"$dir/part-$queryId-$partitionId%05d-e$epochId.ocf", conf,
-      keyBloomBits)
+      keyBloomBits, codec)
 }
 
 case class OcfWriterFactory(dir: String, queryId: String,
                             conf: SerializableConfiguration,
-                            keyBloomBits: Int = 0)
+                            keyBloomBits: Int = 0,
+                            codec: String = "null")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new OcfDataWriter(
     s"$dir/.part-$queryId-$partitionId-$taskId.ocf.tmp",
-    f"$dir/part-$queryId-$partitionId%05d.ocf", conf, keyBloomBits)
+    f"$dir/part-$queryId-$partitionId%05d.ocf", conf, keyBloomBits,
+    codec)
+}
+
+/** Codec names accepted by the `codec` writer option — resolved via
+  * Avro's own CodecFactory so the accepted set is exactly what the
+  * runtime can decode; `zstandard:<level>` picks a level. The codec
+  * lives in the container header: readers, the block-count fallback,
+  * and the ts-index block-skip seek all work unchanged on compressed
+  * stores (Avro sync markers sit between compressed blocks).
+  */
+object OcfCodec {
+  def forName(name: String): CodecFactory = name.toLowerCase match {
+    case "null" | "" => CodecFactory.nullCodec()
+    case "deflate" => CodecFactory.deflateCodec(
+      CodecFactory.DEFAULT_DEFLATE_LEVEL)
+    case "snappy" => CodecFactory.snappyCodec()
+    case "zstandard" => CodecFactory.zstandardCodec(
+      CodecFactory.DEFAULT_ZSTANDARD_LEVEL)
+    case z if z.startsWith("zstandard:") =>
+      CodecFactory.zstandardCodec(z.stripPrefix("zstandard:").toInt)
+    case other => throw new IllegalArgumentException(
+      s"graft-ocf: unknown codec '$other' " +
+        "(null|deflate|snappy|zstandard[:level])")
+  }
+  def validate(name: String): Unit = forName(name)
 }
 
 class OcfDataWriter(temp: String, dest: String,
                     conf: SerializableConfiguration,
-                    keyBloomBits: Int = 0)
+                    keyBloomBits: Int = 0,
+                    codec: String = "null")
     extends DataWriter[InternalRow] {
     private var writer: DataFileWriter[GenericRecord] = _
     // running file stats for the commit-time manifest (count +
@@ -403,6 +444,7 @@ class OcfDataWriter(temp: String, dest: String,
         fs.mkdirs(p.getParent)
         writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](OcfFormat.schema))
+        writer.setCodec(OcfCodec.forName(codec))
         writer.create(OcfFormat.schema, fs.create(p, true))
       }
       writer.append(OcfFormat.toRecord(row))
