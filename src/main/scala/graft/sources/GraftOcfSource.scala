@@ -728,7 +728,8 @@ case class OcfFileStats(file: String, count: Long,
                         minTsUs: Long, maxTsUs: Long,
                         partitions: Seq[Int],
                         tsIdx: Seq[OcfTsIdxEntry] = Seq.empty,
-                        keyBloom: Option[OcfKeyBloom] = None) {
+                        keyBloom: Option[OcfKeyBloom] = None,
+                        codec: Option[String] = None) {
   def toJson: String =
     s"""{"file":"$file","count":$count,"minOffset":$minOffset,""" +
       s""""maxOffset":$maxOffset,"minTsUs":$minTsUs,"maxTsUs":$maxTsUs,""" +
@@ -737,6 +738,7 @@ case class OcfFileStats(file: String, count: Long,
        else s""","tsIdx":[${tsIdx.map(e =>
          s"[${e.endCount},${e.maxTsUs},${e.nextPos}]").mkString(",")}]""") +
       keyBloom.map(kb => s""","keyBloom":${kb.toJson}""").getOrElse("") +
+      codec.map(c => s""","codec":"$c"""").getOrElse("") +
       "}"
 }
 
@@ -880,7 +882,10 @@ object OcfFileStats {
           else Seq.empty,
           // optional (pre-r10 manifests lack it): key Bloom filter
           if (n.has("keyBloom")) OcfKeyBloom.fromJson(n.get("keyBloom"))
-          else None))
+          else None,
+          // optional (pre-r11 manifests lack it): container codec —
+          // metadata-only storage-efficiency signal for advise()
+          if (n.has("codec")) Some(n.get("codec").asText()) else None))
       else None // unknown manifest line: ignore (forward-compat)
     } catch { case scala.util.control.NonFatal(_) => None }
 }

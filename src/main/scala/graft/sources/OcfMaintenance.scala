@@ -396,6 +396,18 @@ object OcfMaintenance {
           "no container carries a key Bloom: key-equality scans open " +
             "every container (write with keyBloomBits to enable " +
             "point-lookup skipping)"))
+      // metadata-only (the codec rides the manifest, never a container
+      // open): uncompressed manifested containers above 1 MiB total
+      val plain = stats.filter(_.codec.forall(_ == "null"))
+      val plainBytes = containers
+        .filter(st => plain.exists(_.file == st.getPath.getName))
+        .map(_.getLen).sum
+      if (stats.nonEmpty && plain.size * 2 > stats.size &&
+          plainBytes > (1L << 20))
+        out += (("codec", "info", plainBytes,
+          s"${plain.size} of ${stats.size} manifested containers are " +
+            "uncompressed: rewrite (compact) with codec=zstandard to " +
+            "cut storage and scan I/O"))
     }
     out.toSeq.toDF("rule", "severity", "metric", "detail")
   }

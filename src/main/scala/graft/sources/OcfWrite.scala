@@ -474,7 +474,8 @@ class OcfDataWriter(temp: String, dest: String,
         OcfCommit(temp, dest, Some(OcfFileStats(
           new Path(dest).getName, count, minOff, maxOff, minTs, maxTs,
           parts.toSeq, tsIdx.toSeq,
-          Option(keyBloom).map(_.result()))))
+          Option(keyBloom).map(_.result()),
+          Some(codec))))
       }
 
     override def abort(): Unit = {

@@ -64,6 +64,21 @@ class OcfCodecSpec extends SparkSuite {
     assert(counts.values.sum == 1000)
   }
 
+  test("advise fires the codec rule on uncompressed stores and stays " +
+    "quiet on compressed ones (manifest-only, no container opened)") {
+    val plain = tmpDir("ocf_codec_advise_plain")
+    kafkaDf(4000).write.format("graft-ocf").mode("overwrite").save(plain)
+    val r1 = OcfMaintenance.advise(spark, plain).collect()
+      .map(_.getString(0)).toSet
+    assert(r1.contains("codec"), s"got $r1")
+    val z = tmpDir("ocf_codec_advise_z")
+    kafkaDf(4000).write.format("graft-ocf")
+      .option("codec", "zstandard").mode("overwrite").save(z)
+    val r2 = OcfMaintenance.advise(spark, z).collect()
+      .map(_.getString(0)).toSet
+    assert(!r2.contains("codec"), s"got $r2")
+  }
+
   test("unknown codec fails at planning") {
     val dir = tmpDir("ocf_codec_bad")
     val e = intercept[IllegalArgumentException] {
