@@ -92,6 +92,33 @@ class SetSimJoinSpec extends SparkSuite {
     assert(want.exists(_._1 == 11L))
   }
 
+  test("property: prefix-filtered join equals brute force over random " +
+    "small-vocabulary corpora (the worst case for bucket skew)") {
+    val s = spark
+    import s.implicits._
+    // small vocabulary -> heavy shingle sharing -> the prefix filter
+    // earns its keep or silently loses pairs; seeded for replay
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 3) {
+      val rows = (0L until 40L).map { i =>
+        val n = 3 + rnd.nextInt(10)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      for ((num, den) <- Seq((4, 10), (6, 10), (9, 10))) {
+        val got = SetSimJoin.jaccardJoin(rows.toDF("doc_id", "text"),
+            "doc_id", "text", num, den)
+          .select(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = bruteForce(rows, num, den)
+          .map(t => (t._1, t._2))
+        assert(got == want,
+          s"trial=$trial tau=$num/$den: missing=${want -- got} " +
+            s"extra=${got -- want}")
+      }
+    }
+  }
+
   test("tau=1 keeps only identical sets") {
     val s = spark
     import s.implicits._
