@@ -127,6 +127,39 @@ class OcfTimeTravelSpec extends SparkSuite {
       "the post-retention snapshot excludes expired containers")
   }
 
+  test("streaming epochs log snapshots: timestampAsOf pins to any " +
+    "committed epoch boundary") {
+    val dir = tmpDir("ocf_tt_epochs")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    def rows(from: Int, until: Int) = (from until until).map { i =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        null, s"v$i".getBytes("UTF-8"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("events"),
+        i % 4, i.toLong, 1767261600000000L + i * 1000000L, 0)
+    }
+    def epoch(sw: OcfStreamingWrite, id: Long, from: Int,
+              until: Int): Unit = {
+      val w = OcfStreamingWriterFactory(dir, "qtt", conf)
+        .createWriter(0, 0L, id)
+      rows(from, until).foreach(w.write)
+      val msg = w.commit(); w.close()
+      sw.commit(id, Array(msg))
+    }
+    val sw = new OcfStreamingWrite(dir, "qtt", conf)
+    epoch(sw, 0L, 0, 30)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(25)
+    epoch(sw, 1L, 30, 70)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    epoch(sw, 2L, 70, 100)
+    assert(readAsOf(dir, t0).count() == 30,
+      "as-of epoch 0's commit sees only epoch 0")
+    assert(readAsOf(dir, t1).count() == 70)
+    assert(spark.read.format("graft-ocf").load(dir).count() == 100)
+  }
+
   test("timestampAsOf is batch-only and excludes the ts-slice options") {
     val dir = tmpDir("ocf_tt_guard")
     kafkaDf(0, 10).write.format("graft-ocf").mode("overwrite").save(dir)
