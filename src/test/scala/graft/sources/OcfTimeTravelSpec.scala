@@ -127,6 +127,23 @@ class OcfTimeTravelSpec extends SparkSuite {
       "the post-retention snapshot excludes expired containers")
   }
 
+  test("timestampAsOf composes with multi-store reads: each store " +
+    "resolves its own snapshot") {
+    val a = tmpDir("ocf_tt_multi_a")
+    val b = tmpDir("ocf_tt_multi_b")
+    kafkaDf(0, 40).write.format("graft-ocf").mode("overwrite").save(a)
+    kafkaDf(100, 130).write.format("graft-ocf").mode("overwrite").save(b)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    kafkaDf(40, 60).write.format("graft-ocf").mode("append").save(a)
+    val got = spark.read.format("graft-ocf")
+      .option("timestampAsOf", t1.toString).load(a, b)
+      .select("offset").collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 40L) ++ (100L until 130L)).toSet,
+      "each store pinned to its own t1 snapshot")
+    assert(spark.read.format("graft-ocf").load(a, b).count() == 90)
+  }
+
   test("streaming epochs log snapshots: timestampAsOf pins to any " +
     "committed epoch boundary") {
     val dir = tmpDir("ocf_tt_epochs")
