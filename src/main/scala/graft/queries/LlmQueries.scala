@@ -1054,6 +1054,17 @@ object LlmQueries {
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
+    // N6 — streaming sessionizer (flatMapGroupsWithState: event-driven
+    // closes + watermark-timeout closes), batch-replayed: end-of-input
+    // closes every open session, so the row shares sessionize's
+    // session set minus the per-user ordinal
+    "sessionize_stream" -> ((s, d) =>
+      graft.streaming.SessionStream.sessionStream(
+          Tables.events(s, d), gapSeconds = 1800)
+        .select(col("user_id"),
+          timestamp_micros(col("sess_start_us")).as("sess_start"),
+          timestamp_micros(col("sess_end_us")).as("sess_end"),
+          col("n_events"))),
     // N6 — capacity gauge over the same session assignment: peak
     // concurrent sessions per day. Two-level sweep line — boundaries
     // pre-aggregated to minute-grain net deltas so the global running
@@ -2985,6 +2996,23 @@ object LlmQueries {
         |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // same session-assignment CTE; the streaming twin carries no
+    // per-user ordinal, so the ordinal groups but is not selected
+    "sessionize_stream" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM f)
+        |SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
     // same session-assignment CTE; distinct (session, type) baskets,
     // identical one-division ratio chain
     "session_assoc" ->
