@@ -352,6 +352,43 @@ object CorpusOps {
     * skew (sequential ids, hot ranges) — partition sizes are governed
     * by the hash, not the id distribution.
     */
+  /** Cluster-aware train/val/test split: near-duplicate documents must
+    * land in the SAME split, or held-out eval leaks into training
+    * through paraphrases that an exact-content split
+    * ([[graft.ops.TextOps.splitAssign]]'s contract) cannot see. The
+    * split key is therefore the near-dup COMPONENT (the
+    * [[graft.ops.Dedup.dedupCorpus]] connected component over banded
+    * MinHash pairs), assigned 8/1/1 by `canonical_id % 10` — so a
+    * cluster moves between splits only if its canonical member
+    * changes, and no near-dup pair can ever straddle a split boundary
+    * (leakage-freedom is BY CONSTRUCTION: both endpoints of every
+    * qualifying pair share a component; asserted over the real
+    * corpus in CorpusOpsSpec).
+    *
+    * Output: per split, cluster/doc/token counts — the dataset-card
+    * row that proves the split respected near-dup structure.
+    *
+    * Scale shape: the CC dominates (banded signature join + bounded
+    * min-label propagation — dedup_corpus's cost, inherited not
+    * added); the split report itself is one doc_id join and one
+    * 3-group aggregate, both map-side combinable.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val cc = Dedup.dedupCorpus(docs, idCol, textCol, threshold)
+    val tk = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast(LongType).as("n_tok"))
+    val bucket = pmod(col("canonical_id"), lit(10L))
+    cc.join(tk, Seq("doc_id"))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket < 9, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("canonical_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+  }
+
   def globalIds(docs: DataFrame, idCol: String,
                 nShards: Int = 64): DataFrame = {
     val spark = docs.sparkSession

@@ -84,6 +84,74 @@ object FuzzyJoin {
         levenshtein(col("tok_a"), col("tok_b")).cast(LongType).as("dist"))
   }
 
+  /** Record linkage (entity resolution) over a records table: find
+    * record pairs whose NAME is within `maxDist` edits, restricted to
+    * the same BLOCK, scored by how many auxiliary fields agree — the
+    * Fellegi–Sunter blocking+scoring shape with deterministic integer
+    * weights (score = (maxDist − dist) + #agreements), the
+    * "are these two rows the same entity" pass of any master-data /
+    * customer-dedup pipeline.
+    *
+    * Scale shape: the candidate join is FastSS signatures KEYED BY
+    * (block, signature) — blocking is part of the join key, so bucket
+    * width is bounded by within-block name-neighborhoods, never the
+    * corpus; equal-name pairs (dist 0, which the strict-inequality
+    * signature stage excludes) come from one exact equi-join on
+    * (block, name). One levenshtein verify per distinct candidate
+    * pair; agreement fields join back by record id at candidate
+    * volume, not table volume. No all-pairs stage anywhere — the
+    * within-block quadratic lives only in the DuckDB oracle.
+    *
+    * Output: (id_a, id_b, block, dist, n_agree, score) with
+    * id_a < id_b regardless of name order.
+    */
+  def linkRecords(records: DataFrame, idCol: String, nameCol: String,
+                  blockCol: String, agreeCols: Seq[String],
+                  maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "FastSS here supports k in {1,2}")
+    val base = records.select(
+      (col(idCol).as("rid") +: col(nameCol).as("nm") +:
+        col(blockCol).as("blk") +: agreeCols.map(col)): _*)
+    val sig = base.select(col("rid"), col("nm"), col("blk"),
+      explode(deletionSignatures("nm", maxDist)).as("sig"))
+    val fa = sig.select(col("blk"), col("sig"), col("rid").as("rid_a"),
+      col("nm").as("nm_a"))
+    val fb = sig.select(col("blk"), col("sig"), col("rid").as("rid_b"),
+      col("nm").as("nm_b"))
+    val fuzzy = fa.join(fb, Seq("blk", "sig"))
+      .where(col("nm_a") < col("nm_b"))
+      // collapse multi-witness candidates before the verify (same
+      // discipline as editDistancePairs)
+      .select(col("blk"), col("rid_a"), col("nm_a"), col("rid_b"),
+        col("nm_b")).distinct()
+      .where(levenshtein(col("nm_a"), col("nm_b")) <= maxDist)
+    val ea = base.select(col("blk"), col("nm"), col("rid").as("rid_a"))
+    val eb = base.select(col("blk"), col("nm"), col("rid").as("rid_b"))
+    val equal = ea.join(eb, Seq("blk", "nm"))
+      .where(col("rid_a") < col("rid_b"))
+      .select(col("blk"), col("rid_a"), col("nm").as("nm_a"),
+        col("rid_b"), col("nm").as("nm_b"))
+    val aga = base.select(
+      (col("rid").as("rid_a") +:
+        agreeCols.map(c => col(c).as(s"${c}_a"))): _*)
+    val agb = base.select(
+      (col("rid").as("rid_b") +:
+        agreeCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val nAgree = agreeCols
+      .map(c => when(col(s"${c}_a") === col(s"${c}_b"), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    fuzzy.unionByName(equal)
+      .join(aga, Seq("rid_a")).join(agb, Seq("rid_b"))
+      .withColumn("dist",
+        levenshtein(col("nm_a"), col("nm_b")).cast(LongType))
+      .withColumn("n_agree", nAgree)
+      .select(
+        least(col("rid_a"), col("rid_b")).as("id_a"),
+        greatest(col("rid_a"), col("rid_b")).as("id_b"),
+        col("blk").as("block"), col("dist"), col("n_agree"),
+        (lit(maxDist.toLong) - col("dist") + col("n_agree")).as("score"))
+  }
+
   /** The registry form: fuzzy-join the `topK` most frequent tokens of
     * a document corpus against themselves — the vocabulary-variant
     * report a tokenizer-training pass runs. Top-k selection is

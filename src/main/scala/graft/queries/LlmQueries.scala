@@ -102,6 +102,13 @@ object LlmQueries {
       graft.ops.FuzzyJoin.editDistancePairs(
         Tables.customer(s, d).select(col("c_name").as("tok"))
           .orderBy(col("tok")).limit(400), "tok", maxDist = 2)),
+    // record linkage (entity resolution): customers whose names are
+    // within 2 edits INSIDE the same nation block, scored by segment
+    // agreement — FastSS signatures keyed by (block, signature), the
+    // within-block quadratic lives only in the oracle
+    "record_linkage" -> ((s, d) =>
+      graft.ops.FuzzyJoin.linkRecords(Tables.customer(s, d),
+        "c_custkey", "c_name", "c_nationkey", Seq("c_mktsegment"))),
     // N1/N2 end-to-end — corpus dedup: pairs → connected components →
     // canonical representative per cluster
     "dedup_corpus" -> ((s, d) =>
@@ -1029,6 +1036,13 @@ object LlmQueries {
           size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))),
+    // N2/N4 pipeline — cluster-aware split: near-dup COMPONENTS are
+    // the split key (8/1/1 by canonical_id), so paraphrase pairs can
+    // never straddle train/eval — the leakage guarantee an exact
+    // content-hash split cannot give
+    "cluster_split" -> ((s, d) =>
+      CorpusOps.clusterSplit(docs(s, d), "doc_id", "text",
+        threshold = 0.5)),
     // N1/N2/N4 end-to-end — the C4-style corpus cleanup an LLM data
     // pipeline actually ships: near-dup removal (keep the canonical
     // representative) ∩ quality floor, annotated with language ID and
@@ -1820,6 +1834,22 @@ object LlmQueries {
         |  levenshtein(a.tok, b.tok) AS dist
         |FROM top a JOIN top b
         |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2""".stripMargin,
+    // within-block all-pairs is the oracle's luxury: blocks are
+    // nation-sized here; the Spark plan joins on (block, signature)
+    "record_linkage" ->
+      """SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+        |  greatest(a.c_custkey, b.c_custkey) AS id_b,
+        |  a.c_nationkey AS block,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |  CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_agree,
+        |  CAST(2 - levenshtein(a.c_name, b.c_name)
+        |    + CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |      THEN 1 ELSE 0 END AS BIGINT) AS score
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "neardup_minhash" ->
       s"""WITH $shinglesCte,
          |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
@@ -2924,6 +2954,38 @@ object LlmQueries {
          |SELECT lang, split, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // dedup_corpus's CC CTE chain, then the 8/1/1 canonical_id bucket
+    "cluster_split" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+           |  LEFT JOIN l${k - 1} n ON e.d = n.id
+           |  GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      >= 0.5),
+         |sym AS (SELECT ia AS s, ib AS d FROM pr
+         |        UNION ALL SELECT ib, ia FROM pr),
+         |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
+         |$rounds,
+         |cc AS (SELECT id AS doc_id, comp AS canonical_id FROM l4),
+         |tk AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |j AS (SELECT CASE WHEN canonical_id % 10 < 8 THEN 'train'
+         |    WHEN canonical_id % 10 < 9 THEN 'val'
+         |    ELSE 'test' END AS split, canonical_id, n_tok
+         |  FROM cc JOIN tk USING (doc_id))
+         |SELECT split,
+         |  CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM j GROUP BY 1""".stripMargin
+    },
     "corpus_clean" -> {
       // dedup_corpus's pair predicate + the SAME 4 propagation rounds,
       // then quality + langid recomputed per the text_quality / langid

@@ -235,4 +235,28 @@ class CorpusOpsSpec extends SparkSuite {
     }
     assert(unpart.isEmpty, "no unpartitioned window")
   }
+
+  test("clusterSplit: no near-dup pair straddles a split; counts " +
+      "partition the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the leakage guarantee: every qualifying near-dup pair has both
+    // endpoints in the same component, hence the same split bucket
+    val cc = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"), pmod(col("canonical_id"), lit(10L))
+        .as("bucket"))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+    val straddling = pairs
+      .join(cc.select(col("doc_id").as("doc_a"),
+        col("bucket").as("ba")), Seq("doc_a"))
+      .join(cc.select(col("doc_id").as("doc_b"),
+        col("bucket").as("bb")), Seq("doc_b"))
+      .where(col("ba") =!= col("bb"))
+    assert(straddling.count() === 0L, "near-dup pair crossed a split")
+    // and the report partitions the corpus exactly
+    val rep = CorpusOps.clusterSplit(docs, "doc_id", "text").collect()
+    assert(rep.map(_.getLong(2)).sum === docs.count())
+    assert(rep.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
 }

@@ -109,4 +109,44 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(got.contains(("bat", "cat")))
     assert(!got.exists(p => p._1.isEmpty || p._2.isEmpty))
   }
+
+  test("linkRecords: blocked brute-force model, dist-0 pairs included, " +
+      "ids ordered, agreement scored") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      // block 1: two near names (dist 1) with agreeing segment,
+      // an exact duplicate name pair (dist 0), and a far name
+      (1L, "acme corp", 1, "retail"),
+      (2L, "acme c0rp", 1, "retail"),
+      (3L, "zzz industries", 1, "retail"),
+      (4L, "acme corp", 1, "bank"),
+      // block 2: same near names as block 1 — must NOT link across
+      (5L, "acme corp", 2, "retail"),
+      (6L, "acme korp", 2, "auto"))
+      .toDF("id", "name", "nat", "seg")
+    val got = FuzzyJoin.linkRecords(recs, "id", "name", "nat",
+        Seq("seg"), maxDist = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // brute-force model: same block, id_a < id_b, lev <= 2
+    val rows = Seq((1L, "acme corp", 1, "retail"),
+      (2L, "acme c0rp", 1, "retail"), (3L, "zzz industries", 1, "retail"),
+      (4L, "acme corp", 1, "bank"), (5L, "acme corp", 2, "retail"),
+      (6L, "acme korp", 2, "auto"))
+    val want = (for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1 && lev(a._2, b._2) <= 2
+    } yield {
+      val d = lev(a._2, b._2).toLong
+      val ag = if (a._4 == b._4) 1L else 0L
+      (a._1, b._1, a._3, d, ag, 2L - d + ag)
+    }).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1, 1L, 1L, 2L)), "near pair, agree")
+    assert(got.contains((1L, 4L, 1, 0L, 0L, 2L)), "exact-dup names")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L),
+      "no cross-block link")
+  }
 }
