@@ -179,6 +179,19 @@ object Queries {
       graft.sources.OcfMaintenance.compactByKey(s, dir)
       KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
     }),
+    // GDPR erasure as a STORE REWRITE: write the store, physically
+    // erase the deletion cohort's records (user_id % 10 == 0, keyed by
+    // the record key), read the surviving generation back — the
+    // right-to-be-forgotten pass over the same overwrite commit as
+    // compaction; retired containers holding the erased bytes are
+    // deleted in the same pass
+    "ocf_erase_keys" -> ((s, d) => {
+      val dir = graft.tools.TempDirs.create("graft_ocf_erase")
+      kafka(s, d).write.format("graft-ocf").mode("overwrite").save(dir)
+      graft.sources.OcfMaintenance.eraseKeys(s, dir,
+        col("key").cast(StringType).cast(LongType) % 10L === 0L)
+      KafkaShape.decodeUtf8(s.read.format("graft-ocf").load(dir))
+    }),
     // M3: the lag join (partition 3 uncommitted → -1 path)
     "lag_join" -> ((s, d) => {
       val k = kafka(s, d)
@@ -492,6 +505,13 @@ object Queries {
         |    ORDER BY koffset DESC) AS rnk FROM k)
         |SELECT key_str, value_str, topic, kpartition, koffset, ts
         |FROM r WHERE rnk = 1""".stripMargin,
+    // the roundtrip minus the erased cohort — what a compliance check
+    // reads back after the erasure rewrite
+    "ocf_erase_keys" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str,
+        |  props AS value_str, 'events' AS topic,
+        |  user_id % 8 AS kpartition, event_id AS koffset, ts
+        |FROM events WHERE user_id % 10 <> 0""".stripMargin,
     "lag_join" ->
       """WITH heads AS (
         |  SELECT user_id % 8 AS kpartition, max(event_id) AS head_offset

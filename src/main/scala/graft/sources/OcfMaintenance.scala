@@ -136,6 +136,45 @@ object OcfMaintenance {
     (before, records)
   }
 
+  /** Right-to-be-forgotten (GDPR art. 17) as a store rewrite:
+    * PHYSICALLY remove every record whose key matches `keyPred` —
+    * not a tombstone, not a filter view; the surviving generation's
+    * containers simply do not contain the bytes — then reinstall
+    * through the same overwrite commit as `compact` (new generation
+    * before old retires; crash leaves old or new, never neither).
+    * Combine with `keepRetired=false` (the default) so the retired
+    * containers holding the erased bytes are deleted in the same
+    * pass; with time travel's `keepRetired=true` snapshots an erasure
+    * must ALSO re-erase pinned generations — which is why the default
+    * here refuses to keep them.
+    *
+    * A null-key record never matches (predicate null → keep): erasure
+    * keys are subject identifiers, and unkeyed records have none.
+    *
+    * Surviving records keep their offsets (same invariant as
+    * compaction: rewrites remove, never renumber). Scale shape: one
+    * predicate-filtered scan + the DSv2 overwrite — no shuffle at
+    * all unless the writer repartitions.
+    *
+    * Returns (records before, records after) — the erasure audit
+    * line; both are manifest-backed counts, so the "after" number is
+    * what a compliance check would independently verify.
+    */
+  def eraseKeys(spark: SparkSession, dir: String,
+                keyPred: org.apache.spark.sql.Column,
+                keepRetired: Boolean = false): (Long, Long) = {
+    def records: Long =
+      OcfStore.headCounts(dir, OcfStore.driverConf()).values.sum
+    val before = records
+    val kept = spark.read.format("graft-ocf").load(dir)
+      .filter(!coalesce(keyPred, lit(false)))
+    kept.write.format("graft-ocf")
+      .option("expectedContainers", containerNames(dir).mkString(","))
+      .option("keepRetired", keepRetired.toString)
+      .mode("overwrite").save(dir)
+    (before, records)
+  }
+
   /** Rewrite the store time-clustered: containers range-distributed on
     * (timestamp, partition, offset), so each covers a tight, disjoint
     * time slice and the commit manifest's timestamp min-max prunes

@@ -537,6 +537,60 @@ class OcfSourceSpec extends SparkSuite {
     assert(d.count() == nAfter.toLong)
   }
 
+  test("eraseKeys physically removes the cohort's bytes; survivors " +
+      "keep offsets; retired containers are deleted") {
+    val dir = tmpDir("ocf_erase")
+    kafkaDf(0, 200).write.format("graft-ocf").mode("overwrite").save(dir)
+    // erase the "GDPR cohort": keys 0,10,20,... (key bytes are the
+    // decimal string)
+    val (nBefore, nAfter) = OcfMaintenance.eraseKeys(spark, dir,
+      col("key").cast("string").cast("long") % 10L === 0L)
+    assert(nBefore == 200L && nAfter == 180L)
+    val back = KafkaShape.decodeUtf8(
+      spark.read.format("graft-ocf").load(dir))
+    val got = back.select("key_str", "koffset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = (0 until 200).filter(_ % 10 != 0)
+      .map(i => (i.toString, i.toLong)).toSet
+    assert(got == want, "survivors intact, original offsets kept")
+    // compliance check at the BYTE level: no live or retired container
+    // still holds an erased record's payload (uncompressed default
+    // codec, so the payload string is literal in the container bytes)
+    val containers = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ocf"))
+    assert(containers.nonEmpty)
+    // match the exact Avro field encoding (zigzag-varint length byte +
+    // payload), not the bare string: "payload_10" is a legitimate
+    // SUBSTRING of the surviving "payload_101"
+    val erasedPayloads = (0 until 200 by 10)
+      .map(i => s"payload_$i")
+      .map(p => (2 * p.length).toChar +: p)
+    containers.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      erasedPayloads.foreach { p =>
+        assert(!s.contains(p), s"${f.getName} still holds $p")
+      }
+    }
+    // null-key records never match an erasure predicate
+    val dir2 = tmpDir("ocf_erase_null")
+    import org.apache.spark.sql.types._
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, "v0".getBytes, "t", 0,
+          0L, new java.sql.Timestamp(0L), 0),
+        org.apache.spark.sql.Row("5".getBytes, "v1".getBytes, "t", 0,
+          1L, new java.sql.Timestamp(0L), 0)),
+      KafkaShape.schema)
+    rows.write.format("graft-ocf").mode("overwrite").save(dir2)
+    val (b2, a2) = OcfMaintenance.eraseKeys(spark, dir2,
+      col("key").cast("string").cast("long") % 5L === 0L)
+    assert(b2 == 2L && a2 == 1L,
+      "keyed match erased, null-key record kept")
+    assert(spark.read.format("graft-ocf").load(dir2)
+      .filter(col("key").isNull).count() == 1L)
+  }
+
   test("latestOffset on a manifested store opens zero containers") {
     val dir = tmpDir("ocf_manifest_heads")
     stratifiedStore(dir)
