@@ -11,6 +11,45 @@ import org.apache.spark.sql.types._
   */
 object Eval {
 
+  /** Contingency-lift table between two categorical columns — the
+    * log-free PMI audit ("which feature values carry signal about the
+    * target"): per observed (x, y) cell, the joint and marginal counts
+    * and lift = P(x,y) / (P(x)·P(y)) = (n_xy·n) / (n_x·n_y). PMI is
+    * ln(lift), a monotone map, so ranking/thresholding cells by lift
+    * IS ranking by PMI — with every number either an exact BIGINT or
+    * ONE division of exact BIGINTs (bit-identical across engines; the
+    * same log-free discipline as the BM25 surrogate and
+    * session_assoc's lift).
+    *
+    * Shape: one hash aggregate to cells (vocabulary² bound, not row
+    * bound), marginals re-aggregated FROM the cell frame (no second
+    * corpus pass) and broadcast back — cells, not rows, flow through
+    * every join. The grand total is one more fold over the x-marginal
+    * frame, carried as a column (no driver round-trip).
+    */
+  def contingencyLift(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val cp = cells.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    val xm = cp.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ym = cp.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    // one-row grand total through a single-bucket BroadcastHashJoin
+    // (the bigramLm idiom: key must be non-foldable or the join
+    // degrades to nested-loop)
+    val n = xm.agg(sum(col("n_x")).as("n"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+    cp.join(broadcast(xm), Seq("x"))
+      .join(broadcast(ym), Seq("y"))
+      .withColumn("__jk", pmod(xxhash64(col("n_xy")), lit(1L)))
+      .join(broadcast(n), Seq("__jk"))
+      .select(col("x").as(xCol), col("y").as(yCol),
+        col("n_xy"), col("n_x"), col("n_y"), col("n"),
+        ((col("n_xy") * col("n")).cast(DoubleType) /
+          (col("n_x") * col("n_y")).cast(DoubleType)).as("lift"))
+  }
+
   /** Exact Mann-Whitney AUC of an integer score against a binary
     * label: P(score_pos > score_neg) + ½·P(tie), via the rank-sum
     * identity with midrank tie handling — the textbook AUC, not a

@@ -370,6 +370,20 @@ object Queries {
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN c ON w.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // same exact-integer cells/marginals, same single division
+    "contingency_lift" ->
+      """WITH e AS (SELECT event_type AS x,
+        |  least(7, CAST(round(value * 100) AS BIGINT) // 5000) AS y
+        |  FROM events),
+        |cells AS (SELECT x, y, count(*) AS n_xy FROM e GROUP BY 1, 2),
+        |xm AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |  FROM cells GROUP BY 1),
+        |ym AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_x) AS BIGINT) AS n FROM xm)
+        |SELECT cells.x AS event_type, cells.y AS vb, n_xy, n_x, n_y, n,
+        |  CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE) AS lift
+        |FROM cells JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t""".stripMargin,
     // same smoothed terms, same fixed-order fold
     "drift_chi2" -> {
       val tcols = (0 until 8).map(i =>
@@ -665,6 +679,17 @@ object Queries {
         .groupBy(col("cohort"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // feature-dependence audit: contingency lift (log-free PMI) per
+    // (event_type, cents-bucket) cell — exact joint/marginal BIGINTs,
+    // one division; marginals re-aggregated from the cell frame, the
+    // grand total through a single-bucket BHJ (no cartesian)
+    "contingency_lift" -> ((s, d) =>
+      graft.ops.Eval.contingencyLift(
+        Tables.events(s, d).select(col("event_type"),
+          least(lit(7L), expr(
+            "floor(CAST(round(value * 100) AS BIGINT) / 5000)"))
+            .as("vb")),
+        "event_type", "vb")),
     // feature-drift monitor: add-one-smoothed chi-square between the
     // even/odd event-id snapshots per event type over fixed cents
     // buckets; every term two IEEE roundings from exact integers, the

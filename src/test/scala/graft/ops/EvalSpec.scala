@@ -163,4 +163,33 @@ class EvalSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(a == out.map(_.toSeq).toSet)
   }
+
+  test("contingencyLift: hand-computed cells; independence gives " +
+      "lift 1; no cartesian in the plan") {
+    val s = spark
+    import s.implicits._
+    // x=a always pairs with y=1 (perfect dependence); x=b spreads
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L))
+      .toDF("x", "y")
+    val out = Eval.contingencyLift(df, "x", "y")
+    val got = out.collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got(("a", 1L)) == ((2L, 2L, 3L, 4L, 2.0 * 4 / (2 * 3))))
+    assert(got(("b", 1L)) == ((1L, 2L, 3L, 4L, 1.0 * 4 / (2 * 3))))
+    assert(got(("b", 2L)) == ((1L, 2L, 1L, 4L, 1.0 * 4 / (2 * 1))))
+    // independent columns: every cell's lift is exactly 1.0
+    val ind = (for (x <- Seq("p", "q"); y <- 1L to 3L; _ <- 1 to 2)
+      yield (x, y)).toDF("x", "y")
+    val lifts = Eval.contingencyLift(ind, "x", "y")
+      .select("lift").collect().map(_.getDouble(0))
+    assert(lifts.length == 6 && lifts.forall(_ == 1.0))
+    // the grand-total join must be a hash join, never nested-loop
+    val bad = out.queryExecution.executedPlan.collect {
+      case p if p.nodeName.toLowerCase.contains("nestedloop") ||
+        p.nodeName.toLowerCase.contains("cartesian") => p
+    }
+    assert(bad.isEmpty)
+  }
 }
