@@ -101,19 +101,33 @@ object Sessionize {
     * formulation for the cross-check). Anchors whose chain dies early
     * carry nulls forward and fall out at the depth fold.
     */
-  def windowFunnel(events: DataFrame, steps: Seq[String],
-                   windowUs: Long): DataFrame = {
+  /** The shared funnel chain: per DISTINCT anchor (user, t0), the
+    * earliest time of each subsequent step at-or-after the previous
+    * step's resolved time — one as-of-forward join per link, nulls
+    * carried forward for anchors whose chain dies.
+    */
+  private def funnelChain(events: DataFrame,
+                          steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     def ofType(t: String, tsName: String) =
       events.filter(col("event_type") === t)
         .select(col("user_id"), unix_micros(col("ts")).as(tsName),
           col("event_id"))
+    // distinct anchors: two same-instant anchor events describe the
+    // same span (the oracle's GROUP BY (user, t0) contract)
     var cur: DataFrame = ofType(steps.head, "t0").drop("event_id")
+      .distinct()
     steps.tail.zipWithIndex.foreach { case (st, i) =>
       cur = AsOf.asofJoinForward(
         ofType(st, s"t${i + 1}"), cur, "user_id",
         s"t${i + 1}", s"t$i", "event_id").drop("event_id")
     }
+    cur
+  }
+
+  def windowFunnel(events: DataFrame, steps: Seq[String],
+                   windowUs: Long): DataFrame = {
+    val cur = funnelChain(events, steps)
     val depth = (1 until steps.size).foldLeft(lit(1L)) { (acc, i) =>
       // prefix conjunction: step i counts only if every earlier step
       // landed inside the anchor window
@@ -126,6 +140,31 @@ object Sessionize {
     cur.select(col("user_id"), depth.as("depth"))
       .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
       .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** CEP-style pattern EXTRACTION (the MATCH_RECOGNIZE-lite sibling of
+    * [[windowFunnel]]): emit one row per COMPLETED match — every
+    * distinct anchor whose full step chain lands inside `windowUs` —
+    * with the matched timestamps, instead of the depth histogram.
+    * The row-level artifact downstream joins hang on ("which signup
+    * converted, and when was each step"), where windowFunnel only
+    * reports how many.
+    *
+    * Same chain, same greedy-earliest-per-anchor optimality argument,
+    * same `steps.size − 1` merge-shaped joins — the match filter is a
+    * pure predicate on the chained frame, so extraction costs exactly
+    * what the histogram costs.
+    */
+  def patternSpans(events: DataFrame, steps: Seq[String],
+                   windowUs: Long): DataFrame = {
+    val cur = funnelChain(events, steps)
+    val complete = (1 until steps.size).map(j =>
+      col(s"t$j").isNotNull &&
+        col(s"t$j") <= col("t0") + lit(windowUs))
+      .reduce(_ && _)
+    cur.where(complete)
+      .select(col("user_id") +:
+        (0 until steps.size).map(i => col(s"t$i")): _*)
   }
 
   /** Peak concurrent sessions per day — the capacity-planning gauge

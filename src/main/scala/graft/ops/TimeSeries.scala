@@ -465,6 +465,81 @@ object TimeSeries {
         (col("sae_seasonal") < col("sae_naive")).as("seasonal_wins"))
   }
 
+  /** Gap interpolation over the common dense 10-minute grid: for every
+    * (type, slot) with NO observations, the linearly interpolated mean
+    * value (cents) between the nearest observed slots either side —
+    * the missing-data fill a feature pipeline runs before resampling a
+    * sparse metric onto a regular grid (zero-fill, [[denseHourly]]'s
+    * contract, is correct for COUNTS; for a mean VALUE a gap means "no
+    * reading", not "reading was 0").
+    *
+    * Determinism: per observed slot the mean is sum-cents/eventcount —
+    * exact BIGINTs, one division; the interpolation
+    * `(vp·(hn−h) + vn·(h−hp)) / (hn−hp)` is the same fixed IEEE tree
+    * both engines evaluate (the drift_chi2 discipline). Edge slots
+    * before the first / after the last observation are excluded (no
+    * extrapolation).
+    *
+    * Shape: one hash aggregate to (type, slot), the calendar-bounded
+    * dense grid (slots × types, ≤ ~22k rows for the fixture's month at
+    * ANY data volume), and two per-type window passes (carry-forward /
+    * carry-back of the nearest observed slot) — windows partition by
+    * type over calendar-bounded frames.
+    */
+  def interpolateGaps(events: DataFrame,
+                      slotUs: Long = 600000000L): DataFrame = {
+    val slot = expr(
+      s"(unix_micros(ts) - 1704067200000000L) div ${slotUs}L")
+    val obs = events
+      .select(col("event_type"), slot.as("h"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+    val perType = obs.groupBy(col("event_type"))
+      .agg(map_from_entries(collect_list(struct(col("h"),
+        struct(col("s"), col("n"))))).as("m"),
+        min(col("h")).as("tlo"), max(col("h")).as("thi"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val grid = perType
+      .withColumn("lo", min(col("tlo")).over(all))
+      .withColumn("hi", max(col("thi")).over(all))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("h"), col("m"))
+      .select(col("event_type"), col("h"),
+        element_at(col("m"), col("h")).as("o"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val before = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def obsCol(c: Column) = when(col("o").isNotNull, c)
+    grid
+      .withColumn("hp", last(obsCol(col("h")), ignoreNulls = true)
+        .over(before))
+      .withColumn("sp", last(obsCol(col("o.s")), ignoreNulls = true)
+        .over(before))
+      .withColumn("np", last(obsCol(col("o.n")), ignoreNulls = true)
+        .over(before))
+      .withColumn("hn", first(obsCol(col("h")), ignoreNulls = true)
+        .over(after))
+      .withColumn("sn", first(obsCol(col("o.s")), ignoreNulls = true)
+        .over(after))
+      .withColumn("nn", first(obsCol(col("o.n")), ignoreNulls = true)
+        .over(after))
+      .where(col("o").isNull && col("hp").isNotNull &&
+        col("hn").isNotNull)
+      .select(col("event_type"), col("h"), col("hp"), col("hn"),
+        ((col("sp").cast(DoubleType) / col("np").cast(DoubleType) *
+          (col("hn") - col("h")).cast(DoubleType) +
+          col("sn").cast(DoubleType) / col("nn").cast(DoubleType) *
+            (col("h") - col("hp")).cast(DoubleType)) /
+          (col("hn") - col("hp")).cast(DoubleType)).as("v_interp"))
+  }
+
   /** First-order Markov transition matrix of the event stream: counts
     * and probabilities of (event_type → next event_type) per key's
     * timeline — the behavioral-model / next-action-prediction

@@ -1074,6 +1074,11 @@ object Queries {
     // series — exact integer products, one division per cell
     "seasonal_profile" -> ((s, d) =>
       graft.ops.TimeSeries.seasonalProfile(events(s, d))),
+    // missing-data fill: linear interpolation of the mean value over
+    // gap slots of the dense 10-minute grid, nearest observed slot
+    // either side, no extrapolation past the edges
+    "interpolate_gaps" -> ((s, d) =>
+      graft.ops.TimeSeries.interpolateGaps(events(s, d))),
     // one-step forecast backtest: naive vs seasonal-naive MAE per
     // type over the paired scorable hours; exact |e| sums, the
     // winner decided by an integer compare
@@ -1100,6 +1105,12 @@ object Queries {
     // joins, never a per-user quadratic expansion
     "window_funnel" -> ((s, d) =>
       Sessionize.windowFunnel(events(s, d),
+        Seq("signup", "click", "purchase"), windowUs = 86400000000L)),
+    // CEP extraction over the same chain: one row per completed
+    // signup→click→purchase match with the matched step times — the
+    // row-level artifact, where window_funnel is the histogram
+    "pattern_spans" -> ((s, d) =>
+      Sessionize.patternSpans(events(s, d),
         Seq("signup", "click", "purchase"), windowUs = 86400000000L)),
     // funnel conversion latency: signup→first-purchase-after deltas,
     // exact p50/p90 order statistics over SECOND-quantized latency
@@ -1861,6 +1872,47 @@ object Queries {
         |  n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r_acf
         |FROM num JOIN den ON num.event_type = den.event_type
         |WHERE den > 0""".stripMargin,
+    // same dense grid, same carry-forward/back windows, same fixed
+    // IEEE interpolation tree
+    "interpolate_gaps" ->
+      """WITH e AS (SELECT event_type,
+        |  (epoch_us(ts) - 1704067200000000) // 600000000 AS h,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |obs AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS s,
+        |  count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT t.event_type, g.h FROM
+        |  (SELECT DISTINCT event_type FROM events) t,
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g),
+        |j AS (SELECT grid.event_type, grid.h, obs.s, obs.n
+        |  FROM grid LEFT JOIN obs USING (event_type, h)),
+        |w AS (SELECT event_type, h, n,
+        |  last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hp,
+        |  last_value(CASE WHEN n IS NOT NULL THEN s END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sp,
+        |  last_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np,
+        |  first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS hn,
+        |  first_value(CASE WHEN n IS NOT NULL THEN s END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sn,
+        |  first_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nn
+        |  FROM j)
+        |SELECT event_type, h, hp, hn,
+        |  (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)
+        |      * CAST(hn - h AS DOUBLE)
+        |    + CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * CAST(h - hp AS DOUBLE))
+        |    / CAST(hn - hp AS DOUBLE) AS v_interp
+        |FROM w WHERE n IS NULL AND hp IS NOT NULL AND hn IS NOT NULL""".stripMargin,
     "seasonal_profile" ->
       """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
         |    // 3600000000 AS h, event_type FROM events),
@@ -2172,6 +2224,23 @@ object Queries {
         |u AS (SELECT user_id, max(depth) AS depth FROM d GROUP BY 1)
         |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users
         |FROM u GROUP BY 1""".stripMargin,
+    // the same n²-min chain, selecting the completed matches
+    "pattern_spans" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) AS t0
+        |  FROM events WHERE event_type = 'signup'),
+        |s1 AS (SELECT a.user_id, a.t0, min(epoch_us(e.ts)) AS t1
+        |  FROM a LEFT JOIN events e ON e.user_id = a.user_id
+        |    AND e.event_type = 'click' AND epoch_us(e.ts) >= a.t0
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1,
+        |    min(epoch_us(e.ts)) AS t2
+        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase' AND s1.t1 IS NOT NULL
+        |    AND epoch_us(e.ts) >= s1.t1
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, t0, t1, t2 FROM s2
+        |WHERE t1 IS NOT NULL AND t1 <= t0 + 86400000000
+        |  AND t2 IS NOT NULL AND t2 <= t0 + 86400000000""".stripMargin,
     "conversion_latency" ->
       """WITH su AS (SELECT user_id,
         |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s

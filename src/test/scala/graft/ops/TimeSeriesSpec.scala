@@ -451,4 +451,34 @@ class TimeSeriesSpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("interpolateGaps: linear fill between nearest observed slots, " +
+      "no extrapolation past the edges") {
+    val s = spark
+    import s.implicits._
+    // slot = hours since 2024-01-01 (slotUs = 1h for the test)
+    // type a: observed slots 0 (mean 100.00) and 3 (mean 400.00)
+    //   → gaps 1, 2 interpolate to 200.00, 300.00
+    // type b: observed slot 1 only → gaps 0 and 2-3 are EDGES: no rows
+    val ev = Seq(
+      (ts("2024-01-01 00:10:00"), "a", 1L, 50.00),
+      (ts("2024-01-01 00:20:00"), "a", 2L, 150.00), // mean 100.00
+      (ts("2024-01-01 03:00:00"), "a", 3L, 400.00),
+      (ts("2024-01-01 01:00:00"), "b", 4L, 77.00)
+    ).toDF("ts", "event_type", "event_id", "value")
+    val got = TimeSeries.interpolateGaps(ev, slotUs = 3600000000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = Set(
+      ("a", 1L, 0L, 3L, (10000.0 * 2 + 40000.0 * 1) / 3 / 100 * 100),
+      ("a", 2L, 0L, 3L, (10000.0 * 1 + 40000.0 * 2) / 3))
+    // cents-scale check (v_interp is in cents)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      want.map(t => (t._1, t._2, t._3, t._4)))
+    val byslot = got.map(t => (t._2, t._5)).toMap
+    assert(math.abs(byslot(1L) - 20000.0) < 1e-9)
+    assert(math.abs(byslot(2L) - 30000.0) < 1e-9)
+    assert(!got.exists(_._1 == "b"), "edge slots never extrapolate")
+  }
 }
