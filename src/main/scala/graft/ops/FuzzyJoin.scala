@@ -47,7 +47,8 @@ object FuzzyJoin {
     * u and v intersect. Depth 1 = s plus its delete-one variants;
     * depth 2 adds delete-two (deletions of deletions), deduped.
     */
-  private def deletionSignatures(tok: String, maxDist: Int): Column = {
+  private[graft] def deletionSignatures(tok: String,
+                                        maxDist: Int): Column = {
     val d1 = delOne(col(tok))
     val base = concat(array(col(tok)), d1)
     val all =

@@ -109,6 +109,24 @@ object LlmQueries {
     "record_linkage" -> ((s, d) =>
       graft.ops.FuzzyJoin.linkRecords(Tables.customer(s, d),
         "c_custkey", "c_name", "c_nationkey", Seq("c_mktsegment"))),
+    // incremental entity resolution (streaming twin of record_linkage,
+    // batch-replayed): delta customers probe the persisted master
+    // signature index keyed (block, signature); verdict row per delta
+    // record — the DedupStream contract with FastSS signatures
+    "linkage_probe_stream" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("ts", timestamp_seconds(col("c_custkey") * 60))
+      val master = c.filter(col("c_custkey") % 5 =!= 0)
+      graft.streaming.LinkageStream.probeStream(
+          c.filter(col("c_custkey") % 5 === 0),
+          graft.streaming.LinkageStream.nameIndex(master, "c_custkey",
+            "c_name", "c_nationkey", Seq("c_mktsegment")),
+          "c_custkey", "c_name", "c_nationkey", Seq("c_mktsegment"),
+          "ts")
+        .select(col("window.start").as("w_start"), col("id"),
+          col("n_matches"), col("best_match_id"), col("best_score"),
+          col("is_new"))
+    }),
     // N1/N2 end-to-end — corpus dedup: pairs → connected components →
     // canonical representative per cluster
     "dedup_corpus" -> ((s, d) =>
@@ -1834,6 +1852,32 @@ object LlmQueries {
         |  levenshtein(a.tok, b.tok) AS dist
         |FROM top a JOIN top b
         |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2""".stripMargin,
+    // same blocked quadratic, delta side only; best by (score desc,
+    // id asc), window start from the synthetic minute timestamps
+    "linkage_probe_stream" ->
+      """WITH del AS (SELECT c_custkey, c_name, c_nationkey,
+        |    c_mktsegment FROM customer WHERE c_custkey % 5 = 0),
+        |mas AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0),
+        |cand AS (SELECT d.c_custkey AS id, m.c_custkey AS mid,
+        |  CAST(2 - levenshtein(d.c_name, m.c_name)
+        |    + CASE WHEN d.c_mktsegment = m.c_mktsegment
+        |      THEN 1 ELSE 0 END AS BIGINT) AS score
+        |  FROM del d JOIN mas m ON d.c_nationkey = m.c_nationkey
+        |  WHERE levenshtein(d.c_name, m.c_name) <= 2),
+        |cnt AS (SELECT id, CAST(count(DISTINCT mid) AS BIGINT)
+        |    AS n_matches FROM cand GROUP BY 1),
+        |best AS (SELECT id, mid AS best_match_id, score AS best_score,
+        |  row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, mid) AS rk FROM cand)
+        |SELECT make_timestamp((d.c_custkey*60)//3600*3600*1000000)
+        |    AS w_start,
+        |  d.c_custkey AS id,
+        |  CAST(coalesce(cnt.n_matches, 0) AS BIGINT) AS n_matches,
+        |  best.best_match_id, best.best_score,
+        |  coalesce(cnt.n_matches, 0) = 0 AS is_new
+        |FROM del d LEFT JOIN cnt ON d.c_custkey = cnt.id
+        |LEFT JOIN best ON d.c_custkey = best.id AND best.rk = 1""".stripMargin,
     // within-block all-pairs is the oracle's luxury: blocks are
     // nation-sized here; the Spark plan joins on (block, signature)
     "record_linkage" ->
