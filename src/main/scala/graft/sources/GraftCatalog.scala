@@ -136,6 +136,21 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
           StructField("records_after", LongType))), b, a)
       }
     },
+    // right-to-be-forgotten: the predicate is a SQL boolean over the
+    // store's columns (typically `key`), e.g.
+    //   CALL graft.system.erase_keys(dir => '/stores/events',
+    //     predicate => "CAST(key AS STRING) IN ('12345')")
+    "erase_keys" -> new Proc("erase_keys", Array(dirParam,
+      ProcedureParameter.in("predicate", StringType)
+        .comment("SQL boolean over the record columns; matching " +
+          "records are physically removed").build())) {
+      override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        val (b, a) = OcfMaintenance.eraseKeys(spark, in.getString(0),
+          org.apache.spark.sql.functions.expr(in.getString(1)))
+        one(StructType(Seq(StructField("records_before", LongType),
+          StructField("records_after", LongType))), b, a)
+      }
+    },
     "vacuum" -> new Proc("vacuum", Array(dirParam,
       ProcedureParameter.in("older_than_ms", LongType)
         .defaultValue("86400000").build())) {

@@ -100,6 +100,14 @@ class OcfSqlDdlSpec extends SparkSuite {
     assert(z.getInt(1) == 8, s"got $z")
     assert(s.read.format("graft-ocf").load(dir).count() == before)
 
+    // erase_keys: the GDPR pass from SQL — predicate over the key
+    val er = s.sql(s"CALL graft.system.erase_keys(dir => '$dir', " +
+      "predicate => 'CAST(key AS STRING) = CAST(7 AS STRING)')").head()
+    assert(er.getLong(0) == before && er.getLong(1) == before - 1,
+      s"got $er")
+    assert(s.read.format("graft-ocf").load(dir)
+      .filter(col("key").cast("string") === "7").count() == 0L)
+
     // unknown procedure fails cleanly
     intercept[Exception] {
       s.sql(s"CALL graft.system.nope(dir => '$dir')").collect()
