@@ -261,6 +261,28 @@ object AsOf extends org.apache.spark.internal.Logging {
     * the policy explicit, uniform, and testable: only well-formed
     * closed intervals participate.
     */
+  /** Point-in-time join (the feature-store-correctness join of
+    * Feast/Tecton): each fact row joins the SCD2 dimension VERSION
+    * that was valid at the fact's timestamp — so training features
+    * can never leak a future dimension update into a past example.
+    *
+    * `versions` is [[graft.ops.Relational.scdType2]] output (or any
+    * frame with `valid_from` + `version_n` tiling each key's
+    * timeline). Because versions tile time, "valid at ts" ≡ "latest
+    * version with valid_from ≤ ts" — so this is ONE backward as-of
+    * join (merge-shaped, one shuffle on the key), never an interval
+    * range join: at equal valid_from the higher version_n wins (the
+    * tie a zero-length superseded version must lose), and facts
+    * before a key's first version emit with null feature columns.
+    * The DuckDB oracle runs the interval formulation
+    * (valid_from ≤ ts < valid_to) and hash-matches — the equivalence
+    * proof that the merge shape is the right plan.
+    */
+  def pointInTimeJoin(versions: DataFrame, facts: DataFrame,
+                      key: String, factTs: String): DataFrame =
+    asofJoin(versions.drop("valid_to", "is_current"), facts, key,
+      "valid_from", factTs, "version_n")
+
   def intervalJoin(a: DataFrame, b: DataFrame,
                    aStart: String, aEnd: String,
                    bStart: String, bEnd: String,

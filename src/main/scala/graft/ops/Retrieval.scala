@@ -98,6 +98,54 @@ object Retrieval {
         terms.map(t => col(s"s_$t")): _*)
   }
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009,
+    * public): fuse the SPARSE ranking ([[bm25TopK]], rational-idf
+    * BM25) and a DENSE ranking (64-bit SimHash sign-embedding hamming
+    * — the rag_chunk_search geometry at doc grain) of the same query,
+    * rrf(d) = Σ_r 1/(kRrf + rank_r(d)) over the rankings that
+    * retrieved d in their top `poolK` — the standard RAG fusion that
+    * needs no score calibration between incomparable scales, only
+    * RANKS (which are exact integers here, so every fused score is a
+    * fixed two-term IEEE tree of correctly-rounded divisions — bit-
+    * identical across engines).
+    *
+    * Shape: each arm is its own bounded top-poolK
+    * (TakeOrderedAndProject; the rank windows run over ≤ poolK rows);
+    * the fusion is one join of two poolK-row frames. At 100 TB each
+    * arm swaps to its served form (text_index_store / ann_index_store
+    * probes) and the fusion cost is unchanged — it never touches the
+    * corpus.
+    */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], querySig: (Long, Long),
+                 k: Int = 10, poolK: Int = 50,
+                 kRrf: Long = 60L): DataFrame = {
+    val sparse = bm25TopK(docs, idCol, textCol, terms, poolK)
+      .select(col("doc_id"), col("rk").as("rk_sparse"))
+    val hm = docs.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("sg"))
+      .select(col("doc_id"),
+        (bit_count(element_at(col("sg"), 1)
+            .bitwiseXOR(lit(querySig._1))) +
+          bit_count(element_at(col("sg"), 2)
+            .bitwiseXOR(lit(querySig._2)))).cast(LongType).as("hamming"))
+    val dense = hm.orderBy(col("hamming"), col("doc_id")).limit(poolK)
+      .withColumn("rk_dense", row_number().over(
+        Window.orderBy(col("hamming"), col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("rk_dense"))
+    val arm = (rk: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0).cast(DoubleType) /
+        (lit(kRrf).cast(DoubleType) + rk.cast(DoubleType)), lit(0.0))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        arm(col("rk_sparse")) + arm(col("rk_dense")))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("rk"), col("rrf"),
+        col("rk_sparse"), col("rk_dense"))
+  }
+
   /** Exact-phrase search over a positional inverted index — the
     * retrieval twin of bm25TopK for queries where token ORDER matters.
     *

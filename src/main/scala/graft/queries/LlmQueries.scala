@@ -760,6 +760,13 @@ object LlmQueries {
     }),
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
+    // N3/N4 — hybrid retrieval: Reciprocal Rank Fusion of the BM25
+    // arm and the SimHash sign-embedding arm for the same query —
+    // ranks, not scores, fuse, so no cross-scale calibration; each
+    // arm a bounded top-50 pool
+    "hybrid_search" -> ((s, d) =>
+      Retrieval.hybridTopK(docs(s, d), "doc_id", "text", bm25Terms,
+        hybridQuerySig, k = 10)),
     // N4 — exact-phrase search via positional inverted index: one
     // explode to (doc, match-start, slot) and one aggregation that
     // checks every phrase slot filled (see Retrieval.phraseSearch).
@@ -1682,17 +1689,21 @@ object LlmQueries {
     * SQL, so both engines score against the identical probe.
     */
   private val ragQueryText = "spark stream window agg"
-  private lazy val ragQuerySig: (Long, Long) = {
+  private def simhashSigOf(text: String): (Long, Long) = {
     val arr = graft.functions.SimHash64(
       org.apache.spark.sql.catalyst.expressions.Literal(
-        org.apache.spark.unsafe.types.UTF8String
-          .fromString(ragQueryText),
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
         org.apache.spark.sql.types.StringType))
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toLongArray()
     (arr(0), arr(1))
   }
+  private lazy val ragQuerySig: (Long, Long) = simhashSigOf(ragQueryText)
+  // hybrid_search probes with the SAME text on both arms: the bm25
+  // terms joined by spaces
+  private lazy val hybridQuerySig: (Long, Long) =
+    simhashSigOf(bm25Terms.mkString(" "))
 
   /** pq_topk's materialized per-subspace code assignments and codebook
     * table (ivfCellsDir pattern — separate paths so queries can't
@@ -1781,7 +1792,11 @@ object LlmQueries {
     * exact TextOps constants interpolated, then all-pairs hamming.
     * Brute force is fine at oracle scale (500 docs → 125k pairs).
     */
-  private def simhashOracle(maxDist: Int): String = {
+  /** The per-doc 64-bit SimHash signature as SQL CTEs ending in
+    * `sig(doc_id, sim_lo, sim_hi)` — shared by simhashOracle and the
+    * hybrid_search dense arm.
+    */
+  private def simhashSigCte: String = {
     val votes = (0 until 64).map { b =>
       val (a, c) = TextOps.simhashAC(b)
       s"sum(CASE WHEN ($a*h+$c)%${TextOps.P} >= ${TextOps.HalfP} THEN 1 ELSE -1 END) AS v$b"
@@ -1792,7 +1807,7 @@ object LlmQueries {
     val hi = (32 until 64).map(b =>
       s"(CASE WHEN v$b>0 THEN CAST(${1L << (b - 32)} AS BIGINT) ELSE 0 END)")
       .mkString("+")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
        |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range(1, length(tok)+1),
@@ -1801,7 +1816,11 @@ object LlmQueries {
        |votes AS (SELECT doc_id,
        |  $votes
        |  FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $lo AS sim_lo, $hi AS sim_hi FROM votes)
+       |sig AS (SELECT doc_id, $lo AS sim_lo, $hi AS sim_hi FROM votes)""".stripMargin
+  }
+
+  private def simhashOracle(maxDist: Int): String = {
+    s"""WITH $simhashSigCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
        |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
@@ -2692,6 +2711,61 @@ object LlmQueries {
         |    AS rk,
         |  score, s_spark, s_stream, s_vector, s_query FROM r)
         |SELECT * FROM k WHERE rk <= 10""".stripMargin,
+    // both arms replayed in SQL (bm25 pool at 50, simhash sig CTE),
+    // the same fixed two-term RRF tree
+    "hybrid_search" -> {
+      val (qlo, qhi) = hybridQuerySig
+      val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      val pcols = bm25Terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN score_t END), 0.0) " +
+          s"AS s_$t").mkString(",\n  ")
+      val totalFold = bm25Terms.map(t => s"s_$t")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH $simhashSigCte,
+         |d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+         |  FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS sum_len FROM l),
+         |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM l),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM e WHERE term IN ($termList) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |  (CAST(2*(st.n_docs - dfq.df) + 1 AS DOUBLE)
+         |     / CAST(2*dfq.df + 1 AS DOUBLE))
+         |  * (CAST(44*tf.tf*st.sum_len AS DOUBLE)
+         |     / CAST(20*tf.tf*st.sum_len + 6*st.sum_len
+         |            + 18*tf.dl*st.n_docs AS DOUBLE)) AS score_t
+         |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+         |p AS (SELECT doc_id, $pcols FROM sc GROUP BY 1),
+         |r AS (SELECT doc_id, $totalFold AS score FROM p),
+         |sp AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk_sparse
+         |  FROM r QUALIFY rk_sparse <= 50),
+         |hmm AS (SELECT doc_id,
+         |  CAST(bit_count(xor(sim_lo, CAST($qlo AS BIGINT)))
+         |     + bit_count(xor(sim_hi, CAST($qhi AS BIGINT)))
+         |    AS BIGINT) AS hamming FROM sig),
+         |dn AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY hamming, doc_id) AS BIGINT) AS rk_dense
+         |  FROM hmm QUALIFY rk_dense <= 50),
+         |f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |  sp.rk_sparse, dn.rk_dense,
+         |  coalesce(CAST(1 AS DOUBLE)
+         |      / (CAST(60 AS DOUBLE) + CAST(sp.rk_sparse AS DOUBLE)),
+         |    0.0)
+         |  + coalesce(CAST(1 AS DOUBLE)
+         |      / (CAST(60 AS DOUBLE) + CAST(dn.rk_dense AS DOUBLE)),
+         |    0.0) AS rrf
+         |  FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk,
+         |  rrf, rk_sparse, rk_dense
+         |FROM f QUALIFY rk <= 10""".stripMargin
+    },
     "label_centroids" ->
       s"""WITH $quantCte,
          |m AS (SELECT e.label, q.qv FROM q

@@ -1033,6 +1033,25 @@ object Queries {
       graft.ops.TimeSeries.trendSlope(events(s, d), "user_id")),
     // N9 — SCD type-2: the change feed versioned into
     // [valid_from, valid_to) dimension rows, last version open-ended
+    // point-in-time feature join: each purchase joins the signup-
+    // profile VERSION valid at purchase time (no future leakage) —
+    // one backward as-of join on the SCD2 build, never a range join;
+    // the oracle runs the interval formulation and hash-matches
+    "pit_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val dim = Relational.scdType2(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast(LongType)
+              .as("profile_cents")),
+        "user_id", "ts", "event_id", Seq("profile_cents"))
+      graft.ops.AsOf.pointInTimeJoin(dim,
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("profile_cents"), col("version_n"))
+    }),
     "scd2_build" -> ((s, d) =>
       Relational.scdType2(
         events(s, d).select(col("user_id"), col("ts"), col("event_id"),
@@ -1764,6 +1783,23 @@ object Queries {
         |  CAST(n * sxy - sx * sy AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cph
         |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin,
+    // the interval formulation of the same semantics
+    "pit_join" ->
+      """WITH su AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS profile_cents
+        |  FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, ts AS valid_from, profile_cents,
+        |    lead(ts) OVER w AS valid_to,
+        |    CAST(row_number() OVER w AS BIGINT) AS version_n
+        |  FROM su WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts,
+        |  v.profile_cents, v.version_n
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.valid_from <= p.ts
+        |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)""".stripMargin,
     "scd2_build" ->
       """SELECT user_id, ts AS valid_from, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS cents,

@@ -43,6 +43,12 @@ class PlanQualitySpec extends SparkSuite {
     // rk stamp over an already-.limit(k) frame (TakeOrderedAndProject
     // upstream does the distributed top-k; the window sees k rows)
     "bm25_search", "text_index_store", "rag_chunk_search",
+    // both arms' rk stamps + the fused rk, each over a .limit(poolK)
+    // or .limit(k) frame (Retrieval.hybridTopK scaladoc)
+    "hybrid_search",
+    // the global-bounds window runs over the one-row-per-event-type
+    // frame (TimeSeries.interpolateGaps, the denseHourly shape)
+    "interpolate_gaps",
     // water-filling over per-SOURCE token caps — source cardinality
     "mixture_plan",
     // denseHourly's global-bounds window runs over the one-row-per-
