@@ -31,6 +31,11 @@ object GraftFunctions {
   def hashedWordShingles(text: Column, k: Int): Column =
     c(HashedWordShingles(e(text), k))
 
+  /** Hashed FastSS deletion neighborhood of a string (self + all
+    * delete-1 [+ delete-2] variant hashes), one O(L²) integer loop. */
+  def deletionHashes(s: Column, maxDist: Int): Column =
+    c(DeletionHashes(e(s), maxDist))
+
   /** |A ∩ B| of two sorted distinct array<bigint> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedLongIntersectCount(e(a), e(b)))

@@ -113,25 +113,41 @@ object FuzzyJoin {
     val base = records.select(
       (col(idCol).as("rid") +: col(nameCol).as("nm") +:
         col(blockCol).as("blk") +: agreeCols.map(col)): _*)
-    val sig = base.select(col("rid"), col("nm"), col("blk"),
-      explode(deletionSignatures("nm", maxDist)).as("sig"))
+    // 8-byte HASHED signatures off the DeletionHashes codegen kernel
+    // (one O(L²)-integer-op loop per name — the compositional
+    // transform/substr/concat form is CodegenFallback and was the
+    // query's dominant cost): the join key is one long; a hash
+    // collision only ADDS a false candidate, which the exact
+    // levenshtein verify kills — completeness is untouched. The
+    // kernel is cheap enough to evaluate once per self-join side —
+    // do NOT checkpoint/cache here: a stats-less materialized frame
+    // invites the planner to BROADCAST the signature table (measured:
+    // a driver-built 1.6M-entry hashed relation cost more than the
+    // whole query). Parallelism floor: a single-row-group input would
+    // otherwise serialize the kernel + join on one task.
+    val sig = Parallelism.floor(base)
+      .select(col("rid"), col("nm"), col("blk"),
+        explode(graft.functions.GraftFunctions
+          .deletionHashes(col("nm"), maxDist)).as("sig"))
     val fa = sig.select(col("blk"), col("sig"), col("rid").as("rid_a"),
       col("nm").as("nm_a"))
     val fb = sig.select(col("blk"), col("sig"), col("rid").as("rid_b"),
       col("nm").as("nm_b"))
+    // rid-ordered pairing catches dist-0 (equal-name) pairs in the
+    // SAME signature join — equal names share every signature — so no
+    // separate equi-join is needed. Verify BEFORE the distinct — the
+    // opposite trade from editDistancePairs: low-entropy name
+    // universes (shared prefixes, zero-padded ids, common surnames)
+    // make some deletion variants HUB signatures shared by a whole
+    // block, and shuffling that candidate multiset through a distinct
+    // costs more than running the codegen levenshtein once per
+    // witness inside the join stage. Survivors are true pairs ×
+    // witness multiplicity — small — and dedupe cheaply.
     val fuzzy = fa.join(fb, Seq("blk", "sig"))
-      .where(col("nm_a") < col("nm_b"))
-      // collapse multi-witness candidates before the verify (same
-      // discipline as editDistancePairs)
+      .where(col("rid_a") < col("rid_b") &&
+        levenshtein(col("nm_a"), col("nm_b")) <= maxDist)
       .select(col("blk"), col("rid_a"), col("nm_a"), col("rid_b"),
         col("nm_b")).distinct()
-      .where(levenshtein(col("nm_a"), col("nm_b")) <= maxDist)
-    val ea = base.select(col("blk"), col("nm"), col("rid").as("rid_a"))
-    val eb = base.select(col("blk"), col("nm"), col("rid").as("rid_b"))
-    val equal = ea.join(eb, Seq("blk", "nm"))
-      .where(col("rid_a") < col("rid_b"))
-      .select(col("blk"), col("rid_a"), col("nm").as("nm_a"),
-        col("rid_b"), col("nm").as("nm_b"))
     val aga = base.select(
       (col("rid").as("rid_a") +:
         agreeCols.map(c => col(c).as(s"${c}_a"))): _*)
@@ -141,14 +157,13 @@ object FuzzyJoin {
     val nAgree = agreeCols
       .map(c => when(col(s"${c}_a") === col(s"${c}_b"), 1L).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
-    fuzzy.unionByName(equal)
+    fuzzy
       .join(aga, Seq("rid_a")).join(agb, Seq("rid_b"))
       .withColumn("dist",
         levenshtein(col("nm_a"), col("nm_b")).cast(LongType))
       .withColumn("n_agree", nAgree)
       .select(
-        least(col("rid_a"), col("rid_b")).as("id_a"),
-        greatest(col("rid_a"), col("rid_b")).as("id_b"),
+        col("rid_a").as("id_a"), col("rid_b").as("id_b"),
         col("blk").as("block"), col("dist"), col("n_agree"),
         (lit(maxDist.toLong) - col("dist") + col("n_agree")).as("score"))
   }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ops.FuzzyJoin
 
 /** Streaming twin of [[graft.ops.FuzzyJoin.linkRecords]] — incremental
   * entity resolution: records arrive on a stream and each one is
@@ -41,7 +40,8 @@ object LinkageStream {
           col(blockCol).as("blk") +:
           agreeCols.map(c => col(c).as(s"m_$c"))): _*)
       .select((col("mid") +: col("m_nm") +: col("blk") +:
-        explode(FuzzyJoin.deletionSignatures("m_nm", maxDist))
+        explode(graft.functions.GraftFunctions
+          .deletionHashes(col("m_nm"), maxDist))
           .as("sig") +: agreeCols.map(c => col(s"m_$c"))): _*)
 
   /** @param records streaming (or batch — the watermark is a no-op)
@@ -72,7 +72,8 @@ object LinkageStream {
         agreeCols.map(col)): _*)
     val sigs = in.select((col(tsCol) +: col("id") +: col("nm") +:
       col("blk") +:
-      explode(FuzzyJoin.deletionSignatures("nm", maxDist)).as("sig") +:
+      explode(graft.functions.GraftFunctions
+        .deletionHashes(col("nm"), maxDist)).as("sig") +:
       agreeCols.map(col)): _*)
     val nAgree = agreeCols
       .map(c => when(col(c) === col(s"m_$c"), 1L).otherwise(0L))

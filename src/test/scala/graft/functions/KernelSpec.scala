@@ -475,4 +475,46 @@ class KernelSpec extends SparkSuite {
     assert(spark.sql("SELECT graft_char_simpson(t) AS v FROM simpson_probe")
       .collect().head.getLong(0) == 2L)
   }
+
+  test("DeletionHashes: every hash equals the polynomial of the " +
+      "materialized variant string; counts and collisions by content") {
+    val s = spark
+    import s.implicits._
+    // brute-force model: hash a variant string directly
+    def poly(v: String): Long = {
+      val cps = v.codePoints().toArray
+      var h = 0L; var p = 1L
+      cps.foreach { c => h += c.toLong * p; p *= 0x100000001b3L }
+      graft.functions.SigKernels.splitmix64(
+        h ^ (cps.length.toLong * 0x9e3779b97f4a7c15L))
+    }
+    def variants(v: String, k: Int): Seq[String] = {
+      def del1(x: String) =
+        x.indices.map(i => x.substring(0, i) + x.substring(i + 1))
+      val d1 = del1(v)
+      v +: (if (k >= 2) d1 ++ d1.flatMap(del1).distinct else d1)
+    }
+    val inputs = Seq("", "a", "ab", "abc", "aabb", "Customer#0001",
+      "héllo", "same same")
+    for (k <- Seq(1, 2); in <- inputs) {
+      val got = Seq(in).toDF("t")
+        .select(explode(GraftFunctions.deletionHashes(col("t"), k))
+          .as("h")).collect().map(_.getLong(0)).toSeq
+      // d2 kernel output enumerates (i < j) pairs, possibly repeating
+      // content-equal variants — compare as SETS of content hashes
+      assert(got.toSet == variants(in, k).map(poly).toSet,
+        s"k=$k in='$in'")
+      // size = 1 + n + C(n,2) over CODE POINTS (no dedupe)
+      val n = in.codePointCount(0, in.length)
+      val want = 1 + n + (if (k >= 2 && n >= 2) n * (n - 1) / 2 else 0)
+      assert(got.size == want, s"k=$k in='$in' size")
+    }
+    // the FastSS contract through hashes: near names share a hash,
+    // far names don't
+    def hs(v: String) = Seq(v).toDF("t")
+      .select(explode(GraftFunctions.deletionHashes(col("t"), 2)).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hs("acme corp").intersect(hs("acme c0rp")).nonEmpty)
+    assert(hs("acme corp").intersect(hs("zzz industries")).isEmpty)
+  }
 }
