@@ -50,6 +50,83 @@ object Eval {
           (col("n_x") * col("n_y")).cast(DoubleType)).as("lift"))
   }
 
+  /** Exact Gini coefficient of a non-negative integer quantity over
+    * its VALUE GROUPS — the inequality/concentration audit ("does 1%
+    * of users drive 99% of spend") beside k_anonymity's census and
+    * rank_auc's ranking power. Same rank-sum discipline as
+    * [[rankAuc]]: one hash aggregate collapses rows to value groups,
+    * ranks run over the collapsed frame (bounded by the quantity's
+    * VALUE DOMAIN — quantize first if the quantity is near-unique per
+    * row; the registry row uses whole currency units), and with
+    * 2·Σᵢ i·x₍ᵢ₎ = Σ_v x_v·n_v·(2·endRank_v − n_v + 1):
+    *   G = (Σ_v x_v·n_v·mid2_v − (N+1)·T) / (N·T),  T = Σ x —
+    * exact integers (DECIMAL(38,0) product sums, the ab_welch
+    * envelope) until ONE final division.
+    */
+  def giniGrouped(df: DataFrame, valueCol: String): DataFrame = {
+    val groups = df
+      .select(col(valueCol).cast(LongType).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    groups
+      .withColumn("endRank", sum(col("n")).over(w))
+      .withColumn("mid2", col("endRank") * 2L - col("n") + 1L)
+      .agg(
+        sum(col("x").cast(DecimalType(38, 0)) * col("n") * col("mid2"))
+          .as("s2"),
+        sum(col("x") * col("n")).as("t"),
+        sum(col("n")).as("n_rows"))
+      .where(col("t") > 0L)
+      .select(col("n_rows"), col("t").as("total"),
+        ((col("s2") - (col("n_rows") + 1L).cast(DecimalType(38, 0)) *
+          col("t")).cast(DoubleType) /
+          (col("n_rows").cast(DecimalType(38, 0)) * col("t"))
+            .cast(DoubleType)).as("gini"))
+  }
+
+  /** Benford first-significant-digit audit of a positive quantity —
+    * the fabricated-data / unit-mix smoke alarm of a data-quality
+    * gate: observed count and share per leading digit against the
+    * Benford expectation log₁₀(1+1/d), which enters BOTH engines as
+    * the same nine LITERALS (never computed — the log-free oracle
+    * discipline). share and deviation are one division / one
+    * subtraction of exact integers and literals.
+    */
+  def benfordAudit(df: DataFrame, cents: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val digits = df
+      .select(cents.cast(LongType).as("c"))
+      .where(col("c") > 0L)
+      .select(substring(col("c").cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val benford = map(
+      (1 to 9).flatMap(d => Seq(lit(d.toLong),
+        lit(BenfordP(d - 1)))): _*)
+    digits
+      .withColumn("n_total", sum(col("n")).over(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("share"),
+        element_at(benford, col("digit")).as("benford_p"))
+      .withColumn("dev", col("share") - col("benford_p"))
+  }
+
+  /** log₁₀(1 + 1/d) for d = 1..9, as fixed literals (shared with the
+    * oracle SQL so no engine ever computes a log).
+    */
+  val BenfordP: Array[Double] = Array(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
   /** Exact Mann-Whitney AUC of an integer score against a binary
     * label: P(score_pos > score_neg) + ½·P(tie), via the rank-sum
     * identity with midrank tie handling — the textbook AUC, not a

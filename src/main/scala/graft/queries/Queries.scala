@@ -370,6 +370,47 @@ object Queries {
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
         |FROM w JOIN c ON w.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // HUGEINT product sums mirror the DECIMAL(38,0) chain; one
+    // division at the end
+    "gini_spend" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT cents // 100 AS x FROM u),
+        |grp AS (SELECT x, count(*) AS n FROM g GROUP BY 1),
+        |r AS (SELECT x, n, CAST(sum(n) OVER (ORDER BY x
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS endrank FROM grp),
+        |m AS (SELECT x, n, endrank * 2 - n + 1 AS mid2 FROM r),
+        |a AS (SELECT sum(CAST(x AS HUGEINT) * n * mid2) AS s2,
+        |  CAST(sum(x * n) AS BIGINT) AS t,
+        |  CAST(sum(n) AS BIGINT) AS n_rows FROM m)
+        |SELECT n_rows, t AS total,
+        |  CAST(s2 - CAST(n_rows + 1 AS HUGEINT) * t AS DOUBLE)
+        |    / CAST(CAST(n_rows AS HUGEINT) * t AS DOUBLE) AS gini
+        |FROM a WHERE t > 0""".stripMargin,
+    // same nine literals; share/dev one division/subtraction
+    "benford_values" -> {
+      // STRING→double (correctly rounded in both engines): a bare
+      // decimal literal parses as DECIMAL in DuckDB, whose →DOUBLE
+      // conversion is an int/10^k float division — off by 1 ulp once
+      // the scaled integer exceeds 2^53
+      val vals = graft.ops.Eval.BenfordP.zipWithIndex.map {
+        case (p, i) => s"(${i + 1}, CAST('$p' AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+         |    AS digit FROM c),
+         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g),
+         |b(digit, p) AS (VALUES $vals)
+         |SELECT g.digit, g.n,
+         |  CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share,
+         |  b.p AS benford_p,
+         |  CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE) - b.p AS dev
+         |FROM g CROSS JOIN t JOIN b ON g.digit = b.digit""".stripMargin
+    },
     // same exact-integer cells/marginals, same single division
     "contingency_lift" ->
       """WITH e AS (SELECT event_type AS x,
@@ -679,6 +720,21 @@ object Queries {
         .groupBy(col("cohort"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // inequality audit: exact Gini of per-user spend over VALUE
+    // groups (whole-dollar quantization bounds the rank-window frame
+    // by the value domain; sums are non-negative so div == floor)
+    "gini_spend" -> ((s, d) =>
+      graft.ops.Eval.giniGrouped(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast(LongType))
+            .as("cents"))
+          .select(expr("cents div 100").as("dollars")),
+        "dollars")),
+    // Benford first-digit audit of the value cents — the fabricated-
+    // data / unit-mix smoke alarm; expectations are shared literals
+    "benford_values" -> ((s, d) =>
+      graft.ops.Eval.benfordAudit(Tables.events(s, d),
+        round(col("value") * 100))),
     // feature-dependence audit: contingency lift (log-free PMI) per
     // (event_type, cents-bucket) cell — exact joint/marginal BIGINTs,
     // one division; marginals re-aggregated from the cell frame, the

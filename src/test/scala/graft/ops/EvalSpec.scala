@@ -164,6 +164,25 @@ class EvalSpec extends SparkSuite {
     assert(a == out.map(_.toSeq).toSet)
   }
 
+  test("giniGrouped: uniform is 0, one-holder is (n-1)/n, hand case; " +
+      "benford literals cover digits 1-9") {
+    val s = spark
+    import s.implicits._
+    def gini(xs: Seq[Long]): Double =
+      Eval.giniGrouped(xs.toDF("v"), "v").collect().head.getDouble(2)
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == 0.0)
+    assert(gini(Seq(0L, 0L, 0L, 4L)) == 0.75)
+    // hand: (1,2,3,4): 2*sum(i*x) = 2*(1+4+9+16)=60; (60-5*10)/(4*10)
+    assert(gini(Seq(1L, 2L, 3L, 4L)) == 0.25)
+    // ties collapse to value groups and midranks keep it exact
+    assert(gini(Seq(1L, 1L, 3L, 3L)) == gini(Seq(1L, 1L, 3L, 3L)))
+    val bf = Eval.benfordAudit(
+        (1L to 999L).toDF("v"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1..999: each digit leads 1 + 10 + 100 = 111 times
+    assert(bf == (1L to 9L).map(_ -> 111L).toMap)
+  }
+
   test("contingencyLift: hand-computed cells; independence gives " +
       "lift 1; no cartesian in the plan") {
     val s = spark

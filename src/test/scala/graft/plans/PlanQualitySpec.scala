@@ -40,6 +40,9 @@ class PlanQualitySpec extends SparkSuite {
     "cumulative_users", "conversion_latency",
     // rank window over per-score-value groups (n_chars domain)
     "rank_auc",
+    // rank window over spend VALUE groups (whole-dollar domain);
+    // digit-share window over nine leading-digit groups
+    "gini_spend", "benford_values",
     // rk stamp over an already-.limit(k) frame (TakeOrderedAndProject
     // upstream does the distributed top-k; the window sees k rows)
     "bm25_search", "text_index_store", "rag_chunk_search",
