@@ -87,6 +87,53 @@ object Eval {
             .cast(DoubleType)).as("gini"))
   }
 
+  /** Concentration-curve points beside [[giniGrouped]]: the share of
+    * total quantity held by the top p% of rows, for each requested
+    * percentage — "the top 1% of users drive X% of spend", EXACT even
+    * when the p% boundary lands inside a tie group: the boundary
+    * group's quantity is apportioned by integer count
+    * (full groups above + (m − cumN_before)·x at the boundary), so
+    * every published share is one division of exact BIGINTs.
+    * m = ⌈N·p/100⌉ via integer ceil. Same value-group discipline as
+    * giniGrouped: the descending cumulative window runs over the
+    * quantity's VALUE DOMAIN, and the per-percentile pick is one join
+    * of the group frame against a literal percentage array.
+    */
+  def concentration(df: DataFrame, valueCol: String,
+                    pcts: Seq[Int] = Seq(1, 10, 50)): DataFrame = {
+    val groups = df
+      .select(col(valueCol).cast(LongType).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = groups
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_s", sum(col("x") * col("n")).over(w))
+      .withColumn("n_rows", sum(col("n")).over(all))
+      .withColumn("total", sum(col("x") * col("n")).over(all))
+    cum
+      .select(col("x"), col("n"), col("cum_n"), col("cum_s"),
+        col("n_rows"), col("total"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("m", expr("CAST((n_rows * pct + 99) div 100 AS BIGINT)"))
+      // the boundary group: the first (descending) group covering m
+      .where(col("total") > 0L && col("cum_n") - col("n") < col("m") &&
+        col("m") <= col("cum_n"))
+      .withColumn("top_units",
+        col("cum_s") - col("x") * (col("cum_n") - col("m")))
+      .select(col("pct"), col("m").as("n_top"), col("top_units"),
+        col("total"),
+        (col("top_units").cast(DoubleType) /
+          col("total").cast(DoubleType)).as("share"))
+  }
+
   /** Benford first-significant-digit audit of a positive quantity —
     * the fabricated-data / unit-mix smoke alarm of a data-quality
     * gate: observed count and share per leading digit against the

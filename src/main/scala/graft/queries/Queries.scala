@@ -389,6 +389,30 @@ object Queries {
         |  CAST(s2 - CAST(n_rows + 1 AS HUGEINT) * t AS DOUBLE)
         |    / CAST(CAST(n_rows AS HUGEINT) * t AS DOUBLE) AS gini
         |FROM a WHERE t > 0""".stripMargin,
+    // same descending value-group cumulation, same integer ceil and
+    // boundary apportioning
+    "spend_concentration" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT cents // 100 AS x FROM u),
+        |grp AS (SELECT x, count(*) AS n FROM g GROUP BY 1),
+        |r AS (SELECT x, n,
+        |  CAST(sum(n) OVER (ORDER BY x DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |  CAST(sum(x * n) OVER (ORDER BY x DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
+        |  CAST(sum(n) OVER () AS BIGINT) AS n_rows,
+        |  CAST(sum(x * n) OVER () AS BIGINT) AS total FROM grp),
+        |p AS (SELECT unnest([1, 10, 50]) AS pct),
+        |j AS (SELECT r.*, CAST(p.pct AS BIGINT) AS pct,
+        |  (n_rows * p.pct + 99) // 100 AS m FROM r CROSS JOIN p)
+        |SELECT pct, m AS n_top,
+        |  cum_s - x * (cum_n - m) AS top_units, total,
+        |  CAST(cum_s - x * (cum_n - m) AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS share
+        |FROM j WHERE total > 0 AND cum_n - n < m AND m <= cum_n""".stripMargin,
     // same nine literals; share/dev one division/subtraction
     "benford_values" -> {
       // STRING→double (correctly rounded in both engines): a bare
@@ -735,6 +759,16 @@ object Queries {
     "benford_values" -> ((s, d) =>
       graft.ops.Eval.benfordAudit(Tables.events(s, d),
         round(col("value") * 100))),
+    // concentration-curve points over the same dollar groups: share
+    // of total spend held by the top 1/10/50% of users, boundary tie
+    // groups apportioned by integer count — exact to one division
+    "spend_concentration" -> ((s, d) =>
+      graft.ops.Eval.concentration(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast(LongType))
+            .as("cents"))
+          .select(expr("cents div 100").as("dollars")),
+        "dollars")),
     // feature-dependence audit: contingency lift (log-free PMI) per
     // (event_type, cents-bucket) cell — exact joint/marginal BIGINTs,
     // one division; marginals re-aggregated from the cell frame, the

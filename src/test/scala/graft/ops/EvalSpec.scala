@@ -181,6 +181,14 @@ class EvalSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 1..999: each digit leads 1 + 10 + 100 = 111 times
     assert(bf == (1L to 9L).map(_ -> 111L).toMap)
+    // concentration: boundary INSIDE a tie group is apportioned by
+    // integer count — 10 rows of (9 x value-1, 1 x value-11), top 20%
+    // = 2 rows = the 11 plus ONE of the ones → (11+1)/20
+    val conc = Eval.concentration(
+        (Seq.fill(9)(1L) :+ 11L).toDF("v"), "v", Seq(20))
+      .collect().head
+    assert(conc.getLong(1) == 2L && conc.getLong(2) == 12L &&
+      conc.getLong(3) == 20L && conc.getDouble(4) == 0.6)
   }
 
   test("contingencyLift: hand-computed cells; independence gives " +

@@ -42,7 +42,7 @@ class PlanQualitySpec extends SparkSuite {
     "rank_auc",
     // rank window over spend VALUE groups (whole-dollar domain);
     // digit-share window over nine leading-digit groups
-    "gini_spend", "benford_values",
+    "gini_spend", "benford_values", "spend_concentration",
     // rk stamp over an already-.limit(k) frame (TakeOrderedAndProject
     // upstream does the distributed top-k; the window sees k rows)
     "bm25_search", "text_index_store", "rag_chunk_search",
