@@ -752,7 +752,11 @@ object Queries {
         Tables.events(s, d).groupBy(col("user_id"))
           .agg(sum(round(col("value") * 100).cast(LongType))
             .as("cents"))
-          .select(expr("cents div 100").as("dollars")),
+          // floor, not div: the oracle's // floors, and a negative
+          // spend total must bucket identically cross-engine (the
+          // decayScore/k_anonymity ADVICE discipline)
+          .select(expr("CAST(floor(cents / 100) AS BIGINT)")
+            .as("dollars")),
         "dollars")),
     // Benford first-digit audit of the value cents — the fabricated-
     // data / unit-mix smoke alarm; expectations are shared literals
@@ -767,7 +771,9 @@ object Queries {
         Tables.events(s, d).groupBy(col("user_id"))
           .agg(sum(round(col("value") * 100).cast(LongType))
             .as("cents"))
-          .select(expr("cents div 100").as("dollars")),
+          // floor, not div — see gini_spend
+          .select(expr("CAST(floor(cents / 100) AS BIGINT)")
+            .as("dollars")),
         "dollars")),
     // feature-dependence audit: contingency lift (log-free PMI) per
     // (event_type, cents-bucket) cell — exact joint/marginal BIGINTs,
