@@ -146,6 +146,45 @@ object Retrieval {
         col("rk_sparse"), col("rk_dense"))
   }
 
+  /** Late-interaction retrieval (the ColBERT MaxSim shape, public —
+    * Khattab & Zaharia 2020) over sign embeddings: every query TOKEN
+    * keeps its own vector and scores against the doc's best-matching
+    * CHUNK, score(d) = Σ_t max_chunk sim(t, chunk) — so a doc that
+    * answers different query terms in different passages outranks one
+    * that merely repeats a single term, which any single-vector score
+    * (hybrid_search's dense arm included) cannot distinguish.
+    *
+    * Geometry: 64-bit SimHash sign embeddings, sim = 64 − hamming —
+    * exact integers end to end (the rag_chunk_search geometry, now
+    * per-term). Shape: ONE hash aggregate over chunk signatures
+    * computes every per-term min-hamming per doc (terms are a fixed
+    * literal list, so they're columns, not a join), then a bounded
+    * top-k. At scale the chunk-signature table is the persisted
+    * artifact (rag_chunk_search materializes exactly this frame) and
+    * the aggregate is map-side combinable.
+    */
+  def lateInteractionTopK(chunkSigs: DataFrame,
+                          termSigs: Seq[(Long, Long)],
+                          k: Int = 10): DataFrame = {
+    require(termSigs.nonEmpty)
+    val hams = termSigs.zipWithIndex.map { case ((lo, hi), i) =>
+      min(bit_count(col("sim_lo").bitwiseXOR(lit(lo))) +
+        bit_count(col("sim_hi").bitwiseXOR(lit(hi))))
+        .cast(LongType).as(s"h_$i")
+    }
+    val perDoc = chunkSigs.groupBy(col("doc_id"))
+      .agg(hams.head, hams.tail: _*)
+    val score = termSigs.indices
+      .map(i => lit(64L) - col(s"h_$i"))
+      .reduceLeft(_ + _)
+    perDoc.withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id") +: col("rk") +: col("score") +:
+        termSigs.indices.map(i => col(s"h_$i")): _*)
+  }
+
   /** Exact-phrase search over a positional inverted index — the
     * retrieval twin of bm25TopK for queries where token ORDER matters.
     *

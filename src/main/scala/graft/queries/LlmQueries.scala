@@ -1339,6 +1339,24 @@ object LlmQueries {
             .orderBy(col("hamming"), col("doc_id"), col("chunk_idx")))
           .cast(LongType))
     }),
+    // N3/N4 — late-interaction (ColBERT MaxSim) retrieval: every query
+    // TOKEN scores against the doc's best chunk, score = Σ_t (64 −
+    // min-hamming) — one aggregate over the SAME chunk-signature
+    // artifact rag_chunk_search materializes; exact integers
+    "late_interaction" -> ((s, d) => {
+      val chunks = TextOps.chunkDocs(docs(s, d), "doc_id", "text",
+        chunkTokens = 16, overlap = 4)
+      val sigs = chunks.select(col("doc_id"), col("chunk_idx"),
+          graft.functions.GraftFunctions.simhash64(col("chunk_text"))
+            .as("sg"))
+        .select(col("doc_id"), col("chunk_idx"),
+          element_at(col("sg"), 1).as("sim_lo"),
+          element_at(col("sg"), 2).as("sim_hi"))
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        sigs.coalesce(1).write.mode("overwrite").parquet(ragSigsDir)
+      Retrieval.lateInteractionTopK(sigs,
+        bm25Terms.map(simhashSigOf), k = 10)
+    }),
     // N4 — contrastive positive pairs: anchor chunk 0 + a hash-picked
     // other chunk per multi-chunk doc (two views of one document;
     // hard_negatives is the negative side)
@@ -3890,6 +3908,26 @@ object LlmQueries {
          |    AS BIGINT) AS rk FROM h)
          |SELECT doc_id, chunk_idx, hamming, rk FROM r
          |WHERE rk <= 20""".stripMargin
+    },
+    // the same materialized chunk signatures; per-term min-hamming
+    // folded per doc, score = Σ (64 − h_t)
+    "late_interaction" -> {
+      val qs = bm25Terms.map(simhashSigOf)
+      val mins = qs.zipWithIndex.map { case ((lo, hi), i) =>
+        s"CAST(min(bit_count(xor(sim_lo, CAST($lo AS BIGINT))) + " +
+          s"bit_count(xor(sim_hi, CAST($hi AS BIGINT)))) AS BIGINT) " +
+          s"AS h_$i"
+      }.mkString(",\n  ")
+      val score = qs.indices.map(i => s"(64 - h_$i)").mkString(" + ")
+      val hcols = qs.indices.map(i => s"h_$i").mkString(", ")
+      s"""WITH s AS (SELECT * FROM '$ragSigsDir/*.parquet'),
+         |m AS (SELECT doc_id, $mins FROM s GROUP BY 1),
+         |sc AS (SELECT doc_id, CAST($score AS BIGINT) AS score,
+         |  $hcols FROM m)
+         |SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |  score, $hcols
+         |FROM sc QUALIFY rk <= 10""".stripMargin
     },
     // the seq_pack chunk-count replay + polyHash pick: pos_idx =
     // hash(doc_id) % (n_chunks-1) + 1; token counts from the slice

@@ -49,6 +49,8 @@ class PlanQualitySpec extends SparkSuite {
     // both arms' rk stamps + the fused rk, each over a .limit(poolK)
     // or .limit(k) frame (Retrieval.hybridTopK scaladoc)
     "hybrid_search",
+    // rk stamp over an already-.limit(k) frame
+    "late_interaction",
     // the global-bounds window runs over the one-row-per-event-type
     // frame (TimeSeries.interpolateGaps, the denseHourly shape)
     "interpolate_gaps",
