@@ -986,6 +986,34 @@ object LlmQueries {
     // over the persisted merge table, full segmentation compared
     "bpe_tokenize" -> ((s, d) =>
       TextOps.bpeTokens(docs(s, d), "doc_id", "text", bpeArtifact(s, d))),
+    // N4 — tokenizer fertility per language: tokens/word and
+    // chars/token of the SAME BPE segmentation bpe_tokenize replays —
+    // the dataset-card row behind "is this tokenizer efficient for
+    // this language mix"; exact integer sums, one division each
+    "tokenizer_fertility" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = TextOps.bpeTokens(dd, "doc_id", "text",
+          bpeArtifact(s, d))
+        .select(col("doc_id"), col("n_tokens"))
+      dd.select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType)
+            .as("n_words"),
+          length(translate(col("text"), " ", "")).cast(LongType)
+            .as("n_chars"))
+        .join(toks, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .where(col("n_tokens") > 0L && col("n_words") > 0L)
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_chars"),
+          (col("n_tokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType)).as("fertility"),
+          (col("n_chars").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("chars_per_token"))
+    }),
     // N4 — top terms per language: term counts ranked per group; the
     // RankLimitToGroupedTopK rule plans this through the bounded-heap
     // custom operator automatically
@@ -3893,6 +3921,50 @@ object LlmQueries {
          |  string_agg(replace(trim(seq, '|'), '|', ' '), ' '
          |    ORDER BY wi) AS toks
          |FROM fin GROUP BY doc_id""".stripMargin,
+    // the same recursive segmentation, folded per language
+    "tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT rank, pat, rep FROM '$bpeMergesDir/*.parquet'),
+         |w AS (SELECT doc_id, i AS wi, toks[i] AS word FROM
+         |  (SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks))) AS i
+         |   FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |         FROM documents))),
+         |chars AS (SELECT doc_id, wi,
+         |  '|' || string_agg(substr(word, ci, 1), '|' ORDER BY ci)
+         |      || '|' AS seq
+         |  FROM w, unnest(generate_series(1, length(word))) t(ci)
+         |  GROUP BY doc_id, wi),
+         |seg AS (
+         |  SELECT doc_id, wi, seq, 0 AS step FROM chars
+         |  UNION ALL
+         |  SELECT s.doc_id, s.wi,
+         |    substr(s.seq, 1, b.p - 1) || b.rep
+         |      || substr(s.seq, b.p + length(b.pat)),
+         |    s.step + 1
+         |  FROM seg s, LATERAL (
+         |    SELECT m.pat, m.rep, position(m.pat IN s.seq) AS p
+         |    FROM m WHERE position(m.pat IN s.seq) > 0
+         |    ORDER BY m.rank LIMIT 1) b),
+         |fin AS (SELECT doc_id, wi, arg_max(seq, step) AS seq
+         |  FROM seg GROUP BY 1, 2),
+         |dt AS (SELECT doc_id,
+         |  CAST(sum(len(string_split(trim(seq, '|'), '|'))) AS BIGINT)
+         |    AS n_tokens FROM fin GROUP BY 1),
+         |dm AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT dm.lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+         |    AS fertility,
+         |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+         |    AS chars_per_token
+         |FROM dm JOIN dt USING (doc_id) GROUP BY 1
+         |HAVING sum(n_tokens) > 0 AND sum(n_words) > 0""".stripMargin,
     // the bq_topk hamming replay over the materialized chunk
     // signatures; the probe signature is the same interpolated
     // constant the Spark plan uses
