@@ -376,4 +376,41 @@ class AsOfSpec extends SparkSuite {
       .toSet
     assert(got == Set((1L, 20L, "b"), (3L, 32L, "e")))
   }
+
+  test("pointInTimeJoin: latest valid version, exact-boundary picks " +
+      "the NEW version, facts before the first version get nulls, " +
+      "same-instant version chains resolve to the survivor") {
+    val s = spark
+    import s.implicits._
+    def ts(t: String) = Timestamp.valueOf(t)
+    // key 1: v1 at 01:00, v2 at 02:00, plus a same-instant chain at
+    // 03:00 (two updates at one ts -> v3 is zero-length, v4 survives)
+    val changes = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, 100L),
+      (1L, ts("2024-01-01 02:00:00"), 2L, 200L),
+      (1L, ts("2024-01-01 03:00:00"), 3L, 300L),
+      (1L, ts("2024-01-01 03:00:00"), 4L, 400L))
+      .toDF("k", "ts", "seq", "cents")
+    val dim = Relational.scdType2(changes, "k", "ts", "seq",
+      Seq("cents"))
+    val facts = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 10L), // before v1 -> nulls
+      (1L, ts("2024-01-01 01:30:00"), 11L), // inside v1
+      (1L, ts("2024-01-01 02:00:00"), 12L), // AT v2's start -> v2
+      (1L, ts("2024-01-01 03:00:00"), 13L), // at the chain -> v4
+      (1L, ts("2024-01-01 09:00:00"), 14L), // open-ended current
+      (2L, ts("2024-01-01 01:00:00"), 15L)) // unknown key -> nulls
+      .toDF("k", "ts", "fid")
+    val got = AsOf.pointInTimeJoin(dim, facts, "k", "ts")
+      .collect().map(r => r.getAs[Long]("fid") ->
+        (Option(r.getAs[Any]("cents")), Option(r.getAs[Any]("version_n"))))
+      .toMap
+    assert(got(10L) == ((None, None)))
+    assert(got(11L) == ((Some(100L), Some(1L))))
+    assert(got(12L) == ((Some(200L), Some(2L))))
+    assert(got(13L) == ((Some(400L), Some(4L))),
+      "same-instant chain: the surviving (highest) version wins")
+    assert(got(14L) == ((Some(400L), Some(4L))))
+    assert(got(15L) == ((None, None)))
+  }
 }

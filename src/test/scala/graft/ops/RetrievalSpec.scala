@@ -220,4 +220,83 @@ class RetrievalSpec extends SparkSuite {
     assert(out((2L, 3L)) == (("beta", 1.0)))
     assert(out.size == 6)
   }
+
+  test("hybridTopK: both-arm docs outrank single-arm ones at equal " +
+      "ranks; single-arm docs still surface; rrf is the two-term sum") {
+    val s = spark
+    import s.implicits._
+    // doc 1 matches the sparse terms AND is the dense nearest (its
+    // text IS the query); doc 2 only matches terms; doc 3 is dense-
+    // close but term-free; doc 4 irrelevant
+    val q = "spark stream"
+    val docs = Seq(
+      (1L, "spark stream"),
+      (2L, "spark stream extra words here beyond"),
+      (3L, "spark strean"),
+      (4L, "entirely unrelated text about nothing"))
+      .toDF("doc_id", "text")
+    val sig = graft.functions.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(q),
+        org.apache.spark.sql.types.StringType))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text",
+        Seq("spark", "stream"), (sig(0), sig(1)), k = 4, poolK = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rk"), r.getAs[Double]("rrf"),
+          Option(r.getAs[Any]("rk_sparse")),
+          Option(r.getAs[Any]("rk_dense")))).toMap
+    assert(out(1L)._1 == 1L, "both-arm best doc fuses to rank 1")
+    val (_, rrf1, Some(s1), Some(d1)) = out(1L)
+    assert(rrf1 == 1.0 / (60 + s1.asInstanceOf[Long]) +
+      1.0 / (60 + d1.asInstanceOf[Long]))
+    // the term-free doc 4 never enters the sparse arm but still
+    // surfaces through the dense pool (poolK covers it here)
+    assert(out(4L)._3.isEmpty && out(4L)._4.nonEmpty)
+    // doc 3 ("spark strean") hits ONE term — both arms ranked
+    assert(out(3L)._3.nonEmpty && out(3L)._4.nonEmpty)
+  }
+
+  test("lateInteractionTopK: per-term best-chunk MaxSim — a doc " +
+      "answering both terms in different chunks beats one repeating " +
+      "a single term") {
+    val s = spark
+    import s.implicits._
+    def sigOf(t: String): (Long, Long) = {
+      val a = graft.functions.SimHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      (a(0), a(1))
+    }
+    // doc 1: one chunk exactly "alpha", one exactly "beta" — both
+    // terms get hamming 0 somewhere → perfect MaxSim 128.
+    // doc 2: two chunks both exactly "alpha" — term beta never
+    // matches a chunk at distance 0.
+    val chunks = Seq(
+      (1L, 0L, "alpha"), (1L, 1L, "beta"),
+      (2L, 0L, "alpha"), (2L, 1L, "alpha"))
+      .toDF("doc_id", "chunk_idx", "chunk_text")
+    val sigs = chunks.select(col("doc_id"), col("chunk_idx"),
+        graft.functions.GraftFunctions.simhash64(col("chunk_text"))
+          .as("sg"))
+      .select(col("doc_id"), col("chunk_idx"),
+        element_at(col("sg"), 1).as("sim_lo"),
+        element_at(col("sg"), 2).as("sim_hi"))
+    val out = Retrieval.lateInteractionTopK(sigs,
+        Seq(sigOf("alpha"), sigOf("beta")), k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("score"),
+          r.getAs[Long]("h_0"), r.getAs[Long]("h_1"))).toMap
+    assert(out(1L) == ((1L, 128L, 0L, 0L)),
+      "both terms matched perfectly in different chunks")
+    assert(out(2L)._3 == 0L && out(2L)._4 > 0L &&
+      out(2L)._2 < 128L, "repeating one term can't cover the other")
+  }
 }
