@@ -872,6 +872,46 @@ object Queries {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"))
     }),
+    // stream-stream LEFT OUTER attribution (JoinStream): purchases
+    // matched to same-user clicks in the trailing hour; purchases
+    // with NO qualifying click survive once, null-padded. In
+    // streaming the null verdict is emitted only when the click
+    // watermark proves no match can still arrive
+    // (StreamStreamJoinSpec); this batch replay is the plain interval
+    // left join the oracle states.
+    "stream_stream_join" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.streaming.JoinStream.clickAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        horizonSeconds = 3600, joinType = "left_outer")
+    }),
+    // bucketed co-located join: both sides pre-bucketed on the join
+    // key (bucketedTables), so the fact-fact join plans with ZERO
+    // exchanges — the write-once-join-many layout (no-Exchange plan
+    // asserted in BucketedJoinSpec; correctness here vs the plain
+    // join oracle). The groupBy after it is the only shuffle.
+    "bucketed_join" -> ((s, d) => {
+      val (liT, orT) = bucketedTables(s, d)
+      s.table(liT)
+        .join(s.table(orT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast(LongType))
+            .as("rev_cents"))
+    }),
+    // 2-D skyline (Pareto frontier): the price-volume tradeoff curve
+    // over lineitem — grid-pruned two-phase (per-x reduce, bounded
+    // bucket-census dominance thresholds, within-bucket window); the
+    // quadratic dominance self-join exists ONLY in the oracle
+    "skyline_frontier" -> ((s, d) =>
+      graft.ops.Skyline.frontier2d(
+        Tables.lineitem(s, d).select(
+          round(col("l_extendedprice") * 100).cast(LongType)
+            .as("price_cents"),
+          round(col("l_quantity") * 100).cast(LongType)
+            .as("qty_cents")),
+        "price_cents", "qty_cents")),
     // skew-mitigated join: salted fact-dim join, row-identical to the
     // plain join (the oracle IS the plain join)
     "salted_join" -> ((s, d) =>
@@ -1618,6 +1658,35 @@ object Queries {
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "stream_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.purchase_ts,
+        |  c.click_id, c.click_ts
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        | AND c.click_ts <= p.purchase_ts
+        | AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "skyline_frontier" ->
+      """WITH t AS (SELECT
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+        |  FROM lineitem),
+        |c AS (SELECT price_cents, max(qty_cents) AS qty_cents
+        |  FROM t GROUP BY 1)
+        |SELECT price_cents, qty_cents FROM c p
+        |WHERE NOT EXISTS (SELECT 1 FROM c q
+        |  WHERE q.price_cents >= p.price_cents
+        |    AND q.qty_cents >= p.qty_cents
+        |    AND (q.price_cents > p.price_cents
+        |      OR q.qty_cents > p.qty_cents))""".stripMargin,
     "ship_priority" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -2550,6 +2619,46 @@ object Queries {
         |     + sum(CASE WHEN rn = (n + 2) // 2 THEN c END)
         |    AS BIGINT) AS med2_cents
         |FROM r GROUP BY 1""".stripMargin)
+
+  /** Bucketed co-located join layout: lineitem and orders written
+    * ONCE per (session, dataset) as bucketed + per-bucket-sorted
+    * tables on the SAME 8-bucket orderkey hash — the table-layout
+    * twin of the graft-ocf store's KeyGroupedPartitioning. A join on
+    * the bucket key then needs NO shuffle on either side (and no
+    * sort, buckets being pre-sorted): the shuffle is paid once at
+    * write time and amortized over every downstream join/aggregate —
+    * THE core co-location technique for a fact table consumed by many
+    * per-key pipelines at 100 TB. No-Exchange plan proven in
+    * BucketedJoinSpec; this builder memoizes per dataset dir, so
+    * bench iterations 2..n time what production pays after layout.
+    */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, d: String)
+      : (String, String) =
+    bucketMemo.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val liT = s"graft_bkt_lineitem_$tag"
+      val orT = s"graft_bkt_orders_$tag"
+      val base = sys.props.getOrElse("graft.bucketed.dir",
+        s"/tmp/graft_bucketed_$tag")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      s.sql(s"DROP TABLE IF EXISTS $orT")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.option("path", s"$base/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.option("path", s"$base/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(orT)
+      (liT, orT)
+    })
 
   val all: Map[String, Q] =
     streamQueries ++ relationalQueries ++ LlmQueries.queries

@@ -1,57 +1,72 @@
 package graft.ops
 
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.engine.Tables
 
-/** Bucketing: persisting both join sides bucketed on the join key lets
-  * the join run co-located — NO exchange on either side. This is the
-  * 100 TB strategy for repeated fact-fact joins (bucket once, join
-  * many times); the test proves the plan property, not just the rows.
+/** The point of a bucketed layout is the plan: a join of two tables
+  * bucketed + sorted on the join key with MATCHING bucket counts must
+  * plan with ZERO shuffle exchanges and no sort — the write-time
+  * shuffle is amortized over every downstream join. This spec pins
+  * that property (rows proven equal to the plain shuffled join).
   */
 class BucketedJoinSpec extends SparkSuite {
 
-  test("bucketed fact-fact join plans without a shuffle") {
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case e: ShuffleExchangeExec => e }.size
+  }
+
+  test("join of co-bucketed sorted tables plans zero exchanges") {
+    val s = spark
+    import s.implicits._
+    val base = tmpDir("bkt")
+    s.sql("DROP TABLE IF EXISTS bkt_left")
+    s.sql("DROP TABLE IF EXISTS bkt_right")
+    (1L to 1000L).map(k => (k % 97, k)).toDF("k", "lv")
+      .write.option("path", s"$base/left")
+      .bucketBy(4, "k").sortBy("k").saveAsTable("bkt_left")
+    (1L to 500L).map(k => (k % 97, k * 10)).toDF("k", "rv")
+      .write.option("path", s"$base/right")
+      .bucketBy(4, "k").sortBy("k").saveAsTable("bkt_right")
+    withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val j = s.table("bkt_left")
+        .join(s.table("bkt_right"), Seq("k"))
+      assert(exchanges(j) == 0, j.queryExecution.executedPlan.toString)
+      // same rows as the un-bucketed (shuffled) join
+      val plain = (1L to 1000L).map(k => (k % 97, k)).toDF("k", "lv")
+        .join((1L to 500L).map(k => (k % 97, k * 10)).toDF("k", "rv"),
+          Seq("k"))
+      assert(j.collect().map(_.toSeq).toSet ==
+        plain.collect().map(_.toSeq).toSet)
+      // control: the SAME join without bucketing shuffles both sides
+      val unbucketed = s.read.parquet(s"$base/left")
+        .join(s.read.parquet(s"$base/right"), Seq("k"))
+      assert(exchanges(unbucketed) == 2)
+    }
+  }
+
+  test("registry bucketed_join row: aggregate over the co-located " +
+      "join shuffles only for the groupBy") {
     val s = spark
     val d = "/root/testdata/sf0.001"
-    s.sql("DROP TABLE IF EXISTS li_b")
-    s.sql("DROP TABLE IF EXISTS ord_b")
-    Tables.lineitem(s, d).write.format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite")
-      .saveAsTable("li_b")
-    Tables.orders(s, d).write.format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite")
-      .saveAsTable("ord_b")
-    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // disable broadcast so the join strategy must rely on bucketing
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = s.table("li_b")
-        .join(s.table("ord_b"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
-      val plan = joined.queryExecution.executedPlan.toString()
-      // bucketed: only the post-join aggregate may shuffle (1 exchange);
-      // unbucketed the same plan carries 3 (both join inputs + agg)
-      val exchanges = plan.linesIterator
-        .count(_.contains("Exchange hashpartitioning"))
-      assert(exchanges <= 1,
-        s"bucketed join must not shuffle its inputs ($exchanges):\n$plan")
-      val expected = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1))
-        .toMap
-      assert(got == expected)
-    } finally {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      s.sql("DROP TABLE IF EXISTS li_b")
-      s.sql("DROP TABLE IF EXISTS ord_b")
+    withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = graft.queries.Queries.all("bucketed_join")(s, d)
+      // one exchange for the groupBy(o_orderpriority); the join itself
+      // is exchange-free on the bucketed layout
+      assert(exchanges(df) == 1,
+        df.queryExecution.executedPlan.toString)
+      assert(df.collect().map(r => r.getLong(1)).sum > 0)
     }
   }
 }
