@@ -790,6 +790,21 @@ object LlmQueries {
     "rp_project" -> ((s, d) =>
       Similarity.randomProject(emb(s, d), "vec_id", "embedding",
         outDim = 16, inDim = 64)),
+    // planar radius join (Spatial.radiusJoin): ε-neighborhood pairs
+    // over the embeddings' first-2-dim projection scaled to integer
+    // milli-units — grid-bucketed 9-cell equi-join + exact int64
+    // distance² verify; the quadratic pair filter exists ONLY in the
+    // oracle. Unordered (id_a < id_b), self-pairs excluded.
+    "spatial_join" -> ((s, d) => {
+      val pts = emb(s, d).select(col("vec_id").as("id"),
+        round(element_at(col("embedding"), 1).cast(DoubleType) * 1000)
+          .cast(LongType).as("x"),
+        round(element_at(col("embedding"), 2).cast(DoubleType) * 1000)
+          .cast(LongType).as("y"))
+      graft.ops.Spatial.radiusJoin(pts, pts, "id", "x", "y",
+          radius = 20L)
+        .filter(col("id_a") < col("id_b"))
+    }),
     // N4 — heavy hitters: Misra–Gries candidates (bounded-memory,
     // mergeable) + exact verify pass; output is exactly the true
     // freq > N/32 term set (see TextOps.heavyHitters scaladoc)
@@ -2318,6 +2333,20 @@ object LlmQueries {
          |  CAST(sum(w.wt * q.qv[w.i0 + 1]) AS BIGINT) AS value
          |  FROM q, w GROUP BY 1, 2)
          |SELECT vec_id, out_dim, value FROM p""".stripMargin,
+    // quadratic ε-neighborhood replay of the grid-bucketed join
+    "spatial_join" ->
+      """WITH p AS (SELECT vec_id,
+        |  CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+        |    AS x,
+        |  CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+        |    AS y
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS dist2
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 400""".stripMargin,
     // the IVFADC composition: candidates gated by the materialized
     // cell join, scored by the same replayed ADC chain as pq_topk,
     // finished by the same exact rerank

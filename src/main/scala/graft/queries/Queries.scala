@@ -900,6 +900,43 @@ object Queries {
           sum(round(col("l_extendedprice") * 100).cast(LongType))
             .as("rev_cents"))
     }),
+    // per-key token-bucket throttle (RateLimitStream): capacity 2
+    // tokens, one token per 4 h of EVENT time — the alert-storm /
+    // abuse damper, run here as the streaming operator's batch
+    // replay (same fold; stream==batch + semantics-preserving state
+    // eviction in RateLimitStreamSpec). Integer balance units make
+    // every verdict exact; the oracle replays the per-user fold as a
+    // recursive CTE.
+    "rate_limit" -> ((s, d) =>
+      graft.streaming.RateLimitStream.rateLimit(
+          events(s, d), capacityTokens = 2, periodSec = 14400)
+        .toDF()),
+    // Bloom semi-join reduction: the fact side is pre-filtered by a
+    // broadcast Bloom over the (filtered) dim side's join keys BEFORE
+    // it shuffles — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~selectivity%
+    // that can possibly match (what Spark's runtime row-level filters
+    // do; here explicit, sized from the dim count, reusable across
+    // queries as a published artifact). False positives are over-keep
+    // only; the exact join removes them, so the row hashes equal to
+    // the plain join oracle. Reduction factor asserted in
+    // BloomJoinSpec.
+    "bloom_semijoin" -> ((s, d) => {
+      import graft.functions.{GraftBloom, GraftFunctions}
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = GraftBloom.build(
+        urgent.select(col("o_orderkey").as("h")), "h",
+        GraftBloom.sizeBits(math.max(1L, urgent.count()), 16), 6)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .filter(GraftFunctions.bloomMightContain(col("l_orderkey"), bloom))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast(LongType))
+            .as("rev_cents"))
+    }),
     // 2-D skyline (Pareto frontier): the price-volume tradeoff curve
     // over lineitem — grid-pruned two-phase (per-x reduce, bounded
     // bucket-census dominance thresholds, within-bucket window); the
@@ -1674,6 +1711,32 @@ object Queries {
         |    AS BIGINT) AS rev_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "rate_limit" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+        |  epoch_us(ts) AS us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, rn, us, event_id,
+        |    CAST(14400000000 AS BIGINT) AS bal, true AS accepted
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.us, e.event_id,
+        |    CASE WHEN least(28800000000, f.bal + (e.us - f.us))
+        |           >= 14400000000
+        |         THEN least(28800000000, f.bal + (e.us - f.us))
+        |           - 14400000000
+        |         ELSE least(28800000000, f.bal + (e.us - f.us)) END,
+        |    least(28800000000, f.bal + (e.us - f.us)) >= 14400000000
+        |  FROM e JOIN f ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+        |SELECT user_id, event_id, accepted FROM f""".stripMargin,
+    "bloom_semijoin" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "skyline_frontier" ->
       """WITH t AS (SELECT
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,

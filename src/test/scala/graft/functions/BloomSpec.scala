@@ -85,4 +85,27 @@ class BloomSpec extends SparkSuite {
     assert(passed >= trueHits, "bloom dropped a true hit")
     assert(passed < total, "bloom pruned nothing")
   }
+
+  test("bloom_semijoin: key Bloom prunes the fact side, never a match") {
+    val d = "/root/testdata/sf0.001"
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = GraftBloom.build(
+      urgent.select(col("o_orderkey").as("h")), "h",
+      GraftBloom.sizeBits(math.max(1L, urgent.count()), 16), 6)
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"))
+    val total = li.count()
+    val passed = li
+      .filter(GraftFunctions.bloomMightContain(col("l_orderkey"), bloom))
+      .count()
+    val trueHits = li
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    info(s"lineitem: total=$total passed=$passed trueHits=$trueHits")
+    assert(passed >= trueHits, "bloom dropped a matching fact row")
+    // ~20% of orders are URGENT; with 16 bits/key the pass-through is
+    // true matches + ~4e-4 false positives — far below the full scan
+    assert(passed < total / 2, "bloom pruned too little to be useful")
+  }
 }
