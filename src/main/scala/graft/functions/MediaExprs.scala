@@ -39,6 +39,11 @@ object ImageHeaders {
       (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def le16(b: Array[Byte], i: Int): Long =
     (u8(b, i) | (u8(b, i + 1) << 8)).toLong
+  private def le24(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong
+  private def le32s(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3) << 24)
 
   /** (width, height, fmt); (0, 0, "bin") when not a parseable image. */
   def decode(b: Array[Byte]): (Long, Long, String) = {
@@ -50,6 +55,39 @@ object ImageHeaders {
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       (le16(b, 6), le16(b, 8), "gif")
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        le32s(b, 14) >= 40) {
+      // BITMAPINFOHEADER: LE i32 dims at 18/22; negative height is
+      // the top-down row order flag, magnitude is the pixel height
+      val w = le32s(b, 18).toLong
+      val h = math.abs(le32s(b, 22).toLong)
+      if (w > 0 && h > 0) (w, h, "bmp") else (0L, 0L, "bin")
+    }
+    else if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P')
+      decodeWebp(b)
+    else (0L, 0L, "bin")
+  }
+
+  /** WebP: RIFF container already matched; dispatch on the first
+    * chunk. VP8X (extended): LE24 width-1/height-1 at 24/27. VP8L
+    * (lossless): 14-bit packed dims after the 0x2F signature. "VP8 "
+    * (lossy): 14-bit LE dims after the 9D 01 2A sync code.
+    */
+  private def decodeWebp(b: Array[Byte]): (Long, Long, String) = {
+    if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X' &&
+        b.length >= 30)
+      (1L + le24(b, 24), 1L + le24(b, 27), "webp")
+    else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+        b(15) == 'L' && b.length >= 25 && u8(b, 20) == 0x2f) {
+      val bits = le32s(b, 21).toLong & 0xffffffffL
+      (1L + (bits & 0x3fff), 1L + ((bits >> 14) & 0x3fff), "webp")
+    }
+    else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+        b(15) == ' ' && b.length >= 30 && u8(b, 23) == 0x9d &&
+        u8(b, 24) == 0x01 && u8(b, 25) == 0x2a)
+      (le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff, "webp")
     else (0L, 0L, "bin")
   }
 

@@ -75,6 +75,41 @@ object Multimodal {
         .otherwise(gif).as("payload"))
   }
 
+  private def le24(c: org.apache.spark.sql.Column) = {
+    val x = lpad(hex(c), 6, "0")
+    unhex(concat(substring(x, 5, 2), substring(x, 3, 2),
+      substring(x, 1, 2)))
+  }
+
+  /** The second image-format family: structurally valid BMP
+    * (BITMAPINFOHEADER, even doc_ids — including the top-down
+    * NEGATIVE-height encoding every 4th doc, which parsers that
+    * naively read height as unsigned get wrong) and WebP VP8X
+    * (RIFF container, LE24 minus-one dims, odd doc_ids). Same dim
+    * formulas as [[imagePayload]] so the oracles share them.
+    */
+  def imagePayloadExt(docs: DataFrame): DataFrame = {
+    val w = lit(16L) + pmod(col("doc_id"), lit(317L))
+    val h = lit(16L) + pmod(col("doc_id") * 7L, lit(211L))
+    val body = col("text").cast(BinaryType)
+    // 54-byte header: BM, file size, reserved, data offset 54,
+    // info size 40, dims, planes 1, 24 bpp, then 24 zero bytes
+    val hSigned = when(pmod(col("doc_id"), lit(4)) === 0,
+      lit(4294967296L) - h).otherwise(h) // LE32 two's-complement -h
+    val bmp = concat(hx("424D"), le32(lit(54L) + length(body)),
+      hx("00000000"), le32(lit(54L)), le32(lit(40L)), le32(w),
+      le32(hSigned), hx("01001800"),
+      hx("000000000000000000000000000000000000000000000000"), body)
+    // RIFF size = "WEBP"(4) + chunk header(8) + VP8X payload(10) + body
+    val webp = concat(hx("52494646"),
+      le32(lit(22L) + length(body)), hx("57454250"),
+      hx("56503858"), le32(lit(10L)), hx("00000000"),
+      le24(w - 1L), le24(h - 1L), body)
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, bmp)
+        .otherwise(webp).as("payload"))
+  }
+
   /** Synthesize a structurally valid PCM WAV payload per document —
     * RIFF/WAVE with a real `fmt ` chunk (channels and sample rate
     * derived from doc_id, 16-bit PCM) and the document text as the

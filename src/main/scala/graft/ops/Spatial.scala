@@ -67,4 +67,58 @@ object Spatial {
       .filter(col("dist2") <= r2)
       .select(col("id_a"), col("id_b"), col("dist2"))
   }
+
+  /** DBSCAN over integer planar points — density clustering composed
+    * entirely from scale-safe parts: ε-neighborhoods via
+    * [[radiusJoin]] (grid-bucketed, never all-pairs), core points by
+    * a neighbor-count aggregate, clusters as connected components of
+    * the core-core graph via [[Dedup.componentMin]] (bounded-round
+    * min-label propagation, one shuffle per round), borders attached
+    * to their minimum core-cluster label, the rest noise. Labels are
+    * deterministic (min core id of the component) so the result
+    * hashes against a SQL replay.
+    *
+    * Semantics: a point's neighborhood INCLUDES itself (standard
+    * DBSCAN |N_ε(p)| ≥ minPts core test); a border point takes the
+    * MIN label among its core neighbors (deterministic tie-break of
+    * DBSCAN's order-dependent border assignment); `iters` propagation
+    * rounds resolve chains up to 2^iters hops — the componentMin
+    * contract.
+    *
+    * Output: (idCol, role ∈ core|border|noise, cluster; -1 = noise).
+    */
+  def dbscan(points: DataFrame, idCol: String, xCol: String,
+             yCol: String, eps: Long, minPts: Int,
+             iters: Int = 4): DataFrame = {
+    val pts = points.select(col(idCol).cast(LongType).as("id"),
+      col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    // symmetric ordered pairs, self included (dist² = 0)
+    val pairs = radiusJoin(pts, pts, "id", "x", "y", eps)
+      .select(col("id_a"), col("id_b"))
+    val core = pairs.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("n_nbr"))
+      .filter(col("n_nbr") >= minPts).select(col("id"))
+      // read twice (edges, borders) and again per propagation round
+      .localCheckpoint()
+    val coreEdges = pairs.filter(col("id_a") < col("id_b"))
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = Dedup.componentMin(core, coreEdges, iters)
+    val borders = pairs.filter(col("id_a") =!= col("id_b"))
+      .join(comp.select(col("id").as("id_b"), col("comp")), Seq("id_b"))
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .groupBy(col("id_a").as("id")).agg(min(col("comp")).as("comp"))
+    val coreOut = comp.select(col("id"), lit("core").as("role"),
+      col("comp").as("cluster"))
+    val borderOut = borders.select(col("id"), lit("border").as("role"),
+      col("comp").as("cluster"))
+    val noise = pts.select(col("id"))
+      .join(core.unionByName(borders.select(col("id"))), Seq("id"),
+        "left_anti")
+      .select(col("id"), lit("noise").as("role"),
+        lit(-1L).as("cluster"))
+    coreOut.unionByName(borderOut).unionByName(noise)
+      .select(col("id").as(idCol), col("role"), col("cluster"))
+  }
 }

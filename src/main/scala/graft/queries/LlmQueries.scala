@@ -790,6 +790,21 @@ object LlmQueries {
     "rp_project" -> ((s, d) =>
       Similarity.randomProject(emb(s, d), "vec_id", "embedding",
         outDim = 16, inDim = 64)),
+    // DBSCAN over the same 2-D embedding projection: density
+    // clustering from scale-safe parts — grid-bucketed ε-neighbor
+    // join, neighbor-count core test, componentMin core-graph CC
+    // (bounded 4-round min-label, replayed round-for-round by the
+    // oracle), min-label border attach. Deterministic labels (min
+    // core id), so the full assignment hash-compares.
+    "dbscan_cluster" -> ((s, d) => {
+      val pts = emb(s, d).select(col("vec_id").as("id"),
+        round(element_at(col("embedding"), 1).cast(DoubleType) * 1000)
+          .cast(LongType).as("x"),
+        round(element_at(col("embedding"), 2).cast(DoubleType) * 1000)
+          .cast(LongType).as("y"))
+      graft.ops.Spatial.dbscan(pts, "id", "x", "y", eps = 20L,
+        minPts = 4)
+    }),
     // planar radius join (Spatial.radiusJoin): ε-neighborhood pairs
     // over the embeddings' first-2-dim projection scaled to integer
     // milli-units — grid-bucketed 9-cell equi-join + exact int64
@@ -1171,6 +1186,11 @@ object LlmQueries {
     // parse(synthesize(w, h)) == (w, h) per row. Expression form.
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.imagePayload(docs(s, d)))),
+    // N5 — second image family: BMP (incl. the top-down
+    // negative-height encoding) + WebP VP8X through the same
+    // magic-dispatch decode; oracle = round trip of the dim formulas
+    "image_meta_ext" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.imagePayloadExt(docs(s, d)))),
     // N5 — same decode, per-partition batched (mapPartitions) form
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodePartition(s, Multimodal.imagePayload(docs(s, d))).toDF()),
@@ -2333,6 +2353,49 @@ object LlmQueries {
          |  CAST(sum(w.wt * q.qv[w.i0 + 1]) AS BIGINT) AS value
          |  FROM q, w GROUP BY 1, 2)
          |SELECT vec_id, out_dim, value FROM p""".stripMargin,
+    // quadratic neighbor replay + the SAME 4 min-label rounds as the
+    // Spark op's componentMin (bounded-iteration contract, like the
+    // dedup_corpus oracle)
+    "dbscan_cluster" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (SELECT l.id,
+           |  least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+           |  LEFT JOIN l${k - 1} n ON e.d = n.id
+           |  GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT vec_id AS id,
+         |  CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+         |    AS x,
+         |  CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+         |    AS y
+         |  FROM embeddings),
+         |nb AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+         |  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    <= 400),
+         |core AS (SELECT ia AS id FROM nb GROUP BY 1
+         |  HAVING count(*) >= 4),
+         |ce AS (SELECT nb.ia, nb.ib FROM nb
+         |  JOIN core ca ON nb.ia = ca.id
+         |  JOIN core cb ON nb.ib = cb.id
+         |  WHERE nb.ia < nb.ib),
+         |sym AS (SELECT ia AS s, ib AS d FROM ce
+         |        UNION ALL SELECT ib, ia FROM ce),
+         |l0 AS (SELECT id, id AS comp FROM core),
+         |$rounds,
+         |border AS (SELECT nb.ia AS id, min(l4.comp) AS comp
+         |  FROM nb JOIN l4 ON nb.ib = l4.id
+         |  WHERE nb.ia <> nb.ib
+         |    AND nb.ia NOT IN (SELECT id FROM core)
+         |  GROUP BY 1)
+         |SELECT id, 'core' AS role, comp AS cluster FROM l4
+         |UNION ALL
+         |SELECT id, 'border' AS role, comp AS cluster FROM border
+         |UNION ALL
+         |SELECT p.id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster
+         |FROM p WHERE p.id NOT IN (SELECT id FROM l4)
+         |  AND p.id NOT IN (SELECT id FROM border)""".stripMargin
+    },
     // quadratic ε-neighborhood replay of the grid-bucketed join
     "spatial_join" ->
       """WITH p AS (SELECT vec_id,
@@ -3370,6 +3433,21 @@ object LlmQueries {
     // by PARSING the bytes — equality here proves the parser.
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_decode" -> multimodalMetaOracle,
+    // BMP is 54 header bytes, WebP VP8X 30; dims share the base
+    // formulas (the negative-height BMPs decode to the same
+    // magnitude, which is the point)
+    "image_meta_ext" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen
+        |  FROM documents)
+        |SELECT doc_id,
+        |  tlen + CASE doc_id % 2 WHEN 0 THEN 54 ELSE 30 END
+        |    AS byte_len,
+        |  16 + doc_id % 317 AS width,
+        |  16 + (doc_id * 7) % 211 AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'webp' END AS fmt
+        |FROM b""".stripMargin,
     // dispatch: modality by doc_id % 3 (image→all-jpeg branch of the
     // synthesizer, audio→wav, video→mp4); dims per the family formulas
     "media_catalog" ->

@@ -60,6 +60,61 @@ class MultimodalSpec extends SparkSuite {
     assert(ImageHeaders.decode(hex("FFD8 FFDB FFFF 00")) == (0L, 0L, "bin"))
   }
 
+  test("ImageHeaders parses BMP dims, including top-down negative height") {
+    // 'BM', size, reserved, offset 54, info size 40, 800 x 600 LE
+    val bmp = hex("424D 00000000 00000000 36000000 28000000") ++
+      hex("20030000") ++ hex("58020000") ++ // 800, 600 LE32
+      hex("0100 1800") ++ Array.fill(24)(0.toByte) ++ "px".getBytes
+    assert(ImageHeaders.decode(bmp) == (800L, 600L, "bmp"))
+    // top-down: height stored as -600 two's complement
+    val topDown = bmp.clone()
+    hex("A8FDFFFF").copyToArray(topDown, 22)
+    assert(ImageHeaders.decode(topDown) == (800L, 600L, "bmp"))
+    // BITMAPCOREHEADER (info size 12) is NOT parsed — conservative
+    val core = bmp.clone()
+    hex("0C000000").copyToArray(core, 14)
+    assert(ImageHeaders.decode(core) == (0L, 0L, "bin"))
+  }
+
+  test("ImageHeaders parses all three WebP chunk layouts") {
+    def riff(chunk: Array[Byte]) =
+      "RIFF".getBytes ++ hex("00000000") ++ "WEBP".getBytes ++ chunk
+    // VP8X: LE24 minus-one dims → 320 x 240
+    val vp8x = riff("VP8X".getBytes ++ hex("0A000000 00 000000") ++
+      hex("3F0100") ++ hex("EF0000"))
+    assert(ImageHeaders.decode(vp8x) == (320L, 240L, "webp"))
+    // VP8L: 0x2F then 14+14 bits of (w-1, h-1): 17 x 9
+    // bits = (17-1) | (9-1)<<14 = 16 + 8*16384 = 131088 = 0x00020010
+    val vp8l = riff("VP8L".getBytes ++ hex("05000000") ++
+      hex("2F 10000200"))
+    assert(ImageHeaders.decode(vp8l) == (17L, 9L, "webp"))
+    // lossy VP8 : 3-byte frame tag, sync 9D 01 2A, LE14 dims 50 x 40
+    val vp8 = riff("VP8 ".getBytes ++ hex("0A000000") ++
+      hex("000000 9D012A") ++ hex("3200") ++ hex("2800"))
+    assert(ImageHeaders.decode(vp8) == (50L, 40L, "webp"))
+    // RIFF/WAVE must NOT decode as an image
+    val wave = "RIFF".getBytes ++ hex("00000000") ++ "WAVE".getBytes ++
+      Array.fill(20)(0.toByte)
+    assert(ImageHeaders.decode(wave) == (0L, 0L, "bin"))
+    // truncated VP8X (dims cut off) is conservative
+    assert(ImageHeaders.decode(vp8x.take(26)) == (0L, 0L, "bin"))
+  }
+
+  test("synthesized BMP/WebP payloads round-trip (incl. negative height)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.decodeMeta(Multimodal.imagePayloadExt(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, fmt) =>
+      assert(w == 16 + id % 317, s"doc $id width")
+      assert(h == 16 + (id * 7) % 211, s"doc $id height")
+      assert(fmt == (if (id % 2 == 0) "bmp" else "webp"), s"doc $id fmt")
+    }
+    // the negative-height encoding is actually exercised
+    assert(got.exists(_._1 % 4 == 0))
+  }
+
   test("AudioHeaders walks RIFF chunks to fmt and data") {
     import graft.functions.AudioHeaders
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
