@@ -268,4 +268,46 @@ object Retrieval {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"),
         col("df"), col("score"))
   }
+
+  /** Pseudo-relevance feedback (Rocchio-style query expansion): run
+    * the seed query, mine the top `feedbackDocs` results for the
+    * `expand` terms that co-occur in most of them (df-in-feedback ≥
+    * `minDf`, ties broken lexically — the deterministic core of
+    * PRF), and re-score with the expanded term set. The classic
+    * recall lever when the seed query undershoots — no model, just
+    * two [[bm25TopK]] passes and a bounded term census.
+    *
+    * Determinism contract: both rounds score over the LEXICALLY
+    * SORTED term list, so the left-to-right IEEE fold has one
+    * written-down association order the oracle replays
+    * (`list(score_t ORDER BY term)` — the text_probe_stream fold).
+    * The expansion census is a ≤`expand`-row driver read (the BPE
+    * top-256 / centroid precedent), so round 2 carries the terms as
+    * literals — at 100 TB both rounds stay index-shaped probes.
+    *
+    * Output: (doc_id, rk, score) — fixed schema regardless of what
+    * expansion the data produced.
+    */
+  def prfSearch(docs: DataFrame, idCol: String, textCol: String,
+                seedTerms: Seq[String], k: Int = 10,
+                feedbackDocs: Int = 10, expand: Int = 3,
+                minDf: Int = 2): DataFrame = {
+    val seeds = seedTerms.distinct.sorted
+    val top = bm25TopK(docs, idCol, textCol, seeds, feedbackDocs)
+      .select(col("doc_id"))
+    val grown = docs
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .join(top, Seq("doc_id"), "left_semi")
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .filter(!col("term").isInCollection(seeds) && col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minDf)
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(expand)
+      .collect().map(_.getString(0))
+    val all = (seeds ++ grown).distinct.sorted
+    bm25TopK(docs, idCol, textCol, all, k)
+      .select(col("doc_id"), col("rk"), col("score"))
+  }
 }

@@ -760,6 +760,14 @@ object LlmQueries {
     }),
     "bm25_search" -> ((s, d) =>
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text", bm25Terms, k = 10)),
+    // N4 — pseudo-relevance feedback: seed BM25 round, co-occurrence
+    // term census over the top-10 feedback docs (≤3-row driver read),
+    // expanded second round over the sorted union term set — the
+    // Rocchio recall lever, every step deterministic so the oracle
+    // replays both rounds verbatim
+    "prf_search" -> ((s, d) =>
+      Retrieval.prfSearch(docs(s, d), "doc_id", "text",
+        Seq("stream", "vector"))),
     // N3/N4 — hybrid retrieval: Reciprocal Rank Fusion of the BM25
     // arm and the SimHash sign-embedding arm for the same query —
     // ranks, not scores, fuse, so no cross-scale calibration; each
@@ -2772,6 +2780,63 @@ object LlmQueries {
         |    ORDER BY score DESC, doc_id) AS rk FROM ag)
         |SELECT CAST(req_id AS BIGINT) AS req_id, doc_id,
         |  CAST(rk AS BIGINT) AS rk, score FROM r
+        |WHERE rk <= 10""".stripMargin,
+    // both PRF rounds replayed: seed scoring → top-10 feedback docs →
+    // distinct-term census (df-in-feedback ≥ 2, top-3 by cnt then
+    // term) → expanded scoring over the sorted union, sorted IEEE fold
+    "prf_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+        |  FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_len FROM l),
+        |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM l),
+        |tf1 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM e WHERE term IN ('stream', 'vector') GROUP BY 1, 2, 3),
+        |df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1
+        |  GROUP BY 1),
+        |sc1 AS (SELECT tf1.doc_id, tf1.term,
+        |  (CAST(2*(st.n_docs - df1.df) + 1 AS DOUBLE)
+        |     / CAST(2*df1.df + 1 AS DOUBLE))
+        |  * (CAST(44*tf1.tf*st.sum_len AS DOUBLE)
+        |     / CAST(20*tf1.tf*st.sum_len + 6*st.sum_len
+        |            + 18*tf1.dl*st.n_docs AS DOUBLE)) AS score_t
+        |  FROM tf1 JOIN df1 ON tf1.term = df1.term CROSS JOIN st),
+        |ag1 AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0.0, list(score_t ORDER BY term)),
+        |    (a, b) -> a + b) AS score
+        |  FROM sc1 GROUP BY 1),
+        |top1 AS (SELECT doc_id FROM ag1
+        |  ORDER BY score DESC, doc_id LIMIT 10),
+        |cand AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT DISTINCT e.doc_id, e.term
+        |    FROM e JOIN top1 USING (doc_id)
+        |    WHERE e.term NOT IN ('stream', 'vector') AND e.term <> '')
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |ex AS (SELECT term FROM cand ORDER BY cnt DESC, term LIMIT 3),
+        |t2 AS (SELECT term FROM ex
+        |       UNION SELECT unnest(['stream', 'vector'])),
+        |tf2 AS (SELECT e.doc_id, e.dl, e.term,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |  FROM e JOIN t2 ON e.term = t2.term GROUP BY 1, 2, 3),
+        |df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2
+        |  GROUP BY 1),
+        |sc2 AS (SELECT tf2.doc_id, tf2.term,
+        |  (CAST(2*(st.n_docs - df2.df) + 1 AS DOUBLE)
+        |     / CAST(2*df2.df + 1 AS DOUBLE))
+        |  * (CAST(44*tf2.tf*st.sum_len AS DOUBLE)
+        |     / CAST(20*tf2.tf*st.sum_len + 6*st.sum_len
+        |            + 18*tf2.dl*st.n_docs AS DOUBLE)) AS score_t
+        |  FROM tf2 JOIN df2 ON tf2.term = df2.term CROSS JOIN st),
+        |ag2 AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0.0, list(score_t ORDER BY term)),
+        |    (a, b) -> a + b) AS score
+        |  FROM sc2 GROUP BY 1),
+        |r AS (SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM ag2)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, score FROM r
         |WHERE rk <= 10""".stripMargin,
     // from-scratch BM25 over the post-changelog corpus: a green hash
     // proves the store's latest-wins resolution reproduced it exactly

@@ -949,6 +949,39 @@ object Queries {
           round(col("l_quantity") * 100).cast(LongType)
             .as("qty_cents")),
         "price_cents", "qty_cents")),
+    // partition-pruned scan: events re-laid-out partitionBy
+    // (event_type); the equality filter prunes to ONE directory at
+    // planning time (PartitionFilters, PartitionedScanSpec) — the
+    // layout counterpart of bucketed_join. Oracle = the same filter
+    // over the flat table.
+    "partitioned_scan" -> ((s, d) => {
+      val dir = partitionedEventsDir(s, d)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast(LongType)).as("cents"))
+    }),
+    // INCREMENTAL skyline maintenance: the frontier is a mergeable
+    // summary — skyline(A ∪ B) = skyline(skyline(A) ∪ B) — so a daily
+    // delta updates yesterday's (persisted, frontier-sized) artifact
+    // in work proportional to |frontier| + |delta|, never re-scanning
+    // the corpus. The oracle is the FULL-corpus dominance filter:
+    // a green hash proves the merge identity end to end.
+    "skyline_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast(LongType)
+          .as("price_cents"),
+        round(col("l_quantity") * 100).cast(LongType).as("qty_cents"))
+      val corpus = li.filter(col("l_orderkey") % 10 =!= 0)
+        .drop("l_orderkey")
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+        .drop("l_orderkey")
+      val yesterdays = graft.ops.Skyline.frontier2d(corpus,
+        "price_cents", "qty_cents")
+      graft.ops.Skyline.frontier2d(yesterdays.unionByName(delta),
+        "price_cents", "qty_cents")
+    }),
     // skew-mitigated join: salted fact-dim join, row-identical to the
     // plain join (the oracle IS the plain join)
     "salted_join" -> ((s, d) =>
@@ -1705,6 +1738,26 @@ object Queries {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id
         | AND c.click_ts <= p.purchase_ts
         | AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR""".stripMargin,
+    "partitioned_scan" ->
+      """SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    // the incremental path must land on the full-corpus frontier
+    "skyline_incremental" ->
+      """WITH t AS (SELECT
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+        |  FROM lineitem),
+        |c AS (SELECT price_cents, max(qty_cents) AS qty_cents
+        |  FROM t GROUP BY 1)
+        |SELECT price_cents, qty_cents FROM c p
+        |WHERE NOT EXISTS (SELECT 1 FROM c q
+        |  WHERE q.price_cents >= p.price_cents
+        |    AND q.qty_cents >= p.qty_cents
+        |    AND (q.price_cents > p.price_cents
+        |      OR q.qty_cents > p.qty_cents))""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
@@ -2695,6 +2748,26 @@ object Queries {
     * BucketedJoinSpec; this builder memoizes per dataset dir, so
     * bench iterations 2..n time what production pays after layout.
     */
+  /** Hive-style partitioned layout of events (partitionBy event_type)
+    * written ONCE per (session, dataset) — the directory-partitioning
+    * face of the layout family next to [[bucketedTables]]: an
+    * equality filter on the partition column prunes whole directories
+    * at PLANNING time (PartitionFilters in the scan, proven in
+    * PartitionedScanSpec), so a 100 TB table filtered to one type
+    * reads that type's files and nothing else.
+    */
+  private val partMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEventsDir(s: SparkSession, d: String): String =
+    partMemo.computeIfAbsent(d, _ => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = sys.props.getOrElse("graft.partitioned.dir",
+        s"/tmp/graft_partitioned_$tag")
+      Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      dir
+    })
+
   private val bucketMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTables(s: SparkSession, d: String)

@@ -299,4 +299,31 @@ class RetrievalSpec extends SparkSuite {
     assert(out(2L)._3 == 0L && out(2L)._4 > 0L &&
       out(2L)._2 < 128L, "repeating one term can't cover the other")
   }
+
+  test("prfSearch: expansion mines the feedback co-occurrers and " +
+      "round 2 equals bm25TopK over the sorted union") {
+    val s = spark
+    import s.implicits._
+    // seed 'ml' hits docs 1-3, which all carry 'tensor' (and two carry
+    // 'graph'); doc 4 has tensor but no seed — PRF should surface it
+    val docs = Seq(
+      (1L, "ml tensor graph a a"),
+      (2L, "ml tensor b b b"),
+      (3L, "ml tensor graph c"),
+      (4L, "tensor tensor graph d"),
+      (5L, "unrelated words only here"),
+      (6L, "more unrelated filler text")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.prfSearch(docs, "doc_id", "text",
+        Seq("ml"), k = 6, feedbackDocs = 3, expand = 2, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // expansion = {tensor (3 feedback docs), graph (2)} →
+    // round 2 over [graph, ml, tensor]
+    val expect = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("graph", "ml", "tensor"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect)
+    assert(got.contains(4L), "PRF must recall the seed-less doc")
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
 }

@@ -65,4 +65,17 @@ class SkylineSpec extends SparkSuite {
     val pts = (0L to 99L).map(i => (i, 99L - i))
     assert(run(pts, buckets = 16) == pts.toSet)
   }
+
+  test("merge identity: skyline(skyline(A) ∪ B) == skyline(A ∪ B)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val a = Seq.fill(150)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+    val b = Seq.fill(40)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+    val fa = Skyline.frontier2d(a.toDF("x", "y"), "x", "y")
+    val incr = Skyline.frontier2d(
+        fa.unionByName(b.toDF("x", "y")), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == brute(a ++ b))
+  }
 }
