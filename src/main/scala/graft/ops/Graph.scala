@@ -184,6 +184,56 @@ object Graph {
     * a SQL oracle reproduces verbatim. Real deployments pass their own
     * edge list straight to [[pageRank]].
     */
+  /** Bounded-round k-core peel — the graph-density filter next to
+    * [[triangles]] (local density) and [[pageRank]] (authority): a
+    * node is in the k-core iff it survives iterated removal of nodes
+    * with degree < k over the UNDIRECTED distinct edge set. Spam/link
+    * farms and weakly-attached crawl fringe peel off; the dense core
+    * that remains is the high-trust subgraph.
+    *
+    * Each round is one semi-join-restricted degree aggregate over the
+    * surviving edges and one filter — O(edges) per round, lineage
+    * truncated per round (the componentMin discipline). `iters`
+    * bounds the peel depth; like componentMin, the contract is
+    * bounded-round (the oracle replays the same rounds verbatim) —
+    * at web scale a few rounds remove the overwhelming fringe mass
+    * and the fixpoint tail is scheduled, not unbounded.
+    *
+    * Output: every input node with its (undirected, deduped) initial
+    * degree and the post-peel verdict.
+    */
+  def kCore(nodes: DataFrame, idCol: String, edges: DataFrame,
+            k: Int, iters: Int = 6): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // re-read every round
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var alive = nodes.select(col(idCol).cast(LongType).as("node"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val e = und
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      alive = alive
+        .join(degrees(e).filter(col("deg") >= k), Seq("node"),
+          "left_semi")
+        .localCheckpoint()
+    }
+    nodes.select(col(idCol).cast(LongType).as("node"))
+      .join(degrees(und).select(col("node"), col("deg")), Seq("node"),
+        "left")
+      .join(alive.select(col("node"), lit(true).as("core")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("core"), lit(false)).as("in_kcore"))
+  }
+
   def syntheticLinks(nodes: DataFrame, idCol: String, n: Long,
                      outLinks: Int = 3): DataFrame =
     nodes.select(col(idCol).cast(LongType).as("src"))

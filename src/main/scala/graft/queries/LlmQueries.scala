@@ -875,6 +875,15 @@ object LlmQueries {
       val n = dd.count()
       Graph.triangles(dd, "doc_id", Graph.syntheticLinks(dd, "doc_id", n))
     }),
+    // corpus op — k-core peel (k=6, 6 bounded rounds) over the same
+    // link graph: the dense-core trust filter; oracle replays every
+    // round verbatim
+    "graph_kcore" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.kCore(dd, "doc_id",
+        Graph.syntheticLinks(dd, "doc_id", n), k = 6)
+    }),
     // corpus op — seed-distance: bounded-hop BFS from the trusted
     // seed list (doc_id < 5) over the same synthesized link graph;
     // crawl-depth quality signal, unreached = -1
@@ -2361,6 +2370,36 @@ object LlmQueries {
          |  CAST(sum(w.wt * q.qv[w.i0 + 1]) AS BIGINT) AS value
          |  FROM q, w GROUP BY 1, 2)
          |SELECT vec_id, out_dim, value FROM p""".stripMargin,
+    // the same 6 peel rounds, round for round
+    "graph_kcore" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""e$r AS (SELECT u.a, u.b FROM u
+           |  JOIN a${r - 1} x ON u.a = x.node
+           |  JOIN a${r - 1} y ON u.b = y.node),
+           |a$r AS (SELECT node FROM (SELECT node, count(*) AS deg FROM
+           |  (SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r)
+           |  GROUP BY 1) WHERE deg >= 6)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+         |    AS dst FROM
+         |  (SELECT doc_id AS src,
+         |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+         |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+         |u AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b FROM raw WHERE src <> dst),
+         |dg AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT a AS node FROM u UNION ALL SELECT b FROM u)
+         |  GROUP BY 1),
+         |a0 AS (SELECT doc_id AS node FROM documents),
+         |$rounds
+         |SELECT d0.doc_id AS node,
+         |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+         |  (a6.node IS NOT NULL) AS in_kcore
+         |FROM documents d0
+         |LEFT JOIN dg ON d0.doc_id = dg.node
+         |LEFT JOIN a6 ON d0.doc_id = a6.node""".stripMargin
+    },
     // quadratic neighbor replay + the SAME 4 min-label rounds as the
     // Spark op's componentMin (bounded-iteration contract, like the
     // dedup_corpus oracle)

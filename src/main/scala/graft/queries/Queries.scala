@@ -131,6 +131,23 @@ object Queries {
       KafkaShape.decodeUtf8(s.read.format("graft-ocf")
         .option("timestampAsOf", t1.toString).load(dir))
     }),
+    // S1 + snapshots: CHANGE DATA FEED between two commits — the
+    // container-diff incremental read (Delta CDF role). The second
+    // write's records, and ONLY those, surface from the snapshot
+    // diff; contract + rewrite caveat in OcfMaintenance.changes.
+    "ocf_changes" -> ((s, d) => {
+      val dir = graft.tools.TempDirs.create("graft_ocf_changes")
+      val k = kafka(s, d)
+      k.filter(col("offset") % 2 === 0)
+        .write.format("graft-ocf").mode("overwrite").save(dir)
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(20)
+      k.filter(col("offset") % 2 === 1)
+        .write.format("graft-ocf").mode("append").save(dir)
+      val t2 = System.currentTimeMillis()
+      KafkaShape.decodeUtf8(
+        graft.sources.OcfMaintenance.changes(s, dir, t1, t2))
+    }),
     // S1 + manifest key Bloom: the compacted-topic point lookup —
     // a `WHERE key IN (…)` scan over a store written with
     // `keyBloomBits` opens only the containers whose Bloom filter
@@ -548,6 +565,12 @@ object Queries {
         |       'events' AS topic, user_id % 8 AS kpartition,
         |       event_id AS koffset, ts
         |FROM events WHERE event_id % 2 = 0""".stripMargin,
+    // the CDF window holds exactly the second (odd-offset) write
+    "ocf_changes" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key_str, props AS value_str,
+        |       'events' AS topic, user_id % 8 AS kpartition,
+        |       event_id AS koffset, ts
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
     "union_shards" ->
       """SELECT 'events' AS topic, count(*) AS n_records,
         |       count(DISTINCT user_id % 8) AS n_partitions

@@ -583,4 +583,39 @@ object OcfMaintenance {
     (victims.size + snapVictims.size,
       (victims ++ snapVictims).map(_.getLen).sum)
   }
+
+  /** CHANGE DATA FEED between two snapshots — the Delta
+    * CDF / Iceberg incremental-read role in the store's append-only
+    * idiom: the records of every container live in the snapshot at
+    * `toMillis` but absent from the snapshot at `fromMillis`, i.e.
+    * the appends the store received in (from, to]. The container diff
+    * is metadata-scale (two snapshot lists); the read is the pinned
+    * `timestampAsOf` scan restricted by the `_container` metadata
+    * column, so pushdown/stats work off the pinned set.
+    *
+    * Contract: exact when the window contains only appends (epochs,
+    * batch appends). A REWRITE inside the window (compact, retention,
+    * compact-by-key, erase) renames containers without their records
+    * being new — the feed then over-reports the rewritten containers'
+    * records. Schedule CDF reads between maintenance windows (or diff
+    * against the post-rewrite snapshot), exactly like reading a
+    * topic's offsets across a truncation.
+    */
+  def changes(spark: SparkSession, dir: String, fromMillis: Long,
+              toMillis: Long): DataFrame = {
+    require(fromMillis <= toMillis, "changes: from must be <= to")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = OcfStore.snapshotAt(dir, conf, fromMillis).toSet
+    val added = OcfStore.snapshotAt(dir, conf, toMillis)
+      .filterNot(from)
+    val pinned = spark.read.format("graft-ocf")
+      .option("timestampAsOf", toMillis.toString).load(dir)
+    if (added.isEmpty) pinned.limit(0)
+    else {
+      val cols = pinned.columns.map(col)
+      pinned.select(cols :+ col("_container"): _*)
+        .filter(col("_container").isin(added: _*))
+        .select(cols: _*)
+    }
+  }
 }

@@ -134,4 +134,57 @@ class GraphSpec extends SparkSuite {
     assert(triCensus(edges, ids, parts = 7) == want)
     assert(want.values.map(_._2).sum > 0, "fixture has triangles")
   }
+
+  /** Reference bounded-round peel on the deduped undirected edges. */
+  private def refKCore(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                       k: Int, iters: Int): Set[(Long, Long, Boolean)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg0 = und.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    var alive = nodes.toSet
+    for (_ <- 1 to iters) {
+      val e = und.filter(p => alive(p._1) && alive(p._2))
+      val deg = e.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      alive = alive.filter(n => deg.getOrElse(n, 0) >= k)
+    }
+    nodes.map(n => (n, deg0.getOrElse(n, 0L), alive(n))).toSet
+  }
+
+  test("kCore: cascade peel on a chain-into-clique, matches reference") {
+    val s = spark
+    import s.implicits._
+    // K4 clique (1-4) + a tail 5-6-7 that must cascade off at k=2;
+    // a parallel/reversed edge and a self loop to test the dedupe
+    val ids = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (2L, 1L), (7L, 7L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(ids, "id", edges, k = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got == refKCore(1L to 7L, Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (2L, 1L), (7L, 7L)), 2, 4))
+    // the K4 survives; the tail cascades off round by round
+    assert(got.filter(_._3).map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(got.contains((7L, 1L, false))) // self loop didn't count
+  }
+
+  test("kCore equals reference on a random graph across k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val nodes = 1L to 60L
+    val edges = Seq.fill(150)(
+      (rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1))
+    for (k <- Seq(2, 4, 6)) {
+      val got = Graph.kCore(nodes.toDF("id"), "id",
+          edges.toDF("src", "dst"), k = k, iters = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got == refKCore(nodes, edges, k, 5), s"k=$k")
+    }
+  }
 }

@@ -177,6 +177,33 @@ class OcfTimeTravelSpec extends SparkSuite {
     assert(spark.read.format("graft-ocf").load(dir).count() == 100)
   }
 
+  test("changes(from, to) is the snapshot container diff: exactly the " +
+      "appends in the window, empty on an empty window") {
+    val dir = tmpDir("ocf_cdf")
+    kafkaDf(0, 100).write.format("graft-ocf").mode("overwrite").save(dir)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    kafkaDf(100, 150).write.format("graft-ocf").mode("append").save(dir)
+    val t2 = System.currentTimeMillis()
+    Thread.sleep(25)
+    kafkaDf(150, 170).write.format("graft-ocf").mode("append").save(dir)
+    val t3 = System.currentTimeMillis()
+
+    def offsets(df: DataFrame) =
+      df.select(col("offset")).collect().map(_.getLong(0)).toSet
+    assert(offsets(OcfMaintenance.changes(spark, dir, t1, t2)) ==
+      (100L until 150L).toSet, "window (t1, t2] is the second write")
+    assert(offsets(OcfMaintenance.changes(spark, dir, t1, t3)) ==
+      (100L until 170L).toSet, "window (t1, t3] spans both appends")
+    assert(OcfMaintenance.changes(spark, dir, t2, t2).count() == 0,
+      "an empty window diffs to nothing")
+    // records, not just counts: payloads survive the pinned read
+    val vals = OcfMaintenance.changes(spark, dir, t2, t3)
+      .select(col("value").cast("string")).collect().map(_.getString(0))
+      .toSet
+    assert(vals == (150 until 170).map(i => s"payload_$i").toSet)
+  }
+
   test("timestampAsOf is batch-only and excludes the ts-slice options") {
     val dir = tmpDir("ocf_tt_guard")
     kafkaDf(0, 10).write.format("graft-ocf").mode("overwrite").save(dir)
