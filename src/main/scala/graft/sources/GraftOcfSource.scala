@@ -119,6 +119,12 @@ class OcfTable(options: CaseInsensitiveStringMap)
       "graft-ocf: timestampAsOf (a snapshot pin) and starting/" +
         "endingTimestamp (a record-time slice) do not compose yet — " +
         "slice with a pushed timestamp filter instead")
+    // CDF seam: `containersIn` (comma-separated container names)
+    // restricts the scan to the named containers at LISTING time —
+    // the change-data-feed read (OcfMaintenance.changes) opens only
+    // the snapshot-diff containers, everything else never opens
+    val containersIn = Option(opts.get("containersIn"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     new OcfScanBuilder(dirs,
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
       new SerializableConfiguration(OcfStore.driverConf()),
@@ -126,7 +132,8 @@ class OcfTable(options: CaseInsensitiveStringMap)
       minPartitions = Option(opts.get("minPartitions")).map(_.toInt),
       maxBytesPerTrigger =
         Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
-      startTsUs = startTs, endTsUs = endTs, asOfMillis = asOf)
+      startTsUs = startTs, endTsUs = endTs, asOfMillis = asOf,
+      containersIn = containersIn)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -152,7 +159,8 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
                      maxBytesPerTrigger: Option[Long] = None,
                      startTsUs: Option[Long] = None,
                      endTsUs: Option[Long] = None,
-                     asOfMillis: Option[Long] = None)
+                     asOfMillis: Option[Long] = None,
+                     containersIn: Option[Set[String]] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -192,7 +200,7 @@ class OcfScanBuilder(dirs: Seq[String], maxPerTrigger: Option[Long],
   override def build(): Scan =
     new OcfScan(dirs, maxPerTrigger, conf, required, pushed, limit,
       startLatest, minPartitions, maxBytesPerTrigger, startTsUs, endTsUs,
-      asOfMillis)
+      asOfMillis, containersIn)
 }
 
 class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
@@ -205,7 +213,8 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
               maxBytesPerTrigger: Option[Long] = None,
               startTsUs: Option[Long] = None,
               endTsUs: Option[Long] = None,
-              asOfMillis: Option[Long] = None)
+              asOfMillis: Option[Long] = None,
+              containersIn: Option[Set[String]] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -228,9 +237,16 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
     * because Spark only pushes a limit with no filter in between).
     */
   private lazy val plannedFiles: Seq[(String, String, OcfLiveFile)] = {
-    val listed = asOfMillis match {
+    val listed0 = asOfMillis match {
       case Some(t) => OcfStore.keyedFilesAsOf(dirs, conf.value, t)
       case None => OcfStore.keyedLiveFiles(dirs, conf.value)
+    }
+    // CDF restriction: only the named containers survive the listing
+    val listed = containersIn match {
+      case Some(names) => listed0.filter { case (_, _, f) =>
+        names.contains(f.name)
+      }
+      case None => listed0
     }
     val kept = listed
       .filter { case (_, _, f) =>
@@ -409,6 +425,9 @@ class OcfScan(dirs: Seq[String], maxPerTrigger: Option[Long],
       "graft-ocf: timestampAsOf is a batch-read option — a stream " +
         "follows the live head by definition (use startingTimestamp " +
         "to begin a stream at a point in time)")
+    if (containersIn.isDefined) throw new IllegalArgumentException(
+      "graft-ocf: containersIn is a batch-read (CDF) option — a " +
+        "stream's incremental read IS its offset cursor")
     new OcfMicroBatchStream(dirs, maxPerTrigger, conf, required, filters,
       startLatest, maxBytesPerTrigger, minPartitions, startTsUs)
   }

@@ -600,6 +600,11 @@ object OcfMaintenance {
     * records. Schedule CDF reads between maintenance windows (or diff
     * against the post-rewrite snapshot), exactly like reading a
     * topic's offsets across a truncation.
+    *
+    * The restriction is pushed to the LISTING (`containersIn` scan
+    * option), so unrelated containers are never opened and the scan's
+    * reported statistics are delta-sized — a CDF read over a year-old
+    * store costs the day's appends.
     */
   def changes(spark: SparkSession, dir: String, fromMillis: Long,
               toMillis: Long): DataFrame = {
@@ -609,13 +614,10 @@ object OcfMaintenance {
     val added = OcfStore.snapshotAt(dir, conf, toMillis)
       .filterNot(from)
     val pinned = spark.read.format("graft-ocf")
-      .option("timestampAsOf", toMillis.toString).load(dir)
-    if (added.isEmpty) pinned.limit(0)
-    else {
-      val cols = pinned.columns.map(col)
-      pinned.select(cols :+ col("_container"): _*)
-        .filter(col("_container").isin(added: _*))
-        .select(cols: _*)
-    }
+      .option("timestampAsOf", toMillis.toString)
+    if (added.isEmpty)
+      pinned.load(dir).limit(0)
+    else
+      pinned.option("containersIn", added.mkString(",")).load(dir)
   }
 }

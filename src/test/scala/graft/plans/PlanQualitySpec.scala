@@ -46,6 +46,9 @@ class PlanQualitySpec extends SparkSuite {
     // rk stamp over an already-.limit(k) frame (TakeOrderedAndProject
     // upstream does the distributed top-k; the window sees k rows)
     "bm25_search", "text_index_store", "rag_chunk_search",
+    // both PRF rounds are bm25TopK — each rk stamp over a .limit(k)
+    // frame (feedback round and expanded round)
+    "prf_search",
     // both arms' rk stamps + the fused rk, each over a .limit(poolK)
     // or .limit(k) frame (Retrieval.hybridTopK scaladoc)
     "hybrid_search",

@@ -189,6 +189,17 @@ class OcfTimeTravelSpec extends SparkSuite {
     kafkaDf(150, 170).write.format("graft-ocf").mode("append").save(dir)
     val t3 = System.currentTimeMillis()
 
+    // PROOF the restriction prunes at listing time: trash the bytes
+    // of every container OUTSIDE the windows below — if the CDF read
+    // ever opened them, it would die on the garbage
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    OcfStore.snapshotAt(dir, conf, t1).foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val out = fs.create(p, true)
+      try out.write("not an avro container".getBytes) finally out.close()
+    }
+
     def offsets(df: DataFrame) =
       df.select(col("offset")).collect().map(_.getLong(0)).toSet
     assert(offsets(OcfMaintenance.changes(spark, dir, t1, t2)) ==
