@@ -985,6 +985,36 @@ object Queries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(round(col("value") * 100).cast(LongType)).as("cents"))
     }),
+    // DYNAMIC partition pruning: the fact side is the partitioned
+    // layout, the filter lives on a joined dim — the partitions to
+    // read are only known at RUN time, when the dim's broadcast
+    // result seeds a dynamicpruning subquery on the fact's partition
+    // column (asserted in PartitionedScanSpec). Static pruning's
+    // runtime sibling; completes the layout family with bucketed_join
+    // and partitioned_scan.
+    "dpp_scan" -> ((s, d) => {
+      val dir = partitionedEventsDir(s, d)
+      val dim = s.read.parquet(s"${dir}_dim")
+      s.read.parquet(dir)
+        .join(dim.filter(col("status") === "tracked")
+          .select("event_type"), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast(LongType)).as("cents"))
+    }),
+    // Spark 4 VARIANT ingestion: props parsed ONCE into the binary
+    // semi-structured type, fields read by path (variant_get) without
+    // a declared schema — the open-schema JSON path next to
+    // props_json's typed from_json. The oracle extracts k with a
+    // regex, independent of either engine's JSON machinery.
+    "props_variant" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')")
+            .as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
     // INCREMENTAL skyline maintenance: the frontier is a mergeable
     // summary — skyline(A ∪ B) = skyline(skyline(A) ∪ B) — so a daily
     // delta updates yesterday's (persisted, frontier-sized) artifact
@@ -1761,6 +1791,20 @@ object Queries {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id
         | AND c.click_ts <= p.purchase_ts
         | AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR""".stripMargin,
+    "dpp_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1""".stripMargin,
+    "props_variant" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |    AS k FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
     "partitioned_scan" ->
       """SELECT user_id, count(*) AS n_purchases,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -2788,6 +2832,16 @@ object Queries {
         s"/tmp/graft_partitioned_$tag")
       Tables.events(s, d)
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      // a tiny FILE-BASED dim beside it (dpp_scan): dynamic partition
+      // pruning needs a selective predicate on a real relation — a
+      // literal local frame constant-folds its filter away and the
+      // optimizer sees nothing to prune with
+      s.createDataFrame(Seq(
+        ("click", "tracked"), ("purchase", "tracked"),
+        ("view", "ignored"), ("signup", "ignored"),
+        ("error", "ignored")))
+        .toDF("event_type", "status")
+        .write.mode("overwrite").parquet(s"${dir}_dim")
       dir
     })
 
