@@ -123,4 +123,50 @@ class SessionStreamSpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("the state store data source reads the sessionizer's live " +
+      "state: exactly the OPEN sessions, queryable offline") {
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val ckpt = tmpDir("sess_ckpt_inspect")
+      val mem = MemoryStream[(Timestamp, Long, Long)]
+      val q = SessionStream.sessionStream(
+          mem.toDF().toDF("ts", "user_id", "event_id"),
+          gapSeconds = 1800, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("sess_stream_state")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        // both users get an OPEN session; nothing closes yet
+        mem.addData(rows.take(5): _*)
+        q.processAllAvailable()
+        // Spark 4 ops surface: read the checkpointed state offline —
+        // the debugging/audit read a production on-call actually runs
+        val state = s.read.format("statestore").load(ckpt)
+        val open = state
+          .select(col("key.value").as("user_id"),
+            col("value.groupState.startUs"),
+            col("value.groupState.endUs"),
+            col("value.groupState.n"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3)))).toMap
+        // the batch advanced the watermark to 01:05, and the engine's
+        // watermark-advance follow-up batch already timeout-closed
+        // user 2's idle 00:20 session (horizon 00:50) — so state holds
+        // exactly ONE open session: user 1's 01:00-01:05 run (n=2,
+        // timeout 01:35 still ahead of the watermark)
+        assert(open.keySet == Set(1L))
+        assert(open(1L)._3 == 2L)
+        assert(open(1L)._1 <= open(1L)._2)
+        // and the closed session the state no longer holds is in the
+        // sink — state + sink together are the full picture
+        assert(s.table("sess_stream_state")
+          .where(col("user_id") === 2L).count() == 1)
+      } finally q.stop()
+    }
+  }
 }
