@@ -51,9 +51,13 @@ object Skyline {
     require(buckets >= 1, "need at least one bucket")
     val x: Column = col(xCol).cast(LongType)
     val y: Column = col(yCol).cast(LongType)
-    // step 1 — per-x candidates
+    // step 1 — per-x candidates, materialized ONCE (localCheckpoint):
+    // the range read, the bucket census, and the prune each consume
+    // this frame — without it the input scan + aggregate run three
+    // times (measured 3× cost at sf0.1)
     val cand = df.select(x.as("x"), y.as("y"))
       .groupBy(col("x")).agg(max(col("y")).as("y"))
+      .localCheckpoint()
     // bucket layout from the x range (two driver-read values)
     val rng = cand.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .collect()

@@ -92,9 +92,12 @@ object Spatial {
              iters: Int = 4): DataFrame = {
     val pts = points.select(col(idCol).cast(LongType).as("id"),
       col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
-    // symmetric ordered pairs, self included (dist² = 0)
+    // symmetric ordered pairs, self included (dist² = 0) —
+    // materialized once; the core census, the core-edge filter, and
+    // the border attach all re-read this frame
     val pairs = radiusJoin(pts, pts, "id", "x", "y", eps)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val core = pairs.groupBy(col("id_a").as("id"))
       .agg(count(lit(1)).as("n_nbr"))
       .filter(col("n_nbr") >= minPts).select(col("id"))
