@@ -553,6 +553,53 @@ object Relational {
         sum(col("class_size")).as("n_rows"))
       .withColumn("risky", col("l_div") < l.toLong)
 
+  /** t-closeness audit — the third of the disclosure trio with
+    * [[kAnonymity]] and [[lDiversity]] (public: Li, Li &
+    * Venkatasubramanian 2007): a class can be l-diverse yet leak when
+    * its sensitive-value DISTRIBUTION diverges from the global one
+    * (e.g. a class that is 90% one diagnosis in a 10% population).
+    * Distance = the paper's equal-ground-distance EMD, i.e. total
+    * variation: ½·Σ_v |p_class(v) − p_global(v)|.
+    *
+    * Exact arithmetic: with class size n, global size N, the per-value
+    * term is |cnt·N − gcnt·n| (integer), and TV = Σ / (2·n·N) — ONE
+    * division per class, so the doubles hash-compare. The global
+    * distribution is a driver census bounded by the sensitive DOMAIN
+    * (the bm25-stats precedent) and rides into the plan as a literal
+    * array exploded per class — never a cross join.
+    *
+    * Output: one row per quasi-identifier class with its size, tv,
+    * and risky = tv > t.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    val global = df.groupBy(col(sensitiveCol)).count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val bigN = global.map(_._2).sum
+    val dom = typedLit(global)
+    val cls = df.groupBy(quasiCols.map(col) :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val q = quasiCols.map(col)
+    cls.groupBy(q: _*)
+      .agg(sum(col("cnt")).as("class_size"),
+        map_from_entries(collect_list(
+          struct(col(sensitiveCol).cast("string"), col("cnt"))))
+          .as("m"))
+      .select(q ++ Seq(col("class_size"), col("m"),
+        explode(dom).as("g")): _*)
+      .select(q ++ Seq(col("class_size"),
+        abs(coalesce(element_at(col("m"), col("g._1")), lit(0L))
+          * lit(bigN) - col("g._2") * col("class_size")).as("d")): _*)
+      .groupBy(q :+ col("class_size"): _*)
+      .agg(sum(col("d")).as("num"))
+      .select(q ++ Seq(col("class_size"),
+        (col("num").cast(DoubleType) /
+          (lit(2.0) * col("class_size").cast(DoubleType) * lit(
+            bigN.toDouble))).as("tv")): _*)
+      .withColumn("risky", col("tv") > t)
+  }
+
   /** Fixed-horizon LTV: mean cumulative spend in a user's first
     * h days, for each horizon, averaged over EXACTLY the users whose
     * observation window covers the horizon (maxDay − firstDay ≥ h−1)

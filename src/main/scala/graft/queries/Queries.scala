@@ -1377,6 +1377,16 @@ object Queries {
           expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
             .cast(LongType).as("vb")),
         Seq("hod", "vb"), "event_type", l = 3)),
+    // the disclosure trio's third audit: per-class total-variation
+    // distance of the sensitive distribution vs the global one —
+    // exact integer numerators, ONE division per class
+    "t_closeness" -> ((s, d) =>
+      Relational.tCloseness(
+        events(s, d).select(col("event_type"),
+          hour(col("ts")).cast(LongType).as("hod"),
+          expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
+            .cast(LongType).as("vb")),
+        Seq("hod", "vb"), "event_type", t = 0.2)),
     // time-constrained ordered funnel (windowFunnel): deepest
     // signup→click→purchase prefix completed within 24h of each
     // anchor, per-user max depth histogram — chained as-of-forward
@@ -2363,6 +2373,30 @@ object Queries {
         |    AS avg_cents
         |FROM x, mx WHERE md - f >= horizon - 1
         |GROUP BY 1""".stripMargin,
+    "t_closeness" ->
+      """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,
+        |    event_type FROM events),
+        |g AS (SELECT event_type, count(*) AS gcnt FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |c AS (SELECT hod, vb, event_type, count(*) AS cnt FROM e
+        |  GROUP BY 1, 2, 3),
+        |cs AS (SELECT hod, vb, CAST(sum(cnt) AS BIGINT) AS class_size
+        |  FROM c GROUP BY 1, 2),
+        |dd AS (SELECT cs.hod, cs.vb, cs.class_size,
+        |  abs(coalesce(c.cnt, 0) * nn.n - g.gcnt * cs.class_size)
+        |    AS d
+        |  FROM cs CROSS JOIN g CROSS JOIN nn
+        |  LEFT JOIN c ON c.hod = cs.hod AND c.vb = cs.vb
+        |    AND c.event_type = g.event_type)
+        |SELECT hod, vb, class_size,
+        |  CAST(sum(d) AS DOUBLE)
+        |    / (2.0 * CAST(class_size AS DOUBLE)
+        |       * CAST((SELECT n FROM nn) AS DOUBLE)) AS tv,
+        |  CAST(sum(d) AS DOUBLE)
+        |    / (2.0 * CAST(class_size AS DOUBLE)
+        |       * CAST((SELECT n FROM nn) AS DOUBLE)) > 0.2 AS risky
+        |FROM dd GROUP BY 1, 2, 3""".stripMargin,
     "l_diversity" ->
       """WITH e AS (SELECT hour(ts) AS hod, event_type,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb

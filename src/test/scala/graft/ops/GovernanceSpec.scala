@@ -35,6 +35,35 @@ class GovernanceSpec extends SparkSuite {
     assert(out == Map(1L -> ((2L, 4L, true)), 2L -> ((1L, 2L, false))))
   }
 
+  test("tCloseness: hand-computed total variation; the skewed class " +
+      "is risky, the representative one is not") {
+    val s = spark
+    import s.implicits._
+    // global: a 6x, b 6x over 12 rows (p = 1/2 each).
+    // class q=1: 4a 2b (TV = 1/2*(|4/6-1/2| + |2/6-1/2|) = 1/6)
+    // class q=2: 2a 4b (TV = 1/6)
+    // class q=3: 0a... wait rows must sum: q=3 holds 0 — use 3 classes:
+    // q=1: 4a 2b; q=2: 2a 4b — total 6a 6b.
+    val df = (Seq.fill(4)((1L, "a")) ++ Seq.fill(2)((1L, "b")) ++
+      Seq.fill(2)((2L, "a")) ++ Seq.fill(4)((2L, "b")))
+      .toDF("q", "sv")
+    val out = Relational.tCloseness(df, Seq("q"), "sv", t = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // num(q=1) = |4*12 - 6*6| + |2*12 - 6*6| = 12 + 12 = 24;
+    // tv = 24 / (2*6*12) = 1/6
+    assert(out(1L) == ((6L, 24.0 / 144.0, true)))
+    assert(out(2L) == ((6L, 24.0 / 144.0, true)))
+    // a perfectly representative class is tv = 0, not risky
+    val rep = (Seq.fill(3)((1L, "a")) ++ Seq.fill(3)((1L, "b")) ++
+      Seq.fill(1)((2L, "a")) ++ Seq.fill(1)((2L, "b")))
+      .toDF("q", "sv")
+    val out2 = Relational.tCloseness(rep, Seq("q"), "sv", t = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out2(1L) == ((0.0, false)) && out2(2L) == ((0.0, false)))
+  }
+
   test("fkProfile: containment, matched keys, orphan rows") {
     val s = spark
     import s.implicits._
