@@ -234,6 +234,49 @@ object Graph {
         coalesce(col("core"), lit(false)).as("in_kcore"))
   }
 
+  /** Bounded-round synchronous label propagation — COMMUNITIES, where
+    * [[Dedup.componentMin]] finds components and [[kCore]] finds the
+    * dense core: each round every node adopts the most frequent label
+    * among its neighbors (ties → smallest label, so the result is
+    * deterministic and SQL-replayable), seeded with node ids. On a
+    * connected graph bounded rounds yield dense clusters long before
+    * min-label flooding would merge everything — the topic/community
+    * signal of link analysis.
+    *
+    * Per round: one edge→label join, one (node, label) count
+    * aggregate, one per-node argmax (max of struct(cnt, −label) — no
+    * window), lineage truncated per round. Output: (node, community).
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String,
+                       edges: DataFrame, iters: Int = 4): DataFrame = {
+    val e = edges.select(col("src").cast(LongType),
+      col("dst").cast(LongType))
+    val sym = e.union(e.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist()
+    var labels = nodes
+      .select(col(idCol).cast(LongType).as("node"),
+        col(idCol).cast(LongType).as("lbl"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val counts = sym
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val pick = counts.groupBy(col("src").as("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("new_lbl"))
+      labels = labels
+        .join(pick, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   def syntheticLinks(nodes: DataFrame, idCol: String, n: Long,
                      outLinks: Int = 3): DataFrame =
     nodes.select(col(idCol).cast(LongType).as("src"))

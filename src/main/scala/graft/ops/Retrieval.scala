@@ -310,4 +310,39 @@ object Retrieval {
     bm25TopK(docs, idCol, textCol, all, k)
       .select(col("doc_id"), col("rk"), col("score"))
   }
+
+  /** Trigram-accelerated substring search — the pg_trgm pattern for
+    * `LIKE '%pattern%'`, which no B-tree/term index can serve: a doc
+    * can contain the pattern only if it contains EVERY one of the
+    * pattern's character trigrams, so the trigram posting
+    * intersection prunes the corpus to a candidate set and the exact
+    * `instr` verify runs on survivors only. At 100 TB the posting
+    * side is a PERSISTED trigram index maintained like
+    * [[graft.sources.TextIndexStore]] (hash the grams, bucket by
+    * gram); here it is built in-plan, which is the same shape minus
+    * the store.
+    *
+    * Output: (doc_id, pos) for every doc containing `pattern`, pos =
+    * 1-based first occurrence — exact, so the row hash-compares with
+    * the oracle's full-scan strpos.
+    */
+  def trigramSearch(docs: DataFrame, idCol: String, textCol: String,
+                    pattern: String): DataFrame = {
+    require(pattern.length >= 3, "pattern needs at least one trigram")
+    val grams = pattern.sliding(3).toSeq.distinct
+    val tri = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3))))).as("g"))
+    val cand = tri.filter(col("g").isin(grams: _*))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(countDistinct(col("g")).as("ng"))
+      .filter(col("ng") === grams.size.toLong)
+    cand.select(col("doc_id"),
+        instr(col("t"), pattern).cast(LongType).as("pos"))
+      .filter(col("pos") > 0L)
+  }
 }

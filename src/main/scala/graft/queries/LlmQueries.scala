@@ -884,6 +884,23 @@ object LlmQueries {
       Graph.kCore(dd, "doc_id",
         Graph.syntheticLinks(dd, "doc_id", n), k = 6)
     }),
+    // corpus op — label-propagation communities (4 synchronous
+    // rounds, most-frequent-neighbor label, min tie-break) over the
+    // same link graph: the topic-cluster signal, where componentMin
+    // is identity and k-core is density; oracle replays each round
+    "graph_communities" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.labelPropagation(dd, "doc_id",
+        Graph.syntheticLinks(dd, "doc_id", n))
+    }),
+    // N4 — trigram-accelerated substring search (the pg_trgm LIKE
+    // pattern): posting intersection of the pattern's trigrams prunes
+    // to candidates, exact instr verify on survivors; the oracle is
+    // the full-scan strpos
+    "trgm_search" -> ((s, d) =>
+      Retrieval.trigramSearch(docs(s, d), "doc_id", "text",
+        "sort table")),
     // corpus op — seed-distance: bounded-hop BFS from the trusted
     // seed list (doc_id < 5) over the same synthesized link graph;
     // crawl-depth quality signal, unreached = -1
@@ -2370,6 +2387,40 @@ object LlmQueries {
          |  CAST(sum(w.wt * q.qv[w.i0 + 1]) AS BIGINT) AS value
          |  FROM q, w GROUP BY 1, 2)
          |SELECT vec_id, out_dim, value FROM p""".stripMargin,
+    // the same 4 LPA rounds: per-node most-frequent neighbor label,
+    // row_number pick with the identical (count desc, label asc)
+    // tie-break
+    "graph_communities" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""n$k AS (SELECT e.s AS node, l.lbl, count(*) AS c
+           |  FROM sym e JOIN l${k - 1} l ON e.d = l.node
+           |  GROUP BY 1, 2),
+           |p$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+           |  row_number() OVER (PARTITION BY node
+           |    ORDER BY c DESC, lbl) AS rn FROM n$k) WHERE rn = 1),
+           |l$k AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+           |  FROM l${k - 1} l LEFT JOIN p$k p ON l.node = p.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+         |    AS dst FROM
+         |  (SELECT doc_id AS src,
+         |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+         |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+         |u AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b FROM raw WHERE src <> dst),
+         |sym AS (SELECT a AS s, b AS d FROM u
+         |        UNION ALL SELECT b, a FROM u),
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$rounds
+         |SELECT node, lbl AS community FROM l4""".stripMargin
+    },
+    "trgm_search" ->
+      """SELECT doc_id,
+        |  CAST(strpos(text, 'sort table') AS BIGINT) AS pos
+        |FROM documents WHERE strpos(text, 'sort table') > 0"""
+        .stripMargin,
     // the same 6 peel rounds, round for round
     "graph_kcore" -> {
       val rounds = (1 to 6).map { r =>

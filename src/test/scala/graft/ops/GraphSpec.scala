@@ -172,6 +172,57 @@ class GraphSpec extends SparkSuite {
     assert(got.contains((7L, 1L, false))) // self loop didn't count
   }
 
+  /** Reference synchronous LPA: most-frequent neighbor label, ties to
+    * the smallest label, isolated nodes keep their own. */
+  private def refLpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                     iters: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val next = sym.groupBy(_._1).map { case (n, es) =>
+        val counts = es.map(e => lbl(e._2))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+      lbl = lbl.map { case (n, old) => n -> next.getOrElse(n, old) }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two cliques joined by one bridge settle " +
+      "into two communities; equals the reference fold") {
+    val s = spark
+    import s.implicits._
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 10L)) :+ (20L, 21L)
+    val nodes = ((1L to 4L) ++ (10L to 13L) ++ Seq(20L, 21L, 30L))
+    val got = Graph.labelPropagation(nodes.toDF("id"), "id",
+        edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(nodes, edges, 4))
+    // clique A coalesces on its min label; clique B stays its own
+    // community rather than flooding to A's (what min-label CC would do)
+    assert((1L to 4L).map(got).toSet.size == 1)
+    assert((10L to 13L).map(got).toSet.size == 1)
+    assert(got(1L) != got(11L), "LPA must NOT merge across the bridge")
+    assert(got(30L) == 30L, "isolated node keeps its own label")
+  }
+
+  test("labelPropagation equals reference on a random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val nodes = 1L to 50L
+    val edges = Seq.fill(120)(
+      (rnd.nextInt(50).toLong + 1, rnd.nextInt(50).toLong + 1))
+    val got = Graph.labelPropagation(nodes.toDF("id"), "id",
+        edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(nodes, edges, 3))
+  }
+
   test("kCore equals reference on a random graph across k") {
     val s = spark
     import s.implicits._

@@ -326,4 +326,27 @@ class RetrievalSpec extends SparkSuite {
     assert(got.contains(4L), "PRF must recall the seed-less doc")
     assert(!got.contains(5L) && !got.contains(6L))
   }
+
+  test("trigramSearch: candidate pruning never loses a match, and a " +
+      "doc holding all trigrams non-contiguously is verified away") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "xx sort table yy"),            // match at pos 4
+      (2L, "sort table"),                  // match at pos 1
+      (3L, "sort tx z table"), // all 8 trigrams present, NO substring
+      (4L, "nothing relevant"),
+      (5L, "so")                           // shorter than a trigram
+    ).toDF("doc_id", "text")
+    val got = Retrieval.trigramSearch(docs, "doc_id", "text",
+        "sort table")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 4L), (2L, 1L)))
+    // doc 3 is the pg_trgm false positive: every trigram of the
+    // pattern occurs, but instr rejects it — candidates only, never
+    // the verdict
+    val cands = Retrieval.trigramSearch(docs, "doc_id", "text",
+      "sort table") // (sanity that the call is deterministic)
+    assert(cands.collect().length == 2)
+  }
 }
