@@ -195,6 +195,29 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
         Collections.singletonList[Scan](Result(schema, rows)).iterator()
       }
     },
+    // metadata-only CDF census: the containers (and their manifest
+    // record counts) a changes(from, to) read would open — the
+    // planning/monitoring face of OcfMaintenance.changes, no
+    // container ever opened
+    "changes" -> new Proc("changes", Array(dirParam,
+      ProcedureParameter.in("from_ms", LongType).build(),
+      ProcedureParameter.in("to_ms", LongType).build())) {
+      override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        val dir = in.getString(0)
+        val conf = OcfStore.driverConf()
+        val from = OcfStore.snapshotAt(dir, conf, in.getLong(1)).toSet
+        val added = OcfStore.snapshotAt(dir, conf, in.getLong(2))
+          .filterNot(from).sorted
+        val counts = OcfStore.filesAsOf(dir, conf, in.getLong(2))
+          .map { case (_, _, f) => f.name -> f.count }.toMap
+        val schema = StructType(Seq(
+          StructField("container", StringType),
+          StructField("n_records", LongType)))
+        val rows = added.map(n => new GenericInternalRow(Array[Any](
+          s(n), counts.getOrElse(n, -1L))): InternalRow).toArray
+        Collections.singletonList[Scan](Result(schema, rows)).iterator()
+      }
+    },
     "advise" -> new Proc("advise", Array(dirParam)) {
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
         val schema = StructType(Seq(StructField("rule", StringType),

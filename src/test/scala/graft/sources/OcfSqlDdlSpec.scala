@@ -125,4 +125,33 @@ class OcfSqlDdlSpec extends SparkSuite {
       snaps.map(_.getLong(0)).toSeq.sorted, "oldest first")
     assert(snaps.last.getInt(2) > 0, "current snapshot has containers")
   }
+
+  test("CALL graft.system.changes is the metadata-only CDF census: " +
+      "the window's containers with their manifest record counts") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ocf_sql_cdf")
+    def feed(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"p_$i")).toDF("id", "props")
+        .select(col("id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          lit("events").as("topic"),
+          (col("id") % 3).cast("int").as("partition"),
+          col("id").as("offset"),
+          lit(Timestamp.valueOf("2026-01-01 10:00:00")).as("timestamp"),
+          lit(0).as("timestampType"))
+    feed(0, 40).write.format("graft-ocf").mode("overwrite").save(dir)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    feed(40, 55).write.format("graft-ocf").mode("append").save(dir)
+    val t2 = System.currentTimeMillis()
+    val census = s.sql(s"CALL graft.system.changes(dir => '$dir', " +
+      s"from_ms => ${t1}L, to_ms => ${t2}L)").collect()
+    assert(census.nonEmpty)
+    assert(census.map(_.getLong(1)).sum == 15L,
+      "the window's manifest counts sum to the second write's records")
+    // and the census names exactly what changes() would read
+    val read = OcfMaintenance.changes(s, dir, t1, t2)
+    assert(read.count() == 15L)
+  }
 }
