@@ -379,4 +379,46 @@ object Eval {
           .as("mean_cents"))
     full.join(sel, Seq(groupCol))
   }
+
+  /** Kaplan–Meier survival curve over (duration, event) pairs — THE
+    * churn/retention estimator (public: Kaplan & Meier 1958):
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct event times tᵢ with
+    * dᵢ events and nᵢ subjects still at risk; censored subjects leave
+    * the risk set without contributing an event. Reported per
+    * distinct duration that has ≥1 EVENT (the standard step points):
+    * (t, n_risk, n_events, surv).
+    *
+    * Shape: one per-duration census (two conditional counts) — the
+    * duration DOMAIN bounds it (day-grain: ≤ observation-span rows,
+    * the peak_concurrency argument), so the census is a driver read
+    * and the sequential product folds there in ascending-t order
+    * (ONE written-down IEEE sequence: acc · (1 − d/n), each d/n a
+    * single double division — replayed verbatim by the oracle's
+    * ordered list_reduce). No window, no shuffle beyond the census
+    * aggregate; the result frame is census-sized literals.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val census = df
+      .select(col(durationCol).cast(LongType).as("t"),
+        col(eventCol).cast(BooleanType).as("e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = census.iterator.map(_._2).sum
+    var atRisk = total
+    var surv = 1.0
+    val out = Seq.newBuilder[(Long, Long, Long, Double)]
+    census.foreach { case (t, nAt, d) =>
+      if (d > 0) {
+        surv = surv * (1.0 - d.toDouble / atRisk.toDouble)
+        out += ((t, atRisk, d, surv))
+      }
+      atRisk -= nAt // events and censorings both leave the risk set
+    }
+    df.sparkSession.createDataFrame(out.result())
+      .toDF("t", "n_risk", "n_events", "surv")
+  }
 }

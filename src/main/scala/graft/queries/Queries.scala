@@ -1377,6 +1377,27 @@ object Queries {
           expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
             .cast(LongType).as("vb")),
         Seq("hod", "vb"), "event_type", l = 3)),
+    // survival analysis: Kaplan-Meier time-to-first-purchase within a
+    // 3-day activation window — users converting by day W step the
+    // curve, the rest are administratively censored at W (the
+    // activation-funnel read of KM); S(t) folds on the driver over
+    // the day-domain-bounded census in ONE written-down IEEE order
+    // the oracle's ordered list_reduce replays
+    "km_conversion" -> ((s, d) => {
+      val w = 3L
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      val f0 = e.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val p0 = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("p"))
+      val users = f0.join(p0, Seq("user_id"), "left_outer")
+        .select(
+          when(col("p").isNotNull && col("p") - col("f") <= w,
+            col("p") - col("f")).otherwise(w).as("dur"),
+          (col("p").isNotNull && col("p") - col("f") <= w)
+            .as("converted"))
+      graft.ops.Eval.kaplanMeier(users, "dur", "converted")
+    }),
     // the disclosure trio's third audit: per-class total-variation
     // distance of the sensitive distribution vs the global one —
     // exact integer numerators, ONE division per class
@@ -2373,6 +2394,36 @@ object Queries {
         |    AS avg_cents
         |FROM x, mx WHERE md - f >= horizon - 1
         |GROUP BY 1""".stripMargin,
+    // the same census, risk-set cumsum, and ordered product fold
+    "km_conversion" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |f0 AS (SELECT user_id, min(day) AS f FROM e GROUP BY 1),
+        |p0 AS (SELECT user_id, min(day) AS p FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |du AS (SELECT
+        |  CASE WHEN p IS NOT NULL AND p - f <= 3 THEN p - f
+        |       ELSE 3 END AS t,
+        |  p IS NOT NULL AND p - f <= 3 AS ev
+        |  FROM f0 LEFT JOIN p0 USING (user_id)),
+        |c AS (SELECT t, count(*) AS n_at,
+        |  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM du GROUP BY 1),
+        |r AS (SELECT t, n_at, d,
+        |  CAST((SELECT sum(n_at) FROM c)
+        |    - coalesce(sum(n_at) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_risk
+        |  FROM c),
+        |ev2 AS (SELECT t, n_risk, d FROM r WHERE d > 0),
+        |rn AS (SELECT t, n_risk, d,
+        |  row_number() OVER (ORDER BY t) AS k FROM ev2)
+        |SELECT t, n_risk, d AS n_events,
+        |  list_reduce(list_prepend(1.0,
+        |    (SELECT list(1.0 - CAST(d AS DOUBLE)
+        |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
+        |    (a, b) -> a * b) AS surv
+        |FROM rn""".stripMargin,
     "t_closeness" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,

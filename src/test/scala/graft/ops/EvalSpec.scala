@@ -219,4 +219,46 @@ class EvalSpec extends SparkSuite {
     }
     assert(bad.isEmpty)
   }
+
+  test("kaplanMeier: textbook worked example with censoring") {
+    val s = spark
+    import s.implicits._
+    // 6 subjects: events at t=1 (1), t=3 (2); censored at t=2, t=4;
+    // one more event at t=5
+    val df = Seq(
+      (1L, true), (2L, false), (3L, true), (3L, true), (4L, false),
+      (5L, true)
+    ).toDF("dur", "ev")
+    val got = graft.ops.Eval.kaplanMeier(df, "dur", "ev")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList.sortBy(_._1)
+    // t=1: n=6, d=1 → S = 5/6
+    // t=2: censoring only (no step)
+    // t=3: n=4, d=2 → S = 5/6 · 2/4 = 5/12
+    // t=4: censoring only
+    // t=5: n=1, d=1 → S = 0
+    assert(got.map(g => (g._1, g._2, g._3)) ==
+      List((1L, 6L, 1L), (3L, 4L, 2L), (5L, 1L, 1L)))
+    assert(math.abs(got(0)._4 - 5.0 / 6.0) < 1e-12)
+    assert(math.abs(got(1)._4 - 5.0 / 12.0) < 1e-12)
+    assert(got(2)._4 == 0.0)
+  }
+
+  test("kaplanMeier: no censoring reduces to the empirical survivor " +
+      "function; all-censored yields no steps") {
+    val s = spark
+    import s.implicits._
+    val plain = Seq((1L, true), (2L, true), (2L, true), (4L, true))
+      .toDF("dur", "ev")
+    val got = graft.ops.Eval.kaplanMeier(plain, "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toList
+      .sortBy(_._1)
+    assert(got.map(_._1) == List(1L, 2L, 4L))
+    assert(math.abs(got(0)._2 - 0.75) < 1e-12)
+    assert(math.abs(got(1)._2 - 0.25) < 1e-12)
+    assert(got(2)._2 == 0.0)
+    val cens = Seq((1L, false), (2L, false)).toDF("dur", "ev")
+    assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
+  }
 }
