@@ -421,4 +421,56 @@ object Eval {
     df.sparkSession.createDataFrame(out.result())
       .toDF("t", "n_risk", "n_events", "surv")
   }
+
+  /** Log-rank test — [[kaplanMeier]]'s hypothesis-test companion
+    * (public: Mantel 1966): do two arms share a survival curve? At
+    * each event time t with dₜ events over nₜ at risk (n1ₜ of them in
+    * arm A, o1ₜ of the events in A): E1 += dₜ·n1ₜ/nₜ and
+    * V += (dₜ·n1ₜ/nₜ)·((nₜ−n1ₜ)/nₜ)·((nₜ−dₜ)/(nₜ−1)); the statistic
+    * (O1−E1)²/V is χ²₁-distributed under the null. Same execution
+    * shape as kaplanMeier: one per-(t, arm) census bounded by the
+    * duration domain, risk sets by cumulative subtraction, the two
+    * sums folded on the driver in ascending-t order with one
+    * written-down per-term IEEE op order — the oracle replays both
+    * folds via ordered list_reduce. Output: one row
+    * (o1, e1, var_lr, chi2).
+    */
+  def logRank(df: DataFrame, isArmA: Column, durationCol: String,
+              eventCol: String): DataFrame = {
+    val census = df
+      .select(col(durationCol).cast(LongType).as("t"),
+        col(eventCol).cast(BooleanType).as("e"),
+        isArmA.cast(BooleanType).as("a"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_at_a"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("o1"))
+      .orderBy(col("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    var n = census.iterator.map(_._2).sum
+    var n1 = census.iterator.map(_._3).sum
+    var o1 = 0L
+    var e1 = 0.0
+    var v = 0.0
+    census.foreach { case (_, nAt, nAtA, d, o1t) =>
+      if (d > 0) {
+        o1 += o1t
+        e1 = e1 + (d * n1).toDouble / n.toDouble
+        if (n > 1)
+          v = v + ((d * n1).toDouble / n.toDouble) *
+            ((n - n1).toDouble / n.toDouble) *
+            ((n - d).toDouble / (n - 1).toDouble)
+      }
+      n -= nAt
+      n1 -= nAtA
+    }
+    val chi2 = if (v > 0.0)
+      ((o1.toDouble - e1) * (o1.toDouble - e1)) / v else 0.0
+    df.sparkSession
+      .createDataFrame(Seq((o1, e1, v, chi2)))
+      .toDF("o1", "e1", "var_lr", "chi2")
+  }
 }

@@ -1398,6 +1398,25 @@ object Queries {
             .as("converted"))
       graft.ops.Eval.kaplanMeier(users, "dur", "converted")
     }),
+    // log-rank test over the same activation cohort, arms by id
+    // parity (the A/B assignment): one χ²₁ row (o1, e1, var, chi2),
+    // folds driver-side in the written-down order like km_conversion
+    "km_logrank" -> ((s, d) => {
+      val w = 3L
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      val f0 = e.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val p0 = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("p"))
+      val users = f0.join(p0, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          when(col("p").isNotNull && col("p") - col("f") <= w,
+            col("p") - col("f")).otherwise(w).as("dur"),
+          (col("p").isNotNull && col("p") - col("f") <= w)
+            .as("converted"))
+      graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
+        "dur", "converted")
+    }),
     // the disclosure trio's third audit: per-class total-variation
     // distance of the sensitive distribution vs the global one —
     // exact integer numerators, ONE division per class
@@ -2424,6 +2443,56 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // the same census; risk sets by cumulative subtraction; E and V
+    // folded by ordered list_reduce in the op's per-term op order
+    "km_logrank" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |f0 AS (SELECT user_id, min(day) AS f FROM e GROUP BY 1),
+        |p0 AS (SELECT user_id, min(day) AS p FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |du AS (SELECT user_id % 2 = 0 AS a,
+        |  CASE WHEN p IS NOT NULL AND p - f <= 3 THEN p - f
+        |       ELSE 3 END AS t,
+        |  p IS NOT NULL AND p - f <= 3 AS ev
+        |  FROM f0 LEFT JOIN p0 USING (user_id)),
+        |c AS (SELECT t, count(*) AS n_at,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_at_a,
+        |  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN ev AND a THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS o1
+        |  FROM du GROUP BY 1),
+        |r AS (SELECT t, d, o1,
+        |  CAST((SELECT sum(n_at) FROM c) - coalesce(sum(n_at)
+        |    OVER w1, 0) AS BIGINT) AS n,
+        |  CAST((SELECT sum(n_at_a) FROM c) - coalesce(sum(n_at_a)
+        |    OVER w1, 0) AS BIGINT) AS n1
+        |  FROM c WINDOW w1 AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |ev2 AS (SELECT t, d, o1, n, n1 FROM r WHERE d > 0),
+        |terms AS (SELECT t,
+        |  CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) AS eterm,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |  ELSE 0.0 END AS vterm
+        |  FROM ev2),
+        |agg AS (SELECT
+        |  (SELECT CAST(sum(o1) AS BIGINT) FROM ev2) AS o1,
+        |  list_reduce(list_prepend(0.0,
+        |    (SELECT list(eterm ORDER BY t) FROM terms)),
+        |    (x, y) -> x + y) AS e1,
+        |  list_reduce(list_prepend(0.0,
+        |    (SELECT list(vterm ORDER BY t) FROM terms)),
+        |    (x, y) -> x + y) AS var_lr)
+        |SELECT o1, e1, var_lr,
+        |  CASE WHEN var_lr > 0 THEN
+        |    ((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1))
+        |      / var_lr
+        |  ELSE 0.0 END AS chi2
+        |FROM agg""".stripMargin,
     "t_closeness" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,

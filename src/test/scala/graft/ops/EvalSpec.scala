@@ -261,4 +261,35 @@ class EvalSpec extends SparkSuite {
     val cens = Seq((1L, false), (2L, false)).toDF("dur", "ev")
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
+
+  test("logRank: identical arms give chi2 = 0 exactly; hand-computed " +
+      "early-vs-late separation gives chi2 = 3") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // symmetric arms: every term cancels
+    val sym = Seq((true, 1L, true), (false, 1L, true),
+      (true, 2L, true), (false, 2L, true)).toDF("a", "dur", "ev")
+    val r0 = graft.ops.Eval.logRank(sym, col("a"), "dur", "ev").head()
+    assert(r0.getLong(0) == 2L && r0.getDouble(1) == 2.0)
+    assert(r0.getDouble(3) == 0.0)
+    // arm A events at t=1, arm B at t=3:
+    // t=1: d=2 n=4 n1=2 → E += 1, V += 1·(2/4)·(2/3) = 1/3, O1 += 2
+    // t=3: d=2 n=2 n1=0 → E += 0, V += 0
+    // chi2 = (2 − 1)² / (1/3) = 3
+    val sep = Seq((true, 1L, true), (true, 1L, true),
+      (false, 3L, true), (false, 3L, true)).toDF("a", "dur", "ev")
+    val r1 = graft.ops.Eval.logRank(sep, col("a"), "dur", "ev").head()
+    assert(r1.getLong(0) == 2L)
+    assert(math.abs(r1.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r1.getDouble(3) - 3.0) < 1e-9)
+    // censored rows shape the risk sets but never the O/E events
+    val cens = Seq((true, 1L, true), (false, 1L, false),
+      (false, 2L, true)).toDF("a", "dur", "ev")
+    val r2 = graft.ops.Eval.logRank(cens, col("a"), "dur", "ev").head()
+    // t=1: d=1 n=3 n1=1 → E1 = 1/3, O1 = 1; t=2: d=1 n=1 n1=0 (n=1 →
+    // no V term), E += 0
+    assert(r2.getLong(0) == 1L)
+    assert(math.abs(r2.getDouble(1) - 1.0 / 3.0) < 1e-12)
+  }
 }
