@@ -473,4 +473,114 @@ object Eval {
       .createDataFrame(Seq((o1, e1, v, chi2)))
       .toDF("o1", "e1", "var_lr", "chi2")
   }
+
+  /** CUPED variance reduction (public: Deng/Xu/Kohavi/Walker, WSDM
+    * 2013) — the adjustment every mature A/B platform applies before
+    * reading a lift: shrink the in-period metric Y by its pre-period
+    * covariate X, Ŷ = Y − θ·(X − mean(X)), θ = cov(X,Y)/var(X),
+    * which removes the between-user variance X explains without
+    * biasing the treatment contrast (X predates assignment).
+    *
+    * Exactness envelope (the [[welchTTest]] discipline): per-user
+    * (x, y) cents are exact BIGINTs, every moment (Σx, Σy, Σx², Σxy,
+    * per-arm splits) is an exact DECIMAL(38,0) sum, and each released
+    * double is ONE division of exact integers — θ, the arm means, and
+    * the centered-covariate terms dx_arm = (Σx_arm·n − Σx·n_arm) /
+    * (n_arm·n) all have exact numerators/denominators. The only
+    * compound float ops are the written-down adj = mean − θ·dx (one
+    * multiply, one subtract) and lift = adj_b − adj_a, replayed
+    * verbatim by the oracle.
+    *
+    * Shape: one per-user hash aggregate (the unit of analysis), one
+    * single-row global fold — no window, no second corpus pass.
+    * Output: one row (n_users, n_a, n_b, theta, mean_y_a, mean_y_b,
+    * adj_a, adj_b, adj_lift).
+    */
+  def cuped(df: DataFrame, userCol: String, armCol: Column,
+            isPre: Column, valueCents: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perUser = df
+      .select(col(userCol).as("__u"), armCol.cast(LongType).as("__arm"),
+        isPre.as("__pre"), valueCents.as("__c"))
+      .groupBy(col("__u"))
+      .agg(max(col("__arm")).as("arm"),
+        coalesce(sum(when(col("__pre"), col("__c"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("__pre"), col("__c"))), lit(0L)).as("y"))
+    val w = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L).cast(dec))
+        .as("sx_a"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L).cast(dec))
+        .as("sy_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L).cast(dec))
+        .as("sx_b"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L).cast(dec))
+        .as("sy_b"))
+      .where(col("n_a") > 0L && col("n_b") > 0L &&
+        col("n").cast(dec) * col("sxx") - col("sx") * col("sx") > 0)
+    val theta =
+      (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .cast(DoubleType) /
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .cast(DoubleType)
+    def meanY(sy: String, na: String): Column =
+      col(sy).cast(DoubleType) / col(na).cast(DoubleType)
+    def dx(sxa: String, na: String): Column =
+      (col(sxa) * col("n") - col("sx") * col(na)).cast(DoubleType) /
+        (col(na).cast(dec) * col("n")).cast(DoubleType)
+    w.withColumn("theta", theta)
+      .withColumn("mean_y_a", meanY("sy_a", "n_a"))
+      .withColumn("mean_y_b", meanY("sy_b", "n_b"))
+      .withColumn("adj_a",
+        col("mean_y_a") - col("theta") * dx("sx_a", "n_a"))
+      .withColumn("adj_b",
+        col("mean_y_b") - col("theta") * dx("sx_b", "n_b"))
+      .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+        col("theta"), col("mean_y_a"), col("mean_y_b"),
+        col("adj_a"), col("adj_b"),
+        (col("adj_b") - col("adj_a")).as("adj_lift"))
+  }
+
+  /** UCB1 bandit policy scores (public: Auer/Cesa-Bianchi/Fischer
+    * 2002) — the deterministic explore/exploit ledger a serving layer
+    * reads per decision epoch: per arm, pulls n, exact mean reward,
+    * and the optimism bonus √(2·ln N / n); the arm with the highest
+    * ucb is the next pull. Computed OFFLINE over the event log (the
+    * batch-policy-evaluation shape), so the scores are a ranking
+    * artifact, not per-request state.
+    *
+    * Determinism: mean is one division of exact integers; ln runs on
+    * the INTEGER total N (JVM log and the oracle engine agree
+    * bitwise on integer inputs — verified 2..2000 this round) and
+    * sqrt is correctly rounded by spec; the bonus/ucb op order is
+    * written down and replayed by the oracle. The grand total joins
+    * back through the single-bucket broadcast idiom
+    * ([[contingencyLift]]) — arms, not rows, flow through it.
+    * `scaleCents` states the reward scale R that maps the [0,1]-
+    * reward theory to cents: ucb = mean + R·bonus.
+    */
+  def ucbPolicy(df: DataFrame, armCol: String, rewardCents: Column,
+                scaleCents: Double = 10000.0): DataFrame = {
+    val arms = df.select(col(armCol).as("arm"), rewardCents.as("__c"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"))
+    val tot = arms.agg(sum(col("n")).as("n_total"))
+      .withColumn("__jk", pmod(xxhash64(col("n_total")), lit(1L)))
+    arms.withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+      .join(broadcast(tot), Seq("__jk"))
+      .withColumn("mean_cents",
+        col("s").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("bonus",
+        sqrt(log(col("n_total").cast(DoubleType)) * lit(2.0) /
+          col("n").cast(DoubleType)))
+      .select(col("arm"), col("n"), col("n_total"), col("mean_cents"),
+        col("bonus"),
+        (col("mean_cents") + lit(scaleCents) * col("bonus")).as("ucb"))
+  }
 }

@@ -1417,6 +1417,21 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // CUPED variance reduction: pre-period (Jan 1-14) spend is the
+    // covariate, in-period (Jan 15+) spend the metric, arms by id
+    // parity — one per-user aggregate, one single-row fold, every
+    // released double a single division of exact integers except the
+    // written-down adj/lift combination
+    "cuped_adjust" -> ((s, d) =>
+      graft.ops.Eval.cuped(events(s, d), "user_id",
+        col("user_id") % 2L,
+        expr("unix_micros(ts) < 1705276800000000L"),
+        round(col("value") * 100).cast(LongType))),
+    // UCB1 policy ledger: event types as arms, spend cents as reward,
+    // optimism bonus sqrt(2 ln N / n) at reward scale R = 10000 cents
+    "ucb_policy" -> ((s, d) =>
+      graft.ops.Eval.ucbPolicy(events(s, d), "event_type",
+        round(col("value") * 100).cast(LongType))),
     // the disclosure trio's third audit: per-class total-variation
     // distance of the sensitive distribution vs the global one —
     // exact integer numerators, ONE division per class
@@ -2493,6 +2508,66 @@ object Queries {
         |      / var_lr
         |  ELSE 0.0 END AS chi2
         |FROM agg""".stripMargin,
+    // exact moments as HUGEINT sums; theta / means / dx each one
+    // division; adj and lift replay the op's written-down order
+    "cuped_adjust" ->
+      """WITH pu AS (SELECT user_id, max(user_id % 2) AS arm,
+        |  coalesce(sum(CASE WHEN epoch_us(ts) < 1705276800000000
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+        |  coalesce(sum(CASE WHEN epoch_us(ts) >= 1705276800000000
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT count(*) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |    AS sx_a,
+        |  sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |    AS sy_a,
+        |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |    AS sx_b,
+        |  sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |    AS sy_b
+        |  FROM pu),
+        |t AS (SELECT *,
+        |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |    AS theta,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y_a,
+        |  CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_y_b,
+        |  CAST(sx_a * n - sx * n_a AS DOUBLE)
+        |    / CAST(CAST(n_a AS HUGEINT) * n AS DOUBLE) AS dx_a,
+        |  CAST(sx_b * n - sx * n_b AS DOUBLE)
+        |    / CAST(CAST(n_b AS HUGEINT) * n AS DOUBLE) AS dx_b
+        |  FROM w
+        |  WHERE n_a > 0 AND n_b > 0
+        |    AND CAST(n AS HUGEINT) * sxx - sx * sx > 0),
+        |a AS (SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  theta, mean_y_a, mean_y_b,
+        |  mean_y_a - theta * dx_a AS adj_a,
+        |  mean_y_b - theta * dx_b AS adj_b
+        |  FROM t)
+        |SELECT n_users, n_a, n_b, theta, mean_y_a, mean_y_b,
+        |  adj_a, adj_b, adj_b - adj_a AS adj_lift FROM a""".stripMargin,
+    // ln on the INTEGER grand total (bitwise cross-engine), sqrt
+    // correctly rounded; bonus/ucb replay the written-down op order
+    "ucb_policy" ->
+      """WITH arms AS (SELECT event_type AS arm, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS s
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM arms)
+        |SELECT arm, CAST(n AS BIGINT) AS n, n_total,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+        |  sqrt(ln(CAST(n_total AS DOUBLE)) * 2.0 / CAST(n AS DOUBLE))
+        |    AS bonus,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + 10000.0 * sqrt(ln(CAST(n_total AS DOUBLE)) * 2.0
+        |      / CAST(n AS DOUBLE)) AS ucb
+        |FROM arms, tot""".stripMargin,
     "t_closeness" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,

@@ -292,4 +292,59 @@ class EvalSpec extends SparkSuite {
     assert(r2.getLong(0) == 1L)
     assert(math.abs(r2.getDouble(1) - 1.0 / 3.0) < 1e-12)
   }
+
+  test("cuped: theta and adjusted lift on a hand-worked 4-user case; " +
+      "balanced covariate leaves the raw lift untouched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // (user, isPre, cents); arms by parity. Pre-period totals x:
+    // u0=0 u2=200 (arm a), u1=400 u3=200 (arm b); in-period y:
+    // u0=200 u2=400, u1=300 u3=500 → theta=0.25, dx_a=-100 dx_b=100,
+    // adj_a=325 adj_b=375, lift=50 (raw lift 100, shrunk because arm
+    // b entered richer)
+    val rows = Seq(
+      (0L, true, 0L), (2L, true, 200L), (1L, true, 400L),
+      (3L, true, 200L), (0L, false, 200L), (2L, false, 400L),
+      (1L, false, 300L), (3L, false, 500L)).toDF("u", "pre", "c")
+    val r = graft.ops.Eval.cuped(rows, "u", col("u") % 2L, col("pre"),
+      col("c")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 0.25) < 1e-15)
+    assert(math.abs(r.getDouble(6) - 325.0) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 375.0) < 1e-12)
+    assert(math.abs(r.getDouble(8) - 50.0) < 1e-12)
+    // balanced covariate (equal per-arm x sums): dx terms vanish, the
+    // adjusted lift IS the raw mean difference
+    val bal = Seq(
+      (0L, true, 100L), (2L, true, 300L), (1L, true, 100L),
+      (3L, true, 300L), (0L, false, 200L), (2L, false, 400L),
+      (1L, false, 300L), (3L, false, 500L)).toDF("u", "pre", "c")
+    val rb = graft.ops.Eval.cuped(bal, "u", col("u") % 2L, col("pre"),
+      col("c")).head()
+    assert(math.abs(rb.getDouble(8) - 100.0) < 1e-12)
+    // constant covariate → var(X)=0 → guarded out, no row
+    val const = Seq((0L, true, 5L), (1L, true, 5L), (0L, false, 1L),
+      (1L, false, 2L)).toDF("u", "pre", "c")
+    assert(graft.ops.Eval.cuped(const, "u", col("u") % 2L, col("pre"),
+      col("c")).count() == 0)
+  }
+
+  test("ucbPolicy: exact means, bonus follows sqrt(2 ln N / n)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(("a", 100L), ("a", 300L), ("b", 200L))
+      .toDF("arm", "c")
+    val out = graft.ops.Eval.ucbPolicy(rows, "arm", col("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = out("a"); val rb = out("b")
+    assert(ra.getLong(1) == 2L && ra.getLong(2) == 3L)
+    assert(ra.getDouble(3) == 200.0 && rb.getDouble(3) == 200.0)
+    assert(math.abs(ra.getDouble(4) - math.sqrt(math.log(3.0))) < 1e-15)
+    assert(math.abs(rb.getDouble(4) - math.sqrt(2.0 * math.log(3.0)))
+      < 1e-15)
+    // fewer pulls → strictly larger bonus → larger ucb at equal mean
+    assert(rb.getDouble(5) > ra.getDouble(5))
+  }
 }
