@@ -44,6 +44,10 @@ object GraftFunctions {
   def qdot(a: Column, b: Column): Column =
     c(QuantizedDot(e(a), e(b)))
 
+  /** Natural log via java.lang.Math.log (oracle-identical on
+    * integer-valued inputs; Spark's builtin log() is StrictMath). */
+  def javaLn(x: Column): Column = c(JavaLn(e(x)))
+
   /** Rolling 31-polynomial hash mod m (oracle-identical). */
   def polyHash(s: Column, m: Long): Column =
     c(PolyHash31(e(s), m))

@@ -556,8 +556,9 @@ object Eval {
     * artifact, not per-request state.
     *
     * Determinism: mean is one division of exact integers; ln runs on
-    * the INTEGER total N (JVM log and the oracle engine agree
-    * bitwise on integer inputs — verified 2..2000 this round) and
+    * the INTEGER total N through the [[graft.functions.JavaLn]]
+    * kernel (Spark's builtin log() is StrictMath and disagrees with
+    * the oracle in the last ulp on ~1% of integer inputs) and
     * sqrt is correctly rounded by spec; the bonus/ucb op order is
     * written down and replayed by the oracle. The grand total joins
     * back through the single-bucket broadcast idiom
@@ -577,7 +578,8 @@ object Eval {
       .withColumn("mean_cents",
         col("s").cast(DoubleType) / col("n").cast(DoubleType))
       .withColumn("bonus",
-        sqrt(log(col("n_total").cast(DoubleType)) * lit(2.0) /
+        sqrt(graft.functions.GraftFunctions.javaLn(
+          col("n_total").cast(DoubleType)) * lit(2.0) /
           col("n").cast(DoubleType)))
       .select(col("arm"), col("n"), col("n_total"), col("mean_cents"),
         col("bonus"),

@@ -185,4 +185,55 @@ object FuzzyJoin {
       .limit(topK)
     editDistancePairs(vocab, "tok")
   }
+
+  /** Survivorship (golden-record) merge — the step AFTER
+    * [[linkRecords]] in every master-data pipeline: linked pairs
+    * become entity clusters (bounded min-label propagation, the
+    * Dedup.componentMin machinery), then ONE golden row per cluster
+    * under deterministic merge rules:
+    *   - `golden_id`   = min member id (the canonical-keep rule)
+    *   - `name`        = the most complete (longest) name,
+    *                     lexicographically last among equal lengths
+    *   - `max_cents`   = max of the numeric column (exact integer)
+    *   - `cat_mode`    = most frequent categorical value,
+    *                     lexicographically last among ties
+    *   - `block`       = min block key (constant within a cluster by
+    *                     construction — linkage never crosses blocks;
+    *                     min only resolves the degenerate empty case)
+    * Singletons flow through as their own golden record — the output
+    * IS the deduplicated master table, not just the merged clusters.
+    *
+    * Scale shape: linkage is the bounded FastSS signature join; the
+    * merge is two hash aggregates (members, and a (cluster, cat)
+    * census for the mode) joined at cluster cardinality. Every rule is
+    * an exact integer/string max — no floats anywhere.
+    */
+  def goldenRecord(records: DataFrame, idCol: String, nameCol: String,
+                   blockCol: String, catCol: String, numCents: Column,
+                   maxDist: Int = 2): DataFrame = {
+    val pairs = linkRecords(records, idCol, nameCol, blockCol,
+      Seq(catCol), maxDist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val ids = records.select(col(idCol).cast(LongType).as("id"))
+    val comps = Dedup.componentMin(ids, pairs)
+    val base = records.select(col(idCol).cast(LongType).as("id"),
+        col(nameCol).as("nm"), col(blockCol).cast(LongType).as("blk"),
+        col(catCol).as("cat"), numCents.as("num"))
+      .join(comps, "id")
+    val catMode = base.groupBy(col("comp"), col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("comp"))
+      .agg(max(struct(col("cnt"), col("cat"))).getField("cat")
+        .as("cat_mode"))
+    base.groupBy(col("comp"))
+      .agg(min(col("id")).as("golden_id"),
+        count(lit(1)).as("n_members"),
+        min(col("blk")).as("block"),
+        max(struct(length(col("nm")).as("l"), col("nm").as("nm")))
+          .getField("nm").as("name"),
+        max(col("num")).as("max_cents"))
+      .join(catMode, "comp")
+      .select(col("golden_id"), col("n_members"), col("block"),
+        col("name"), col("max_cents"), col("cat_mode"))
+  }
 }

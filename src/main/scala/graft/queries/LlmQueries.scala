@@ -109,6 +109,14 @@ object LlmQueries {
     "record_linkage" -> ((s, d) =>
       graft.ops.FuzzyJoin.linkRecords(Tables.customer(s, d),
         "c_custkey", "c_name", "c_nationkey", Seq("c_mktsegment"))),
+    // survivorship: linked pairs → entity clusters → ONE golden row
+    // per cluster under deterministic merge rules (min id, longest
+    // name, max balance cents, modal segment); singletons flow
+    // through — the output IS the master table
+    "golden_record" -> ((s, d) =>
+      graft.ops.FuzzyJoin.goldenRecord(Tables.customer(s, d),
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        round(col("c_acctbal") * 100).cast(LongType))),
     // incremental entity resolution (streaming twin of record_linkage,
     // batch-replayed): delta customers probe the persisted master
     // signature index keyed (block, signature); verdict row per delta
@@ -893,6 +901,14 @@ object LlmQueries {
       val n = dd.count()
       Graph.labelPropagation(dd, "doc_id",
         Graph.syntheticLinks(dd, "doc_id", n))
+    }),
+    // corpus op — link prediction over the same graph: top-50
+    // non-adjacent pairs by Adamic-Adar, with the resource-allocation
+    // score beside it; witness folds in (deg, w) order
+    "link_predict" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.linkPredict(Graph.syntheticLinks(dd, "doc_id", n))
     }),
     // N4 — trigram-accelerated substring search (the pg_trgm LIKE
     // pattern): posting intersection of the pattern's trigrams prunes
@@ -2028,6 +2044,50 @@ object LlmQueries {
         |  ON a.c_nationkey = b.c_nationkey
         | AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // the within-block quadratic pair set, the op's 4 min-label
+    // rounds replayed verbatim, then the same deterministic merge
+    // rules (window argmax = the op's struct max)
+    "golden_record" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (SELECT l.id,
+           |  least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+           |  LEFT JOIN l${k - 1} n ON e.d = n.id
+           |  GROUP BY l.id, l.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS (SELECT a.c_custkey AS s, b.c_custkey AS d
+         |  FROM customer a JOIN customer b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+         |sym AS (SELECT s, d FROM pr UNION ALL SELECT d, s FROM pr),
+         |l0 AS (SELECT c_custkey AS id, c_custkey AS comp
+         |  FROM customer),
+         |$rounds,
+         |base AS (SELECT l4.comp, c.c_custkey AS id, c.c_name AS nm,
+         |    CAST(c.c_nationkey AS BIGINT) AS blk,
+         |    c.c_mktsegment AS cat,
+         |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS num
+         |  FROM customer c JOIN l4 ON l4.id = c.c_custkey),
+         |ag AS (SELECT comp, min(id) AS golden_id,
+         |    count(*) AS n_members, min(blk) AS block,
+         |    max(num) AS max_cents
+         |  FROM base GROUP BY 1),
+         |nm1 AS (SELECT comp, nm AS name FROM
+         |  (SELECT comp, nm, row_number() OVER (PARTITION BY comp
+         |     ORDER BY length(nm) DESC, nm DESC) AS rn FROM base)
+         |  WHERE rn = 1),
+         |ct AS (SELECT comp, cat, count(*) AS cnt FROM base
+         |  GROUP BY 1, 2),
+         |md AS (SELECT comp, cat AS cat_mode FROM
+         |  (SELECT comp, cat, row_number() OVER (PARTITION BY comp
+         |     ORDER BY cnt DESC, cat DESC) AS rn FROM ct)
+         |  WHERE rn = 1)
+         |SELECT golden_id, CAST(n_members AS BIGINT) AS n_members,
+         |  block, name, max_cents, cat_mode
+         |FROM ag JOIN nm1 USING (comp) JOIN md USING (comp)"""
+        .stripMargin
+    },
     "neardup_minhash" ->
       s"""WITH $shinglesCte,
          |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
@@ -4123,6 +4183,41 @@ object LlmQueries {
         |FROM documents
         |LEFT JOIN d ON d.node = doc_id
         |LEFT JOIN pn ON pn.node = doc_id""".stripMargin,
+    // same synthetic edge set; witness folds replay the op's
+    // (deg, w)-ordered IEEE additions via ordered list aggregation
+    "link_predict" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+        |    AS dst FROM
+        |  (SELECT doc_id AS src,
+        |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+        |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+        |u AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |d AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM u UNION ALL SELECT b FROM u)
+        |  GROUP BY 1),
+        |nb AS (SELECT a AS w, b AS x FROM u
+        |       UNION ALL SELECT b, a FROM u),
+        |pr AS (SELECT n1.x AS u, n1.w AS w, n2.x AS v
+        |  FROM nb n1 JOIN nb n2 ON n1.w = n2.w AND n1.x < n2.x),
+        |cand AS (SELECT pr.u, pr.v, pr.w FROM pr
+        |  LEFT JOIN u e ON e.a = pr.u AND e.b = pr.v
+        |  WHERE e.a IS NULL),
+        |wd AS (SELECT cand.u, cand.v, cand.w, d.deg
+        |  FROM cand JOIN d ON d.node = cand.w),
+        |g AS (SELECT u, v, count(*) AS n_common,
+        |  list_reduce(list_prepend(0.0,
+        |    list(1.0 / ln(CAST(deg AS DOUBLE)) ORDER BY deg, w)),
+        |    (a, b) -> a + b) AS aa_score,
+        |  list_reduce(list_prepend(0.0,
+        |    list(1.0 / CAST(deg AS DOUBLE) ORDER BY deg, w)),
+        |    (a, b) -> a + b) AS ra_score
+        |  FROM wd GROUP BY 1, 2)
+        |SELECT u AS node_a, v AS node_b,
+        |  CAST(n_common AS BIGINT) AS n_common, aa_score, ra_score
+        |FROM g ORDER BY aa_score DESC, node_a, node_b
+        |LIMIT 50""".stripMargin,
     "link_rank" -> {
       def step(prev: String, out: String): String =
         s"""$out AS (SELECT d.doc_id AS node,

@@ -149,4 +149,28 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(!got.exists(p => p._1 == 1L && p._2 == 5L),
       "no cross-block link")
   }
+
+  test("goldenRecord: linked cluster merges under the written rules; " +
+      "singletons and cross-block same-names pass through") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // (id, name, block, segment, cents): 1~2 link (dist 1, same
+    // block); 3 is a block-1 singleton; 4 repeats name "ann" in
+    // block 2 → must NOT merge across blocks
+    val recs = Seq(
+      (1L, "ann", 1L, "A", 100L), (2L, "anne", 1L, "B", 300L),
+      (3L, "bob", 1L, "A", 50L), (4L, "ann", 2L, "A", 77L))
+      .toDF("id", "nm", "blk", "seg", "cents")
+    val got = graft.ops.FuzzyJoin.goldenRecord(recs, "id", "nm",
+        "blk", "seg", col("cents"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getString(5))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L))
+    // cluster {1,2}: longest name wins, max cents, modal tie -> "B"
+    assert(got(1L) == ((2L, 1L, "anne", 300L, "B")))
+    assert(got(3L) == ((1L, 1L, "bob", 50L, "A")))
+    assert(got(4L) == ((1L, 2L, "ann", 77L, "A")))
+  }
 }

@@ -238,4 +238,53 @@ class GraphSpec extends SparkSuite {
       assert(got == refKCore(nodes, edges, k, 5), s"k=$k")
     }
   }
+
+  test("linkPredict: hand-worked path and square; adjacent pairs " +
+      "excluded; matches a brute-force reference on a random graph") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3: only non-edge with a witness is (1,3) through 2
+    // (deg 2) → aa = 1/ln 2, ra = 1/2
+    val path = Graph.linkPredict(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).collect()
+    assert(path.length == 1)
+    assert(path(0).getLong(0) == 1L && path(0).getLong(1) == 3L)
+    assert(path(0).getLong(2) == 1L)
+    assert(math.abs(path(0).getDouble(3) - 1.0 / math.log(2.0)) < 1e-15)
+    assert(path(0).getDouble(4) == 0.5)
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each see two deg-2
+    // witnesses → aa = 2/ln 2, ra = 1.0; the four edges never appear
+    val sq = Graph.linkPredict(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq == Set((1L, 3L), (2L, 4L)))
+    // brute-force reference on a deterministic random graph
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(20).toLong,
+      rnd.nextInt(20).toLong)).filter(e => e._1 != e._2).distinct
+    val uniq = edges.map(e => (math.min(e._1, e._2),
+      math.max(e._1, e._2))).toSet
+    val nbr = uniq.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      u <- nbr.keys; v <- nbr.keys
+      if u < v && !uniq.contains((u, v))
+      common = nbr(u) & nbr(v) if common.nonEmpty
+    } yield {
+      val ds = common.toSeq.map(w => (nbr(w).size, w)).sorted
+      ((u, v), (common.size.toLong,
+        ds.foldLeft(0.0)((a, x) => a + 1.0 / math.log(x._1.toDouble)),
+        ds.foldLeft(0.0)((a, x) => a + 1.0 / x._1.toDouble)))
+    }).toMap
+    val got = Graph.linkPredict(edges.toDF("src", "dst"),
+        topK = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (n, aa, ra)) =>
+      assert(got(k)._1 == n, s"$k n_common")
+      assert(got(k)._2 == aa, s"$k aa (bit-identical sorted fold)")
+      assert(got(k)._3 == ra, s"$k ra")
+    }
+  }
 }
