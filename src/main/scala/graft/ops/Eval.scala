@@ -547,6 +547,67 @@ object Eval {
         (col("adj_b") - col("adj_a")).as("adj_lift"))
   }
 
+  /** Two-feature OLS fit via exact normal equations — the linear
+    * probe every feature pipeline runs ("does spend regress on
+    * activity once frequency is controlled for?"), solved WITHOUT an
+    * iterative optimizer: y = b0 + b1·x1 + b2·x2 where all inputs are
+    * exact integers, every moment (Σx, Σx², Σxy, …) is an exact
+    * DECIMAL(38,0) sum, the four Cramer determinants of the 3×3
+    * normal system are exact integer polynomials in those moments,
+    * and each coefficient is ONE double division det_i/det — the
+    * [[welchTTest]] envelope, so the fit is bit-identical across
+    * engines and shuffle layouts. One aggregate pass, one output row
+    * (n, b0, b1, b2); rank-deficient designs (det = 0) emit nothing.
+    * Scale note: the DECIMAL(38,0) envelope holds while
+    * n·max(x)²·max(y) stays under 1e38 — quantize features first at
+    * petabyte row counts (the same note as welchTTest).
+    */
+  def olsFit(df: DataFrame, yCol: Column, x1Col: Column,
+             x2Col: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = df
+      .select(yCol.cast(LongType).as("y"),
+        x1Col.cast(LongType).as("x1"), x2Col.cast(LongType).as("x2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1").cast(dec)).as("s1"),
+        sum(col("x2").cast(dec)).as("s2"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x1").cast(dec) * col("x1")).as("s11"),
+        sum(col("x1").cast(dec) * col("x2")).as("s12"),
+        sum(col("x2").cast(dec) * col("x2")).as("s22"),
+        sum(col("x1").cast(dec) * col("y")).as("s1y"),
+        sum(col("x2").cast(dec) * col("y")).as("s2y"))
+    val n = col("n").cast(dec)
+    val det =
+      n * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 =
+      col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 =
+      n * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 =
+      n * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    m.withColumn("__det", det)
+      .withColumn("__d0", det0)
+      .withColumn("__d1", det1)
+      .withColumn("__d2", det2)
+      .where(col("__det") =!= 0)
+      .select(col("n"),
+        (col("__d0").cast(DoubleType) / col("__det").cast(DoubleType))
+          .as("b0"),
+        (col("__d1").cast(DoubleType) / col("__det").cast(DoubleType))
+          .as("b1"),
+        (col("__d2").cast(DoubleType) / col("__det").cast(DoubleType))
+          .as("b2"))
+  }
+
   /** UCB1 bandit policy scores (public: Auer/Cesa-Bianchi/Fischer
     * 2002) — the deterministic explore/exploit ledger a serving layer
     * reads per decision epoch: per arm, pulls n, exact mean reward,

@@ -533,6 +533,56 @@ object Relational {
         sum(col("class_size")).as("n_rows"))
       .withColumn("risky", col("class_size") < k.toLong)
 
+  /** Differentially-private count release — the disclosure trio's
+    * OUTPUT side: after k-anonymity/l-diversity/t-closeness audit the
+    * raw table, this is the histogram you can actually publish. The
+    * geometric mechanism (public: Ghosh, Roughgarden & Sundararajan
+    * 2009 — the discrete, utility-optimal Laplace): per cell, release
+    * count + (g₁ − g₂) where g₁, g₂ are iid Geometric(1/2), giving the
+    * two-sided geometric noise of a discrete Laplace at ε = ln 2.
+    *
+    * Everything is EXACT INTEGER arithmetic — no ln, no floats, no
+    * RNG state: the per-cell randomness is the oracle-identical
+    * 31-polynomial hash of the cell key, Knuth-scrambled to 32 bits;
+    * g₁ counts the trailing one-bits of the low 16, g₂ of the high 16
+    * (a run of k ones then a zero has probability 2^-(k+1) — a
+    * geometric draw read straight off the bits). The tail is capped
+    * at 16 (mass 2·2⁻¹⁶ ≈ 3e-5 — the standard bounded-geometric
+    * release; cap hits are astronomically rare and deterministic).
+    * Seeded-hash noise makes the release REPRODUCIBLE — the property
+    * a published dataset needs (re-running the pipeline must not
+    * re-randomize the noise) — at the usual cost that the seed is part
+    * of the privacy budget. Output: one row per cell with ONLY the
+    * noisy count — the true count never leaves.
+    *
+    * Shape: one hash aggregate to cells, then stateless per-cell maps;
+    * nothing finer than the cell tuple ever shuffles.
+    */
+  def dpCounts(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // Geometric(1/2) from the trailing one-bits of a 16-bit field:
+    // g = k iff (b mod 2^(k+1)) == 2^k - 1; exhaustive CASE ladder,
+    // all-ones caps at 16.
+    def geo(b: Column): Column = {
+      var c = when(pmod(b, lit(2L)) === 0L, lit(0L))
+      (1 until 16).foreach { k =>
+        c = c.when(pmod(b, lit(1L << (k + 1))) === lit((1L << k) - 1L),
+          lit(k.toLong))
+      }
+      c.otherwise(lit(16L))
+    }
+    val key = concat_ws(":",
+      keyCols.map(c => col(c).cast(StringType)): _*)
+    val u = pmod(graft.functions.GraftFunctions
+      .polyHash(key, TextOps.FpMod) * lit(2654435761L),
+      lit(4294967296L))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", u)
+      .select(keyCols.map(col) :+
+        (col("__n") + geo(col("__u")) - geo(shiftright(col("__u"), 16)))
+          .as("dp_count"): _*)
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s sibling for ATTRIBUTE
     * disclosure (public: Machanavajjhala et al. 2007): a class can be
     * k-anonymous yet leak the sensitive column when every row in it

@@ -1432,6 +1432,26 @@ object Queries {
     "ucb_policy" -> ((s, d) =>
       graft.ops.Eval.ucbPolicy(events(s, d), "event_type",
         round(col("value") * 100).cast(LongType))),
+    // DP release of the (event_type, day) histogram — the disclosure
+    // trio's OUTPUT side: geometric mechanism at eps = ln 2, noise
+    // from the oracle-identical poly hash (reproducible release,
+    // pure integer arithmetic, true counts never leave)
+    "dp_counts" -> ((s, d) =>
+      Relational.dpCounts(
+        events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000L").as("day")),
+        Seq("event_type", "day"))),
+    // two-feature OLS via exact normal equations: per-user spend on
+    // event volume and active days, Cramer-solved from one aggregate
+    // pass — bit-identical coefficients across engines
+    "ols_fit" -> ((s, d) =>
+      graft.ops.Eval.olsFit(
+        events(s, d).groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast(LongType)).as("y"),
+            count(lit(1)).as("x1"),
+            countDistinct(expr("unix_micros(ts) div 86400000000L"))
+              .as("x2")),
+        col("y"), col("x1"), col("x2"))),
     // the disclosure trio's third audit: per-class total-variation
     // distance of the sensitive distribution vs the global one —
     // exact integer numerators, ONE division per class
@@ -2568,6 +2588,68 @@ object Queries {
         |    + 10000.0 * sqrt(ln(CAST(n_total AS DOUBLE)) * 2.0
         |      / CAST(n AS DOUBLE)) AS ucb
         |FROM arms, tot""".stripMargin,
+    // geometric noise read off the scrambled poly hash's bits —
+    // trailing-ones CASE ladders replicate the op's exact integers
+    "dp_counts" -> {
+      def geoSql(b: String): String =
+        (0 until 16).map(k =>
+          s"WHEN $b % ${1L << (k + 1)} = ${(1L << k) - 1} THEN $k")
+          .mkString("CASE ", " ", " ELSE 16 END")
+      s"""WITH c AS (SELECT event_type,
+         |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |h AS (SELECT event_type, day, n,
+         |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(k) + 1),
+         |      i -> CAST(ascii(substr(k, i, 1)) AS BIGINT))),
+         |    (acc, ch) -> (acc * 31 + ch) % 1000000007)
+         |   * 2654435761) % 4294967296 AS u
+         |  FROM (SELECT *, event_type || ':' || CAST(day AS VARCHAR)
+         |    AS k FROM c))
+         |SELECT event_type, day,
+         |  CAST(n + (${geoSql("(u % 65536)")})
+         |         - (${geoSql("(u // 65536)")}) AS BIGINT) AS dp_count
+         |FROM h""".stripMargin
+    },
+    // exact HUGEINT moments and Cramer determinants; one double
+    // division per coefficient
+    "ols_fit" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS y,
+        |  count(*) AS x1,
+        |  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+        |    AS x2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |  sum(CAST(x1 AS HUGEINT)) AS s1,
+        |  sum(CAST(x2 AS HUGEINT)) AS s2,
+        |  sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |  sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |  sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |  sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |  sum(CAST(x2 AS HUGEINT) * y) AS s2y
+        |  FROM pu),
+        |d AS (SELECT *,
+        |  CAST(n AS HUGEINT) * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s12 - s11 * s2) AS det,
+        |  sy * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1y * s22 - s12 * s2y)
+        |    + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |  CAST(n AS HUGEINT) * (s1y * s22 - s12 * s2y)
+        |    - sy * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |  CAST(n AS HUGEINT) * (s11 * s2y - s1y * s12)
+        |    - s1 * (s1 * s2y - s1y * s2)
+        |    + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+        |  CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+        |  CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+        |FROM d WHERE det <> 0""".stripMargin,
     "t_closeness" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
         |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,

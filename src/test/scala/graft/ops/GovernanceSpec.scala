@@ -124,4 +124,95 @@ class GovernanceSpec extends SparkSuite {
     assert(r.getAs[Double]("containment") == 1.0)
     assert(r.getAs[Long]("n_orphan_rows") == 0L)
   }
+
+  test("dpCounts: noise equals the scala replay of the hash-seeded " +
+      "geometric draws; reproducible; true histogram never released") {
+    val s = spark
+    import s.implicits._
+    def polyHash(str: String): Long =
+      str.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    def trailingOnes(b: Long): Long = {
+      var k = 0L
+      var x = b
+      while (k < 16 && (x & 1L) == 1L) { k += 1; x >>= 1 }
+      k
+    }
+    def noise(key: String): Long = {
+      val u = (polyHash(key) * 2654435761L) % 4294967296L
+      trailingOnes(u % 65536L) - trailingOnes(u >> 16)
+    }
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 1L)).toDF("t", "day")
+    val got = Relational.dpCounts(rows, Seq("t", "day"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 1L) -> (3L + noise("a:1")),
+      ("a", 2L) -> (1L + noise("a:2")),
+      ("b", 1L) -> (2L + noise("b:1"))))
+    // output schema carries ONLY the noisy count
+    assert(Relational.dpCounts(rows, Seq("t", "day")).columns.toSeq
+      == Seq("t", "day", "dp_count"))
+    // reproducible: a second run releases identical values
+    val again = Relational.dpCounts(rows, Seq("t", "day"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+    // the two geometric fields are genuinely spread: across many
+    // cells, noise must take both signs (not a constant-zero stub)
+    val many = (0 until 400).map(i => (s"k$i", i.toLong))
+      .toDF("t", "day")
+    val ns = Relational.dpCounts(many, Seq("t", "day"))
+      .collect().map(_.getLong(2) - 1L)
+    assert(ns.exists(_ > 0) && ns.exists(_ < 0) && ns.exists(_ == 0))
+    assert(ns.forall(n => n >= -16 && n <= 16))
+  }
+
+  test("olsFit: recovers an exact plane bit-for-bit; matches a BigInt " +
+      "Cramer replay on noisy data; rank-deficient design emits nothing") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // y = 2 + 3*x1 + 5*x2 exactly
+    val plane = Seq((0L, 0L, 2L), (1L, 0L, 5L), (0L, 1L, 7L),
+      (1L, 1L, 10L), (2L, 1L, 13L)).toDF("x1", "x2", "y")
+    val r = graft.ops.Eval.olsFit(plane, col("y"), col("x1"),
+      col("x2")).head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0 &&
+      r.getDouble(3) == 5.0)
+    // noisy data: replay Cramer in BigInt
+    val pts = Seq((1L, 2L, 7L), (2L, 1L, 9L), (3L, 5L, 30L),
+      (4L, 2L, 18L), (5L, 8L, 55L), (6L, 1L, 21L))
+    def fit(p: Seq[(Long, Long, Long)]): (Double, Double, Double) = {
+      val n = BigInt(p.size)
+      val s1 = BigInt(p.map(_._1).sum); val s2 = BigInt(p.map(_._2).sum)
+      val sy = BigInt(p.map(_._3).sum)
+      val s11 = BigInt(p.map(q => q._1 * q._1).sum)
+      val s12 = BigInt(p.map(q => q._1 * q._2).sum)
+      val s22 = BigInt(p.map(q => q._2 * q._2).sum)
+      val s1y = BigInt(p.map(q => q._1 * q._3).sum)
+      val s2y = BigInt(p.map(q => q._2 * q._3).sum)
+      val det = n * (s11 * s22 - s12 * s12) -
+        s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+      val d0 = sy * (s11 * s22 - s12 * s12) -
+        s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+      val d1 = n * (s1y * s22 - s12 * s2y) -
+        sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+      val d2 = n * (s11 * s2y - s1y * s12) -
+        s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+      (d0.toDouble / det.toDouble, d1.toDouble / det.toDouble,
+        d2.toDouble / det.toDouble)
+    }
+    val want = fit(pts)
+    val got = graft.ops.Eval.olsFit(pts.toDF("x1", "x2", "y"),
+      col("y"), col("x1"), col("x2")).head()
+    assert(got.getDouble(1) == want._1 && got.getDouble(2) == want._2
+      && got.getDouble(3) == want._3)
+    // collinear x2 = 2*x1 → det 0 → no row
+    val bad = Seq((1L, 2L, 3L), (2L, 4L, 5L), (3L, 6L, 8L))
+      .toDF("x1", "x2", "y")
+    assert(graft.ops.Eval.olsFit(bad, col("y"), col("x1"),
+      col("x2")).count() == 0)
+  }
 }
