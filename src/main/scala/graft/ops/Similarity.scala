@@ -1027,4 +1027,81 @@ object Similarity {
           (sqrt(col("nn_a").cast(DoubleType)) *
             sqrt(col("nn_b").cast(DoubleType)))).as("cos"))
   }
+
+  /** Top principal component by power iteration on the exact integer
+    * Gram matrix — the PCA primitive next to [[randomProject]]'s
+    * oblivious sketch: the data-adaptive axis (dominant eigenvector
+    * of XᵀX) that drives whitening, dimensionality diagnostics, and
+    * the "is this embedding space collapsing" health check.
+    *
+    * Distribution/exactness split: the DATA-sized work is one pass —
+    * milli-quantized vectors (Dedup.quantize) explode to (i, j, qᵢ·qⱼ)
+    * cells with j ≥ i and hash-aggregate to the d(d+1)/2 upper
+    * triangle of G = QᵀQ, EXACT integer sums that commute under any
+    * partitioning. Only the d×d Gram (d² longs — a plan-time-constant
+    * artifact like the IVF codebooks, NOT data-sized) comes to the
+    * driver, where `iters` rounds of power iteration run in doubles
+    * with ONE written-down op order: mᵢ = Σⱼ G(i,j)·v(j) ascending j,
+    * norm² = Σ mᵢ² ascending i, v′ = m/√norm², seed v₀ = e₀; finally
+    * λ = Σᵢ v(i)·(Gv)(i). The oracle replays the same chain on the
+    * same integers, so loadings and eigenvalue hash-compare bitwise.
+    * Output: one row per dimension (i, loading, eigval).
+    *
+    * 100 TB shape: the explode is d²/2 cells per row map-side-combined
+    * before one shuffle of at most (partitions·d²/2) partial cells;
+    * nothing driver-side scales with row count. Convergence: fixed
+    * `iters` (like pageRank/kCore's bounded rounds) — deterministic
+    * artifact over converged-ness, and 8 rounds separate any
+    * non-degenerate top eigenpair of a real Gram far beyond double
+    * resolution of the released loadings' use.
+    */
+  def pcaTopComponent(vectors: DataFrame, vecCol: String,
+                      iters: Int = 8): DataFrame = {
+    val q = vectors.select(Dedup.quantize(col(vecCol)).as("q"))
+    val upper = q
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"),
+        posexplode(col("q")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+      .collect()
+    require(upper.nonEmpty, "pcaTopComponent: empty input")
+    val d = upper.iterator.map(_.getInt(1)).max + 1
+    val g = Array.ofDim[Long](d, d)
+    upper.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    def matvec(v: Array[Double]): Array[Double] = {
+      val m = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += g(i)(j).toDouble * v(j); j += 1 }
+        m(i) = acc
+        i += 1
+      }
+      m
+    }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    (1 to iters).foreach { _ =>
+      val m = matvec(v)
+      var norm2 = 0.0
+      var i = 0
+      while (i < d) { norm2 += m(i) * m(i); i += 1 }
+      val nrm = math.sqrt(norm2)
+      v = m.map(_ / nrm)
+    }
+    val gv = matvec(v)
+    var eig = 0.0
+    var i = 0
+    while (i < d) { eig += v(i) * gv(i); i += 1 }
+    val s = vectors.sparkSession
+    s.createDataFrame(
+      v.toSeq.zipWithIndex.map { case (l, idx) => (idx.toLong, l, eig) })
+      .toDF("i", "loading", "eigval")
+  }
 }

@@ -806,6 +806,12 @@ object LlmQueries {
     "rp_project" -> ((s, d) =>
       Similarity.randomProject(emb(s, d), "vec_id", "embedding",
         outDim = 16, inDim = 64)),
+    // data-adaptive axis beside rp_project's oblivious sketch: top
+    // principal component — exact integer Gram in one distributed
+    // pass, 8 power-iteration rounds on the driver in one
+    // written-down IEEE order, bit-replayed by the oracle
+    "pca_power" -> ((s, d) =>
+      Similarity.pcaTopComponent(emb(s, d), "embedding")),
     // DBSCAN over the same 2-D embedding projection: density
     // clustering from scale-safe parts — grid-bucketed ε-neighbor
     // join, neighbor-count core test, componentMin core-graph CC
@@ -2447,6 +2453,48 @@ object LlmQueries {
          |  CAST(sum(w.wt * q.qv[w.i0 + 1]) AS BIGINT) AS value
          |  FROM q, w GROUP BY 1, 2)
          |SELECT vec_id, out_dim, value FROM p""".stripMargin,
+    // exact integer Gram (full matrix — equals the op's mirrored
+    // upper triangle exactly), then the op's 8 power rounds with the
+    // identical per-term add order: matvec folds ascending j, norm²
+    // ascending i, one sqrt, one division per element
+    "pca_power" -> {
+      val steps = (1 to 8).map { k =>
+        s"""p$k AS (SELECT list_transform(mv, x -> x / sqrt(n2)) AS v
+           |  FROM (SELECT mv, list_reduce(list_prepend(0.0,
+           |      list_transform(mv, x -> x * x)), (a, b) -> a + b)
+           |      AS n2
+           |    FROM (SELECT list_transform(gm.m, row ->
+           |        list_reduce(list_prepend(0.0,
+           |          list_transform(range(1, len(row) + 1),
+           |            jj -> CAST(row[jj] AS DOUBLE) * v[jj])),
+           |          (a, b) -> a + b)) AS mv
+           |      FROM p${k - 1}, gm)))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $quantCte,
+         |e AS (SELECT vec_id, generate_subscripts(qv, 1) AS i,
+         |  unnest(qv) AS val FROM q),
+         |gc AS (SELECT a.i AS i, b.i AS j,
+         |  CAST(sum(a.val * b.val) AS BIGINT) AS g
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |rows_ AS (SELECT i, list(g ORDER BY j) AS row FROM gc
+         |  GROUP BY i),
+         |gm AS (SELECT list(row ORDER BY i) AS m FROM rows_),
+         |p0 AS (SELECT list_transform(range(1, len(m) + 1),
+         |  k -> CASE WHEN k = 1 THEN 1.0 ELSE 0.0 END) AS v FROM gm),
+         |$steps,
+         |fin AS (SELECT v, list_transform(gm.m, row ->
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(row) + 1),
+         |        jj -> CAST(row[jj] AS DOUBLE) * v[jj])),
+         |      (a, b) -> a + b)) AS gv
+         |  FROM p8, gm),
+         |ev AS (SELECT v, list_reduce(list_prepend(0.0,
+         |    list_transform(range(1, len(v) + 1),
+         |      ii -> v[ii] * gv[ii])), (a, b) -> a + b) AS eigval
+         |  FROM fin)
+         |SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+         |  unnest(v) AS loading, eigval FROM ev""".stripMargin
+    },
     // the same 4 LPA rounds: per-node most-frequent neighbor label,
     // row_number pick with the identical (count desc, label asc)
     // tie-break
