@@ -314,6 +314,58 @@ object Eval {
           .as("pos_rate"))
   }
 
+  /** Isotonic calibration over [[calibrationBins]]'s deciles — the
+    * PAV fit (public: pool-adjacent-violators, Ayer et al. 1955;
+    * standard probability calibration since Zadrozny & Elkan 2002)
+    * computed by the MINIMAX identity rather than the sequential
+    * pooling loop: iso(i) = max_{j≤i} min_{k≥i} mean(y over bins
+    * j..k). The identity makes the fit expressible as pure
+    * comparisons over interval means — each mean is ONE double
+    * division of exact integer prefix sums, and min/max are
+    * order-independent, so the fit hash-compares bitwise with no
+    * written-down fold at all (stronger than the KM/logRank envelope).
+    *
+    * Shape: the data-sized work is calibrationBins' single hash
+    * aggregate; the O(nBins³) minimax runs on the driver over the
+    * ≤ nBins collected bins (a bounded artifact, like the bootstrap's
+    * B resamples — never data-sized). Output per present bin:
+    * (bin, n, n_pos, pos_rate, iso_rate) with iso_rate monotone
+    * non-decreasing in bin.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          isPos: Column, nBins: Int = 10): DataFrame = {
+    val rows = calibrationBins(df, scoreCol, isPos, nBins)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = rows.length
+    val pn = rows.scanLeft(0L)(_ + _._2)
+    val pp = rows.scanLeft(0L)(_ + _._3)
+    def mean(j: Int, kk: Int): Double =
+      (pp(kk + 1) - pp(j)).toDouble / (pn(kk + 1) - pn(j)).toDouble
+    val iso = (0 until k).map { i =>
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j <= i) {
+        var mn = Double.PositiveInfinity
+        var kk = i
+        while (kk < k) {
+          val m = mean(j, kk)
+          if (m < mn) mn = m
+          kk += 1
+        }
+        if (mn > best) best = mn
+        j += 1
+      }
+      best
+    }
+    df.sparkSession.createDataFrame(
+      rows.toSeq.zipWithIndex.map { case ((bin, n, np), i) =>
+        (bin, n, np, np.toDouble / n.toDouble, iso(i))
+      })
+      .toDF("bin", "n", "n_pos", "pos_rate", "iso_rate")
+  }
+
   /** Poisson-bootstrap confidence interval for the per-group mean —
     * uncertainty quantification that scales (public: the Poisson
     * bootstrap, Hanley & MacGibbon / Chamandy et al.; each row joins

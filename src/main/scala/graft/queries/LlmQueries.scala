@@ -1142,6 +1142,18 @@ object LlmQueries {
           col("lang")),
         "score", col("lang") === "en")
     }),
+    // isotonic (PAV) fit over the same deciles via the minimax
+    // identity: interval means are single divisions of exact prefix
+    // sums, min/max are order-free — the monotone calibration map a
+    // trained classifier ships with
+    "isotonic_fit" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.ops.Eval.isotonicCalibration(
+        dd.select(graft.functions.GraftFunctions.linearScore(
+            col("text"), TextOps.classifierWeights).as("score"),
+          col("lang")),
+        "score", col("lang") === "en")
+    }),
     // N10 — Luhn-validated card detection: candidates come from a
     // deterministic per-doc synthetic PAN (the fixture corpus carries
     // no digits) embedded with dash separators plus a short decoy run;
@@ -3389,6 +3401,46 @@ object LlmQueries {
          |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS pos_rate
          |FROM binned GROUP BY 1""".stripMargin
+    },
+    // the same deciles, then the minimax identity: iso(i) =
+    // max_{j<=i} min_{k>=i} mean(j..k) — comparisons over identical
+    // single-division doubles, bit-equal to the op by construction
+    "isotonic_fit" -> {
+      val ws = TextOps.classifierWeights
+        .map(w => s"CAST($w AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT CAST(coalesce(list_sum(list_transform(
+         |    string_split(text, ' '),
+         |    t -> ($ws)[1 + CAST(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(t)+1),
+         |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc*31+c) % ${TextOps.FpMod})
+         |      % ${TextOps.classifierDim} AS INT)])), 0) AS BIGINT) AS s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |bb AS (SELECT min(s) AS lo, max(s) - min(s) + 1 AS width
+         |  FROM scored),
+         |binned AS (SELECT ((s - lo) * 10) // width AS bin, y
+         |  FROM scored, bb),
+         |bins AS (SELECT bin, count(*) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos FROM binned GROUP BY 1),
+         |ms AS (SELECT a.bin AS j, c.bin AS k,
+         |  CAST((SELECT sum(x.n_pos) FROM bins x
+         |     WHERE x.bin BETWEEN a.bin AND c.bin) AS DOUBLE)
+         |  / CAST((SELECT sum(x.n) FROM bins x
+         |     WHERE x.bin BETWEEN a.bin AND c.bin) AS DOUBLE) AS m
+         |  FROM bins a JOIN bins c ON a.bin <= c.bin),
+         |f1 AS (SELECT ms.j, i.bin AS i, min(ms.m) AS mn
+         |  FROM ms JOIN bins i ON ms.j <= i.bin AND ms.k >= i.bin
+         |  GROUP BY 1, 2),
+         |f2 AS (SELECT i AS bin, max(mn) AS iso_rate FROM f1
+         |  GROUP BY 1)
+         |SELECT bins.bin, bins.n, bins.n_pos,
+         |  CAST(bins.n_pos AS DOUBLE) / CAST(bins.n AS DOUBLE)
+         |    AS pos_rate,
+         |  f2.iso_rate
+         |FROM bins JOIN f2 USING (bin)""".stripMargin
     },
     "langid" -> {
       val markers = TextOps.langMarkers

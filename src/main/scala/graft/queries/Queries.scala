@@ -1432,6 +1432,40 @@ object Queries {
     "ucb_policy" -> ((s, d) =>
       graft.ops.Eval.ucbPolicy(events(s, d), "event_type",
         round(col("value") * 100).cast(LongType))),
+    // U-shaped multi-touch attribution in exact basis points beside
+    // attribution_join's last-touch: each purchase's trailing-7-day
+    // click journey earns 40/20/40 (first/middles/last; 100% and
+    // 50/50 for 1-2 touch journeys), the middle share integer-divided
+    // with the remainder to the earliest middles — per-channel sums
+    // are exact BIGINTs, no float credit anywhere
+    "attribution_position" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("tp"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("tc"),
+          pmod(col("event_id"), lit(4L)).as("channel"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("purchase_id"))
+      p.join(c, Seq("user_id"))
+        .where(col("tc") <= col("tp") &&
+          col("tc") > col("tp") - lit(604800000000L))
+        .withColumn("pos", row_number()
+          .over(w.orderBy(col("tc"), col("click_id"))))
+        .withColumn("nt", count(lit(1)).over(w))
+        .withColumn("credit",
+          when(col("nt") === 1L, lit(10000L))
+            .when(col("nt") === 2L, lit(5000L))
+            .when(col("pos") === 1 || col("pos") === col("nt"),
+              lit(4000L))
+            .otherwise(expr("2000 div (nt - 2) + CASE WHEN pos - 1" +
+              " <= 2000 % (nt - 2) THEN 1 ELSE 0 END")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).as("credit_bp"))
+    }),
     // DP release of the (event_type, day) histogram — the disclosure
     // trio's OUTPUT side: geometric mechanism at eps = ln 2, noise
     // from the oracle-identical poly hash (reproducible release,
@@ -2588,6 +2622,30 @@ object Queries {
         |    + 10000.0 * sqrt(ln(CAST(n_total AS DOUBLE)) * 2.0
         |      / CAST(n AS DOUBLE)) AS ucb
         |FROM arms, tot""".stripMargin,
+    // same journey windows; integer credit ladder replayed verbatim
+    "attribution_position" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |  epoch_us(ts) AS tp FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts)
+        |    AS tc, event_id % 4 AS channel FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT purchase_id, click_id, channel,
+        |  row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY tc, click_id) AS pos,
+        |  count(*) OVER (PARTITION BY purchase_id) AS nt
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE tc <= tp AND tc > tp - 604800000000),
+        |cr AS (SELECT channel,
+        |  CASE WHEN nt = 1 THEN 10000
+        |       WHEN nt = 2 THEN 5000
+        |       WHEN pos = 1 OR pos = nt THEN 4000
+        |       ELSE 2000 // (nt - 2) + CASE WHEN pos - 1
+        |         <= 2000 % (nt - 2) THEN 1 ELSE 0 END END AS credit
+        |  FROM j)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(credit) AS BIGINT) AS credit_bp
+        |FROM cr GROUP BY 1""".stripMargin,
     // geometric noise read off the scrambled poly hash's bits —
     // trailing-ones CASE ladders replicate the op's exact integers
     "dp_counts" -> {

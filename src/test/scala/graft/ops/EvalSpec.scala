@@ -330,6 +330,33 @@ class EvalSpec extends SparkSuite {
       col("c")).count() == 0)
   }
 
+  test("isotonicCalibration: PAV pools the violating prefix; " +
+      "already-monotone rates pass through; fit is monotone") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // scores land in 3 occupied deciles with raw rates .5, 0, 1:
+    // PAV pools the first two -> .25, .25, 1
+    def mk(score: Long, pos: Int, neg: Int) =
+      Seq.fill(pos)((score, true)) ++ Seq.fill(neg)((score, false))
+    val rows = (mk(0L, 1, 1) ++ mk(5L, 0, 2) ++ mk(9L, 2, 0))
+      .toDF("sc", "y")
+    val got = graft.ops.Eval.isotonicCalibration(rows, "sc",
+        col("y"), nBins = 10)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.0, 1.0))
+    assert(got.map(_._2).toSeq == Seq(0.25, 0.25, 1.0))
+    // monotone input is a fixed point
+    val mono = (mk(0L, 0, 2) ++ mk(5L, 1, 1) ++ mk(9L, 2, 0))
+      .toDF("sc", "y")
+    val g2 = graft.ops.Eval.isotonicCalibration(mono, "sc",
+        col("y"), nBins = 10)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(4)).toSeq
+    assert(g2 == Seq(0.0, 0.5, 1.0))
+    assert(g2 == g2.sorted)
+  }
+
   test("ucbPolicy: exact means, bonus follows sqrt(2 ln N / n)") {
     val s = spark
     import s.implicits._
