@@ -44,9 +44,11 @@ object GraftFunctions {
   def qdot(a: Column, b: Column): Column =
     c(QuantizedDot(e(a), e(b)))
 
-  /** Natural log via java.lang.Math.log (oracle-identical on
-    * integer-valued inputs; Spark's builtin log() is StrictMath). */
-  def javaLn(x: Column): Column = c(JavaLn(e(x)))
+  /** Deterministic natural log of a positive BIGINT — a libm-free
+    * series (see DetLnImpl) bit-replayed by the oracle at ANY input;
+    * Spark's builtin log() (StrictMath), Math.log, and DuckDB ln()
+    * all disagree in the last ulp on some integers. */
+  def detLn(n: Column): Column = c(DetLn(e(n)))
 
   /** Rolling 31-polynomial hash mod m (oracle-identical). */
   def polyHash(s: Column, m: Long): Column =

@@ -2,34 +2,82 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
-/** Natural log via `java.lang.Math.log` — oracle-identical where
-  * Spark's builtin is not.
+/** Deterministic natural log of a positive integer — bit-identical
+  * across engines at ANY input, because it never calls a libm.
   *
-  * Spark's `log()` evaluates through `StrictMath.log` (fdlibm), while
-  * the DuckDB oracle's `ln()` matches `java.lang.Math.log` (the
-  * platform intrinsic): measured on this host they disagree in the
-  * last ulp on 67 of the 4999 integer inputs 2..5000. Any score that
-  * feeds ln into a hash-compared double (UCB bonus, Adamic-Adar
-  * folds) must therefore route through THIS kernel, not `log()` —
-  * with it, ln on integer-valued doubles is bitwise cross-engine
-  * (verified 2..5000 this round). Still not a license for ln on
-  * arbitrary reals: keep ln inputs integer-valued, where both
-  * engines' argument reduction lands identically.
+  * Why not ln()/log(): three different implementations are in play —
+  * Spark's builtin log() is StrictMath (fdlibm), java.lang.Math.log
+  * is the JVM intrinsic, and the DuckDB oracle's ln() is C libm —
+  * and they disagree in the last ulp (measured on this host:
+  * Math.log vs StrictMath differ on 67 of the ints 2..5000; Math.log
+  * vs DuckDB ln first differ at 9170, 8 times among 400k sampled
+  * ints up to 2e9). Any ln that feeds a hash-compared double is
+  * therefore fixture-lucky, not correct.
+  *
+  * The fix is an ALGORITHM both engines run step for step from
+  * correctly-rounded primitives (+,−,×,÷ only):
+  *   n = m·2^L with L from an integer comparison ladder and
+  *   m = n_double / 2^L (division by a power of two — exact);
+  *   t = (m−1)/(m+1), s = t², and the atanh series
+  *   ln m = 2·(t + t³/3 + … + t¹⁹/19) evaluated as
+  *   h = Horner(1/19 … 1/3 in s), ln m = (t + (t·s)·h)·2;
+  *   result = L·LN2 + ln m, LN2 = 0.6931471805599453.
+  * Every step is a correctly-rounded IEEE op in ONE written-down
+  * order, replayed verbatim by the oracle's nested-lambda SQL
+  * (graft.queries.OracleSql.detLn). Truncation error < 2e-11 of true
+  * ln (|t| ≤ 1/3, next term t²¹/21) — a documented deterministic
+  * surrogate, not a rounding of the mathematical ln.
+  *
+  * Input n ≥ 1 (null out otherwise); n above 2^53 rounds to double
+  * identically in both engines, so determinism holds to 2^62.
   */
-case class JavaLn(child: Expression) extends UnaryExpression {
+object DetLnImpl {
+  final val Ln2: Double = 0.6931471805599453
+
+  def eval(n: Long): Double = {
+    val l = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = n.toDouble / (1L << l).toDouble
+    val t = (m - 1.0) / (m + 1.0)
+    val s = t * t
+    val h = ((((((((1.0 / 19.0) * s + 1.0 / 17.0) * s + 1.0 / 15.0) * s
+      + 1.0 / 13.0) * s + 1.0 / 11.0) * s + 1.0 / 9.0) * s + 1.0 / 7.0)
+      * s + 1.0 / 5.0) * s + 1.0 / 3.0
+    l.toDouble * Ln2 + (t + (t * s) * h) * 2.0
+  }
+}
+
+case class DetLn(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires bigint, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_det_ln"
 
-  override protected def nullSafeEval(x: Any): Any =
-    java.lang.Math.log(x.asInstanceOf[Double])
+  override def nullSafeEval(x: Any): Any = {
+    val n = x.asInstanceOf[Long]
+    if (n < 1L) null else DetLnImpl.eval(n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = java.lang.Math.log($x);")
+      s"""if ($x < 1L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.DetLnImpl.eval($x); }"""
+        .stripMargin)
 
   override protected def withNewChildInternal(
-      newChild: Expression): JavaLn = copy(child = newChild)
+      newChild: Expression): DetLn = copy(child = newChild)
 }

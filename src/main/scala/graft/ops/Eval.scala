@@ -669,9 +669,11 @@ object Eval {
     * artifact, not per-request state.
     *
     * Determinism: mean is one division of exact integers; ln runs on
-    * the INTEGER total N through the [[graft.functions.JavaLn]]
-    * kernel (Spark's builtin log() is StrictMath and disagrees with
-    * the oracle in the last ulp on ~1% of integer inputs) and
+    * the INTEGER total N through the [[graft.functions.DetLn]]
+    * kernel — the libm-free series both engines replay step for step
+    * at any N (Spark's log(), Math.log, and the oracle's ln() all
+    * disagree in the last ulp on some integers, so no library ln can
+    * feed a hash-compared double) — and
     * sqrt is correctly rounded by spec; the bonus/ucb op order is
     * written down and replayed by the oracle. The grand total joins
     * back through the single-bucket broadcast idiom
@@ -691,9 +693,8 @@ object Eval {
       .withColumn("mean_cents",
         col("s").cast(DoubleType) / col("n").cast(DoubleType))
       .withColumn("bonus",
-        sqrt(graft.functions.GraftFunctions.javaLn(
-          col("n_total").cast(DoubleType)) * lit(2.0) /
-          col("n").cast(DoubleType)))
+        sqrt(graft.functions.GraftFunctions.detLn(col("n_total"))
+          * lit(2.0) / col("n").cast(DoubleType)))
       .select(col("arm"), col("n"), col("n_total"), col("mean_cents"),
         col("bonus"),
         (col("mean_cents") + lit(scaleCents) * col("bonus")).as("ucb"))

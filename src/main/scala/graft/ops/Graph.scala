@@ -297,9 +297,11 @@ object Graph {
     * u and v, so deg(w) ≥ 2 and ln(deg) > 0 — and both score folds run
     * over the per-pair witness list sorted by (deg, w), one
     * written-down IEEE order the oracle replays via ordered list
-    * aggregation; ln routes through [[graft.functions.JavaLn]]
-    * (bitwise oracle-identical on integer inputs — Spark's builtin
-    * log() is StrictMath and is NOT).
+    * aggregation; ln routes through [[graft.functions.DetLn]] — the
+    * libm-free series that is bit-identical cross-engine at ANY
+    * degree (library lns disagree in the last ulp on some integers,
+    * e.g. Math.log vs the oracle first differ at 9170 — a real hub
+    * degree).
     */
   def linkPredict(edges: DataFrame, topK: Int = 50): DataFrame = {
     val e = edges.select(col("src").cast(LongType),
@@ -326,8 +328,8 @@ object Graph {
       .select(col("u").as("node_a"), col("v").as("node_b"),
         col("n_common"),
         aggregate(col("ws"), lit(0.0), (acc, x) =>
-          acc + lit(1.0) / graft.functions.GraftFunctions.javaLn(
-            x.getField("deg").cast(DoubleType)))
+          acc + lit(1.0) / graft.functions.GraftFunctions.detLn(
+            x.getField("deg")))
           .as("aa_score"),
         aggregate(col("ws"), lit(0.0), (acc, x) =>
           acc + lit(1.0) / x.getField("deg").cast(DoubleType))

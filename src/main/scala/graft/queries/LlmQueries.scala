@@ -4284,9 +4284,10 @@ object LlmQueries {
         |LEFT JOIN d ON d.node = doc_id
         |LEFT JOIN pn ON pn.node = doc_id""".stripMargin,
     // same synthetic edge set; witness folds replay the op's
-    // (deg, w)-ordered IEEE additions via ordered list aggregation
+    // (deg, w)-ordered IEEE additions via ordered list aggregation;
+    // 1/ln(deg) terms through the DetLn series replay
     "link_predict" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
         |raw AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
         |    AS dst FROM
         |  (SELECT doc_id AS src,
@@ -4308,7 +4309,8 @@ object LlmQueries {
         |  FROM cand JOIN d ON d.node = cand.w),
         |g AS (SELECT u, v, count(*) AS n_common,
         |  list_reduce(list_prepend(0.0,
-        |    list(1.0 / ln(CAST(deg AS DOUBLE)) ORDER BY deg, w)),
+        |    list(1.0 / (${OracleSql.detLn("deg")})
+        |      ORDER BY deg, w)),
         |    (a, b) -> a + b) AS aa_score,
         |  list_reduce(list_prepend(0.0,
         |    list(1.0 / CAST(deg AS DOUBLE) ORDER BY deg, w)),

@@ -2607,21 +2607,21 @@ object Queries {
         |  FROM t)
         |SELECT n_users, n_a, n_b, theta, mean_y_a, mean_y_b,
         |  adj_a, adj_b, adj_b - adj_a AS adj_lift FROM a""".stripMargin,
-    // ln on the INTEGER grand total (bitwise cross-engine), sqrt
+    // DetLn series replayed on the grand total (no library ln), sqrt
     // correctly rounded; bonus/ucb replay the written-down op order
     "ucb_policy" ->
-      """WITH arms AS (SELECT event_type AS arm, count(*) AS n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS s
-        |  FROM events GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM arms)
-        |SELECT arm, CAST(n AS BIGINT) AS n, n_total,
-        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
-        |  sqrt(ln(CAST(n_total AS DOUBLE)) * 2.0 / CAST(n AS DOUBLE))
-        |    AS bonus,
-        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-        |    + 10000.0 * sqrt(ln(CAST(n_total AS DOUBLE)) * 2.0
-        |      / CAST(n AS DOUBLE)) AS ucb
-        |FROM arms, tot""".stripMargin,
+      s"""WITH arms AS (SELECT event_type AS arm, count(*) AS n,
+         |  sum(CAST(round(value * 100) AS BIGINT)) AS s
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM arms),
+         |w AS (SELECT arm, CAST(n AS BIGINT) AS n, n_total,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+         |  sqrt(${OracleSql.detLn("n_total")}
+         |    * 2.0 / CAST(n AS DOUBLE)) AS bonus
+         |  FROM arms, tot)
+         |SELECT arm, n, n_total, mean_cents, bonus,
+         |  mean_cents + 10000.0 * bonus AS ucb
+         |FROM w""".stripMargin,
     // same journey windows; integer credit ladder replayed verbatim
     "attribution_position" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id,

@@ -517,4 +517,35 @@ class KernelSpec extends SparkSuite {
     assert(hs("acme corp").intersect(hs("acme c0rp")).nonEmpty)
     assert(hs("acme corp").intersect(hs("zzz industries")).isEmpty)
   }
+
+  test("DetLn: within 2e-11 of math.log across magnitudes, exact at " +
+      "powers of two up to the ln2 literal, null below 1, " +
+      "codegen equals the impl") {
+    val s = spark
+    import s.implicits._
+    // accuracy sweep: dense small ints + random magnitudes to 2^60
+    val rnd = new scala.util.Random(11)
+    val ns = (1L to 2000L) ++
+      Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 60) + 1L)
+    ns.foreach { n =>
+      val got = DetLnImpl.eval(n)
+      val want = math.log(n.toDouble)
+      assert(math.abs(got - want) <= 2e-11 * math.max(1.0, want),
+        s"n=$n got=$got want=$want")
+    }
+    // powers of two: m = 1, series term 0 → exactly L * Ln2
+    (0 to 62).foreach { l =>
+      assert(DetLnImpl.eval(1L << l) == l.toDouble * DetLnImpl.Ln2)
+    }
+    // the Column path (codegen) matches the impl and nulls out n < 1
+    val df = Seq(0L, 1L, 2L, 9170L, 1L << 40).toDF("n")
+      .select(col("n"), GraftFunctions.detLn(col("n")).as("l"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(df(0L).isEmpty)
+    assert(df(1L).contains(0.0))
+    assert(df(2L).contains(DetLnImpl.eval(2L)))
+    assert(df(9170L).contains(DetLnImpl.eval(9170L)))
+    assert(df(1L << 40).contains(DetLnImpl.eval(1L << 40)))
+  }
 }

@@ -368,9 +368,10 @@ class EvalSpec extends SparkSuite {
     val ra = out("a"); val rb = out("b")
     assert(ra.getLong(1) == 2L && ra.getLong(2) == 3L)
     assert(ra.getDouble(3) == 200.0 && rb.getDouble(3) == 200.0)
-    assert(math.abs(ra.getDouble(4) - math.sqrt(math.log(3.0))) < 1e-15)
+    // DetLn is within 2e-11 of the true ln
+    assert(math.abs(ra.getDouble(4) - math.sqrt(math.log(3.0))) < 1e-9)
     assert(math.abs(rb.getDouble(4) - math.sqrt(2.0 * math.log(3.0)))
-      < 1e-15)
+      < 1e-9)
     // fewer pulls → strictly larger bonus → larger ucb at equal mean
     assert(rb.getDouble(5) > ra.getDouble(5))
   }

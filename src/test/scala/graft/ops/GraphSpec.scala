@@ -250,7 +250,10 @@ class GraphSpec extends SparkSuite {
     assert(path.length == 1)
     assert(path(0).getLong(0) == 1L && path(0).getLong(1) == 3L)
     assert(path(0).getLong(2) == 1L)
-    assert(math.abs(path(0).getDouble(3) - 1.0 / math.log(2.0)) < 1e-15)
+    // the DetLn series sits within 2e-11 of the true ln
+    assert(math.abs(path(0).getDouble(3) - 1.0 / math.log(2.0)) < 1e-9)
+    assert(path(0).getDouble(3) ==
+      1.0 / graft.functions.DetLnImpl.eval(2L))
     assert(path(0).getDouble(4) == 0.5)
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) each see two deg-2
     // witnesses → aa = 2/ln 2, ra = 1.0; the four edges never appear
@@ -273,7 +276,8 @@ class GraphSpec extends SparkSuite {
     } yield {
       val ds = common.toSeq.map(w => (nbr(w).size, w)).sorted
       ((u, v), (common.size.toLong,
-        ds.foldLeft(0.0)((a, x) => a + 1.0 / math.log(x._1.toDouble)),
+        ds.foldLeft(0.0)((a, x) =>
+          a + 1.0 / graft.functions.DetLnImpl.eval(x._1.toLong)),
         ds.foldLeft(0.0)((a, x) => a + 1.0 / x._1.toDouble)))
     }).toMap
     val got = Graph.linkPredict(edges.toDF("src", "dst"),
