@@ -469,4 +469,46 @@ object CorpusOps {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
+
+  /** Zipf-law fit — the corpus-health statistic next to vocab_growth
+    * and repetition stats: regress ln(frequency) on ln(rank) over the
+    * top `topK` terms; a natural corpus sits near slope −1 (Zipf
+    * 1949), while template/boilerplate floods flatten the head and
+    * synthetic token soups steepen it.
+    *
+    * Shape: one vocabulary hash aggregate, TakeOrderedAndProject
+    * top-k under (count desc, term asc) — the vocabFuzzyPairs
+    * discipline — then the ≤ topK (rank, count) pairs come to the
+    * driver (bounded artifact). Determinism: both logs run through
+    * the [[graft.functions.DetLnImpl]] series (bit-identical in SQL),
+    * the four moment accumulators fold in rank order, and
+    * slope/intercept are the written-down closed form — the oracle
+    * replays every step. Output: one row (n_terms, slope, intercept).
+    */
+  def zipfFit(docs: DataFrame, textCol: String,
+              topK: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topK)
+      .collect().map(_.getLong(1))
+    val k = top.length
+    require(k > 1, "zipfFit: need at least two terms")
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    var r = 0
+    while (r < k) {
+      val x = graft.functions.DetLnImpl.eval((r + 1).toLong)
+      val y = graft.functions.DetLnImpl.eval(top(r))
+      sx += x; sy += y; sxx += x * x; sxy += x * y
+      r += 1
+    }
+    val kd = k.toDouble
+    val slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / kd
+    docs.sparkSession
+      .createDataFrame(Seq((k.toLong, slope, intercept)))
+      .toDF("n_terms", "slope", "intercept")
+  }
 }

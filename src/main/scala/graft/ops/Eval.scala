@@ -599,6 +599,95 @@ object Eval {
         (col("adj_b") - col("adj_a")).as("adj_lift"))
   }
 
+  /** Difference-in-differences — [[cuped]]'s quasi-experimental
+    * sibling (public: Card & Krueger 1994 popularized the modern
+    * form): when assignment is not randomized, the treatment effect
+    * estimate is the ARM difference of the pre→post CHANGES,
+    * did = (post_b − pre_b) − (post_a − pre_a), which nets out both
+    * the arms' level difference and the common time trend. Same
+    * per-user census and exactness envelope as cuped: every mean is
+    * ONE division of exact DECIMAL(38,0) integers, and the three
+    * subtractions run in one written-down order. Output: one row
+    * (n_a, n_b, pre_a, post_a, pre_b, post_b, did), means in cents.
+    */
+  def diffInDiff(df: DataFrame, userCol: String, armCol: Column,
+                 isPre: Column, valueCents: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perUser = df
+      .select(col(userCol).as("__u"), armCol.cast(LongType).as("__arm"),
+        isPre.as("__pre"), valueCents.as("__c"))
+      .groupBy(col("__u"))
+      .agg(max(col("__arm")).as("arm"),
+        coalesce(sum(when(col("__pre"), col("__c"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("__pre"), col("__c"))), lit(0L)).as("y"))
+    def m(s: String, n: String): Column =
+      col(s).cast(DoubleType) / col(n).cast(DoubleType)
+    perUser.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("x")).otherwise(0L).cast(dec))
+          .as("sx_a"),
+        sum(when(col("arm") === 0L, col("y")).otherwise(0L).cast(dec))
+          .as("sy_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("x")).otherwise(0L).cast(dec))
+          .as("sx_b"),
+        sum(when(col("arm") === 1L, col("y")).otherwise(0L).cast(dec))
+          .as("sy_b"))
+      .where(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("pre_a", m("sx_a", "n_a"))
+      .withColumn("post_a", m("sy_a", "n_a"))
+      .withColumn("pre_b", m("sx_b", "n_b"))
+      .withColumn("post_b", m("sy_b", "n_b"))
+      .select(col("n_a"), col("n_b"),
+        col("pre_a"), col("post_a"), col("pre_b"), col("post_b"),
+        ((col("post_b") - col("pre_b")) - (col("post_a") - col("pre_a")))
+          .as("did"))
+  }
+
+  /** Markov next-event backtest — sequence-model evaluation over the
+    * event log: fit the first-order transition argmax on the TRAIN
+    * period's per-user consecutive bigrams, predict each EVAL-period
+    * bigram's next type from its prev, and score exact hit counts.
+    * The honest-baseline ritual before any sequence model ships: if
+    * it can't beat the bigram argmax, it isn't learning sequence
+    * structure. All counts exact integers, accuracy ONE division;
+    * the argmax tie-break is written down (max count, then smallest
+    * next type — a struct min over (−cnt, next), replayed by the
+    * oracle's ordered row_number). Per-user windows only — nothing
+    * unpartitioned. Eval bigrams whose prev never occurs in train
+    * are dropped (no prediction exists), a documented censoring.
+    * Output per (prev, predicted): n_eval, n_hits, acc.
+    */
+  def markovBacktest(events: DataFrame, userCol: String,
+                     typeCol: String, tsCol: String, idCol: String,
+                     isTrain: Column): DataFrame = {
+    val base = events.select(col(userCol).as("__u"),
+      col(typeCol).as("__t"), col(tsCol).as("__ts"),
+      col(idCol).as("__id"), isTrain.as("__tr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(col("__t").as("prev"), col("__next").as("next"))
+    val pred = bigrams(base.where(col("__tr")))
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("prev"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("next").as("nx")))
+        .getField("nx").as("predicted"))
+    bigrams(base.where(!col("__tr")))
+      .join(pred, Seq("prev"))
+      .groupBy(col("prev"), col("predicted"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("prev"), col("predicted"), col("n_eval"),
+        col("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("n_eval").cast(DoubleType))
+          .as("acc"))
+  }
+
   /** Two-feature OLS fit via exact normal equations — the linear
     * probe every feature pipeline runs ("does spend regress on
     * activity once frequency is controlled for?"), solved WITHOUT an

@@ -991,6 +991,11 @@ object LlmQueries {
     // rescan; the dataset-card redundancy diagnostic
     "vocab_growth" -> ((s, d) =>
       TextOps.vocabGrowth(docs(s, d), "doc_id", "text")),
+    // N4 — Zipf-law fit beside Heaps' growth: ln(freq) on ln(rank)
+    // over the top-100 terms, both logs through the DetLn series,
+    // moments folded in rank order; natural corpora sit near -1
+    "zipf_fit" -> ((s, d) =>
+      CorpusOps.zipfFit(docs(s, d), "text")),
     // N2 — EXACT set-similarity self-join (All-Pairs/PPJoin prefix
     // filtering) on 3-shingle sets at Jaccard >= 0.6: the theorem-
     // backed counterpart of the banded MinHash join — no false
@@ -4055,6 +4060,36 @@ object LlmQueries {
         |FROM pb LEFT JOIN pc USING (w1, w2) LEFT JOIN fc USING (w1)
         |CROSS JOIN v
         |GROUP BY 1, 2""".stripMargin,
+    // same top-100 vocabulary, DetLn series replay, rank-ordered
+    // moment folds, the written-down closed form
+    "zipf_fit" ->
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |vc AS (SELECT tok, count(*) AS cnt FROM tk WHERE tok <> ''
+         |  GROUP BY 1),
+         |tks AS (SELECT tok, cnt FROM vc ORDER BY cnt DESC, tok
+         |  LIMIT 100),
+         |rk AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok)
+         |  AS r, cnt FROM tks),
+         |tt AS (SELECT r, ${OracleSql.detLn("r")} AS x,
+         |  ${OracleSql.detLn("cnt")} AS y FROM rk),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |  list_reduce(list_prepend(0.0, list(x ORDER BY r)),
+         |    (a, b) -> a + b) AS sx,
+         |  list_reduce(list_prepend(0.0, list(y ORDER BY r)),
+         |    (a, b) -> a + b) AS sy,
+         |  list_reduce(list_prepend(0.0, list(x * x ORDER BY r)),
+         |    (a, b) -> a + b) AS sxx,
+         |  list_reduce(list_prepend(0.0, list(x * y ORDER BY r)),
+         |    (a, b) -> a + b) AS sxy
+         |  FROM tt),
+         |sl AS (SELECT k AS n_terms,
+         |  (CAST(k AS DOUBLE) * sxy - sx * sy)
+         |    / (CAST(k AS DOUBLE) * sxx - sx * sx) AS slope, sx, sy
+         |  FROM ag)
+         |SELECT n_terms, slope,
+         |  (sy - slope * sx) / CAST(n_terms AS DOUBLE) AS intercept
+         |FROM sl""".stripMargin,
     // Heaps replay: first-doc per term, the same (max+1)*k//5 integer
     // cutoffs, counts vs first_doc/doc_id strictly below each cutoff
     "vocab_growth" ->

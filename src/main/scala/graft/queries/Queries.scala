@@ -1427,6 +1427,21 @@ object Queries {
         col("user_id") % 2L,
         expr("unix_micros(ts) < 1705276800000000L"),
         round(col("value") * 100).cast(LongType))),
+    // quasi-experimental sibling of cuped_adjust: the arm difference
+    // of the pre→post per-user mean changes nets out both the level
+    // gap and the common trend; same census, same exact-moment
+    // envelope
+    "diff_in_diff" -> ((s, d) =>
+      graft.ops.Eval.diffInDiff(events(s, d), "user_id",
+        col("user_id") % 2L,
+        expr("unix_micros(ts) < 1705276800000000L"),
+        round(col("value") * 100).cast(LongType))),
+    // bigram-argmax sequence baseline: fit transitions on the Jan
+    // 1-14 per-user sequences, score exact hit counts on Jan 15+
+    "markov_backtest" -> ((s, d) =>
+      graft.ops.Eval.markovBacktest(events(s, d), "user_id",
+        "event_type", "ts", "event_id",
+        expr("unix_micros(ts) < 1705276800000000L"))),
     // UCB1 policy ledger: event types as arms, spend cents as reward,
     // optimism bonus sqrt(2 ln N / n) at reward scale R = 10000 cents
     "ucb_policy" -> ((s, d) =>
@@ -2607,6 +2622,59 @@ object Queries {
         |  FROM t)
         |SELECT n_users, n_a, n_b, theta, mean_y_a, mean_y_b,
         |  adj_a, adj_b, adj_b - adj_a AS adj_lift FROM a""".stripMargin,
+    // same per-user census as cuped; three written-down subtractions
+    "diff_in_diff" ->
+      """WITH pu AS (SELECT user_id, max(user_id % 2) AS arm,
+        |  coalesce(sum(CASE WHEN epoch_us(ts) < 1705276800000000
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+        |  coalesce(sum(CASE WHEN epoch_us(ts) >= 1705276800000000
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT
+        |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |    AS sx_a,
+        |  sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |    AS sy_a,
+        |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |    AS sx_b,
+        |  sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |    AS sy_b
+        |  FROM pu),
+        |t AS (SELECT CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pre_a,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS post_a,
+        |  CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pre_b,
+        |  CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS post_b
+        |  FROM w WHERE n_a > 0 AND n_b > 0)
+        |SELECT n_a, n_b, pre_a, post_a, pre_b, post_b,
+        |  (post_b - pre_b) - (post_a - pre_a) AS did FROM t"""
+        .stripMargin,
+    // filter-then-window bigrams per period; argmax tie-break
+    // (cnt desc, next asc) matches the op's struct min
+    "markov_backtest" ->
+      """WITH base AS (SELECT user_id AS u, event_type AS t,
+        |  epoch_us(ts) AS tsu, event_id AS id,
+        |  epoch_us(ts) < 1705276800000000 AS tr FROM events),
+        |trb AS (SELECT t AS prev, lead(t) OVER (PARTITION BY u
+        |    ORDER BY tsu, id) AS next FROM base WHERE tr),
+        |evb AS (SELECT t AS prev, lead(t) OVER (PARTITION BY u
+        |    ORDER BY tsu, id) AS next FROM base WHERE NOT tr),
+        |cnts AS (SELECT prev, next, count(*) AS cnt FROM trb
+        |  WHERE next IS NOT NULL GROUP BY 1, 2),
+        |pred AS (SELECT prev, next AS predicted FROM
+        |  (SELECT prev, next, row_number() OVER (PARTITION BY prev
+        |     ORDER BY cnt DESC, next) AS rn FROM cnts) WHERE rn = 1),
+        |j AS (SELECT e.prev, predicted, e.next FROM evb e
+        |  JOIN pred USING (prev) WHERE e.next IS NOT NULL)
+        |SELECT prev, predicted, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN next = predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN next = predicted THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // DetLn series replayed on the grand total (no library ln), sqrt
     // correctly rounded; bonus/ucb replay the written-down op order
     "ucb_policy" ->

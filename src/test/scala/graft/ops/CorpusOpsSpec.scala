@@ -259,4 +259,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rep.map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))
   }
+
+  test("zipfFit: an exact power-law vocabulary fits slope -1 within " +
+      "the series tolerance; layout-stable bits") {
+    val s = spark
+    import s.implicits._
+    // term t_r appears round(1024/r) times, r = 1..20: ln f ≈
+    // ln 1024 - ln r → slope ≈ -1 (rounding of counts perturbs
+    // slightly; well within 0.02)
+    val docsDf = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1024.0 / r).toInt)(f"t$r%02d")
+    }.grouped(64).map(_.mkString(" ")).toSeq.toDF("text")
+    val row = CorpusOps.zipfFit(docsDf, "text", topK = 20).head()
+    assert(row.getLong(0) == 20L)
+    assert(math.abs(row.getDouble(1) + 1.0) < 0.02, s"slope ${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - math.log(1024.0)) < 0.05)
+    // bit-stable across partition layouts
+    val a = CorpusOps.zipfFit(docsDf.repartition(1), "text", 20).head()
+    val b = CorpusOps.zipfFit(docsDf.repartition(7), "text", 20).head()
+    assert(a.getDouble(1) == b.getDouble(1) &&
+      a.getDouble(2) == b.getDouble(2))
+  }
 }

@@ -330,6 +330,62 @@ class EvalSpec extends SparkSuite {
       col("c")).count() == 0)
   }
 
+  test("diffInDiff: hand-worked two-arm case; identical arms give 0") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm a (even ids): pre means 150, post 225; arm b: 100 → 350
+    // → did = 250 - 75 = 175
+    val rows = Seq(
+      (0L, true, 100L), (0L, false, 200L),
+      (2L, true, 200L), (2L, false, 250L),
+      (1L, true, 100L), (1L, false, 300L),
+      (3L, true, 100L), (3L, false, 400L)).toDF("u", "pre", "c")
+    val r = graft.ops.Eval.diffInDiff(rows, "u", col("u") % 2L,
+      col("pre"), col("c")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 150.0 && r.getDouble(3) == 225.0)
+    assert(r.getDouble(4) == 100.0 && r.getDouble(5) == 350.0)
+    assert(r.getDouble(6) == 175.0)
+    // arms with the same trajectory → did exactly 0
+    val same = Seq((0L, true, 10L), (0L, false, 30L),
+      (1L, true, 10L), (1L, false, 30L)).toDF("u", "pre", "c")
+    assert(graft.ops.Eval.diffInDiff(same, "u", col("u") % 2L,
+      col("pre"), col("c")).head().getDouble(6) == 0.0)
+  }
+
+  test("markovBacktest: hand-worked transitions, argmax tie-break to " +
+      "the smaller type, unseen prev dropped") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // train (tr=true), one user: a b a b  → a→b x2, b→a x1
+    // eval: a b b and a lone unseen-prev z x
+    val rows = Seq(
+      (1L, "a", 1L, 10L, true), (1L, "b", 2L, 11L, true),
+      (1L, "a", 3L, 12L, true), (1L, "b", 4L, 13L, true),
+      (1L, "a", 10L, 20L, false), (1L, "b", 11L, 21L, false),
+      (1L, "b", 12L, 22L, false),
+      (2L, "z", 10L, 30L, false), (2L, "x", 11L, 31L, false))
+      .toDF("u", "t", "ts", "id", "tr")
+    val got = graft.ops.Eval.markovBacktest(rows, "u", "t", "ts",
+        "id", col("tr"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("a", "b"), "unseen prev z dropped")
+    assert(got("a") == (("b", 1L, 1L)))
+    assert(got("b") == (("a", 1L, 0L)))
+    // tie-break: c→a and c→b once each in train → predict "a"
+    val tie = Seq((1L, "c", 1L, 1L, true), (1L, "b", 2L, 2L, true),
+      (1L, "c", 3L, 3L, true), (1L, "a", 4L, 4L, true),
+      (2L, "c", 1L, 5L, false), (2L, "a", 2L, 6L, false))
+      .toDF("u", "t", "ts", "id", "tr")
+    val gt = graft.ops.Eval.markovBacktest(tie, "u", "t", "ts",
+      "id", col("tr")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gt("c") == "a")
+  }
+
   test("isotonicCalibration: PAV pools the violating prefix; " +
       "already-monotone rates pass through; fit is monotone") {
     val s = spark
