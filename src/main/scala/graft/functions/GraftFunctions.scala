@@ -50,6 +50,13 @@ object GraftFunctions {
     * all disagree in the last ulp on some integers. */
   def detLn(n: Column): Column = c(DetLn(e(n)))
 
+  /** HdrHistogram-shaped quantile-sketch bucket of a non-negative
+    * BIGINT (2 significant bits; oracle-identical integers). */
+  def qBucket(v: Column): Column = c(QBucket(e(v)))
+
+  /** Canonical lower bound of a qBucket index. */
+  def qLower(b: Column): Column = c(QLower(e(b)))
+
   /** Rolling 31-polynomial hash mod m (oracle-identical). */
   def polyHash(s: Column, m: Long): Column =
     c(PolyHash31(e(s), m))

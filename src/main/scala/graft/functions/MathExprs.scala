@@ -48,6 +48,53 @@ object DetLnImpl {
   }
 }
 
+/** HdrHistogram-shaped bucket index of a non-negative integer: 2
+  * significant bits after the leading one, values < 4 map to
+  * themselves — bucket = 4·⌊log₂ c⌋ + ((c >> (⌊log₂ c⌋−2)) & 3).
+  * Pure integer bit ops; the oracle replays them as comparison
+  * ladders and integer division (graft.queries.OracleSql.qBucket).
+  */
+object QSketchImpl {
+  def bucket(c: Long): Long =
+    if (c < 4L) c
+    else {
+      val l = 63 - java.lang.Long.numberOfLeadingZeros(c)
+      l.toLong * 4L + ((c >> (l - 2)) & 3L)
+    }
+
+  /** Canonical lower bound of a bucket index (inverse of [[bucket]]
+    * at each bucket's smallest member). */
+  def lower(b: Long): Long =
+    if (b < 4L) b
+    else (4L + b % 4L) << ((b / 4L).toInt - 2)
+}
+
+case class QBucket(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qsketch_bucket"
+  override protected def nullSafeEval(x: Any): Any =
+    QSketchImpl.bucket(x.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.QSketchImpl.bucket($x);")
+  override protected def withNewChildInternal(
+      newChild: Expression): QBucket = copy(child = newChild)
+}
+
+case class QLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qsketch_lower"
+  override protected def nullSafeEval(x: Any): Any =
+    QSketchImpl.lower(x.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.QSketchImpl.lower($x);")
+  override protected def withNewChildInternal(
+      newChild: Expression): QLower = copy(child = newChild)
+}
+
 case class DetLn(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes()

@@ -30,4 +30,28 @@ object OracleSql {
        |            + (t + (t * s) * h) * 2.0
        |        )[1])[1])[1])[1])[1]""".stripMargin
   }
+
+  /** Replay of [[graft.functions.QSketchImpl.bucket]]: comparison
+    * ladders for ⌊log₂⌋ and its power, integer division for the two
+    * refinement bits. `e` must be a simple non-negative BIGINT
+    * expression (it is repeated). */
+  def qBucket(e: String): String = {
+    val lLadder = (62 to 1 by -1)
+      .map(k => s"WHEN $e >= ${BigInt(1) << k} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val pLadder = (62 to 1 by -1)
+      .map(k => s"WHEN $e >= ${BigInt(1) << k} THEN ${BigInt(1) << k}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s"""CASE WHEN $e < 4 THEN $e
+       |  ELSE ($lLadder) * 4
+       |    + ($e // (($pLadder) // 4)) % 4 END""".stripMargin
+  }
+
+  /** Replay of [[graft.functions.QSketchImpl.lower]]. `b` must be a
+    * simple BIGINT expression. */
+  def qLower(b: String): String =
+    s"""CASE WHEN $b < 4 THEN $b
+       |  ELSE (4 + $b % 4)
+       |    * (CAST(1 AS BIGINT) << CAST($b // 4 - 2 AS INT)) END"""
+      .stripMargin
 }

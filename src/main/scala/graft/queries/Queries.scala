@@ -1427,6 +1427,15 @@ object Queries {
         col("user_id") % 2L,
         expr("unix_micros(ts) < 1705276800000000L"),
         round(col("value") * 100).cast(LongType))),
+    // mergeable histogram quantile sketch (HdrHistogram buckets, 2
+    // significant bits): per event type, ~250 integer bucket counts
+    // that merge by addition; p50/p90/p99 by exact rank selection of
+    // bucket lower bounds — the at-scale sibling of price_quantiles
+    "quantile_sketch" -> ((s, d) =>
+      graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.build(events(s, d),
+          Seq("event_type"), round(col("value") * 100).cast(LongType)),
+        Seq("event_type"))),
     // quasi-experimental sibling of cuped_adjust: the arm difference
     // of the pre→post per-user mean changes nets out both the level
     // gap and the common trend; same census, same exact-moment
@@ -2622,6 +2631,26 @@ object Queries {
         |  FROM t)
         |SELECT n_users, n_a, n_b, theta, mean_y_a, mean_y_b,
         |  adj_a, adj_b, adj_b - adj_a AS adj_lift FROM a""".stripMargin,
+    // identical integer bucket/lower ladders, identical ceil-rank
+    // arithmetic — every number exact
+    "quantile_sketch" ->
+      s"""WITH v AS (SELECT event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |bk AS (SELECT event_type, ${OracleSql.qBucket("c")}
+         |  AS bucket FROM v),
+         |sk AS (SELECT event_type, bucket, count(*) AS cnt FROM bk
+         |  GROUP BY 1, 2),
+         |cu AS (SELECT event_type, bucket, cnt,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER (PARTITION BY event_type) AS n,
+         |  ${OracleSql.qLower("bucket")} AS lb FROM sk)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN lb END) AS p50,
+         |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS p90,
+         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
+         |    AS p99
+         |FROM cu GROUP BY 1""".stripMargin,
     // same per-user census as cuped; three written-down subtractions
     "diff_in_diff" ->
       """WITH pu AS (SELECT user_id, max(user_id % 2) AS arm,
