@@ -1436,6 +1436,18 @@ object Queries {
         graft.ops.QuantileSketch.build(events(s, d),
           Seq("event_type"), round(col("value") * 100).cast(LongType)),
         Seq("event_type"))),
+    // the sketch's streaming/maintenance story end to end: daily
+    // sketch shards (SketchStream batch replay; the streaming form
+    // finalizes each day's shard under the watermark — spec-proven
+    // stream==batch) MERGE BY ADDITION into the same quantiles as the
+    // one-shot global build — the oracle is the full-data replay, so
+    // a green hash proves the merge identity
+    "quantile_sketch_stream" -> ((s, d) =>
+      graft.ops.QuantileSketch.quantiles(
+        graft.streaming.SketchStream.sketchStream(events(s, d))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt")),
+        Seq("event_type"))),
     // quasi-experimental sibling of cuped_adjust: the arm difference
     // of the pre→post per-user mean changes nets out both the level
     // gap and the common trend; same census, same exact-moment
@@ -2634,6 +2646,26 @@ object Queries {
     // identical integer bucket/lower ladders, identical ceil-rank
     // arithmetic — every number exact
     "quantile_sketch" ->
+      s"""WITH v AS (SELECT event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |bk AS (SELECT event_type, ${OracleSql.qBucket("c")}
+         |  AS bucket FROM v),
+         |sk AS (SELECT event_type, bucket, count(*) AS cnt FROM bk
+         |  GROUP BY 1, 2),
+         |cu AS (SELECT event_type, bucket, cnt,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER (PARTITION BY event_type) AS n,
+         |  ${OracleSql.qLower("bucket")} AS lb FROM sk)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN lb END) AS p50,
+         |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS p90,
+         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
+         |    AS p99
+         |FROM cu GROUP BY 1""".stripMargin,
+    // merge identity: day-sharded counts re-summed equal the global
+    // build — the oracle IS the quantile_sketch full-data replay
+    "quantile_sketch_stream" ->
       s"""WITH v AS (SELECT event_type,
          |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
          |bk AS (SELECT event_type, ${OracleSql.qBucket("c")}

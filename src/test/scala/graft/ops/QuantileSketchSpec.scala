@@ -60,4 +60,62 @@ class QuantileSketchSpec extends SparkSuite {
     assert(p90 <= 900L && 900L < (p90 * 5) / 4 + 4)
     assert(p99 <= 990L && 990L < (p99 * 5) / 4 + 4)
   }
+
+  test("sketchStream: a day's shard finalizes once the watermark " +
+      "passes it, equals the batch replay, and day shards sum to " +
+      "the global sketch") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.TIMESTAMP,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Double)](enc, s)
+    def e(t: String, tp: String, v: Double) =
+      (Timestamp.valueOf(t), tp, v)
+    val day1 = Seq(
+      e("2026-01-01 01:00:00", "click", 1.00),
+      e("2026-01-01 02:00:00", "click", 57.30),
+      e("2026-01-01 03:00:00", "click", 57.90),
+      e("2026-01-01 04:00:00", "view", 820.00))
+    val sentinel = Seq(e("2026-01-03 12:00:00", "view", 5.00))
+    val q = graft.streaming.SketchStream
+      .sketchStream(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("skck").toString)
+      .start()
+    input.addData(day1)
+    q.processAllAvailable()
+    input.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("sketch_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batchDay1 = graft.streaming.SketchStream
+      .sketchStream(day1.toDF("ts", "event_type", "value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // exactly day 1 has finalized (the sentinel's day is still open)
+    assert(got == batchDay1, s"stream $got != batch $batchDay1")
+    assert(got.nonEmpty &&
+      got.forall(_._1 == Timestamp.valueOf("2026-01-01 00:00:00")))
+    // day shards merged by addition == the global one-shot sketch
+    val all = (day1 ++ sentinel).toDF("ts", "event_type", "value")
+    val merged = graft.streaming.SketchStream.sketchStream(all)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val global = QuantileSketch.build(all, Seq("event_type"),
+        round(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == global)
+  }
 }
