@@ -644,6 +644,69 @@ object Eval {
           .as("did"))
   }
 
+  /** Post-stratification lift — the causal-family member between
+    * [[welchTTest]]'s raw contrast and [[cuped]]'s regression
+    * adjustment (public: standardization / direct adjustment, the
+    * survey-sampling estimator): bin users by the pre-period
+    * covariate into `nBins` equi-width strata, take the arm contrast
+    * WITHIN each stratum, and average the contrasts weighted by
+    * stratum size — imbalance in who entered each arm rich or poor
+    * cancels stratum by stratum. Strata missing either arm are
+    * excluded from both the weights and the fold (documented
+    * censoring; the estimator is undefined there).
+    *
+    * Exactness: per-stratum counts/sums are exact integers; each
+    * per-stratum term is (n_s/n_tot)·(mean_b − mean_a) — three
+    * single divisions, one subtract, one multiply — folded over
+    * strata in ascending-bin order on the driver (≤ nBins rows, the
+    * isotonic envelope), replayed by the oracle's ordered
+    * list_reduce. Output: one row (n_strata, n_users, raw_lift,
+    * strat_lift), cents.
+    */
+  def stratifiedLift(df: DataFrame, userCol: String, armCol: Column,
+                     isPre: Column, valueCents: Column,
+                     nBins: Int = 10): DataFrame = {
+    val perUser = df
+      .select(col(userCol).as("__u"), armCol.cast(LongType).as("__arm"),
+        isPre.as("__pre"), valueCents.as("__c"))
+      .groupBy(col("__u"))
+      .agg(max(col("__arm")).as("arm"),
+        coalesce(sum(when(col("__pre"), col("__c"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("__pre"), col("__c"))), lit(0L)).as("y"))
+    val head = perUser.agg(min(col("x")), max(col("x"))).head
+    val (lo, width) =
+      if (head.isNullAt(0)) (0L, 1L)
+      else (head.getLong(0), head.getLong(1) - head.getLong(0) + 1L)
+    val strata = perUser
+      .select(expr(s"((x - ${lo}L) * ${nBins}L) div ${width}L")
+        .as("bin"), col("arm"), col("y"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("syb"))
+      .where(col("na") > 0L && col("nb") > 0L)
+      .orderBy(col("bin"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    require(strata.nonEmpty, "stratifiedLift: no two-arm stratum")
+    val nTot = strata.iterator.map(s => s._1 + s._3).sum
+    var acc = 0.0
+    var naT = 0L; var nbT = 0L; var syaT = 0L; var sybT = 0L
+    strata.foreach { case (na, sya, nb, syb) =>
+      val ma = sya.toDouble / na.toDouble
+      val mb = syb.toDouble / nb.toDouble
+      val w = (na + nb).toDouble / nTot.toDouble
+      acc += w * (mb - ma)
+      naT += na; nbT += nb; syaT += sya; sybT += syb
+    }
+    val raw = sybT.toDouble / nbT.toDouble - syaT.toDouble / naT.toDouble
+    df.sparkSession
+      .createDataFrame(Seq((strata.length.toLong, nTot, raw, acc)))
+      .toDF("n_strata", "n_users", "raw_lift", "strat_lift")
+  }
+
   /** Markov next-event backtest — sequence-model evaluation over the
     * event log: fit the first-order transition argmax on the TRAIN
     * period's per-user consecutive bigrams, predict each EVAL-period

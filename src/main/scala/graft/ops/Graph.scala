@@ -59,6 +59,47 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * restricted to a SEED set (public: the topic-sensitive /
+    * personalized variant, Haveliwala 2002): authority relative to a
+    * trust list rather than the whole graph — the crawl-curation
+    * companion of [[bfsDistance]]'s hop count (BFS says "how far from
+    * the seeds", PPR says "how much seed authority flows here",
+    * degree-weighted and damped). Same fixed-point integer arithmetic
+    * as pageRank — rank'(v) = seed_v·base·15/100 +
+    * 85·(Σ rank(u) div odeg(u)) div 100, seeds start at `base`,
+    * non-seeds at 0 — so the result is layout-independent and
+    * SQL-replayable round for round. Same one-shuffle-per-round
+    * shape; `isSeed` is evaluated against `nodes` AS PASSED (write it
+    * over idCol — the bfsDistance contract).
+    */
+  def personalizedPageRank(nodes: DataFrame, idCol: String,
+                           edges: DataFrame,
+                           isSeed: org.apache.spark.sql.Column,
+                           iters: Int = 3,
+                           base: Long = 1000000000000L): DataFrame = {
+    val ids = nodes.select(col(idCol).cast(LongType).as("node"),
+      isSeed.as("seed"))
+    val e = edges.select(col("src").cast(LongType),
+      col("dst").cast(LongType))
+    val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val withDeg = e.join(odeg, "src")
+    var ranks = ids.withColumn("rank",
+      when(col("seed"), lit(base)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("rank DIV odeg").as("c"))
+      ranks = ids
+        .join(contribs.groupBy("node").agg(sum("c").as("s")),
+          Seq("node"), "left")
+        .select(col("node"), col("seed"),
+          (when(col("seed"), lit(base * 15L / 100L)).otherwise(lit(0L))
+            + expr("coalesce(s, 0L) * 85 DIV 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("seed"), col("rank"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected simple graph — the link-farm / dedup-cluster density
     * signal next to [[pageRank]]'s authority (a domain whose neighbors

@@ -932,6 +932,15 @@ object LlmQueries {
       Graph.bfsDistance(dd, "doc_id",
         Graph.syntheticLinks(dd, "doc_id", n), col("doc_id") < 5L)
     }),
+    // corpus op — personalized PageRank from the same trusted seed
+    // list: seed-restricted teleport, integer fixed-point rounds;
+    // "how much seed authority flows here" beside graph_bfs's hops
+    "graph_ppr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.personalizedPageRank(dd, "doc_id",
+        Graph.syntheticLinks(dd, "doc_id", n), col("doc_id") < 5L)
+    }),
     // eval metric — exact Mann-Whitney AUC: does document length rank
     // English membership? (midrank ties, one division at the end)
     "rank_auc" -> ((s, d) =>
@@ -4376,6 +4385,31 @@ object LlmQueries {
          |${step("r1", "r2")},
          |${step("r2", "r3")}
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+    },
+    // same rounds with the teleport term gated to the seed set
+    "graph_ppr" -> {
+      def step(prev: String, out: String): String =
+        s"""$out AS (SELECT d.doc_id AS node,
+           |  CASE WHEN d.doc_id < 5 THEN 150000000000 ELSE 0 END
+           |    + COALESCE(SUM(r.rank // 3), 0) * 85 // 100 AS rank
+           |  FROM documents d
+           |  LEFT JOIN e ON e.dst = d.doc_id
+           |  LEFT JOIN $prev r ON r.node = e.src
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+         |    AS dst FROM
+         |  (SELECT doc_id AS src,
+         |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+         |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+         |r0 AS (SELECT doc_id AS node,
+         |  CASE WHEN doc_id < 5 THEN CAST(1000000000000 AS BIGINT)
+         |       ELSE 0 END AS rank FROM documents),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, node < 5 AS seed, CAST(rank AS BIGINT) AS rank
+         |FROM r3""".stripMargin
     },
     // the BPE apply loop as a recursive CTE over the persisted merge
     // table: each word starts as '|c1|...|cn|'; each step joins

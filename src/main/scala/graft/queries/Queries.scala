@@ -1457,6 +1457,14 @@ object Queries {
         col("user_id") % 2L,
         expr("unix_micros(ts) < 1705276800000000L"),
         round(col("value") * 100).cast(LongType))),
+    // post-stratification (standardization): arm contrast within
+    // pre-period spend deciles, size-weighted — the causal rung
+    // between ab_welch's raw contrast and cuped_adjust's regression
+    "stratified_lift" -> ((s, d) =>
+      graft.ops.Eval.stratifiedLift(events(s, d), "user_id",
+        col("user_id") % 2L,
+        expr("unix_micros(ts) < 1705276800000000L"),
+        round(col("value") * 100).cast(LongType))),
     // bigram-argmax sequence baseline: fit transitions on the Jan
     // 1-14 per-user sequences, score exact hit counts on Jan 15+
     "markov_backtest" -> ((s, d) =>
@@ -2713,6 +2721,47 @@ object Queries {
         |SELECT n_a, n_b, pre_a, post_a, pre_b, post_b,
         |  (post_b - pre_b) - (post_a - pre_a) AS did FROM t"""
         .stripMargin,
+    // same deciles; per-stratum terms folded in bin order by the
+    // ordered list_reduce; kept strata require both arms
+    "stratified_lift" ->
+      """WITH pu AS (SELECT user_id, max(user_id % 2) AS arm,
+        |  coalesce(sum(CASE WHEN epoch_us(ts) < 1705276800000000
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+        |  coalesce(sum(CASE WHEN epoch_us(ts) >= 1705276800000000
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT min(x) AS lo, max(x) - min(x) + 1 AS width
+        |  FROM pu),
+        |st AS (SELECT ((x - lo) * 10) // width AS bin, arm, y
+        |  FROM pu, mm),
+        |ag AS (SELECT bin,
+        |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        |  CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+        |    AS sya,
+        |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+        |  CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+        |    AS syb
+        |  FROM st GROUP BY 1),
+        |kept AS (SELECT * FROM ag WHERE na > 0 AND nb > 0),
+        |tot AS (SELECT CAST(sum(na + nb) AS BIGINT) AS ntot,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(na) AS BIGINT) AS nat,
+        |  CAST(sum(sya) AS BIGINT) AS syat,
+        |  CAST(sum(nb) AS BIGINT) AS nbt,
+        |  CAST(sum(syb) AS BIGINT) AS sybt
+        |  FROM kept),
+        |terms AS (SELECT bin,
+        |  (CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |    * (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |       - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) AS term
+        |  FROM kept, tot)
+        |SELECT n_strata, ntot AS n_users,
+        |  CAST(sybt AS DOUBLE) / CAST(nbt AS DOUBLE)
+        |    - CAST(syat AS DOUBLE) / CAST(nat AS DOUBLE) AS raw_lift,
+        |  (SELECT list_reduce(list_prepend(0.0,
+        |     (SELECT list(term ORDER BY bin) FROM terms)),
+        |     (a, b) -> a + b)) AS strat_lift
+        |FROM tot""".stripMargin,
     // filter-then-window bigrams per period; argmax tie-break
     // (cnt desc, next asc) matches the op's struct min
     "markov_backtest" ->

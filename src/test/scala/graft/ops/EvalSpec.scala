@@ -354,6 +354,37 @@ class EvalSpec extends SparkSuite {
       col("pre"), col("c")).head().getDouble(6) == 0.0)
   }
 
+  test("stratifiedLift: balanced strata reproduce the raw lift; " +
+      "covariate imbalance is corrected stratum by stratum") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // balanced: every stratum has one user per arm → strat == raw
+    val bal = Seq(
+      (0L, true, 0L), (0L, false, 100L), (2L, true, 100L),
+      (2L, false, 300L), (1L, true, 0L), (1L, false, 200L),
+      (3L, true, 100L), (3L, false, 500L)).toDF("u", "pre", "c")
+    val rb = graft.ops.Eval.stratifiedLift(bal, "u", col("u") % 2L,
+      col("pre"), col("c")).head()
+    assert(rb.getLong(0) == 2L && rb.getLong(1) == 4L)
+    assert(rb.getDouble(2) == 150.0 && rb.getDouble(3) == 150.0)
+    // imbalanced: arm b over-represented in the rich stratum; raw
+    // lift 233.33 inflated, stratified recovers the within-stratum
+    // truth 150
+    val imb = Seq(
+      (0L, true, 0L), (0L, false, 100L),
+      (2L, true, 0L), (2L, false, 100L),
+      (4L, true, 100L), (4L, false, 300L),
+      (1L, true, 0L), (1L, false, 200L),
+      (3L, true, 100L), (3L, false, 500L),
+      (5L, true, 100L), (5L, false, 500L)).toDF("u", "pre", "c")
+    val ri = graft.ops.Eval.stratifiedLift(imb, "u", col("u") % 2L,
+      col("pre"), col("c")).head()
+    assert(ri.getLong(0) == 2L && ri.getLong(1) == 6L)
+    assert(math.abs(ri.getDouble(2) - 700.0 / 3.0) < 1e-12)
+    assert(ri.getDouble(3) == 150.0)
+  }
+
   test("markovBacktest: hand-worked transitions, argmax tie-break to " +
       "the smaller type, unseen prev dropped") {
     val s = spark

@@ -239,6 +239,35 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("personalizedPageRank: teleport mass flows only to seeds; " +
+      "hand-computed one-step ring; isolated nodes") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // ring 0→1→2→0, seed {0}, base 100, one step:
+    //   r(0) = 15 + 0, r(1) = 0 + 100*85/100 = 85, r(2) = 0
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(nodes, "id", edges,
+        col("id") === 0L, iters = 1, base = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+        r.getLong(2))).toMap
+    assert(got(0L) == ((true, 15L)))
+    assert(got(1L) == ((false, 85L)))
+    assert(got(2L) == ((false, 0L)))
+    assert(got(3L) == ((false, 0L)), "isolated non-seed stays 0")
+    // two steps: authority reaches node 2 via 1
+    val g2 = Graph.personalizedPageRank(nodes, "id", edges,
+        col("id") === 0L, iters = 2, base = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g2(2L) == 85L * 85L / 100L)
+    // no seeds → all zero teleport, everything decays to 0
+    val g0 = Graph.personalizedPageRank(nodes, "id", edges,
+        col("id") < 0L, iters = 3, base = 100L)
+      .collect().map(_.getLong(2)).toSet
+    assert(g0 == Set(0L))
+  }
+
   test("linkPredict: hand-worked path and square; adjacent pairs " +
       "excluded; matches a brute-force reference on a random graph") {
     val s = spark
