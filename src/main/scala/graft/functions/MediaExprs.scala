@@ -67,7 +67,48 @@ object ImageHeaders {
         b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
         b(11) == 'P')
       decodeWebp(b)
+    else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a &&
+          u8(b, 3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 &&
+          u8(b, 3) == 0x2a)))
+      decodeTiff(b)
     else (0L, 0L, "bin")
+  }
+
+  /** TIFF: "II*\0" (LE) or "MM\0*" (BE) magic, u32 offset to the
+    * first IFD, then (entry count, 12-byte entries). Dims are tags
+    * 256/257, inline value for SHORT (type 3, first 2 value bytes in
+    * file byte order) or LONG (type 4). Every offset bounds-checked
+    * as Long before narrowing — truncated or lying files return bin.
+    */
+  private def decodeTiff(b: Array[Byte]): (Long, Long, String) = {
+    val le = b(0) == 'I'
+    def u16at(i: Int): Long = if (le) le16(b, i) else be16(b, i)
+    def u32at(i: Int): Long =
+      if (le) le32s(b, i).toLong & 0xffffffffL else be32(b, i)
+    val ifd = u32at(4)
+    if (ifd < 8L || ifd + 2L > b.length) return (0L, 0L, "bin")
+    val n = u16at(ifd.toInt).toInt
+    if (ifd + 2L + 12L * n > b.length) return (0L, 0L, "bin")
+    var w = 0L
+    var h = 0L
+    var k = 0
+    while (k < n) {
+      val off = ifd.toInt + 2 + 12 * k
+      val tag = u16at(off)
+      val typ = u16at(off + 2)
+      val cnt = u32at(off + 4)
+      if ((tag == 256L || tag == 257L) && cnt == 1L) {
+        val v =
+          if (typ == 3L) u16at(off + 8)
+          else if (typ == 4L) u32at(off + 8)
+          else -1L
+        if (v > 0L) { if (tag == 256L) w = v else h = v }
+      }
+      k += 1
+    }
+    if (w > 0L && h > 0L) (w, h, "tiff") else (0L, 0L, "bin")
   }
 
   /** WebP: RIFF container already matched; dispatch on the first

@@ -110,6 +110,31 @@ object Multimodal {
         .otherwise(webp).as("payload"))
   }
 
+  /** Synthesize structurally valid TIFFs — little-endian ("II*\0",
+    * even doc_ids) and BIG-endian ("MM\0*", odd doc_ids; the byte
+    * order a naive LE-only parser gets wrong): magic, IFD offset 8,
+    * a 2-entry IFD carrying LONG tags 256/257 (width/height), zero
+    * next-IFD pointer, then the document text as body. 38 header
+    * bytes in both byte orders; same dim formulas as
+    * [[imagePayload]] so the oracles share them.
+    */
+  def tiffPayload(docs: DataFrame): DataFrame = {
+    val w = lit(16L) + pmod(col("doc_id"), lit(317L))
+    val h = lit(16L) + pmod(col("doc_id") * 7L, lit(211L))
+    val body = col("text").cast(BinaryType)
+    val tiffLe = concat(hx("49492A00"), le32(lit(8L)), hx("0200"),
+      hx("0001"), hx("0400"), hx("01000000"), le32(w),
+      hx("0101"), hx("0400"), hx("01000000"), le32(h),
+      hx("00000000"), body)
+    val tiffBe = concat(hx("4D4D002A"), be32(lit(8L)), hx("0002"),
+      hx("0100"), hx("0004"), hx("00000001"), be32(w),
+      hx("0101"), hx("0004"), hx("00000001"), be32(h),
+      hx("00000000"), body)
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, tiffLe)
+        .otherwise(tiffBe).as("payload"))
+  }
+
   /** Synthesize a structurally valid PCM WAV payload per document —
     * RIFF/WAVE with a real `fmt ` chunk (channels and sample rate
     * derived from doc_id, 16-bit PCM) and the document text as the

@@ -1273,6 +1273,11 @@ object LlmQueries {
     // magic-dispatch decode; oracle = round trip of the dim formulas
     "image_meta_ext" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.imagePayloadExt(docs(s, d)))),
+    // N5 — TIFF joins the real-parser family: IFD walk in BOTH byte
+    // orders (the "MM" big-endian half is what LE-only parsers get
+    // wrong), tags 256/257, bounds-checked against truncation
+    "image_meta_tiff" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.tiffPayload(docs(s, d)))),
     // N5 — same decode, per-partition batched (mapPartitions) form
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodePartition(s, Multimodal.imagePayload(docs(s, d))).toDF()),
@@ -3776,6 +3781,18 @@ object LlmQueries {
         |  16 + (doc_id * 7) % 211 AS height,
         |  CAST(1 AS BIGINT) AS n_frames,
         |  CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'webp' END AS fmt
+        |FROM b""".stripMargin,
+    // round trip: header adds 38 bytes in both byte orders; dims per
+    // the shared family formulas
+    "image_meta_tiff" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS tlen
+        |  FROM documents)
+        |SELECT doc_id, tlen + 38 AS byte_len,
+        |  16 + doc_id % 317 AS width,
+        |  16 + (doc_id * 7) % 211 AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  'tiff' AS fmt
         |FROM b""".stripMargin,
     // dispatch: modality by doc_id % 3 (image→all-jpeg branch of the
     // synthesizer, audio→wav, video→mp4); dims per the family formulas

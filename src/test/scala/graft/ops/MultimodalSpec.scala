@@ -60,6 +60,46 @@ class MultimodalSpec extends SparkSuite {
     assert(ImageHeaders.decode(hex("FFD8 FFDB FFFF 00")) == (0L, 0L, "bin"))
   }
 
+  test("ImageHeaders parses TIFF IFDs in both byte orders; lying " +
+      "offsets and counts return bin") {
+    // LE: II*\0, IFD at 8, 2 entries: tag 256 LONG 800, tag 257
+    // SHORT 600 (SHORT value in the FIRST two value bytes)
+    val le = hex("49492A00 08000000 0200") ++
+      hex("0001 0400 01000000 20030000") ++
+      hex("0101 0300 01000000 58020000") ++
+      hex("00000000") ++ "body".getBytes
+    assert(ImageHeaders.decode(le) == (800L, 600L, "tiff"))
+    // BE: MM\0*, same logical content in big-endian
+    val be = hex("4D4D002A 00000008 0002") ++
+      hex("0100 0004 00000001 00000320") ++
+      hex("0101 0003 00000001 02580000") ++
+      hex("00000000")
+    assert(ImageHeaders.decode(be) == (800L, 600L, "tiff"))
+    // IFD offset beyond the buffer → bin, no throw
+    assert(ImageHeaders.decode(hex("49492A00 FFFFFF7F")) ==
+      (0L, 0L, "bin"))
+    // entry count larger than the remaining bytes → bin
+    assert(ImageHeaders.decode(hex("49492A00 08000000 FF00 0001")) ==
+      (0L, 0L, "bin"))
+    // missing height tag → bin (conservative)
+    val noH = hex("49492A00 08000000 0100") ++
+      hex("0001 0400 01000000 20030000") ++ hex("00000000")
+    assert(ImageHeaders.decode(noH) == (0L, 0L, "bin"))
+  }
+
+  test("synthesized TIFF payloads round-trip in both byte orders") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val got = Multimodal.decodeMeta(Multimodal.tiffPayload(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    (0L to 9L).foreach { i =>
+      assert(got(i) == ((16 + i % 317, 16 + (i * 7) % 211, "tiff")),
+        s"doc $i")
+    }
+  }
+
   test("ImageHeaders parses BMP dims, including top-down negative height") {
     // 'BM', size, reserved, offset 54, info size 40, 800 x 600 LE
     val bmp = hex("424D 00000000 00000000 36000000 28000000") ++
