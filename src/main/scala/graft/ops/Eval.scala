@@ -474,6 +474,42 @@ object Eval {
       .toDF("t", "n_risk", "n_events", "surv")
   }
 
+  /** Nelson–Aalen cumulative hazard — the survival trio's third
+    * member beside [[kaplanMeier]]'s survivor function and
+    * [[logRank]]'s test (public: Nelson 1972, Aalen 1978):
+    * H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ, the hazard mass accumulated so far —
+    * preferred over −ln(KM) at small risk sets and the quantity
+    * hazard-ratio models calibrate against. Same execution shape as
+    * kaplanMeier: one duration-domain-bounded census, risk sets by
+    * cumulative subtraction, the sum folded on the driver in
+    * ascending-t order (one division per event time), replayed by
+    * the oracle's ordered prefix list_reduce. Output: one row per
+    * event time (t, n_risk, n_events, cumhaz).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val census = df
+      .select(col(durationCol).cast(LongType).as("t"),
+        col(eventCol).cast(BooleanType).as("e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var atRisk = census.iterator.map(_._2).sum
+    var h = 0.0
+    val out = Seq.newBuilder[(Long, Long, Long, Double)]
+    census.foreach { case (t, nAt, d) =>
+      if (d > 0) {
+        h = h + d.toDouble / atRisk.toDouble
+        out += ((t, atRisk, d, h))
+      }
+      atRisk -= nAt
+    }
+    df.sparkSession.createDataFrame(out.result())
+      .toDF("t", "n_risk", "n_events", "cumhaz")
+  }
+
   /** Log-rank test — [[kaplanMeier]]'s hypothesis-test companion
     * (public: Mantel 1966): do two arms share a survival curve? At
     * each event time t with dₜ events over nₜ at risk (n1ₜ of them in

@@ -564,4 +564,45 @@ object TimeSeries {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
   }
+
+  /** Theil–Sen robust trend — the breakdown-resistant sibling of
+    * [[trendSlope]]'s OLS (public: Theil 1950, Sen 1968): the MEDIAN
+    * of all pairwise slopes over the daily-total series, immune to
+    * ~29% outlier days where one flash-sale day drags OLS arbitrarily
+    * far. Intercept = median residual at the chosen slope.
+    *
+    * Shape/exactness: the data-sized work is one hash aggregate to
+    * the DAY domain (bounded by the calendar, never by rows — ~365
+    * points/year); the O(days²) pair slopes run on the driver over
+    * that bounded census. Each slope is ONE division of exact
+    * integers, each residual one multiply + subtract of identical
+    * doubles; medians are rank SELECTION under the written-down
+    * total order (slope, dayᵢ, dayⱼ) / (residual, day) at the lower
+    * median (m+1) div 2 — comparisons only, no summation anywhere,
+    * so the result hash-compares bitwise. Output: one row
+    * (n_days, n_pairs, slope_cpd, intercept_c).
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val pts = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        round(col("value") * 100).cast(LongType).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(pts.length > 1, "theilSen: need at least two days")
+    val slopes = for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+    } yield ((pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble, pts(i)._1, pts(j)._1)
+    val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+    val slope = sorted((sorted.length + 1) / 2 - 1)._1
+    val resid = pts.toSeq
+      .map(p => (p._2.toDouble - slope * p._1.toDouble, p._1))
+      .sortBy(identity)
+    val intercept = resid((resid.length + 1) / 2 - 1)._1
+    events.sparkSession
+      .createDataFrame(Seq((pts.length.toLong, slopes.length.toLong,
+        slope, intercept)))
+      .toDF("n_days", "n_pairs", "slope_cpd", "intercept_c")
+  }
 }

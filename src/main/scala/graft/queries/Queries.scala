@@ -1417,6 +1417,29 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // Nelson-Aalen cumulative hazard over the same activation
+    // cohort: the survival trio's third member — sum fold of d/n in
+    // ascending-t order beside km_conversion's product
+    "na_hazard" -> ((s, d) => {
+      val w = 3L
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      val f0 = e.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val p0 = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("p"))
+      val users = f0.join(p0, Seq("user_id"), "left_outer")
+        .select(
+          when(col("p").isNotNull && col("p") - col("f") <= w,
+            col("p") - col("f")).otherwise(w).as("dur"),
+          (col("p").isNotNull && col("p") - col("f") <= w)
+            .as("converted"))
+      graft.ops.Eval.nelsonAalen(users, "dur", "converted")
+    }),
+    // Theil-Sen robust trend over daily spend totals: median of all
+    // pairwise slopes, median residual intercept — rank selection
+    // only, immune to flash-sale outlier days that drag OLS
+    "theil_sen" -> ((s, d) =>
+      graft.ops.TimeSeries.theilSen(events(s, d))),
     // CUPED variance reduction: pre-period (Jan 1-14) spend is the
     // covariate, in-period (Jan 15+) spend the metric, arms by id
     // parity — one per-user aggregate, one single-row fold, every
@@ -2556,6 +2579,64 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // the km census with the product fold swapped for the hazard SUM
+    // fold, same ordered prefix list_reduce
+    "na_hazard" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |f0 AS (SELECT user_id, min(day) AS f FROM e GROUP BY 1),
+        |p0 AS (SELECT user_id, min(day) AS p FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |du AS (SELECT
+        |  CASE WHEN p IS NOT NULL AND p - f <= 3 THEN p - f
+        |       ELSE 3 END AS t,
+        |  p IS NOT NULL AND p - f <= 3 AS ev
+        |  FROM f0 LEFT JOIN p0 USING (user_id)),
+        |c AS (SELECT t, count(*) AS n_at,
+        |  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM du GROUP BY 1),
+        |r AS (SELECT t, n_at, d,
+        |  CAST((SELECT sum(n_at) FROM c)
+        |    - coalesce(sum(n_at) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_risk
+        |  FROM c),
+        |ev2 AS (SELECT t, n_risk, d FROM r WHERE d > 0),
+        |rn AS (SELECT t, n_risk, d,
+        |  row_number() OVER (ORDER BY t) AS k FROM ev2)
+        |SELECT t, n_risk, d AS n_events,
+        |  list_reduce(list_prepend(0.0,
+        |    (SELECT list(CAST(d AS DOUBLE)
+        |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
+        |    (a, b) -> a + b) AS cumhaz
+        |FROM rn""".stripMargin,
+    // bounded day-domain census; slope/intercept by rank selection
+    // under the written-down total orders — comparisons only
+    "theil_sen" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT a.day AS di, b.day AS dj,
+        |  CAST(b.cents - a.cents AS DOUBLE)
+        |    / CAST(b.day - a.day AS DOUBLE) AS sl
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |cnts AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS np),
+        |sel AS (SELECT sl FROM (SELECT sl, di, dj,
+        |    row_number() OVER (ORDER BY sl, di, dj) AS rn FROM pr),
+        |  cnts WHERE rn = (np + 1) // 2),
+        |res AS (SELECT CAST(cents AS DOUBLE)
+        |    - (SELECT sl FROM sel) * CAST(day AS DOUBLE) AS r, day
+        |  FROM daily),
+        |ic AS (SELECT r FROM (SELECT r, day,
+        |    row_number() OVER (ORDER BY r, day) AS rn FROM res),
+        |  cnts WHERE rn = (nd + 1) // 2)
+        |SELECT nd AS n_days, np AS n_pairs,
+        |  (SELECT sl FROM sel) AS slope_cpd,
+        |  (SELECT r FROM ic) AS intercept_c
+        |FROM cnts""".stripMargin,
     // the same census; risk sets by cumulative subtraction; E and V
     // folded by ordered list_reduce in the op's per-term op order
     "km_logrank" ->

@@ -262,6 +262,29 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("nelsonAalen: hand-worked hazard accumulation with censoring") {
+    val s = spark
+    import s.implicits._
+    // t=1: n=4 d=1 → 1/4; t=2: n=3, one event one censor → +1/3;
+    // t=3: n=1 d=1 → +1
+    val rows = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("dur", "ev")
+    val got = graft.ops.Eval.nelsonAalen(rows, "dur", "ev")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 4L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)))
+    assert(got(0)._4 == 0.25)
+    assert(math.abs(got(1)._4 - (0.25 + 1.0 / 3.0)) < 1e-15)
+    assert(math.abs(got(2)._4 - (0.25 + 1.0 / 3.0 + 1.0)) < 1e-15)
+    // censoring-only times emit no row but shrink later risk sets
+    val cens = Seq((1L, false), (2L, true)).toDF("dur", "ev")
+    val g2 = graft.ops.Eval.nelsonAalen(cens, "dur", "ev").collect()
+    assert(g2.length == 1 && g2(0).getLong(1) == 1L &&
+      g2(0).getDouble(3) == 1.0)
+  }
+
   test("logRank: identical arms give chi2 = 0 exactly; hand-computed " +
       "early-vs-late separation gives chi2 = 3") {
     val s = spark

@@ -481,4 +481,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(byslot(2L) - 30000.0) < 1e-9)
     assert(!got.exists(_._1 == "b"), "edge slots never extrapolate")
   }
+
+  test("theilSen: exact slope on linear days; one flash-sale outlier " +
+      "day leaves the median slope untouched (OLS would move)") {
+    val s = spark
+    import s.implicits._
+    // daily totals 200 cents/day exactly: days 1..5, one event each
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-0$d%01d 12:00:00")
+    val lin = (1 to 5).map(d => (day(d), 2.0 * d))
+      .toDF("ts", "value")
+    val r = TimeSeries.theilSen(lin).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 200.0)
+    // intercept: residuals all equal -> median is that constant
+    val d1 = lin.select(org.apache.spark.sql.functions
+      .expr("unix_micros(ts) div 86400000000L")).head().getLong(0)
+    assert(r.getDouble(3) == 200.0 - 200.0 * d1.toDouble)
+    // poison day 3 with a huge outlier: most pairwise slopes still
+    // 200, the median stays exactly 200
+    val out = ((1 to 5).map(d => (day(d), 2.0 * d)) :+
+      (day(3), 100000.0)).toDF("ts", "value")
+    assert(TimeSeries.theilSen(out).head().getDouble(2) == 200.0)
+  }
 }
