@@ -474,6 +474,92 @@ object Eval {
       .toDF("t", "n_risk", "n_events", "surv")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the canonical
+    * nonparametric "did the distribution move" test beside
+    * drift_chi2's categorical form: D = max_v |F_A(v) − F_B(v)|,
+    * computed EXACTLY as max |cumA·n_B − cumB·n_A| over the
+    * whole-dollar VALUE DOMAIN (the gini/rank_auc discipline: one
+    * hash aggregate collapses rows to value groups, the cumulative
+    * window runs over dollar cardinality, never row count — the
+    * unpartitioned frame is bounded and allowlisted). Every quantity
+    * is an exact BIGINT; D is ONE division d_num/(n_A·n_B). Dollar
+    * grouping makes D the KS statistic of the dollar-quantized
+    * distributions — the drift question actually asked at scale.
+    * Output: one row (n_a, n_b, d_num, d_stat).
+    */
+  def ksTest(df: DataFrame, isA: Column, valueCents: Column)
+      : DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    df.select(isA.as("__a"), valueCents.as("__c"))
+      .select(col("__a"), expr("__c div 100").as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .select(col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          .as("dn"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("dn")).as("d_num"))
+      .where(col("n_a") > 0L && col("n_b") > 0L)
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
+  }
+
+  /** Population stability index — the industry drift score between a
+    * REFERENCE and a CURRENT value distribution (public: standard
+    * credit-scoring PSI): Σ_bins (p − q)·ln(p/q) over `nBins`
+    * equi-width bins of the GLOBAL value range, Laplace-smoothed
+    * (+1 per present bin) so empty-side bins stay finite. Rule of
+    * thumb: < 0.1 stable, > 0.25 action.
+    *
+    * Determinism: counts and the global min/max are exact integers;
+    * p − q is a subtract of single divisions, and ln(p/q) =
+    * DetLn((c_ref+1)·(N_cur+B)) − DetLn((c_cur+1)·(N_ref+B)) — the
+    * libm-free series on exact integer PRODUCTS (< 2^53), so every
+    * term is bit-identical cross-engine; terms fold in bin order on
+    * the driver over the ≤ nBins collected rows (the isotonic
+    * envelope). Output: one row (n_bins, n_ref, n_cur, psi).
+    */
+  def psiDrift(df: DataFrame, isRef: Column, valueCents: Column,
+               nBins: Int = 10): DataFrame = {
+    val rows = df.select(isRef.as("__r"), valueCents.as("__c"))
+    val head = rows.agg(min(col("__c")), max(col("__c"))).head
+    val (lo, width) =
+      if (head.isNullAt(0)) (0L, 1L)
+      else (head.getLong(0), head.getLong(1) - head.getLong(0) + 1L)
+    val bins = rows
+      .select(expr(s"((__c - ${lo}L) * ${nBins}L) div ${width}L")
+        .as("bin"), col("__r"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("cc"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    require(bins.nonEmpty, "psiDrift: empty input")
+    val b = bins.length.toLong
+    val nr = bins.iterator.map(_._1).sum
+    val nc = bins.iterator.map(_._2).sum
+    var psi = 0.0
+    bins.foreach { case (cr, cc) =>
+      val p = (cr + 1L).toDouble / (nr + b).toDouble
+      val q = (cc + 1L).toDouble / (nc + b).toDouble
+      val lnp = graft.functions.DetLnImpl.eval((cr + 1L) * (nc + b))
+      val lnq = graft.functions.DetLnImpl.eval((cc + 1L) * (nr + b))
+      psi += (p - q) * (lnp - lnq)
+    }
+    df.sparkSession
+      .createDataFrame(Seq((b, nr, nc, psi)))
+      .toDF("n_bins", "n_ref", "n_cur", "psi")
+  }
+
   /** Nelson–Aalen cumulative hazard — the survival trio's third
     * member beside [[kaplanMeier]]'s survivor function and
     * [[logRank]]'s test (public: Nelson 1972, Aalen 1978):

@@ -1417,6 +1417,19 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // exact two-sample KS: did the arms' value distributions move —
+    // max |cumA*nB - cumB*nA| over the whole-dollar value domain,
+    // one division at the end (the gini value-group discipline)
+    "ks_test" -> ((s, d) =>
+      graft.ops.Eval.ksTest(events(s, d), col("user_id") % 2L === 0L,
+        round(col("value") * 100).cast(LongType))),
+    // PSI between the pre-Jan-15 reference and the current period:
+    // Laplace-smoothed equi-width bins, ln(p/q) through DetLn on
+    // integer products — the industry drift score made bit-exact
+    "psi_drift" -> ((s, d) =>
+      graft.ops.Eval.psiDrift(events(s, d),
+        expr("unix_micros(ts) < 1705276800000000L"),
+        round(col("value") * 100).cast(LongType))),
     // Nelson-Aalen cumulative hazard over the same activation
     // cohort: the survival trio's third member — sum fold of d/n in
     // ascending-t order beside km_conversion's product
@@ -2579,6 +2592,53 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // dollar-domain cumulative counts, exact integer cross products,
+    // one division
+    "ks_test" ->
+      """WITH g AS (SELECT
+        |  CAST(round(value * 100) AS BIGINT) // 100 AS v,
+        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS cb
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT v, ca, cb,
+        |  sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |  sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+        |  sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM g),
+        |m AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+        |  FROM c)
+        |SELECT n_a, n_b, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat
+        |FROM m WHERE n_a > 0 AND n_b > 0""".stripMargin,
+    // same smoothed bins; each term's divisions/subtractions and the
+    // DetLn replay run in the op's order; bin-ordered fold
+    "psi_drift" -> {
+      val lnr = OracleSql.detLn("(cr + 1) * (nc + b)")
+      val lnc = OracleSql.detLn("(cc + 1) * (nr + b)")
+      s"""WITH r AS (SELECT
+         |  epoch_us(ts) < 1705276800000000 AS rf,
+         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         |mm AS (SELECT min(c) AS lo, max(c) - min(c) + 1 AS width
+         |  FROM r),
+         |bn AS (SELECT ((c - lo) * 10) // width AS bin,
+         |  sum(CASE WHEN rf THEN 1 ELSE 0 END) AS cr,
+         |  sum(CASE WHEN NOT rf THEN 1 ELSE 0 END) AS cc
+         |  FROM r, mm GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS b,
+         |  CAST(sum(cr) AS BIGINT) AS nr,
+         |  CAST(sum(cc) AS BIGINT) AS nc FROM bn),
+         |terms AS (SELECT bin,
+         |  (CAST(cr + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)
+         |   - CAST(cc + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE))
+         |  * (($lnr) - ($lnc)) AS term
+         |  FROM bn, tot)
+         |SELECT b AS n_bins, nr AS n_ref, nc AS n_cur,
+         |  (SELECT list_reduce(list_prepend(0.0,
+         |     (SELECT list(term ORDER BY bin) FROM terms)),
+         |     (x, y) -> x + y)) AS psi
+         |FROM tot""".stripMargin
+    },
     // the km census with the product fold swapped for the hazard SUM
     // fold, same ordered prefix list_reduce
     "na_hazard" ->

@@ -262,6 +262,48 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("ksTest: disjoint supports give D = 1; identical samples give " +
+      "D = 0; hand-computed partial overlap") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val disj = Seq((true, 100L), (true, 200L), (false, 300L),
+      (false, 400L)).toDF("a", "c")
+    val r = graft.ops.Eval.ksTest(disj, col("a"), col("c")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getDouble(3) == 1.0)
+    val same = Seq((true, 100L), (false, 100L), (true, 300L),
+      (false, 300L)).toDF("a", "c")
+    assert(graft.ops.Eval.ksTest(same, col("a"), col("c"))
+      .head().getDouble(3) == 0.0)
+    // A = {1,2}, B = {2,3} dollars: F diverges most at v=1:
+    // |1*2 - 0*2| = 2 → D = 2/4 = 0.5
+    val ovl = Seq((true, 100L), (true, 200L), (false, 200L),
+      (false, 300L)).toDF("a", "c")
+    val r2 = graft.ops.Eval.ksTest(ovl, col("a"), col("c")).head()
+    assert(r2.getLong(2) == 2L && r2.getDouble(3) == 0.5)
+  }
+
+  test("psiDrift: identical balanced distributions give exactly 0; " +
+      "a shifted distribution scores positive; Laplace keeps " +
+      "one-sided bins finite") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((true, 0L), (false, 0L), (true, 900L),
+      (false, 900L)).toDF("r", "c")
+    assert(graft.ops.Eval.psiDrift(same, col("r"), col("c"))
+      .head().getDouble(3) == 0.0)
+    // reference mass low, current mass high — including a bin the
+    // reference never saw (smoothing keeps it finite)
+    val shift = (Seq.fill(50)((true, 0L)) ++ Seq.fill(50)((false, 900L)))
+      .toDF("r", "c")
+    val p = graft.ops.Eval.psiDrift(shift, col("r"), col("c")).head()
+    assert(p.getLong(1) == 50L && p.getLong(2) == 50L)
+    assert(p.getDouble(3) > 0.25, s"psi ${p.getDouble(3)}")
+    assert(java.lang.Double.isFinite(p.getDouble(3)))
+  }
+
   test("nelsonAalen: hand-worked hazard accumulation with censoring") {
     val s = spark
     import s.implicits._

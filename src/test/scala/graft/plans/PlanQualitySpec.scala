@@ -68,7 +68,11 @@ class PlanQualitySpec extends SparkSuite {
     // sweep-line running sum over MINUTE-grain net deltas — at most
     // one row per minute of retention at any data volume
     // (Sessionize.peakConcurrency scaladoc)
-    "peak_concurrency"
+    "peak_concurrency",
+    // KS cumulative counts run over WHOLE-DOLLAR value groups —
+    // value-domain cardinality, the gini_spend bound (Eval.ksTest
+    // scaladoc)
+    "ks_test"
   )
 
   test("no registered query plans an unpartitioned window " +
