@@ -474,6 +474,78 @@ object Eval {
       .toDF("t", "n_risk", "n_events", "surv")
   }
 
+  /** Empirical-Bayes rate smoothing — the CTR/conversion shrinkage
+    * every ranking feature pipeline applies before a per-entity rate
+    * is usable (public: additive smoothing toward the pooled prior;
+    * the fixed-strength form of beta-binomial EB): shrunk =
+    * (k + τ·p̄)/(n + τ) with p̄ = ΣK/ΣN the pooled rate and τ the
+    * documented prior strength — entities with little data collapse
+    * to the prior, heavy entities keep their own rate. Exactness:
+    * counts exact, p̄ ONE division, each row's smoothed rate the
+    * written-down multiply/add/divide of identical operands —
+    * bit-stable with no fold anywhere. The pooled total rides the
+    * single-bucket broadcast idiom. Output per entity:
+    * (entity, n, k, raw_rate, smoothed).
+    */
+  def ebSmooth(df: DataFrame, entityCol: String, isConv: Column,
+               tau: Long = 20L): DataFrame = {
+    val perU = df
+      .select(col(entityCol).as("__e"),
+        when(isConv, 1L).otherwise(0L).as("__k"))
+      .groupBy(col("__e"))
+      .agg(count(lit(1)).as("n"), sum(col("__k")).as("k"))
+    val tot = perU.agg(sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+      .withColumn("__jk", pmod(xxhash64(col("nn")), lit(1L)))
+    perU.withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+      .join(broadcast(tot), Seq("__jk"))
+      .select(col("__e").as(entityCol), col("n"), col("k"),
+        (col("k").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("raw_rate"),
+        ((col("k").cast(DoubleType) + lit(tau.toDouble) *
+          (col("kk").cast(DoubleType) / col("nn").cast(DoubleType)))
+          / (col("n") + lit(tau)).cast(DoubleType)).as("smoothed"))
+  }
+
+  /** SPRT decision ledger — Wald's sequential probability ratio test
+    * (public: Wald 1945), the "can we stop the experiment yet"
+    * machinery read daily: against H0: rate = 1/20 vs H1: rate =
+    * 3/50 at α = β = 0.05, the cumulative log-likelihood ratio
+    * LLR_d = s_d·ln(p1/p0) + f_d·ln(q1/q0) crosses ln 19 → accept
+    * H1, −ln 19 → accept H0, else continue. Both ln constants are
+    * DIFFERENCES of [[graft.functions.DetLnImpl]] on small integers
+    * (ln(6/5) = DetLn 6 − DetLn 5; ln(94/95) likewise), so every
+    * LLR is two multiplies + one add of bit-identical constants and
+    * the verdict comparisons agree cross-engine exactly. Cumulative
+    * counts run over the DAY domain (calendar-bounded unpartitioned
+    * window, allowlisted). Output per day:
+    * (day, conv, fail, llr, verdict).
+    */
+  def sprtLedger(df: DataFrame, dayCol: Column, isConv: Column)
+      : DataFrame = {
+    val c1 = graft.functions.DetLnImpl.eval(6L) -
+      graft.functions.DetLnImpl.eval(5L)
+    val c2 = graft.functions.DetLnImpl.eval(94L) -
+      graft.functions.DetLnImpl.eval(95L)
+    val lnA = graft.functions.DetLnImpl.eval(19L)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.select(dayCol.as("day"),
+        when(isConv, 1L).otherwise(0L).as("__c"))
+      .groupBy(col("day"))
+      .agg(sum(col("__c")).as("dc"),
+        (count(lit(1)) - sum(col("__c"))).as("df"))
+      .withColumn("conv", sum(col("dc")).over(w))
+      .withColumn("fail", sum(col("df")).over(w))
+      .withColumn("llr",
+        col("conv").cast(DoubleType) * lit(c1) +
+          col("fail").cast(DoubleType) * lit(c2))
+      .select(col("day"), col("conv"), col("fail"), col("llr"),
+        when(col("llr") >= lit(lnA), lit("accept_h1"))
+          .when(col("llr") <= lit(-lnA), lit("accept_h0"))
+          .otherwise(lit("continue")).as("verdict"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the canonical
     * nonparametric "did the distribution move" test beside
     * drift_chi2's categorical form: D = max_v |F_A(v) − F_B(v)|,

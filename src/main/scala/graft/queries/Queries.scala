@@ -1417,6 +1417,19 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // empirical-Bayes conversion smoothing: per-user purchase rate
+    // shrunk toward the pooled prior at strength tau=20 — the CTR
+    // shrinkage a ranking feature ships instead of raw rates
+    "eb_smooth" -> ((s, d) =>
+      graft.ops.Eval.ebSmooth(events(s, d), "user_id",
+        col("event_type") === "purchase")),
+    // Wald SPRT ledger: daily cumulative LLR of purchase rate
+    // 1/20 (H0) vs 3/50 (H1), boundaries ±ln 19 — the "can we stop
+    // yet" read; ln constants via DetLn differences
+    "sprt_ledger" -> ((s, d) =>
+      graft.ops.Eval.sprtLedger(events(s, d),
+        expr("unix_micros(ts) div 86400000000L"),
+        col("event_type") === "purchase")),
     // exact two-sample KS: did the arms' value distributions move —
     // max |cumA*nB - cumB*nA| over the whole-dollar value domain,
     // one division at the end (the gini value-group discipline)
@@ -2592,6 +2605,46 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // pooled prior one division; per-row written-down arithmetic
+    "eb_smooth" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |    END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(k) AS BIGINT) AS kk FROM pu)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, k,
+        |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+        |  (CAST(k AS DOUBLE) + 20.0
+        |     * (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |    / CAST(n + 20 AS DOUBLE) AS smoothed
+        |FROM pu, tot""".stripMargin,
+    // DetLn-difference constants, day-ordered cumulative counts,
+    // identical boundary comparisons
+    "sprt_ledger" -> {
+      val c1 = s"((${OracleSql.detLn("6")}) - (${OracleSql.detLn("5")}))"
+      val c2 = s"((${OracleSql.detLn("94")}) - (${OracleSql.detLn("95")}))"
+      val lnA = s"(${OracleSql.detLn("19")})"
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |g AS (SELECT day, CAST(sum(c) AS BIGINT) AS dc,
+         |  CAST(count(*) - sum(c) AS BIGINT) AS dfl FROM e
+         |  GROUP BY 1),
+         |cu AS (SELECT day,
+         |  CAST(sum(dc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS conv,
+         |  CAST(sum(dfl) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS fail FROM g),
+         |l AS (SELECT day, conv, fail,
+         |  CAST(conv AS DOUBLE) * $c1 + CAST(fail AS DOUBLE) * $c2
+         |    AS llr FROM cu)
+         |SELECT day, conv, fail, llr,
+         |  CASE WHEN llr >= $lnA THEN 'accept_h1'
+         |       WHEN llr <= -$lnA THEN 'accept_h0'
+         |       ELSE 'continue' END AS verdict
+         |FROM l""".stripMargin
+    },
     // dollar-domain cumulative counts, exact integer cross products,
     // one division
     "ks_test" ->

@@ -262,6 +262,54 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("ebSmooth: light entities collapse to the pooled prior, heavy " +
+      "entities keep their rate; exact hand case") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // u1: 1/1 conv; u2: 0/99. pooled p = 1/100
+    val rows = (Seq((1L, true)) ++ Seq.fill(99)((2L, false)))
+      .toDF("u", "conv")
+    val got = graft.ops.Eval.ebSmooth(rows, "u", col("conv"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L)._3 == 1.0)
+    // u1 smoothed: (1 + 20*0.01)/(1+20) = 1.2/21
+    assert(got(1L)._4 == (1.0 + 20.0 * 0.01) / 21.0)
+    assert(got(1L)._4 < 0.06, "one lucky conversion collapses")
+    // u2 smoothed: (0 + 0.2)/119
+    assert(got(2L)._4 == 0.2 / 119.0)
+  }
+
+  test("sprtLedger: monotone evidence crosses the H1 boundary; " +
+      "hand-checked LLR arithmetic") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.DetLnImpl
+    val c1 = DetLnImpl.eval(6L) - DetLnImpl.eval(5L)
+    val c2 = DetLnImpl.eval(94L) - DetLnImpl.eval(95L)
+    // day 1: 10 conv 10 fail; day 2: +20 conv → crosses ln 19
+    val rows = (Seq.fill(10)((1L, true)) ++ Seq.fill(10)((1L, false))
+      ++ Seq.fill(20)((2L, true))).toDF("day", "conv")
+    val got = graft.ops.Eval.sprtLedger(rows, col("day"), col("conv"))
+      .collect().sortBy(_.getLong(0))
+    assert(got(0).getLong(1) == 10L && got(0).getLong(2) == 10L)
+    assert(got(0).getDouble(3) == 10.0 * c1 + 10.0 * c2)
+    assert(got(1).getLong(1) == 30L)
+    assert(got(1).getDouble(3) == 30.0 * c1 + 10.0 * c2)
+    assert(got(1).getDouble(3) > DetLnImpl.eval(19L))
+    assert(got(0).getString(4) == "continue")
+    assert(got(1).getString(4) == "accept_h1")
+    // all failures walk to accept_h0
+    val lo = (1L to 3L).flatMap(d =>
+      Seq.fill(2000)((d, false))).toDF("day", "conv")
+    val v = graft.ops.Eval.sprtLedger(lo, col("day"), col("conv"))
+      .collect().sortBy(_.getLong(0)).last.getString(4)
+    assert(v == "accept_h0")
+  }
+
   test("ksTest: disjoint supports give D = 1; identical samples give " +
       "D = 0; hand-computed partial overlap") {
     val s = spark

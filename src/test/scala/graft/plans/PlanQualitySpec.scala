@@ -72,7 +72,10 @@ class PlanQualitySpec extends SparkSuite {
     // KS cumulative counts run over WHOLE-DOLLAR value groups —
     // value-domain cardinality, the gini_spend bound (Eval.ksTest
     // scaladoc)
-    "ks_test"
+    "ks_test",
+    // SPRT's cumulative counts run over the DAY domain — calendar
+    // cardinality (Eval.sprtLedger scaladoc)
+    "sprt_ledger"
   )
 
   test("no registered query plans an unpartitioned window " +
