@@ -474,6 +474,66 @@ object Eval {
       .toDF("t", "n_risk", "n_events", "surv")
   }
 
+  /** Per-entity Shannon entropy of a categorical mix (nats) — the
+    * behavioral-diversity feature ("does this user do one thing or
+    * many") and the class-balance audit in one operator:
+    * H = −Σ (c/n)·ln(c/n), with every ln(c/n) the DIFFERENCE of
+    * [[graft.functions.DetLn]] on the exact integer count and total
+    * — bit-identical cross-engine — and the per-entity fold running
+    * over the category-sorted list (ordered, bounded by the category
+    * vocabulary). Fully distributed: two hash aggregates and a
+    * per-row higher-order fold, windows nowhere. Output:
+    * (entity, n_events, n_types, entropy).
+    */
+  def mixEntropy(df: DataFrame, entityCol: String, catCol: String)
+      : DataFrame = {
+    import graft.functions.GraftFunctions.detLn
+    df.groupBy(col(entityCol).as("__e"), col(catCol).as("__t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("__e"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct(col("__t").as("t"),
+          col("c").as("c")))).as("cs"))
+      .select(col("__e").as(entityCol), col("n").as("n_events"),
+        col("n_types"),
+        (-aggregate(col("cs"), lit(0.0), (acc, x) =>
+          acc + (x.getField("c").cast(DoubleType) /
+            col("n").cast(DoubleType)) *
+            (detLn(x.getField("c")) - detLn(col("n")))))
+          .as("entropy"))
+  }
+
+  /** Overdispersion (Fano factor) audit — per group, is the
+    * per-entity count distribution Poisson-like (var ≈ mean) or
+    * clumped (var ≫ mean, the burst/bot signature)? Exact DECIMAL
+    * moments of the per-entity counts (the welch envelope), then the
+    * written-down mean = s/n, var = (n·q − s²)/(n·(n−1)), fano =
+    * var/mean. Entities with zero events in a group are absent by
+    * construction — dispersion over ACTIVE entities, documented.
+    * Output: (group, n_entities, mean_c, var_c, fano).
+    */
+  def overdispersion(df: DataFrame, groupCol: String,
+                     entityCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    df.groupBy(col(groupCol).as("__g"), col(entityCol).as("__u"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("q"))
+      .where(col("n") > 1L && col("s") > 0)
+      .withColumn("mean_c",
+        col("s").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("var_c",
+        (col("n").cast(dec) * col("q") - col("s") * col("s"))
+          .cast(DoubleType) /
+        (col("n").cast(dec) * (col("n") - 1L)).cast(DoubleType))
+      .select(col("__g").as(groupCol), col("n").as("n_entities"),
+        col("mean_c"), col("var_c"),
+        (col("var_c") / col("mean_c")).as("fano"))
+  }
+
   /** Empirical-Bayes rate smoothing — the CTR/conversion shrinkage
     * every ranking feature pipeline applies before a per-entity rate
     * is usable (public: additive smoothing toward the pooled prior;

@@ -100,6 +100,61 @@ object Graph {
     ranks.select(col("node"), col("seed"), col("rank"))
   }
 
+  /** HITS hubs and authorities — the mutually-recursive pair beside
+    * [[pageRank]]'s single authority score (public: Kleinberg 1999):
+    * a good HUB points at good authorities, a good AUTHORITY is
+    * pointed at by good hubs — the directory-page vs content-page
+    * split PageRank can't make. Integer fixed point like pageRank:
+    * each round a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v), and
+    * each side renormalizes by its MAX — score' = score·base div max
+    * — so magnitudes stay bounded, every step is exact integer
+    * arithmetic (the product runs in DECIMAL(38,0) so n·base²
+    * headroom holds to ~1e19 nodes; max is deterministic, div
+    * truncates), and the
+    * result is layout-independent and SQL-replayable round for
+    * round. One shuffle join per half-round. Output:
+    * (node, hub, authority).
+    */
+  def hits(nodes: DataFrame, idCol: String, edges: DataFrame,
+           iters: Int = 3, base: Long = 1000000000L): DataFrame = {
+    val ids = nodes.select(col(idCol).cast(LongType).as("node"))
+    val e = edges.select(col("src").cast(LongType),
+      col("dst").cast(LongType))
+    var h = ids.withColumn("hub", lit(base))
+    var a = ids.withColumn("auth", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = ids.join(
+          e.join(h.select(col("node").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("hub")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("raw"))
+      val aMax = aRaw.agg(max(col("raw")).as("m"))
+        .withColumn("__jk", pmod(xxhash64(col("m")), lit(1L)))
+      a = aRaw.withColumn("__jk", pmod(xxhash64(col("raw")), lit(1L)))
+        .join(broadcast(aMax), Seq("__jk"))
+        .select(col("node"),
+          when(col("m") > 0L, expr(s"CAST(raw AS DECIMAL(38,0)) * ${base}L DIV m"))
+            .otherwise(lit(0L)).as("auth"))
+        .localCheckpoint()
+      val hRaw = ids.join(
+          e.join(a.select(col("node").as("dst"), col("auth")), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("auth")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("raw"))
+      val hMax = hRaw.agg(max(col("raw")).as("m"))
+        .withColumn("__jk", pmod(xxhash64(col("m")), lit(1L)))
+      h = hRaw.withColumn("__jk", pmod(xxhash64(col("raw")), lit(1L)))
+        .join(broadcast(hMax), Seq("__jk"))
+        .select(col("node"),
+          when(col("m") > 0L, expr(s"CAST(raw AS DECIMAL(38,0)) * ${base}L DIV m"))
+            .otherwise(lit(0L)).as("hub"))
+        .localCheckpoint()
+    }
+    h.join(a, "node").select(col("node"), col("hub"), col("auth"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected simple graph — the link-farm / dedup-cluster density
     * signal next to [[pageRank]]'s authority (a domain whose neighbors

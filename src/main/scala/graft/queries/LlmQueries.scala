@@ -932,6 +932,14 @@ object LlmQueries {
       Graph.bfsDistance(dd, "doc_id",
         Graph.syntheticLinks(dd, "doc_id", n), col("doc_id") < 5L)
     }),
+    // corpus op — HITS hubs/authorities over the same link graph:
+    // the directory-vs-content split beside link_rank's single
+    // authority; max-renormalized integer rounds, oracle-replayed
+    "graph_hits" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.hits(dd, "doc_id", Graph.syntheticLinks(dd, "doc_id", n))
+    }),
     // corpus op — personalized PageRank from the same trusted seed
     // list: seed-restricted teleport, integer fixed-point rounds;
     // "how much seed authority flows here" beside graph_bfs's hops
@@ -4402,6 +4410,43 @@ object LlmQueries {
          |${step("r1", "r2")},
          |${step("r2", "r3")}
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+    },
+    // same edge set; each half-round re-aggregates and
+    // max-renormalizes with the op's exact HUGEINT product
+    "graph_hits" -> {
+      def round(k: Int): String =
+        s"""ar$k AS (SELECT d.doc_id AS node,
+           |  COALESCE(SUM(hp.hub), 0) AS raw
+           |  FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+           |  LEFT JOIN h${k - 1} hp ON hp.node = e.src GROUP BY 1),
+           |a$k AS (SELECT node,
+           |  CASE WHEN (SELECT max(raw) FROM ar$k) > 0
+           |    THEN CAST(raw AS HUGEINT) * 1000000000
+           |      // (SELECT max(raw) FROM ar$k)
+           |    ELSE 0 END AS auth FROM ar$k),
+           |hr$k AS (SELECT d.doc_id AS node,
+           |  COALESCE(SUM(ap.auth), 0) AS raw
+           |  FROM documents d LEFT JOIN e ON e.src = d.doc_id
+           |  LEFT JOIN a$k ap ON ap.node = e.dst GROUP BY 1),
+           |h$k AS (SELECT node,
+           |  CASE WHEN (SELECT max(raw) FROM hr$k) > 0
+           |    THEN CAST(raw AS HUGEINT) * 1000000000
+           |      // (SELECT max(raw) FROM hr$k)
+           |    ELSE 0 END AS hub FROM hr$k)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+         |    AS dst FROM
+         |  (SELECT doc_id AS src,
+         |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+         |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+         |h0 AS (SELECT doc_id AS node,
+         |  CAST(1000000000 AS BIGINT) AS hub FROM documents),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT h3.node, CAST(h3.hub AS BIGINT) AS hub,
+         |  CAST(a3.auth AS BIGINT) AS auth
+         |FROM h3 JOIN a3 USING (node)""".stripMargin
     },
     // same rounds with the teleport term gated to the seed set
     "graph_ppr" -> {

@@ -1417,6 +1417,18 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // per-user behavioral entropy: diversity of the event-type mix
+    // in nats — ln(c/n) as DetLn differences, category-ordered fold;
+    // windows nowhere, fully distributed
+    "behavior_entropy" -> ((s, d) =>
+      graft.ops.Eval.mixEntropy(events(s, d), "user_id",
+        "event_type")),
+    // overdispersion audit: per event type, Fano factor of the
+    // per-active-user count distribution — var >> mean is the
+    // burst/bot signature; exact DECIMAL moments
+    "overdispersion" -> ((s, d) =>
+      graft.ops.Eval.overdispersion(events(s, d), "event_type",
+        "user_id")),
     // empirical-Bayes conversion smoothing: per-user purchase rate
     // shrunk toward the pooled prior at strength tau=20 — the CTR
     // shrinkage a ranking feature ships instead of raw rates
@@ -2605,6 +2617,40 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // flat per-(user, type) terms with DetLn differences, then the
+    // type-ordered fold per user; negation after the fold
+    "behavior_entropy" -> {
+      val lnC = OracleSql.detLn("c")
+      val lnN = OracleSql.detLn("n")
+      s"""WITH ct AS (SELECT user_id AS e, event_type AS t,
+         |  count(*) AS c FROM events GROUP BY 1, 2),
+         |tot AS (SELECT e, CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_types FROM ct GROUP BY 1),
+         |terms AS (SELECT ct.e, ct.t,
+         |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (($lnC) - ($lnN)) AS term
+         |  FROM ct JOIN tot ON ct.e = tot.e),
+         |h AS (SELECT e, -(list_reduce(list_prepend(0.0,
+         |    list(term ORDER BY t)), (x, y) -> x + y)) AS entropy
+         |  FROM terms GROUP BY e)
+         |SELECT tot.e AS user_id, n AS n_events, n_types, entropy
+         |FROM tot JOIN h ON tot.e = h.e""".stripMargin
+    },
+    // exact HUGEINT moments; written-down mean/var/fano divisions
+    "overdispersion" ->
+      """WITH cu AS (SELECT event_type AS g, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT g, count(*) AS n,
+        |  sum(CAST(c AS HUGEINT)) AS s,
+        |  sum(CAST(c AS HUGEINT) * c) AS q FROM cu GROUP BY 1),
+        |t AS (SELECT g, n,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |  CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var_c
+        |  FROM m WHERE n > 1 AND s > 0)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_entities,
+        |  mean_c, var_c, var_c / mean_c AS fano
+        |FROM t""".stripMargin,
     // pooled prior one division; per-row written-down arithmetic
     "eb_smooth" ->
       """WITH pu AS (SELECT user_id, count(*) AS n,

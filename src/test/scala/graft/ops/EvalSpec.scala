@@ -262,6 +262,40 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("mixEntropy: single-type entities score 0, a uniform 2-type " +
+      "mix scores ln 2 within the series tolerance") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("u", "t")
+    val got = graft.ops.Eval.mixEntropy(rows, "u", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 2L)
+    assert(math.abs(got(1L)._3 - math.log(2.0)) < 1e-9)
+    assert(got(2L) == ((3L, 1L, 0.0)))
+  }
+
+  test("overdispersion: constant counts give fano 0; hand-computed " +
+      "clumped case") {
+    val s = spark
+    import s.implicits._
+    // type x: users with counts 2,2,2 → var 0; type y: counts 1,5
+    // → mean 3, var = (2*26 - 36)/2 = 8, fano = 8/3
+    val rows =
+      (1 to 3).flatMap(u => Seq.fill(2)(("x", u.toLong))) ++
+        Seq(("y", 10L)) ++ Seq.fill(5)(("y", 11L))
+    val got = graft.ops.Eval.overdispersion(rows.toDF("t", "u"),
+        "t", "u")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("x") == ((3L, 2.0, 0.0, 0.0)))
+    assert(got("y")._1 == 2L && got("y")._2 == 3.0)
+    assert(got("y")._3 == 8.0)
+    assert(math.abs(got("y")._4 - 8.0 / 3.0) < 1e-15)
+  }
+
   test("ebSmooth: light entities collapse to the pooled prior, heavy " +
       "entities keep their rate; exact hand case") {
     val s = spark

@@ -239,6 +239,34 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("hits: hand-traced max-normalized rounds on a two-hub star; " +
+      "pure sinks/sources score zero on the opposite side") {
+    val s = spark
+    import s.implicits._
+    // 1 -> {2,3}, 4 -> 2: node 1 is the better hub, 2 the better
+    // authority. Hand trace at base 100, 3 rounds (integer DIV):
+    //   hubs -> 1:100 4:62, auths -> 2:100 3:61
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("src", "dst")
+    val got = Graph.hits(nodes, "id", edges, iters = 3, base = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((100L, 0L)))
+    assert(got(4L) == ((62L, 0L)))
+    assert(got(2L) == ((0L, 100L)))
+    assert(got(3L) == ((0L, 61L)))
+    // layout-independence of the integer fixed point
+    val a = Graph.hits(nodes.repartition(1), "id",
+      edges.repartition(1), iters = 3, base = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val b = Graph.hits(nodes.repartition(5), "id",
+      edges.repartition(3), iters = 3, base = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("personalizedPageRank: teleport mass flows only to seeds; " +
       "hand-computed one-step ring; isolated nodes") {
     val s = spark
