@@ -1066,6 +1066,58 @@ object Eval {
           .as("b2"))
   }
 
+  /** Split-conformal prediction interval (public: Vovk et al.;
+    * Lei et al. 2018 popularized the split form) — distribution-free
+    * uncertainty for ANY point model: fit on the TRAIN split, take
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest |residual| on the CALIBRATION
+    * split, and ŷ ± q̂ then covers a fresh point with probability
+    * ≥ 1−α, no normality assumed. Here the point model is
+    * [[olsFit]]'s exact two-feature OLS and α = 0.1.
+    *
+    * Determinism: the coefficients are olsFit's bit-exact single
+    * divisions (a bounded 1-row driver artifact); each residual is
+    * the written-down (b0 + b1·x1) + b2·x2 then |y − ŷ|; q̂ is rank
+    * SELECTION under the total order (residual, entity) — a
+    * TakeOrdered limit-k, no global sort — and coverage on the TEST
+    * split is an exact count ratio. Output: one row
+    * (n_train, n_cal, n_test, q_hat, coverage) — the conformal
+    * guarantee says coverage ≈ 0.9, which the row exhibits.
+    */
+  def conformalInterval(df: DataFrame, entityCol: String,
+                        yCol: Column, x1Col: Column, x2Col: Column,
+                        splitCol: Column): DataFrame = {
+    val base = df.select(col(entityCol).as("id"), yCol.as("y"),
+      x1Col.as("x1"), x2Col.as("x2"),
+      splitCol.cast(LongType).as("sp"))
+    val fit = olsFit(base.where(col("sp") === 0L), col("y"),
+      col("x1"), col("x2")).head
+    val (nTrain, b0, b1, b2) =
+      (fit.getLong(0), fit.getDouble(1), fit.getDouble(2),
+        fit.getDouble(3))
+    def resid: Column = abs(col("y").cast(DoubleType) -
+      ((lit(b0) + lit(b1) * col("x1").cast(DoubleType)) +
+        lit(b2) * col("x2").cast(DoubleType)))
+    val cal = base.where(col("sp") === 1L)
+      .select(col("id"), resid.as("r"))
+    val nCal = cal.count()
+    val k = ((nCal + 1L) * 9L + 9L) / 10L
+    val qhat = cal.orderBy(col("r"), col("id")).limit(k.toInt)
+      .agg(max(col("r")).as("q_hat"))
+      .withColumn("__jk", pmod(xxhash64(col("q_hat")), lit(1L)))
+    base.where(col("sp") === 2L)
+      .select(resid.as("r"))
+      .withColumn("__jk", pmod(xxhash64(col("r")), lit(1L)))
+      .join(broadcast(qhat), Seq("__jk"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_cov"),
+        max(col("q_hat")).as("q_hat"))
+      .select(lit(nTrain).as("n_train"), lit(nCal).as("n_cal"),
+        col("n_test"), col("q_hat"),
+        (col("n_cov").cast(DoubleType) / col("n_test").cast(DoubleType))
+          .as("coverage"))
+  }
+
   /** UCB1 bandit policy scores (public: Auer/Cesa-Bianchi/Fischer
     * 2002) — the deterministic explore/exploit ledger a serving layer
     * reads per decision epoch: per arm, pulls n, exact mean reward,

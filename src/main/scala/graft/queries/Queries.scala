@@ -1417,6 +1417,19 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // split-conformal interval on the per-user spend model: fit OLS
+    // on users%3==0, calibrate q_hat at 90% on ==1, report exact
+    // coverage on ==2 — distribution-free uncertainty on top of
+    // ols_fit's exact coefficients
+    "conformal_interval" -> ((s, d) =>
+      graft.ops.Eval.conformalInterval(
+        events(s, d).groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast(LongType)).as("y"),
+            count(lit(1)).as("x1"),
+            countDistinct(expr("unix_micros(ts) div 86400000000L"))
+              .as("x2")),
+        "user_id", col("y"), col("x1"), col("x2"),
+        col("user_id") % 3L)),
     // per-user behavioral entropy: diversity of the event-type mix
     // in nats — ln(c/n) as DetLn differences, category-ordered fold;
     // windows nowhere, fully distributed
@@ -2617,6 +2630,64 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // Cramer fit on the train split, written-down residuals, ceil
+    // rank selection, exact coverage ratio
+    "conformal_interval" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS y,
+        |  count(*) AS x1,
+        |  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+        |    AS x2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |  sum(CAST(x1 AS HUGEINT)) AS s1,
+        |  sum(CAST(x2 AS HUGEINT)) AS s2,
+        |  sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |  sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |  sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |  sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |  sum(CAST(x2 AS HUGEINT) * y) AS s2y
+        |  FROM pu WHERE user_id % 3 = 0),
+        |dd AS (SELECT *,
+        |  CAST(n AS HUGEINT) * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s12 - s11 * s2) AS det,
+        |  sy * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1y * s22 - s12 * s2y)
+        |    + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |  CAST(n AS HUGEINT) * (s1y * s22 - s12 * s2y)
+        |    - sy * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |  CAST(n AS HUGEINT) * (s11 * s2y - s1y * s12)
+        |    - s1 * (s1 * s2y - s1y * s2)
+        |    + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM m),
+        |cf AS (SELECT CAST(n AS BIGINT) AS n_train,
+        |  CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+        |  CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+        |  CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+        |  FROM dd WHERE det <> 0),
+        |cal AS (SELECT user_id,
+        |  abs(CAST(y AS DOUBLE) - ((b0 + b1 * CAST(x1 AS DOUBLE))
+        |    + b2 * CAST(x2 AS DOUBLE))) AS r
+        |  FROM pu, cf WHERE user_id % 3 = 1),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |q AS (SELECT max(r) AS q_hat FROM
+        |  (SELECT r, row_number() OVER (ORDER BY r, user_id) AS rn
+        |   FROM cal), nc
+        |  WHERE rn <= ((n_cal + 1) * 9 + 9) // 10),
+        |tst AS (SELECT abs(CAST(y AS DOUBLE)
+        |    - ((b0 + b1 * CAST(x1 AS DOUBLE))
+        |      + b2 * CAST(x2 AS DOUBLE))) AS r
+        |  FROM pu, cf WHERE user_id % 3 = 2)
+        |SELECT cf.n_train, nc.n_cal,
+        |  (SELECT count(*) FROM tst) AS n_test, q.q_hat,
+        |  (SELECT CAST(sum(CASE WHEN r <= q.q_hat THEN 1 ELSE 0 END)
+        |     AS DOUBLE) FROM tst)
+        |    / (SELECT CAST(count(*) AS DOUBLE) FROM tst) AS coverage
+        |FROM cf, nc, q""".stripMargin,
     // flat per-(user, type) terms with DetLn differences, then the
     // type-ordered fold per user; negation after the fold
     "behavior_entropy" -> {

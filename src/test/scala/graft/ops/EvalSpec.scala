@@ -262,6 +262,29 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("conformalInterval: exact-fit train makes residuals pure " +
+      "noise; hand-worked q_hat and coverage") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // train (id%3==0): y = 10*x1 exactly, full-rank design
+    // calib (==1): residuals 0,2,4,6 → n_cal=4, k=ceil(0.9*5)=5>4 →
+    //   q_hat = 6; test (==2): residuals 3 (in) and 100 (out) → 0.5
+    val rows = Seq(
+      (0L, 1L, 0L, 10L), (3L, 2L, 0L, 20L), (6L, 1L, 1L, 10L),
+      (9L, 3L, 2L, 30L),
+      (1L, 1L, 0L, 10L), (4L, 1L, 0L, 12L), (7L, 1L, 0L, 14L),
+      (10L, 1L, 0L, 16L),
+      (2L, 1L, 0L, 13L), (5L, 1L, 0L, 110L))
+      .toDF("id", "x1", "x2", "y")
+    val r = graft.ops.Eval.conformalInterval(rows, "id", col("y"),
+      col("x1"), col("x2"), col("id") % 3L).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L &&
+      r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 0.5)
+  }
+
   test("mixEntropy: single-type entities score 0, a uniform 2-type " +
       "mix scores ln 2 within the series tolerance") {
     val s = spark
