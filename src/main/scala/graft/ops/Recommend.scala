@@ -86,4 +86,57 @@ object Recommend {
     graft.plans.GroupedTopK(scored, Seq("item_a"),
       Seq(("lift", false), ("item_b", true)), k = k, rankName = "rk")
   }
+
+  /** NDCG@k of the TRAIN-popularity ranking against held-out
+    * engagement — the graded ranking metric (public: Järvelin &
+    * Kekäläinen 2002) every recommender evaluation starts from, at
+    * its honest baseline: rank the k most train-popular items
+    * (count desc, item asc — deterministic), score each eval
+    * customer by DCG = Σ_{hit at rank r} 1/log₂(r+1) against
+    * IDCG = the best-possible prefix for their eval-item count. A
+    * model that can't beat popularity-NDCG isn't personalizing.
+    *
+    * Determinism: every discount 1/log₂(r+1) = DetLn(2)/DetLn(r+1) —
+    * divisions of the libm-free series on small integers, bit-equal
+    * cross-engine; DCG folds the customer's hit list in rank order,
+    * IDCG is the ascending prefix fold (driver-precomputed literal
+    * array, element_at by min(m, k)); NDCG is one division.
+    * Shape: the top-k census is TakeOrdered + a k-row broadcast; per
+    * customer everything is a bounded (≤ k) fold — no window, no
+    * unbounded state. Output per eval customer:
+    * (cust, n_eval_items, dcg, idcg, ndcg).
+    */
+  def ndcgPopularity(train: DataFrame, evalSet: DataFrame,
+                     k: Int = 10): DataFrame = {
+    import graft.functions.DetLnImpl
+    val top = train.select(col("item")).groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc)
+      .limit(k)
+      .collect().map(_.getLong(0))
+    require(top.nonEmpty, "ndcgPopularity: empty train")
+    val d = (1 to top.length)
+      .map(r => DetLnImpl.eval(2L) / DetLnImpl.eval(r + 1L))
+    val idcgPrefix = d.scanLeft(0.0)(_ + _).drop(1).toArray
+    val s = train.sparkSession
+    val topDf = s.createDataFrame(
+      top.toSeq.zipWithIndex.map { case (it, i) =>
+        (it, (i + 1).toLong, d(i))
+      }).toDF("item", "r", "d")
+    val evalPairs = evalSet.select(col("cust"), col("item")).distinct()
+    val hits = evalPairs.join(broadcast(topDf), Seq("item"))
+      .groupBy(col("cust"))
+      .agg(sort_array(collect_list(struct(col("r"), col("d"))))
+        .as("hs"))
+      .select(col("cust"),
+        aggregate(col("hs"), lit(0.0), (acc, x) =>
+          acc + x.getField("d")).as("dcg"))
+    evalPairs.groupBy(col("cust")).agg(count(lit(1)).as("m"))
+      .join(hits, Seq("cust"), "left_outer")
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
+      .withColumn("idcg", element_at(lit(idcgPrefix),
+        least(col("m"), lit(top.length.toLong)).cast("int")))
+      .select(col("cust"), col("m").as("n_eval_items"), col("dcg"),
+        col("idcg"), (col("dcg") / col("idcg")).as("ndcg"))
+  }
 }

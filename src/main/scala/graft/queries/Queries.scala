@@ -1417,6 +1417,19 @@ object Queries {
       graft.ops.Eval.logRank(users, pmod(col("user_id"), lit(2)) === 0,
         "dur", "converted")
     }),
+    // NDCG@10 of the train-popularity ranking against held-out
+    // orders — the graded ranking metric at its honest baseline;
+    // log2 discounts as DetLn divisions, bounded per-customer folds
+    "ndcg_popularity" -> ((s, d) => {
+      val eng = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("cust"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_partkey").as("item")),
+          col("o_orderkey") === col("l_orderkey"))
+      graft.ops.Recommend.ndcgPopularity(
+        eng.where(col("l_orderkey") % 10L =!= 0L),
+        eng.where(col("l_orderkey") % 10L === 0L))
+    }),
     // split-conformal interval on the per-user spend model: fit OLS
     // on users%3==0, calibrate q_hat at 90% on ==1, report exact
     // coverage on ==2 — distribution-free uncertainty on top of
@@ -2630,6 +2643,41 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // same top-10 census; discounts and both folds replay the op's
+    // DetLn divisions and ascending-rank add order
+    "ndcg_popularity" -> {
+      val dln2 = OracleSql.detLn("2")
+      val dlnR1 = OracleSql.detLn("r + 1")
+      val dlnRR1 = OracleSql.detLn("rr + 1")
+      s"""WITH eng AS (SELECT o.o_custkey AS cust,
+         |  l.l_partkey AS item, l.l_orderkey AS ok
+         |  FROM orders o JOIN lineitem l
+         |    ON o.o_orderkey = l.l_orderkey),
+         |pop AS (SELECT item, cnt FROM (SELECT item, count(*) AS cnt
+         |    FROM eng WHERE ok % 10 <> 0 GROUP BY 1)
+         |  ORDER BY cnt DESC, item LIMIT 10),
+         |topk AS (SELECT item,
+         |  row_number() OVER (ORDER BY cnt DESC, item) AS r FROM pop),
+         |td AS (SELECT item, r, ($dln2) / ($dlnR1) AS d FROM topk),
+         |ep AS (SELECT DISTINCT cust, item FROM eng
+         |  WHERE ok % 10 = 0),
+         |hits AS (SELECT cust,
+         |  list_reduce(list_prepend(0.0, list(d ORDER BY r)),
+         |    (x, y) -> x + y) AS dcg
+         |  FROM ep JOIN td USING (item) GROUP BY cust),
+         |mcnt AS (SELECT cust, CAST(count(*) AS BIGINT) AS m FROM ep
+         |  GROUP BY 1),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS kn FROM td),
+         |j AS (SELECT mcnt.cust, m, coalesce(hits.dcg, 0.0) AS dcg,
+         |  list_reduce(list_prepend(0.0,
+         |    list_transform(range(1, least(m, kn) + 1),
+         |      rr -> ($dln2) / ($dlnRR1))),
+         |    (x, y) -> x + y) AS idcg
+         |  FROM mcnt LEFT JOIN hits USING (cust), kk)
+         |SELECT cust, m AS n_eval_items, dcg, idcg,
+         |  dcg / idcg AS ndcg
+         |FROM j""".stripMargin
+    },
     // Cramer fit on the train split, written-down residuals, ceil
     // rank selection, exact coverage ratio
     "conformal_interval" ->
