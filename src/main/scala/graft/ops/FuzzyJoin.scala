@@ -211,11 +211,25 @@ object FuzzyJoin {
   def goldenRecord(records: DataFrame, idCol: String, nameCol: String,
                    blockCol: String, catCol: String, numCents: Column,
                    maxDist: Int = 2): DataFrame = {
+    // the linkage join is the expensive subtree and THREE consumers
+    // read it (linked-id census, componentMin's symmetric edge set,
+    // and transitively every propagation round) — materialize once
     val pairs = linkRecords(records, idCol, nameCol, blockCol,
       Seq(catCol), maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = records.select(col(idCol).cast(LongType).as("id"))
-    val comps = Dedup.componentMin(ids, pairs)
+    // propagate labels over LINKED ids only — every min-label round
+    // joins the label frame, and linked ids are typically a small
+    // fraction of the table; singletons are their own component by
+    // definition and join back in one left join
+    val linkedIds = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    val comps = ids
+      .join(Dedup.componentMin(linkedIds, pairs)
+        .withColumnRenamed("comp", "__lc"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("__lc"), col("id")).as("comp"))
+    pairs.unpersist(blocking = false)
     val base = records.select(col(idCol).cast(LongType).as("id"),
         col(nameCol).as("nm"), col(blockCol).cast(LongType).as("blk"),
         col(catCol).as("cat"), numCents.as("num"))
