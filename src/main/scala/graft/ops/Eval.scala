@@ -474,6 +474,78 @@ object Eval {
       .toDF("t", "n_risk", "n_events", "surv")
   }
 
+  /** One-way ANOVA F statistic — "does the group factor move the
+    * metric at all" (the day-of-week / cohort / variant screen run
+    * before any pairwise test): F = (SSB/(k−1)) / (SSW/(N−k)) from
+    * the exact per-group moments. Execution: one hash aggregate to
+    * the k groups (exact DECIMAL n, Σ, Σ²), then the ≤ k rows fold on
+    * the driver in group order — each per-group term s_g²/n_g is ONE
+    * division of exact integers, SSB/SSW/F are the written-down
+    * combination, all replayed by the oracle's ordered list_reduce.
+    * Output: one row (k, n, ssb, ssw, f_stat).
+    */
+  def anovaF(df: DataFrame, groupCol: Column, valueCents: Column)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.select(groupCol.cast(LongType).as("g"),
+        valueCents.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(dec)).as("s"),
+        sum(col("c").cast(dec) * col("c")).as("q"))
+      .orderBy(col("g"))
+      .collect()
+      .map(r => (r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+    val k = rows.length
+    require(k > 1, "anovaF: need at least two groups")
+    val n = rows.iterator.map(_._1).sum
+    require(n > k, "anovaF: need residual degrees of freedom")
+    val sTot = rows.iterator.map(x => BigDecimal(x._2)).sum
+    val qTot = rows.iterator.map(x => BigDecimal(x._3)).sum
+    var t1 = 0.0
+    rows.foreach { case (ng, sg, _) =>
+      val sb = BigDecimal(sg)
+      t1 += ((sb * sb).toDouble / ng.toDouble)
+    }
+    val sst2 = (sTot * sTot).toDouble / n.toDouble
+    val ssb = t1 - sst2
+    val ssw = qTot.toDouble - t1
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    df.sparkSession
+      .createDataFrame(Seq((k.toLong, n, ssb, ssw, f)))
+      .toDF("k", "n", "ssb", "ssw", "f_stat")
+  }
+
+  /** Mutual information between two categorical columns (nats) — the
+    * single-number dependence score over [[contingencyLift]]'s
+    * per-cell table: MI = Σ p(x,y)·ln(lift) with every ln a
+    * DIFFERENCE of [[graft.functions.DetLn]] on exact integer
+    * PRODUCTS (n_xy·n vs n_x·n_y, both < 2^53) and the fold running
+    * over (x, y)-sorted cells on the driver — bounded by the
+    * categorical vocabulary product, never rows (quantize
+    * high-cardinality columns first; same note as contingencyLift).
+    * Output: one row (n, n_cells, mi_nats).
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .orderBy(col("x"), col("y"))
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    require(cells.nonEmpty, "mutualInfo: empty input")
+    val nx = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ny = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.iterator.map(_._3).sum
+    var mi = 0.0
+    cells.foreach { case (x, y, nxy) =>
+      val lnj = graft.functions.DetLnImpl.eval(nxy * n)
+      val lnm = graft.functions.DetLnImpl.eval(nx(x) * ny(y))
+      mi += (nxy.toDouble / n.toDouble) * (lnj - lnm)
+    }
+    df.sparkSession
+      .createDataFrame(Seq((n, cells.length.toLong, mi)))
+      .toDF("n", "n_cells", "mi_nats")
+  }
+
   /** Per-entity Shannon entropy of a categorical mix (nats) — the
     * behavioral-diversity feature ("does this user do one thing or
     * many") and the class-balance audit in one operator:

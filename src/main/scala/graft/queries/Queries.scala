@@ -1443,6 +1443,20 @@ object Queries {
               .as("x2")),
         "user_id", col("y"), col("x1"), col("x2"),
         col("user_id") % 3L)),
+    // one-way ANOVA screen: does epoch-day-of-week move spend —
+    // exact per-group moments, driver fold in group order
+    "anova_dow" -> ((s, d) =>
+      graft.ops.Eval.anovaF(events(s, d),
+        expr("(unix_micros(ts) div 86400000000L) % 7"),
+        round(col("value") * 100).cast(LongType))),
+    // mutual information (nats) between event type and hour-of-day:
+    // the single-number dependence score over the lift table,
+    // ln through DetLn on integer products, cell-ordered fold
+    "mutual_info" -> ((s, d) =>
+      graft.ops.Eval.mutualInfo(
+        events(s, d).select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000L) % 24").as("hod")),
+        "event_type", "hod")),
     // per-user behavioral entropy: diversity of the event-type mix
     // in nats — ln(c/n) as DetLn differences, category-ordered fold;
     // windows nowhere, fully distributed
@@ -2736,6 +2750,51 @@ object Queries {
         |     AS DOUBLE) FROM tst)
         |    / (SELECT CAST(count(*) AS DOUBLE) FROM tst) AS coverage
         |FROM cf, nc, q""".stripMargin,
+    // exact HUGEINT moments; per-group terms and SSB/SSW/F replay
+    // the op's written-down order via the g-ordered fold
+    "anova_dow" ->
+      """WITH r AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |gr AS (SELECT g, count(*) AS n,
+        |  sum(CAST(c AS HUGEINT)) AS s,
+        |  sum(CAST(c AS HUGEINT) * c) AS q FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS n, sum(s) AS st, sum(q) AS qt
+        |  FROM gr),
+        |t1 AS (SELECT list_reduce(list_prepend(0.0,
+        |  (SELECT list(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+        |     ORDER BY g) FROM gr)),
+        |  (x, y) -> x + y) AS t1v),
+        |fin AS (SELECT k, n, t1v,
+        |  t1v - CAST(st * st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |  CAST(qt AS DOUBLE) - t1v AS ssw FROM tot, t1)
+        |SELECT k, n, ssb, ssw,
+        |  (ssb / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+        |FROM fin""".stripMargin,
+    // cell-ordered fold of (p_xy)·(DetLn(n_xy·n) − DetLn(n_x·n_y))
+    "mutual_info" -> {
+      val lnj = OracleSql.detLn("nxy * n")
+      val lnm = OracleSql.detLn("nx * ny")
+      s"""WITH r AS (SELECT event_type AS x,
+         |  (epoch_us(ts) // 3600000000) % 24 AS y FROM events),
+         |cl AS (SELECT x, y, count(*) AS nxy FROM r GROUP BY 1, 2),
+         |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cl
+         |  GROUP BY 1),
+         |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cl
+         |  GROUP BY 1),
+         |tt AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_cells FROM cl),
+         |terms AS (SELECT cl.x, cl.y,
+         |  (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (($lnj) - ($lnm)) AS term
+         |  FROM cl JOIN mx USING (x) JOIN my USING (y), tt)
+         |SELECT n, n_cells,
+         |  (SELECT list_reduce(list_prepend(0.0,
+         |     (SELECT list(term ORDER BY x, y) FROM terms)),
+         |     (a, b) -> a + b)) AS mi_nats
+         |FROM tt""".stripMargin
+    },
     // flat per-(user, type) terms with DetLn differences, then the
     // type-ordered fold per user; negation after the fold
     "behavior_entropy" -> {

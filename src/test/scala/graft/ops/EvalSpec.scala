@@ -262,6 +262,38 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("anovaF: hand-worked two-group case; equal groups give F = 0") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // g0: {0,2}, g1: {10,12} → SSB = 100, SSW = 4, F = 50
+    val rows = Seq((0L, 0L), (0L, 2L), (1L, 10L), (1L, 12L))
+      .toDF("g", "c")
+    val r = graft.ops.Eval.anovaF(rows, col("g"), col("c")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 100.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 50.0)
+    val flat = Seq((0L, 1L), (0L, 3L), (1L, 1L), (1L, 3L))
+      .toDF("g", "c")
+    assert(graft.ops.Eval.anovaF(flat, col("g"), col("c"))
+      .head().getDouble(4) == 0.0)
+  }
+
+  test("mutualInfo: independence gives exactly 0; a deterministic " +
+      "mapping gives ln 2 within the series tolerance") {
+    val s = spark
+    import s.implicits._
+    val ind = (for { x <- Seq("a", "b"); y <- Seq(0L, 1L);
+      _ <- 1 to 25 } yield (x, y)).toDF("x", "y")
+    val r0 = graft.ops.Eval.mutualInfo(ind, "x", "y").head()
+    assert(r0.getLong(0) == 100L && r0.getLong(1) == 4L)
+    assert(r0.getDouble(2) == 0.0)
+    val dep = (Seq.fill(50)(("a", 0L)) ++ Seq.fill(50)(("b", 1L)))
+      .toDF("x", "y")
+    val r1 = graft.ops.Eval.mutualInfo(dep, "x", "y").head()
+    assert(math.abs(r1.getDouble(2) - math.log(2.0)) < 1e-9)
+  }
+
   test("conformalInterval: exact-fit train makes residuals pure " +
       "noise; hand-worked q_hat and coverage") {
     val s = spark
