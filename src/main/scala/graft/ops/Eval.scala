@@ -1173,6 +1173,13 @@ object Eval {
       .select(col("id"), resid.as("r"))
     val nCal = cal.count()
     val k = ((nCal + 1L) * 9L + 9L) / 10L
+    // limit(k) is the TakeOrdered path and takes an Int — beyond
+    // ~2e9 calibration rows, SUBSAMPLE the calibration split first
+    // (conformal validity is per-point, a uniform subsample keeps
+    // the guarantee); failing loudly beats silently mis-ranking
+    require(k <= Int.MaxValue.toLong,
+      "conformalInterval: calibration split too large for exact " +
+        "rank selection — subsample it")
     val qhat = cal.orderBy(col("r"), col("id")).limit(k.toInt)
       .agg(max(col("r")).as("q_hat"))
       .withColumn("__jk", pmod(xxhash64(col("q_hat")), lit(1L)))
