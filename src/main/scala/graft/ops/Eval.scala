@@ -717,6 +717,56 @@ object Eval {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Quantile treatment effects — where in the distribution the arms
+    * differ (public: the QTE read of an experiment; Doksum 1974):
+    * the mean can hide a lift that lives only in the tail, so report
+    * the ARM DIFFERENCE OF EXACT QUANTILES at p50/p90/p99. Exact
+    * rank selection over the per-arm cents value-group census —
+    * target rank ⌈q·n⌉ as integers, answer = the first value whose
+    * per-arm cumulative count reaches it; every output is an exact
+    * BIGINT (selected elements and their differences — no floats at
+    * all). The cumulative window PARTITIONS BY ARM over value
+    * groups — bounded by the value domain per arm, never rows.
+    * Output: one row
+    * (n_a, n_b, p50_a, p50_b, qte50, p90_a, p90_b, qte90,
+    *  p99_a, p99_b, qte99), cents.
+    */
+  def quantileTreatment(df: DataFrame, isA: Column,
+                        valueCents: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("a")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(col("a"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    def sel(num: Long, den: Long): Column =
+      min(when(col("cum") >=
+        expr(s"(n * ${num}L + ${den - 1}L) div ${den}L"), col("v")))
+    val perArm = df.select(isA.as("a"), valueCents.as("v"))
+      .groupBy(col("a"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("a"))
+      .agg(max(col("n")).as("n"), sel(1L, 2L).as("p50"),
+        sel(9L, 10L).as("p90"), sel(99L, 100L).as("p99"))
+    perArm.agg(
+        max(when(col("a"), col("n"))).as("n_a"),
+        max(when(!col("a"), col("n"))).as("n_b"),
+        max(when(col("a"), col("p50"))).as("p50_a"),
+        max(when(!col("a"), col("p50"))).as("p50_b"),
+        max(when(col("a"), col("p90"))).as("p90_a"),
+        max(when(!col("a"), col("p90"))).as("p90_b"),
+        max(when(col("a"), col("p99"))).as("p99_a"),
+        max(when(!col("a"), col("p99"))).as("p99_b"))
+      .where(col("n_a").isNotNull && col("n_b").isNotNull)
+      .select(col("n_a"), col("n_b"),
+        col("p50_a"), col("p50_b"),
+        (col("p50_b") - col("p50_a")).as("qte50"),
+        col("p90_a"), col("p90_b"),
+        (col("p90_b") - col("p90_a")).as("qte90"),
+        col("p99_a"), col("p99_b"),
+        (col("p99_b") - col("p99_a")).as("qte99"))
+  }
+
   /** Population stability index — the industry drift score between a
     * REFERENCE and a CURRENT value distribution (public: standard
     * credit-scoring PSI): Σ_bins (p − q)·ln(p/q) over `nBins`

@@ -1443,6 +1443,13 @@ object Queries {
               .as("x2")),
         "user_id", col("y"), col("x1"), col("x2"),
         col("user_id") % 3L)),
+    // quantile treatment effects: arm difference of EXACT p50/p90/
+    // p99 spend — where in the distribution the arms differ; pure
+    // integer rank selection, windows partitioned by arm
+    "qte_arms" -> ((s, d) =>
+      graft.ops.Eval.quantileTreatment(events(s, d),
+        col("user_id") % 2L === 0L,
+        round(col("value") * 100).cast(LongType))),
     // one-way ANOVA screen: does epoch-day-of-week move spend —
     // exact per-group moments, driver fold in group order
     "anova_dow" -> ((s, d) =>
@@ -2750,6 +2757,36 @@ object Queries {
         |     AS DOUBLE) FROM tst)
         |    / (SELECT CAST(count(*) AS DOUBLE) FROM tst) AS coverage
         |FROM cf, nc, q""".stripMargin,
+    // identical ceil-rank arithmetic per arm; all-integer outputs
+    "qte_arms" ->
+      """WITH g AS (SELECT user_id % 2 = 0 AS a,
+        |  CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cu AS (SELECT a, v, c,
+        |  sum(c) OVER (PARTITION BY a ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY a) AS n FROM g),
+        |pa AS (SELECT a, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END)
+        |    AS p99
+        |  FROM cu GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN a THEN n END) AS n_a,
+        |  max(CASE WHEN NOT a THEN n END) AS n_b,
+        |  max(CASE WHEN a THEN p50 END) AS p50_a,
+        |  max(CASE WHEN NOT a THEN p50 END) AS p50_b,
+        |  max(CASE WHEN a THEN p90 END) AS p90_a,
+        |  max(CASE WHEN NOT a THEN p90 END) AS p90_b,
+        |  max(CASE WHEN a THEN p99 END) AS p99_a,
+        |  max(CASE WHEN NOT a THEN p99 END) AS p99_b
+        |  FROM pa)
+        |SELECT n_a, n_b, p50_a, p50_b, p50_b - p50_a AS qte50,
+        |  p90_a, p90_b, p90_b - p90_a AS qte90,
+        |  p99_a, p99_b, p99_b - p99_a AS qte99
+        |FROM w WHERE n_a IS NOT NULL AND n_b IS NOT NULL"""
+        .stripMargin,
     // exact HUGEINT moments; per-group terms and SSB/SSW/F replay
     // the op's written-down order via the g-ordered fold
     "anova_dow" ->

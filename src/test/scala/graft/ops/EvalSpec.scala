@@ -262,6 +262,31 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("quantileTreatment: exact per-arm medians and differences on " +
+      "a hand case; identical arms give zero QTE everywhere") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm A values {10,20,30}: p50=20; arm B {10,40}: p50 at
+    // rank ceil(3/2)... B n=2 → rank (2+1)//2=1 → p50=10
+    val rows = Seq((true, 10L), (true, 20L), (true, 30L),
+      (false, 10L), (false, 40L)).toDF("a", "v")
+    val r = graft.ops.Eval.quantileTreatment(rows, col("a"),
+      col("v")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 20L && r.getLong(3) == 10L &&
+      r.getLong(4) == -10L)
+    // p99 = max element for tiny n
+    assert(r.getLong(8) == 30L && r.getLong(9) == 40L &&
+      r.getLong(10) == 10L)
+    val same = Seq((true, 5L), (false, 5L), (true, 9L), (false, 9L))
+      .toDF("a", "v")
+    val rs = graft.ops.Eval.quantileTreatment(same, col("a"),
+      col("v")).head()
+    assert(rs.getLong(4) == 0L && rs.getLong(7) == 0L &&
+      rs.getLong(10) == 0L)
+  }
+
   test("anovaF: hand-worked two-group case; equal groups give F = 0") {
     val s = spark
     import s.implicits._
