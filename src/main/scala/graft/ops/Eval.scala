@@ -717,6 +717,43 @@ object Eval {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Two-proportion z² test — the conversion-rate sibling of
+    * [[welchTTest]]'s mean contrast (the standard pooled two-sample
+    * test for proportions): with k hits of n per arm,
+    * z² = (k₁n₂ − k₂n₁)²·(n₁+n₂) / (n₁n₂·(k₁+k₂)·(n₁+n₂−k₁−k₂)) —
+    * algebraically identical to the classic z with the pooled
+    * variance, rearranged so EVERYTHING is an exact integer
+    * (DECIMAL(38,0) products) until ONE final division; z² ≥ 3.84 is
+    * the familiar two-sided 5% line. Output: one row
+    * (n_a, n_b, k_a, k_b, rate_a, rate_b, z2).
+    */
+  def twoProportionZ(df: DataFrame, armCol: Column, isConv: Column)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = df.select(armCol.cast(LongType).as("arm"),
+        when(isConv, 1L).otherwise(0L).as("c"))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("c")).otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("c")).otherwise(0L)).as("k_b"))
+      .where(col("n_a") > 0L && col("n_b") > 0L &&
+        col("k_a") + col("k_b") > 0L &&
+        col("n_a") + col("n_b") > col("k_a") + col("k_b"))
+    val num = (col("k_a").cast(dec) * col("n_b") -
+      col("k_b").cast(dec) * col("n_a"))
+    val den = col("n_a").cast(dec) * col("n_b") *
+      (col("k_a") + col("k_b")) *
+      (col("n_a") + col("n_b") - col("k_a") - col("k_b"))
+    w.select(col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+      (col("k_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+        .as("rate_a"),
+      (col("k_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+        .as("rate_b"),
+      ((num * num * (col("n_a") + col("n_b"))).cast(DoubleType) /
+        den.cast(DoubleType)).as("z2"))
+  }
+
   /** Quantile treatment effects — where in the distribution the arms
     * differ (public: the QTE read of an experiment; Doksum 1974):
     * the mean can hide a lift that lives only in the tail, so report

@@ -1443,6 +1443,11 @@ object Queries {
               .as("x2")),
         "user_id", col("y"), col("x1"), col("x2"),
         col("user_id") % 3L)),
+    // two-proportion z-squared on purchase rates by arm: the rate
+    // sibling of ab_welch — exact integer products, one division
+    "two_proportion_z" -> ((s, d) =>
+      graft.ops.Eval.twoProportionZ(events(s, d),
+        col("user_id") % 2L, col("event_type") === "purchase")),
     // quantile treatment effects: arm difference of EXACT p50/p90/
     // p99 spend — where in the distribution the arms differ; pure
     // integer rank selection, windows partitioned by arm
@@ -2757,6 +2762,32 @@ object Queries {
         |     AS DOUBLE) FROM tst)
         |    / (SELECT CAST(count(*) AS DOUBLE) FROM tst) AS coverage
         |FROM cf, nc, q""".stripMargin,
+    // same HUGEINT rearrangement, one division
+    "two_proportion_z" ->
+      """WITH w AS (SELECT
+        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS k_a,
+        |  sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS k_b
+        |  FROM events),
+        |f AS (SELECT CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(k_a AS BIGINT) AS k_a,
+        |  CAST(k_b AS BIGINT) AS k_b,
+        |  CAST(k_a AS HUGEINT) * n_b - CAST(k_b AS HUGEINT) * n_a
+        |    AS num,
+        |  CAST(n_a AS HUGEINT) * n_b * (k_a + k_b)
+        |    * (n_a + n_b - k_a - k_b) AS den
+        |  FROM w
+        |  WHERE n_a > 0 AND n_b > 0 AND k_a + k_b > 0
+        |    AND n_a + n_b > k_a + k_b)
+        |SELECT n_a, n_b, k_a, k_b,
+        |  CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CAST(num * num * (n_a + n_b) AS DOUBLE)
+        |    / CAST(den AS DOUBLE) AS z2
+        |FROM f""".stripMargin,
     // identical ceil-rank arithmetic per arm; all-integer outputs
     "qte_arms" ->
       """WITH g AS (SELECT user_id % 2 = 0 AS a,

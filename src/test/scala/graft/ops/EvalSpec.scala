@@ -262,6 +262,29 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("twoProportionZ: textbook pooled z² on a hand case; equal " +
+      "rates give exactly 0") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm0: 4/10 convert, arm1: 1/10: num = 4*10-1*10 = 30,
+    // z2 = 30²*20 / (10*10*5*15) = 18000/7500 = 2.4
+    val rows = (Seq.fill(4)((0L, true)) ++ Seq.fill(6)((0L, false)) ++
+      Seq.fill(1)((1L, true)) ++ Seq.fill(9)((1L, false)))
+      .toDF("arm", "c")
+    val r = graft.ops.Eval.twoProportionZ(rows, col("arm"),
+      col("c")).head()
+    assert(r.getLong(0) == 10L && r.getLong(2) == 4L &&
+      r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.4 && r.getDouble(5) == 0.1)
+    assert(r.getDouble(6) == 2.4)
+    val same = (Seq.fill(2)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(2)((1L, true)) ++ Seq.fill(2)((1L, false)))
+      .toDF("arm", "c")
+    assert(graft.ops.Eval.twoProportionZ(same, col("arm"), col("c"))
+      .head().getDouble(6) == 0.0)
+  }
+
   test("quantileTreatment: exact per-arm medians and differences on " +
       "a hand case; identical arms give zero QTE everywhere") {
     val s = spark
