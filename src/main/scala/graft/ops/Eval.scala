@@ -717,6 +717,49 @@ object Eval {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Kendall tau-b rank stability — "did the leaderboard reshuffle":
+    * concordance of the top-`topK` entities' counts between two
+    * periods (public: Kendall 1938; tau-b handles ties). The
+    * data-sized work is two count aggregates + one TakeOrdered
+    * top-k; the O(topK²) pair census runs on the driver over the
+    * bounded top list (the zipf envelope). Everything is exact
+    * integer counting (concordant/discordant/tied pairs) until the
+    * one written-down tau = (C−D)/√((n0−t1)·(n0−t2)) — a product of
+    * exact-integer doubles under one sqrt, one division. Output:
+    * one row (n_items, n_pairs, concordant, discordant, tau_b).
+    */
+  def rankStability(df: DataFrame, entityCol: String,
+                    isFirst: Column, topK: Int = 100): DataFrame = {
+    val base = df.select(col(entityCol).as("e"), isFirst.as("h1"))
+    val top = base.where(col("h1")).groupBy(col("e"))
+      .agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("e").asc).limit(topK)
+    val rows = top
+      .join(base.where(!col("h1")).groupBy(col("e"))
+        .agg(count(lit(1)).as("c2")), Seq("e"), "left_outer")
+      .select(col("e"), col("c1"), coalesce(col("c2"), lit(0L)))
+      .orderBy(col("c1").desc, col("e").asc)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    require(n > 1, "rankStability: need at least two entities")
+    var conc = 0L; var disc = 0L; var t1 = 0L; var t2 = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val dx = java.lang.Long.compare(rows(i)._1, rows(j)._1)
+      val dy = java.lang.Long.compare(rows(i)._2, rows(j)._2)
+      if (dx == 0 && dy == 0) { t1 += 1; t2 += 1 }
+      else if (dx == 0) t1 += 1
+      else if (dy == 0) t2 += 1
+      else if (dx * dy > 0) conc += 1
+      else disc += 1
+    }
+    val n0 = n.toLong * (n - 1L) / 2L
+    val tau = (conc - disc).toDouble /
+      math.sqrt((n0 - t1).toDouble * (n0 - t2).toDouble)
+    df.sparkSession
+      .createDataFrame(Seq((n.toLong, n0, conc, disc, tau)))
+      .toDF("n_items", "n_pairs", "concordant", "discordant", "tau_b")
+  }
+
   /** Two-proportion z² test — the conversion-rate sibling of
     * [[welchTTest]]'s mean contrast (the standard pooled two-sample
     * test for proportions): with k hits of n per arm,

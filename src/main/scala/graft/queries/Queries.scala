@@ -1443,6 +1443,14 @@ object Queries {
               .as("x2")),
         "user_id", col("y"), col("x1"), col("x2"),
         col("user_id") % 3L)),
+    // Kendall tau-b leaderboard stability: did the top-100 parts'
+    // popularity order reshuffle between order-key halves — exact
+    // concordance counting over the bounded top list
+    "rank_stability" -> ((s, d) =>
+      graft.ops.Eval.rankStability(
+        Tables.lineitem(s, d).select(col("l_partkey"),
+          col("l_orderkey")),
+        "l_partkey", col("l_orderkey") % 2L === 0L)),
     // two-proportion z-squared on purchase rates by arm: the rate
     // sibling of ab_welch — exact integer products, one division
     "two_proportion_z" -> ((s, d) =>
@@ -2762,6 +2770,39 @@ object Queries {
         |     AS DOUBLE) FROM tst)
         |    / (SELECT CAST(count(*) AS DOUBLE) FROM tst) AS coverage
         |FROM cf, nc, q""".stripMargin,
+    // same top census; pair counting is symmetric so any strict
+    // pairing gives the op's exact integers; one sqrt, one division
+    "rank_stability" ->
+      """WITH b AS (SELECT l_partkey AS e, l_orderkey % 2 = 0 AS h1
+        |  FROM lineitem),
+        |t AS (SELECT e, count(*) AS c1 FROM b WHERE h1 GROUP BY 1
+        |  ORDER BY c1 DESC, e LIMIT 100),
+        |r AS (SELECT t.e, t.c1, coalesce(s.c2, 0) AS c2 FROM t
+        |  LEFT JOIN (SELECT e, count(*) AS c2 FROM b WHERE NOT h1
+        |    GROUP BY 1) s USING (e)),
+        |p AS (SELECT a.c1 AS x1, a.c2 AS y1, bb.c1 AS x2,
+        |  bb.c2 AS y2 FROM r a JOIN r bb ON a.e < bb.e),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN x1 <> x2 AND y1 <> y2
+        |    AND (x1 - x2) * (y1 - y2) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS conc,
+        |  CAST(sum(CASE WHEN x1 <> x2 AND y1 <> y2
+        |    AND (x1 - x2) * (y1 - y2) < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS disc,
+        |  CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS t1,
+        |  CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS t2
+        |  FROM p),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0
+        |  FROM r)
+        |SELECT n AS n_items, n0 AS n_pairs, conc AS concordant,
+        |  disc AS discordant,
+        |  CAST(conc - disc AS DOUBLE)
+        |    / sqrt(CAST(n0 - t1 AS DOUBLE) * CAST(n0 - t2 AS DOUBLE))
+        |    AS tau_b
+        |FROM c, nn""".stripMargin,
     // same HUGEINT rearrangement, one division
     "two_proportion_z" ->
       """WITH w AS (SELECT

@@ -262,6 +262,39 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("rankStability: identical orders give tau = 1, reversal -1, " +
+      "hand-worked ties") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // entities a,b,c with h1 counts 3,2,1; same order in h2 → tau 1
+    def mk(h1: Seq[(String, Int)], h2: Seq[(String, Int)]) =
+      (h1.flatMap { case (e, k) => Seq.fill(k)((e, true)) } ++
+        h2.flatMap { case (e, k) => Seq.fill(k)((e, false)) })
+        .toDF("e", "h1")
+    val same = mk(Seq(("a", 3), ("b", 2), ("c", 1)),
+      Seq(("a", 30), ("b", 20), ("c", 10)))
+    val r1 = graft.ops.Eval.rankStability(same, "e", col("h1"), 100)
+      .head()
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L)
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 0L)
+    assert(r1.getDouble(4) == 1.0)
+    // reversed second half → tau -1
+    val rev = mk(Seq(("a", 3), ("b", 2), ("c", 1)),
+      Seq(("a", 10), ("b", 20), ("c", 30)))
+    assert(graft.ops.Eval.rankStability(rev, "e", col("h1"), 100)
+      .head().getDouble(4) == -1.0)
+    // a y-tie removes one pair from the y denominator:
+    // h2 counts (5, 5, 1): pairs ab tied in y → conc 2, t2 = 1,
+    // tau = 2 / sqrt(3 * 2)
+    val tie = mk(Seq(("a", 3), ("b", 2), ("c", 1)),
+      Seq(("a", 5), ("b", 5), ("c", 1)))
+    val rt = graft.ops.Eval.rankStability(tie, "e", col("h1"), 100)
+      .head()
+    assert(rt.getLong(2) == 2L && rt.getLong(3) == 0L)
+    assert(rt.getDouble(4) == 2.0 / math.sqrt(3.0 * 2.0))
+  }
+
   test("twoProportionZ: textbook pooled z² on a hand case; equal " +
       "rates give exactly 0") {
     val s = spark
