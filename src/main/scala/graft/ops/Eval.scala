@@ -698,7 +698,11 @@ object Eval {
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     df.select(isA.as("__a"), valueCents.as("__c"))
-      .select(col("__a"), expr("__c div 100").as("v"))
+      // floor, not div: the oracle's // floors, and a negative cent
+      // value must land in the same dollar group cross-engine (the
+      // gini_spend discipline)
+      .select(col("__a"),
+        expr("CAST(floor(__c / 100) AS BIGINT)").as("v"))
       .groupBy(col("v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
