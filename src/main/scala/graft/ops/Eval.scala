@@ -721,6 +721,45 @@ object Eval {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Median with a distribution-free confidence interval — the
+    * order-statistic CI (public: the binomial/sign-test interval,
+    * normal-approximated ranks): for n observations the 95% CI for
+    * the median is [x₍ℓ₎, x₍n−ℓ+1₎] with
+    * ℓ = max(1, ⌊(n − z·√n)/2⌋), z = 1.959963984540054 — no
+    * distributional assumption on the values, only on the ranks.
+    * Everything is rank SELECTION over the per-group value census
+    * (exact integers; the one float excursion is the written-down
+    * ℓ arithmetic — one sqrt, one multiply, one subtract, one
+    * halving, floor — identical cross-engine); windows partition by
+    * group over value-domain rows. Output per group:
+    * (group, n, median, ci_lo, ci_hi), cents.
+    */
+  def medianCi(df: DataFrame, groupCol: String, valueCents: Column)
+      : DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(col("g"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    df.select(col(groupCol).as("g"), valueCents.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("lo_rank", greatest(lit(1L),
+        floor((col("n").cast(DoubleType) -
+          lit(1.959963984540054) * sqrt(col("n").cast(DoubleType)))
+          / lit(2.0)).cast(LongType)))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as("median"),
+        min(when(col("cum") >= col("lo_rank"), col("v"))).as("ci_lo"),
+        min(when(col("cum") >= expr("n - lo_rank + 1"), col("v")))
+          .as("ci_hi"))
+      .select(col("g").as(groupCol), col("n"), col("median"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Kendall tau-b rank stability — "did the leaderboard reshuffle":
     * concordance of the top-`topK` entities' counts between two
     * periods (public: Kendall 1938; tau-b handles ties). The

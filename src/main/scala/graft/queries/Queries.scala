@@ -1443,6 +1443,12 @@ object Queries {
               .as("x2")),
         "user_id", col("y"), col("x1"), col("x2"),
         col("user_id") % 3L)),
+    // median spend per type with the distribution-free sign-test CI:
+    // rank selection at normal-approx ranks — uncertainty on a
+    // quantile with no distributional assumption on values
+    "median_ci" -> ((s, d) =>
+      graft.ops.Eval.medianCi(events(s, d), "event_type",
+        round(col("value") * 100).cast(LongType))),
     // Kendall tau-b leaderboard stability: did the top-100 parts'
     // popularity order reshuffle between order-key halves — exact
     // concordance counting over the bounded top list
@@ -2770,6 +2776,24 @@ object Queries {
         |     AS DOUBLE) FROM tst)
         |    / (SELECT CAST(count(*) AS DOUBLE) FROM tst) AS coverage
         |FROM cf, nc, q""".stripMargin,
+    // identical rank arithmetic (the one float excursion is the
+    // written-down lo_rank formula); selections exact integers
+    "median_ci" ->
+      """WITH g AS (SELECT event_type AS gp,
+        |  CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cu AS (SELECT gp, v, c,
+        |  sum(c) OVER (PARTITION BY gp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY gp) AS n FROM g),
+        |r AS (SELECT *, greatest(1, CAST(floor((CAST(n AS DOUBLE)
+        |  - 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        |  AS BIGINT)) AS lo_rank FROM cu)
+        |SELECT gp AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median,
+        |  min(CASE WHEN cum >= lo_rank THEN v END) AS ci_lo,
+        |  min(CASE WHEN cum >= n - lo_rank + 1 THEN v END) AS ci_hi
+        |FROM r GROUP BY 1""".stripMargin,
     // same top census; pair counting is symmetric so any strict
     // pairing gives the op's exact integers; one sqrt, one division
     "rank_stability" ->

@@ -262,6 +262,24 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("medianCi: hand-worked interval on 1..25; CI brackets the " +
+      "median and widens as n shrinks") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // n=25: median rank 13 → 13; lo = floor((25 - 1.96*5)/2) = 7
+    // → ci = [x(7), x(19)] = [7, 19]
+    val rows = (1L to 25L).map(("a", _)).toDF("g", "v")
+    val r = graft.ops.Eval.medianCi(rows, "g", col("v")).head()
+    assert(r.getLong(1) == 25L && r.getLong(2) == 13L)
+    assert(r.getLong(3) == 7L && r.getLong(4) == 19L)
+    // tiny group: lo clamps to 1 → CI spans the whole sample
+    val tiny = (1L to 3L).map(("b", _)).toDF("g", "v")
+    val t = graft.ops.Eval.medianCi(tiny, "g", col("v")).head()
+    assert(t.getLong(2) == 2L && t.getLong(3) == 1L &&
+      t.getLong(4) == 3L)
+  }
+
   test("rankStability: identical orders give tau = 1, reversal -1, " +
       "hand-worked ties") {
     val s = spark
