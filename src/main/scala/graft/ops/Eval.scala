@@ -721,6 +721,51 @@ object Eval {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Classifier agreement — Cohen's kappa (public: Cohen 1960) and
+    * McNemar's paired test (public: McNemar 1947) in one row: kappa
+    * measures agreement BEYOND CHANCE between two binary raters
+    * (kappa = (pₒ − pₑ)/(1 − pₑ), rearranged to the exact-integer
+    * (D·n − P)/(n² − P) with P the chance-agreement cross products),
+    * and McNemar asks whether the two raters' ERROR RATES against
+    * the truth differ, using only the disagreement counts:
+    * χ² = (b − c)²/(b + c). Both are exact DECIMAL arithmetic until
+    * ONE division each; degenerate denominators (constant raters /
+    * no disagreements) emit 0.0, documented. One aggregate pass.
+    * Output: (n, n_agree, kappa, b, c, mcnemar_chi2).
+    */
+  def classifierAgreement(df: DataFrame, r1: Column, r2: Column,
+                          truth: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = df.select(r1.as("a"), r2.as("b"), truth.as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"),
+        sum(when((col("a") === col("t")) && (col("b") =!= col("t")),
+          1L).otherwise(0L)).as("bb"),
+        sum(when((col("a") =!= col("t")) && (col("b") === col("t")),
+          1L).otherwise(0L)).as("cc"))
+    val p = (col("n11") + col("n10")).cast(dec) *
+      (col("n11") + col("n01")) +
+      (col("n01") + col("n00")).cast(dec) * (col("n10") + col("n00"))
+    val n2 = col("n").cast(dec) * col("n")
+    w.withColumn("kappa",
+        when(n2 - p > 0,
+          ((col("n11") + col("n00")).cast(dec) * col("n") - p)
+            .cast(DoubleType) / (n2 - p).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .withColumn("mcnemar_chi2",
+        when(col("bb") + col("cc") > 0L,
+          ((col("bb") - col("cc")).cast(dec) *
+            (col("bb") - col("cc"))).cast(DoubleType) /
+            (col("bb") + col("cc")).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .select(col("n"), (col("n11") + col("n00")).as("n_agree"),
+        col("kappa"), col("bb").as("b"), col("cc").as("c"),
+        col("mcnemar_chi2"))
+  }
+
   /** Median with a distribution-free confidence interval — the
     * order-statistic CI (public: the binomial/sign-test interval,
     * normal-approximated ranks): for n observations the 95% CI for

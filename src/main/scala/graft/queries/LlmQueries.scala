@@ -1199,6 +1199,18 @@ object LlmQueries {
       docs(s, d).select(col("lang"),
         TextOps.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))),
+    // do the two English detectors agree beyond chance, and do their
+    // ERROR RATES differ — Cohen's kappa + McNemar between the
+    // marker-vote langid and the hashed linear classifier, truth =
+    // the lang column; exact integers until one division each
+    "classifier_agreement" -> ((s, d) =>
+      graft.ops.Eval.classifierAgreement(
+        docs(s, d).select(
+          TextOps.langId(col("text")).as("li"),
+          graft.functions.GraftFunctions.linearScore(col("text"),
+            TextOps.classifierWeights).as("sc"),
+          col("lang")),
+        col("li") === "en", col("sc") > 0L, col("lang") === "en")),
     // N4 pipeline — deterministic stratified train/val/test split by
     // content hash, reported per (lang, split): the reproducible data
     // split every training run hangs on. Content-hash keying keeps
@@ -3499,6 +3511,73 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY cnt DESC, term) AS BIGINT) AS rnk FROM c)
         |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // langid CASE ladder + the hashed-score CTE, then the exact
+    // integer kappa/McNemar rearrangements
+    "classifier_agreement" -> {
+      val markers = TextOps.langMarkers
+      val counts = markers.map { case (lang, ms) =>
+        val pred = ms.map(m => s"t='$m'").mkString(" OR ")
+        s"len(list_filter(w, t -> $pred)) AS c_$lang"
+      }.mkString(",\n  ")
+      val best = markers.map { case (lang, _) => s"c_$lang" }
+        .reduce((x, y) => s"greatest($x, $y)")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN c_$lang > 0 AND c_$lang = best THEN '$lang'"
+      }.mkString("\n  ")
+      val ws = TextOps.classifierWeights
+        .map(x => s"CAST($x AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH bw AS (SELECT doc_id,
+         |  string_split(lower(text), ' ') AS w FROM documents),
+         |cc0 AS (SELECT doc_id, $counts FROM bw),
+         |mm AS (SELECT doc_id, c_en, c_es, c_de, c_fr,
+         |  $best AS best FROM cc0),
+         |li AS (SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'unknown' END AS lang_id FROM mm),
+         |sc AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+         |    string_split(text, ' '),
+         |    t -> ($ws)[1 + CAST(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(t)+1),
+         |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc*31+c) % ${TextOps.FpMod})
+         |      % ${TextOps.classifierDim} AS INT)])), 0) AS BIGINT)
+         |    AS s FROM documents),
+         |j AS (SELECT li.lang_id = 'en' AS a, sc.s > 0 AS b,
+         |  d.lang = 'en' AS t
+         |  FROM documents d JOIN li USING (doc_id)
+         |  JOIN sc USING (doc_id)),
+         |w AS (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS HUGEINT)
+         |    AS n11,
+         |  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+         |    AS HUGEINT) AS n10,
+         |  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+         |    AS HUGEINT) AS n01,
+         |  CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+         |    AS HUGEINT) AS n00,
+         |  CAST(sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS bb,
+         |  CAST(sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS cc
+         |  FROM j),
+         |f AS (SELECT *,
+         |  (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+         |    AS p,
+         |  CAST(n AS HUGEINT) * n AS n2 FROM w)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CAST(n11 + n00 AS BIGINT) AS n_agree,
+         |  CASE WHEN n2 - p > 0 THEN
+         |    CAST((n11 + n00) * n - p AS DOUBLE)
+         |      / CAST(n2 - p AS DOUBLE)
+         |  ELSE 0.0 END AS kappa,
+         |  bb AS b, cc AS c,
+         |  CASE WHEN bb + cc > 0 THEN
+         |    CAST(CAST(bb - cc AS HUGEINT) * (bb - cc) AS DOUBLE)
+         |      / CAST(bb + cc AS DOUBLE)
+         |  ELSE 0.0 END AS mcnemar_chi2
+         |FROM f""".stripMargin
+    },
     "langid_confusion" -> {
       val markers = TextOps.langMarkers
       val counts = markers.map { case (lang, ms) =>

@@ -262,6 +262,33 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("classifierAgreement: perfect agreement gives kappa 1; " +
+      "independence gives 0; hand-worked McNemar") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfect agreement, balanced
+    val perfect = (Seq.fill(5)((true, true, true)) ++
+      Seq.fill(5)((false, false, false))).toDF("a", "b", "t")
+    val rp = graft.ops.Eval.classifierAgreement(perfect, col("a"),
+      col("b"), col("t")).head()
+    assert(rp.getLong(1) == 10L && rp.getDouble(2) == 1.0)
+    assert(rp.getDouble(5) == 0.0)
+    // independent raters: each cell 25 → kappa exactly 0
+    val ind = (for { a <- Seq(true, false); b <- Seq(true, false);
+      _ <- 1 to 25 } yield (a, b, a)).toDF("a", "b", "t")
+    assert(graft.ops.Eval.classifierAgreement(ind, col("a"),
+      col("b"), col("t")).head().getDouble(2) == 0.0)
+    // McNemar: a right/b wrong 6 times, reverse 2 → (6-2)²/8 = 2
+    val mc = (Seq.fill(6)((true, false, true)) ++
+      Seq.fill(2)((false, true, true)) ++
+      Seq.fill(4)((true, true, true))).toDF("a", "b", "t")
+    val rm = graft.ops.Eval.classifierAgreement(mc, col("a"),
+      col("b"), col("t")).head()
+    assert(rm.getLong(3) == 6L && rm.getLong(4) == 2L)
+    assert(rm.getDouble(5) == 2.0)
+  }
+
   test("medianCi: hand-worked interval on 1..25; CI brackets the " +
       "median and widens as n shrinks") {
     val s = spark
