@@ -721,6 +721,40 @@ object Eval {
           (col("n_a") * col("n_b")).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Binary precision/recall/F1 — the confusion summary every
+    * classifier card leads with: exact tp/fp/fn/tn counts, precision
+    * and recall ONE division each, F1 the written-down
+    * 2·(p·r)/(p + r); zero denominators emit 0.0 (documented).
+    * One aggregate pass. Output:
+    * (n, tp, fp, fn, tn, precision, recall, f1).
+    */
+  def binaryPrf(df: DataFrame, pred: Column, truth: Column)
+      : DataFrame = {
+    val w = df.select(pred.as("p"), truth.as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") && col("t"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("t"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("t"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && !col("t"), 1L).otherwise(0L)).as("tn"))
+    w.withColumn("precision",
+        when(col("tp") + col("fp") > 0L,
+          col("tp").cast(DoubleType) /
+            (col("tp") + col("fp")).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast(DoubleType) /
+            (col("tp") + col("fn")).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * (col("precision") * col("recall")) /
+            (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
   /** Classifier agreement — Cohen's kappa (public: Cohen 1960) and
     * McNemar's paired test (public: McNemar 1947) in one row: kappa
     * measures agreement BEYOND CHANCE between two binary raters

@@ -1199,6 +1199,16 @@ object LlmQueries {
       docs(s, d).select(col("lang"),
         TextOps.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))),
+    // the classifier card's headline row: P/R/F1 of the hashed
+    // linear English detector against the lang label — exact counts,
+    // one division each, written-down F1
+    "classifier_prf" -> ((s, d) =>
+      graft.ops.Eval.binaryPrf(
+        docs(s, d).select(
+          graft.functions.GraftFunctions.linearScore(col("text"),
+            TextOps.classifierWeights).as("sc"),
+          col("lang")),
+        col("sc") > 0L, col("lang") === "en")),
     // do the two English detectors agree beyond chance, and do their
     // ERROR RATES differ — Cohen's kappa + McNemar between the
     // marker-vote langid and the hashed linear classifier, truth =
@@ -3511,6 +3521,44 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY cnt DESC, term) AS BIGINT) AS rnk FROM c)
         |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // hashed-score CTE, exact counts, the same guarded divisions
+    "classifier_prf" -> {
+      val ws = TextOps.classifierWeights
+        .map(x => s"CAST($x AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH sc AS (SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    string_split(text, ' '),
+         |    t -> ($ws)[1 + CAST(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(t)+1),
+         |          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc*31+c) % ${TextOps.FpMod})
+         |      % ${TextOps.classifierDim} AS INT)])), 0) AS BIGINT)
+         |    AS s FROM documents),
+         |j AS (SELECT sc.s > 0 AS p, d.lang = 'en' AS t
+         |  FROM documents d JOIN sc USING (doc_id)),
+         |w AS (SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tp,
+         |  CAST(sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT p AND t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |  FROM j),
+         |f AS (SELECT *,
+         |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+         |    / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+         |    / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS recall
+         |  FROM w)
+         |SELECT n, tp, fp, fn, tn, precision, recall,
+         |  CASE WHEN precision + recall > 0.0 THEN
+         |    2.0 * (precision * recall) / (precision + recall)
+         |  ELSE 0.0 END AS f1
+         |FROM f""".stripMargin
+    },
     // langid CASE ladder + the hashed-score CTE, then the exact
     // integer kappa/McNemar rearrangements
     "classifier_agreement" -> {

@@ -262,6 +262,25 @@ class EvalSpec extends SparkSuite {
     assert(graft.ops.Eval.kaplanMeier(cens, "dur", "ev").count() == 0)
   }
 
+  test("binaryPrf: hand-worked confusion; degenerate all-negative " +
+      "predictions emit 0.0, not NaN") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // tp=3 fp=1 fn=2 tn=4: p=0.75, r=0.6, f1=2*.45/1.35 = 2/3
+    val rows = (Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false))
+      ++ Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("p", "t")
+    val r = graft.ops.Eval.binaryPrf(rows, col("p"), col("t")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 1L, 2L, 4L)))
+    assert(r.getDouble(5) == 0.75 && r.getDouble(6) == 0.6)
+    assert(r.getDouble(7) == 2.0 * (0.75 * 0.6) / (0.75 + 0.6))
+    val none = Seq((false, true), (false, false)).toDF("p", "t")
+    val rn = graft.ops.Eval.binaryPrf(none, col("p"), col("t")).head()
+    assert(rn.getDouble(5) == 0.0 && rn.getDouble(7) == 0.0)
+  }
+
   test("classifierAgreement: perfect agreement gives kappa 1; " +
       "independence gives 0; hand-worked McNemar") {
     val s = spark
