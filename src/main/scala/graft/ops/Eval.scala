@@ -1488,4 +1488,110 @@ object Eval {
         col("bonus"),
         (col("mean_cents") + lit(scaleCents) * col("bonus")).as("ucb"))
   }
+
+  /** Cramér's V — the [0,1]-normalized strength of association between
+    * two categorical columns (public: Cramér 1946), the single-number
+    * summary over [[contingencyLift]]'s cell table: V =
+    * √(χ²/(n·min(r−1, c−1))). Answers "how strongly does feature X
+    * determine label Y" on a scale comparable ACROSS feature pairs,
+    * which raw χ² (unbounded in n and table size) cannot.
+    *
+    * Exactness: χ² is computed through the zero-cell-free identity
+    * Σ(O−E)²/E = Σ_{observed} O²·n/(n_x·n_y) − n, so only OBSERVED
+    * cells contribute and no row×col grid is materialized. Each term
+    * is one multiply/divide chain over exact BIGINTs cast to double
+    * in a written-down order, and the cross-cell sum folds
+    * left-to-right over the (x, y)-sorted cell list (the km_logrank
+    * ordered-fold discipline) — bit-identical to the oracle's
+    * `list_reduce(list(term ORDER BY x, y))`.
+    *
+    * Shape: one hash aggregate to cells (vocabulary², never
+    * row-bound), marginals re-aggregated from the cell frame and
+    * broadcast back; the fold runs over one collected cell LIST in a
+    * single-row aggregate — bounded by the category vocabularies.
+    * O²·n stays below 2^63 up to ~3·10⁹ rows per cell; beyond that
+    * swap the term to (O/n_x)·(O/n_y)·n in doubles (noted, not
+    * needed at this fixture's scale).
+    */
+  def cramersV(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.cast(StringType).as("x"),
+        yCol.cast(LongType).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("o")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("o")).as("ny"))
+    val rtot = nx.agg(sum(col("nx")).as("n"),
+        count(lit(1)).as("r_levels"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+    val ctot = ny.agg(count(lit(1)).as("c_levels"))
+      .withColumn("__jk", pmod(xxhash64(col("c_levels")), lit(1L)))
+    val terms = cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .withColumn("__jk", pmod(xxhash64(col("o")), lit(1L)))
+      .join(broadcast(rtot), Seq("__jk"))
+      .select(col("x"), col("y"), col("n"), col("r_levels"),
+        ((col("o") * col("o")).cast(DoubleType)
+          * col("n").cast(DoubleType)
+          / (col("nx") * col("ny")).cast(DoubleType)).as("term"))
+    terms
+      .groupBy(col("n"), col("r_levels"))
+      .agg(collect_list(struct(col("x"), col("y"), col("term")))
+        .as("ts"))
+      .select(col("n"), col("r_levels"),
+        (aggregate(sort_array(col("ts")), lit(0.0),
+          (acc, t) => acc + t.getField("term"))
+          - col("n").cast(DoubleType)).as("chi2"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+      .join(broadcast(ctot), Seq("__jk"))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("chi2"),
+        sqrt(col("chi2") /
+          (col("n") * least(col("r_levels") - 1L, col("c_levels") - 1L))
+            .cast(DoubleType)).as("v"))
+  }
+
+  /** Decile gain/lift table — the capture-curve companion of
+    * [[rankAuc]] (one number) and calibrationBins (probability
+    * quality): rank rows by a score descending, cut into `buckets`
+    * equal-depth bins under the total (score DESC, id ASC) order, and
+    * report per bin the positives captured, the cumulative capture
+    * rate, and the lift over random — the "top-decile contains 4.2×
+    * its share of positives" artifact every targeting/triage model
+    * review starts from.
+    *
+    * Scale shape — NO global row sort: per-score-group offsets come
+    * from a cumulative window over the bounded SCORE census (group
+    * counts, vocabulary-bound), and within-group ranks from a window
+    * PARTITIONED by score; global rank = offset + within-rank. The
+    * bin id ((rank−1)·B) div n and every count are exact BIGINTs; the
+    * only doubles are the two final divisions.
+    */
+  def cumulativeGain(df: DataFrame, idCol: String, scoreCol: Column,
+                     isPos: Column, buckets: Int = 10): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"),
+      scoreCol.cast(LongType).as("s"),
+      when(isPos, 1L).otherwise(0L).as("p"))
+    val wOff = W.orderBy(col("s").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val offs = rows.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_end", sum(col("cnt")).over(wOff))
+      .select(col("s"), (col("cum_end") - col("cnt")).as("off"))
+    val tot = rows.agg(count(lit(1)).as("n"), sum(col("p")).as("tot_pos"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+    val wIn = W.partitionBy(col("s")).orderBy(col("id"))
+    val wCum = W.orderBy(col("decile"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    rows.join(broadcast(offs), "s")
+      .withColumn("rank", col("off") + row_number().over(wIn))
+      .withColumn("__jk", pmod(xxhash64(col("p")), lit(1L)))
+      .join(broadcast(tot), Seq("__jk"))
+      .select(expr(s"((rank - 1L) * ${buckets}L) div n").as("decile"),
+        col("p"), col("n"), col("tot_pos"))
+      .groupBy(col("decile"), col("n"), col("tot_pos"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("n_pos"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("decile"), col("n_rows"), col("n_pos"), col("cum_pos"),
+        (col("cum_pos").cast(DoubleType) / col("tot_pos").cast(DoubleType))
+          .as("capture"),
+        ((col("n_pos") * col("n")).cast(DoubleType) /
+          (col("n_rows") * col("tot_pos")).cast(DoubleType)).as("lift"))
+  }
 }

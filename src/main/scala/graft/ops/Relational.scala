@@ -785,4 +785,82 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(seqCol)
   }
+
+  /** RFM segmentation — the classic marketing/behavior census: each
+    * user scored 1..5 on Recency (days since last event at a FIXED
+    * reference second — reproducible, the decayScore rule), Frequency
+    * (event count) and Monetary (total cents), then users counted per
+    * (r, f, m) cell. Score 5 = best (most recent / most frequent /
+    * highest spend).
+    *
+    * Scoring is VALUE-CENSUS quintile binning, not per-row ntile:
+    * each metric is quantized (recency to whole days, frequency as-is,
+    * monetary to whole dollars), the census of distinct quantized
+    * values gets cumulative counts over one bounded unpartitioned
+    * window (bounded by the QUANTIZATION GRID — calendar days,
+    * plausible per-user counts, dollar buckets — never by user
+    * count), and a value's bin is the quintile of its FIRST row under
+    * the (value, tie-free) total order: bin = (cum_before·5) div n.
+    * Users tied on a metric value land in the same bin by
+    * construction (deterministic, engine-exact, no per-row tiebreak
+    * needed), which is the honest semantics for a segmentation. All
+    * integers end to end; the oracle replays the same formula.
+    */
+  def rfmSegments(events: DataFrame, refEpochSec: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = events.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("value"))).as("cts"))
+      .select(col("user_id"),
+        expr(s"(${refEpochSec}L * 1000000L - last_us) div 86400000000L")
+          .as("rec_days"),
+        col("freq"), col("cts"), expr("cts div 10000L").as("dollars_h"))
+    // per-metric value census → quintile of the group's first row;
+    // `asc` = larger value ⇒ higher bin ⇒ used for F/M (more = best),
+    // descending input (recency: smaller = best) passes asc = false
+    def bins(metric: String, asc: Boolean): DataFrame = {
+      val ord = if (asc) col(metric).asc else col(metric).desc
+      val wc = W.orderBy(ord)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val census = per.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+      census
+        .withColumn("cum_end", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(
+          W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .select(col(metric),
+          (expr("((cum_end - cnt) * 5L) div n") + 1L)
+            .as(s"${metric}_score"))
+    }
+    per
+      .join(broadcast(bins("rec_days", asc = false)), "rec_days")
+      .join(broadcast(bins("freq", asc = true)), "freq")
+      .join(broadcast(bins("dollars_h", asc = true)), "dollars_h")
+      .groupBy(col("rec_days_score").as("r_score"),
+        col("freq_score").as("f_score"),
+        col("dollars_h_score").as("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cts")).as("sum_cents"))
+  }
+
+  /** Daily new-vs-returning split — the acquisition/retention pulse
+    * line of every product dashboard: per day, how many DISTINCT
+    * active users were seen for the first time that day vs seen
+    * before. First-touch day is a per-user min (one hash aggregate),
+    * the active set a per-(day, user) distinct (second aggregate);
+    * the classifying join is user-keyed. No windows, all counts.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        col("user_id"))
+      .distinct()
+    val first = byDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    byDay.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+        .as("new_users"),
+        sum(when(col("day") === col("first_day"), 0L).otherwise(1L))
+          .as("returning_users"))
+  }
 }

@@ -1104,4 +1104,48 @@ object Similarity {
       v.toSeq.zipWithIndex.map { case (l, idx) => (idx.toLong, l, eig) })
       .toDF("i", "loading", "eigval")
   }
+
+  /** Per-label embedding cohesion — mean pairwise inner product of a
+    * label's vectors WITHOUT materializing pairs, via the sum-vector
+    * identity Σ_{i≠j}⟨vᵢ,vⱼ⟩ = ‖Σv‖² − Σ‖v‖² (the Gram-sum trick;
+    * with ~unit embeddings this IS mean pairwise cosine): the
+    * within-cluster tightness number next to centroidSeparation's
+    * BETWEEN-cluster angle — "is this label a coherent region or a
+    * grab bag", the first diagnostic on a labeled embedding dump.
+    *
+    * Shape: one posexplode to (label, dim) partial sums (O(n·d) rows,
+    * ONE shuffle keyed by label·dim), one per-row norm aggregate —
+    * never the O(n²) pair frame the naive form needs. Exactness:
+    * quantized-integer components (Dedup.quantize), so ‖Σv‖² and
+    * Σ‖v‖² are exact DECIMAL(38,0)/BIGINT sums and the mean is ONE
+    * division; bit-identical to the oracle by construction.
+    */
+  def labelCohesion(emb: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = emb.select(col(labelCol).cast(LongType).as("label"),
+      Dedup.quantize(col(vecCol)).as("qv"))
+    val sums = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("label"))
+      .agg(sum(col("sv").cast(dec) * col("sv").cast(dec)).as("sum_sq"))
+    val norms = q
+      .select(col("label"),
+        graft.ops.Dedup.qdot(col("qv"), col("qv")).as("nn"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("nn").cast(dec)).as("norm_sq"))
+    norms.join(broadcast(sums), "label")
+      .where(col("n") > 1L)
+      // outputs cast to BIGINT for the cross-engine compare (exact at
+      // |qv|≤1000, d=64 up to ~4e5 vectors/label; internal sums ride
+      // DECIMAL(38,0) so the aggregate itself never wraps)
+      .select(col("label"), col("n"),
+        (col("sum_sq") - col("norm_sq")).cast(LongType)
+          .as("pair_dot_sum"),
+        ((col("sum_sq") - col("norm_sq")).cast(DoubleType) /
+          (col("n") * (col("n") - 1L)).cast(DoubleType))
+          .as("mean_pair_dot"))
+  }
 }

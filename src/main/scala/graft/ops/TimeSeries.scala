@@ -605,4 +605,55 @@ object TimeSeries {
         slope, intercept)))
       .toDF("n_days", "n_pairs", "slope_cpd", "intercept_c")
   }
+
+  /** Mann–Kendall trend test over the daily-total series — the
+    * nonparametric SIGNIFICANCE companion of [[theilSen]]'s slope
+    * estimate (public: Mann 1945, Kendall 1975; the pair ships
+    * together in every hydrology/monitoring toolbox): S = Σ_{i<j}
+    * sign(xⱼ − xᵢ) counts concordant minus discordant day pairs, and
+    * the normal approximation z = (S ∓ 1)/√Var(S) with the tie
+    * correction Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 decides
+    * trend at α = 0.05. Answers "is this metric drifting?" without
+    * theilSen's linearity assumption on the magnitude.
+    *
+    * Shape/exactness: identical to theilSen — one hash aggregate to
+    * the bounded DAY domain (calendar-bound census, ~365 points/year,
+    * never row-bound), then the O(days²) pair walk on the driver over
+    * that census. S and the 18-scaled variance are exact BIGINTs
+    * (ties found by grouping equal totals); the only doubles are one
+    * division by 18, one IEEE sqrt, and one final division — the same
+    * written-down op order the oracle replays. Output: one row
+    * (n_days, s_stat, var18, z, trend).
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val pts = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        round(col("value") * 100).cast(LongType).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(pts.length > 2, "mannKendall: need at least three days")
+    var s = 0L
+    for { i <- pts.indices; j <- (i + 1) until pts.length } {
+      val d = pts(j)._2 - pts(i)._2
+      s += (if (d > 0) 1L else if (d < 0) -1L else 0L)
+    }
+    val n = pts.length.toLong
+    val tie18 = pts.groupBy(_._2).valuesIterator
+      .map(_.length.toLong).filter(_ > 1L)
+      .map(t => t * (t - 1L) * (2L * t + 5L)).sum
+    val var18 = n * (n - 1L) * (2L * n + 5L) - tie18
+    val varS = var18.toDouble / 18.0
+    val z =
+      if (s > 0L) (s - 1L).toDouble / math.sqrt(varS)
+      else if (s < 0L) (s + 1L).toDouble / math.sqrt(varS)
+      else 0.0
+    val trend =
+      if (z > 1.959963984540054) "increasing"
+      else if (z < -1.959963984540054) "decreasing"
+      else "none"
+    events.sparkSession
+      .createDataFrame(Seq((n, s, var18, z, trend)))
+      .toDF("n_days", "s_stat", "var18", "z", "trend")
+  }
 }

@@ -954,6 +954,19 @@ object LlmQueries {
     "rank_auc" -> ((s, d) =>
       graft.ops.Eval.rankAuc(docs(s, d), "n_chars",
         col("lang") === "en")),
+    // eval metric — the capture-curve companion of rank_auc: decile
+    // gain/lift table of the same length-ranks-English question under
+    // the (score DESC, doc_id) total order; census-offset ranking,
+    // no global row sort
+    "cumulative_gain" -> ((s, d) =>
+      graft.ops.Eval.cumulativeGain(docs(s, d), "doc_id",
+        col("n_chars"), col("lang") === "en")),
+    // embedding-space health — per-label mean pairwise inner product
+    // via the Gram-sum identity ‖Σv‖² − Σ‖v‖² (within-cluster
+    // tightness, the companion of centroid_separation's between-
+    // cluster angle); O(n·d) partial sums, never the pair frame
+    "label_cohesion" -> ((s, d) =>
+      Similarity.labelCohesion(emb(s, d), "label", "embedding")),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
     // N4 — Simpson character-diversity quality signal: probability two
@@ -4431,6 +4444,57 @@ object LlmQueries {
         |  CAST(sum2r - n_pos * (n_pos + 1) AS DOUBLE)
         |    / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc
         |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    // the oracle ranks directly (a global row_number is fine HERE);
+    // the op's census-offset ranking is proven equal to this total
+    // (score DESC, id) order
+    "cumulative_gain" ->
+      """WITH d0 AS (SELECT doc_id AS id, n_chars AS s,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(p) AS BIGINT) AS tot_pos FROM d0),
+        |r AS (SELECT p, row_number() OVER (ORDER BY s DESC, id)
+        |  AS rn FROM d0),
+        |dec AS (SELECT ((rn - 1) * 10) // (SELECT n FROM t)
+        |    AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(p) AS BIGINT) AS n_pos
+        |  FROM r GROUP BY 1),
+        |cum AS (SELECT decile, n_rows, n_pos,
+        |  CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pos FROM dec)
+        |SELECT decile, n_rows, n_pos, cum_pos,
+        |  CAST(cum_pos AS DOUBLE)
+        |    / CAST((SELECT tot_pos FROM t) AS DOUBLE) AS capture,
+        |  CAST(n_pos * (SELECT n FROM t) AS DOUBLE)
+        |    / CAST(n_rows * (SELECT tot_pos FROM t) AS DOUBLE)
+        |    AS lift
+        |FROM cum""".stripMargin,
+    // Gram-sum identity replayed over the quantized lists; norms sum
+    // over (row, dim) flattened cells — same total as per-row ‖v‖²
+    "label_cohesion" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |  list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |u AS (SELECT label, unnest(qv) AS v,
+        |  unnest(range(1, len(qv) + 1)) AS pos FROM q),
+        |sm AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM u GROUP BY 1, 2),
+        |ss AS (SELECT label, sum(sv * sv) AS sum_sq
+        |  FROM sm GROUP BY 1),
+        |nr AS (SELECT label, sum(v * v) AS norm_sq
+        |  FROM u GROUP BY 1),
+        |cn AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY 1)
+        |SELECT label, n,
+        |  CAST(sum_sq - norm_sq AS BIGINT) AS pair_dot_sum,
+        |  CAST(CAST(sum_sq - norm_sq AS BIGINT) AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) AS mean_pair_dot
+        |FROM cn JOIN ss USING (label) JOIN nr USING (label)
+        |WHERE n > 1""".stripMargin,
     // bounded recursion replays the hop relaxation; min(dist) per
     // node collapses the path multiplicity the recursive walk emits
     "graph_bfs" ->

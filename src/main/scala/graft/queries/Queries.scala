@@ -1544,6 +1544,28 @@ object Queries {
     // only, immune to flash-sale outlier days that drag OLS
     "theil_sen" -> ((s, d) =>
       graft.ops.TimeSeries.theilSen(events(s, d))),
+    // Mann-Kendall trend SIGNIFICANCE over the same daily census as
+    // theil_sen: exact integer S and 18-scaled tie-corrected
+    // variance; z (one sqrt, two divisions) and the alpha=0.05
+    // verdict are the only non-integers
+    "mann_kendall" -> ((s, d) =>
+      graft.ops.TimeSeries.mannKendall(events(s, d))),
+    // Cramér's V between event type and day-of-week index — the
+    // [0,1]-normalized association strength over the contingency
+    // cells; chi2 via the zero-cell-free identity ΣO²n/(nx·ny) − n,
+    // cross-cell sum by the (x,y)-sorted fold
+    "cramers_v" -> ((s, d) =>
+      graft.ops.Eval.cramersV(events(s, d), col("event_type"),
+        expr("(unix_micros(ts) div 86400000000L) % 7"))),
+    // RFM segmentation at the decay_score reference instant —
+    // value-census quintile binning (bounded by the quantization
+    // grid, not user count), all integers end to end
+    "rfm_segments" -> ((s, d) =>
+      Relational.rfmSegments(events(s, d), refEpochSec = 1706659200L)),
+    // daily acquisition pulse: new vs returning distinct actives per
+    // day — two hash aggregates and a user-keyed join, no windows
+    "new_vs_returning" -> ((s, d) =>
+      Relational.newVsReturning(events(s, d))),
     // CUPED variance reduction: pre-period (Jan 1-14) spend is the
     // covariate, in-period (Jan 15+) spend the metric, arms by id
     // parity — one per-user aggregate, one single-row fold, every
@@ -3107,6 +3129,112 @@ object Queries {
         |  (SELECT sl FROM sel) AS slope_cpd,
         |  (SELECT r FROM ic) AS intercept_c
         |FROM cnts""".stripMargin,
+    // the same daily census; S from the pair walk, ties grouped on
+    // equal totals, z replaying the op's exact (s∓1)/sqrt(var18/18)
+    "mann_kendall" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CASE WHEN b.cents > a.cents THEN 1
+        |    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM daily
+        |  GROUP BY cents HAVING count(*) > 1),
+        |c AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+        |  (SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) FROM p) AS s,
+        |  (SELECT CAST(coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0)
+        |    AS BIGINT) FROM t) AS tie18),
+        |v AS (SELECT n, s,
+        |  n * (n - 1) * (2 * n + 5) - tie18 AS var18 FROM c),
+        |z AS (SELECT n, s, var18,
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z FROM v)
+        |SELECT n AS n_days, s AS s_stat, var18, z,
+        |  CASE WHEN z > 1.959963984540054 THEN 'increasing'
+        |    WHEN z < -1.959963984540054 THEN 'decreasing'
+        |    ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
+    // observed-cell chi2 identity; term order pinned by the (x,y)
+    // sorted list fold, V one sqrt of one division
+    "cramers_v" ->
+      """WITH e AS (SELECT event_type AS x,
+        |  (epoch_us(ts) // 86400000000) % 7 AS y FROM events),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o
+        |  FROM e GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(o) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(o) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |c0 AS (SELECT
+        |  (SELECT CAST(sum(nx) AS BIGINT) FROM nx) AS n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nx) AS r_levels,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ny) AS c_levels),
+        |terms AS (SELECT x, y,
+        |  CAST(o * o AS DOUBLE) * CAST((SELECT n FROM c0) AS DOUBLE)
+        |    / CAST(nx * ny AS DOUBLE) AS term
+        |  FROM cells JOIN nx USING (x) JOIN ny USING (y)),
+        |f AS (SELECT list_reduce(list_prepend(0.0,
+        |    (SELECT list(term ORDER BY x, y) FROM terms)),
+        |  (a, b) -> a + b) AS sm)
+        |SELECT n, r_levels, c_levels,
+        |  sm - CAST(n AS DOUBLE) AS chi2,
+        |  sqrt((sm - CAST(n AS DOUBLE))
+        |    / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
+        |    AS v
+        |FROM c0, f""".stripMargin,
+    // value-census quintile binning replayed per metric; every score
+    // an exact integer formula over census cumulative counts
+    "rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+        |  (1706659200000000 - max(epoch_us(ts))) // 86400000000
+        |    AS rec_days,
+        |  CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cts
+        |  FROM events GROUP BY 1),
+        |p2 AS (SELECT user_id, rec_days, freq, cts,
+        |  cts // 10000 AS dollars_h FROM per),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p2),
+        |rb AS (SELECT rec_days,
+        |  ((CAST(sum(cnt) OVER (ORDER BY rec_days DESC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+        |    * 5) // (SELECT n FROM nt) + 1 AS r_score
+        |  FROM (SELECT rec_days, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM p2 GROUP BY 1)),
+        |fb AS (SELECT freq,
+        |  ((CAST(sum(cnt) OVER (ORDER BY freq ASC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+        |    * 5) // (SELECT n FROM nt) + 1 AS f_score
+        |  FROM (SELECT freq, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM p2 GROUP BY 1)),
+        |mb AS (SELECT dollars_h,
+        |  ((CAST(sum(cnt) OVER (ORDER BY dollars_h ASC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+        |    * 5) // (SELECT n FROM nt) + 1 AS m_score
+        |  FROM (SELECT dollars_h, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM p2 GROUP BY 1))
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cts) AS BIGINT) AS sum_cents
+        |FROM p2 JOIN rb USING (rec_days) JOIN fb USING (freq)
+        |  JOIN mb USING (dollars_h)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "new_vs_returning" ->
+      """WITH bd AS (SELECT DISTINCT epoch_us(ts) // 86400000000
+        |    AS day, user_id FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM bd
+        |  GROUP BY 1)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN day = first_day THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS returning_users
+        |FROM bd JOIN f USING (user_id) GROUP BY 1""".stripMargin,
     // the same census; risk sets by cumulative subtraction; E and V
     // folded by ordered list_reduce in the op's per-term op order
     "km_logrank" ->

@@ -75,7 +75,15 @@ class PlanQualitySpec extends SparkSuite {
     "ks_test",
     // SPRT's cumulative counts run over the DAY domain — calendar
     // cardinality (Eval.sprtLedger scaladoc)
-    "sprt_ledger"
+    "sprt_ledger",
+    // census-offset ranking: cumulative window over per-score-value
+    // groups (n_chars domain) + decile cum over 10 rows
+    // (Eval.cumulativeGain scaladoc)
+    "cumulative_gain",
+    // three value-census cumulative windows, each bounded by the
+    // metric's QUANTIZATION grid — calendar days / per-user counts /
+    // whole-hundred-dollar buckets (Relational.rfmSegments scaladoc)
+    "rfm_segments"
   )
 
   test("no registered query plans an unpartitioned window " +
