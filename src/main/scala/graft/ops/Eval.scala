@@ -1594,4 +1594,65 @@ object Eval {
         ((col("n_pos") * col("n")).cast(DoubleType) /
           (col("n_rows") * col("tot_pos")).cast(DoubleType)).as("lift"))
   }
+
+  /** One-feature decision stump by exact weighted Gini — "train" the
+    * simplest possible classifier entirely inside the engine: over a
+    * bucketed value grid, pick the threshold t minimizing
+    * n_L·Gini(L) + n_R·Gini(R) for the split value < t. The
+    * feature-screening primitive (CART's inner loop, a GBDT's split
+    * finder for one feature) and the honest baseline every fancier
+    * model must beat.
+    *
+    * Exactness: with left counts (n_L, pos p_L, neg q_L) the weighted
+    * impurity is (n_L² − p_L² − q_L²)/n_L + (n_R² − p_R² − q_R²)/n_R
+    * over n — every numerator an exact BIGINT, each side ONE double
+    * division, one add, one final division by n, all in a written-down
+    * order. The argmin is pure comparison (min over (gini, t) structs,
+    * threshold as tiebreak) — no summation across candidates.
+    *
+    * Shape: one hash aggregate to the bucket census (value-grid
+    * bounded), one cumulative window over that census, one struct-min
+    * aggregate. The rows never sort globally.
+    */
+  def decisionStump(df: DataFrame, valueCents: Column, isPos: Column,
+                    bucketCents: Long = 500L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // floor bucketing (exact below 2^53, floor on BOTH engines — the
+    // k_anonymity negative-value discipline)
+    val census = df.select(
+        floor(valueCents.cast(LongType) / lit(bucketCents))
+          .cast(LongType).as("b"),
+        when(isPos, 1L).otherwise(0L).as("p"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("p")).as("np"))
+    val wCum = W.orderBy(col("b"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val side = census
+      .withColumn("nl", sum(col("cnt")).over(wCum))
+      .withColumn("pl", sum(col("np")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("p", sum(col("np")).over(wAll))
+      .where(col("nl") < col("n")) // rightmost edge splits nothing
+      .select(((col("b") + 1L) * bucketCents).as("thr_cents"),
+        col("nl"), col("pl"), (col("n") - col("nl")).as("nr"),
+        (col("p") - col("pl")).as("pr"), col("n"))
+      .withColumn("ql", col("nl") - col("pl"))
+      .withColumn("qr", col("nr") - col("pr"))
+      .withColumn("gini_w",
+        ((col("nl") * col("nl") - col("pl") * col("pl")
+          - col("ql") * col("ql")).cast(DoubleType)
+          / col("nl").cast(DoubleType)
+          + (col("nr") * col("nr") - col("pr") * col("pr")
+            - col("qr") * col("qr")).cast(DoubleType)
+            / col("nr").cast(DoubleType))
+          / col("n").cast(DoubleType))
+    side
+      .agg(min(struct(col("gini_w"), col("thr_cents"), col("nl"),
+        col("pl"), col("nr"), col("pr"))).as("s"))
+      .select(col("s.thr_cents").as("thr_cents"),
+        col("s.nl").as("n_left"), col("s.pl").as("pos_left"),
+        col("s.nr").as("n_right"), col("s.pr").as("pos_right"),
+        col("s.gini_w").as("gini_w"))
+  }
 }

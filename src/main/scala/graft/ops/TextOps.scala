@@ -291,6 +291,63 @@ object TextOps {
         col("fp_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
   }
 
+  /** KenLM-style per-document negative log-likelihood under the
+    * corpus's OWN add-one-smoothed bigram LM — the perplexity quality
+    * filter of CCNet/Gopher-era pipelines (public: Wenzek et al. 2020
+    * CCNet): rank documents by how surprising they are to a model of
+    * the corpus itself; word salad and boilerplate outliers surface at
+    * the tails. [[bigramLm]]'s fixed-point avg probability is the
+    * log-free sibling used for threshold filtering; this is the real
+    * NLL in NATS, the number that's comparable across corpora and
+    * matches how the filter is reported in papers.
+    *
+    * Exactness: each per-bigram term is a DIFFERENCE of two
+    * [[graft.functions.DetLn]] calls on exact integers,
+    * ln(c_prefix+V) − ln(c_pair+1), weighted by the doc's exact
+    * multiplicity of that bigram; the per-doc sum folds over the
+    * (w1, w2)-sorted DISTINCT-bigram list (bounded by document
+    * length, never corpus size) and one final division yields
+    * nats/bigram. The oracle replays DetLn and the fold verbatim.
+    *
+    * Shape: same three count frames as bigramLm (pair counts, prefix
+    * marginals broadcast, one-row vocab), one extra per-doc distinct
+    * aggregate; nothing new shuffles.
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.detLn
+    val bg = docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val dbg = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val pc = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+    val fc = pc.groupBy(col("w1")).agg(sum(col("c_pair")).as("c_prefix"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+      .withColumn("__jk", pmod(xxhash64(col("vocab")), lit(1L)))
+    dbg.join(pc, Seq("w1", "w2"))
+      .join(broadcast(fc), Seq("w1"))
+      .withColumn("__jk", pmod(xxhash64(col("c_pair")), lit(1L)))
+      .join(broadcast(vocab), Seq("__jk"))
+      .select(col(idCol), col("w1"), col("w2"), col("m"),
+        (col("m").cast(DoubleType) *
+          (detLn(col("c_prefix") + col("vocab"))
+            - detLn(col("c_pair") + 1L))).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigrams"),
+        collect_list(struct(col("w1"), col("w2"), col("term")))
+          .as("ts"))
+      .select(col(idCol), col("n_bigrams"),
+        (aggregate(sort_array(col("ts")), lit(0.0),
+          (acc, t) => acc + t.getField("term"))
+          / col("n_bigrams").cast(DoubleType)).as("nll"))
+  }
+
   /** Heaps'-law vocabulary-growth curve: distinct-term and total-token
     * counts at `checkpoints` evenly spaced doc-id cutoffs — the
     * dataset-card diagnostic that says whether a corpus is still

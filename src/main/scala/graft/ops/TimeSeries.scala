@@ -656,4 +656,36 @@ object TimeSeries {
       .createDataFrame(Seq((n, s, var18, z, trend)))
       .toDF("n_days", "s_stat", "var18", "z", "trend")
   }
+
+  /** Seasonal anomaly flags — hours whose count sits more than 3σ from
+    * that (type, hour-of-day) slot's own seasonal mean: the residual
+    * alarm over [[seasonalProfile]]'s baseline (CUSUM finds LEVEL
+    * shifts; this finds single-hour spikes/outages that a seasonal
+    * mean absorbs into no trend). Division-free: with per-slot day
+    * count n, sum s and sum-of-squares ss over the dense hourly grid
+    * (zero hours included — absence is an observation), the 3σ test
+    * (c − s/n)² > 9·σ² with population σ² = (n·ss − s²)/n² rearranges
+    * to (c·n − s)² · 1 > 9·(n·ss − s²) — EXACT BIGINTs end to end, no
+    * doubles anywhere in the decision. Output: the flagged hours with
+    * both sides of the inequality as evidence.
+    *
+    * Shape: the denseHourly census (hour×type grid, calendar-bounded)
+    * → one (type, hod) aggregate joined back to the grid — broadcast,
+    * slot cardinality is type×24.
+    */
+  def seasonalAnomaly(events: DataFrame): DataFrame = {
+    val d = denseHourly(events)
+      .select(col("event_type"), col("h"), col("c"),
+        pmod(col("h"), lit(24L)).as("hod"))
+    val slots = d.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    d.join(broadcast(slots), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hod"), col("h"), col("c"),
+        ((col("c") * col("n") - col("s")) *
+          (col("c") * col("n") - col("s"))).as("dev2"),
+        (lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+          .as("thr9"))
+      .where(col("dev2") > col("thr9"))
+  }
 }

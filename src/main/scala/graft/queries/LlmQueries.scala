@@ -889,6 +889,14 @@ object LlmQueries {
       val n = dd.count()
       Graph.triangles(dd, "doc_id", Graph.syntheticLinks(dd, "doc_id", n))
     }),
+    // graph op — Newman degree assortativity over the same undirected
+    // link graph: hub-to-hub vs hub-to-leaf mixing in one exact-integer
+    // Pearson (both-orientation edge ends, one division)
+    "graph_assortativity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      Graph.assortativity(Graph.syntheticLinks(dd, "doc_id", n))
+    }),
     // corpus op — k-core peel (k=6, 6 bounded rounds) over the same
     // link graph: the dense-core trust filter; oracle replays every
     // round verbatim
@@ -1001,6 +1009,13 @@ object LlmQueries {
     // engine-independent; one final division for the mean
     "bigram_lm" -> ((s, d) =>
       TextOps.bigramLm(docs(s, d), "doc_id", "text")),
+    // N4 — the same filter in NATS: per-doc negative log-likelihood
+    // under the corpus's own add-one bigram LM, each term a DetLn
+    // difference on exact integers, per-doc (w1,w2)-sorted fold, one
+    // division — the paper-comparable perplexity number beside
+    // bigram_lm's fixed-point screen
+    "lm_perplexity" -> ((s, d) =>
+      TextOps.lmPerplexity(docs(s, d), "doc_id", "text")),
     // N4 — serving twin of bigram_lm: model trained on 4/5 of the
     // corpus, held-out fifth scored as a (batch-replayed) stream;
     // coalesce(0) on the left joins IS the Laplace back-off for
@@ -4205,6 +4220,35 @@ object LlmQueries {
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_fp
         |FROM b JOIN pc USING (w1, w2) JOIN fc USING (w1) CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+    // same count CTEs; each term a DetLn difference replayed verbatim,
+    // per-doc fold over the (w1,w2)-sorted distinct-bigram list
+    "lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM
+        |  (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1))
+        |     AS i
+        |   FROM t WHERE len(w) >= 2)),
+        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+        |  FROM b GROUP BY 1, 2, 3),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM b GROUP BY 1, 2),
+        |fc AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
+        |  FROM pc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |terms AS (SELECT doc_id, w1, w2, m,
+        |  CAST(m AS DOUBLE) *
+        |    (${OracleSql.detLn("c_prefix + vocab")}
+        |      - ${OracleSql.detLn("c_pair + 1")}) AS term
+        |  FROM db JOIN pc USING (w1, w2) JOIN fc USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  list_reduce(list_prepend(0.0,
+        |      list(term ORDER BY w1, w2)), (a, b) -> a + b)
+        |    / CAST(sum(m) AS DOUBLE) AS nll
+        |FROM terms GROUP BY 1""".stripMargin,
     // serving replay: model CTEs over the 4/5 corpus, held-out probes
     // LEFT-joined (coalesce(0) = the Laplace back-off), same fixed-
     // point floor division, window start from the synthetic ts
@@ -4543,6 +4587,32 @@ object LlmQueries {
         |FROM documents
         |LEFT JOIN d ON d.node = doc_id
         |LEFT JOIN pn ON pn.node = doc_id""".stripMargin,
+    // same undirected edge set; moments over both-orientation edge
+    // ends, one division
+    "graph_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT src, m + CASE WHEN m >= src THEN 1 ELSE 0 END
+        |    AS dst FROM
+        |  (SELECT doc_id AS src,
+        |     (doc_id * 1103515245 + j * 12345) % (n - 1) AS m
+        |   FROM documents, nn, unnest([1, 2, 3]) AS t(j))),
+        |u AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT a AS node FROM u UNION ALL SELECT b FROM u)
+        |  GROUP BY 1),
+        |dir AS (SELECT a AS s, b AS t FROM u
+        |  UNION ALL SELECT b, a FROM u),
+        |p AS (SELECT dx.degree AS x, dy.degree AS y FROM dir
+        |  JOIN d dx ON dx.node = dir.s JOIN d dy ON dy.node = dir.t),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM p)
+        |SELECT m, sx, sxy, sxx,
+        |  CAST(m * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m * sxx - sx * sx AS DOUBLE) AS r
+        |FROM a""".stripMargin,
     // same synthetic edge set; witness folds replay the op's
     // (deg, w)-ordered IEEE additions via ordered list aggregation;
     // 1/ln(deg) terms through the DetLn series replay

@@ -1352,6 +1352,18 @@ object Queries {
     // series — exact integer products, one division per cell
     "seasonal_profile" -> ((s, d) =>
       graft.ops.TimeSeries.seasonalProfile(events(s, d))),
+    // residual alarm over that baseline: hours beyond 3 sigma of their
+    // (type, hour-of-day) slot mean — the test rearranged to
+    // (c·n − s)² > 9(n·ss − s²), exact BIGINTs, NO doubles in the
+    // decision
+    "seasonal_anomaly" -> ((s, d) =>
+      graft.ops.TimeSeries.seasonalAnomaly(events(s, d))),
+    // one-feature decision stump: best value-bucket threshold for
+    // "predicts purchase" by exact weighted Gini — census window +
+    // struct-min argmin, one double division per side
+    "decision_stump" -> ((s, d) =>
+      graft.ops.Eval.decisionStump(events(s, d),
+        round(col("value") * 100), col("event_type") === "purchase")),
     // missing-data fill: linear interpolation of the mean value over
     // gap slots of the dense 10-minute grid, nearest observed slot
     // either side, no extrapolation past the edges
@@ -2630,6 +2642,60 @@ object Queries {
         |FROM dense JOIN st USING (event_type)
         |WHERE total > 0
         |GROUP BY 1, 2""".stripMargin,
+    // the same dense grid; the 3-sigma test as exact integer products
+    // on both sides of the inequality
+    "seasonal_anomaly" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT grid.h, grid.event_type,
+        |  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |slot AS (SELECT event_type, h % 24 AS hod,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |  CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM dense GROUP BY 1, 2)
+        |SELECT dense.event_type, h % 24 AS hod, h, c,
+        |  (c * n - s) * (c * n - s) AS dev2,
+        |  9 * (n * ss - s * s) AS thr9
+        |FROM dense JOIN slot ON slot.event_type = dense.event_type
+        |  AND slot.hod = dense.h % 24
+        |WHERE (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)"""
+        .stripMargin,
+    // bucket-census cumulative split search replayed; gini_w in the
+    // op's written-down order, argmin by (gini_w, thr) ORDER + LIMIT
+    "decision_stump" ->
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) // 500
+        |    AS b,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+        |  FROM events),
+        |census AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(p) AS BIGINT) AS np FROM v GROUP BY 1),
+        |cum AS (SELECT b,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+        |  CAST(sum(np) OVER w AS BIGINT) AS pl,
+        |  CAST((SELECT sum(cnt) FROM census) AS BIGINT) AS n,
+        |  CAST((SELECT sum(np) FROM census) AS BIGINT) AS p
+        |  FROM census WINDOW w AS (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |side AS (SELECT (b + 1) * 500 AS thr_cents, nl, pl,
+        |  n - nl AS nr, p - pl AS pr, n, nl - pl AS ql,
+        |  (n - nl) - (p - pl) AS qr
+        |  FROM cum WHERE nl < n),
+        |g AS (SELECT thr_cents, nl, pl, nr, pr,
+        |  (CAST(nl * nl - pl * pl - ql * ql AS DOUBLE)
+        |      / CAST(nl AS DOUBLE)
+        |    + CAST(nr * nr - pr * pr - qr * qr AS DOUBLE)
+        |      / CAST(nr AS DOUBLE)) / CAST(n AS DOUBLE) AS gini_w
+        |  FROM side)
+        |SELECT thr_cents, nl AS n_left, pl AS pos_left,
+        |  nr AS n_right, pr AS pos_right, gini_w
+        |FROM g ORDER BY gini_w, thr_cents LIMIT 1""".stripMargin,
     "forecast_backtest" ->
       """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
         |    // 3600000000 AS h, event_type FROM events),

@@ -64,7 +64,7 @@ class PlanQualitySpec extends SparkSuite {
     // series self-joins
     "series_corr", "series_spearman", "cusum_changepoint",
     "series_acf", "seasonal_profile", "forecast_backtest",
-    "arrival_dispersion",
+    "arrival_dispersion", "seasonal_anomaly",
     // sweep-line running sum over MINUTE-grain net deltas — at most
     // one row per minute of retention at any data volume
     // (Sessionize.peakConcurrency scaladoc)
@@ -83,7 +83,11 @@ class PlanQualitySpec extends SparkSuite {
     // three value-census cumulative windows, each bounded by the
     // metric's QUANTIZATION grid — calendar days / per-user counts /
     // whole-hundred-dollar buckets (Relational.rfmSegments scaladoc)
-    "rfm_segments"
+    "rfm_segments",
+    // split-search cumulative windows over the value-BUCKET census
+    // ($5 grid — value-domain, not row count; Eval.decisionStump
+    // scaladoc)
+    "decision_stump"
   )
 
   test("no registered query plans an unpartitioned window " +
