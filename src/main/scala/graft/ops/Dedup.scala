@@ -546,4 +546,57 @@ object Dedup {
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         col("cosine"))
   }
+
+  /** N2 — CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ t over
+    * word-shingle sets. The asymmetric member of the dedup family:
+    * jaccard (minhashPairs) misses "document B is embedded inside the
+    * much larger A" — a quote, a mirrored article inside a portal
+    * page, a doc re-crawled with boilerplate — because the union in
+    * the denominator dilutes the overlap, while containment stays at
+    * 1.0. The quote/subset detector every crawl-dedup stage runs
+    * beside the symmetric one.
+    *
+    * Candidates come from a RARE-ANCHOR inverted index, not minhash
+    * bands (band collision probability equals JACCARD, exactly the
+    * quantity that's low here): two docs are candidates iff they
+    * share at least one shingle with document frequency ≤ dfCap.
+    * That df cap bounds every posting bucket (≤ dfCap ids → ≤ dfCap²/2
+    * pairs per gram, the bandPairs bound), and the semantics are
+    * honest: a contained doc ALL of whose shingles are corpus-common
+    * is boilerplate, which span_dedup/repetition_stats own. The df
+    * threshold is part of the operator's contract and the oracle
+    * replays it verbatim — verification against the exact containment
+    * makes anchor false positives harmless.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       dfCap: Int = 64): DataFrame = {
+    val sets = Parallelism.floor(docs
+        .filter(size(split(col(textCol), " ")) >= 3))
+      .select(col(idCol),
+        GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
+    val grams = sets.select(col(idCol), explode(col("sh")).as("g"))
+    val rare = grams.groupBy(col("g"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+    val cands = rare
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val sa = sets.select(col(idCol).as("id_a"), col("sh").as("set_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("sh").as("set_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter",
+        GraftFunctions.sortedIntersectCount(col("set_a"), col("set_b")))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        size(col("set_a")).cast(LongType).as("n_a"),
+        size(col("set_b")).cast(LongType).as("n_b"),
+        (col("inter").cast(DoubleType) /
+          least(size(col("set_a")), size(col("set_b")))
+            .cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

@@ -688,4 +688,59 @@ object TimeSeries {
           .as("thr9"))
       .where(col("dev2") > col("thr9"))
   }
+
+  /** Wald–Wolfowitz runs test over the daily-total series — is the
+    * sequence of above/below-median days RANDOM, or does it cluster
+    * (momentum/regimes → fewer runs) or oscillate (negative
+    * autocorrelation → more runs)? The randomness companion of
+    * [[mannKendall]] (monotone drift) and seriesAcf (linear lag
+    * correlation): a metric can be trend-free yet still regime-y, and
+    * this is the classical test that sees it.
+    *
+    * All decisions on exact integers over the bounded day census:
+    * the reference level is the LOWER MEDIAN by rank selection (the
+    * theilSen order), median-equal days are dropped (the standard
+    * convention), a run boundary is a sign change under the day
+    * order, and (m, n1, n2, R) are exact BIGINTs. z uses the normal
+    * approximation μ = 2n₁n₂/m + 1, σ² = 2n₁n₂(2n₁n₂−m)/(m²(m−1)) —
+    * two divisions, one sqrt, one subtraction, written-down order.
+    */
+  def runsTest(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        round(col("value") * 100).cast(LongType).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val med = daily
+      .withColumn("rn", row_number().over(
+        W.orderBy(col("cents"), col("day"))))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .where(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("cents").as("median_cents"))
+      .withColumn("__jk", pmod(xxhash64(col("median_cents")), lit(1L)))
+    val signed = daily
+      .withColumn("__jk", pmod(xxhash64(col("cents")), lit(1L)))
+      .join(broadcast(med), Seq("__jk"))
+      .where(col("cents") =!= col("median_cents"))
+      .select(col("day"),
+        when(col("cents") > col("median_cents"), 1L).otherwise(-1L)
+          .as("sg"))
+    signed
+      .withColumn("prev", lag(col("sg"), 1).over(W.orderBy(col("day"))))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("prev").isNull || col("prev") =!= col("sg"), 1L)
+          .otherwise(0L)).as("runs"))
+      .withColumn("a", col("n1") * col("n2") * 2L)
+      .where(col("n1") > 0L && col("n2") > 0L && col("m") > 1L)
+      .select(col("m"), col("n1"), col("n2"), col("runs"),
+        ((col("runs").cast(DoubleType) -
+          (col("a").cast(DoubleType) / col("m").cast(DoubleType)
+            + lit(1.0))) /
+          sqrt((col("a") * (col("a") - col("m"))).cast(DoubleType) /
+            (col("m") * col("m") * (col("m") - 1L)).cast(DoubleType)))
+          .as("z"))
+  }
 }

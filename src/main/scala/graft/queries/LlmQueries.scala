@@ -194,6 +194,12 @@ object LlmQueries {
     "neardup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
         threshold = 0.5, n = 5)),
+    // N2 — ASYMMETRIC containment pairs |A∩B|/min(|A|,|B|): the
+    // quote/subset detector jaccard misses; rare-anchor candidates
+    // (df ≤ 64, the cap replayed in the oracle), exact verify
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+        threshold = 0.8, dfCap = 64)),
     // N2 — SimHash near-dup, pigeonhole-exact chunk banding
     "simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
@@ -2257,6 +2263,29 @@ object LlmQueries {
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    // the rare-anchor df cap is part of the operator contract and
+    // replays here verbatim; containment verified on the raw shingle
+    // sets (same sets the hashed kernel intersects)
+    "containment_pairs" ->
+      s"""WITH $shinglesCte,
+        |gr AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dfc AS (SELECT g FROM gr GROUP BY g
+        |  HAVING count(*) > 1 AND count(*) <= 64),
+        |anch AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  JOIN dfc ON dfc.g = a.g),
+        |v AS (SELECT ia, ib,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |  CAST(len(a.s) AS BIGINT) AS la, CAST(len(b.s) AS BIGINT)
+        |    AS lb
+        |  FROM anch JOIN sh a ON a.doc_id = ia
+        |  JOIN sh b ON b.doc_id = ib)
+        |SELECT ia AS doc_a, ib AS doc_b, la AS n_a, lb AS n_b,
+        |  CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)
+        |    AS containment
+        |FROM v
+        |WHERE CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)
+        |  >= 0.8""".stripMargin,
     "dedup_corpus" -> {
       // same pair predicate as neardup_minhash (brute force), then the
       // SAME 4 min-propagation rounds the Spark op runs

@@ -1562,6 +1562,11 @@ object Queries {
     // verdict are the only non-integers
     "mann_kendall" -> ((s, d) =>
       graft.ops.TimeSeries.mannKendall(events(s, d))),
+    // Wald-Wolfowitz runs test over the same census: regime-clustering
+    // vs oscillation — rank-selected median reference, exact integer
+    // run counts, normal-approx z in a written-down order
+    "runs_test" -> ((s, d) =>
+      graft.ops.TimeSeries.runsTest(events(s, d))),
     // Cramér's V between event type and day-of-week index — the
     // [0,1]-normalized association strength over the contingency
     // cells; chi2 via the zero-cell-free identity ΣO²n/(nx·ny) − n,
@@ -3225,6 +3230,39 @@ object Queries {
         |    WHEN z < -1.959963984540054 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM z""".stripMargin,
+    // rank-selected lower median, median-equal days dropped, run
+    // boundaries under the day order, z in the op's op order
+    "runs_test" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, cents,
+        |  row_number() OVER (ORDER BY cents, day) AS rn,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd
+        |  FROM daily),
+        |med AS (SELECT cents AS mc FROM r WHERE rn = (nd + 1) // 2),
+        |sg AS (SELECT day,
+        |  CASE WHEN cents > (SELECT mc FROM med) THEN 1 ELSE -1 END
+        |    AS sg
+        |  FROM daily WHERE cents <> (SELECT mc FROM med)),
+        |l AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS prev FROM sg),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n2,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> sg THEN 1
+        |    ELSE 0 END) AS BIGINT) AS runs
+        |  FROM l),
+        |w AS (SELECT m, n1, n2, runs, n1 * n2 * 2 AS a FROM agg
+        |  WHERE n1 > 0 AND n2 > 0 AND m > 1)
+        |SELECT m, n1, n2, runs,
+        |  (CAST(runs AS DOUBLE)
+        |    - (CAST(a AS DOUBLE) / CAST(m AS DOUBLE) + 1.0))
+        |  / sqrt(CAST(a * (a - m) AS DOUBLE)
+        |       / CAST(m * m * (m - 1) AS DOUBLE)) AS z
+        |FROM w""".stripMargin,
     // observed-cell chi2 identity; term order pinned by the (x,y)
     // sorted list fold, V one sqrt of one division
     "cramers_v" ->

@@ -76,6 +76,9 @@ class PlanQualitySpec extends SparkSuite {
     // SPRT's cumulative counts run over the DAY domain — calendar
     // cardinality (Eval.sprtLedger scaladoc)
     "sprt_ledger",
+    // median rank-selection + run-boundary lag over the DAY census —
+    // calendar cardinality (TimeSeries.runsTest scaladoc)
+    "runs_test",
     // census-offset ranking: cumulative window over per-score-value
     // groups (n_chars domain) + decile cum over 10 rows
     // (Eval.cumulativeGain scaladoc)
