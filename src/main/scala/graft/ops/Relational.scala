@@ -786,6 +786,41 @@ object Relational {
       .drop(seqCol)
   }
 
+  /** Trimmed mean per group — the robust location estimate between the
+    * mean (outlier-dragged) and the median (throws away 98% of the
+    * data): drop the lowest and highest ⌊n·trim⌋ values under the
+    * total (cents, tiebreak) order, average the rest. The standard
+    * robust KPI for spend/latency style metrics where a few extreme
+    * rows shouldn't move the number but the bulk should.
+    *
+    * Exactness: rank selection under a written-down total order
+    * (PARTITIONED windows — per-group sort, no global sort), kept
+    * values summed as exact BIGINT cents, ONE division. trim is
+    * applied as an integer count k = n·numer div denom, identical in
+    * both engines.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCents: Column,
+                  tieCol: String, trimNumer: Long = 1L,
+                  trimDenom: Long = 10L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wRank = W.partitionBy(col("g"))
+      .orderBy(col("c"), col("tb"))
+    val wN = W.partitionBy(col("g"))
+    df.select(col(groupCol).as("g"), valueCents.cast(LongType).as("c"),
+        col(tieCol).as("tb"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("k", expr(s"(n * ${trimNumer}L) div ${trimDenom}L"))
+      .where(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("n_trimmed_each"),
+        count(lit(1)).as("n_kept"), sum(col("c")).as("kept_cents"))
+      .select(col("g").as(groupCol), col("n"), col("n_trimmed_each"),
+        col("n_kept"), col("kept_cents"),
+        (col("kept_cents").cast(DoubleType) /
+          col("n_kept").cast(DoubleType)).as("trimmed_mean_cents"))
+  }
+
   /** RFM segmentation — the classic marketing/behavior census: each
     * user scored 1..5 on Recency (days since last event at a FIXED
     * reference second — reproducible, the decayScore rule), Frequency

@@ -689,6 +689,87 @@ object TimeSeries {
       .where(col("dev2") > col("thr9"))
   }
 
+  /** Effective sample size of the hourly series — n/(1 + 2Σ_{k≤K} ρ_k)
+    * over [[seriesAcf]]'s exact lag correlations (public: the
+    * initial-sequence ESS estimator of MCMC practice, truncated at
+    * K = maxLag): "my metric has 720 hourly points but they're
+    * autocorrelated — how many INDEPENDENT observations is that?" —
+    * the correction factor every naive ±1.96/√n interval on a time
+    * series silently needs. τ = 1 + 2Σρ is also emitted (the
+    * integrated autocorrelation time); noisy ACF tails can push τ ≤ 0
+    * at small n, in which case ess is reported as-is and the consumer
+    * clamps (documented, matching the estimator's known behavior).
+    *
+    * Exactness: each ρ_k is seriesAcf's single division of exact
+    * DECIMAL(38,0) moments; the Σ over lags folds in LAG order (one
+    * bounded list per type), then two IEEE ops for τ and one division
+    * for ess — all replayed verbatim in the oracle.
+    */
+  def seriesEss(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    val acf = seriesAcf(events, maxLag)
+    val nh = denseHourly(events).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+    acf.groupBy(col("event_type"))
+      .agg(collect_list(struct(col("lag"), col("r_acf"))).as("rs"))
+      .join(broadcast(nh), "event_type")
+      .select(col("event_type"), col("n_hours"),
+        (lit(1.0) + lit(2.0) * aggregate(sort_array(col("rs")),
+          lit(0.0), (a, t) => a + t.getField("r_acf"))).as("tau"))
+      .select(col("event_type"), col("n_hours"), col("tau"),
+        (col("n_hours").cast(DoubleType) / col("tau")).as("ess"))
+  }
+
+  /** Holt's linear (double-exponential) smoothing over the daily
+    * census, as a one-step-ahead forecast backtest against the naive
+    * forecaster (public: Holt 1957) — the level+trend forecast that
+    * [[forecastBacktest]]'s naive/seasonal pair lacks. α = β = 1/4 in
+    * 2^16 fixed point, every step two TRUNCATING divisions of exact
+    * BIGINTs (toward zero — DuckDB's integer `//` truncates, measured
+    * (-7)//4 = -1, and Scala Long `/` matches; trend goes negative so
+    * the sign convention is load-bearing):
+    * level' = (x·S + 3(level+trend)) tdiv 4,
+    * trend' = (level' − level + 3·trend) tdiv 4 — bit-replayable as a
+    * recursive CTE, no floating accumulation anywhere. The sequential
+    * recurrence runs on the driver over the bounded DAY census (the
+    * theilSen rule: calendar-bound, never row-bound); the data-sized
+    * work is the one hash aggregate to days.
+    *
+    * Output: one row — n_days, both SAE's in fixed point (exact
+    * BIGINTs), Holt MAE in cents (two divisions), and the winner by
+    * integer compare.
+    */
+  def holtLinear(events: DataFrame): DataFrame = {
+    val S = 65536L
+    val pts = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        round(col("value") * 100).cast(LongType).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+      .orderBy(col("day"))
+      .collect().map(r => r.getLong(1))
+    require(pts.length > 2, "holtLinear: need at least three days")
+    var l = pts(0) * S
+    var t = 0L
+    var sae = 0L
+    var naive = 0L
+    var i = 1
+    while (i < pts.length) {
+      val x = pts(i) * S
+      sae += math.abs(x - (l + t))
+      naive += math.abs(pts(i) - pts(i - 1)) * S
+      val l2 = (x + 3L * (l + t)) / 4L
+      t = (l2 - l + 3L * t) / 4L
+      l = l2
+      i += 1
+    }
+    val n = pts.length.toLong
+    val mae = sae.toDouble / (n - 1L).toDouble / 65536.0
+    val winner = if (sae < naive) "holt" else "naive"
+    events.sparkSession
+      .createDataFrame(Seq((n, sae, naive, mae, winner)))
+      .toDF("n_days", "holt_sae_fp", "naive_sae_fp", "holt_mae_cents",
+        "winner")
+  }
+
   /** Wald–Wolfowitz runs test over the daily-total series — is the
     * sequence of above/below-median days RANDOM, or does it cluster
     * (momentum/regimes → fewer runs) or oscillate (negative

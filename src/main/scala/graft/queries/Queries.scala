@@ -1348,6 +1348,22 @@ object Queries {
     // one division; periodicity shows as the lag-24 spike
     "series_acf" -> ((s, d) =>
       graft.ops.TimeSeries.seriesAcf(events(s, d))),
+    // effective sample size from those lag correlations: n/(1+2Σρ) —
+    // "how many independent observations is this autocorrelated
+    // series worth"; lag-ordered fold, two IEEE ops + one division
+    "series_ess" -> ((s, d) =>
+      graft.ops.TimeSeries.seriesEss(events(s, d))),
+    // Holt double-exponential one-step backtest vs naive over the
+    // daily census — 2^16 fixed-point integer recurrence (floor
+    // divisions only), bit-replayed as a recursive CTE in the oracle
+    "holt_linear" -> ((s, d) =>
+      graft.ops.TimeSeries.holtLinear(events(s, d))),
+    // robust location: 10%-trimmed mean of event value per type —
+    // per-group rank selection (partitioned windows), exact kept-sum,
+    // one division
+    "trimmed_mean" -> ((s, d) =>
+      Relational.trimmedMean(events(s, d), "event_type",
+        round(col("value") * 100), "event_id")),
     // hour-of-day seasonal index per type over the same dense
     // series — exact integer products, one division per cell
     "seasonal_profile" -> ((s, d) =>
@@ -2585,6 +2601,100 @@ object Queries {
         |  n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r_acf
         |FROM num JOIN den ON num.event_type = den.event_type
         |WHERE den > 0""".stripMargin,
+    // the series_acf moments; lag-ordered fold to τ, one division
+    "series_ess" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |st AS (SELECT event_type, count(*) AS n_hours,
+        |    sum(c) AS total FROM dense GROUP BY 1),
+        |d AS (SELECT dense.event_type, h,
+        |    c * n_hours - total AS dev FROM dense
+        |  JOIN st USING (event_type)),
+        |p AS (SELECT d.event_type, k.lag,
+        |    CAST(d.dev AS DECIMAL(38,0))
+        |      * CAST(d2.dev AS DECIMAL(38,0)) AS prod
+        |  FROM d
+        |  JOIN (SELECT unnest(range(1, 25)) AS lag) k ON true
+        |  JOIN d d2 ON d2.event_type = d.event_type
+        |    AND d2.h = d.h + k.lag),
+        |num AS (SELECT event_type, lag, sum(prod) AS num
+        |  FROM p GROUP BY 1, 2),
+        |den AS (SELECT event_type,
+        |    sum(CAST(dev AS DECIMAL(38,0))
+        |      * CAST(dev AS DECIMAL(38,0))) AS den
+        |  FROM d GROUP BY 1),
+        |acf AS (SELECT num.event_type, lag,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r_acf
+        |  FROM num JOIN den ON num.event_type = den.event_type
+        |  WHERE den > 0),
+        |tau AS (SELECT event_type,
+        |  1.0 + 2.0 * list_reduce(list_prepend(0.0,
+        |    (list(r_acf ORDER BY lag))), (a, b) -> a + b) AS tau
+        |  FROM acf GROUP BY event_type)
+        |SELECT tau.event_type,
+        |  CAST(st.n_hours AS BIGINT) AS n_hours, tau,
+        |  CAST(st.n_hours AS DOUBLE) / tau AS ess
+        |FROM tau JOIN st ON st.event_type = tau.event_type"""
+        .stripMargin,
+    // the fixed-point Holt recurrence replayed step-by-step as a
+    // recursive CTE; floor division matches the op's floorDiv
+    "holt_linear" ->
+      """WITH RECURSIVE daily AS (SELECT
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT cents,
+        |  row_number() OVER (ORDER BY day) AS i FROM daily),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |rec(i, l, t, sae) AS (
+        |  SELECT CAST(1 AS BIGINT), cents * 65536,
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT rec.i + 1,
+        |    (idx.cents * 65536 + 3 * (rec.l + rec.t)) // 4,
+        |    ((idx.cents * 65536 + 3 * (rec.l + rec.t)) // 4
+        |      - rec.l + 3 * rec.t) // 4,
+        |    rec.sae + abs(idx.cents * 65536 - (rec.l + rec.t))
+        |  FROM rec JOIN idx ON idx.i = rec.i + 1),
+        |fin AS (SELECT sae FROM rec, nn WHERE rec.i = nn.n),
+        |nv AS (SELECT CAST(sum(abs(cents - prev) * 65536) AS BIGINT)
+        |    AS naive
+        |  FROM (SELECT cents, lag(cents) OVER (ORDER BY i) AS prev
+        |    FROM idx) WHERE prev IS NOT NULL)
+        |SELECT n AS n_days, sae AS holt_sae_fp, naive AS naive_sae_fp,
+        |  CAST(sae AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 65536.0
+        |    AS holt_mae_cents,
+        |  CASE WHEN sae < naive THEN 'holt' ELSE 'naive' END AS winner
+        |FROM fin, nv, nn""".stripMargin,
+    // per-group rank selection; k = (n div 10) dropped each side,
+    // exact kept-cents sum, one division
+    "trimmed_mean" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS c, event_id AS tb
+        |  FROM events),
+        |r AS (SELECT g, c,
+        |  row_number() OVER (PARTITION BY g ORDER BY c, tb) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM v),
+        |kkk AS (SELECT g, c, rn, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS BIGINT) // 10 AS k FROM r)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(k) AS BIGINT) AS n_trimmed_each,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(c) AS BIGINT) AS kept_cents,
+        |  CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS trimmed_mean_cents
+        |FROM kkk WHERE rn > k AND rn <= n - k
+        |GROUP BY 1""".stripMargin,
     // same dense grid, same carry-forward/back windows, same fixed
     // IEEE interpolation tree
     "interpolate_gaps" ->

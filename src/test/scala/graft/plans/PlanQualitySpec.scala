@@ -64,7 +64,7 @@ class PlanQualitySpec extends SparkSuite {
     // series self-joins
     "series_corr", "series_spearman", "cusum_changepoint",
     "series_acf", "seasonal_profile", "forecast_backtest",
-    "arrival_dispersion", "seasonal_anomaly",
+    "arrival_dispersion", "seasonal_anomaly", "series_ess",
     // sweep-line running sum over MINUTE-grain net deltas — at most
     // one row per minute of retention at any data volume
     // (Sessionize.peakConcurrency scaladoc)
