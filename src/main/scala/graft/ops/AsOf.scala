@@ -171,6 +171,53 @@ object AsOf extends org.apache.spark.internal.Logging {
     * the extra scan matters should pass a cached or checkpointed
     * `ev`; streaming inputs skip the census entirely.
     */
+  /** NEAREST as-of join: for every probe row, the single build row
+    * with the same key minimizing |buildTs − probeTs| — the third
+    * member of the temporal-join family ([[asofJoin]] = latest at or
+    * before, [[asofJoinForward]] = earliest at or after): sensor
+    * alignment, "closest quote to the trade", nearest-snapshot
+    * enrichment, where direction doesn't matter but distance does.
+    *
+    * Composed from the two PROVEN one-shuffle merge kernels — one
+    * backward pass, one forward pass, then a probe-id-keyed decision
+    * join picking the smaller |Δt| (exact integer micros; tie → the
+    * BACKWARD match, the "no peeking into the future unless strictly
+    * closer" convention). Each pass is the documented merge shape (no
+    * inequality join anywhere); the decision join is key-parallel.
+    * `probeId` must be unique per probe row. Output: probe columns,
+    * matched build columns, `direction` ('backward'/'forward'/null),
+    * `delta_us`.
+    */
+  def asofJoinNearest(build: DataFrame, probe: DataFrame, key: String,
+                      buildTs: String, probeTs: String,
+                      buildTie: String, probeId: String): DataFrame = {
+    val carry = build.columns.filterNot(_ == key).toSeq
+    val back = asofJoin(build, probe, key, buildTs, probeTs, buildTie)
+      .select(col(probeId).as("__pid") +:
+        carry.map(c => col(c).as(s"__b_$c")): _*)
+    val fwd = asofJoinForward(build, probe, key, buildTs, probeTs,
+        buildTie)
+      .select(col(probeId).as("__pid") +:
+        carry.map(c => col(c).as(s"__f_$c")): _*)
+    val db = unix_micros(col(probeTs)) - unix_micros(col(s"__b_$buildTs"))
+    val df_ = unix_micros(col(s"__f_$buildTs")) - unix_micros(col(probeTs))
+    val useBack = col(s"__f_$buildTs").isNull ||
+      (col(s"__b_$buildTs").isNotNull && db <= df_)
+    probe
+      .join(back, col(probeId) === back("__pid"), "left")
+      .drop("__pid")
+      .join(fwd, col(probeId) === fwd("__pid"), "left")
+      .drop("__pid")
+      .select(probe.columns.map(col) ++
+        carry.map(c => when(useBack, col(s"__b_$c"))
+          .otherwise(col(s"__f_$c")).as(c)) :+
+        when(col(s"__b_$buildTs").isNull && col(s"__f_$buildTs").isNull,
+          lit(null).cast("string"))
+          .when(useBack, lit("backward")).otherwise(lit("forward"))
+          .as("direction") :+
+        when(useBack, db).otherwise(df_).as("delta_us"): _*)
+  }
+
   def timeProximityCount(ev: DataFrame, idCol: String, tsCol: String,
                          windowSec: Int,
                          hotBucketThreshold: Long = 4000000L,

@@ -1655,4 +1655,75 @@ object Eval {
         col("s.nr").as("n_right"), col("s.pr").as("pos_right"),
         col("s.gini_w").as("gini_w"))
   }
+
+  /** Tukey median polish (public: Tukey 1977, EDA ch. 10) of a two-way
+    * table — the robust additive decomposition value ≈ overall +
+    * row effect + column effect + residual, fit by alternately
+    * sweeping out row and column MEDIANS instead of means: the
+    * outlier-immune sibling of the two-way ANOVA decomposition, and
+    * the standard way to read a type × day-of-week table ("is Friday
+    * really higher, or is that one flash-sale cell?"). Residuals are
+    * where the anomalies live.
+    *
+    * All integers end to end: cells are exact cent sums, every sweep
+    * subtracts a LOWER MEDIAN (rank selection at (m+1) div 2 under
+    * the written-down (value, key) order — comparisons only), so
+    * effects and residuals stay exact BIGINTs and the oracle replays
+    * each sweep as windowed rank selection. The table itself is
+    * category-vocabulary-bounded (rows × cols cells), so the sweeps
+    * run on the driver over the collected census — the theilSen rule.
+    * Output: long-form rows (component ∈ overall/row/col/resid, r, c,
+    * value).
+    */
+  def medianPolish(df: DataFrame, rowCol: Column, colCol: Column,
+                   valueCents: Column, sweeps: Int = 2): DataFrame = {
+    val cells = df.select(rowCol.cast(StringType).as("r"),
+        colCol.cast(LongType).as("c"), valueCents.cast(LongType).as("v"))
+      .groupBy(col("r"), col("c")).agg(sum(col("v")).as("v"))
+      .collect().map(x => ((x.getString(0), x.getLong(1)), x.getLong(2)))
+    require(cells.nonEmpty, "medianPolish: empty table")
+    val rows = cells.map(_._1._1).distinct.sorted
+    val cols = cells.map(_._1._2).distinct.sorted
+    val resid = collection.mutable.Map(cells: _*)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1)
+    }
+    var overall = 0L
+    val rowEff = collection.mutable.Map(rows.map(_ -> 0L): _*)
+    val colEff = collection.mutable.Map(cols.map(_ -> 0L): _*)
+    for (_ <- 1 to sweeps) {
+      rows.foreach { r =>
+        val obs = cols.flatMap(c => resid.get((r, c)))
+        val m = lowerMedian(obs)
+        rowEff(r) += m
+        cols.foreach(c =>
+          resid.get((r, c)).foreach(v => resid((r, c)) = v - m))
+      }
+      val rm = lowerMedian(rows.map(rowEff))
+      overall += rm
+      rows.foreach(r => rowEff(r) -= rm)
+      cols.foreach { c =>
+        val obs = rows.flatMap(r => resid.get((r, c)))
+        val m = lowerMedian(obs)
+        colEff(c) += m
+        rows.foreach(r =>
+          resid.get((r, c)).foreach(v => resid((r, c)) = v - m))
+      }
+      val cm = lowerMedian(cols.map(colEff))
+      overall += cm
+      cols.foreach(c => colEff(c) -= cm)
+    }
+    val out: Seq[(String, Option[String], Option[Long], Long)] =
+      Seq(("overall", Option.empty[String], Option.empty[Long],
+        overall)) ++
+        rows.map(r => ("row", Some(r), Option.empty[Long], rowEff(r))) ++
+        cols.map(c => ("col", Option.empty[String], Some(c),
+          colEff(c))) ++
+        cells.map { case ((r, c), _) =>
+          ("resid", Some(r), Some(c), resid((r, c)))
+        }
+    df.sparkSession.createDataFrame(out)
+      .toDF("component", "r", "c", "value")
+  }
 }

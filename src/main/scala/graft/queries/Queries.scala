@@ -1094,6 +1094,21 @@ object Queries {
         key = "user_id", buildTs = "click_ts", probeTs = "purchase_ts",
         buildTie = "click_id")
     }),
+    // NEAREST as-of: each purchase to the user's closest click in
+    // EITHER direction (exact integer |Δt|, tie → backward) — two
+    // proven merge passes + a probe-keyed decision join
+    "asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      AsOf.asofJoinNearest(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+        key = "user_id", buildTs = "click_ts", probeTs = "purchase_ts",
+        buildTie = "click_id", probeId = "purchase_id")
+    }),
     // forward as-of (inclusive): every purchase matched to the user's
     // EARLIEST click at-or-after it — the mirror merge (flipped frame,
     // first() carry), e.g. "next touchpoint after conversion"
@@ -1590,6 +1605,13 @@ object Queries {
     "cramers_v" -> ((s, d) =>
       graft.ops.Eval.cramersV(events(s, d), col("event_type"),
         expr("(unix_micros(ts) div 86400000000L) % 7"))),
+    // Tukey median polish of the same type × dow table — robust
+    // additive decomposition by alternating median sweeps, all
+    // integers, the bounded census on the driver (theilSen rule)
+    "median_polish" -> ((s, d) =>
+      graft.ops.Eval.medianPolish(events(s, d), col("event_type"),
+        expr("(unix_micros(ts) div 86400000000L) % 7"),
+        round(col("value") * 100))),
     // RFM segmentation at the decay_score reference instant —
     // value-census quintile binning (bounded by the quantization
     // grid, not user count), all integers end to end
@@ -2265,6 +2287,45 @@ object Queries {
         |    AND c.click_ts <= p.purchase_ts)
         |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
         |FROM j WHERE rn = 1""".stripMargin,
+    // both directional winners brute-forced with the kernels' exact
+    // tie orders (backward: max ts then max id; forward: min ts then
+    // min id), then the op's decision predicate verbatim
+    "asof_nearest" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |bk AS (SELECT purchase_id, click_id AS b_id, click_ts AS b_ts
+        |  FROM (SELECT p.purchase_id, c.click_id, c.click_ts,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.click_ts <= p.purchase_ts) WHERE rn = 1),
+        |fw AS (SELECT purchase_id, click_id AS f_id, click_ts AS f_ts
+        |  FROM (SELECT p.purchase_id, c.click_id, c.click_ts,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts ASC, c.click_id ASC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.click_ts >= p.purchase_ts) WHERE rn = 1),
+        |dec AS (SELECT p.user_id, p.purchase_id, p.purchase_ts,
+        |  b_id, b_ts, f_id, f_ts,
+        |  epoch_us(p.purchase_ts) - epoch_us(b_ts) AS db,
+        |  epoch_us(f_ts) - epoch_us(p.purchase_ts) AS df,
+        |  (f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |    epoch_us(p.purchase_ts) - epoch_us(b_ts)
+        |      <= epoch_us(f_ts) - epoch_us(p.purchase_ts)))
+        |    AS use_back
+        |  FROM p LEFT JOIN bk USING (purchase_id)
+        |  LEFT JOIN fw USING (purchase_id))
+        |SELECT user_id, purchase_id, purchase_ts,
+        |  CASE WHEN use_back THEN b_id ELSE f_id END AS click_id,
+        |  CASE WHEN use_back THEN b_ts ELSE f_ts END AS click_ts,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |    WHEN use_back THEN 'backward' ELSE 'forward' END
+        |    AS direction,
+        |  CAST(CASE WHEN use_back THEN db ELSE df END AS BIGINT)
+        |    AS delta_us
+        |FROM dec""".stripMargin,
     "asof_join_forward" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
         |  FROM events WHERE event_type = 'click'),
@@ -3401,6 +3462,62 @@ object Queries {
         |    / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
         |    AS v
         |FROM c0, f""".stripMargin,
+    // each sweep replayed as windowed rank selection (lower median),
+    // effects recentered exactly as the op does; all BIGINT
+    "median_polish" -> {
+      def sweep(k: Int, prev: Int): String =
+        s"""rm$k AS (SELECT r, v AS m FROM (
+           |  SELECT r, v,
+           |    row_number() OVER (PARTITION BY r ORDER BY v) AS rn,
+           |    count(*) OVER (PARTITION BY r) AS n FROM re$prev)
+           |  WHERE rn = (n + 1) // 2),
+           |rea$k AS (SELECT re$prev.r, c, v - m AS v FROM re$prev
+           |  JOIN rm$k ON rm$k.r = re$prev.r),
+           |roa$k AS (SELECT ro$prev.r, e + m AS e FROM ro$prev
+           |  JOIN rm$k ON rm$k.r = ro$prev.r),
+           |rom$k AS (SELECT e AS m FROM (SELECT e,
+           |    row_number() OVER (ORDER BY e) AS rn,
+           |    count(*) OVER () AS n FROM roa$k)
+           |  WHERE rn = (n + 1) // 2),
+           |ro$k AS (SELECT r, e - (SELECT m FROM rom$k) AS e
+           |  FROM roa$k),
+           |cm$k AS (SELECT c, v AS m FROM (
+           |  SELECT c, v,
+           |    row_number() OVER (PARTITION BY c ORDER BY v) AS rn,
+           |    count(*) OVER (PARTITION BY c) AS n FROM rea$k)
+           |  WHERE rn = (n + 1) // 2),
+           |re$k AS (SELECT r, rea$k.c, v - m AS v FROM rea$k
+           |  JOIN cm$k ON cm$k.c = rea$k.c),
+           |coa$k AS (SELECT co$prev.c, e + m AS e FROM co$prev
+           |  JOIN cm$k ON cm$k.c = co$prev.c),
+           |com$k AS (SELECT e AS m FROM (SELECT e,
+           |    row_number() OVER (ORDER BY e) AS rn,
+           |    count(*) OVER () AS n FROM coa$k)
+           |  WHERE rn = (n + 1) // 2),
+           |co$k AS (SELECT c, e - (SELECT m FROM com$k) AS e
+           |  FROM coa$k)""".stripMargin
+      s"""WITH re0 AS (SELECT event_type AS r,
+         |  (epoch_us(ts) // 86400000000) % 7 AS c,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |    AS v
+         |  FROM events GROUP BY 1, 2),
+         |ro0 AS (SELECT DISTINCT r, CAST(0 AS BIGINT) AS e FROM re0),
+         |co0 AS (SELECT DISTINCT c, CAST(0 AS BIGINT) AS e FROM re0),
+         |${sweep(1, 0)},
+         |${sweep(2, 1)},
+         |ov AS (SELECT (SELECT m FROM rom1) + (SELECT m FROM com1)
+         |  + (SELECT m FROM rom2) + (SELECT m FROM com2) AS v)
+         |SELECT 'overall' AS component, CAST(NULL AS VARCHAR) AS r,
+         |  CAST(NULL AS BIGINT) AS c,
+         |  CAST((SELECT v FROM ov) AS BIGINT) AS value
+         |UNION ALL
+         |SELECT 'row', r, NULL, CAST(e AS BIGINT) FROM ro2
+         |UNION ALL
+         |SELECT 'col', NULL, c, CAST(e AS BIGINT) FROM co2
+         |UNION ALL
+         |SELECT 'resid', r, c, CAST(v AS BIGINT) FROM re2"""
+        .stripMargin
+    },
     // value-census quintile binning replayed per metric; every score
     // an exact integer formula over census cumulative counts
     "rfm_segments" ->
