@@ -786,6 +786,48 @@ object Relational {
       .drop(seqCol)
   }
 
+  /** TPC-H Q21-shaped "only late supplier" (adapted to this fixture's
+    * columns: late = shipped more than 60 days after the order date,
+    * the receipt/commit pair isn't generated): among finished ('F')
+    * MULTI-supplier orders, count per supplier the orders where that
+    * supplier was the ONLY late shipper — the classic nested
+    * EXISTS / NOT EXISTS correlated-subquery pattern.
+    *
+    * Shape: the AGGREGATE REWRITE, not the textbook double self-join —
+    * one pass computes per-order (distinct suppliers, distinct LATE
+    * suppliers), and "S is the only late supplier of a ≥2-supplier
+    * order" becomes a filter on that aggregate joined back to the
+    * late rows. Kills both O(lineitems²-per-order) self-joins; every
+    * join is keyed, top-20 by (numwait DESC, suppkey) runs as
+    * TakeOrderedAndProject.
+    */
+  def q21OnlyLateSupplier(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame,
+                          lateDays: Int = 60): DataFrame = {
+    val li = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > date_add(col("o_orderdate"), lateDays))
+          .as("late"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey")))
+          .as("n_late_supp"))
+    li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(perOrder.filter(col("n_supp") >= 2L &&
+        col("n_late_supp") === 1L), "l_orderkey")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** Trimmed mean per group — the robust location estimate between the
     * mean (outlier-dragged) and the median (throws away 98% of the
     * data): drop the lowest and highest ⌊n·trim⌋ values under the

@@ -1379,6 +1379,12 @@ object Queries {
     "trimmed_mean" -> ((s, d) =>
       Relational.trimmedMean(events(s, d), "event_type",
         round(col("value") * 100), "event_id")),
+    // TPC-H Q21-shaped only-late-supplier: the EXISTS/NOT-EXISTS
+    // correlated pattern via the aggregate rewrite — no self-joins,
+    // top-20 as TakeOrderedAndProject
+    "q21_late_supplier" -> ((s, d) =>
+      Relational.q21OnlyLateSupplier(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d))),
     // hour-of-day seasonal index per type over the same dense
     // series — exact integer products, one division per cell
     "seasonal_profile" -> ((s, d) =>
@@ -2737,6 +2743,28 @@ object Queries {
         |    AS holt_mae_cents,
         |  CASE WHEN sae < naive THEN 'holt' ELSE 'naive' END AS winner
         |FROM fin, nv, nn""".stripMargin,
+    // the same aggregate rewrite; top-20 under the identical
+    // (numwait DESC, suppkey) total order
+    "q21_late_supplier" ->
+      """WITH li AS (SELECT l.l_orderkey, l.l_suppkey,
+        |  l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |po AS (SELECT l_orderkey,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(DISTINCT CASE WHEN late THEN l_suppkey END)
+        |    AS BIGINT) AS n_late_supp
+        |  FROM li GROUP BY 1),
+        |ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        |  WHERE late),
+        |w AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM ls JOIN po USING (l_orderkey)
+        |  WHERE n_supp >= 2 AND n_late_supp = 1
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, w.numwait
+        |FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     // per-group rank selection; k = (n div 10) dropped each side,
     // exact kept-cents sum, one division
     "trimmed_mean" ->
