@@ -1656,6 +1656,42 @@ object Eval {
         col("s.gini_w").as("gini_w"))
   }
 
+  /** Odds ratio with a Wald confidence interval over a 2×2 exposure ×
+    * outcome table — the effect-size number (how many TIMES more
+    * likely) that complements the two-proportion z's significance
+    * verdict; the reporting convention of epidemiology and every
+    * conversion-lift writeup. ln(OR) = ln(a·d) − ln(b·c) goes through
+    * [[graft.functions.DetLn]] on exact integer PRODUCTS (the
+    * psi_drift ratio-as-difference rule, bit-identical cross-engine);
+    * the Wald se = √(1/a + 1/b + 1/c + 1/d) is four reciprocals of
+    * exact counts summed left-to-right — written-down IEEE order, no
+    * library ln or accumulation ambiguity anywhere. Cells with any
+    * zero are filtered (the CI is undefined there; callers wanting
+    * the Haldane +0.5 correction pre-smooth their counts).
+    */
+  def oddsRatio(df: DataFrame, isExposed: Column,
+                isPos: Column): DataFrame = {
+    import graft.functions.GraftFunctions.detLn
+    df.agg(
+        sum(when(isPos && isExposed, 1L).otherwise(0L)).as("a"),
+        sum(when(isPos && !isExposed, 1L).otherwise(0L)).as("b"),
+        sum(when(!isPos && isExposed, 1L).otherwise(0L)).as("c"),
+        sum(when(!isPos && !isExposed, 1L).otherwise(0L)).as("d"))
+      .where(col("a") > 0L && col("b") > 0L && col("c") > 0L &&
+        col("d") > 0L)
+      .withColumn("ln_or",
+        detLn(col("a") * col("d")) - detLn(col("b") * col("c")))
+      .withColumn("se", sqrt(
+        lit(1.0) / col("a").cast(DoubleType)
+          + lit(1.0) / col("b").cast(DoubleType)
+          + lit(1.0) / col("c").cast(DoubleType)
+          + lit(1.0) / col("d").cast(DoubleType)))
+      .select(col("a"), col("b"), col("c"), col("d"), col("ln_or"),
+        col("se"),
+        (col("ln_or") - lit(1.959963984540054) * col("se")).as("lo"),
+        (col("ln_or") + lit(1.959963984540054) * col("se")).as("hi"))
+  }
+
   /** Tukey median polish (public: Tukey 1977, EDA ch. 10) of a two-way
     * table — the robust additive decomposition value ≈ overall +
     * row effect + column effect + residual, fit by alternately

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1147,5 +1147,57 @@ object Similarity {
         ((col("sum_sq") - col("norm_sq")).cast(DoubleType) /
           (col("n") * (col("n") - 1L)).cast(DoubleType))
           .as("mean_pair_dot"))
+  }
+
+  /** Embedding-space drift between two corpus slices (old vs new
+    * crawl, model v1 vs v2 re-embed, A/B encoder): cosine between the
+    * slice CENTROIDS (cos of sums = cos of means) plus each slice's
+    * mean squared norm — the two numbers that catch an encoder
+    * version bump or a domain shift before any downstream ANN recall
+    * quietly degrades. The cross-slice sibling of
+    * [[centroidSeparation]] (which compares LABEL groups within one
+    * snapshot).
+    *
+    * Exactness: quantized-integer per-dim sums (one shuffle keyed by
+    * slice·dim), all moments DECIMAL(38,0), one cosine = one division
+    * over two IEEE sqrts of exact casts; mean norms one division
+    * each. Raw vectors never shuffle — only 2·d sums do.
+    */
+  def embeddingDrift(emb: DataFrame, vecCol: String,
+                     isNew: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = emb.select(when(isNew, 1L).otherwise(0L).as("s"),
+      Dedup.quantize(col(vecCol)).as("qv"))
+    val sums = q
+      .select(col("s"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("s"), col("pos")).agg(sum(col("v")).as("sv"))
+    val a = sums.filter(col("s") === 0L)
+      .select(col("pos"), col("sv").as("sa"))
+    val b = sums.filter(col("s") === 1L)
+      .select(col("pos"), col("sv").as("sb"))
+    val moms = a.join(b, "pos")
+      .agg(sum(col("sa").cast(dec) * col("sb").cast(dec)).as("dot"),
+        sum(col("sa").cast(dec) * col("sa").cast(dec)).as("na2"),
+        sum(col("sb").cast(dec) * col("sb").cast(dec)).as("nb2"))
+      .withColumn("__jk", pmod(xxhash64(col("dot")), lit(1L)))
+    val cnt = q.select(col("s"),
+        graft.ops.Dedup.qdot(col("qv"), col("qv")).as("nn"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("nn")).as("norm_sq"))
+    val ca = cnt.filter(col("s") === 0L)
+      .select(col("n").as("n_a"), col("norm_sq").as("ns_a"))
+      .withColumn("__jk", pmod(xxhash64(col("n_a")), lit(1L)))
+    val cb = cnt.filter(col("s") === 1L)
+      .select(col("n").as("n_b"), col("norm_sq").as("ns_b"))
+      .withColumn("__jk", pmod(xxhash64(col("n_b")), lit(1L)))
+    moms.join(broadcast(ca), Seq("__jk")).join(broadcast(cb), Seq("__jk"))
+      .select(col("n_a"), col("n_b"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("na2").cast(DoubleType)) *
+            sqrt(col("nb2").cast(DoubleType)))).as("cos_centroids"),
+        (col("ns_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("mean_norm_sq_a"),
+        (col("ns_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+          .as("mean_norm_sq_b"))
   }
 }

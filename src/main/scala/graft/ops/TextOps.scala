@@ -93,6 +93,30 @@ object TextOps {
   def langId(text: Column): Column =
     graft.functions.GraftFunctions.langIdVote(lower(text), langMarkers)
 
+  /** Within-document language-mix flag — the code-switching filter a
+    * corpus pipeline runs AFTER document-level langid: a doc whose
+    * two word-halves vote for DIFFERENT languages is either genuinely
+    * mixed (wrong for monolingual training slices) or a
+    * concatenation artifact (two docs glued by a bad extractor);
+    * both are exactly what a per-doc vote hides by averaging over
+    * the halves. Split is by word index (tokens carry no spaces, so
+    * rejoining halves with ' ' reproduces the half-texts exactly —
+    * replayed in SQL via list_slice + array_to_string); each half
+    * runs the same fused LangIdVote kernel as [[langId]].
+    */
+  def langMix(docs: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col(idCol),
+        expr("array_join(slice(w, 1, size(w) div 2), ' ')").as("ta"),
+        expr("array_join(slice(w, size(w) div 2 + 1, " +
+          "size(w) - size(w) div 2), ' ')").as("tb"))
+      .select(col(idCol), langId(col("ta")).as("lang_a"),
+        langId(col("tb")).as("lang_b"))
+      .withColumn("mixed", col("lang_a") =!= col("lang_b"))
+  }
+
   /** Deterministic integer weight table for the hashed-linear quality
     * classifier (fastText/VW inference shape): weights in [-8, 8],
     * seeded so the exact values are interpolated into the oracle SQL.

@@ -1107,6 +1107,17 @@ object LlmQueries {
     // N4 — language-ID heuristic
     "langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_id"))),
+    // N4 — within-doc code-switching flag: the two word-halves each
+    // run the fused LangIdVote kernel; disagreement marks mixed or
+    // glued documents that a whole-doc vote averages away
+    "lang_mix" -> ((s, d) =>
+      TextOps.langMix(docs(s, d), "doc_id", "text")),
+    // N3 — embedding-space drift between corpus slices (id-parity
+    // stand-in for old/new crawl): centroid cosine + per-slice mean
+    // squared norm, exact integer moments, raw vectors never shuffle
+    "embedding_drift" -> ((s, d) =>
+      Similarity.embeddingDrift(emb(s, d), "embedding",
+        col("vec_id") % 2 === 1)),
     // N4 — whitespace + BPE-ish token counting
     "token_counts" -> ((s, d) =>
       TextOps.tokenCounts(docs(s, d), "doc_id", "text")),
@@ -3570,6 +3581,73 @@ object LlmQueries {
          |  ELSE 'unknown' END AS lang_id
          |FROM m""".stripMargin
     },
+    // the langid vote replayed per word-half (list_slice bounds match
+    // Spark's slice(start, length) exactly)
+    "lang_mix" -> {
+      val markers = TextOps.langMarkers
+      def counts(wcol: String, sfx: String) = markers.map {
+        case (lang, ms) =>
+          val pred = ms.map(m => s"t='$m'").mkString(" OR ")
+          s"len(list_filter($wcol, t -> $pred)) AS c_${lang}_$sfx"
+      }.mkString(",\n  ")
+      def best(sfx: String) = markers.map { case (lang, _) =>
+        s"c_${lang}_$sfx"
+      }.reduce((x, y) => s"greatest($x, $y)")
+      def cases(sfx: String) = markers.map { case (lang, _) =>
+        s"WHEN c_${lang}_$sfx > 0 AND c_${lang}_$sfx = best_$sfx " +
+          s"THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH b0 AS (SELECT doc_id, string_split(lower(text), ' ')
+         |    AS w FROM documents),
+         |b AS (SELECT doc_id,
+         |  list_slice(w, 1, len(w) // 2) AS wa,
+         |  list_slice(w, len(w) // 2 + 1, len(w)) AS wb
+         |  FROM b0 WHERE len(w) >= 2),
+         |c AS (SELECT doc_id,
+         |  ${counts("wa", "a")},
+         |  ${counts("wb", "b")}
+         |  FROM b),
+         |m AS (SELECT *, ${best("a")} AS best_a, ${best("b")} AS best_b
+         |  FROM c),
+         |v AS (SELECT doc_id,
+         |  CASE ${cases("a")} ELSE 'unknown' END AS lang_a,
+         |  CASE ${cases("b")} ELSE 'unknown' END AS lang_b
+         |  FROM m)
+         |SELECT doc_id, lang_a, lang_b, lang_a <> lang_b AS mixed
+         |FROM v""".stripMargin
+    },
+    // centroid_separation's moment chain with slice = id parity
+    "embedding_drift" ->
+      """WITH q AS (SELECT vec_id % 2 AS s,
+        |  list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |u AS (SELECT s, unnest(qv) AS v,
+        |  unnest(range(1, len(qv) + 1)) AS pos FROM q),
+        |sm AS (SELECT s, pos, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM u GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(a.sv * b.sv) AS BIGINT) AS dot,
+        |  CAST(sum(a.sv * a.sv) AS BIGINT) AS na2,
+        |  CAST(sum(b.sv * b.sv) AS BIGINT) AS nb2
+        |  FROM sm a JOIN sm b ON a.pos = b.pos
+        |    AND a.s = 0 AND b.s = 1),
+        |cn AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM q
+        |  GROUP BY 1),
+        |nr AS (SELECT s, CAST(sum(v * v) AS BIGINT) AS ns FROM u
+        |  GROUP BY 1)
+        |SELECT
+        |  (SELECT n FROM cn WHERE s = 0) AS n_a,
+        |  (SELECT n FROM cn WHERE s = 1) AS n_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))
+        |    * sqrt(CAST(nb2 AS DOUBLE))) AS cos_centroids,
+        |  CAST((SELECT ns FROM nr WHERE s = 0) AS DOUBLE)
+        |    / CAST((SELECT n FROM cn WHERE s = 0) AS DOUBLE)
+        |    AS mean_norm_sq_a,
+        |  CAST((SELECT ns FROM nr WHERE s = 1) AS DOUBLE)
+        |    / CAST((SELECT n FROM cn WHERE s = 1) AS DOUBLE)
+        |    AS mean_norm_sq_b
+        |FROM m""".stripMargin,
     "top_terms_per_lang" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
         |  FROM documents),

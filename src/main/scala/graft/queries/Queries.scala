@@ -1611,6 +1611,13 @@ object Queries {
     "cramers_v" -> ((s, d) =>
       graft.ops.Eval.cramersV(events(s, d), col("event_type"),
         expr("(unix_micros(ts) div 86400000000L) % 7"))),
+    // odds ratio + Wald CI for purchase × weekend (dow with the +4
+    // Sunday-origin convention): ln(OR) as a DetLn difference on
+    // integer products, se from four reciprocals in written order
+    "odds_ratio" -> ((s, d) =>
+      graft.ops.Eval.oddsRatio(events(s, d),
+        expr("((unix_micros(ts) div 86400000000L) + 4L) % 7L IN (0, 6)"),
+        col("event_type") === "purchase")),
     // Tukey median polish of the same type × dow table — robust
     // additive decomposition by alternating median sweeps, all
     // integers, the bounded census on the driver (theilSen rule)
@@ -3490,6 +3497,35 @@ object Queries {
         |    / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
         |    AS v
         |FROM c0, f""".stripMargin,
+    // DetLn on the exact integer products a·d and b·c; the four
+    // reciprocals summed left-to-right as written
+    "odds_ratio" ->
+      s"""WITH e AS (SELECT event_type = 'purchase' AS pos,
+        |  ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6) AS ex
+        |  FROM events),
+        |t AS (SELECT
+        |  CAST(sum(CASE WHEN pos AND ex THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN pos AND NOT ex THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN NOT pos AND ex THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN NOT pos AND NOT ex THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d
+        |  FROM e),
+        |w AS (SELECT * FROM t
+        |  WHERE a > 0 AND b > 0 AND c > 0 AND d > 0),
+        |l AS (SELECT a, b, c, d,
+        |  ${OracleSql.detLn("a * d")}
+        |    - ${OracleSql.detLn("b * c")} AS ln_or,
+        |  sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |    + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))
+        |    AS se
+        |  FROM w)
+        |SELECT a, b, c, d, ln_or, se,
+        |  ln_or - 1.959963984540054 * se AS lo,
+        |  ln_or + 1.959963984540054 * se AS hi
+        |FROM l""".stripMargin,
     // each sweep replayed as windowed rank selection (lower median),
     // effects recentered exactly as the op does; all BIGINT
     "median_polish" -> {
