@@ -1276,6 +1276,24 @@ object LlmQueries {
           size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))),
+    // N2/N4 audit — the WHY of cluster_split: count near-dup pairs
+    // that STRADDLE the naive content-hash split (same pair predicate
+    // as neardup_minhash, split labels normalized to an unordered
+    // pair) — the train/eval leakage a per-doc hash split permits
+    "split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sp = dd.select(col("doc_id"),
+        TextOps.splitAssign(col("text")).as("split"))
+      Dedup.minhashPairs(dd, "doc_id", "text", threshold = 0.5)
+        .join(sp.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+    }),
     // N2/N4 pipeline — cluster-aware split: near-dup COMPONENTS are
     // the split key (8/1/1 by canonical_id), so paraphrase pairs can
     // never straddle train/eval — the leakage guarantee an exact
@@ -2274,6 +2292,35 @@ object LlmQueries {
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    // the neardup_minhash pair predicate + the polyHash split replay,
+    // pair labels normalized to an unordered (lo, hi)
+    "split_leakage" ->
+      s"""WITH $shinglesCte,
+         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh
+         |  WHERE len(s) > 0),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |v AS (SELECT ia, ib,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         |  len(sa.s) AS la, len(sb.s) AS lb
+         |  FROM cand JOIN sh sa ON ia = sa.doc_id
+         |  JOIN sh sb ON ib = sb.doc_id),
+         |pr AS (SELECT ia, ib FROM v
+         |  WHERE CAST(inter AS DOUBLE)
+         |    / CAST(la + lb - inter AS DOUBLE) >= 0.5),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN ${sqlPolyHash("text")} % 10 < 8 THEN 'train'
+         |       WHEN ${sqlPolyHash("text")} % 10 < 9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  least(a.split, b.split) <> greatest(a.split, b.split)
+         |    AS leaked
+         |FROM pr JOIN spl a ON a.doc_id = ia
+         |JOIN spl b ON b.doc_id = ib
+         |GROUP BY 1, 2, 4""".stripMargin,
     // the rare-anchor df cap is part of the operator contract and
     // replays here verbatim; containment verified on the raw shingle
     // sets (same sets the hashed kernel intersects)
