@@ -1656,6 +1656,55 @@ object Eval {
         col("s.gini_w").as("gini_w"))
   }
 
+  /** Restricted mean survival time — ∫₀^τ S(t)dt over the
+    * [[kaplanMeier]] step curve (public: the standard
+    * hazard-assumption-free effect summary when proportional hazards
+    * fails): "average days-to-conversion credit within the first τ
+    * days" — ONE number from the KM curve that, unlike the median,
+    * always exists under heavy censoring. Day-grain durations: the
+    * integral is the sum of the post-event survival levels over the
+    * grid [0, τ), S right-continuous, events at t ≥ τ outside the
+    * integration window by construction.
+    *
+    * Same exactness contract as kaplanMeier: the product and the
+    * area fold run on the driver over the day-domain-bounded census
+    * in ONE written-down IEEE order (ascending event days; area
+    * accumulates ascending grid days), replayed by the oracle's
+    * ordered list_reduce prefixes. Output: one row
+    * (tau, n_users, surv_tau, rmst_days).
+    */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long): DataFrame = {
+    val census = df
+      .select(col(durationCol).cast(LongType).as("t"),
+        col(eventCol).cast(BooleanType).as("e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = census.iterator.map(_._2).sum
+    var atRisk = total
+    var surv = 1.0
+    val survAt = collection.mutable.Map.empty[Long, Double]
+    census.foreach { case (t, nAt, d) =>
+      if (d > 0 && t < tau) {
+        surv = surv * (1.0 - d.toDouble / atRisk.toDouble)
+        survAt(t) = surv
+      }
+      atRisk -= nAt
+    }
+    var area = 0.0
+    var s = 1.0
+    (0L until tau).foreach { k =>
+      s = survAt.getOrElse(k, s)
+      area += s
+    }
+    df.sparkSession
+      .createDataFrame(Seq((tau, total, s, area)))
+      .toDF("tau", "n_users", "surv_tau", "rmst_days")
+  }
+
   /** Odds ratio with a Wald confidence interval over a 2×2 exposure ×
     * outcome table — the effect-size number (how many TIMES more
     * likely) that complements the two-proportion z's significance

@@ -1447,6 +1447,24 @@ object Queries {
             .as("converted"))
       graft.ops.Eval.kaplanMeier(users, "dur", "converted")
     }),
+    // restricted mean survival time over the same cohort/curve: the
+    // censoring-proof one-number effect summary; product + area folds
+    // driver-side in the written-down order, prefix-replayed oracle
+    "km_rmst" -> ((s, d) => {
+      val w = 3L
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      val f0 = e.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val p0 = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("p"))
+      val users = f0.join(p0, Seq("user_id"), "left_outer")
+        .select(
+          when(col("p").isNotNull && col("p") - col("f") <= w,
+            col("p") - col("f")).otherwise(w).as("dur"),
+          (col("p").isNotNull && col("p") - col("f") <= w)
+            .as("converted"))
+      graft.ops.Eval.rmst(users, "dur", "converted", tau = w)
+    }),
     // log-rank test over the same activation cohort, arms by id
     // parity (the A/B assignment): one χ²₁ row (o1, e1, var, chi2),
     // folds driver-side in the written-down order like km_conversion
@@ -2982,6 +3000,44 @@ object Queries {
         |       / CAST(n_risk AS DOUBLE) ORDER BY t) FROM ev2)[1:k]),
         |    (a, b) -> a * b) AS surv
         |FROM rn""".stripMargin,
+    // the same census; per-grid-day survival via prefix products
+    // (j = event days <= k), area by the day-ordered fold
+    "km_rmst" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |f0 AS (SELECT user_id, min(day) AS f FROM e GROUP BY 1),
+        |p0 AS (SELECT user_id, min(day) AS p FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |du AS (SELECT
+        |  CASE WHEN p IS NOT NULL AND p - f <= 3 THEN p - f
+        |       ELSE 3 END AS t,
+        |  p IS NOT NULL AND p - f <= 3 AS ev
+        |  FROM f0 LEFT JOIN p0 USING (user_id)),
+        |c AS (SELECT t, count(*) AS n_at,
+        |  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM du GROUP BY 1),
+        |r AS (SELECT t, n_at, d,
+        |  CAST((SELECT sum(n_at) FROM c)
+        |    - coalesce(sum(n_at) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_risk
+        |  FROM c),
+        |evx AS (SELECT t, n_risk, d FROM r WHERE d > 0 AND t < 3),
+        |pl AS (SELECT coalesce(list(1.0 - CAST(d AS DOUBLE)
+        |    / CAST(n_risk AS DOUBLE) ORDER BY t), []) AS ps FROM evx),
+        |days AS (SELECT unnest(range(0, 3)) AS k),
+        |jx AS (SELECT days.k,
+        |  CAST(count(evx.t) AS BIGINT) AS j
+        |  FROM days LEFT JOIN evx ON evx.t <= days.k GROUP BY days.k),
+        |sk AS (SELECT k, list_reduce(list_prepend(1.0,
+        |    (SELECT ps FROM pl)[1:CAST(j AS INT)]),
+        |    (a, b) -> a * b) AS s FROM jx)
+        |SELECT CAST(3 AS BIGINT) AS tau,
+        |  (SELECT CAST(sum(n_at) AS BIGINT) FROM c) AS n_users,
+        |  (SELECT s FROM sk WHERE k = 2) AS surv_tau,
+        |  list_reduce(list_prepend(0.0,
+        |    (SELECT list(s ORDER BY k) FROM sk)), (a, b) -> a + b)
+        |    AS rmst_days""".stripMargin,
     // same top-10 census; discounts and both folds replay the op's
     // DetLn divisions and ascending-rank add order
     "ndcg_popularity" -> {
