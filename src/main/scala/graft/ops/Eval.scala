@@ -1656,6 +1656,48 @@ object Eval {
         col("s.gini_w").as("gini_w"))
   }
 
+  /** 1-D earth mover's distance between two value distributions over
+    * a shared bucket grid — EMD(A,B) = Σ_b |F_A(b) − F_B(b)| with
+    * unit-bucket width (public: the Wasserstein-1 closed form in one
+    * dimension). The L1 drift distance beside ks_test's supremum and
+    * psi_drift's log-ratio: KS sees the worst single point, EMD sees
+    * the total mass that must MOVE — a fatter-tail shift with a small
+    * max gap shows up here first.
+    *
+    * Exact: per-bucket |cumA·n_B − cumB·n_A| is an exact BIGINT
+    * (cross-multiplied CDFs, no per-bucket division), summed as
+    * BIGINT; ONE final division by n_A·n_B. Cumulative counts ride
+    * one window over the bucket CENSUS (value-grid bounded — the
+    * gini_spend bound).
+    */
+  def emdDrift(a: DataFrame, b: DataFrame, valueCents: Column,
+               bucketCents: Long = 500L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def bucketed(df: DataFrame, cnt: String) = df
+      .select(floor(valueCents.cast(LongType) / lit(bucketCents))
+        .cast(LongType).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as(cnt))
+    val grid = bucketed(a, "na").join(bucketed(b, "nb"),
+        Seq("bkt"), "full_outer")
+      .select(col("bkt"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val wc = W.orderBy(col("bkt"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    grid
+      .withColumn("ca", sum(col("na")).over(wc))
+      .withColumn("cb", sum(col("nb")).over(wc))
+      .withColumn("ta", sum(col("na")).over(wAll))
+      .withColumn("tb", sum(col("nb")).over(wAll))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(abs(col("ca") * col("tb") - col("cb") * col("ta")))
+        .as("emd_num"))
+      .where(col("ta") > 0L && col("tb") > 0L)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("emd_num"),
+        (col("emd_num").cast(DoubleType) /
+          (col("ta") * col("tb")).cast(DoubleType)).as("emd_buckets"))
+  }
+
   /** Restricted mean survival time — ∫₀^τ S(t)dt over the
     * [[kaplanMeier]] step curve (public: the standard
     * hazard-assumption-free effect summary when proportional hazards

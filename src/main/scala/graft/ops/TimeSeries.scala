@@ -770,6 +770,43 @@ object TimeSeries {
         "winner")
   }
 
+  /** Durbin–Watson statistic per type over the dense hourly series —
+    * the residual-autocorrelation audit (public: Durbin & Watson
+    * 1950): DW ≈ 2 means independent residuals, → 0 positive serial
+    * correlation, → 4 negative. The one-number check that the
+    * "independent observations" assumption behind every naive
+    * interval actually holds, next to [[seriesAcf]]'s full curve and
+    * [[seriesEss]]'s corrected n.
+    *
+    * Exact: devs are the n-scaled integer deviations (c·n − total,
+    * the seriesAcf discipline), numerator Σ(devₜ−devₜ₋₁)² and
+    * denominator Σdev² both DECIMAL(38,0) sums of integer products,
+    * ONE division. The lag runs under a window PARTITIONED by type —
+    * per-type sort, no global sort anywhere.
+    */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    denseHourly(events)
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("c")).over(byType))
+      .withColumn("dev", col("c") * col("n_hours") - col("total"))
+      .withColumn("prev", lag(col("dev"), 1).over(ord))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_hours")).as("n_hours"),
+        sum(when(col("prev").isNotNull,
+          (col("dev") - col("prev")).cast(dec) *
+            (col("dev") - col("prev")).cast(dec))).as("num"),
+        sum(col("dev").cast(dec) * col("dev").cast(dec)).as("den"))
+      .where(col("den") > 0)
+      .select(col("event_type"), col("n_hours"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("dw"))
+  }
+
   /** Wald–Wolfowitz runs test over the daily-total series — is the
     * sequence of above/below-median days RANDOM, or does it cluster
     * (momentum/regimes → fewer runs) or oscillate (negative

@@ -1622,6 +1622,21 @@ object Queries {
     // run counts, normal-approx z in a written-down order
     "runs_test" -> ((s, d) =>
       graft.ops.TimeSeries.runsTest(events(s, d))),
+    // Durbin-Watson residual autocorrelation per type over the dense
+    // hourly deviations — DECIMAL(38,0) products, one division,
+    // per-type partitioned lag
+    "durbin_watson" -> ((s, d) =>
+      graft.ops.TimeSeries.durbinWatson(events(s, d))),
+    // 1-D earth mover's distance between the Jan-1..14 and Jan-15+
+    // value distributions over the $5 bucket grid — cross-multiplied
+    // CDFs keep every per-bucket term an exact BIGINT, one division
+    "emd_drift" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.ops.Eval.emdDrift(
+        ev.filter(expr("unix_micros(ts) < 1705276800000000L")),
+        ev.filter(expr("unix_micros(ts) >= 1705276800000000L")),
+        round(col("value") * 100))
+    }),
     // Cramér's V between event type and day-of-week index — the
     // [0,1]-normalized association strength over the contingency
     // cells; chi2 via the zero-cell-free identity ΣO²n/(nx·ny) − n,
@@ -2899,7 +2914,8 @@ object Queries {
     // bucket-census cumulative split search replayed; gini_w in the
     // op's written-down order, argmin by (gini_w, thr) ORDER + LIMIT
     "decision_stump" ->
-      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) // 500
+      """WITH v AS (SELECT CAST(floor(
+        |    CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT)
         |    AS b,
         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
         |  FROM events),
@@ -3492,6 +3508,69 @@ object Queries {
         |    WHEN z < -1.959963984540054 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM z""".stripMargin,
+    // dense-grid deviations as in series_acf; num/den DECIMAL
+    // products, one division
+    "durbin_watson" ->
+      """WITH e AS (SELECT (epoch_us(ts) - 1704067200000000)
+        |    // 3600000000 AS h, event_type FROM events),
+        |cnt AS (SELECT h, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |grid AS (SELECT g.h, t.event_type FROM
+        |  (SELECT unnest(generate_series(lo, hi)) AS h FROM b) g,
+        |  (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT grid.h, grid.event_type, COALESCE(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt USING (h, event_type)),
+        |st AS (SELECT event_type, count(*) AS n_hours,
+        |    sum(c) AS total FROM dense GROUP BY 1),
+        |d AS (SELECT dense.event_type, h,
+        |    c * n_hours - total AS dev FROM dense
+        |  JOIN st USING (event_type)),
+        |l AS (SELECT event_type, dev,
+        |  lag(dev) OVER (PARTITION BY event_type ORDER BY h) AS prev
+        |  FROM d),
+        |agg AS (SELECT event_type,
+        |  sum(CASE WHEN prev IS NOT NULL THEN
+        |    CAST(dev - prev AS DECIMAL(38,0))
+        |      * CAST(dev - prev AS DECIMAL(38,0)) END) AS num,
+        |  sum(CAST(dev AS DECIMAL(38,0))
+        |    * CAST(dev AS DECIMAL(38,0))) AS den
+        |  FROM l GROUP BY 1)
+        |SELECT agg.event_type, CAST(st.n_hours AS BIGINT) AS n_hours,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS dw
+        |FROM agg JOIN st ON st.event_type = agg.event_type
+        |WHERE den > 0""".stripMargin,
+    // cross-multiplied CDFs over the shared $5 grid; BIGINT sum, one
+    // division
+    "emd_drift" ->
+      """WITH a AS (SELECT CAST(floor(
+        |    CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT)
+        |    AS bkt FROM events
+        |  WHERE epoch_us(ts) < 1705276800000000),
+        |b AS (SELECT CAST(floor(
+        |    CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT)
+        |    AS bkt FROM events
+        |  WHERE epoch_us(ts) >= 1705276800000000),
+        |ga AS (SELECT bkt, CAST(count(*) AS BIGINT) AS na FROM a
+        |  GROUP BY 1),
+        |gb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS nb FROM b
+        |  GROUP BY 1),
+        |grid AS (SELECT coalesce(ga.bkt, gb.bkt) AS bkt,
+        |  coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ga FULL OUTER JOIN gb ON ga.bkt = gb.bkt),
+        |cum AS (SELECT bkt,
+        |  CAST(sum(na) OVER w AS BIGINT) AS ca,
+        |  CAST(sum(nb) OVER w AS BIGINT) AS cb,
+        |  CAST((SELECT sum(na) FROM grid) AS BIGINT) AS ta,
+        |  CAST((SELECT sum(nb) FROM grid) AS BIGINT) AS tb
+        |  FROM grid WINDOW w AS (ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT ta AS n_a, tb AS n_b,
+        |  CAST(sum(abs(ca * tb - cb * ta)) AS BIGINT) AS emd_num,
+        |  CAST(sum(abs(ca * tb - cb * ta)) AS DOUBLE)
+        |    / CAST(ta * tb AS DOUBLE) AS emd_buckets
+        |FROM cum GROUP BY 1, 2
+        |HAVING ta > 0 AND tb > 0""".stripMargin,
     // rank-selected lower median, median-equal days dropped, run
     // boundaries under the day order, z in the op's op order
     "runs_test" ->

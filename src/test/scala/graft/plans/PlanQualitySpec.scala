@@ -65,6 +65,10 @@ class PlanQualitySpec extends SparkSuite {
     "series_corr", "series_spearman", "cusum_changepoint",
     "series_acf", "seasonal_profile", "forecast_backtest",
     "arrival_dispersion", "seasonal_anomaly", "series_ess",
+    "durbin_watson",
+    // cumulative CDFs over the $5 value-BUCKET census (the gini_spend
+    // bound; Eval.emdDrift scaladoc)
+    "emd_drift",
     // sweep-line running sum over MINUTE-grain net deltas — at most
     // one row per minute of retention at any data volume
     // (Sessionize.peakConcurrency scaladoc)
