@@ -807,6 +807,45 @@ object TimeSeries {
           .as("dw"))
   }
 
+  /** XmR (individuals / moving-range) control chart over the daily
+    * totals — the Shewhart process-control verdict (public: Wheeler's
+    * XmR form): limits x̄ ± 2.66·m̄R from the mean moving range, each
+    * day flagged in or out of control. The SPC complement of
+    * [[cusumChangepoint]] (CUSUM accumulates small persistent shifts;
+    * XmR flags single excursions against short-term variation) —
+    * and unlike the 3σ-of-global-σ rule, the moving-range estimate is
+    * robust to the very shifts it's hunting.
+    *
+    * Exact: sums and |moving ranges| are BIGINT cents over the
+    * bounded day census; x̄, m̄R, and the two limits are four
+    * divisions/multiplies in a written-down order; flags are double
+    * comparisons (deterministic). Output: every day with its verdict.
+    */
+  def xmrChart(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        round(col("value") * 100).cast(LongType).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    daily
+      .withColumn("prev", lag(col("cents"), 1).over(W.orderBy(col("day"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("cents")).over(wAll))
+      .withColumn("smr", sum(abs(col("cents") - col("prev"))).over(wAll))
+      .where(col("n") > 1L)
+      .withColumn("xbar",
+        col("s").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("mrbar", col("smr").cast(DoubleType) /
+        (col("n") - 1L).cast(DoubleType))
+      .withColumn("ucl", col("xbar") + lit(2.66) * col("mrbar"))
+      .withColumn("lcl", col("xbar") - lit(2.66) * col("mrbar"))
+      .select(col("day"), col("cents"), col("xbar"), col("mrbar"),
+        col("ucl"), col("lcl"),
+        (col("cents").cast(DoubleType) > col("ucl") ||
+          col("cents").cast(DoubleType) < col("lcl")).as("out_of_control"))
+  }
+
   /** Wald–Wolfowitz runs test over the daily-total series — is the
     * sequence of above/below-median days RANDOM, or does it cluster
     * (momentum/regimes → fewer runs) or oscillate (negative

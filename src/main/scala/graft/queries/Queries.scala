@@ -1627,6 +1627,11 @@ object Queries {
     // per-type partitioned lag
     "durbin_watson" -> ((s, d) =>
       graft.ops.TimeSeries.durbinWatson(events(s, d))),
+    // XmR control chart over daily totals — Shewhart limits
+    // x̄ ± 2.66·m̄R from the moving range, per-day verdicts; exact
+    // integer sums, four written-order IEEE ops for the limits
+    "xmr_chart" -> ((s, d) =>
+      graft.ops.TimeSeries.xmrChart(events(s, d))),
     // 1-D earth mover's distance between the Jan-1..14 and Jan-15+
     // value distributions over the $5 bucket grid — cross-multiplied
     // CDFs keep every per-bucket term an exact BIGINT, one division
@@ -3508,6 +3513,28 @@ object Queries {
         |    WHEN z < -1.959963984540054 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM z""".stripMargin,
+    // daily census; moving-range sum via lag, limits in the op's
+    // written order, verdicts by double comparison
+    "xmr_chart" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, cents,
+        |  lag(cents) OVER (ORDER BY day) AS prev FROM daily),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s,
+        |  CAST(sum(abs(cents - prev)) AS BIGINT) AS smr FROM l),
+        |m AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS xbar,
+        |  CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS mrbar
+        |  FROM t WHERE n > 1),
+        |lim AS (SELECT xbar, mrbar, xbar + 2.66 * mrbar AS ucl,
+        |  xbar - 2.66 * mrbar AS lcl FROM m)
+        |SELECT day, cents, xbar, mrbar, ucl, lcl,
+        |  CAST(cents AS DOUBLE) > ucl OR CAST(cents AS DOUBLE) < lcl
+        |    AS out_of_control
+        |FROM daily, lim""".stripMargin,
     // dense-grid deviations as in series_acf; num/den DECIMAL
     // products, one division
     "durbin_watson" ->

@@ -83,6 +83,9 @@ class PlanQualitySpec extends SparkSuite {
     // median rank-selection + run-boundary lag over the DAY census —
     // calendar cardinality (TimeSeries.runsTest scaladoc)
     "runs_test",
+    // moving-range lag + global sums over the same DAY census
+    // (TimeSeries.xmrChart scaladoc)
+    "xmr_chart",
     // census-offset ranking: cumulative window over per-score-value
     // groups (n_chars domain) + decile cum over 10 rows
     // (Eval.cumulativeGain scaladoc)
