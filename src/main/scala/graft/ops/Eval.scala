@@ -1664,11 +1664,14 @@ object Eval {
     * the total mass that must MOVE — a fatter-tail shift with a small
     * max gap shows up here first.
     *
-    * Exact: per-bucket |cumA·n_B − cumB·n_A| is an exact BIGINT
-    * (cross-multiplied CDFs, no per-bucket division), summed as
-    * BIGINT; ONE final division by n_A·n_B. Cumulative counts ride
-    * one window over the bucket CENSUS (value-grid bounded — the
-    * gini_spend bound).
+    * Exact: per-grid-point |cumA·n_B − cumB·n_A| is an exact BIGINT
+    * (cross-multiplied CDFs, no per-bucket division), WEIGHTED by the
+    * gap to the next occupied bucket — the CDF difference persists
+    * across empty buckets, so the gap weight is what makes this the
+    * true Wasserstein-1, not a support-compressed lookalike — and
+    * summed as BIGINT; ONE final division by n_A·n_B. Cumulative
+    * counts ride one window over the bucket CENSUS (value-grid
+    * bounded — the gini_spend bound).
     */
   def emdDrift(a: DataFrame, b: DataFrame, valueCents: Column,
                bucketCents: Long = 500L): DataFrame = {
@@ -1689,9 +1692,14 @@ object Eval {
       .withColumn("cb", sum(col("nb")).over(wc))
       .withColumn("ta", sum(col("na")).over(wAll))
       .withColumn("tb", sum(col("nb")).over(wAll))
+      // gap to the next occupied bucket; the last grid point has
+      // F_A = F_B = 1, so its weight never matters — pin it to 1
+      .withColumn("gap",
+        coalesce(lead(col("bkt"), 1).over(W.orderBy(col("bkt")))
+          - col("bkt"), lit(1L)))
       .groupBy(col("ta"), col("tb"))
-      .agg(sum(abs(col("ca") * col("tb") - col("cb") * col("ta")))
-        .as("emd_num"))
+      .agg(sum(abs(col("ca") * col("tb") - col("cb") * col("ta"))
+        * col("gap")).as("emd_num"))
       .where(col("ta") > 0L && col("tb") > 0L)
       .select(col("ta").as("n_a"), col("tb").as("n_b"), col("emd_num"),
         (col("emd_num").cast(DoubleType) /

@@ -1703,6 +1703,19 @@ object Queries {
           .groupBy(col("event_type"), col("bucket"))
           .agg(sum(col("cnt")).as("cnt")),
         Seq("event_type"))),
+    // streaming drift monitor (batch-replayed): per-day gap-weighted
+    // Wasserstein-1 against the Jan-1..14 reference histogram baked
+    // in as plan literals — the in-flight twin of emd_drift; per-term
+    // exact BIGINTs, order-free window fold
+    "drift_stream" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.filter(expr("unix_micros(ts) < 1705276800000000L"))
+        .select(floor(round(col("value") * 100).cast(LongType)
+          / lit(500L)).cast(LongType).as("bkt"))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      graft.streaming.DriftStream.emdStream(
+        ev.filter(expr("unix_micros(ts) >= 1705276800000000L")), ref)
+    }),
     // quasi-experimental sibling of cuped_adjust: the arm difference
     // of the pre→post per-user mean changes nets out both the level
     // gap and the common trend; same census, same exact-moment
@@ -3513,6 +3526,50 @@ object Queries {
         |    WHEN z < -1.959963984540054 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM z""".stripMargin,
+    // per-day union grid = day buckets ∪ reference buckets (cross
+    // join), partitioned cumulative CDFs, the op's gap weighting
+    "drift_stream" ->
+      """WITH rb AS (SELECT CAST(floor(
+        |    CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT)
+        |    AS bkt FROM events
+        |  WHERE epoch_us(ts) < 1705276800000000),
+        |ref AS (SELECT bkt, CAST(count(*) AS BIGINT) AS nr FROM rb
+        |  GROUP BY 1),
+        |trr AS (SELECT CAST(sum(nr) AS BIGINT) AS tr FROM ref),
+        |wb0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 500)
+        |    AS BIGINT) AS bkt
+        |  FROM events WHERE epoch_us(ts) >= 1705276800000000),
+        |wb AS (SELECT day, bkt, CAST(count(*) AS BIGINT) AS nw
+        |  FROM wb0 GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM wb),
+        |grid AS (SELECT day, bkt FROM days
+        |    CROSS JOIN (SELECT bkt FROM ref)
+        |  UNION SELECT day, bkt FROM wb),
+        |g2 AS (SELECT day, grid.bkt, coalesce(nw, 0) AS nw,
+        |  coalesce(nr, 0) AS nr
+        |  FROM grid LEFT JOIN wb USING (day, bkt)
+        |  LEFT JOIN ref ON ref.bkt = grid.bkt),
+        |cum AS (SELECT day, bkt,
+        |  CAST(sum(nw) OVER (PARTITION BY day ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cw,
+        |  CAST(sum(nr) OVER (PARTITION BY day ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cr,
+        |  CAST(sum(nw) OVER (PARTITION BY day) AS BIGINT) AS tw,
+        |  coalesce(lead(bkt) OVER (PARTITION BY day ORDER BY bkt)
+        |    - bkt, 1) AS gap
+        |  FROM g2)
+        |SELECT make_timestamp(day * 86400000000) AS w_start,
+        |  tw AS n_win,
+        |  CAST(sum(abs(cw * (SELECT tr FROM trr) - cr * tw) * gap)
+        |    AS BIGINT) AS emd_num,
+        |  CAST(sum(abs(cw * (SELECT tr FROM trr) - cr * tw) * gap)
+        |    AS DOUBLE)
+        |    / CAST(tw * (SELECT tr FROM trr) AS DOUBLE)
+        |    AS emd_buckets
+        |FROM cum GROUP BY 1, 2""".stripMargin,
     // daily census; moving-range sum via lag, limits in the op's
     // written order, verdicts by double comparison
     "xmr_chart" ->
@@ -3589,12 +3646,14 @@ object Queries {
         |  CAST(sum(na) OVER w AS BIGINT) AS ca,
         |  CAST(sum(nb) OVER w AS BIGINT) AS cb,
         |  CAST((SELECT sum(na) FROM grid) AS BIGINT) AS ta,
-        |  CAST((SELECT sum(nb) FROM grid) AS BIGINT) AS tb
+        |  CAST((SELECT sum(nb) FROM grid) AS BIGINT) AS tb,
+        |  coalesce(lead(bkt) OVER (ORDER BY bkt) - bkt, 1) AS gap
         |  FROM grid WINDOW w AS (ORDER BY bkt
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT ta AS n_a, tb AS n_b,
-        |  CAST(sum(abs(ca * tb - cb * ta)) AS BIGINT) AS emd_num,
-        |  CAST(sum(abs(ca * tb - cb * ta)) AS DOUBLE)
+        |  CAST(sum(abs(ca * tb - cb * ta) * gap) AS BIGINT)
+        |    AS emd_num,
+        |  CAST(sum(abs(ca * tb - cb * ta) * gap) AS DOUBLE)
         |    / CAST(ta * tb AS DOUBLE) AS emd_buckets
         |FROM cum GROUP BY 1, 2
         |HAVING ta > 0 AND tb > 0""".stripMargin,
