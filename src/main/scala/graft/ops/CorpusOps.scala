@@ -95,6 +95,59 @@ object CorpusOps {
       .select(col(sourceCol), col("cap"), col("target"), col("alloc"))
   }
 
+  /** Temperature-weighted mixture plan (public: the multilingual
+    * sampling rule of mBERT/XLM-R/Llama data recipes, T = 2): source
+    * i's share of the token budget ∝ n_i^(1/T) = √n_i, flattening the
+    * head so low-resource sources stop being rounding errors. The
+    * DISTRIBUTION-shaping complement of [[mixturePlan]]'s
+    * water-filling (which caps the head at a level; temperature
+    * reshapes every share). `alloc > n_tokens` is the method's honest
+    * output — that source repeats (epochs > 1), exactly how the
+    * recipe is run in practice — so `epochs` is emitted rather than
+    * silently capped.
+    *
+    * Exactness: √n is IEEE-exact; the weight normalizer folds in
+    * source-sorted order (bounded census); each raw share is
+    * budget·w/W in one written order, floored; the budget lands
+    * EXACTLY via largest-remainder (+1 to the top (frac, source)
+    * ranks — comparisons of identical doubles). Shape: one hash
+    * aggregate to the source census, windows only over that census.
+    */
+  def mixtureTemperature(docs: DataFrame, sourceCol: String,
+                         textCol: String, budgetNum: Long = 1L,
+                         budgetDen: Long = 2L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val caps = docs.groupBy(col(sourceCol))
+      .agg(sum(size(split(col(textCol), " "))).cast(LongType).as("cap"))
+    val tot = caps
+      .agg(sum(col("cap")).as("total"),
+        collect_list(struct(col(sourceCol).as("src"), col("cap")))
+          .as("cs"))
+      .select(expr(s"total * ${budgetNum}L div ${budgetDen}L")
+        .as("budget"),
+        aggregate(sort_array(col("cs")), lit(0.0),
+          (a, x) => a + sqrt(x.getField("cap").cast(DoubleType)))
+          .as("wsum"))
+      .withColumn("__jk", pmod(xxhash64(col("budget")), lit(1L)))
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wRk = W.orderBy(col("frac").desc, col(sourceCol))
+    caps.withColumn("__jk", pmod(xxhash64(col("cap")), lit(1L)))
+      .join(broadcast(tot), Seq("__jk"))
+      .withColumn("w", sqrt(col("cap").cast(DoubleType)))
+      .withColumn("raw",
+        col("budget").cast(DoubleType) * col("w") / col("wsum"))
+      .withColumn("base", floor(col("raw")).cast(LongType))
+      .withColumn("frac", col("raw") - floor(col("raw")))
+      .withColumn("rr", col("budget") - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(wRk).cast(LongType))
+      .select(col(sourceCol), col("cap").as("n_tokens"),
+        col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("rr"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .withColumn("epochs", col("alloc_tokens").cast(DoubleType) /
+        col("n_tokens").cast(DoubleType))
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     // floor BEFORE the shingle kernel + bloom probes: a one-partition

@@ -1534,6 +1534,12 @@ object LlmQueries {
     // the target exactly
     "mixture_plan" -> ((s, d) =>
       CorpusOps.mixturePlan(docs(s, d), "source", "text", 1L, 2L)),
+    // temperature mixing (T=2, the multilingual data-recipe rule):
+    // shares ∝ √n over the source census, exact-budget landing by
+    // largest remainder, epochs>1 emitted honestly for boosted tails
+    "mixture_temperature" -> ((s, d) =>
+      CorpusOps.mixtureTemperature(docs(s, d), "source", "text",
+        1L, 2L)),
     // Corpus ops — exact-N-per-group sampling: take exactly k docs per
     // language, chosen by content-hash rank (deterministic, replay-
     // stable, no rand()). The row_number()<=k filter is rewritten into
@@ -4285,6 +4291,35 @@ object LlmQueries {
     // the same closed-form water-fill: sorted prefix sums, first
     // segment reaching the target, DIV/mod level + largest-cap
     // remainder
+    // √n shares over the source-sorted fold; floor + largest
+    // remainder replayed in the op's rank order
+    "mixture_temperature" ->
+      """WITH caps AS (SELECT source AS src,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+        |  list_reduce(list_prepend(0.0,
+        |    (SELECT list(sqrt(CAST(cap AS DOUBLE)) ORDER BY src)
+        |     FROM caps)), (a, b) -> a + b) AS wsum
+        |  FROM caps),
+        |b AS (SELECT total * 1 // 2 AS budget, wsum FROM t),
+        |j AS (SELECT src, cap, sqrt(CAST(cap AS DOUBLE)) AS w,
+        |  CAST(budget AS DOUBLE) * sqrt(CAST(cap AS DOUBLE)) / wsum
+        |    AS raw, budget
+        |  FROM caps, b),
+        |f AS (SELECT src, cap, w, budget,
+        |  CAST(floor(raw) AS BIGINT) AS base,
+        |  raw - floor(raw) AS frac FROM j),
+        |r AS (SELECT *,
+        |  CAST(budget - (SELECT sum(base) FROM f) AS BIGINT) AS rr,
+        |  CAST(row_number() OVER (ORDER BY frac DESC, src)
+        |    AS BIGINT) AS rk FROM f)
+        |SELECT src AS source, cap AS n_tokens, w AS weight,
+        |  base + CASE WHEN rk <= rr THEN 1 ELSE 0 END
+        |    AS alloc_tokens,
+        |  CAST(base + CASE WHEN rk <= rr THEN 1 ELSE 0 END AS DOUBLE)
+        |    / CAST(cap AS DOUBLE) AS epochs
+        |FROM r""".stripMargin,
     "mixture_plan" ->
       """WITH caps AS (SELECT source,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap

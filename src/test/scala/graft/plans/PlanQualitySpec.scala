@@ -59,6 +59,9 @@ class PlanQualitySpec extends SparkSuite {
     "interpolate_gaps",
     // water-filling over per-SOURCE token caps — source cardinality
     "mixture_plan",
+    // largest-remainder ranks over the same SOURCE census
+    // (CorpusOps.mixtureTemperature scaladoc)
+    "mixture_temperature",
     // denseHourly's global-bounds window runs over the one-row-per-
     // event-type frame (TimeSeries.denseHourly scaladoc); ×2 when the
     // series self-joins
