@@ -1326,6 +1326,21 @@ object LlmQueries {
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
+    // N6 — daily bounce rate over the same session assignment: share
+    // of single-event sessions per session-start day, the engagement
+    // KPI read of sessionize; exact counts, one division
+    "bounce_rate" -> ((s, d) =>
+      Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)
+        .groupBy(expr("unix_micros(sess_start) div 86400000000L")
+          .as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounced"))
+        .select(col("day"), col("n_sessions"), col("n_bounced"),
+          (col("n_bounced").cast(org.apache.spark.sql.types.DoubleType)
+            / col("n_sessions")
+              .cast(org.apache.spark.sql.types.DoubleType))
+            .as("bounce_rate"))),
     // N6 — streaming sessionizer (flatMapGroupsWithState: event-driven
     // closes + watermark-timeout closes), batch-replayed: end-of-input
     // closes every open session, so the row shares sessionize's
@@ -3971,6 +3986,30 @@ object LlmQueries {
         |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // the sessionize CTE aggregated to session-start days
+    "bounce_rate" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sess_id
+        |  FROM f),
+        |sess AS (SELECT user_id, sess_id, min(ts) AS sess_start,
+        |  count(*) AS n_events FROM s GROUP BY 1, 2),
+        |d AS (SELECT epoch_us(sess_start) // 86400000000 AS day,
+        |  n_events FROM sess)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bounced,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bounce_rate
+        |FROM d GROUP BY 1""".stripMargin,
     // same session-assignment CTE; the streaming twin carries no
     // per-user ordinal, so the ordinal groups but is not selected
     "sessionize_stream" ->

@@ -1379,6 +1379,27 @@ object Queries {
     "trimmed_mean" -> ((s, d) =>
       Relational.trimmedMean(events(s, d), "event_type",
         round(col("value") * 100), "event_id")),
+    // shuffle-layout balance audit: bucket the key domain with the
+    // replayable fold31-Knuth hash into 32 shuffle buckets and report
+    // the spread — the pre-flight check that a key makes a SANE
+    // shuffle/bucketing column (skew_report's hash-layout sibling:
+    // that one profiles raw key frequency; this one profiles the
+    // post-hash partition sizes the exchange will actually see)
+    "hash_balance" -> ((s, d) => {
+      val u = pmod(
+        expr("(user_id % 2147483648L + user_id div 2147483648L)" +
+          " % 2147483648L") * lit(2654435761L),
+        lit(4294967296L))
+      events(s, d)
+        .select(pmod(u, lit(32L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          min(col("n")).as("min_bucket"), max(col("n")).as("max_bucket"))
+        .select(col("n_buckets"), col("n_rows"), col("min_bucket"),
+          col("max_bucket"),
+          ((col("max_bucket") * col("n_buckets")).cast(DoubleType) /
+            col("n_rows").cast(DoubleType)).as("imbalance"))
+    }),
     // TPC-H Q21-shaped only-late-supplier: the EXISTS/NOT-EXISTS
     // correlated pattern via the aggregate rewrite — no self-joins,
     // top-20 as TakeOrderedAndProject
@@ -2801,6 +2822,22 @@ object Queries {
         |    AS holt_mae_cents,
         |  CASE WHEN sae < naive THEN 'holt' ELSE 'naive' END AS winner
         |FROM fin, nv, nn""".stripMargin,
+    // the same fold31-Knuth bucketing replayed; spread summary, one
+    // division
+    "hash_balance" ->
+      """WITH u AS (SELECT
+        |  ((user_id % 2147483648 + user_id // 2147483648)
+        |    % 2147483648) * 2654435761 % 4294967296 % 32 AS bucket
+        |  FROM events),
+        |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM u
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(min(n) AS BIGINT) AS min_bucket,
+        |  CAST(max(n) AS BIGINT) AS max_bucket,
+        |  CAST(max(n) * count(*) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) AS imbalance
+        |FROM b""".stripMargin,
     // the same aggregate rewrite; top-20 under the identical
     // (numwait DESC, suppkey) total order
     "q21_late_supplier" ->
