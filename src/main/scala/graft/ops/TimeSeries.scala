@@ -807,6 +807,44 @@ object TimeSeries {
           .as("dw"))
   }
 
+  /** Peer-group anomaly flags — per day, event types whose count sits
+    * more than 3σ from their PEERS' (leave-one-out) mean that same
+    * day: the cross-sectional complement of [[seasonalAnomaly]]'s
+    * time baseline. When every metric moves together (traffic spike,
+    * deploy window) the time baseline alarms on all of them; the peer
+    * baseline stays quiet and only flags the one series that moved
+    * DIFFERENTLY — the "which metric is actually broken" question.
+    *
+    * Division-free: with k peers of sum s and sum-of-squares ss, the
+    * 3σ test (c − s/k)² > 9·(k·ss − s²)/k² rearranges to
+    * (c·k − s)² > 9·(k·ss − s²) — exact BIGINTs, no doubles in the
+    * decision. One hash aggregate to the (day, type) census, one
+    * per-day census join; leave-one-out moments are day totals minus
+    * the own row (no self-exclusion pass).
+    */
+  def peerAnomaly(events: DataFrame): DataFrame = {
+    val cnt = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val daily = cnt.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("s_all"),
+        sum(col("c") * col("c")).as("ss_all"))
+    cnt.join(broadcast(daily), "day")
+      .where(col("n_types") >= 3L)
+      .select(col("day"), col("event_type"), col("c"),
+        (col("n_types") - 1L).as("k"),
+        (col("s_all") - col("c")).as("s"),
+        (col("ss_all") - col("c") * col("c")).as("ss"))
+      .select(col("day"), col("event_type"), col("c"),
+        ((col("c") * col("k") - col("s")) *
+          (col("c") * col("k") - col("s"))).as("dev2"),
+        (lit(9L) * (col("k") * col("ss") - col("s") * col("s")))
+          .as("thr9"))
+      .where(col("dev2") > col("thr9"))
+  }
+
   /** XmR (individuals / moving-range) control chart over the daily
     * totals — the Shewhart process-control verdict (public: Wheeler's
     * XmR form): limits x̄ ± 2.66·m̄R from the mean moving range, each

@@ -1653,6 +1653,11 @@ object Queries {
     // integer sums, four written-order IEEE ops for the limits
     "xmr_chart" -> ((s, d) =>
       graft.ops.TimeSeries.xmrChart(events(s, d))),
+    // cross-sectional anomaly: the type that moved DIFFERENTLY from
+    // its peers that day — leave-one-out 3σ rearranged to
+    // (c·k − s)² > 9(k·ss − s²), exact BIGINT decision
+    "peer_anomaly" -> ((s, d) =>
+      graft.ops.TimeSeries.peerAnomaly(events(s, d))),
     // 1-D earth mover's distance between the Jan-1..14 and Jan-15+
     // value distributions over the $5 bucket grid — cross-multiplied
     // CDFs keep every per-bucket term an exact BIGINT, one division
@@ -3607,6 +3612,27 @@ object Queries {
         |    / CAST(tw * (SELECT tr FROM trr) AS DOUBLE)
         |    AS emd_buckets
         |FROM cum GROUP BY 1, 2""".stripMargin,
+    // (day, type) census; leave-one-out moments by subtraction, the
+    // integer inequality on both sides
+    "peer_anomaly" ->
+      """WITH cnt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS s_all,
+        |  CAST(sum(c * c) AS BIGINT) AS ss_all
+        |  FROM cnt GROUP BY 1),
+        |j AS (SELECT cnt.day, event_type, c,
+        |  n_types - 1 AS k, s_all - c AS s,
+        |  ss_all - c * c AS ss
+        |  FROM cnt JOIN daily ON daily.day = cnt.day
+        |  WHERE n_types >= 3)
+        |SELECT day, event_type, c,
+        |  (c * k - s) * (c * k - s) AS dev2,
+        |  9 * (k * ss - s * s) AS thr9
+        |FROM j
+        |WHERE (c * k - s) * (c * k - s) > 9 * (k * ss - s * s)"""
+        .stripMargin,
     // daily census; moving-range sum via lag, limits in the op's
     // written order, verdicts by double comparison
     "xmr_chart" ->
