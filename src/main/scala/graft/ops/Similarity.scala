@@ -245,6 +245,29 @@ object Similarity {
       GraftFunctions.nearestCentroids(
         Dedup.quantize(col(vecCol)), centroids, n)).as("cell"))
 
+  /** FILTERED vector search — IVF top-k restricted to corpus vectors
+    * satisfying a metadata predicate ("only English docs", "only
+    * in-stock items"): the operation every production vector store
+    * advertises, with the classic strategy fork. This is the
+    * PRE-FILTER form — the predicate cuts the corpus BEFORE posting,
+    * so cells thin out, probes scan only eligible vectors, and k is
+    * always filled from eligible candidates; the caller WIDENS nProbe
+    * versus the unfiltered index (thinner cells ⇒ the same recall
+    * needs more cells — the registry row runs 16 vs ivf_topk's 12).
+    * Post-filtering (rank first, filter after) is only right when the
+    * predicate is too expensive to evaluate per corpus row or the
+    * index is shared and immutable; under a selective predicate it
+    * silently underfills k, which is the failure mode this form
+    * avoids. Everything downstream is [[ivfTopKWith]] unchanged —
+    * exact quantized cosines, score-then-dedupe, bounded ranking.
+    */
+  def ivfTopKFiltered(centroids: Array[Array[Long]], emb: DataFrame,
+                      corpusPred: Column, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int, nAssign: Int): DataFrame =
+    ivfTopKWith(centroids, emb.filter(corpusPred), queries, idCol,
+      vecCol, k, nProbe, nAssign)
+
   def ivfTopKWith(centroids: Array[Array[Long]], emb: DataFrame,
                   queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, nProbe: Int, nAssign: Int): DataFrame = {

@@ -259,6 +259,27 @@ object LlmQueries {
       Similarity.ivfTopKWith(cts, e, q, "vec_id", "embedding",
         k = 5, nProbe = 12, nAssign = 2)
     }),
+    // N3 — FILTERED vector search (pre-filter strategy): top-5 among
+    // even-label corpus vectors only, probes widened 12→16 for the
+    // thinner cells; own cells sidecar so the oracle reranks exactly
+    // within the probed, predicate-eligible set
+    "ivf_topk_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      val cts = centroids32("all", d, e)
+      val pred = col("label") % 2 === 0
+      if (!sys.props.contains("graft.ivf.cells.skipWrite"))
+        Similarity.ivfCells(e.filter(pred), "vec_id", "embedding",
+            cts, n = 2)
+          .withColumn("side", lit("c"))
+          .unionByName(
+            Similarity.ivfCells(q, "vec_id", "embedding", cts, n = 16)
+              .withColumn("side", lit("q")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(ivfFiltCellsDir)
+      Similarity.ivfTopKFiltered(cts, e, pred, q, "vec_id",
+        "embedding", k = 5, nProbe = 16, nAssign = 2)
+    }),
     // N3 — INCREMENTAL ANN: the daily-delta twin of dedup_incremental
     // for vectors. Corpus (doc_id % 5 != 0) builds a PERSISTED IVF
     // index artifact (vec_id, cell, quantized vec, self-dot) once; the
@@ -1753,6 +1774,13 @@ object LlmQueries {
   private def ivfCellsDir: String =
     sidecar("graft.ivf.cells.dir", "/tmp/graft_ivf_cells")
 
+  /** ivf_topk_filtered's own cell sidecar (the filtered corpus posts
+    * differently, and subset Verify runs must not depend on ivf_topk
+    * having written its sidecar first).
+    */
+  private def ivfFiltCellsDir: String =
+    sidecar("graft.ivf.filt.cells.dir", "/tmp/graft_ivf_filt_cells")
+
   /** ann_incremental's persisted index artifact and its oracle-side
     * cell materialization (ivfCellsDir pattern).
     */
@@ -2512,6 +2540,26 @@ object LlmQueries {
     "ivf_topk" ->
       s"""WITH $quantCte,
          |cells AS (SELECT * FROM '$ivfCellsDir/*.parquet'),
+         |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
+         |    cc.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
+         |  JOIN (SELECT vec_id, cell FROM cells WHERE side = 'c') cc
+         |    ON qc.cell = cc.cell AND qc.vec_id <> cc.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+         |            JOIN n b ON cand.query_id = b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk, cosine
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    // the ivf_topk rerank over the FILTERED sidecar (corpus side
+    // already predicate-restricted at materialization)
+    "ivf_topk_filtered" ->
+      s"""WITH $quantCte,
+         |cells AS (SELECT * FROM '$ivfFiltCellsDir/*.parquet'),
          |cand AS (SELECT DISTINCT qc.vec_id AS query_id,
          |    cc.vec_id AS neighbor_id
          |  FROM (SELECT vec_id, cell FROM cells WHERE side = 'q') qc
