@@ -503,6 +503,24 @@ object LlmQueries {
           nCentroids = 32, nProbe = 12, nAssign = 2),
         floor = 0.9)
     }),
+    // N3 — the filtered path holds the same floor: exact FILTERED
+    // brute force vs the pre-filter IVF at the widened probe count —
+    // the gate that proves widening 12→16 actually restored recall
+    // over the thinner cells
+    "ivf_filtered_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 50)
+      val pred = col("label") % 2 === 0
+      recallGate(
+        Similarity.bruteForceTopK(e.filter(pred), q, "vec_id",
+          "embedding", k = 5),
+        Similarity.ivfTopKFiltered(
+          Similarity.trainCentroids(e, "vec_id", "embedding", 32,
+            sampleCap = 4096),
+          e, pred, q, "vec_id", "embedding", k = 5, nProbe = 16,
+          nAssign = 2),
+        floor = 0.9)
+    }),
     // N3 — same gate for the hyperplane-LSH path. The asserted floor is
     // the documented multiprobe floor 0.25, NOT 0.9: this fixture's true
     // neighbors sit at cosine ~0.3-0.4 where 8-bit sign-LSH recall is
@@ -2576,6 +2594,26 @@ object LlmQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5""".stripMargin,
     "ivf_recall" -> recallGateOracle,
+    // the recall gate's exact side restricted to the predicate-
+    // eligible corpus (labels joined back from embeddings)
+    "ivf_filtered_recall" ->
+      s"""WITH $quantCte,
+         |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 50),
+         |cf AS (SELECT n.vec_id, qv, nn FROM n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id
+         |  WHERE e.label % 2 = 0),
+         |scored AS (SELECT b.vec_id AS query_id,
+         |  a.vec_id AS neighbor_id,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE))
+         |    AS cosine
+         |  FROM cf a JOIN qs b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT count(*) AS n_exact, true AS recall_ok
+         |FROM r WHERE rnk <= 5""".stripMargin,
     // full replay at every width: quantized slices (round-then-slice
     // == slice-then-round, the transform is per-element), the same
     // (cosine DESC, neighbor_id) rank, hit counts by pair join
