@@ -1365,6 +1365,32 @@ object LlmQueries {
     // N6 — sessionization, gaps-and-islands form
     "sessionize" -> ((s, d) =>
       Sessionize.gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)),
+    // N6 — inter-session return gaps: days between a user's
+    // consecutive session starts, summarized by exact rank selection
+    // over the day-domain gap census — the "how long until they come
+    // back" retention number beside cohort_retention's matrix
+    "session_gaps" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wk = W.partitionBy(col("user_id")).orderBy(col("sess_start"))
+      val gaps = Sessionize
+        .gapsAndIslands(Tables.events(s, d), gapSeconds = 1800)
+        .withColumn("nxt", lead(col("sess_start"), 1).over(wk))
+        .where(col("nxt").isNotNull)
+        .select(expr("(unix_micros(nxt) - unix_micros(sess_start))" +
+          " div 86400000000L").as("gap_days"))
+      val wc = W.orderBy(col("gap_days"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.rowsBetween(W.unboundedPreceding,
+        W.unboundedFollowing)
+      gaps.groupBy(col("gap_days")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(col("cum") >= expr("(n + 1) div 2"),
+            col("gap_days"))).as("p50_days"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"),
+            col("gap_days"))).as("p90_days"))
+    }),
     // N6 — daily bounce rate over the same session assignment: share
     // of single-event sessions per session-start day, the engagement
     // KPI read of sessionize; exact counts, one division
@@ -4072,6 +4098,40 @@ object LlmQueries {
         |SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // the sessionize CTE; per-user lead, day-census rank selection
+    "session_gaps" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us >= 1800000000 THEN 1
+        |  ELSE 0 END AS new_sess FROM l),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS sess_id
+        |  FROM f),
+        |sess AS (SELECT user_id, sess_id, min(ts) AS sess_start
+        |  FROM s GROUP BY 1, 2),
+        |g AS (SELECT user_id, sess_start,
+        |  lead(sess_start) OVER (PARTITION BY user_id
+        |    ORDER BY sess_start) AS nxt FROM sess),
+        |gd AS (SELECT (epoch_us(nxt) - epoch_us(sess_start))
+        |    // 86400000000 AS gap_days
+        |  FROM g WHERE nxt IS NOT NULL),
+        |c AS (SELECT gap_days, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM gd GROUP BY 1),
+        |cum AS (SELECT gap_days,
+        |  CAST(sum(cnt) OVER (ORDER BY gap_days ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST((SELECT sum(cnt) FROM c) AS BIGINT) AS n FROM c)
+        |SELECT max(n) AS n_gaps,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN gap_days END)
+        |    AS p50_days,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_days END)
+        |    AS p90_days
+        |FROM cum""".stripMargin,
     // the sessionize CTE aggregated to session-start days
     "bounce_rate" ->
       """WITH l AS (SELECT user_id, ts, event_id,

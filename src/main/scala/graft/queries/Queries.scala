@@ -1168,6 +1168,25 @@ object Queries {
           col("event_type"), col("props"), col("value")),
         Seq("user_id"), "event_id",
         col("event_type") === "error")),
+    // CDC hygiene audit over the same changelog: keys whose upserted
+    // value-bucket FLAPS (changes on >= 8 consecutive ops) — the
+    // oscillating-dimension smell that bloats SCD2 history and
+    // invalidates latest-wins caching; per-key partitioned lag, all
+    // integers
+    "cdc_flapping" -> ((s, d) => {
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(floor(CAST(round(value * 100) AS BIGINT)" +
+            " / 5000) AS BIGINT)").as("b"))
+        .withColumn("prev", lag(col("b"), 1).over(wk))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("prev").isNotNull && col("prev") =!= col("b"),
+            1L).otherwise(0L)).as("n_changes"))
+        .withColumn("flapping", col("n_changes") >= 8L)
+    }),
     // PII scrub over the event payloads: mask email-like tokens and
     // digit runs, count matches (pure map — no shuffle)
     "pii_scrub" -> ((s, d) =>
@@ -2827,6 +2846,19 @@ object Queries {
         |    AS holt_mae_cents,
         |  CASE WHEN sae < naive THEN 'holt' ELSE 'naive' END AS winner
         |FROM fin, nv, nn""".stripMargin,
+    // per-key lag over the changelog order; flap = bucket transition
+    "cdc_flapping" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000)
+        |    AS BIGINT) AS b FROM events),
+        |l AS (SELECT user_id, b, lag(b) OVER (PARTITION BY user_id
+        |  ORDER BY event_id) AS prev FROM v)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> b
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> b
+        |    THEN 1 ELSE 0 END) AS BIGINT) >= 8 AS flapping
+        |FROM l GROUP BY 1""".stripMargin,
     // the same fold31-Knuth bucketing replayed; spread summary, one
     // division
     "hash_balance" ->

@@ -89,6 +89,9 @@ class PlanQualitySpec extends SparkSuite {
     // moving-range lag + global sums over the same DAY census
     // (TimeSeries.xmrChart scaladoc)
     "xmr_chart",
+    // rank selection over the gap-DAY census (calendar-bounded;
+    // session_gaps definition site)
+    "session_gaps",
     // census-offset ranking: cumulative window over per-score-value
     // groups (n_chars domain) + decile cum over 10 rows
     // (Eval.cumulativeGain scaladoc)
