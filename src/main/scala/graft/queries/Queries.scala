@@ -1628,6 +1628,27 @@ object Queries {
       graft.ops.Eval.psiDrift(events(s, d),
         expr("unix_micros(ts) < 1705276800000000L"),
         round(col("value") * 100).cast(LongType))),
+    // the multi-feature monitoring SWEEP over the same split: one PSI
+    // row per feature (spend, hour-of-day, dow, payload k) — the
+    // "which input drifted" table a model monitor actually pages on;
+    // each feature is the psi_drift machinery verbatim, feature list
+    // bounded
+    "feature_psi" -> ((s, d) => {
+      val ev = events(s, d)
+      val isRef = expr("unix_micros(ts) < 1705276800000000L")
+      val feats: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "value_cents" -> round(col("value") * 100).cast(LongType),
+        "hour_of_day" ->
+          expr("(unix_micros(ts) div 3600000000L) % 24"),
+        "day_of_week" ->
+          expr("((unix_micros(ts) div 86400000000L) + 4L) % 7L"),
+        "props_k" ->
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
+      feats.map { case (nm, c) =>
+        graft.ops.Eval.psiDrift(ev, isRef, c)
+          .withColumn("feature", lit(nm))
+      }.reduce(_ unionByName _)
+    }),
     // Nelson-Aalen cumulative hazard over the same activation
     // cohort: the survival trio's third member — sum fold of d/n in
     // ascending-t order beside km_conversion's product
@@ -3511,6 +3532,45 @@ object Queries {
          |     (SELECT list(term ORDER BY bin) FROM terms)),
          |     (x, y) -> x + y)) AS psi
          |FROM tot""".stripMargin
+    },
+    // the psi_drift replay once per feature expression, UNION ALL
+    "feature_psi" -> {
+      val lnr = OracleSql.detLn("(cr + 1) * (nc + b)")
+      val lnc = OracleSql.detLn("(cc + 1) * (nr + b)")
+      def one(nm: String, valueExpr: String): String =
+        s"""SELECT * FROM (
+           |WITH r AS (SELECT
+           |  epoch_us(ts) < 1705276800000000 AS rf,
+           |  $valueExpr AS c FROM events),
+           |mm AS (SELECT min(c) AS lo, max(c) - min(c) + 1 AS width
+           |  FROM r),
+           |bn AS (SELECT ((c - lo) * 10) // width AS bin,
+           |  sum(CASE WHEN rf THEN 1 ELSE 0 END) AS cr,
+           |  sum(CASE WHEN NOT rf THEN 1 ELSE 0 END) AS cc
+           |  FROM r, mm GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS b,
+           |  CAST(sum(cr) AS BIGINT) AS nr,
+           |  CAST(sum(cc) AS BIGINT) AS nc FROM bn),
+           |terms AS (SELECT bin,
+           |  (CAST(cr + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)
+           |   - CAST(cc + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE))
+           |  * (($lnr) - ($lnc)) AS term
+           |  FROM bn, tot)
+           |SELECT b AS n_bins, nr AS n_ref, nc AS n_cur,
+           |  (SELECT list_reduce(list_prepend(0.0,
+           |     (SELECT list(term ORDER BY bin) FROM terms)),
+           |     (x, y) -> x + y)) AS psi,
+           |  '$nm' AS feature
+           |FROM tot)""".stripMargin
+      Seq(
+        one("value_cents", "CAST(round(value * 100) AS BIGINT)"),
+        one("hour_of_day", "(epoch_us(ts) // 3600000000) % 24"),
+        one("day_of_week",
+          "((epoch_us(ts) // 86400000000) + 4) % 7"),
+        one("props_k",
+          "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) " +
+            "AS BIGINT)"))
+        .mkString("\nUNION ALL\n")
     },
     // the km census with the product fold swapped for the hazard SUM
     // fold, same ordered prefix list_reduce
