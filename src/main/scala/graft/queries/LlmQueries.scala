@@ -87,6 +87,16 @@ object LlmQueries {
     // N2 — MinHash+LSH near-dup with exact-jaccard verification
     "neardup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", threshold = 0.5)),
+    // N2 — threshold-tuning artifact: the verified pairs' jaccard
+    // mass per decile bucket — "how much sits just above my cutoff"
+    // is the first question when moving a dedup threshold; floor
+    // bucketing of the same exact jaccard, counts only
+    "neardup_histogram" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
+        .select(floor(col("jaccard") * lit(10.0)).cast(LongType)
+          .as("jaccard_decile"))
+        .groupBy(col("jaccard_decile"))
+        .agg(count(lit(1)).as("n_pairs"))),
     // N2 — edit-distance fuzzy join via FastSS deletion-neighborhood
     // signatures (never all-pairs): ID-variant entity resolution over
     // the first 400 customer names (the synthetic documents vocabulary
@@ -2385,6 +2395,26 @@ object LlmQueries {
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+    // the neardup_minhash brute pairs bucketed by the same floored
+    // exact jaccard
+    "neardup_histogram" ->
+      s"""WITH $shinglesCte,
+         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh
+         |  WHERE len(s) > 0),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |v AS (SELECT ia, ib,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         |  len(sa.s) AS la, len(sb.s) AS lb
+         |  FROM cand JOIN sh sa ON ia = sa.doc_id
+         |  JOIN sh sb ON ib = sb.doc_id),
+         |j AS (SELECT CAST(inter AS DOUBLE)
+         |    / CAST(la + lb - inter AS DOUBLE) AS jc FROM v
+         |  WHERE CAST(inter AS DOUBLE)
+         |    / CAST(la + lb - inter AS DOUBLE) >= 0.5)
+         |SELECT CAST(floor(jc * 10.0) AS BIGINT) AS jaccard_decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1""".stripMargin,
     // the neardup_minhash pair predicate + the polyHash split replay,
     // pair labels normalized to an unordered (lo, hi)
     "split_leakage" ->

@@ -1698,6 +1698,31 @@ object Queries {
     // (c·k − s)² > 9(k·ss − s²), exact BIGINT decision
     "peer_anomaly" -> ((s, d) =>
       graft.ops.TimeSeries.peerAnomaly(events(s, d))),
+    // do big buyers repeat big? Pearson r between each purchase and
+    // the same user's PREVIOUS purchase — per-user partitioned lag,
+    // exact integer moments, the series_corr final expression
+    "repeat_value_corr" -> ((s, d) => {
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(wk))
+        .where(col("prev").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("prev")).as("sx"),
+          sum(col("c")).as("sy"), sum(col("prev") * col("c")).as("sxy"),
+          sum(col("prev") * col("prev")).as("sxx"),
+          sum(col("c") * col("c")).as("syy"))
+        .where(col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0L)
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType) *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType))).as("r"))
+    }),
     // 1-D earth mover's distance between the Jan-1..14 and Jan-15+
     // value distributions over the $5 bucket grid — cross-multiplied
     // CDFs keep every per-bucket term an exact BIGINT, one division
@@ -3704,6 +3729,26 @@ object Queries {
         |    / CAST(tw * (SELECT tr FROM trr) AS DOUBLE)
         |    AS emd_buckets
         |FROM cum GROUP BY 1, 2""".stripMargin,
+    // per-user lag pairs; the series_corr closed form
+    "repeat_value_corr" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events
+        |  WHERE event_type = 'purchase'),
+        |l AS (SELECT c, lag(c) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS prev FROM p),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(prev) AS BIGINT) AS sx,
+        |  CAST(sum(c) AS BIGINT) AS sy,
+        |  CAST(sum(prev * c) AS BIGINT) AS sxy,
+        |  CAST(sum(prev * prev) AS BIGINT) AS sxx,
+        |  CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM l WHERE prev IS NOT NULL)
+        |SELECT n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |FROM a WHERE n * sxx - sx * sx > 0
+        |  AND n * syy - sy * sy > 0""".stripMargin,
     // (day, type) census; leave-one-out moments by subtraction, the
     // integer inequality on both sides
     "peer_anomaly" ->
