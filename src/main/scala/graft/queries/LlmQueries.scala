@@ -1047,6 +1047,28 @@ object LlmQueries {
             .cast(DoubleType))),
     // N4 — term document/total frequency (tf-idf integer core)
     "term_stats" -> ((s, d) => TextOps.termStats(docs(s, d), "doc_id", "text")),
+    // N4 — token-level vocabulary drift: top-20 terms by |rate-per-
+    // million change| between the corpus halves — feature_psi sees
+    // THAT a distribution moved, this names WHICH tokens moved;
+    // integer rpm (n·1e6 div total), TakeOrderedAndProject top-k
+    "term_trends" -> ((s, d) => {
+      val tk = docs(s, d).select((col("doc_id") % 2 === 0).as("a"),
+        explode(split(col("text"), " ")).as("tok"))
+      val cnt = tk.groupBy(col("tok"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+      val tot = tk.agg(sum(when(col("a"), 1L).otherwise(0L)).as("ta"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("tb"))
+        .withColumn("__jk", pmod(xxhash64(col("ta")), lit(1L)))
+      cnt.withColumn("__jk", pmod(xxhash64(col("na")), lit(1L)))
+        .join(broadcast(tot), Seq("__jk"))
+        .select(col("tok"), col("na"), col("nb"),
+          expr("(na * 1000000L) div ta").as("rpm_a"),
+          expr("(nb * 1000000L) div tb").as("rpm_b"))
+        .withColumn("delta_ppm", col("rpm_b") - col("rpm_a"))
+        .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+        .limit(20)
+    }),
     // N4 — collocation mining: top-50 adjacent bigrams by PMI, the
     // phrase-detection pass before tokenizer training; ranked through
     // one correctly-rounded division of exact integer counts (log is
@@ -3624,6 +3646,29 @@ object LlmQueries {
         |    AS simpson
         |FROM documents d JOIN sn USING (doc_id)
         |WHERE length(d.text) >= 2""".stripMargin,
+    // integer rates per million over half totals, top-20 under the
+    // identical (|delta| DESC, tok) total order
+    "term_trends" ->
+      """WITH tk AS (SELECT doc_id % 2 = 0 AS a,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nb
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tb
+        |  FROM tk),
+        |r AS (SELECT tok, na, nb,
+        |  (na * 1000000) // ta AS rpm_a,
+        |  (nb * 1000000) // tb AS rpm_b
+        |  FROM cnt, tot)
+        |SELECT tok, na, nb, rpm_a, rpm_b,
+        |  rpm_b - rpm_a AS delta_ppm
+        |FROM r ORDER BY abs(rpm_b - rpm_a) DESC, tok LIMIT 20"""
+        .stripMargin,
     "term_stats" ->
       """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

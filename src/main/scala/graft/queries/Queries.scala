@@ -1698,6 +1698,32 @@ object Queries {
     // (c·k − s)² > 9(k·ss − s²), exact BIGINT decision
     "peer_anomaly" -> ((s, d) =>
       graft.ops.TimeSeries.peerAnomaly(events(s, d))),
+    // observed user tenure (last − first activity, days): p50/p90 by
+    // rank selection over the calendar-bounded tenure census + exact
+    // mean — the engagement-span complement of session_gaps'
+    // time-to-return
+    "user_tenure" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ten = events(s, d).groupBy(col("user_id"))
+        .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts)))" +
+          " div 86400000000L").as("tenure_days"))
+      val wc = W.orderBy(col("tenure_days"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.rowsBetween(W.unboundedPreceding,
+        W.unboundedFollowing)
+      ten.groupBy(col("tenure_days")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .agg(max(col("n")).as("n_users"),
+          sum(col("tenure_days") * col("cnt")).as("tenure_sum"),
+          min(when(col("cum") >= expr("(n + 1) div 2"),
+            col("tenure_days"))).as("p50_days"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"),
+            col("tenure_days"))).as("p90_days"))
+        .select(col("n_users"), col("p50_days"), col("p90_days"),
+          (col("tenure_sum").cast(DoubleType) /
+            col("n_users").cast(DoubleType)).as("mean_days"))
+    }),
     // do big buyers repeat big? Pearson r between each purchase and
     // the same user's PREVIOUS purchase — per-user partitioned lag,
     // exact integer moments, the series_corr final expression
@@ -3729,6 +3755,26 @@ object Queries {
         |    / CAST(tw * (SELECT tr FROM trr) AS DOUBLE)
         |    AS emd_buckets
         |FROM cum GROUP BY 1, 2""".stripMargin,
+    // tenure census; rank selection + exact mean
+    "user_tenure" ->
+      """WITH t AS (SELECT user_id,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+        |    AS tenure_days
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT tenure_days, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY 1),
+        |cum AS (SELECT tenure_days, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY tenure_days ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST((SELECT sum(cnt) FROM c) AS BIGINT) AS n FROM c)
+        |SELECT max(n) AS n_users,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN tenure_days END)
+        |    AS p50_days,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN tenure_days
+        |    END) AS p90_days,
+        |  CAST((SELECT CAST(sum(tenure_days * cnt) AS BIGINT)
+        |    FROM c) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_days
+        |FROM cum""".stripMargin,
     // per-user lag pairs; the series_corr closed form
     "repeat_value_corr" ->
       """WITH p AS (SELECT user_id, ts, event_id,

@@ -92,6 +92,9 @@ class PlanQualitySpec extends SparkSuite {
     // rank selection over the gap-DAY census (calendar-bounded;
     // session_gaps definition site)
     "session_gaps",
+    // rank selection over the tenure-DAY census (same bound;
+    // user_tenure definition site)
+    "user_tenure",
     // census-offset ranking: cumulative window over per-score-value
     // groups (n_chars domain) + decile cum over 10 rows
     // (Eval.cumulativeGain scaladoc)
