@@ -76,8 +76,14 @@ object Bench {
       if (!Files.exists(p)) Map.empty
       else try {
         val txt = Files.readString(p)
+        // the committed reference is only a valid retry baseline for the
+        // SAME sf dir: a scaling run (e.g. the sf1 slope measurement)
+        // legitimately lands every query ~10x the sf0.1 reference, and a
+        // blanket ratio test would re-measure the whole registry
+        val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == sfDir)
         val qs = txt.indexOf("\"queries\":{")
-        if (qs < 0) Map.empty
+        if (qs < 0 || !sfOk) Map.empty
         else {
           val end = txt.indexOf('}', qs)
           """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
@@ -93,9 +99,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
+    // per-query progress on stderr for long windows (the sf1 scaling
+    // run takes tens of minutes; a silent main is indistinguishable
+    // from a hung super-linear row)
+    val progress = sys.env.get("SPARK_GRAFT_BENCH_PROGRESS").contains("1")
     val wall0 = System.nanoTime()
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, measure(fn))
+      val v = measure(fn)
+      if (progress) System.err.println(f"[bench] $name%-28s $v%8.3f s")
+      (name, fn, v)
     }
     // a window that STARTED loaded re-measures every query (the
     // committed reference itself may be contaminated — r10's was —
@@ -137,7 +149,10 @@ object Bench {
     // full bench: it goes to a sibling file, so a stray filter env var
     // in a publishing environment can't produce a partial bench.json
     // that looks complete
-    val outFile = if (only.isDefined) "bench_subset.json" else "bench.json"
+    // SPARK_GRAFT_BENCH_OUT redirects the artifact (scaling runs must
+    // not overwrite the committed sf0.1 reference)
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) "bench_subset.json" else "bench.json")
     Files.writeString(Paths.get(outFile), line + "\n")
     spark.stop()
   }

@@ -218,6 +218,23 @@ object FuzzyJoin {
       Seq(catCol), maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = goldenRecordFromPairs(records, pairs, idCol, nameCol,
+      blockCol, catCol, numCents)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** [[goldenRecord]] fed from an ALREADY-LINKED pair frame
+    * (`(doc_a, doc_b)` id pairs — e.g. the persisted linkage-pair
+    * artifact a master-data pipeline maintains): the merge pass alone,
+    * no FastSS re-join. Values are identical to [[goldenRecord]] for
+    * pairs = linkRecords(...) — the overload only changes WHERE the
+    * pair table comes from.
+    */
+  def goldenRecordFromPairs(records: DataFrame, pairs: DataFrame,
+                            idCol: String, nameCol: String,
+                            blockCol: String, catCol: String,
+                            numCents: Column): DataFrame = {
     val ids = records.select(col(idCol).cast(LongType).as("id"))
     // propagate labels over LINKED ids only — every min-label round
     // joins the label frame, and linked ids are typically a small
@@ -229,7 +246,6 @@ object FuzzyJoin {
       .join(Dedup.componentMin(linkedIds, pairs)
         .withColumnRenamed("comp", "__lc"), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("__lc"), col("id")).as("comp"))
-    pairs.unpersist(blocking = false)
     val base = records.select(col(idCol).cast(LongType).as("id"),
         col(nameCol).as("nm"), col(blockCol).cast(LongType).as("blk"),
         col(catCol).as("cat"), numCents.as("num"))

@@ -1939,9 +1939,15 @@ object Queries {
       Sessionize.patternSpans(events(s, d),
         Seq("signup", "click", "purchase"), windowUs = 86400000000L)),
     // funnel conversion latency: signup→first-purchase-after deltas,
-    // exact p50/p90 order statistics over SECOND-quantized latency
-    // groups (the rank_auc shape: the rank window runs over latency
-    // cardinality, not converted users) + exact-sum mean
+    // exact p50/p90 order statistics + exact-sum mean. Two-level
+    // rank selection (the peak_concurrency coarsening applied to the
+    // old second-grain global window, which was the loosest entry on
+    // the bounded-frame allowlist): level 1 collects the MINUTE-grain
+    // latency census (calendar-bounded — ≤ 44 640 rows per month of
+    // latency span at ANY data volume) and locates the minute holding
+    // each target rank on the driver; level 2 reads only the ≤ 120
+    // second-grain rows inside those two minutes. No unpartitioned
+    // window anywhere; every driver read is value-domain bounded.
     "conversion_latency" -> ((s, d) => {
       val perUser = events(s, d).groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "signup", col("ts")))
@@ -1957,24 +1963,59 @@ object Queries {
         .agg(min(col("t_p")).as("t_p"))
         .select((unix_micros(col("t_p")) - unix_micros(col("t_s")))
           .as("delta_us"))
+      // per-second histogram feeds two consumers (minute census +
+      // target-minute resolve): materialize once
       val g = perUser
         .select(expr("delta_us div 1000000L").as("sec"), col("delta_us"))
         .groupBy(col("sec"))
         .agg(count(lit(1)).as("cnt"), sum(col("delta_us")).as("dsum"))
-      val W = org.apache.spark.sql.expressions.Window
-      val wc = W.orderBy(col("sec"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-      g.withColumn("cum", sum(col("cnt")).over(wc))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .withColumn("tot", sum(col("dsum")).over(wAll))
-        .agg(max(col("n")).as("n_conv"),
-          min(when(col("cum") >= expr("(n + 1) div 2"), col("sec")))
-            .as("p50_s"),
-          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("sec")))
-            .as("p90_s"),
-          (max(col("tot")).cast(DoubleType) /
-            max(col("n")).cast(DoubleType)).as("mean_us"))
+        // eager materialization: no join downstream (the r11 stats
+        // caveat), both consumers are bounded-census aggregates
+        .localCheckpoint(true)
+      val mins = g
+        .groupBy(expr("sec div 60").as("mn"))
+        .agg(sum(col("cnt")).as("mcnt"), sum(col("dsum")).as("msum"))
+        .orderBy(col("mn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      import s.implicits._
+      if (mins.isEmpty)
+        // empty census: the windowed form aggregated over zero rows
+        // to one all-null row — preserved for oracle parity
+        Seq((Option.empty[Long], Option.empty[Long], Option.empty[Long],
+          Option.empty[Double]))
+          .toDF("n_conv", "p50_s", "p90_s", "mean_us")
+      else {
+        val n = mins.iterator.map(_._2).sum
+        val tot = mins.iterator.map(_._3).sum
+        // rank → (minute holding it, cumulative count strictly before)
+        def locate(rank: Long): (Long, Long) = {
+          var cum = 0L; var res: (Long, Long) = null
+          mins.foreach { case (mn, c, _) =>
+            if (res == null && cum + c >= rank) res = (mn, cum)
+            cum += c
+          }
+          res
+        }
+        val r50 = (n + 1L) / 2L; val r90 = (9L * n + 9L) / 10L
+        val (m50, c50) = locate(r50); val (m90, c90) = locate(r90)
+        val secs = g.where(expr("sec div 60").isInCollection(
+            Seq(m50, m90).distinct))
+          .select(col("sec"), col("cnt")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        def resolve(minute: Long, before: Long, rank: Long): Long = {
+          var cum = before; var res = Long.MinValue
+          secs.foreach { case (sec, c) =>
+            if (sec / 60L == minute) {
+              if (res == Long.MinValue && cum + c >= rank) res = sec
+              cum += c
+            }
+          }
+          res
+        }
+        Seq((n, resolve(m50, c50, r50), resolve(m90, c90, r90),
+          tot.toDouble / n.toDouble))
+          .toDF("n_conv", "p50_s", "p90_s", "mean_us")
+      }
     }),
     // privacy audit — k-anonymity census over (type, hour-of-day,
     // value-bucket) quasi-identifiers, k=10

@@ -34,10 +34,9 @@ class PlanQualitySpec extends SparkSuite {
     * must either bound its frame and join this list, or repartition.
     */
   private val boundedFrameAllowlist: Set[String] = Set(
-    // frames over per-DAY / per-SECOND-grain aggregates — calendar /
-    // latency value domain, not user count (see the "rank_auc shape"
-    // comments at the definition sites)
-    "cumulative_users", "conversion_latency",
+    // frame over per-DAY-grain aggregates — calendar domain, not
+    // user count (see the definition-site comment)
+    "cumulative_users",
     // rank window over per-score-value groups (n_chars domain)
     "rank_auc",
     // rank window over spend VALUE groups (whole-dollar domain);
