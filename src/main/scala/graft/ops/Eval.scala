@@ -698,7 +698,8 @@ object Eval {
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     df.select(isA.as("__a"), valueCents.as("__c"))
-      // floor, not div: the oracle's // floors, and a negative cent
+      // floor, not div — mirrored by an explicit floor() in the
+      // oracle (DuckDB's `//` truncates toward zero): a negative cent
       // value must land in the same dollar group cross-engine (the
       // gini_spend discipline)
       .select(col("__a"),
@@ -1541,6 +1542,10 @@ object Eval {
           - col("n").cast(DoubleType)).as("chi2"))
       .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
       .join(broadcast(ctot), Seq("__jk"))
+      // degenerate single-level inputs (min(r−1, c−1) = 0) would
+      // divide by zero into NaN; drop the row LOUDLY-EMPTY instead —
+      // V is undefined for a 1×c / r×1 table — mirrored in the oracle
+      .where(col("r_levels") > 1L && col("c_levels") > 1L)
       .select(col("n"), col("r_levels"), col("c_levels"), col("chi2"),
         sqrt(col("chi2") /
           (col("n") * least(col("r_levels") - 1L, col("c_levels") - 1L))

@@ -1163,7 +1163,9 @@ object Similarity {
       .where(col("n") > 1L)
       // outputs cast to BIGINT for the cross-engine compare (exact at
       // |qv|≤1000, d=64 up to ~4e5 vectors/label; internal sums ride
-      // DECIMAL(38,0) so the aggregate itself never wraps)
+      // DECIMAL(38,0) here and HUGEINT in the oracle — sv*sv squares
+      // on BIGINT would wrap first, so both engines widen BEFORE
+      // squaring and the documented bound is the output cast's)
       .select(col("label"), col("n"),
         (col("sum_sq") - col("norm_sq")).cast(LongType)
           .as("pair_dot_sum"),

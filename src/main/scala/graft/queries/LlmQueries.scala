@@ -1819,6 +1819,26 @@ object LlmQueries {
       |    range(1, len(w)-1), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
       |  ELSE [] END AS s FROM toks)""".stripMargin
 
+  /** Shared SQL: exact pairwise shingle-intersection sizes via the
+    * inverted-index COUNT form — `pint(ia < ib, inter, la, lb)` where
+    * inter = |s_a ∩ s_b| counted by a group-by over the
+    * shingle-equality join (exactly the intersection size on DISTINCT
+    * sets). Replaces the all-pairs double-list_intersect verify that
+    * dominated the sf0.1 compare (the whole dedup family ran
+    * 90-220 s/oracle there; this form is seconds) — result-identical
+    * because zero-intersection pairs, the only ones the join drops,
+    * can never pass a jaccard/containment threshold > 0.
+    */
+  private val shingleInterCte =
+    s"""$shinglesCte,
+       |shl AS (SELECT doc_id, len(s) AS l, unnest(s) AS g FROM sh
+       |  WHERE len(s) > 0),
+       |pint AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    CAST(count(*) AS BIGINT) AS inter,
+       |    any_value(a.l) AS la, any_value(b.l) AS lb
+       |  FROM shl a JOIN shl b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared SQL: the polynomial char-fold hash of an arbitrary string
     * expression (mirror of TextOps.polyHash / the PolyHash31 kernel).
     * Pass a parenthesized expression if it contains operators.
@@ -2387,29 +2407,19 @@ object LlmQueries {
         .stripMargin
     },
     "neardup_minhash" ->
-      s"""WITH $shinglesCte,
-         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |v AS (SELECT ia, ib,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-         |  len(sa.s) AS la, len(sb.s) AS lb
-         |  FROM cand JOIN sh sa ON ia = sa.doc_id JOIN sh sb ON ib = sb.doc_id)
+      s"""WITH $shingleInterCte
          |SELECT ia AS doc_a, ib AS doc_b,
          |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
-         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
+         |FROM pint
+         |WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_incremental" ->
-      s"""WITH $shinglesCte,
-         |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND len(s) > 0),
-         |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0 AND len(s) > 0),
-         |v AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-         |  CAST(len(list_intersect(b.s, c.s)) AS BIGINT) AS inter,
-         |  len(b.s) AS lb, len(c.s) AS lc
-         |  FROM b CROSS JOIN c),
-         |p AS (SELECT batch_id, corpus_id,
-         |  CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) AS jaccard
-         |  FROM v
-         |  WHERE CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) >= 0.5),
+      s"""WITH $shingleInterCte,
+         |p AS (SELECT CASE WHEN ia % 5 = 0 THEN ia ELSE ib END AS batch_id,
+         |  CASE WHEN ia % 5 = 0 THEN ib ELSE ia END AS corpus_id,
+         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
+         |  FROM pint
+         |  WHERE (ia % 5 = 0) <> (ib % 5 = 0)
+         |    AND CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |cnt AS (SELECT batch_id, count(*) AS n_matches FROM p GROUP BY 1),
          |best AS (SELECT batch_id, corpus_id AS best_match_id,
          |  jaccard AS best_jaccard,
@@ -2423,17 +2433,13 @@ object LlmQueries {
          |LEFT JOIN cnt ON d.doc_id = cnt.batch_id
          |LEFT JOIN best ON d.doc_id = best.batch_id AND best.rk = 1""".stripMargin,
     "dedup_incremental_stream" ->
-      s"""WITH $shinglesCte,
-         |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND len(s) > 0),
-         |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0 AND len(s) > 0),
-         |v AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-         |  CAST(len(list_intersect(b.s, c.s)) AS BIGINT) AS inter,
-         |  len(b.s) AS lb, len(c.s) AS lc
-         |  FROM b CROSS JOIN c),
-         |p AS (SELECT batch_id, corpus_id,
-         |  CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) AS jaccard
-         |  FROM v
-         |  WHERE CAST(inter AS DOUBLE)/CAST(lb + lc - inter AS DOUBLE) >= 0.5),
+      s"""WITH $shingleInterCte,
+         |p AS (SELECT CASE WHEN ia % 5 = 0 THEN ia ELSE ib END AS batch_id,
+         |  CASE WHEN ia % 5 = 0 THEN ib ELSE ia END AS corpus_id,
+         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
+         |  FROM pint
+         |  WHERE (ia % 5 = 0) <> (ib % 5 = 0)
+         |    AND CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |cnt AS (SELECT batch_id, count(*) AS n_matches FROM p GROUP BY 1),
          |best AS (SELECT batch_id, corpus_id AS best_match_id,
          |  jaccard AS best_jaccard,
@@ -2447,34 +2453,37 @@ object LlmQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
          |LEFT JOIN cnt ON d.doc_id = cnt.batch_id
          |LEFT JOIN best ON d.doc_id = best.batch_id AND best.rk = 1""".stripMargin,
+    // inverted-index COUNT form of the brute-force verify: inter(a,b)
+    // = the number of shared grams, counted by a group-by over the
+    // gram-equality join — exactly |A∩B| on distinct sets, no
+    // list_intersect (which made the old all-pairs form the single
+    // slowest oracle in the registry: ~50 min of the sf0.1 compare;
+    // this form measures 140 s there and is result-identical — r12).
+    // Zero-shared-gram pairs drop out of the join; they have
+    // jaccard 0 < 0.5, so the filter is lossless. The 2:1 length
+    // pre-filter is the PPJoin bound (J >= 0.5 forces |A| <= 2|B|).
     "neardup_ngram" ->
       """WITH g AS (SELECT doc_id,
         |  CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(
         |    range(1, length(text)-3), i -> substr(text, i, 5)))
         |  ELSE [] END AS s FROM documents),
+        |gr AS (SELECT doc_id, len(s) AS l, unnest(s) AS gm FROM g
+        |  WHERE len(s) > 0),
         |v AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-        |  len(a.s) AS la, len(b.s) AS lb
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |    CAST(count(*) AS BIGINT) AS inter,
+        |    any_value(a.l) AS la, any_value(b.l) AS lb
+        |  FROM gr a JOIN gr b ON a.gm = b.gm AND a.doc_id < b.doc_id
+        |  WHERE 2 * a.l >= b.l AND 2 * b.l >= a.l
+        |  GROUP BY 1, 2)
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
         |FROM v WHERE CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) >= 0.5""".stripMargin,
     // the neardup_minhash brute pairs bucketed by the same floored
     // exact jaccard
     "neardup_histogram" ->
-      s"""WITH $shinglesCte,
-         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh
-         |  WHERE len(s) > 0),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |v AS (SELECT ia, ib,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-         |  len(sa.s) AS la, len(sb.s) AS lb
-         |  FROM cand JOIN sh sa ON ia = sa.doc_id
-         |  JOIN sh sb ON ib = sb.doc_id),
+      s"""WITH $shingleInterCte,
          |j AS (SELECT CAST(inter AS DOUBLE)
-         |    / CAST(la + lb - inter AS DOUBLE) AS jc FROM v
+         |    / CAST(la + lb - inter AS DOUBLE) AS jc FROM pint
          |  WHERE CAST(inter AS DOUBLE)
          |    / CAST(la + lb - inter AS DOUBLE) >= 0.5)
          |SELECT CAST(floor(jc * 10.0) AS BIGINT) AS jaccard_decile,
@@ -2483,17 +2492,8 @@ object LlmQueries {
     // the neardup_minhash pair predicate + the polyHash split replay,
     // pair labels normalized to an unordered (lo, hi)
     "split_leakage" ->
-      s"""WITH $shinglesCte,
-         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh
-         |  WHERE len(s) > 0),
-         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |v AS (SELECT ia, ib,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-         |  len(sa.s) AS la, len(sb.s) AS lb
-         |  FROM cand JOIN sh sa ON ia = sa.doc_id
-         |  JOIN sh sb ON ib = sb.doc_id),
-         |pr AS (SELECT ia, ib FROM v
+      s"""WITH $shingleInterCte,
+         |pr AS (SELECT ia, ib FROM pint
          |  WHERE CAST(inter AS DOUBLE)
          |    / CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |spl AS (SELECT doc_id,
@@ -2541,13 +2541,10 @@ object LlmQueries {
            |  LEFT JOIN l${k - 1} n ON e.d = n.id
            |  GROUP BY l.id, l.comp)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $shinglesCte,
-         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      >= 0.5),
+      s"""WITH $shingleInterCte,
+         |pr AS (SELECT ia, ib FROM pint
+         |  WHERE CAST(inter AS DOUBLE)
+         |      / CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |sym AS (SELECT ia AS s, ib AS d FROM pr
          |        UNION ALL SELECT ib, ia FROM pr),
          |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
@@ -2565,13 +2562,10 @@ object LlmQueries {
            |  LEFT JOIN l${k - 1} n ON e.d = n.id
            |  GROUP BY l.id, l.comp)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $shinglesCte,
-         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      >= 0.5),
+      s"""WITH $shingleInterCte,
+         |pr AS (SELECT ia, ib FROM pint
+         |  WHERE CAST(inter AS DOUBLE)
+         |      / CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |sym AS (SELECT ia AS s, ib AS d FROM pr
          |        UNION ALL SELECT ib, ia FROM pr),
          |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
@@ -3925,9 +3919,9 @@ object LlmQueries {
         |  unnest(range(1, len(qv) + 1)) AS pos FROM q),
         |sm AS (SELECT s, pos, CAST(sum(v) AS BIGINT) AS sv
         |  FROM u GROUP BY 1, 2),
-        |m AS (SELECT CAST(sum(a.sv * b.sv) AS BIGINT) AS dot,
-        |  CAST(sum(a.sv * a.sv) AS BIGINT) AS na2,
-        |  CAST(sum(b.sv * b.sv) AS BIGINT) AS nb2
+        |m AS (SELECT sum(CAST(a.sv AS HUGEINT) * b.sv) AS dot,
+        |  sum(CAST(a.sv AS HUGEINT) * a.sv) AS na2,
+        |  sum(CAST(b.sv AS HUGEINT) * b.sv) AS nb2
         |  FROM sm a JOIN sm b ON a.pos = b.pos
         |    AND a.s = 0 AND b.s = 1),
         |cn AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM q
@@ -4120,13 +4114,10 @@ object LlmQueries {
            |  LEFT JOIN l${k - 1} n ON e.d = n.id
            |  GROUP BY l.id, l.comp)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $shinglesCte,
-         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      >= 0.5),
+      s"""WITH $shingleInterCte,
+         |pr AS (SELECT ia, ib FROM pint
+         |  WHERE CAST(inter AS DOUBLE)
+         |      / CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |sym AS (SELECT ia AS s, ib AS d FROM pr
          |        UNION ALL SELECT ib, ia FROM pr),
          |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
@@ -4164,13 +4155,10 @@ object LlmQueries {
       val cases = markers.map { case (lang, _) =>
         s"WHEN c_$lang > 0 AND c_$lang = best THEN '$lang'"
       }.mkString("\n  ")
-      s"""WITH $shinglesCte,
-         |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      >= 0.5),
+      s"""WITH $shingleInterCte,
+         |pr AS (SELECT ia, ib FROM pint
+         |  WHERE CAST(inter AS DOUBLE)
+         |      / CAST(la + lb - inter AS DOUBLE) >= 0.5),
          |sym AS (SELECT ia AS s, ib AS d FROM pr
          |        UNION ALL SELECT ib, ia FROM pr),
          |l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),
@@ -4833,17 +4821,13 @@ object LlmQueries {
         |  FROM t WHERE len(w) >= 3),
         |dd AS (SELECT * FROM s WHERE doc_id % 5 = 0),
         |cc AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
-        |e1 AS (SELECT doc_id, unnest(ts) AS sh FROM dd),
-        |e2 AS (SELECT doc_id, unnest(ts) AS sh FROM cc),
-        |cand AS (SELECT DISTINCT a.doc_id AS delta_id,
-        |    b.doc_id AS corpus_id
-        |  FROM e1 a JOIN e2 b ON a.sh = b.sh),
-        |v AS (SELECT delta_id, corpus_id,
-        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
-        |    len(sa.ts) AS n_d, len(sb.ts) AS n_c
-        |  FROM cand
-        |  JOIN dd sa ON sa.doc_id = cand.delta_id
-        |  JOIN cc sb ON sb.doc_id = cand.corpus_id)
+        |e1 AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS sh FROM dd),
+        |e2 AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS sh FROM cc),
+        |v AS (SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+        |    count(*) AS inter,
+        |    any_value(a.l) AS n_d, any_value(b.l) AS n_c
+        |  FROM e1 a JOIN e2 b ON a.sh = b.sh
+        |  GROUP BY 1, 2)
         |SELECT delta_id, corpus_id, CAST(inter AS BIGINT) AS inter,
         |  CAST(n_d AS BIGINT) AS n_d, CAST(n_c AS BIGINT) AS n_c,
         |  CAST(inter AS DOUBLE) / CAST(n_d + n_c - inter AS DOUBLE)
@@ -4861,17 +4845,13 @@ object LlmQueries {
         |  FROM t WHERE len(w) >= 3),
         |dd AS (SELECT * FROM s WHERE doc_id % 5 = 0),
         |cc AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
-        |e1 AS (SELECT doc_id, unnest(ts) AS sh FROM dd),
-        |e2 AS (SELECT doc_id, unnest(ts) AS sh FROM cc),
-        |cand AS (SELECT DISTINCT a.doc_id AS delta_id,
-        |    b.doc_id AS corpus_id
-        |  FROM e1 a JOIN e2 b ON a.sh = b.sh),
-        |v AS (SELECT delta_id, corpus_id,
-        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
-        |    len(sa.ts) AS n_d, len(sb.ts) AS n_c
-        |  FROM cand
-        |  JOIN dd sa ON sa.doc_id = cand.delta_id
-        |  JOIN cc sb ON sb.doc_id = cand.corpus_id),
+        |e1 AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS sh FROM dd),
+        |e2 AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS sh FROM cc),
+        |v AS (SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+        |    count(*) AS inter,
+        |    any_value(a.l) AS n_d, any_value(b.l) AS n_c
+        |  FROM e1 a JOIN e2 b ON a.sh = b.sh
+        |  GROUP BY 1, 2),
         |p AS (SELECT delta_id, corpus_id,
         |    CAST(inter AS DOUBLE) / CAST(n_d + n_c - inter AS DOUBLE)
         |      AS jaccard
@@ -4902,15 +4882,12 @@ object LlmQueries {
         |    range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
         |  FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(ts) AS sh FROM s),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-        |v AS (SELECT doc_a, doc_b,
-        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
-        |    len(sa.ts) AS na, len(sb.ts) AS nb
-        |  FROM cand
-        |  JOIN s sa ON sa.doc_id = cand.doc_a
-        |  JOIN s sb ON sb.doc_id = cand.doc_b)
+        |e AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS sh FROM s),
+        |v AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter,
+        |    any_value(a.l) AS na, any_value(b.l) AS nb
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
         |SELECT count(*) AS n_exact, true AS recall_ok
         |FROM v WHERE inter * 10 >= 6 * (na + nb - inter)""".stripMargin,
     // exact brute-force replay: the equi-join on shared shingles is a
@@ -4923,15 +4900,12 @@ object LlmQueries {
         |    range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
         |  FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(ts) AS sh FROM s),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-        |v AS (SELECT doc_a, doc_b,
-        |    len(list_intersect(sa.ts, sb.ts)) AS inter,
-        |    len(sa.ts) AS na, len(sb.ts) AS nb
-        |  FROM cand
-        |  JOIN s sa ON sa.doc_id = cand.doc_a
-        |  JOIN s sb ON sb.doc_id = cand.doc_b)
+        |e AS (SELECT doc_id, len(ts) AS l, unnest(ts) AS sh FROM s),
+        |v AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter,
+        |    any_value(a.l) AS na, any_value(b.l) AS nb
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
         |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
@@ -5019,7 +4993,7 @@ object LlmQueries {
         |  unnest(range(1, len(qv) + 1)) AS pos FROM q),
         |sm AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv
         |  FROM u GROUP BY 1, 2),
-        |ss AS (SELECT label, sum(sv * sv) AS sum_sq
+        |ss AS (SELECT label, sum(CAST(sv AS HUGEINT) * sv) AS sum_sq
         |  FROM sm GROUP BY 1),
         |nr AS (SELECT label, sum(v * v) AS norm_sq
         |  FROM u GROUP BY 1),

@@ -21,6 +21,26 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  /** Shared oracle SQL for the `props` JSON field's integer `k` — the
+    * ONE place that owns the serialization assumption (the Spark side
+    * reads via get_json_object, which is format-agnostic; the regex is
+    * spacing-tolerant so a fixture re-serialization can't break only
+    * the oracle). Three rows replay it: props_json, props_variant,
+    * feature_psi.
+    */
+  private val sqlPropsK: String =
+    """CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT)"""
+  /** Shared oracle SQL: FLOOR-aligned window start in micros for a
+    * window duration `durUs` — Spark's `window()` floors, while
+    * DuckDB's integer `//` truncates toward zero (measured, r11), so
+    * the naive `(epoch_us // D) * D` replay lands pre-1970 (negative
+    * epoch) rows one window high. x − ((x % D) + D) % D is floor
+    * alignment in pure integer arithmetic — no double rounding at
+    * |epoch| ~ 3e16 µs. Found by the r12 negative-domain fixture
+    * sweep (tools/make_negfix.py).
+    */
+  private def sqlWinStartUs(ts: String, durUs: Long): String =
+    s"(epoch_us($ts) - ((epoch_us($ts) % $durUs) + $durUs) % $durUs)"
   private def kafka(s: SparkSession, d: String) =
     KafkaShape.fromEvents(events(s, d))
 
@@ -220,16 +240,16 @@ object Queries {
 
   val streamOracles: Map[String, String] = Map(
     "wordcount_tumbling" ->
-      """SELECT make_timestamp((epoch_us(ts)//600000000)*600000000) AS w_start,
+      s"""SELECT make_timestamp(${sqlWinStartUs("ts", 600000000L)}) AS w_start,
         |       word, count(*) AS cnt
         |FROM (SELECT ts, unnest(string_split(props, ' ')) AS word FROM events)
         |GROUP BY 1, 2""".stripMargin,
     "wordcount_sliding" ->
-      """WITH words AS (
+      s"""WITH words AS (
         |  SELECT ts, unnest(string_split(props, ' ')) AS word FROM events),
         |ex AS (
         |  SELECT word,
-        |         make_timestamp((epoch_us(ts)//300000000)*300000000
+        |         make_timestamp(${sqlWinStartUs("ts", 300000000L)}
         |                        - s.off*1000000) AS w_start
         |  FROM words, (SELECT unnest([0, 300]) AS off) s)
         |SELECT w_start, word, count(*) AS cnt FROM ex GROUP BY 1, 2""".stripMargin,
@@ -274,13 +294,13 @@ object Queries {
         |       event_id AS koffset, ts
         |FROM events WHERE event_id >= 300 AND event_id < 700""".stripMargin,
     "throughput" ->
-      """SELECT user_id % 8 AS kpartition,
-        |       make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
+      s"""SELECT user_id % 8 AS kpartition,
+        |       make_timestamp(${sqlWinStartUs("ts", 3600000000L)}) AS hour_start,
         |       count(*) AS cnt, count(*)/3600.0 AS events_per_sec
         |FROM events GROUP BY 1, 2""".stripMargin,
     "throughput_ewma" ->
-      """WITH h AS (SELECT user_id % 8 AS kpartition,
-        |  make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS hour_start,
+      s"""WITH h AS (SELECT user_id % 8 AS kpartition,
+        |  make_timestamp(${sqlWinStartUs("ts", 3600000000L)}) AS hour_start,
         |  count(*) AS cnt FROM events GROUP BY 1, 2),
         |o AS (SELECT kpartition,
         |  list(cnt/3600.0 ORDER BY hour_start) AS rates FROM h GROUP BY 1)
@@ -289,8 +309,8 @@ object Queries {
         |    (acc, r) -> (acc + r)/2) AS ewma_rate
         |FROM o""".stripMargin,
     "dense_hours" ->
-      """WITH h AS (SELECT user_id % 8 AS kpartition,
-        |  make_timestamp((epoch_us(ts)//3600000000)*3600000000)
+      s"""WITH h AS (SELECT user_id % 8 AS kpartition,
+        |  make_timestamp(${sqlWinStartUs("ts", 3600000000L)})
         |    AS hour_start,
         |  count(*) AS cnt FROM events GROUP BY 1, 2),
         |b AS (SELECT kpartition, min(hour_start) AS lo,
@@ -394,7 +414,7 @@ object Queries {
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM events GROUP BY 1),
-        |g AS (SELECT cents // 100 AS x FROM u),
+        |g AS (SELECT CAST(floor(cents / 100) AS BIGINT) AS x FROM u),
         |grp AS (SELECT x, count(*) AS n FROM g GROUP BY 1),
         |r AS (SELECT x, n, CAST(sum(n) OVER (ORDER BY x
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS endrank FROM grp),
@@ -413,7 +433,7 @@ object Queries {
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM events GROUP BY 1),
-        |g AS (SELECT cents // 100 AS x FROM u),
+        |g AS (SELECT CAST(floor(cents / 100) AS BIGINT) AS x FROM u),
         |grp AS (SELECT x, count(*) AS n FROM g GROUP BY 1),
         |r AS (SELECT x, n,
         |  CAST(sum(n) OVER (ORDER BY x DESC
@@ -455,7 +475,7 @@ object Queries {
     // same exact-integer cells/marginals, same single division
     "contingency_lift" ->
       """WITH e AS (SELECT event_type AS x,
-        |  least(7, CAST(round(value * 100) AS BIGINT) // 5000) AS y
+        |  least(7, CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000) AS BIGINT)) AS y
         |  FROM events),
         |cells AS (SELECT x, y, count(*) AS n_xy FROM e GROUP BY 1, 2),
         |xm AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
@@ -775,9 +795,11 @@ object Queries {
         Tables.events(s, d).groupBy(col("user_id"))
           .agg(sum(round(col("value") * 100).cast(LongType))
             .as("cents"))
-          // floor, not div: the oracle's // floors, and a negative
-          // spend total must bucket identically cross-engine (the
-          // decayScore/k_anonymity ADVICE discipline)
+          // floor, not div — and the oracle floors EXPLICITLY too
+          // (DuckDB's integer `//` truncates toward zero, measured
+          // r11; the r12 negfix sweep caught the old `//` replay):
+          // a negative spend total must bucket identically
+          // cross-engine
           .select(expr("CAST(floor(cents / 100) AS BIGINT)")
             .as("dollars")),
         "dollars")),
@@ -2023,11 +2045,13 @@ object Queries {
       Relational.kAnonymity(
         events(s, d).select(col("event_type"),
           hour(col("ts")).as("hod"),
-          // FLOOR division (not `div`, which truncates toward zero):
-          // the oracle's `//` floors, and a negative value must land
-          // in the same bucket cross-engine. Double-divide-then-floor
-          // is exact here: quotients are ≥1/500 away from integers
-          // until |cents| ~ 4.5e12, far past any event value
+          // FLOOR division (not `div`, which truncates toward zero);
+          // the oracle floors EXPLICITLY (DuckDB's `//` truncates —
+          // the r12 negfix sweep caught the old `//` replay): a
+          // negative value must land in the same bucket cross-engine.
+          // Double-divide-then-floor is exact here: quotients are
+          // ≥1/500 away from integers until |cents| ~ 4.5e12, far
+          // past any event value
           expr("floor(CAST(round(value * 100) AS BIGINT) / 500)")
             .cast(LongType).as("vb")),
         Seq("event_type", "hod", "vb"), k = 10)),
@@ -2387,8 +2411,8 @@ object Queries {
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1""".stripMargin,
     "props_variant" ->
-      """WITH e AS (SELECT event_type,
-        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+      s"""WITH e AS (SELECT event_type,
+        |  $sqlPropsK
         |    AS k FROM events)
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
@@ -2478,8 +2502,8 @@ object Queries {
     // the oracle extracts k with a regex rather than a JSON reader so
     // the check is independent of the engine-side parser under test
     "props_json" ->
-      """WITH e AS (SELECT event_type,
-        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      s"""WITH e AS (SELECT event_type,
+        |  $sqlPropsK AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
@@ -3105,15 +3129,15 @@ object Queries {
         |dense AS (SELECT grid.h, grid.event_type,
         |  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
         |  FROM grid LEFT JOIN cnt USING (h, event_type)),
-        |slot AS (SELECT event_type, h % 24 AS hod,
+        |slot AS (SELECT event_type, ((h % 24) + 24) % 24 AS hod,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
         |  CAST(sum(c * c) AS BIGINT) AS ss
         |  FROM dense GROUP BY 1, 2)
-        |SELECT dense.event_type, h % 24 AS hod, h, c,
+        |SELECT dense.event_type, ((h % 24) + 24) % 24 AS hod, h, c,
         |  (c * n - s) * (c * n - s) AS dev2,
         |  9 * (n * ss - s * s) AS thr9
         |FROM dense JOIN slot ON slot.event_type = dense.event_type
-        |  AND slot.hod = dense.h % 24
+        |  AND slot.hod = ((dense.h % 24) + 24) % 24
         |WHERE (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)"""
         .stripMargin,
     // bucket-census cumulative split search replayed; gini_w in the
@@ -3659,9 +3683,7 @@ object Queries {
         one("hour_of_day", "(epoch_us(ts) // 3600000000) % 24"),
         one("day_of_week",
           "((epoch_us(ts) // 86400000000) + 4) % 7"),
-        one("props_k",
-          "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) " +
-            "AS BIGINT)"))
+        one("props_k", sqlPropsK))
         .mkString("\nUNION ALL\n")
     },
     // the km census with the product fold swapped for the hazard SUM
@@ -4004,7 +4026,8 @@ object Queries {
         |  sqrt((sm - CAST(n AS DOUBLE))
         |    / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
         |    AS v
-        |FROM c0, f""".stripMargin,
+        |FROM c0, f
+        |WHERE r_levels > 1 AND c_levels > 1""".stripMargin,
     // DetLn on the exact integer products a·d and b·c; the four
     // reciprocals summed left-to-right as written
     "odds_ratio" ->
@@ -4470,7 +4493,7 @@ object Queries {
         |FROM d WHERE det <> 0""".stripMargin,
     "t_closeness" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
-        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,
+        |    CAST(floor(CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT) AS vb,
         |    event_type FROM events),
         |g AS (SELECT event_type, count(*) AS gcnt FROM e GROUP BY 1),
         |nn AS (SELECT count(*) AS n FROM e),
@@ -4494,7 +4517,7 @@ object Queries {
         |FROM dd GROUP BY 1, 2, 3""".stripMargin,
     "l_diversity" ->
       """WITH e AS (SELECT hour(ts) AS hod, event_type,
-        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb
+        |    CAST(floor(CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT) AS vb
         |  FROM events),
         |c AS (SELECT hod, vb,
         |    count(DISTINCT event_type) AS l_div,
@@ -4804,7 +4827,7 @@ object Queries {
         |FROM p WHERE rk = 1""".stripMargin,
     "k_anonymity" ->
       """WITH q AS (SELECT event_type, hour(ts) AS hod,
-        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb
+        |    CAST(floor(CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT) AS vb
         |  FROM events),
         |c AS (SELECT count(*) AS class_size FROM q
         |  GROUP BY event_type, hod, vb)
@@ -4851,7 +4874,7 @@ object Queries {
       }.mkString("\nUNION ALL\n"),
     "drift_halves" ->
       """WITH b AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) // 500 AS vb,
+        |    CAST(floor(CAST(round(value * 100) AS BIGINT) / 500) AS BIGINT) AS vb,
         |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END
         |      AS h1
         |  FROM events),
