@@ -99,11 +99,18 @@ object SessionStream {
   /** events: (user_id, ts, event_id, …), batch or streaming. Emits
     * one row per CLOSED session; in streaming the open sessions live
     * in state until their gap horizon passes the watermark.
+    *
+    * `watermark = ""` means `ts` ALREADY carries a watermark from an
+    * upstream stateful stage (e.g. near-dup suppression feeding
+    * sessionization in one composed query) — re-marking the column
+    * there is a Spark analysis error ("redefining watermark is
+    * disallowed" under multiple stateful operators).
     */
   def sessionStream(events: DataFrame, gapSeconds: Long = 1800,
                     watermark: String = "30 minutes"): Dataset[Closed] = {
     val streaming = events.isStreaming
-    val in = (if (streaming) events.withWatermark("ts", watermark)
+    val in = (if (streaming && watermark.nonEmpty)
+                events.withWatermark("ts", watermark)
               else events)
       .select(col("user_id").cast("long").as("userId"),
         unix_micros(col("ts")).as("tsUs"),
