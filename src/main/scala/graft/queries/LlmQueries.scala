@@ -1924,19 +1924,35 @@ object LlmQueries {
       (cts, dir)
     })
 
-  /** The shared k=32 coarse quantizer per (session, sf, corpus
-    * shape): trainCentroids is deterministic for identical input, so
-    * memoizing only removes the repeated sample job + driver k-means
-    * each bench iteration paid — in production the quantizer is a
-    * trained-once artifact every daily job loads (the premise of
-    * ivfIndexUpsert's fixed-centroid contract).
+  /** The shared coarse quantizer per (session, sf, corpus shape):
+    * trainCentroids is deterministic for identical input, so memoizing
+    * only removes the repeated sample job + driver k-means each bench
+    * iteration paid — in production the quantizer is a trained-once
+    * artifact every daily job loads (the premise of ivfIndexUpsert's
+    * fixed-centroid contract).
+    *
+    * CELL COUNT SCALES WITH THE CORPUS (the FAISS √n rule): at fixed
+    * k, an IVF probe scans nProbe/k of the corpus PER QUERY, so a
+    * query set growing with the corpus costs Θ(q·n/k) — quadratic.
+    * The r12 sf1 slope run measured exactly that: the ann_* family
+    * landed 16-23× at 10× data with k pinned at 32. k =
+    * max(32, 32·√(n/2000)) keeps the per-cell posting count (and the
+    * clusters' granularity, hence recall at fixed nProbe) roughly
+    * constant and the probe at Θ(q·√n). Anchored so BOTH fixture
+    * scales keep k = 32 exactly — every committed oracle artifact is
+    * byte-identical; only larger corpora (the sf1 run: k = 91) get
+    * more cells. One count() job per (session, sf), inside the memo.
     */
   private val ctsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Long]]]()
   private def centroids32(tag: String, d: String,
                           emb: => DataFrame): Array[Array[Long]] =
-    ctsMemo.computeIfAbsent(s"$d#$tag",
-      _ => Similarity.trainCentroids(emb, "vec_id", "embedding", 32))
+    ctsMemo.computeIfAbsent(s"$d#$tag", _ => {
+      val corpus = emb
+      val k = math.max(32, math.round(
+        32.0 * math.sqrt(corpus.count() / 2000.0)).toInt)
+      Similarity.trainCentroids(corpus, "vec_id", "embedding", k)
+    })
 
   /** The shared PQ codebooks per (session, sf, corpus shape) — the
     * ctsMemo argument verbatim: training is deterministic, the

@@ -22,11 +22,14 @@ object RowCount {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.setProperty("graft.ivf.cells.skipWrite", "true")
+    val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val c = graft.SparkEntry.queries(n)(spark, dir).count()
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val c = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[rowcount] $n%-28s rows=$c%12d  $sec%8.2f s")
+      if (show) df.show(10, truncate = false)
     }
     spark.stop()
   }
