@@ -407,6 +407,56 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** N2 extension — PARAPHRASE MINING: pairs that are semantically
+    * near (embedding cosine ≥ cosFloor) but lexically FAR (word-
+    * shingle jaccard < jacCeil) — the complement of near-dup dedup,
+    * and the pair class lexical dedup/decontamination CANNOT catch:
+    * reworded boilerplate, templated rewrites, benchmark paraphrases
+    * leaking across train/eval splits. Emits
+    * (doc_a, doc_b, cosine, jaccard), ids joined embedding↔document.
+    *
+    * Scale shape: candidates come from the SAME hyperplane-banded
+    * self-join as [[embeddingPairs]], with the band plan SIZED FOR
+    * THE FLOOR by [[lshPlan]] — at a high floor (the production
+    * setting, e.g. 0.8 ⇒ p≈0.795 vs the random-pair 0.5) bands
+    * discriminate strongly and candidate volume tracks the true-pair
+    * structure, not n². The lexical side joins each SURVIVING pair's
+    * hashed sorted-distinct shingle sets (the setsim_join
+    * representation) and verifies with one codegen merge-walk per
+    * pair — lexical cost ∝ semantic pairs, never corpus². Pairs with
+    * BOTH shingle sets empty count as lexically identical
+    * (jaccard 1) and are excluded — a short-text pair carries no
+    * lexical evidence of being a paraphrase.
+    */
+  def paraphrasePairs(emb: DataFrame, docs: DataFrame, idCol: String,
+                      vecCol: String, docIdCol: String, textCol: String,
+                      cosFloor: Double = 0.5, jacCeil: Double = 0.3,
+                      shingleK: Int = 3): DataFrame = {
+    val plan = lshPlan(1.0 - math.acos(cosFloor) / math.Pi, 1e-7)
+    val sem = embeddingPairs(emb, idCol, vecCol, cosFloor,
+      bands = plan.bands, rowsPerBand = plan.rowsPerBand)
+    val sh = docs.select(col(docIdCol).as("__id"),
+      GraftFunctions.hashedWordShingles(col(textCol), shingleK)
+        .as("__sh"))
+    val inter = GraftFunctions.sortedIntersectCount(col("sh_a"),
+      col("sh_b"))
+    val unionSz = size(col("sh_a")) + size(col("sh_b"))
+    sem
+      .join(sh.select(col("__id").as("vec_a"), col("__sh").as("sh_a")),
+        "vec_a")
+      .join(sh.select(col("__id").as("vec_b"), col("__sh").as("sh_b")),
+        "vec_b")
+      .withColumn("__i", inter)
+      .withColumn("jaccard",
+        when(unionSz - col("__i") > 0,
+          col("__i").cast(DoubleType) /
+            (unionSz - col("__i")).cast(DoubleType))
+          .otherwise(lit(1.0)))
+      .filter(col("jaccard") < jacCeil)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        col("cosine"), col("jaccard"))
+  }
+
   /** The corpus side of incremental dedup: minhash band postings for
     * every corpus doc, with hot buckets (> maxBucket members) excluded
     * at INDEX BUILD time — the same explicit recall trade as bandPairs,

@@ -222,6 +222,14 @@ object LlmQueries {
     "embedding_pairs" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding",
         threshold = 0.4)),
+    // N2 — paraphrase mining: semantically near (cosine ≥ 0.5, the
+    // fixture's structure ceiling; production sets 0.8) yet lexically
+    // far (shingle jaccard < 0.3) — the pair class lexical dedup and
+    // decontamination cannot catch. Banded semantic candidates sized
+    // by lshPlan for the floor + one codegen merge-walk per survivor
+    "paraphrase_mine" -> ((s, d) =>
+      Dedup.paraphrasePairs(emb(s, d), docs(s, d), "vec_id",
+        "embedding", "doc_id", "text")),
     // N3 — brute-force top-k cosine (small broadcast query set)
     "topk_cosine" -> ((s, d) => {
       val e = emb(s, d)
@@ -1037,6 +1045,12 @@ object LlmQueries {
       Similarity.labelCohesion(emb(s, d), "label", "embedding")),
     // N4 — quality scoring
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d), "doc_id", "text")),
+    // N4 — the Gopher hard-rule gate: five exact-integer per-doc rules
+    // (word count, mean word length, distinct fraction, stopword
+    // presence, alpha fraction) + the combined keep verdict; one fused
+    // kernel pass, no doubles anywhere in the decision
+    "gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(docs(s, d), "doc_id", "text")),
     // N4 — Simpson character-diversity quality signal: probability two
     // random chars of the doc are equal — the log-free entropy
     // stand-in, exact integers via the CharSimpson codegen kernel
@@ -2610,6 +2624,37 @@ object LlmQueries {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT va AS vec_a, vb AS vec_b, cosine FROM p
          |WHERE cosine >= 0.4""".stripMargin,
+    // brute-force cosine ≥ 0.5 + exact 3-word-shingle jaccard on the
+    // joined texts (raw strings here, hashed 64-bit sets in the op —
+    // the setsim_join trade); empty∪empty pairs are jaccard 1 and
+    // excluded, matching the op's no-lexical-evidence contract
+    "paraphrase_mine" ->
+      s"""WITH $quantCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |    range(1, len(w)-1),
+         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+         |  ELSE [] END AS ts FROM t),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         |j AS (SELECT va, vb, cosine,
+         |  CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS inter,
+         |  len(sa.ts) + len(sb.ts) AS un
+         |  FROM p JOIN sh sa ON sa.doc_id = va
+         |  JOIN sh sb ON sb.doc_id = vb
+         |  WHERE cosine >= 0.5)
+         |SELECT va AS doc_a, vb AS doc_b, cosine,
+         |  CASE WHEN un - inter > 0
+         |    THEN CAST(inter AS DOUBLE) / CAST(un - inter AS DOUBLE)
+         |    ELSE 1.0 END AS jaccard
+         |FROM j
+         |WHERE CASE WHEN un - inter > 0
+         |    THEN CAST(inter AS DOUBLE) / CAST(un - inter AS DOUBLE)
+         |    ELSE 1.0 END < 0.3""".stripMargin,
     "topk_cosine" ->
       s"""WITH $quantCte,
          |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
@@ -3663,6 +3708,31 @@ object LlmQueries {
          |SELECT query_id, label AS pred_label,
          |  CAST(votes AS BIGINT) AS votes
          |FROM p WHERE rk = 1""".stripMargin,
+    // the five integer rule inequalities replayed verbatim; word_chars
+    // = n_chars − (n_tokens − 1) (single-space contract), alpha = a-z
+    // count (the kernel's definition)
+    "gopher_rules" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+         |    AS BIGINT) AS alpha FROM documents),
+         |m AS (SELECT doc_id, n_chars, alpha,
+         |  CAST(len(w) AS BIGINT) AS n,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+         |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and',
+         |    'to','in','is'))) AS BIGINT) AS ns FROM b),
+         |r AS (SELECT doc_id, n, nd, ns, alpha,
+         |  n_chars - (n - 1) AS wc FROM m)
+         |SELECT doc_id, n AS n_tokens,
+         |  n >= 10 AND n <= 100000 AS wc_ok,
+         |  3 * n <= wc AND wc <= 10 * n AS mwl_ok,
+         |  2 * nd >= n AS dup_ok,
+         |  ns >= 2 AS sw_ok,
+         |  5 * alpha >= 4 * wc AS alpha_ok,
+         |  (n >= 10 AND n <= 100000) AND (3 * n <= wc AND wc <= 10 * n)
+         |    AND 2 * nd >= n AND ns >= 2 AND 5 * alpha >= 4 * wc
+         |    AS keep
+         |FROM r""".stripMargin,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
         |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),

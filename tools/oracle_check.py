@@ -8,6 +8,7 @@ matching SQL from oracle_sql.json in DuckDB with views over the sfDir
 tables; compares after sorting columns by name and rows by all values.
 """
 import json
+import os
 import math
 import sys
 
@@ -35,7 +36,12 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the sf1
+        # scaling fixture); the driver's are single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

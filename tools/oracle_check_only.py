@@ -2,6 +2,7 @@
 """oracle_check with a query-name filter: oracle_check_only.py
 <sfDir> <verifyOutDir> <name,name,...> — same compare, subset only."""
 import json
+import os
 import math
 import sys
 
@@ -21,7 +22,12 @@ def main(sf_dir, out_dir, names):
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the sf1
+        # scaling fixture); the driver's are single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in names:
