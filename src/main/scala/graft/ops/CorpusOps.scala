@@ -302,6 +302,43 @@ object CorpusOps {
           .otherwise(col("top_bigram_count").cast(DoubleType) /
             col("n_bigrams").cast(DoubleType)))
 
+  /** Gopher multi-n repetition rule (Rae et al. 2021 — the published
+    * rule set checks duplicate n-gram fractions across SEVERAL n, not
+    * just tokens/top-bigram): per doc, dup_frac_n = (total_n −
+    * distinct_n) / total_n for n ∈ {2, 3, 4} with total_n =
+    * n_tokens − n + 1, plus the per-n rule verdicts at the published
+    * thresholds 0.20 / 0.18 / 0.16 — each verdict an EXACT INTEGER
+    * cross-multiplication (0.20 = 1/5, 0.18 = 9/50, 0.16 = 4/25), so
+    * keep decisions are bit-stable cross-engine; the fractions
+    * themselves are one double division each. Distinct counts come
+    * from the HashedWordShingles kernel (sorted-distinct 64-bit sets
+    * — the setsim representation; collisions ~|set|²/2⁶⁴, the trade
+    * every banded family here makes). Docs shorter than n carry NULL
+    * fractions and a vacuously-true verdict (no evidence). Pure
+    * codegen map, no shuffle — the 100 TB rule-gate shape.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast(LongType)
+    def per(n: Int, num: Long, den: Long) = {
+      val total = nTok - lit(n - 1L)
+      val distinct = size(graft.functions.GraftFunctions
+        .hashedWordShingles(col(textCol), n)).cast(LongType)
+      val dup = total - distinct
+      (when(total > 0L, dup.cast(DoubleType) / total.cast(DoubleType))
+         .as(s"dup_frac_$n"),
+       (total <= 0L || dup * lit(den) <= total * lit(num))
+         .as(s"rep${n}_ok"))
+    }
+    val (f2, ok2) = per(2, 1L, 5L)
+    val (f3, ok3) = per(3, 9L, 50L)
+    val (f4, ok4) = per(4, 4L, 25L)
+    docs.select(col(idCol), nTok.as("n_tokens"), f2, f3, f4,
+        ok2, ok3, ok4)
+      .withColumn("rep_ok",
+        col("rep2_ok") && col("rep3_ok") && col("rep4_ok"))
+  }
+
   /** Sequence packing: assign token chunks to fixed-length training
     * sequences by the concat-and-split rule (concatenate chunks in
     * deterministic order, cut every `seqLen` tokens — the standard

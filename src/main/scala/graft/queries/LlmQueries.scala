@@ -1655,6 +1655,10 @@ object LlmQueries {
     // Corpus ops — Gopher-style repetition stats (pure map)
     "repetition_stats" -> ((s, d) =>
       CorpusOps.repetitionStats(docs(s, d), "doc_id", "text")),
+    // Corpus ops — the published multi-n repetition rule: duplicate
+    // 2/3/4-gram fractions + exact-integer verdicts at 0.20/0.18/0.16
+    "gopher_repetition" -> ((s, d) =>
+      CorpusOps.gopherRepetition(docs(s, d), "doc_id", "text")),
     // Corpus ops — deterministic per-source mixing quotas
     "domain_mix" -> ((s, d) =>
       CorpusOps.domainMix(docs(s, d), "doc_id", "source")),
@@ -4653,6 +4657,46 @@ object LlmQueries {
         |          / CAST(n_bigrams AS DOUBLE)
         |  END AS top_bigram_frac
         |FROM base LEFT JOIN tops USING(doc_id)""".stripMargin,
+    // distinct n-gram counts on RAW string shingles (hashed 64-bit in
+    // the op — the setsim trade); verdicts replay the integer
+    // cross-multiplications; short docs: NULL fractions, true verdicts
+    "gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |  CAST(len(w) - 1 AS BIGINT) AS t2,
+        |  CAST(len(w) - 2 AS BIGINT) AS t3,
+        |  CAST(len(w) - 3 AS BIGINT) AS t4,
+        |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
+        |    list_transform(range(1, len(w)),
+        |      i -> concat_ws(' ', w[i], w[i+1])))) ELSE 0 END
+        |    AS BIGINT) AS d2,
+        |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) ELSE 0 END
+        |    AS BIGINT) AS d3,
+        |  CAST(CASE WHEN len(w) >= 4 THEN len(list_distinct(
+        |    list_transform(range(1, len(w) - 2),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))))
+        |    ELSE 0 END AS BIGINT) AS d4
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN t2 > 0 THEN
+        |    CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE) END
+        |    AS dup_frac_2,
+        |  CASE WHEN t3 > 0 THEN
+        |    CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE) END
+        |    AS dup_frac_3,
+        |  CASE WHEN t4 > 0 THEN
+        |    CAST(t4 - d4 AS DOUBLE) / CAST(t4 AS DOUBLE) END
+        |    AS dup_frac_4,
+        |  t2 <= 0 OR (t2 - d2) * 5 <= t2 * 1 AS rep2_ok,
+        |  t3 <= 0 OR (t3 - d3) * 50 <= t3 * 9 AS rep3_ok,
+        |  t4 <= 0 OR (t4 - d4) * 25 <= t4 * 4 AS rep4_ok,
+        |  (t2 <= 0 OR (t2 - d2) * 5 <= t2 * 1)
+        |    AND (t3 <= 0 OR (t3 - d3) * 50 <= t3 * 9)
+        |    AND (t4 <= 0 OR (t4 - d4) * 25 <= t4 * 4) AS rep_ok
+        |FROM g""".stripMargin,
     "domain_mix" -> {
       val srcHash = sqlPolyHash("source")
       val docHash = sqlPolyHash("(source || ':' || CAST(doc_id AS VARCHAR))")
