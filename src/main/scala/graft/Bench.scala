@@ -79,9 +79,13 @@ object Bench {
         // the committed reference is only a valid retry baseline for the
         // SAME sf dir: a scaling run (e.g. the sf1 slope measurement)
         // legitimately lands every query ~10x the sf0.1 reference, and a
-        // blanket ratio test would re-measure the whole registry
+        // blanket ratio test would re-measure the whole registry.
+        // `.exists`, not `.forall`: an artifact with NO "sf" field (any
+        // pre-r12 bench.json) carries no evidence it was measured at
+        // this data dir — treating it as a match would grandfather in
+        // exactly the contamination class this guard exists to stop
         val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-          .forall(_.group(1) == sfDir)
+          .exists(_.group(1) == sfDir)
         val qs = txt.indexOf("\"queries\":{")
         if (qs < 0 || !sfOk) Map.empty
         else {

@@ -174,10 +174,16 @@ object GraftFunctions {
     c(HashedLinearScore(e(text), weights))
 
   /** Fused per-document quality counters [n_chars, n_tokens,
-    * n_distinct_tokens, n_stop_tokens, alpha_chars].
+    * n_distinct_tokens, n_stop_tokens, alpha_chars, n_alpha_words].
     */
   def qualityStats(text: Column, stopwords: Seq[String]): Column =
     c(TokenQualityStats(e(text), stopwords))
+
+  /** Fused Gopher repetition-coverage counters: [n_tokens, n_wchars,
+    * top2_cov, top3_cov, top4_cov, dup5_cov, …, dup10_cov] — see
+    * [[GopherCoverage]].
+    */
+  def gopherCoverage(text: Column): Column = c(GopherCoverage(e(text)))
 
   /** Explode an Avro OCF binary blob into rows of the target schema.
     * `permissive` drops undecodable blobs instead of failing the task.

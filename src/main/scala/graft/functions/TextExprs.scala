@@ -957,6 +957,7 @@ case class TokenQualityStats(child: Expression, stopwords: Seq[String])
     val distinct = new java.util.HashSet[String]()
     var nTok = 0L
     var nStop = 0L
+    var nAlphaWords = 0L
     var from = 0
     i = 0
     while (i <= len) {
@@ -975,13 +976,23 @@ case class TokenQualityStats(child: Expression, stopwords: Seq[String])
           k += 1
         }
         if (hit) nStop += 1
+        // Gopher alpha-word rule input: does this word contain at
+        // least one ASCII letter (either case)?
+        var j = from
+        var aw = false
+        while (j < i && !aw) {
+          val c = s.charAt(j)
+          aw = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          j += 1
+        }
+        if (aw) nAlphaWords += 1
         from = i + 1
       }
       i += 1
     }
     // length() counts codepoints, not UTF-16 units — match it exactly
     new GenericArrayData(Array(s.codePointCount(0, len).toLong,
-      nTok, distinct.size.toLong, nStop, alpha))
+      nTok, distinct.size.toLong, nStop, alpha, nAlphaWords))
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -996,4 +1007,141 @@ case class TokenQualityStats(child: Expression, stopwords: Seq[String])
 
   override protected def withNewChildInternal(newChild: Expression)
       : TokenQualityStats = copy(child = newChild)
+}
+
+/** Fused Gopher repetition-coverage kernel (Rae et al. 2021 §A1.1):
+  * one pass over the single-space-joined word sequence producing the
+  * exact-integer inputs of the paper's nine repetition rules —
+  *
+  *   [n_tokens, n_wchars,
+  *    top2_cov, top3_cov, top4_cov,          // most-frequent n-gram
+  *    dup5_cov, dup6_cov, …, dup10_cov]      // duplicated n-grams
+  *
+  * where n_wchars = Σ codepoint-length(word) (word characters only,
+  * separators excluded — the normalizer both fraction families share),
+  * top{n}_cov = count(most frequent word n-gram) × word-chars(that
+  * n-gram) with the most frequent gram chosen by (count DESC, gram
+  * string ASC) so the pick is deterministic cross-engine, and
+  * dup{n}_cov = Σ word-chars over the UNION of word positions covered
+  * by any n-gram occurrence whose exact gram string appears ≥ 2 times
+  * in the document (overlapping duplicated occurrences count each
+  * position once — the paper's "characters contained within duplicate
+  * n-grams"). Gram identity is the EXACT string (never a hash); a
+  * coverage slot with n_tokens < n is 0 and the caller treats it as
+  * no-evidence. Tokenization is `split(t, " ")` with empties kept,
+  * exactly like DuckDB string_split.
+  */
+case class GopherCoverage(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gopher_coverage"
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val words = s.split(" ", -1)
+    val t = words.length
+    // per-word codepoint lengths (DuckDB length() counts codepoints)
+    val wlen = new Array[Long](t)
+    var nWchars = 0L
+    var i = 0
+    while (i < t) {
+      wlen(i) = words(i).codePointCount(0, words(i).length).toLong
+      nWchars += wlen(i)
+      i += 1
+    }
+    val out = new Array[Long](11)
+    out(0) = t.toLong
+    out(1) = nWchars
+    // top n-gram coverage, n = 2..4
+    var n = 2
+    while (n <= 4) {
+      if (t >= n) {
+        val counts = new java.util.HashMap[String, java.lang.Long]()
+        val sb = new java.lang.StringBuilder()
+        var bestC = 0L
+        var bestG: String = null
+        i = 0
+        while (i <= t - n) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(i + k))
+            k += 1
+          }
+          val g = sb.toString
+          val old = counts.get(g)
+          val c = if (old == null) 1L else old.longValue() + 1L
+          counts.put(g, java.lang.Long.valueOf(c))
+          if (c > bestC || (c == bestC && g.compareTo(bestG) < 0)) {
+            bestC = c; bestG = g
+          }
+          i += 1
+        }
+        // word chars of the gram = string length − (n−1) separators,
+        // in codepoints
+        val gWchars = bestG.codePointCount(0, bestG.length).toLong - (n - 1)
+        out(n) = bestC * gWchars
+      }
+      n += 1
+    }
+    // duplicated n-gram positional coverage, n = 5..10
+    val covered = new Array[Boolean](t)
+    n = 5
+    while (n <= 10) {
+      if (t >= n) {
+        val counts = new java.util.HashMap[String, java.lang.Long]()
+        val grams = new Array[String](t - n + 1)
+        val sb = new java.lang.StringBuilder()
+        i = 0
+        while (i <= t - n) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(i + k))
+            k += 1
+          }
+          grams(i) = sb.toString
+          val old = counts.get(grams(i))
+          counts.put(grams(i),
+            java.lang.Long.valueOf(if (old == null) 1L else old + 1L))
+          i += 1
+        }
+        java.util.Arrays.fill(covered, false)
+        i = 0
+        while (i <= t - n) {
+          if (counts.get(grams(i)) >= 2L) {
+            var k = 0
+            while (k < n) { covered(i + k) = true; k += 1 }
+          }
+          i += 1
+        }
+        var cov = 0L
+        i = 0
+        while (i < t) { if (covered(i)) cov += wlen(i); i += 1 }
+        out(n - 5 + 5) = cov
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gopherCov", this,
+      classOf[GopherCoverage].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : GopherCoverage = copy(child = newChild)
 }

@@ -272,6 +272,67 @@ object CorpusOps {
             col("n_grams").cast(DoubleType)))
   }
 
+  /** Cross-document exact substring REMOVAL (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr pass): where [[spanDedupStats]] PROFILES repeated
+    * k-word spans, this removes them. Every k-gram occurrence
+    * (doc, position) whose exact gram string occurs ≥ 2 times
+    * ANYWHERE in the corpus — another doc or another position of the
+    * same doc — is masked, EXCEPT the one global canonical occurrence
+    * (minimal (doc_id, position)), which keeps one copy of the
+    * repeated text in the corpus exactly as the paper does. A doc's
+    * masked token set is the positional UNION of its masked k-spans
+    * (overlaps counted once); output is the doc with masked tokens
+    * deleted.
+    *
+    * Scale shape: one positional-gram explode (n_positions rows ≈
+    * corpus tokens), one groupBy on the gram key (count + arg-min —
+    * map-side combinable), one join back on the same key (AQE reuses
+    * the exchange), one per-doc aggregate of masked positions, one
+    * final codegen map rebuilding the text. Never doc×doc. The gram
+    * KEY is the exact string, not a hash: a removal pass must never
+    * delete text on a hash collision (spanDedupStats' 1e9+7 poly key
+    * is fine for stats, not for surgery); the shuffle carries ~k
+    * words per key — at petabyte scale swap in a ≥128-bit
+    * fingerprint. The (doc_id, pos) arg-min is encoded as
+    * doc_id·2²⁰ + pos (one BIGINT min, no struct ordering) — valid
+    * while docs stay under 2²⁰ tokens, asserted in the scaladoc
+    * contract and true of any sane training document.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val ex = docs.select(col(idCol), posexplode(grams))
+      .select(col(idCol), (col("pos") + 1).as("p"), col("col").as("g"))
+      .withColumn("rank",
+        col(idCol).cast(LongType) * lit(1048576L) + col("p"))
+    val freq = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"), min(col("rank")).as("canon"))
+    val maskSpans = ex.join(freq, "g")
+      .filter(col("c") >= 2 && col("rank") =!= col("canon"))
+    val covered = maskSpans
+      .select(col(idCol), explode(sequence(col("p"),
+        col("p") + (k - 1))).as("j"))
+      .distinct()
+    val maskPerDoc = covered.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("j"))).as("mask"),
+        count(lit(1)).as("n_masked"))
+    docs.select(col(idCol), col(textCol))
+      .join(maskPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        size(w).cast(LongType).as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        when(col("mask").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(w, (x, i) => !array_contains(col("mask"), i + 1)),
+            " "))
+          .as("clean_text"))
+  }
+
   /** Repetition quality stats (the Gopher/MassiveText repetition
     * rules' integer core): duplicate-token fraction and
     * top-bigram fraction per document. Documents dominated by one
@@ -302,41 +363,57 @@ object CorpusOps {
           .otherwise(col("top_bigram_count").cast(DoubleType) /
             col("n_bigrams").cast(DoubleType)))
 
-  /** Gopher multi-n repetition rule (Rae et al. 2021 — the published
-    * rule set checks duplicate n-gram fractions across SEVERAL n, not
-    * just tokens/top-bigram): per doc, dup_frac_n = (total_n −
-    * distinct_n) / total_n for n ∈ {2, 3, 4} with total_n =
-    * n_tokens − n + 1, plus the per-n rule verdicts at the published
-    * thresholds 0.20 / 0.18 / 0.16 — each verdict an EXACT INTEGER
-    * cross-multiplication (0.20 = 1/5, 0.18 = 9/50, 0.16 = 4/25), so
-    * keep decisions are bit-stable cross-engine; the fractions
-    * themselves are one double division each. Distinct counts come
-    * from the HashedWordShingles kernel (sorted-distinct 64-bit sets
-    * — the setsim representation; collisions ~|set|²/2⁶⁴, the trade
-    * every banded family here makes). Docs shorter than n carry NULL
-    * fractions and a vacuously-true verdict (no evidence). Pure
-    * codegen map, no shuffle — the 100 TB rule-gate shape.
+  /** Gopher multi-n repetition rules, paper-exact (Rae et al. 2021
+    * §A1.1): the paper's repetition gates are CHARACTER fractions, in
+    * two families —
+    *  - top n-gram char fraction, n ∈ {2, 3, 4}: characters inside
+    *    occurrences of the single most frequent word n-gram, at
+    *    thresholds 0.20 / 0.18 / 0.16;
+    *  - duplicate n-gram char fraction, n ∈ {5..10}: characters
+    *    covered by ANY n-gram occurring ≥ 2 times in the doc
+    *    (overlaps counted once, positional union), at thresholds
+    *    0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10.
+    * A document is kept iff EVERY fraction is ≤ its threshold.
+    * Characters are word characters (codepoints, separators excluded)
+    * and the normalizer is n_wchars = Σ len(word); the most frequent
+    * gram ties break by lexicographically-smallest gram string, so
+    * the pick — and the fraction — is deterministic cross-engine.
+    * Every verdict is an EXACT INTEGER cross-multiplication
+    * (0.18 = 9/50, 0.13 = 13/100, …); the reported fractions ride
+    * single IEEE divisions of those same exact integers — one
+    * division each, no re-association, bit-identical to the oracle's
+    * refold. Docs shorter than n (or with zero word chars) carry NULL
+    * fractions and a vacuously-true verdict (no evidence). All
+    * coverage integers come from ONE fused GopherCoverage kernel pass
+    * per row (exact gram strings, never hashes) — a pure codegen map,
+    * no shuffle: the 100 TB rule-gate shape.
     */
   def gopherRepetition(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val nTok = size(split(col(textCol), " ")).cast(LongType)
-    def per(n: Int, num: Long, den: Long) = {
-      val total = nTok - lit(n - 1L)
-      val distinct = size(graft.functions.GraftFunctions
-        .hashedWordShingles(col(textCol), n)).cast(LongType)
-      val dup = total - distinct
-      (when(total > 0L, dup.cast(DoubleType) / total.cast(DoubleType))
-         .as(s"dup_frac_$n"),
-       (total <= 0L || dup * lit(den) <= total * lit(num))
-         .as(s"rep${n}_ok"))
-    }
-    val (f2, ok2) = per(2, 1L, 5L)
-    val (f3, ok3) = per(3, 9L, 50L)
-    val (f4, ok4) = per(4, 4L, 25L)
-    docs.select(col(idCol), nTok.as("n_tokens"), f2, f3, f4,
-        ok2, ok3, ok4)
-      .withColumn("rep_ok",
-        col("rep2_ok") && col("rep3_ok") && col("rep4_ok"))
+    val cov = graft.functions.GraftFunctions.gopherCoverage(col(textCol))
+    val nTok = element_at(cov, 1)
+    val wchars = element_at(cov, 2)
+    // (n, slot in the kernel array, threshold numerator/denominator)
+    val top = Seq((2, 3, 1L, 5L), (3, 4, 9L, 50L), (4, 5, 4L, 25L))
+    val dup = Seq((5, 6, 3L, 20L), (6, 7, 7L, 50L), (7, 8, 13L, 100L),
+      (8, 9, 3L, 25L), (9, 10, 11L, 100L), (10, 11, 1L, 10L))
+    def cols(family: String, spec: Seq[(Int, Int, Long, Long)]) =
+      spec.flatMap { case (n, slot, num, den) =>
+        val c = element_at(cov, slot)
+        val noEvidence = nTok < lit(n.toLong) || wchars === 0L
+        Seq(
+          when(!noEvidence,
+            c.cast(DoubleType) / wchars.cast(DoubleType))
+            .as(s"frac_${family}_$n"),
+          (noEvidence || c * lit(den) <= wchars * lit(num))
+            .as(s"ok_${family}_$n"))
+      }
+    val okNames = (top.map(t => s"ok_top_${t._1}") ++
+      dup.map(d => s"ok_dup_${d._1}"))
+    docs.select(col(idCol) +: nTok.as("n_tokens") +:
+        wchars.as("n_wchars") +:
+        (cols("top", top) ++ cols("dup", dup)): _*)
+      .withColumn("rep_ok", okNames.map(col).reduce(_ && _))
   }
 
   /** Sequence packing: assign token chunks to fixed-length training

@@ -427,6 +427,13 @@ object Dedup {
     * BOTH shingle sets empty count as lexically identical
     * (jaccard 1) and are excluded — a short-text pair carries no
     * lexical evidence of being a paraphrase.
+    *
+    * ID-SPACE CONTRACT: `emb`'s id column and `docs`'s id column must
+    * be the same key space. The doc join is a LEFT join so a vec id
+    * with no document row SURFACES as a null-jaccard output row
+    * (semantic evidence present, lexical evidence missing) instead of
+    * silently dropping the pair — a mismatched id space shows up in
+    * the result, not as an empty frame.
     */
   def paraphrasePairs(emb: DataFrame, docs: DataFrame, idCol: String,
                       vecCol: String, docIdCol: String, textCol: String,
@@ -443,16 +450,18 @@ object Dedup {
     val unionSz = size(col("sh_a")) + size(col("sh_b"))
     sem
       .join(sh.select(col("__id").as("vec_a"), col("__sh").as("sh_a")),
-        "vec_a")
+        Seq("vec_a"), "left")
       .join(sh.select(col("__id").as("vec_b"), col("__sh").as("sh_b")),
-        "vec_b")
+        Seq("vec_b"), "left")
       .withColumn("__i", inter)
       .withColumn("jaccard",
-        when(unionSz - col("__i") > 0,
+        when(col("sh_a").isNull || col("sh_b").isNull,
+          lit(null).cast(DoubleType))
+        .when(unionSz - col("__i") > 0,
           col("__i").cast(DoubleType) /
             (unionSz - col("__i")).cast(DoubleType))
           .otherwise(lit(1.0)))
-      .filter(col("jaccard") < jacCeil)
+      .filter(col("jaccard").isNull || col("jaccard") < jacCeil)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         col("cosine"), col("jaccard"))
   }

@@ -178,25 +178,36 @@ object TextOps {
         col("alpha_ratio") * lit(0.5) + col("stopword_ratio") * lit(0.5))
   }
 
-  /** Gopher-style hard rule gate (Rae et al. 2021, public — the rule
-    * family every pretraining pipeline runs BEFORE model-based
+  /** Gopher-style hard rule gate (Rae et al. 2021 §A1.1, public — the
+    * rule family every pretraining pipeline runs BEFORE model-based
     * scoring). Every verdict is an EXACT INTEGER inequality
     * (cross-multiplied, no ratio doubles), so the keep decision is
     * bit-identical cross-engine and replay-stable:
-    *  - wc_ok:    minWords ≤ n_tokens ≤ maxWords
+    *  - wc_ok:    minWords ≤ n_tokens ≤ maxWords (paper: 50..100,000;
+    *              those are the defaults here)
     *  - mwl_ok:   mean word length ∈ [3, 10] —
     *              3·n ≤ word_chars ≤ 10·n with word_chars =
     *              n_chars − (n − 1) (single-space-joined contract)
     *  - dup_ok:   distinct-token fraction ≥ 1/2: 2·n_distinct ≥ n
-    *  - sw_ok:    ≥ 2 quality-stopword hits (the "contains real
-    *              prose" signal)
-    *  - alpha_ok: a–z chars ≥ 80% of word chars: 5·alpha ≥ 4·word_chars
-    * keep = all five. One fused TokenQualityStats kernel per row —
+    *              (REPO ADDITION, not a Rae et al. rule — the paper's
+    *              repetition gates live in
+    *              [[graft.ops.CorpusOps.gopherRepetition]])
+    *  - sw_ok:    ≥ 2 quality-stopword hits (paper: "contains at
+    *              least two of a stop-word list"; the list here is
+    *              the repo's 7-word qualityStopwords, not the paper's)
+    *  - alpha_ok: ≥ 80% of WORDS contain at least one alphabetic
+    *              character (the paper's rule, per-word not per-char):
+    *              5·n_alpha_words ≥ 4·n_tokens
+    * keep = all five. DOCUMENTED DEVIATIONS from the paper: the
+    * symbol-to-word-ratio (#/ellipsis), bullet-line and
+    * ellipsis-ending-line rules are omitted (the corpus contract here
+    * is single-line, single-space-joined text), and dup_ok is an
+    * extra repo rule. One fused TokenQualityStats kernel per row —
     * the same single-scan shape as [[quality]]; at 100 TB this is a
     * pure codegen map, no shuffle.
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-                  minWords: Long = 10L, maxWords: Long = 100000L)
+                  minWords: Long = 50L, maxWords: Long = 100000L)
       : DataFrame = {
     val st = graft.functions.GraftFunctions.qualityStats(
       col(textCol), qualityStopwords)
@@ -204,7 +215,7 @@ object TextOps {
     val nTok = element_at(st, 2)
     val nDist = element_at(st, 3)
     val nStop = element_at(st, 4)
-    val alpha = element_at(st, 5)
+    val nAlphaWords = element_at(st, 6)
     val wordChars = nChars - (nTok - lit(1L))
     docs.select(col(idCol), nTok.as("n_tokens"),
         (nTok >= minWords && nTok <= maxWords).as("wc_ok"),
@@ -212,7 +223,7 @@ object TextOps {
           wordChars <= lit(10L) * nTok).as("mwl_ok"),
         (lit(2L) * nDist >= nTok).as("dup_ok"),
         (nStop >= 2L).as("sw_ok"),
-        (lit(5L) * alpha >= lit(4L) * wordChars).as("alpha_ok"))
+        (lit(5L) * nAlphaWords >= lit(4L) * nTok).as("alpha_ok"))
       .withColumn("keep", col("wc_ok") && col("mwl_ok") &&
         col("dup_ok") && col("sw_ok") && col("alpha_ok"))
   }

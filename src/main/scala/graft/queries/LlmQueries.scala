@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
-import graft.ops.{CorpusOps, Dedup, Graph, Multimodal, Retrieval, Sessionize, Similarity, TextOps}
+import graft.ops.{CorpusOps, Dedup, Graph, Multimodal, Retrieval, Sessionize, Similarity, TextOps, UrlOps}
 
 /** The LLM-data-pipeline query registry (SURVEY.md §2 rows N1–N7):
   * dedup (exact / MinHash / n-gram / SimHash / embedding-cosine),
@@ -218,10 +218,42 @@ object LlmQueries {
     // N2 — SimHash near-dup, pigeonhole-exact chunk banding
     "simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxDist = 3)),
-    // N2 — embedding-cosine near-dup via hyperplane-LSH banding
-    "embedding_pairs" -> ((s, d) =>
-      Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding",
-        threshold = 0.4)),
+    // N2 — embedding-cosine near-dup via hyperplane-LSH banding, at a
+    // SCALE-PLAUSIBLE threshold (0.7): here the per-bit collision
+    // probability of a qualifying pair (0.747) separates from the
+    // random-pair 0.5, so banding prunes and output tracks true
+    // near-dup structure — linear in n, not the ~n² tail a low floor
+    // has on unclustered data (r12's 20×-at-10×-data finding). The
+    // fixture embeddings are near-random (zero natural pairs at 0.7),
+    // so the row PLANTS deterministic near-dups — every 17th vector
+    // re-enters with its last dimension negated, cos = 1 − 2·q_d²/Σq²
+    // ≈ 0.97 in exact quantized integers — the link_rank
+    // synthetic-edge precedent. Bands sized by lshPlan for the floor.
+    "embedding_pairs" -> ((s, d) => {
+      val e = emb(s, d)
+      val planted = e.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CASE WHEN " +
+            "i = size(embedding) - 1 THEN -x ELSE x END)")
+            .as("embedding"))
+      val plan = Dedup.lshPlan(1.0 - math.acos(0.7) / math.Pi, 1e-7)
+      Dedup.embeddingPairs(
+        e.select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", threshold = 0.7,
+        bands = plan.bands, rowsPerBand = plan.rowsPerBand)
+    }),
+    // N2 — the θ=0.4 form, kept as an EXPLICITLY OUTPUT-BOUNDED
+    // contract: at a floor where random 64-d pairs pass at p≈3e-4 the
+    // result set is inherently ~n² on unclustered data (no banding
+    // can prune it — the per-bit discrimination ratio is 1.26), so
+    // the registered input is CAPPED at 8192 vectors; beyond sf0.1
+    // the row's cost is scale-invariant by construction. Uncapped
+    // low-floor mining on a real corpus should go through
+    // semantic_dedup (cluster-structured) or paraphrase_mine's
+    // higher floor instead.
+    "embedding_pairs_lowt" -> ((s, d) =>
+      Dedup.embeddingPairs(emb(s, d).filter(col("vec_id") < 8192),
+        "vec_id", "embedding", threshold = 0.4)),
     // N2 — paraphrase mining: semantically near (cosine ≥ 0.5, the
     // fixture's structure ceiling; production sets 0.8) yet lexically
     // far (shingle jaccard < 0.3) — the pair class lexical dedup and
@@ -1652,11 +1684,41 @@ object LlmQueries {
     // that also occur in another document (C4 boilerplate profile)
     "span_dedup" -> ((s, d) =>
       CorpusOps.spanDedupStats(docs(s, d), "doc_id", "text")),
+    // Corpus ops — the Lee et al. ExactSubstr REMOVAL pass: every
+    // k-gram occurrence duplicated anywhere in the corpus is deleted
+    // except the global canonical copy; the oracle replays the mask
+    // (positional union → kept-token rebuild) in SQL
+    "substring_dedup" -> ((s, d) =>
+      CorpusOps.substringDedup(docs(s, d), "doc_id", "text")),
+    // URL-stage curation (the crawl pipeline's first stage, before
+    // any text processing): canonicalize — synthetic messy URLs
+    // (case, default ports, tracking params, fragments, trailing
+    // slashes) normalized by pure string ops
+    "url_canon" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        UrlOps.syntheticUrl(col("source"), col("doc_id")).as("url"))
+        .withColumn("canon_url", UrlOps.canonicalizeUrl(col("url")))),
+    // URL-level exact dedup: distinct raw URLs collide after
+    // canonicalization (the id%97 bucket construction) → real
+    // duplicate clusters; keep = first crawl (min id)
+    "url_dedup" -> ((s, d) =>
+      UrlOps.urlDedup(docs(s, d).select(col("doc_id"),
+        UrlOps.syntheticUrl(col("source"), col("doc_id")).as("url")),
+        "url", "doc_id")),
+    // domain blocklist filter + per-domain keep/drop census
+    "domain_filter" -> ((s, d) =>
+      UrlOps.domainFilter(docs(s, d).select(col("doc_id"),
+        UrlOps.syntheticUrl(col("source"), col("doc_id")).as("url")),
+        "url", "doc_id",
+        Seq("src3.example.com", "src7.example.com",
+          "src15.example.com"))),
     // Corpus ops — Gopher-style repetition stats (pure map)
     "repetition_stats" -> ((s, d) =>
       CorpusOps.repetitionStats(docs(s, d), "doc_id", "text")),
-    // Corpus ops — the published multi-n repetition rule: duplicate
-    // 2/3/4-gram fractions + exact-integer verdicts at 0.20/0.18/0.16
+    // Corpus ops — the paper-exact multi-n repetition rules (Rae et
+    // al. 2021 §A1.1): top 2/3/4-gram CHAR fractions at 0.20/0.18/0.16
+    // + duplicate 5..10-gram CHAR fractions (positional union) at
+    // 0.15..0.10, exact-integer verdicts throughout
     "gopher_repetition" -> ((s, d) =>
       CorpusOps.gopherRepetition(docs(s, d), "doc_id", "text")),
     // Corpus ops — deterministic per-source mixing quotas
@@ -1861,6 +1923,60 @@ object LlmQueries {
     * expression (mirror of TextOps.polyHash / the PolyHash31 kernel).
     * Pass a parenthesized expression if it contains operators.
     */
+  /** Shared URL-oracle SQL: the deterministic synthetic URL of
+    * UrlOps.syntheticUrl replayed verbatim (doc_id ≥ 0 in every
+    * fixture incl. negfix, so `%` == pmod), then the
+    * canonicalizeUrl parse chain as CTEs ending in `c5` with columns
+    * (doc_id, url, scheme, host, port, cp, cq).
+    */
+  private val urlSynthCte: String =
+    """WITH u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+      |  '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+      |  || '.Example.COM' ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END) ||
+      |  '/crawl/' || CAST(doc_id % 97 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN
+      |      '?utm_source=feed&page=' || CAST(doc_id % 97 % 7 AS VARCHAR)
+      |    WHEN doc_id % 4 = 1 THEN
+      |      '?page=' || CAST(doc_id % 97 % 7 AS VARCHAR) ||
+      |        '&utm_campaign=x'
+      |    WHEN doc_id % 4 = 2 THEN '?fbclid=AbC123'
+      |    ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 1 THEN '#section-2' ELSE '' END)
+      |  AS url FROM documents),
+      |c1 AS (SELECT doc_id, url,
+      |  lower(split_part(url, '://', 1)) AS scheme,
+      |  split_part(url, '://', 2) AS rest FROM u),
+      |c2 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+      |  substr(rest, length(split_part(rest, '/', 1)) + 1) AS tail
+      |  FROM c1),
+      |c3 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+      |  CASE WHEN contains(hostport, ':')
+      |    THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+      |  split_part(tail, '#', 1) AS nofrag FROM c2),
+      |c4 AS (SELECT *, split_part(nofrag, '?', 1) AS path,
+      |  CASE WHEN contains(nofrag, '?')
+      |    THEN split_part(nofrag, '?', 2) ELSE '' END AS query
+      |  FROM c3),
+      |c5 AS (SELECT doc_id, url, scheme, host, port,
+      |  CASE WHEN path LIKE '%/' AND length(path) > 1
+      |    THEN substr(path, 1, length(path) - 1) ELSE path END AS cp,
+      |  array_to_string(list_filter(string_split(query, '&'),
+      |    p -> NOT (substr(p, 1, 4) = 'utm_' OR
+      |      substr(p, 1, 7) = 'fbclid=' OR substr(p, 1, 6) = 'gclid=')
+      |      AND p <> ''), '&') AS cq
+      |  FROM c4)""".stripMargin
+
+  private val urlCanonExpr: String =
+    """scheme || '://' || host ||
+      |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |     AND NOT (scheme = 'https' AND port = '443')
+      |   THEN ':' || port ELSE '' END) || cp ||
+      |  (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END)""".stripMargin
+
   private def sqlPolyHash(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(range(1, length($e)+1),
@@ -2105,13 +2221,25 @@ object LlmQueries {
     * "What's wrong" 2): the three rows re-ran the signature join per
     * bench iteration — the most expensive repeated subtree in the
     * registry.
+    *
+    * The default path is PROCESS-UNIQUE (PID suffix): the documented
+    * workflow runs a background Verify concurrently with an sbt Bench
+    * on the same sfDir, and a shared fixed path would let one JVM's
+    * mode-overwrite delete part files out from under the other's read
+    * (r12 ADVICE). Each JVM builds its own copy once (memoized); no
+    * cross-JVM reuse also means no stale-artifact risk across code
+    * versions. `-Dgraft.linkage.{pairs,index}.dir=` still pins an
+    * explicit shared path when a caller wants one.
     */
+  private def pidTag: String =
+    java.lang.ProcessHandle.current().pid().toString
   private val linkagePairsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
   private def linkagePairsArtifact(s: SparkSession, d: String): String =
     linkagePairsMemo.computeIfAbsent(d, _ => {
       val dir = sys.props.getOrElse("graft.linkage.pairs.dir",
-        "/tmp/graft_linkage_pairs_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+        "/tmp/graft_linkage_pairs_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_") + "_p" + pidTag)
       graft.ops.FuzzyJoin.linkRecords(Tables.customer(s, d),
           "c_custkey", "c_name", "c_nationkey", Seq("c_mktsegment"))
         .write.mode("overwrite").parquet(dir)
@@ -2122,7 +2250,8 @@ object LlmQueries {
   private def linkageIndexArtifact(s: SparkSession, d: String): String =
     linkageIndexMemo.computeIfAbsent(d, _ => {
       val dir = sys.props.getOrElse("graft.linkage.index.dir",
-        "/tmp/graft_linkage_index_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+        "/tmp/graft_linkage_index_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_") + "_p" + pidTag)
       val master = Tables.customer(s, d).filter(col("c_custkey") % 5 =!= 0)
       graft.streaming.LinkageStream.nameIndex(master, "c_custkey",
           "c_name", "c_nationkey", Seq("c_mktsegment"))
@@ -2620,8 +2749,35 @@ object LlmQueries {
          |FROM per GROUP BY 1""".stripMargin
     },
     "simhash_pairs" -> simhashOracle(3),
+    // brute-force all-pairs over the SAME augmented set (originals +
+    // every-17th vector with its last dim negated, id-shifted 1e9)
     "embedding_pairs" ->
-      s"""WITH $quantCte,
+      s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000, list_transform(embedding,
+         |    (x, i) -> CASE WHEN i = len(embedding) THEN -x ELSE x END)
+         |  FROM embeddings WHERE vec_id % 17 = 0),
+         |q AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+         |  FROM aug),
+         |n AS (SELECT vec_id, qv,
+         |  list_sum(list_transform(qv, x -> x*x)) AS nn FROM q),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  CAST($dotAb AS DOUBLE)
+         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b, cosine FROM p
+         |WHERE cosine >= 0.7""".stripMargin,
+    "embedding_pairs_lowt" ->
+      s"""WITH qc AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 8192),
+         |q AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+         |  FROM qc),
+         |n AS (SELECT vec_id, qv,
+         |  list_sum(list_transform(qv, x -> x*x)) AS nn FROM q),
          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |  CAST($dotAb AS DOUBLE)
          |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
@@ -3717,24 +3873,25 @@ object LlmQueries {
     // count (the kernel's definition)
     "gopher_rules" ->
       s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
-         |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
-         |    AS BIGINT) AS alpha FROM documents),
-         |m AS (SELECT doc_id, n_chars, alpha,
+         |  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         |m AS (SELECT doc_id, n_chars,
          |  CAST(len(w) AS BIGINT) AS n,
          |  CAST(len(list_distinct(w)) AS BIGINT) AS nd,
          |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and',
-         |    'to','in','is'))) AS BIGINT) AS ns FROM b),
-         |r AS (SELECT doc_id, n, nd, ns, alpha,
+         |    'to','in','is'))) AS BIGINT) AS ns,
+         |  CAST(len(list_filter(w,
+         |    t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS naw
+         |  FROM b),
+         |r AS (SELECT doc_id, n, nd, ns, naw,
          |  n_chars - (n - 1) AS wc FROM m)
          |SELECT doc_id, n AS n_tokens,
-         |  n >= 10 AND n <= 100000 AS wc_ok,
+         |  n >= 50 AND n <= 100000 AS wc_ok,
          |  3 * n <= wc AND wc <= 10 * n AS mwl_ok,
          |  2 * nd >= n AS dup_ok,
          |  ns >= 2 AS sw_ok,
-         |  5 * alpha >= 4 * wc AS alpha_ok,
-         |  (n >= 10 AND n <= 100000) AND (3 * n <= wc AND wc <= 10 * n)
-         |    AND 2 * nd >= n AND ns >= 2 AND 5 * alpha >= 4 * wc
+         |  5 * naw >= 4 * n AS alpha_ok,
+         |  (n >= 50 AND n <= 100000) AND (3 * n <= wc AND wc <= 10 * n)
+         |    AND 2 * nd >= n AND ns >= 2 AND 5 * naw >= 4 * n
          |    AS keep
          |FROM r""".stripMargin,
     "text_quality" ->
@@ -4612,6 +4769,50 @@ object LlmQueries {
         |FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.seg < b.seg
         |GROUP BY 1, 2""".stripMargin,
     "decontaminate" -> decontaminateOracle,
+    // ExactSubstr replay: same positional 5-grams, same global
+    // count/arg-min (doc_id·2²⁰+pos encoding), positional-union mask,
+    // kept-token rebuild ordered by position
+    "substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS p,
+        |  unnest(list_transform(range(1, len(w) - 3),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS g
+        |  FROM w WHERE len(w) >= 5),
+        |fr AS (SELECT g, count(*) AS c,
+        |  min(doc_id * 1048576 + p) AS canon FROM ex GROUP BY g),
+        |ms AS (SELECT ex.doc_id, ex.p FROM ex JOIN fr USING (g)
+        |  WHERE fr.c >= 2 AND ex.doc_id * 1048576 + ex.p <> fr.canon),
+        |cov AS (SELECT DISTINCT doc_id, j FROM
+        |  (SELECT doc_id, unnest(range(p, p + 5)) AS j FROM ms)),
+        |msk AS (SELECT doc_id, count(*) AS n_masked FROM cov
+        |  GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS j
+        |  FROM w),
+        |kept AS (SELECT t.doc_id, t.j FROM toks t LEFT JOIN cov c
+        |  ON c.doc_id = t.doc_id AND c.j = t.j WHERE c.j IS NULL),
+        |clean AS (SELECT k.doc_id,
+        |  array_to_string(list(ww.w[k.j] ORDER BY k.j), ' ') AS ct
+        |  FROM kept k JOIN w ww ON ww.doc_id = k.doc_id
+        |  GROUP BY k.doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(msk.n_masked, 0) AS BIGINT) AS n_masked,
+        |  coalesce(clean.ct, '') AS clean_text
+        |FROM w LEFT JOIN msk USING (doc_id)
+        |LEFT JOIN clean USING (doc_id)""".stripMargin,
+    "url_canon" -> (urlSynthCte +
+      "\nSELECT doc_id, url, " + urlCanonExpr + " AS canon_url FROM c5"),
+    "url_dedup" -> (urlSynthCte +
+      s"""
+         |SELECT $urlCanonExpr AS url, count(*) AS n_docs,
+         |  min(doc_id) AS keep_id FROM c5 GROUP BY 1""".stripMargin),
+    "domain_filter" -> (urlSynthCte +
+      s"""
+         |SELECT host AS domain,
+         |  host IN ('src3.example.com', 'src7.example.com',
+         |    'src15.example.com') AS blocked,
+         |  count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM c5 GROUP BY 1, 2""".stripMargin),
     "decontaminate_bloom" -> decontaminateOracle,
     "span_dedup" ->
       s"""WITH t5 AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -4660,43 +4861,72 @@ object LlmQueries {
     // distinct n-gram counts on RAW string shingles (hashed 64-bit in
     // the op — the setsim trade); verdicts replay the integer
     // cross-multiplications; short docs: NULL fractions, true verdicts
-    "gopher_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
-        |  CAST(len(w) - 1 AS BIGINT) AS t2,
-        |  CAST(len(w) - 2 AS BIGINT) AS t3,
-        |  CAST(len(w) - 3 AS BIGINT) AS t4,
-        |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
-        |    list_transform(range(1, len(w)),
-        |      i -> concat_ws(' ', w[i], w[i+1])))) ELSE 0 END
-        |    AS BIGINT) AS d2,
-        |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
-        |    list_transform(range(1, len(w) - 1),
-        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) ELSE 0 END
-        |    AS BIGINT) AS d3,
-        |  CAST(CASE WHEN len(w) >= 4 THEN len(list_distinct(
-        |    list_transform(range(1, len(w) - 2),
-        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))))
-        |    ELSE 0 END AS BIGINT) AS d4
-        |  FROM t)
-        |SELECT doc_id, n AS n_tokens,
-        |  CASE WHEN t2 > 0 THEN
-        |    CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE) END
-        |    AS dup_frac_2,
-        |  CASE WHEN t3 > 0 THEN
-        |    CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE) END
-        |    AS dup_frac_3,
-        |  CASE WHEN t4 > 0 THEN
-        |    CAST(t4 - d4 AS DOUBLE) / CAST(t4 AS DOUBLE) END
-        |    AS dup_frac_4,
-        |  t2 <= 0 OR (t2 - d2) * 5 <= t2 * 1 AS rep2_ok,
-        |  t3 <= 0 OR (t3 - d3) * 50 <= t3 * 9 AS rep3_ok,
-        |  t4 <= 0 OR (t4 - d4) * 25 <= t4 * 4 AS rep4_ok,
-        |  (t2 <= 0 OR (t2 - d2) * 5 <= t2 * 1)
-        |    AND (t3 <= 0 OR (t3 - d3) * 50 <= t3 * 9)
-        |    AND (t4 <= 0 OR (t4 - d4) * 25 <= t4 * 4) AS rep_ok
-        |FROM g""".stripMargin,
+    // the paper-exact char-fraction replay: top n-gram coverage via
+    // group/window argmax (count DESC, gram ASC — the kernel's
+    // tie-break), duplicate n-gram coverage via the positional UNION
+    // (unnest positions → DISTINCT covered word index → sum of word
+    // lengths), both normalized by word chars
+    "gopher_repetition" -> {
+      def gram(n: Int) = (0 until n).map(k =>
+        if (k == 0) "w[i]" else s"w[i+$k]").mkString(", ")
+      val topCtes = Seq(2, 3, 4).map { n =>
+        s"""p$n AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, len(w) - ${n - 2}),
+           |    i -> concat_ws(' ', ${gram(n)}))) AS g
+           |  FROM base WHERE n >= $n),
+           |t$n AS (SELECT doc_id,
+           |    CAST(c * (length(g) - ${n - 1}) AS BIGINT) AS cov
+           |  FROM (SELECT doc_id, g, count(*) AS c, row_number() OVER
+           |      (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC)
+           |      AS rn
+           |    FROM p$n GROUP BY doc_id, g) WHERE rn = 1)""".stripMargin
+      }
+      val dupCtes = (5 to 10).map { n =>
+        s"""q$n AS (SELECT doc_id,
+           |    unnest(range(1, len(w) - ${n - 2})) AS i,
+           |    unnest(list_transform(range(1, len(w) - ${n - 2}),
+           |      i -> concat_ws(' ', ${gram(n)}))) AS g
+           |  FROM base WHERE n >= $n),
+           |d$n AS (SELECT DISTINCT doc_id, j FROM (
+           |    SELECT doc_id, unnest(range(i, i + $n)) AS j FROM (
+           |      SELECT doc_id, i,
+           |        count(*) OVER (PARTITION BY doc_id, g) AS c
+           |      FROM q$n) WHERE c >= 2)),
+           |c$n AS (SELECT d$n.doc_id,
+           |    CAST(sum(length(b.w[d$n.j])) AS BIGINT) AS cov
+           |  FROM d$n JOIN base b ON b.doc_id = d$n.doc_id
+           |  GROUP BY 1)""".stripMargin
+      }
+      // (family, n, threshold numerator/denominator, cov expression)
+      val thresh = Seq(("top", 2, 1, 5), ("top", 3, 9, 50),
+        ("top", 4, 4, 25), ("dup", 5, 3, 20), ("dup", 6, 7, 50),
+        ("dup", 7, 13, 100), ("dup", 8, 3, 25), ("dup", 9, 11, 100),
+        ("dup", 10, 1, 10))
+      val outCols = thresh.map { case (fam, n, num, den) =>
+        val cov = if (fam == "top") s"t$n.cov"
+        else s"coalesce(c$n.cov, 0)"
+        s"""  CASE WHEN b.n >= $n AND b.wchars > 0 THEN
+           |    CAST($cov AS DOUBLE) / CAST(b.wchars AS DOUBLE) END
+           |    AS frac_${fam}_$n,
+           |  (b.n < $n OR b.wchars = 0) OR $cov * $den <= b.wchars * $num
+           |    AS ok_${fam}_$n""".stripMargin
+      }.mkString(",\n")
+      val joins = (Seq(2, 3, 4).map(n => s"t$n") ++
+        (5 to 10).map(n => s"c$n"))
+        .map(t => s"LEFT JOIN $t ON $t.doc_id = b.doc_id").mkString("\n")
+      val repOk = thresh.map { case (fam, n, _, _) => s"ok_${fam}_$n" }
+        .mkString(" AND ")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |  CAST(list_sum(list_transform(string_split(text, ' '),
+         |    x -> length(x))) AS BIGINT) AS wchars FROM documents),
+         |${(topCtes ++ dupCtes).mkString(",\n")}
+         |SELECT *, ($repOk) AS rep_ok FROM (
+         |SELECT b.doc_id, b.n AS n_tokens, b.wchars AS n_wchars,
+         |$outCols
+         |FROM base b
+         |$joins)""".stripMargin
+    },
     "domain_mix" -> {
       val srcHash = sqlPolyHash("source")
       val docHash = sqlPolyHash("(source || ':' || CAST(doc_id AS VARCHAR))")

@@ -352,7 +352,8 @@ class KernelSpec extends SparkSuite {
         size(array_distinct(w)).cast("long"),
         size(filter(w, x => stop.map(s => x === lit(s)).reduce(_ || _)))
           .cast("long"),
-        length(regexp_replace(t, "[^a-z]", "")).cast("long"))
+        length(regexp_replace(t, "[^a-z]", "")).cast("long"),
+        size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long"))
     }
     val bad = df.select(col("t"),
         graft.functions.GraftFunctions.qualityStats(col("t"), stop).as("k"),

@@ -101,6 +101,79 @@ class CorpusOpsSpec extends SparkSuite {
     assert(d5.getAs[Double]("top_bigram_frac") === 0.0)
   }
 
+  test("substringDedup: canonical copy kept, within-doc repeats and " +
+      "overlapping spans masked once, short docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      // shares its 5-gram with doc 2 but OWNS the canonical (lower
+      // (doc, pos)) → survives unmodified
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "zz quick brown fox jumps over yy ww vv uu"),
+      // within-doc repeat: "a b c d e" at pos 1 and 6 — second
+      // occurrence masked
+      (3L, "a b c d e a b c d e x"),
+      // overlapping duplicated spans union to 7..12, counted once
+      (4L, "p q r s t u p q r s t u"),
+      (5L, "too short"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.substringDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_masked") === 0L)
+    assert(out(1L).getAs[String]("clean_text") ===
+      "the quick brown fox jumps over the lazy dog end")
+    assert(out(2L).getAs[String]("clean_text") === "zz yy ww vv uu")
+    assert(out(2L).getAs[Long]("n_masked") === 5L)
+    assert(out(3L).getAs[String]("clean_text") === "a b c d e x")
+    assert(out(4L).getAs[String]("clean_text") === "p q r s t u")
+    assert(out(4L).getAs[Long]("n_masked") === 6L)
+    assert(out(5L).getAs[Long]("n_masked") === 0L)
+    assert(out(5L).getAs[String]("clean_text") === "too short")
+  }
+
+  test("gopherRepetition: paper char-fraction semantics on crafted " +
+      "docs — positional union, overlap counted once, tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      // 15×1-char tokens, "a b c d e" repeats at 1/6/11 → dup_5
+      // covers everything; top bigram ties at count 3, lexical min
+      // "a b" (2 word chars) → frac_top_2 = 6/15
+      (0L, "a b c d e a b c d e a b c d e"),
+      // all-distinct → dup cov 0 everywhere, ok all true
+      (1L, "x y z w v u t s r q"),
+      // OVERLAP-ONCE: "m m m m m" at positions 1 and 2 → union of
+      // [1..5] and [2..6] is 6 words, not 10
+      (2L, "m m m m m m z"),
+      // shorter than 4: top_4 and all dup fracs NULL, vacuous ok
+      (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_wchars") === 15L)
+    assert(d0.getAs[Double]("frac_top_2") === 6.0 / 15.0)
+    assert(!d0.getAs[Boolean]("ok_top_2"))
+    assert(d0.getAs[Double]("frac_dup_5") === 1.0)
+    assert(d0.getAs[Double]("frac_dup_10") === 1.0)
+    assert(!d0.getAs[Boolean]("rep_ok"))
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("frac_dup_5") === 0.0)
+    // every bigram count 1; lexical-min tie-break picks "r q";
+    // 2/10 = 0.20 sits exactly AT the threshold → kept (inclusive).
+    // (top_3 still fails: one trigram of a 10-word doc is 30% of its
+    // chars — the paper applies these gates after the ≥50-word rule)
+    assert(d1.getAs[Double]("frac_top_2") === 2.0 / 10.0)
+    assert(d1.getAs[Boolean]("ok_top_2"))
+    assert(d1.getAs[Boolean]("ok_dup_5") && d1.getAs[Boolean]("ok_dup_10"))
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("frac_dup_5") === 6.0 / 7.0)
+    val d3 = out(3L)
+    assert(d3.getAs[Double]("frac_top_2") === 2.0 / 3.0)
+    assert(d3.isNullAt(d3.fieldIndex("frac_top_4")))
+    assert(d3.isNullAt(d3.fieldIndex("frac_dup_5")))
+    assert(d3.getAs[Boolean]("ok_top_4") &&
+      d3.getAs[Boolean]("ok_dup_5"))
+  }
+
   test("seqPack: conserves tokens and numbers sequences contiguously") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val chunks = TextOps.chunkDocs(docs, "doc_id", "text",
