@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.SchemaBuilder
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.engine.{KafkaShape, Tables}
+import graft.streaming.{KafkaRecord, SessionStream, StreamingPipelines}
+
+/** Streaming benchmark main (r12 VERDICT task 1): the reference is a
+  * streaming engine (`PartitionedSimpleConsumerKafkaInputDStream
+  * .scala:60-487`), so the rebuild needs RATE numbers, not just the
+  * batch bench. Two measured surfaces:
+  *
+  *  A. The graft-ocf DSv2 `MicroBatchStream` draining a store of
+  *     kafka-shaped records under admission control
+  *     (`maxRecordsPerTrigger` / `maxBytesPerTrigger`) through the
+  *     decode projection into a noop sink — the ingestion path's
+  *     sustained rows/sec and per-trigger latency at several
+  *     admission settings.
+  *
+  *  B. The composed 5-stage chaos topology (ChaosPipelineSpec's
+  *     `pipeline`: OCF decode+DLQ → quality filter → lang-id →
+  *     stateful near-dup suppression → stateful sessionization) fed
+  *     from MemoryStream batches of real fixture document texts,
+  *     RocksDB state store — end-to-end docs/sec and per-trigger
+  *     latency of the full stateful pipeline.
+  *
+  * Emits ONE JSON line to stdout AND bench_stream.json (driver
+  * contract shape; sbt buries stdout in [info] noise). Trigger stats
+  * come from `query.recentProgress` (all runs are < 100 triggers);
+  * empty tail triggers are excluded. Like Bench, numbers are only
+  * comparable from idle windows — load averages are recorded in the
+  * artifact so a contaminated window is detectable after the fact.
+  */
+object BenchStream {
+
+  private def pct(sorted: Seq[Double], p: Double): Double =
+    if (sorted.isEmpty) 0.0
+    else sorted(math.min(sorted.length - 1,
+      math.ceil(p * sorted.length).toInt - 1).max(0))
+
+  /** Drain stats of one streaming query run: (rows, wallSec,
+    * triggerMs sorted, trigger count).
+    */
+  private case class RunStats(rows: Long, wallSec: Double,
+                              trigMs: Seq[Double]) {
+    def json(label: String): String = {
+      val sorted = trigMs.sorted
+      f"""{"label":"$label","rows":$rows,"wall_sec":$wallSec%.3f,""" +
+        f""""rows_per_sec":${rows / math.max(wallSec, 1e-9)}%.0f,""" +
+        f""""triggers":${trigMs.length},""" +
+        f""""p50_trigger_ms":${pct(sorted, 0.5)}%.0f,""" +
+        f""""p95_trigger_ms":${pct(sorted, 0.95)}%.0f}"""
+    }
+  }
+
+  private def drain(q: StreamingQuery): RunStats = {
+    val t0 = System.nanoTime()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    val rows = prog.map(_.numInputRows).sum
+    val trig = prog.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+    q.stop()
+    RunStats(rows, wall, trig.toSeq)
+  }
+
+  // ---- part A: graft-ocf store drain under admission control ---- //
+
+  private def ocfDrain(spark: SparkSession, store: String,
+                       tmp: String, label: String,
+                       opts: Map[String, String]): RunStats = {
+    val ck = s"$tmp/ck_$label"
+    val reader = opts.foldLeft(
+      spark.readStream.format("graft-ocf")) { case (r, (k, v)) =>
+      r.option(k, v)
+    }
+    val q = KafkaShape.decodeUtf8(reader.load(store))
+      .writeStream.format("noop")
+      .option("checkpointLocation", ck)
+      .start()
+    drain(q)
+  }
+
+  // ---- part B: the 5-stage chaos topology on MemoryStream ------- //
+
+  private val docSchema = SchemaBuilder.record("Doc").fields()
+    .requiredLong("doc_id").requiredLong("user_id")
+    .requiredLong("ts_us").requiredString("text").endRecord()
+  private val docStruct = StructType(Seq(
+    StructField("doc_id", LongType), StructField("user_id", LongType),
+    StructField("ts_us", LongType), StructField("text", StringType)))
+
+  /** ChaosPipelineSpec's composed pipeline, verbatim: one watermark
+    * node feeding both stateful operators.
+    */
+  private def pipeline(kafka: DataFrame): DataFrame = {
+    val dec = StreamingPipelines.decodeWithDlq(kafka, docStruct)
+      .where(col("decode_error").isNull)
+      .select(col("doc_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("text"))
+    val clean = StreamingPipelines.corpusFilterStream(
+      dec, "ts", "doc_id", "text", watermark = "2 hours")
+    SessionStream.sessionStream(
+      clean.select(col("ts"), col("user_id"),
+        col("doc_id").as("event_id")),
+      gapSeconds = 1800, watermark = "").toDF()
+  }
+
+  private def ocfBytes(docs: Seq[(Long, Long, Long, String)])
+      : Array[Byte] =
+    graft.engine.AvroOcf.serialize(docSchema, docs.iterator.map { d =>
+      val r = new GenericData.Record(docSchema)
+      r.put("doc_id", d._1); r.put("user_id", d._2)
+      r.put("ts_us", d._3); r.put("text", d._4)
+      r: GenericRecord
+    })
+
+  private def chaosRun(spark: SparkSession, sfDir: String, tmp: String,
+                       nDocs: Int, docsPerContainer: Int,
+                       containersPerBatch: Int): (RunStats, Long) = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // real fixture texts, cycled; ~10% exact repeats keep the dedup
+    // stage's state doing real suppression work
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("text")).limit(5000).collect().map(_.getString(0))
+    val baseUs = 1700000000000000L
+    def doc(i: Int): (Long, Long, Long, String) = {
+      val t = texts(i % texts.length)
+      val text = if (i % 10 == 0) t else t + " tag" + (i / texts.length)
+      // 37-second stride over 64 users → per-user gap 2368 s > the
+      // 1800 s session gap: every event also CLOSES a session, so the
+      // session operator emits continuously instead of hoarding state
+      (i.toLong, (i % 64).toLong, baseUs + i.toLong * 37000000L, text)
+    }
+    // pre-serialize every container BEFORE the clock starts: the
+    // bench measures the PIPELINE, not the single-threaded driver-side
+    // feeder encoding Avro blobs
+    val docsPerBatch = containersPerBatch * docsPerContainer
+    val nBatches = (nDocs + docsPerBatch - 1) / docsPerBatch
+    val batches: IndexedSeq[Seq[KafkaRecord]] =
+      (0 until nBatches).map { b =>
+        (0 until containersPerBatch).map { c =>
+          val base = b * docsPerBatch + c * docsPerContainer
+          val ds = (0 until docsPerContainer).map(j => doc(base + j))
+          KafkaRecord(key = null, value = ocfBytes(ds),
+            topic = "docs", partition = 0,
+            offset = (b * containersPerBatch + c).toLong,
+            timestamp = new java.sql.Timestamp(ds.head._3 / 1000L),
+            timestampType = 0)
+        }
+      }
+    val stream = MemoryStream[KafkaRecord]
+    val q = pipeline(stream.toDF())
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$tmp/ck_chaos")
+      .start()
+    val t0 = System.nanoTime()
+    var fed = 0
+    batches.foreach { batch =>
+      stream.addData(batch)
+      fed += batch.length * docsPerContainer
+      q.processAllAvailable()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    val trig = prog.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+    q.stop()
+    (RunStats(fed.toLong, wall, trig.toSeq), fed.toLong)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+
+    val tmp = Files.createTempDirectory("graft_bench_stream")
+      .toString
+    // ---- A. build the store once (kafka-shaped sf events) -------- //
+    val store = s"$tmp/store"
+    val tSetup0 = System.nanoTime()
+    val kafka = KafkaShape.fromEvents(Tables.events(spark, sfDir))
+    kafka.write.format("graft-ocf").mode("overwrite").save(store)
+    val nRows = spark.read.format("graft-ocf").load(store).count()
+    val setupSec = (System.nanoTime() - tSetup0) / 1e9
+
+    // warmup: one unthrottled drain absorbs classloading + codegen
+    ocfDrain(spark, store, tmp, "warmup", Map.empty)
+
+    val ocfRuns = Seq(
+      ("ocf_records_100k", Map("maxRecordsPerTrigger" -> "100000")),
+      ("ocf_records_400k", Map("maxRecordsPerTrigger" -> "400000")),
+      ("ocf_bytes_32m", Map("maxBytesPerTrigger" -> "33554432")),
+      ("ocf_unbounded", Map.empty[String, String])
+    ).map { case (label, opts) =>
+      label -> ocfDrain(spark, store, tmp, label, opts)
+    }
+
+    // ---- B. composed stateful pipeline ---------------------------- //
+    val (chaos, fedDocs) = chaosRun(spark, sfDir, tmp,
+      nDocs = 400000, docsPerContainer = 500, containersPerBatch = 40)
+
+    val loadAfter = osBean.getSystemLoadAverage
+    val runsJson = (ocfRuns.map { case (l, r) => s""""$l":${r.json(l)}""" } :+
+      s""""chaos_5stage":${chaos.json("chaos_5stage")}""")
+      .mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"stream_bench","sf":"$sfDir","store_rows":$nRows,""" +
+        f""""store_setup_sec":$setupSec%.1f,"chaos_docs":$fedDocs,""" +
+        f""""load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,""" +
+        f""""cpus":$cpus%s,"runs":$runsJson}"""
+    println(line)
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_OUT",
+        "bench_stream.json")), line + "\n")
+    spark.stop()
+  }
+}

@@ -11,7 +11,7 @@ ORACLE = re.compile(r'^\s*"([a-z0-9_]+)" ->')
 IMPL = re.compile(
     r'\b(?:graft\.)?(?:ops|streaming|engine|sources|functions)?\.?'
     r'(Dedup|Sessionize|Relational|Eval|TimeSeries|StreamOps|Similarity|'
-    r'TextOps|Retrieval|CorpusOps|Graph|Multimodal|AsOf|Skew|Layout|'
+    r'TextOps|Retrieval|CorpusOps|Graph|Multimodal|AsOf|Skew|Layout|UrlOps|'
     r'FuzzyJoin|SetSimJoin|QuantileSketch|Recommend|Skyline|Spatial|'
     r'Parallelism|Encode|KafkaShape|Monitoring|CommitLog|AvroOcf|'
     r'GraftFunctions|AnnIndexStore|TextIndexStore|OcfMaintenance|'
