@@ -125,7 +125,7 @@ object BenchStream {
     })
 
   private def chaosRun(spark: SparkSession, sfDir: String, tmp: String,
-                       nDocs: Int, docsPerContainer: Int,
+                       label: String, nDocs: Int, docsPerContainer: Int,
                        containersPerBatch: Int): (RunStats, Long) = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -162,7 +162,7 @@ object BenchStream {
     val stream = MemoryStream[KafkaRecord]
     val q = pipeline(stream.toDF())
       .writeStream.format("noop")
-      .option("checkpointLocation", s"$tmp/ck_chaos")
+      .option("checkpointLocation", s"$tmp/ck_chaos_$label")
       .start()
     val t0 = System.nanoTime()
     var fed = 0
@@ -221,12 +221,23 @@ object BenchStream {
     }
 
     // ---- B. composed stateful pipeline ---------------------------- //
-    val (chaos, fedDocs) = chaosRun(spark, sfDir, tmp,
+    // default state partitioning (= shuffle.partitions = cpus)
+    val (chaos, fedDocs) = chaosRun(spark, sfDir, tmp, "p" + cpus,
       nDocs = 400000, docsPerContainer = 500, containersPerBatch = 40)
+    // the state-partition TUNING number: with O(100) hot state keys a
+    // trigger pays (2 stateful ops x partitions) RocksDB commits —
+    // fewer, fuller state partitions amortize that fixed cost. The
+    // partition count is fixed at the checkpoint's first trigger, so
+    // this is a per-pipeline deployment knob, not a runtime one.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (chaos8, _) = chaosRun(spark, sfDir, tmp, "p8",
+      nDocs = 400000, docsPerContainer = 500, containersPerBatch = 40)
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
     val loadAfter = osBean.getSystemLoadAverage
     val runsJson = (ocfRuns.map { case (l, r) => s""""$l":${r.json(l)}""" } :+
-      s""""chaos_5stage":${chaos.json("chaos_5stage")}""")
+      s""""chaos_5stage":${chaos.json("chaos_5stage")}""" :+
+      s""""chaos_5stage_p8":${chaos8.json("chaos_5stage_p8")}""")
       .mkString("{", ",", "}")
     val line =
       f"""{"metric":"stream_bench","sf":"$sfDir","store_rows":$nRows,""" +
