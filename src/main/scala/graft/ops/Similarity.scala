@@ -35,8 +35,9 @@ object Similarity {
     // row — but the probe stays on the codegen'd BroadcastHashJoin
     // path and the self-pair exclusion is an explicit post-join
     // filter rather than a per-pair nested-loop predicate.
-    val corpus = emb.select(col(idCol).as("neighbor_id"),
-      Dedup.quantize(col(vecCol)).as("q_n"))
+    val corpus = Parallelism.floor(emb)
+      .select(col(idCol).as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
     val qs = queries.select(col(idCol).as("query_id"),
@@ -134,8 +135,9 @@ object Similarity {
     def signature(qvec: org.apache.spark.sql.Column) =
       element_at(
         graft.functions.GraftFunctions.hyperplaneBands(qvec, 1, nBits), 1)
-    val corpus = emb.select(col(idCol).as("neighbor_id"),
-      Dedup.quantize(col(vecCol)).as("q_n"))
+    val corpus = Parallelism.floor(emb)
+      .select(col(idCol).as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .withColumn("bucket", signature(col("q_n")))
     // all XOR masks with ≤ probeDist of the nBits low bits set
@@ -241,7 +243,7 @@ object Similarity {
     */
   def ivfCells(df: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Long]], n: Int): DataFrame =
-    df.select(col(idCol), explode(
+    Parallelism.floor(df).select(col(idCol), explode(
       GraftFunctions.nearestCentroids(
         Dedup.quantize(col(vecCol)), centroids, n)).as("cell"))
 
@@ -274,8 +276,9 @@ object Similarity {
     // multi-assignment: each corpus vector posts into its nAssign
     // nearest cells (index grows nAssign×, recall of border vectors
     // recovers — the standard IVF multi-assignment trade).
-    val corpus = emb.select(col(idCol).as("neighbor_id"),
-      Dedup.quantize(col(vecCol)).as("q_n"))
+    val corpus = Parallelism.floor(emb)
+      .select(col(idCol).as("neighbor_id"),
+        Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_n"), centroids, nAssign)))
@@ -327,7 +330,7 @@ object Similarity {
     */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Long]], nAssign: Int = 2): DataFrame =
-    emb.select(col(idCol).as("vec_id"),
+    Parallelism.floor(emb).select(col(idCol).as("vec_id"),
       Dedup.quantize(col(vecCol)).as("q"))
       .withColumn("nn", Dedup.qdot(col("q"), col("q")))
       .withColumn("cell", explode(
@@ -399,7 +402,7 @@ object Similarity {
         GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
     // score-then-dedupe on scalars — see ivfTopKWith for why the
     // array-carrying dropDuplicates is the expensive form
-    val scored = index.join(broadcast(qs), Seq("cell"))
+    val scored = Parallelism.floor(index).join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         Dedup.qdot(col("q"), col("q_q")).cast(DoubleType) /
@@ -459,7 +462,7 @@ object Similarity {
     // vector the exact rerank needs is re-attached to the tiny
     // rank-cut survivor set by a broadcast join instead of riding
     // through the dedup aggregate as a first(array)
-    val recon = index.join(broadcast(qs), Seq("cell"))
+    val recon = Parallelism.floor(index).join(broadcast(qs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("recon_cos",
         GraftFunctions.pqAdcDot(col("codes"), col("q_q"), codebooks)
@@ -752,7 +755,8 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Long]],
                     tau: Double): DataFrame = {
-    val assigned = emb.select(col(idCol).as("vec_id"),
+    val assigned = Parallelism.floor(emb)
+      .select(col(idCol).as("vec_id"),
         Dedup.quantize(col(vecCol)).as("q"))
       .withColumn("cell", GraftFunctions.nearestCentroids(
         col("q"), centroids, 1)(0).cast(LongType))

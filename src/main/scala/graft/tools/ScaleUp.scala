@@ -131,7 +131,7 @@ object ScaleUp {
       .withColumn("text", array_join(col("toks"), " "))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    out(mutated, "documents", 4, "doc_id")
+    out(mutated, "documents", 8, "doc_id")
 
     // embeddings: signed dimension permutation per replica (orthogonal)
     val emb = tbl("embeddings"); val vN = stride(emb, "vec_id")
@@ -154,7 +154,7 @@ object ScaleUp {
               d + 1) + 1) *
           element_at(element_at(signsL, (col("rep") + 1).cast("int")),
             d + 1)).cast("array<float>"))
-      .drop("rep"), "embeddings", 2, "vec_id")
+      .drop("rep"), "embeddings", 8, "vec_id")
 
     System.err.println(s"[scaleup] done: $dst (x$reps of $src)")
     spark.stop()
