@@ -57,6 +57,16 @@ object GraftFunctions {
   /** Canonical lower bound of a qBucket index. */
   def qLower(b: Column): Column = c(QLower(e(b)))
 
+  /** Distinct k-word-shingle polyHash31-mod-m values, fused
+    * (see [[PolyShingleHashes]]). */
+  def polyShingleHashes(text: Column, k: Int, m: Long): Column =
+    c(PolyShingleHashes(e(text), k, m))
+
+  /** Positional (duplicates kept, document-order) k-word shingles,
+    * fused (see [[PositionalShingles]]). */
+  def positionalShingles(text: Column, k: Int): Column =
+    c(PositionalShingles(e(text), k))
+
   /** Rolling 31-polynomial hash mod m (oracle-identical). */
   def polyHash(s: Column, m: Long): Column =
     c(PolyHash31(e(s), m))

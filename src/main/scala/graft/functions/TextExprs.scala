@@ -1145,3 +1145,132 @@ case class GopherCoverage(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression)
       : GopherCoverage = copy(child = newChild)
 }
+
+/** Fused span-dedup signature kernel: the polyHash31-mod-m values of
+  * the DISTINCT k-word shingles of a document, one pass per row — the
+  * fused form of `wordShingles(text, k)` + per-gram `PolyHash31`,
+  * which as an interpreted transform/element_at tree cost ~23 µs per
+  * gram (r13 PERF_NOTES: 11 s of an 11 s sf0.1 span_dedup evaluation).
+  * Dedup is on the EXACT gram string (never the hash), so two distinct
+  * grams that collide mod m still emit two (equal) hash values —
+  * bit-identical to the oracle's list_distinct-then-hash replay.
+  * Output order is first-occurrence order (feeds explode + aggregates;
+  * order-insensitive downstream). Docs shorter than k → empty array,
+  * mirroring wordShingles.
+  */
+case class PolyShingleHashes(child: Expression, k: Int, m: Long)
+    extends UnaryExpression {
+  require(k > 0 && m > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_poly_shingle_hashes"
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val words = s.split(" ", -1)
+    val t = words.length
+    if (t < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[String]()
+    val out = new Array[Long](t - k + 1)
+    var n = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= t - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (seen.add(g)) {
+        var acc = 0L
+        var c = 0
+        while (c < g.length) {
+          acc = (acc * 31 + g.charAt(c)) % m
+          c += 1
+        }
+        out(n) = acc
+        n += 1
+      }
+      i += 1
+    }
+    val res = new Array[Long](n)
+    System.arraycopy(out, 0, res, 0, n)
+    new GenericArrayData(res)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("polyShingles", this,
+      classOf[PolyShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyShingleHashes = copy(child = newChild)
+}
+
+/** Fused POSITIONAL k-word shingles: every k-gram string in document
+  * order (index i ↔ word position i), duplicates kept — the unit the
+  * ExactSubstr removal pass masks by position. One loop per row
+  * replacing the interpreted transform(sequence, concat_ws(slice))
+  * tree. Docs shorter than k → empty array.
+  */
+case class PositionalShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_positional_shingles"
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val words = s.split(" ", -1)
+    val t = words.length
+    if (t < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](t - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= t - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("posShingles", this,
+      classOf[PositionalShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PositionalShingles = copy(child = newChild)
+}

@@ -253,10 +253,15 @@ object CorpusOps {
     */
   def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol),
-      TextOps.wordShingles(col(textCol), k).as("s"))
-    val ex = sh.select(col(idCol), explode(col("s")).as("gs"))
-      .select(col(idCol), TextOps.polyHash(col("gs")).as("g"))
+    // floor BEFORE the shingle kernel: a single-file corpus otherwise
+    // runs the whole gram build in ONE task (measured: 31 s of a 31 s
+    // sf0.1 evaluation, r13 PERF_NOTES); the fused PolyShingleHashes
+    // kernel replaces the interpreted transform+element_at+polyHash
+    // tree (string-exact dedup, hash values bit-identical)
+    val sh = Parallelism.floor(docs).select(col(idCol),
+      graft.functions.GraftFunctions
+        .polyShingleHashes(col(textCol), k, TextOps.FpMod).as("s"))
+    val ex = sh.select(col(idCol), explode(col("s")).as("g"))
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("n_docs_with"))
     val per = ex.join(freq, "g")
       .groupBy(col(idCol))
@@ -302,11 +307,10 @@ object CorpusOps {
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {
     val w = split(col(textCol), " ")
-    val grams = when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    val ex = docs.select(col(idCol), posexplode(grams))
+    val grams =
+      graft.functions.GraftFunctions.positionalShingles(col(textCol), k)
+    val ex = Parallelism.floor(docs)
+      .select(col(idCol), posexplode(grams))
       .select(col(idCol), (col("pos") + 1).as("p"), col("col").as("g"))
       .withColumn("rank",
         col(idCol).cast(LongType) * lit(1048576L) + col("p"))

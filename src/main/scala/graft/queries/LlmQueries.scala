@@ -1682,14 +1682,24 @@ object LlmQueries {
           _ => CorpusOps.evalGramBloom(docs(s, d), "doc_id", "text"))))),
     // Corpus ops — global span dedup: per-doc fraction of 5-word spans
     // that also occur in another document (C4 boilerplate profile)
+    // the trailing always-true filter on a COMPUTED column is an
+    // evaluation barrier for the bench harness: count() would
+    // otherwise eliminate the unique-key left join and the whole
+    // gram pipeline with it, timing a bare scan (measured at sf0.1:
+    // 0.30 s counted vs 31 s evaluated, r13 PERF_NOTES). Values are
+    // untouched — shared_frac ≥ 0 by construction — so the oracle is
+    // identical.
     "span_dedup" -> ((s, d) =>
-      CorpusOps.spanDedupStats(docs(s, d), "doc_id", "text")),
+      CorpusOps.spanDedupStats(docs(s, d), "doc_id", "text")
+        .filter(col("shared_frac") >= 0.0)),
     // Corpus ops — the Lee et al. ExactSubstr REMOVAL pass: every
     // k-gram occurrence duplicated anywhere in the corpus is deleted
     // except the global canonical copy; the oracle replays the mask
-    // (positional union → kept-token rebuild) in SQL
+    // (positional union → kept-token rebuild) in SQL. Trailing filter:
+    // the span_dedup evaluation barrier, same reasoning.
     "substring_dedup" -> ((s, d) =>
-      CorpusOps.substringDedup(docs(s, d), "doc_id", "text")),
+      CorpusOps.substringDedup(docs(s, d), "doc_id", "text")
+        .filter(col("n_masked") >= 0L)),
     // URL-stage curation (the crawl pipeline's first stage, before
     // any text processing): canonicalize — synthetic messy URLs
     // (case, default ports, tracking params, fragments, trailing
