@@ -139,15 +139,41 @@ object Dedup {
       setCol, threshold)
   }
 
+  /** Threshold-derived minhash band plan (r13): lshPlan(threshold,
+    * 1e-7 miss, pLow = 0.05 background word-shingle jaccard,
+    * maxWidth = 1024). The folklore (128 perms, 32 bands, r = 4) plan
+    * carried a 12.7% miss probability for a pair sitting exactly AT
+    * s = 0.5 — invisible at sf0.01/sf0.1 (whose pair population has no
+    * threshold-boundary members, so 13 rounds of exact oracle compares
+    * stayed green) and exposed by the r13 FULL sf1 gate, where the
+    * 40%-mutation replicas create boundary pairs: 7 of 390 oracle
+    * pairs missed. At 0.5 this derives (r = 4, b = 250, 1000 perms) —
+    * signature cost ×7.8, map-side and fused — restoring
+    * verification-exactness to the advertised budget at EVERY
+    * s ≥ threshold, not just at the fixture's observed pair mass.
+    */
+  def minhashPlanFor(threshold: Double): LshPlan =
+    lshPlan(threshold, 1e-7, pLow = 0.05, maxWidth = 1024)
+
+  /** The 0.5-threshold instance shared by the incremental-dedup index
+    * and its streaming probe (both sides must sign identically).
+    */
+  lazy val plan05: LshPlan = minhashPlanFor(0.5)
+
   /** N2 — MinHash + LSH near-dup pairs with exact-jaccard verification:
-    * word-shingle hash sets → 128 minhashes in 32 bands × 4 rows
-    * (graft.functions.MinHashBands) → band-bucket join → verify exact
-    * jaccard ≥ threshold on the shingle sets.
+    * word-shingle hash sets → minhash band signatures sized by
+    * [[minhashPlanFor]] (graft.functions.MinHashBands) → band-bucket
+    * join → verify exact jaccard ≥ threshold on the shingle sets.
+    * numPerms/bands ≤ 0 (the default) derives the plan from the
+    * threshold's miss budget; explicit values override.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5,
-                   numPerms: Int = 128, bands: Int = 32,
-                   maxBucket: Int = 4096): DataFrame =
+                   numPerms: Int = -1, bands: Int = -1,
+                   maxBucket: Int = 4096): DataFrame = {
+    val pl = minhashPlanFor(threshold)
+    val (np, nb) = if (numPerms > 0 && bands > 0) (numPerms, bands)
+                   else (pl.signatureWidth, pl.bands)
     bandedJaccardPairs(
       // floor BEFORE the shingle/minhash kernels: a one-partition scan
       // would serialize them (Parallelism.floor is a no-op at scale).
@@ -159,7 +185,8 @@ object Dedup {
           .filter(size(split(col(textCol), " ")) >= 3))
         .select(col(idCol),
           GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh")),
-      idCol, "sh", threshold, numPerms, bands, maxBucket)
+      idCol, "sh", threshold, np, nb, maxBucket)
+  }
 
   /** Exact jaccard verification of candidate pairs against the hashed
     * set column (sorted distinct array<bigint>); emits
@@ -474,7 +501,8 @@ object Dedup {
     * every daily batch; here it is built inline from the corpus frame.
     */
   def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
-                      numPerms: Int = 128, bands: Int = 32,
+                      numPerms: Int = plan05.signatureWidth,
+                      bands: Int = plan05.bands,
                       maxBucket: Int = 4096): DataFrame = {
     val cBands = corpus
       .filter(size(split(col(textCol), " ")) >= 3)
@@ -505,11 +533,15 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, threshold: Double = 0.5,
-                       numPerms: Int = 128, bands: Int = 32,
-                       maxBucket: Int = 4096): DataFrame =
+                       numPerms: Int = -1, bands: Int = -1,
+                       maxBucket: Int = 4096): DataFrame = {
+    val pl = minhashPlanFor(threshold)
+    val (np, nb) = if (numPerms > 0 && bands > 0) (numPerms, bands)
+                   else (pl.signatureWidth, pl.bands)
     incrementalDedupWithIndex(
-      corpusBandIndex(corpus, idCol, textCol, numPerms, bands, maxBucket),
-      corpus, batch, idCol, textCol, threshold, numPerms, bands)
+      corpusBandIndex(corpus, idCol, textCol, np, nb, maxBucket),
+      corpus, batch, idCol, textCol, threshold, np, nb)
+  }
 
   /** `incrementalDedup` against a PRE-BUILT band index — the shape the
     * daily job actually runs: the index is written once per index

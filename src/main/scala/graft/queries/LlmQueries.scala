@@ -762,10 +762,23 @@ object LlmQueries {
       val q = e.filter(col("vec_id") < 50)
       val cts = centroids32("all", d, e)
       val cbs = pqCodebooks("all", d, e)
+      // BOTH approximation knobs scale with the √n cell count
+      // (k/32 — anchored so k=32, both committed fixture scales,
+      // keeps (14, 20) byte-identical): the r12 √n rule alone let
+      // recall decay and the r13 FULL sf1 gate caught it (0.828 at
+      // k=101 with the fixture-scale knobs). Measured at sf1
+      // (PqRecallProbe): nProbe must grow with the cell count (14 →
+      // recall ≤ 0.78 even with a deep rerank) AND the ADC rerank cut
+      // must grow with per-cell occupancy (√n — rf=20 caps at 0.828
+      // regardless of nProbe; the true neighbors rank below a FIXED
+      // cut as PQ error mass grows). (45, 63) at k=101 → 0.960.
+      val scale = cts.length / 32.0
       recallGate(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
         Similarity.ivfPqTopK(cts, cbs, e, q, "vec_id", "embedding",
-          k = 5, nProbe = 14, nAssign = 2, rerankFactor = 20),
+          k = 5, nProbe = math.max(14, math.ceil(14 * scale).toInt),
+          nAssign = 2,
+          rerankFactor = math.max(20, math.ceil(20 * scale).toInt)),
         floor = 0.9)
     }),
     // N3 — kNN label classification: the downstream consumer of

@@ -87,7 +87,8 @@ object DedupStream {
                              sets: DataFrame, idCol: String,
                              textCol: String, tsCol: String,
                              threshold: Double = 0.5,
-                             numPerms: Int = 128, bands: Int = 32,
+                             numPerms: Int = graft.ops.Dedup.plan05.signatureWidth,
+                             bands: Int = graft.ops.Dedup.plan05.bands,
                              watermark: String = "10 minutes",
                              windowDur: String = "10 minutes",
                              cacheStatic: Boolean = true)

@@ -94,12 +94,18 @@ def check_one(sf_dir, out_dir, name, sql, timeout, q):
                f"spark={sa} duck={sb}", time.time() - t0))
 
 
-def main(sf_dir, out_dir, out_json, timeout):
+def main(sf_dir, out_dir, out_json, timeout, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(oracle)
+    names = sorted(only) if only else sorted(oracle)
+    # a re-run over a subset MERGES into an existing artifact: fixed
+    # rows replace their old status, everything else is preserved
     results = {}
+    if only and os.path.exists(out_json):
+        results = {k: v for k, v in
+                   json.load(open(out_json))["results"].items()
+                   if k not in only}
     for n, why in PRE_EXCLUDED.items():
-        if n in oracle:
+        if (only is None or n in only) and n in oracle:
             results[n] = {"status": "excluded", "reason": why, "sec": 0.0}
     todo = [n for n in names if n not in results
             and os.path.isdir(f"{out_dir}/{n}")]
@@ -163,4 +169,5 @@ def main(sf_dir, out_dir, out_json, timeout):
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
          sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_sf1.json",
-         int(sys.argv[4]) if len(sys.argv) > 4 else 600)
+         int(sys.argv[4]) if len(sys.argv) > 4 else 600,
+         set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None)
