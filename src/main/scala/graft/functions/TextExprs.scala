@@ -1041,6 +1041,25 @@ case class GopherCoverage(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_gopher_coverage"
 
+  /** Code-point-order string compare (== UTF-8 byte order, the
+    * oracle's binary collation). java.lang.String.compareTo is UTF-16
+    * code-UNIT order, which sorts supplementary-plane grams BELOW BMP
+    * grams in [U+E000, U+FFFF] — a cross-engine tie-break divergence
+    * whenever such grams tie on count.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def compute(u: UTF8String): ArrayData = {
     val s = u.toString
     val words = s.split(" ", -1)
@@ -1078,7 +1097,7 @@ case class GopherCoverage(child: Expression) extends UnaryExpression {
           val old = counts.get(g)
           val c = if (old == null) 1L else old.longValue() + 1L
           counts.put(g, java.lang.Long.valueOf(c))
-          if (c > bestC || (c == bestC && g.compareTo(bestG) < 0)) {
+          if (c > bestC || (c == bestC && cpCompare(g, bestG) < 0)) {
             bestC = c; bestG = g
           }
           i += 1

@@ -299,10 +299,11 @@ object CorpusOps {
     * delete text on a hash collision (spanDedupStats' 1e9+7 poly key
     * is fine for stats, not for surgery); the shuffle carries ~k
     * words per key — at petabyte scale swap in a ≥128-bit
-    * fingerprint. The (doc_id, pos) arg-min is encoded as
-    * doc_id·2²⁰ + pos (one BIGINT min, no struct ordering) — valid
-    * while docs stay under 2²⁰ tokens, asserted in the scaladoc
-    * contract and true of any sane training document.
+    * fingerprint. The (doc_id, pos) arg-min is a native struct MIN
+    * (lexicographic field order, map-side combinable exactly like a
+    * BIGINT min) — any orderable id type works; the earlier
+    * doc_id·2²⁰+pos BIGINT packing silently NULLed non-numeric ids
+    * (dropping their masks) and overflowed past id ≈ 2⁴³.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {
@@ -312,12 +313,12 @@ object CorpusOps {
     val ex = Parallelism.floor(docs)
       .select(col(idCol), posexplode(grams))
       .select(col(idCol), (col("pos") + 1).as("p"), col("col").as("g"))
-      .withColumn("rank",
-        col(idCol).cast(LongType) * lit(1048576L) + col("p"))
     val freq = ex.groupBy(col("g"))
-      .agg(count(lit(1)).as("c"), min(col("rank")).as("canon"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("p"))).as("canon"))
     val maskSpans = ex.join(freq, "g")
-      .filter(col("c") >= 2 && col("rank") =!= col("canon"))
+      .filter(col("c") >= 2 &&
+        !(col(idCol) === col("canon")(idCol) && col("p") === col("canon")("p")))
     val covered = maskSpans
       .select(col(idCol), explode(sequence(col("p"),
         col("p") + (k - 1))).as("j"))

@@ -160,20 +160,38 @@ object Dedup {
     */
   lazy val plan05: LshPlan = minhashPlanFor(0.5)
 
+  /** Resolve an explicit (numPerms, bands) override against the
+    * threshold-derived plan. Both-or-neither: a PARTIAL override
+    * (e.g. bands set, numPerms defaulted) used to fall back to the
+    * derived plan silently, ignoring the caller's half — now it
+    * throws, because a half-specified band plan has no well-defined
+    * miss budget to fall back on.
+    */
+  private[graft] def resolveBandPlan(threshold: Double, numPerms: Int,
+                                     bands: Int): (Int, Int) = {
+    require((numPerms > 0) == (bands > 0),
+      s"numPerms and bands must be overridden together (or neither); " +
+        s"got numPerms=$numPerms, bands=$bands")
+    if (numPerms > 0) (numPerms, bands)
+    else {
+      val pl = minhashPlanFor(threshold)
+      (pl.signatureWidth, pl.bands)
+    }
+  }
+
   /** N2 — MinHash + LSH near-dup pairs with exact-jaccard verification:
     * word-shingle hash sets → minhash band signatures sized by
     * [[minhashPlanFor]] (graft.functions.MinHashBands) → band-bucket
     * join → verify exact jaccard ≥ threshold on the shingle sets.
     * numPerms/bands ≤ 0 (the default) derives the plan from the
-    * threshold's miss budget; explicit values override.
+    * threshold's miss budget; explicit values override — both
+    * together or neither (a partial override throws).
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5,
                    numPerms: Int = -1, bands: Int = -1,
                    maxBucket: Int = 4096): DataFrame = {
-    val pl = minhashPlanFor(threshold)
-    val (np, nb) = if (numPerms > 0 && bands > 0) (numPerms, bands)
-                   else (pl.signatureWidth, pl.bands)
+    val (np, nb) = resolveBandPlan(threshold, numPerms, bands)
     bandedJaccardPairs(
       // floor BEFORE the shingle/minhash kernels: a one-partition scan
       // would serialize them (Parallelism.floor is a no-op at scale).
@@ -535,9 +553,7 @@ object Dedup {
                        textCol: String, threshold: Double = 0.5,
                        numPerms: Int = -1, bands: Int = -1,
                        maxBucket: Int = 4096): DataFrame = {
-    val pl = minhashPlanFor(threshold)
-    val (np, nb) = if (numPerms > 0 && bands > 0) (numPerms, bands)
-                   else (pl.signatureWidth, pl.bands)
+    val (np, nb) = resolveBandPlan(threshold, numPerms, bands)
     incrementalDedupWithIndex(
       corpusBandIndex(corpus, idCol, textCol, np, nb, maxBucket),
       corpus, batch, idCol, textCol, threshold, np, nb)
@@ -568,8 +584,13 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
     val cands = index
       .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_hash"))
-      .join(broadcast(bBands.select(col(idCol).as("batch_id"),
-        col("band_idx"), col("band_hash"))), Seq("band_idx", "band_hash"))
+      // no broadcast HINT on the batch side: the batch is small by
+      // CONTRACT (a daily increment), not by structure — AQE
+      // broadcasts the true size at runtime (keeping the index
+      // unshuffled) and falls back to a shuffle join for a batch too
+      // large to pin to the driver
+      .join(bBands.select(col(idCol).as("batch_id"),
+        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
     // shingle ONLY candidate corpus rows: the broadcast semi-join on
     // candidate ids prunes the corpus before the (expensive) signature
@@ -582,8 +603,9 @@ object Dedup {
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("set_c"))
       .filter(size(col("set_c")) > 0)
     val verified = cands
-      .join(broadcast(bSets.select(col(idCol).as("batch_id"),
-        col("sh").as("set_b"))), "batch_id")
+      // batch sets: same no-hint rationale as the band probe above
+      .join(bSets.select(col(idCol).as("batch_id"),
+        col("sh").as("set_b")), "batch_id")
       .join(cSets, "corpus_id")
       .withColumn("inter",
         GraftFunctions.sortedIntersectCount(col("set_b"), col("set_c")))

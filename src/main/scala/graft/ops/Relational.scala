@@ -92,7 +92,11 @@ object Relational {
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
 
   /** TPC-H Q3-style: top-10 unshipped orders by revenue for one segment.
-    * Join order: lineitem ⋈ (orders ⋈ broadcast(customer-filter)).
+    * Join order: lineitem ⋈ (orders ⋈ customer-filter). No broadcast
+    * HINT on the customer side: customer SCALES with the data (1/5th
+    * of it after the segment filter — a forced broadcast is a driver
+    * OOM at TPC-H petabyte scale); AQE broadcasts it while it fits
+    * and shuffle-joins on the shared key beyond.
     * Ties broken by orderkey so the limit is deterministic.
     */
   def topOrders(lineitem: DataFrame, orders: DataFrame,
@@ -101,7 +105,7 @@ object Relational {
       .select(col("c_custkey"))
     val ord = orders
       .filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     lineitem
       .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
@@ -114,8 +118,10 @@ object Relational {
   }
 
   /** TPC-H Q5-style: revenue by nation inside one region/date window.
-    * The full dim chain customer→nation→region is broadcast; only
-    * lineitem⋈orders shuffles, on the join key both sides already share.
+    * nation/region are fixed-cardinality dims; the customer chain
+    * SCALES, so it carries no broadcast hint (AQE broadcasts while it
+    * fits, shuffle-joins beyond); only lineitem⋈orders shuffles, on
+    * the join key both sides already share.
     */
   def regionRevenue(lineitem: DataFrame, orders: DataFrame,
                     customer: DataFrame, nation: DataFrame,
@@ -128,7 +134,7 @@ object Relational {
     val ord = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
         col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("n_name"))
     lineitem
       .join(ord, col("l_orderkey") === col("o_orderkey"))

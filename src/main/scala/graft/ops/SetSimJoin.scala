@@ -171,7 +171,9 @@ object SetSimJoin {
       .select(col("delta_id"), col("corpus_id"))
       .distinct()
     cand
-      .join(broadcast(dSets), Seq("delta_id"))
+      // no broadcast HINT: the delta is small by contract, not by
+      // structure — AQE broadcasts the runtime size while it fits
+      .join(dSets, Seq("delta_id"))
       .join(index.sets, Seq("corpus_id"))
       .select(col("delta_id"), col("corpus_id"),
         GraftFunctions.sortedIntersectCount(col("set_d"), col("set_c"))

@@ -17,6 +17,24 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Broadcast-side boundedness, DECLARED in the plan: sort by the id
+    * column, keep the first `max` rows. Every brute-force/compressed-
+    * scan op here broadcasts its query/anchor frame into a
+    * single-bucket join whose fan-out is |Q| per corpus row — correct
+    * ONLY while |Q| is genuinely small. The cap is a no-op for every
+    * honoring caller (registry query sets are ≤ 50 ids at every
+    * scale); a contract-violating caller gets a deterministic
+    * truncation (smallest ids win) instead of an unbounded driver
+    * broadcast, and the resulting GlobalLimit node is the
+    * machine-checkable declaration [[graft.plans.PlanChecks]]'
+    * degenerate-join audit keys on.
+    */
+  private def capped(df: DataFrame, idCol: String, max: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(max)
+
+  /** Default declared bound for broadcast query/anchor frames. */
+  val MaxBroadcastQueries = 8192
+
   /** Brute-force top-k cosine: the correctness baseline. Queries are
     * broadcast (small side), the corpus streams once; per-query ranking
     * is a windowed row_number with (score desc, id) tie-break.
@@ -40,8 +58,9 @@ object Similarity {
         Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
-    val qs = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qs = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
     corpus.join(broadcast(qs), Seq("__jk")).drop("__jk")
@@ -98,9 +117,10 @@ object Similarity {
       Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
-    val qs = anchors.select(col(idCol).as("query_id"),
+    val qs = capped(anchors.select(col(idCol).as("query_id"),
       col(labelCol).as("label_q"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
     val pairs = corpus.join(broadcast(qs), Seq("__jk")).drop("__jk")
@@ -143,8 +163,9 @@ object Similarity {
     // all XOR masks with ≤ probeDist of the nBits low bits set
     val masks = (0L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= probeDist)
-    val qs = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qs = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("sig", signature(col("q_q")))
       .withColumn("bucket",
@@ -282,8 +303,9 @@ object Similarity {
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_n"), centroids, nAssign)))
-    val qs = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qs = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
@@ -395,8 +417,9 @@ object Similarity {
   def ivfProbeIndex(centroids: Array[Array[Long]], index: DataFrame,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int = 5, nProbe: Int = 8): DataFrame = {
-    val qs = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qs = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("cell", explode(
         GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
@@ -453,8 +476,9 @@ object Similarity {
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int = 5, nProbe: Int = 8,
                       rerankFactor: Int = 20): DataFrame = {
-    val qsFlat = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qsFlat = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
     val qs = qsFlat.withColumn("cell", explode(
       GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
@@ -594,8 +618,9 @@ object Similarity {
         GraftFunctions.pqEncode(col("q_n"), codebooks).as("codes"))
       .withColumn("nn_r", GraftFunctions.pqReconNorm(col("codes"), codebooks))
       .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
-    val qs = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qs = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
       .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
     val recon = codes.join(broadcast(qs), Seq("__jk")).drop("__jk")
@@ -662,8 +687,9 @@ object Similarity {
       .withColumn("cell", explode(GraftFunctions.nearestCentroids(
         col("q_n"), centroids, nAssign)))
       .select(col("neighbor_id"), col("codes"), col("nn_r"), col("cell"))
-    val qsFlat = queries.select(col(idCol).as("query_id"),
-      Dedup.quantize(col(vecCol)).as("q_q"))
+    val qsFlat = capped(queries.select(col(idCol).as("query_id"),
+      Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
     val qs = qsFlat.withColumn("cell", explode(
       GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
@@ -848,8 +874,9 @@ object Similarity {
     val csig = sq8Codes(emb, idCol, vecCol, maxs)
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
-    val qsig = sq8Codes(queries, idCol, vecCol, maxs)
-      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val qsig = capped(sq8Codes(queries, idCol, vecCol, maxs)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
     val cand = graft.plans.GroupedTopK(
       csig.join(broadcast(qsig), Seq("__jk")).drop("__jk")
@@ -863,8 +890,9 @@ object Similarity {
     val n = emb.select(col(idCol).as("neighbor_id"),
         Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
-    val q = queries.select(col(idCol).as("query_id"),
-        Dedup.quantize(col(vecCol)).as("q_q"))
+    val q = capped(queries.select(col(idCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
     val scored = cand.join(n, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -906,9 +934,10 @@ object Similarity {
     val csig = bqSignatures(emb, idCol, vecCol, nBits)
       .withColumnRenamed("vec_id", "neighbor_id")
       .withColumn("__jk", pmod(xxhash64(col("neighbor_id")), lit(1L)))
-    val qsig = bqSignatures(queries, idCol, vecCol, nBits)
+    val qsig = capped(bqSignatures(queries, idCol, vecCol, nBits)
       .select(col("vec_id").as("query_id") +:
-        (0 until words).map(i => col(s"s$i").as(s"t$i")): _*)
+        (0 until words).map(i => col(s"s$i").as(s"t$i")): _*),
+      "query_id", MaxBroadcastQueries)
       .withColumn("__jk", pmod(xxhash64(col("query_id")), lit(1L)))
     val ham = (0 until words)
       .map(i => bit_count(col(s"s$i").bitwiseXOR(col(s"t$i"))))
@@ -924,8 +953,9 @@ object Similarity {
     val n = emb.select(col(idCol).as("neighbor_id"),
         Dedup.quantize(col(vecCol)).as("q_n"))
       .withColumn("nn_n", Dedup.qdot(col("q_n"), col("q_n")))
-    val q = queries.select(col(idCol).as("query_id"),
-        Dedup.quantize(col(vecCol)).as("q_q"))
+    val q = capped(queries.select(col(idCol).as("query_id"),
+        Dedup.quantize(col(vecCol)).as("q_q")),
+      "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
     val scored = cand.join(n, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -954,25 +984,37 @@ object Similarity {
     * partitionings and engines (the DuckDB oracle folds the same
     * ordered list with `list_reduce`).
     *
-    * Scale shape: one broadcast of the smaller group, the larger
-    * streams once; both penalty tables are per-id aggregates
-    * (broadcast-sized relative to the pair stream) joined back before
-    * the bounded per-anchor top-1. At corpus scale the all-pairs
-    * stage is replaced by any N3 candidate generator (IVF/LSH) in
-    * front — the margin math is unchanged.
+    * BOUNDED-ANCHOR CONTRACT (r14 — replaces the r13 all-pairs form,
+    * whose constant-key broadcast join was a disguised cartesian:
+    * Θ(n²) pair mass measured at 45×/decade at sf10, plus a driver
+    * broadcast of one ENTIRE label side). The anchor side is the
+    * `maxAnchors` smallest-id label-A vectors (TakeOrderedAndProject,
+    * never a full sort) and is the ONLY broadcast side; label-B
+    * candidates stream once, so the pair stage is |anchors|·n_B —
+    * linear per data decade. Both penalty means are computed within
+    * the mined batch's pair set (pen_x over the anchor's full
+    * candidate neighborhood, pen_y over the candidate's cosines TO
+    * the anchor batch — exactly the numbers a per-batch CCMatrix
+    * shard sees). Production mines a large anchor set as successive
+    * bounded batches, or composes an N3 candidate generator
+    * (IVF/LSH) in front — the margin math is unchanged. The anchor
+    * limit doubles as the machine-checkable boundedness declaration
+    * [[graft.plans.PlanChecks]] keys on.
     */
   def marginMine(emb: DataFrame, idCol: String, vecCol: String,
                  labelCol: String, labelA: Int, labelB: Int,
-                 k: Int = 4): DataFrame = {
+                 k: Int = 4, maxAnchors: Int = 1024): DataFrame = {
     val x = emb.filter(col(labelCol) === labelA)
       .select(col(idCol).as("x_id"), Dedup.quantize(col(vecCol)).as("q_x"))
+      .orderBy(col("x_id")).limit(maxAnchors)
       .withColumn("nn_x", Dedup.qdot(col("q_x"), col("q_x")))
       .withColumn("__jk", pmod(xxhash64(col("x_id")), lit(1L)))
     val y = emb.filter(col(labelCol) === labelB)
       .select(col(idCol).as("y_id"), Dedup.quantize(col(vecCol)).as("q_y"))
       .withColumn("nn_y", Dedup.qdot(col("q_y"), col("q_y")))
       .withColumn("__jk", pmod(xxhash64(col("y_id")), lit(1L)))
-    val pairs = x.join(broadcast(y), Seq("__jk")).drop("__jk")
+    // candidates STREAM; only the bounded anchor batch broadcasts
+    val pairs = y.join(broadcast(x), Seq("__jk")).drop("__jk")
       .withColumn("cosine",
         Dedup.qdot(col("q_x"), col("q_y")).cast(DoubleType) /
           sqrt(col("nn_x").cast(DoubleType) * col("nn_y").cast(DoubleType)))
@@ -991,8 +1033,11 @@ object Similarity {
     val py = penalty("y_id", "x_id", "pen_y")
 
     val scored = pairs
+      // px is ≤ maxAnchors rows — broadcast by declaration; py is one
+      // row per STREAMED candidate (unbounded), so no broadcast hint:
+      // AQE picks broadcast at small scale, shuffle join beyond it
       .join(broadcast(px), Seq("x_id"))
-      .join(broadcast(py), Seq("y_id"))
+      .join(py, Seq("y_id"))
       .withColumn("margin",
         col("cosine") * lit(2.0) / (col("pen_x") + col("pen_y")))
     graft.plans.GroupedTopK(scored, Seq("x_id"),
@@ -1213,10 +1258,13 @@ object Similarity {
         graft.ops.Dedup.qdot(col("qv"), col("qv")).as("nn"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n"), sum(col("nn")).as("norm_sq"))
-    val ca = cnt.filter(col("s") === 0L)
+    // each slice census is the ≤1 row of its group key; limit(1) is a
+    // no-op DECLARING that bound (a Filter over a grouped aggregate
+    // is structurally opaque to PlanChecks)
+    val ca = cnt.filter(col("s") === 0L).limit(1)
       .select(col("n").as("n_a"), col("norm_sq").as("ns_a"))
       .withColumn("__jk", pmod(xxhash64(col("n_a")), lit(1L)))
-    val cb = cnt.filter(col("s") === 1L)
+    val cb = cnt.filter(col("s") === 1L).limit(1)
       .select(col("n").as("n_b"), col("norm_sq").as("ns_b"))
       .withColumn("__jk", pmod(xxhash64(col("n_b")), lit(1L)))
     moms.join(broadcast(ca), Seq("__jk")).join(broadcast(cb), Seq("__jk"))

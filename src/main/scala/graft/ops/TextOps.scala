@@ -201,8 +201,12 @@ object TextOps {
     * keep = all five. DOCUMENTED DEVIATIONS from the paper: the
     * symbol-to-word-ratio (#/ellipsis), bullet-line and
     * ellipsis-ending-line rules are omitted (the corpus contract here
-    * is single-line, single-space-joined text), and dup_ok is an
-    * extra repo rule. One fused TokenQualityStats kernel per row —
+    * is single-line, single-space-joined text), dup_ok is an extra
+    * repo rule, and "alphabetic character" is ASCII [a-zA-Z] only —
+    * matching the oracle's [a-zA-Z] regex exactly, but a
+    * non-Latin-script corpus fails alpha_ok wholesale; swap the
+    * kernel's test to Character.isLetter AND the oracle regex to a
+    * Unicode class together if one is ever pointed at such a corpus. One fused TokenQualityStats kernel per row —
     * the same single-scan shape as [[quality]]; at 100 TB this is a
     * pure codegen map, no shuffle.
     */

@@ -912,6 +912,11 @@ object TimeSeries {
         W.orderBy(col("cents"), col("day"))))
       .withColumn("nd", count(lit(1)).over(wAll))
       .where(col("rn") === expr("(nd + 1) div 2"))
+      // rank selection yields exactly one row; the limit(1) is a
+      // no-op DECLARING that bound in the plan (PlanChecks keys on
+      // the GlobalLimit — a Filter over a Window is structurally
+      // opaque)
+      .limit(1)
       .select(col("cents").as("median_cents"))
       .withColumn("__jk", pmod(xxhash64(col("median_cents")), lit(1L)))
     val signed = daily

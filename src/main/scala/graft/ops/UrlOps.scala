@@ -42,12 +42,26 @@ object UrlOps {
     * percent-normalization (that needs a charset table — out of
     * scope). Pure codegen-friendly string ops, no UDF.
     */
+  /** 1-based position where the authority of `rest` (= the URL after
+    * `scheme://`) ends: the FIRST of '/', '?', '#' — RFC 3986 permits
+    * a query or fragment directly after the authority with no path
+    * (http://h.com?a=1), and splitting at '/' alone would absorb the
+    * query into the host (lowercasing it and skipping tracking-param
+    * strip). Absent separators sentinel to length+1.
+    */
+  private def authorityEnd(rest: Column): Column = {
+    def cutAt(sep: String): Column =
+      when(instr(rest, sep) > 0, instr(rest, sep))
+        .otherwise(length(rest) + lit(1))
+    least(cutAt("/"), cutAt("?"), cutAt("#"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(substring_index(url, "://", 1))
     val rest = substring_index(url, "://", -1)
-    // authority = up to the first '/', the rest is path+query+frag
-    val hostport = substring_index(rest, "/", 1)
-    val tail = substring(rest, length(hostport) + lit(1), length(rest))
+    val cut = authorityEnd(rest)
+    val hostport = substring(rest, lit(1), cut - 1)
+    val tail = substring(rest, cut, length(rest))
     val host = lower(substring_index(hostport, ":", 1))
     val port = when(hostport.contains(":"),
       substring_index(hostport, ":", -1)).otherwise(lit(""))
@@ -70,10 +84,15 @@ object UrlOps {
         .otherwise(lit("")))
   }
 
-  /** The (lowercased) host of a URL — the domain-filter key. */
-  def urlDomain(url: Column): Column =
-    lower(substring_index(substring_index(
-      substring_index(url, "://", -1), "/", 1), ":", 1))
+  /** The (lowercased) host of a URL — the domain-filter key. Shares
+    * [[authorityEnd]] so a pathless `http://h.com?a=1` yields `h.com`,
+    * not `h.com?a=1`.
+    */
+  def urlDomain(url: Column): Column = {
+    val rest = substring_index(url, "://", -1)
+    val hostport = substring(rest, lit(1), authorityEnd(rest) - 1)
+    lower(substring_index(hostport, ":", 1))
+  }
 
   /** Deterministic synthetic URL for a (source, id) pair — the
     * fixture has no URL column, so registry rows derive one the same

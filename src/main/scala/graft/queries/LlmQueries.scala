@@ -65,8 +65,12 @@ object LlmQueries {
   private def recallGate(exact: DataFrame, approx: DataFrame,
                          floor: Double): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(broadcast(approx
-          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))),
+      // no broadcast hint: both sides are |Q|·k rows at runtime but
+      // the approx subtree contains the raw corpus scan, so a static
+      // hint would pin an unbounded-by-structure frame to the driver;
+      // AQE broadcasts the true (tiny) ranked outputs at execution
+      .join(approx
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an")),
         col("query_id") === col("aq") && col("neighbor_id") === col("an"),
         "left")
       .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
@@ -277,13 +281,16 @@ object LlmQueries {
         "vec_id", "embedding", k = 5)
     }),
     // N3 — margin-based bitext/pair mining (CCMatrix/LASER scoring):
-    // best cross-label match per anchor, ranked by cosine normalized
-    // against both endpoints' k-NN neighborhood means — exact-integer
-    // cosines + rank-ordered IEEE folds keep every margin bit-identical
-    // to the DuckDB refold
+    // best cross-label match per BOUNDED anchor batch (1024 smallest-
+    // id label-0 vectors — binding only at sf1+; fixtures have ≤ 200
+    // per label), ranked by cosine normalized against both endpoints'
+    // in-batch k-NN neighborhood means — exact-integer cosines +
+    // rank-ordered IEEE folds keep every margin bit-identical to the
+    // DuckDB refold. The r13 unbounded form was a disguised cartesian
+    // (45×/decade at sf10); candidates now stream, anchors broadcast.
     "margin_mine" -> ((s, d) =>
       Similarity.marginMine(emb(s, d), "vec_id", "embedding", "label",
-        labelA = 0, labelB = 1, k = 4)),
+        labelA = 0, labelB = 1, k = 4, maxAnchors = 1024)),
     // N3 — embedding-space health: pairwise cosine between per-SOURCE
     // centroids (cos of sums == cos of means, so the whole chain to
     // the final cosine is exact integer arithmetic; raw vectors never
@@ -600,7 +607,10 @@ object LlmQueries {
         val approx = Similarity.bruteForceTopK(eT,
             eT.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
           .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-        exact.join(broadcast(approx),
+        // no broadcast hint (the recallGate rationale): the ranked
+        // frame is tiny at runtime but its subtree holds the raw
+        // corpus scan — AQE broadcasts the true size at execution
+        exact.join(approx,
             col("query_id") === col("aq") &&
               col("neighbor_id") === col("an"), "left")
           .agg(count(lit(1)).as("n_exact"), count(col("aq")).as("n_hit"))
@@ -791,8 +801,12 @@ object LlmQueries {
       val q = e.filter(col("vec_id") < 50)
       val votes = Similarity
         .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-        .join(broadcast(e.select(col("vec_id").as("neighbor_id"),
-          col("label"))), Seq("neighbor_id"))
+        // no broadcast hint: the label map is the FULL corpus (id →
+        // label), unbounded at scale — AQE broadcasts it while it
+        // fits and shuffle-joins beyond; the ranked-pairs side is the
+        // bounded one (|Q|·k rows)
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label")), Seq("neighbor_id"))
         .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
@@ -1229,7 +1243,9 @@ object LlmQueries {
       val banded = Dedup.minhashPairs(dd, "doc_id", "text",
           threshold = 0.6)
         .select(col("doc_a").as("ba"), col("doc_b").as("bb"))
-      exact.join(broadcast(banded),
+      // no broadcast hint (the recallGate rationale): pair frames are
+      // small at runtime, unbounded by structure — AQE decides
+      exact.join(banded,
           col("doc_a") === col("ba") && col("doc_b") === col("bb"),
           "left")
         .agg(count(lit(1)).as("n_exact"), count(col("ba")).as("n_hit"))
@@ -1973,9 +1989,15 @@ object LlmQueries {
       |c1 AS (SELECT doc_id, url,
       |  lower(split_part(url, '://', 1)) AS scheme,
       |  split_part(url, '://', 2) AS rest FROM u),
-      |c2 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
-      |  substr(rest, length(split_part(rest, '/', 1)) + 1) AS tail
-      |  FROM c1),
+      |c1b AS (SELECT *, least(
+      |    CASE WHEN instr(rest, '/') > 0 THEN instr(rest, '/')
+      |      ELSE length(rest) + 1 END,
+      |    CASE WHEN instr(rest, '?') > 0 THEN instr(rest, '?')
+      |      ELSE length(rest) + 1 END,
+      |    CASE WHEN instr(rest, '#') > 0 THEN instr(rest, '#')
+      |      ELSE length(rest) + 1 END) AS cut FROM c1),
+      |c2 AS (SELECT *, substr(rest, 1, cut - 1) AS hostport,
+      |  substr(rest, cut) AS tail FROM c1b),
       |c3 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
       |  CASE WHEN contains(hostport, ':')
       |    THEN split_part(hostport, ':', 2) ELSE '' END AS port,
@@ -2865,7 +2887,8 @@ object LlmQueries {
     "margin_mine" ->
       s"""WITH $quantCte,
          |xs AS (SELECT n.vec_id AS x_id, n.qv, n.nn FROM n
-         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 0),
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 0
+         |  ORDER BY n.vec_id LIMIT 1024),
          |ys AS (SELECT n.vec_id AS y_id, n.qv, n.nn FROM n
          |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 1),
          |pairs AS (SELECT a.x_id, b.y_id,
@@ -4793,8 +4816,8 @@ object LlmQueries {
         |GROUP BY 1, 2""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     // ExactSubstr replay: same positional 5-grams, same global
-    // count/arg-min (doc_id·2²⁰+pos encoding), positional-union mask,
-    // kept-token rebuild ordered by position
+    // count/arg-min (lexicographic (doc_id, p) — the op's struct MIN),
+    // positional-union mask, kept-token rebuild ordered by position
     "substring_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
@@ -4802,10 +4825,13 @@ object LlmQueries {
         |  unnest(list_transform(range(1, len(w) - 3),
         |    i -> array_to_string(w[i:i+4], ' '))) AS g
         |  FROM w WHERE len(w) >= 5),
-        |fr AS (SELECT g, count(*) AS c,
-        |  min(doc_id * 1048576 + p) AS canon FROM ex GROUP BY g),
+        |fr AS (SELECT g, count(*) AS c, min(doc_id) AS cd
+        |  FROM ex GROUP BY g),
+        |cn AS (SELECT ex.g, min(ex.p) AS cp FROM ex
+        |  JOIN fr ON fr.g = ex.g AND ex.doc_id = fr.cd GROUP BY ex.g),
         |ms AS (SELECT ex.doc_id, ex.p FROM ex JOIN fr USING (g)
-        |  WHERE fr.c >= 2 AND ex.doc_id * 1048576 + ex.p <> fr.canon),
+        |  JOIN cn USING (g)
+        |  WHERE fr.c >= 2 AND NOT (ex.doc_id = fr.cd AND ex.p = cn.cp)),
         |cov AS (SELECT DISTINCT doc_id, j FROM
         |  (SELECT doc_id, unnest(range(p, p + 5)) AS j FROM ms)),
         |msk AS (SELECT doc_id, count(*) AS n_masked FROM cov

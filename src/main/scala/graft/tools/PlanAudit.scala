@@ -7,6 +7,14 @@ import graft.SparkEntry
 /** Dev tool: scan every registered query's physical plan for
   * scale-smells — nested-loop/cartesian joins where a hash join should
   * be, and scans that read all columns. Prints one line per query.
+  *
+  * r14: also runs [[graft.plans.PlanChecks]] over the OPTIMIZED
+  * logical plan — degenerate (constant-key) equi joins must carry a
+  * structural bound on one side, and explicit broadcast hints must
+  * not cover a raw fact-table scan. The r13 margin_mine shape
+  * (constant-key join of two unbounded label halves) passed the
+  * text greps ("bnlj=0 cart=0") and is exactly what these catch;
+  * close-gate rule: zero FLAG lines over the whole registry.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -17,9 +25,20 @@ object PlanAudit {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var flags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
+        val df = fn(spark, sfDir)
+        val degAll = graft.plans.PlanChecks.degenerateJoins(df)
+        val degBad = degAll.filterNot(_.bounded)
+        val bcast = graft.plans.PlanChecks.unboundedBroadcastHints(df)
+        degBad.foreach { d =>
+          flags += 1; println(s"FLAG DEGEN $name $d")
+        }
+        bcast.foreach { t =>
+          flags += 1; println(s"FLAG BCAST $name raw fact scan '$t' under broadcast hint")
+        }
+        val plan = df.queryExecution.executedPlan.toString()
         val bnlj =
           plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
         val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
@@ -39,11 +58,13 @@ object PlanAudit {
             !l.contains("BroadcastExchange"))
         println(f"AUDIT $name%-22s bnlj=$bnlj cart=$cart bhj=$bhj " +
           f"shuffleJoin=$smj pushedScans=$pushed groupedTopK=$topk " +
-          f"exchanges=$exch")
+          f"exchanges=$exch degen=${degAll.size} " +
+          f"degenUnbounded=${degBad.size} bcastFact=${bcast.size}")
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}")
       }
     }
+    println(s"AUDIT-SUMMARY flags=$flags")
     spark.stop()
   }
 }

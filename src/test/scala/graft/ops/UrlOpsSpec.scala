@@ -39,6 +39,27 @@ class UrlOpsSpec extends SparkSuite {
       "http://h.c/p?keep=1&also=3"))
   }
 
+  test("canonicalizeUrl: query or fragment directly after the " +
+      "authority (no path) — the r13 ADVICE case") {
+    assert(canon(
+      "http://H.com?a=1&utm_source=x",
+      "HTTPS://h.com#frag",
+      "http://h.com:80?page=2",
+      "http://h.com") === Seq(
+      // query split off the authority: host lowercased WITHOUT the
+      // query, tracking param stripped
+      "http://h.com?a=1",
+      "https://h.com",
+      "http://h.com?page=2",
+      "http://h.com"))
+    // urlDomain shares the split
+    import spark.implicits._
+    val doms = Seq("http://H.com?a=1", "https://x.Y#f", "http://a.b:8080?q=1")
+      .toDF("url").select(UrlOps.urlDomain(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(doms === Seq("h.com", "x.y", "a.b"))
+  }
+
   test("urlDedup: messy variants of one logical URL form a cluster, " +
       "keep = min id") {
     import spark.implicits._

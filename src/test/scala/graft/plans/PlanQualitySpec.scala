@@ -108,6 +108,78 @@ class PlanQualitySpec extends SparkSuite {
     "decision_stump"
   )
 
+  test("structuralBound: literal limits and global aggregates bound; " +
+      "raw scans, filters and grouped aggregates don't") {
+    import org.apache.spark.sql.functions._
+    def b(df: org.apache.spark.sql.DataFrame) =
+      PlanChecks.structuralBound(df.queryExecution.optimizedPlan)
+    val r = spark.range(100).toDF("id")
+    assert(b(r.orderBy("id").limit(7)).contains(7L))
+    assert(b(r.agg(sum("id"))).contains(1L))
+    assert(b(r).isEmpty)
+    assert(b(r.filter(col("id") < 5)).isEmpty)
+    assert(b(r.groupBy("id").count()).isEmpty)
+    // projections/filters above a bound keep it
+    assert(b(r.limit(9).filter(col("id") > 2)
+      .select((col("id") * 2).as("x"))).contains(9L))
+    // a grouped aggregate above a bounded child inherits the bound
+    assert(b(r.limit(9).groupBy("id").count()).contains(9L))
+  }
+
+  test("degenerate-join audit: the r13 margin_mine shape (constant-key " +
+      "join of two UNBOUNDED sides) is flagged; the r14 bounded-anchor " +
+      "form and the 1-row-frame idiom are not") {
+    import org.apache.spark.sql.functions._
+    // 10000 rows, NOT 1000: with a known maxRows ≤ the declared
+    // limit, EliminateLimits deletes the GlobalLimit node and the
+    // bound genuinely is the relation size — the check is about
+    // UNBOUNDED inputs (parquet scans have no maxRows)
+    val e = spark.range(0, 10000).select(col("id").as("vec_id"),
+      (col("id") % 2).cast("int").as("label"),
+      array((col("id") % 13).cast("double"), lit(1.0)).as("embedding"))
+    // the EXACT r13 Similarity.scala:970-975 shape: both label halves
+    // get pmod(xxhash64(id), 1) ≡ 0 and join on it — an all-pairs
+    // cross product wearing an equi-join costume (planned as a
+    // BroadcastHashJoin, so the bnlj/cart text greps stay at zero)
+    val x = e.filter(col("label") === 0).select(col("vec_id").as("x_id"))
+      .withColumn("__jk", pmod(xxhash64(col("x_id")), lit(1L)))
+    val y = e.filter(col("label") === 1).select(col("vec_id").as("y_id"))
+      .withColumn("__jk", pmod(xxhash64(col("y_id")), lit(1L)))
+    val r13Shape = x.join(broadcast(y), Seq("__jk"))
+    assert(PlanChecks.unboundedDegenerateJoins(r13Shape).nonEmpty,
+      "the r13 disguised cartesian must be flagged")
+    // the text greps indeed cannot see it — that is the blind spot
+    val txt = r13Shape.queryExecution.executedPlan.toString()
+    assert(!txt.contains("BroadcastNestedLoopJoin") &&
+      !txt.contains("CartesianProduct"))
+    // r14 marginMine declares its anchor bound via orderBy+limit
+    val fixed = graft.ops.Similarity.marginMine(
+      e, "vec_id", "embedding", "label", labelA = 0, labelB = 1)
+    assert(PlanChecks.unboundedDegenerateJoins(fixed).isEmpty)
+    assert(PlanChecks.unboundedBroadcastHints(fixed).isEmpty)
+    // the pervasive 1-row-global-aggregate attach stays legitimate
+    val tot = e.agg(sum("vec_id").as("n"))
+      .withColumn("__jk", pmod(xxhash64(col("n")), lit(1L)))
+    val attach = e.withColumn("__jk", pmod(xxhash64(col("vec_id")), lit(1L)))
+      .join(broadcast(tot), Seq("__jk"))
+    assert(PlanChecks.degenerateJoins(attach).nonEmpty)
+    assert(PlanChecks.unboundedDegenerateJoins(attach).isEmpty)
+  }
+
+  test("registry: every degenerate-key join carries a structural bound " +
+      "and no broadcast hint covers a raw fact-table scan") {
+    val d = "/root/testdata/sf0.001"
+    val offenders = Queries.all.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, d)
+        PlanChecks.unboundedDegenerateJoins(df)
+          .map(j => s"$name DEGEN $j") ++
+          PlanChecks.unboundedBroadcastHints(df)
+            .map(t => s"$name BCAST raw '$t' scan under broadcast hint")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no registered query plans an unpartitioned window " +
       "(outside the pinned bounded-frame allowlist)") {
     import org.apache.spark.sql.execution.SparkPlan
