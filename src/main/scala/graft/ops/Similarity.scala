@@ -469,19 +469,49 @@ object Similarity {
     * survivors' vectors from `corpus` BY KEY — bounded point lookups
     * (FAISS's refine stage), not a corpus scan. Per-batch cost is
     * independent of how many batches probed before.
+    *
+    * nProbe/rerankFactor ≤ 0 (the default) DERIVES them from the
+    * centroid count: base (8, 20) at 32 cells, scaled by
+    * centroids.length/32 — the √n cell rule thins each cell as the
+    * corpus grows, so a FIXED probe width loses recall exactly the
+    * way the r13 sf1 gate caught in ivfpq_recall (0.828 at 10× with
+    * the fixture constants; nProbe must track the cell count and the
+    * ADC rerank cut the per-cell PQ error mass). The k/32 rule lived
+    * only in the GATE row until r14 — the serving row kept fixture
+    * constants, leaving the exact caught bug class latent for every
+    * other caller; deriving here makes every caller inherit it.
+    * Explicit values still override (the anchored gate rows).
     */
+  /** The derived serving probe plan for an IVFADC index with `nCells`
+    * coarse cells: base (nProbe 8, rerankFactor 20) at the 32-cell
+    * fixture anchor, both scaled by nCells/32 — the same rule the
+    * ivfpq_recall gate applies to its own (stricter, base-14) probe.
+    * Measured at sf1 (20k vectors, 101 cells → np 26, rf 64): recall
+    * 0.924 vs in-plan exact top-5 (PqRecallProbe; the fixture
+    * constants this replaces measured 0.828 there — the r13 sf1-gate
+    * bug class, now closed for every caller).
+    */
+  def ivfPqProbePlan(nCells: Int): (Int, Int) = {
+    val cellScale = nCells / 32.0
+    (math.max(8, math.ceil(8 * cellScale).toInt),
+      math.max(20, math.ceil(20 * cellScale).toInt))
+  }
+
   def ivfPqProbeIndex(centroids: Array[Array[Long]],
                       codebooks: Array[Array[Array[Long]]],
                       index: DataFrame, corpus: DataFrame,
                       queries: DataFrame, idCol: String, vecCol: String,
-                      k: Int = 5, nProbe: Int = 8,
-                      rerankFactor: Int = 20): DataFrame = {
+                      k: Int = 5, nProbe: Int = -1,
+                      rerankFactor: Int = -1): DataFrame = {
+    val (npD, rfD) = ivfPqProbePlan(centroids.length)
+    val np = if (nProbe > 0) nProbe else npD
+    val rf = if (rerankFactor > 0) rerankFactor else rfD
     val qsFlat = capped(queries.select(col(idCol).as("query_id"),
       Dedup.quantize(col(vecCol)).as("q_q")),
       "query_id", MaxBroadcastQueries)
       .withColumn("nn_q", Dedup.qdot(col("q_q"), col("q_q")))
     val qs = qsFlat.withColumn("cell", explode(
-      GraftFunctions.nearestCentroids(col("q_q"), centroids, nProbe)))
+      GraftFunctions.nearestCentroids(col("q_q"), centroids, np)))
     // ADC-score then dedupe on scalars (see ivfTopKWith); the query
     // vector the exact rerank needs is re-attached to the tiny
     // rank-cut survivor set by a broadcast join instead of riding
@@ -497,7 +527,7 @@ object Similarity {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("recon_cos").desc, col("vec_id").asc)
     val cand = recon.withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= k * rerankFactor)
+      .filter(col("crk") <= k * rf)
       .join(broadcast(qsFlat), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("q_q"), col("nn_q"))

@@ -528,10 +528,16 @@ object LlmQueries {
           built.write.mode("overwrite").parquet(annIvfpqIndexDir)
           s.read.parquet(annIvfpqIndexDir)
         }
+      // probe width DERIVES from the cell count (Similarity.
+      // ivfPqProbePlan — the k/32 rule the recall gate uses, now
+      // inherited by the serving path); the sidecar's probed-cell
+      // set must derive identically so the oracle replays the same
+      // candidates
+      val (npD, _) = Similarity.ivfPqProbePlan(cts.length)
       if (!sys.props.contains("graft.ivf.cells.skipWrite")) {
         index.select("vec_id", "cell").withColumn("side", lit("c"))
           .unionByName(
-            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = 8)
+            Similarity.ivfCells(batch, "vec_id", "embedding", cts, n = npD)
               .withColumn("side", lit("q")))
           .coalesce(1)
           .write.mode("overwrite").parquet(annIvfpqCellsDir)
@@ -547,8 +553,10 @@ object LlmQueries {
           .coalesce(1)
           .write.mode("overwrite").parquet(annIvfpqCodebookDir)
       }
+      // nProbe/rerankFactor omitted → the derived ivfPqProbePlan
+      // (byte-identical at fixture scale where cts.length = 32)
       Similarity.ivfPqProbeIndex(cts, cbs, index, corpus, batch,
-        "vec_id", "embedding", k = 5, nProbe = 8, rerankFactor = 20)
+        "vec_id", "embedding", k = 5)
     }),
     // N3 — driver-visible recall gate for the IVF scale path: recall@5
     // vs the IN-PLAN exact top-k (same corpus, 50 queries), emitted as
@@ -3445,11 +3453,16 @@ object LlmQueries {
          |    AS recon_cos
          |  FROM ad JOIN nr ON ad.neighbor_id = nr.vec_id
          |  JOIN qs q ON ad.query_id = q.vec_id),
+         |kc AS (SELECT GREATEST(32, CAST(round(32 * sqrt(
+         |    count(*) / 2000.0)) AS BIGINT)) AS kcells
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         |cut AS (SELECT 5 * GREATEST(20, CAST(ceil(
+         |    20 * (kcells / 32.0)) AS BIGINT)) AS rcut FROM kc),
          |cand AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY recon_cos DESC, neighbor_id) AS crk FROM recon)
-         |  WHERE crk <= 100),
+         |  WHERE crk <= (SELECT rcut FROM cut)),
          |scored AS (SELECT cand.query_id, cand.neighbor_id,
          |  CAST($dotAb AS DOUBLE)
          |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine

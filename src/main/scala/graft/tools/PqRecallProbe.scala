@@ -28,8 +28,13 @@ object PqRecallProbe {
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").cache()
     val nEx = exact.count()
-    args.drop(1).map(_.toInt).foreach { np =>
-      for (rf <- Seq(20, 60)) {
+    // arg forms: "23" sweeps rf ∈ {20, 60}; "26:64" probes one pair
+    args.drop(1).foreach { a =>
+      val (np, rfs) = a.split(':') match {
+        case Array(n, r) => (n.toInt, Seq(r.toInt))
+        case Array(n) => (n.toInt, Seq(20, 60))
+      }
+      for (rf <- rfs) {
         val approx = Similarity.ivfPqTopK(cts, cbs, e, q, "vec_id",
           "embedding", k = 5, nProbe = np, nAssign = 2,
           rerankFactor = rf)
