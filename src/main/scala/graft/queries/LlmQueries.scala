@@ -135,6 +135,32 @@ object LlmQueries {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
         round(col("c_acctbal") * 100).cast(LongType))),
+    // sf1-TRACTABLE capped twins (r14, the embedding_pairs_lowt
+    // contract): record_linkage / golden_record / paraphrase_mine are
+    // excluded from the full-registry sf1 gate because their ORACLES
+    // are quadratic (within-block levenshtein, all-pairs cosine) —
+    // the Spark side is fine. Each twin runs the SAME operator over a
+    // fixed-size input slice (4096 custkeys / 8192 vec_ids), so the
+    // oracle cost is scale-invariant and the operator's correctness
+    // is evidenced ABOVE fixture scale instead of resting on fixture
+    // gates alone.
+    "record_linkage_capped" -> ((s, d) =>
+      graft.ops.FuzzyJoin.linkRecords(
+        Tables.customer(s, d).filter(col("c_custkey") <= 4096),
+        "c_custkey", "c_name", "c_nationkey", Seq("c_mktsegment"))),
+    "golden_record_capped" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 4096)
+      graft.ops.FuzzyJoin.goldenRecordFromPairs(cust,
+        graft.ops.FuzzyJoin.linkRecords(cust, "c_custkey", "c_name",
+            "c_nationkey", Seq("c_mktsegment"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        round(col("c_acctbal") * 100).cast(LongType))
+    }),
+    "paraphrase_mine_capped" -> ((s, d) =>
+      Dedup.paraphrasePairs(emb(s, d).filter(col("vec_id") < 8192),
+        docs(s, d).filter(col("doc_id") < 8192), "vec_id",
+        "embedding", "doc_id", "text")),
     // incremental entity resolution (streaming twin of record_linkage,
     // batch-replayed): delta customers probe the persisted master
     // signature index keyed (block, signature); verdict row per delta
@@ -209,10 +235,20 @@ object LlmQueries {
           col("n_matches"), col("best_match_id"), col("best_jaccard"),
           col("keep"))
     }),
-    // N2 — char-5-gram jaccard via minhash-banded candidates
+    // N2 — char-5-gram jaccard via minhash-banded candidates.
+    // INPUT-CAPPED at 8192 docs (r14, the embedding_pairs_lowt
+    // contract): the fixture corpus has a ~5k-gram CHAR vocabulary,
+    // so ANY exact oracle — even PPJoin prefix-filtered — carries
+    // ~n²-candidate mass on it (measured 10.6e9 prefix-pair
+    // expansions at sf1, the r13 timeout exclusion). The cap binds
+    // only above sf0.1 (fixtures ≤ 5000 docs) and keeps the FULL
+    // original corpus plus 3k mutated replicas at sf1, making the
+    // row sf1-gateable; uncapped char-gram dedup at scale goes
+    // through the word-shingle minhash family (dedup_corpus,
+    // neardup_minhash — banded, verified, linear).
     "neardup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-        threshold = 0.5, n = 5)),
+      Dedup.ngramJaccardPairs(docs(s, d).filter(col("doc_id") < 8192),
+        "doc_id", "text", threshold = 0.5, n = 5)),
     // N2 — ASYMMETRIC containment pairs |A∩B|/min(|A|,|B|): the
     // quote/subset detector jaccard misses; rare-anchor candidates
     // (df ≤ 64, the cap replayed in the oracle), exact verify
@@ -2453,6 +2489,116 @@ object LlmQueries {
   private val dotAb =
     "list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i]))"
 
+  /** The fixed slice the `_capped` linkage twins replay over — 4096
+    * smallest custkeys, so the block-quadratic oracle cost is
+    * scale-invariant and the sf1 gate can afford it.
+    */
+  private val cappedCustomerSrc =
+    "(SELECT * FROM customer WHERE c_custkey <= 4096)"
+
+  /** paraphrase_mine's replay — brute-force cosine + exact shingle
+    * jaccard — parameterized by optional WHERE suffixes on the
+    * embeddings/documents scans so the primary row and its capped
+    * twin share one definition. `embWhere` defaults both ways to
+    * empty (the primary row's full-corpus form).
+    */
+  private def paraphraseMineSql(embWhere: String,
+                                docWhere: String = ""): String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+       |  FROM embeddings$embWhere),
+       |n AS (SELECT vec_id, qv,
+       |  list_sum(list_transform(qv, x -> x*x)) AS nn FROM q),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents$docWhere),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+       |    range(1, len(w)-1),
+       |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+       |  ELSE [] END AS ts FROM t),
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |  CAST($dotAb AS DOUBLE)
+       |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+       |j AS (SELECT va, vb, cosine,
+       |  CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS inter,
+       |  len(sa.ts) + len(sb.ts) AS un
+       |  FROM p JOIN sh sa ON sa.doc_id = va
+       |  JOIN sh sb ON sb.doc_id = vb
+       |  WHERE cosine >= 0.5)
+       |SELECT va AS doc_a, vb AS doc_b, cosine,
+       |  CASE WHEN un - inter > 0
+       |    THEN CAST(inter AS DOUBLE) / CAST(un - inter AS DOUBLE)
+       |    ELSE 1.0 END AS jaccard
+       |FROM j
+       |WHERE CASE WHEN un - inter > 0
+       |    THEN CAST(inter AS DOUBLE) / CAST(un - inter AS DOUBLE)
+       |    ELSE 1.0 END < 0.3""".stripMargin
+
+  /** record_linkage's within-block quadratic replay, parameterized by
+    * the customer source so the primary row and its capped twin share
+    * one definition.
+    */
+  private def recordLinkageSql(src: String): String =
+    s"""SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+       |  greatest(a.c_custkey, b.c_custkey) AS id_b,
+       |  a.c_nationkey AS block,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+       |  CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+       |    THEN 1 ELSE 0 END AS BIGINT) AS n_agree,
+       |  CAST(2 - levenshtein(a.c_name, b.c_name)
+       |    + CASE WHEN a.c_mktsegment = b.c_mktsegment
+       |      THEN 1 ELSE 0 END AS BIGINT) AS score
+       |FROM $src a JOIN $src b
+       |  ON a.c_nationkey = b.c_nationkey
+       | AND a.c_custkey < b.c_custkey
+       |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin
+
+  /** golden_record's replay — the within-block quadratic pair set,
+    * the op's 4 min-label CC rounds verbatim, then the deterministic
+    * merge rules — parameterized like [[recordLinkageSql]].
+    */
+  private def goldenRecordSql(src: String): String = {
+    val rounds = (1 to 4).map { k =>
+      s"""l$k AS (SELECT l.id,
+         |  least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+         |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
+         |  LEFT JOIN l${k - 1} n ON e.d = n.id
+         |  GROUP BY l.id, l.comp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT a.c_custkey AS s, b.c_custkey AS d
+       |  FROM $src a JOIN $src b
+       |    ON a.c_nationkey = b.c_nationkey
+       |   AND a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+       |sym AS (SELECT s, d FROM pr UNION ALL SELECT d, s FROM pr),
+       |l0 AS (SELECT c_custkey AS id, c_custkey AS comp
+       |  FROM $src),
+       |$rounds,
+       |base AS (SELECT l4.comp, c.c_custkey AS id, c.c_name AS nm,
+       |    CAST(c.c_nationkey AS BIGINT) AS blk,
+       |    c.c_mktsegment AS cat,
+       |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS num
+       |  FROM $src c JOIN l4 ON l4.id = c.c_custkey),
+       |ag AS (SELECT comp, min(id) AS golden_id,
+       |    count(*) AS n_members, min(blk) AS block,
+       |    max(num) AS max_cents
+       |  FROM base GROUP BY 1),
+       |nm1 AS (SELECT comp, nm AS name FROM
+       |  (SELECT comp, nm, row_number() OVER (PARTITION BY comp
+       |     ORDER BY length(nm) DESC, nm DESC) AS rn FROM base)
+       |  WHERE rn = 1),
+       |ct AS (SELECT comp, cat, count(*) AS cnt FROM base
+       |  GROUP BY 1, 2),
+       |md AS (SELECT comp, cat AS cat_mode FROM
+       |  (SELECT comp, cat, row_number() OVER (PARTITION BY comp
+       |     ORDER BY cnt DESC, cat DESC) AS rn FROM ct)
+       |  WHERE rn = 1)
+       |SELECT golden_id, CAST(n_members AS BIGINT) AS n_members,
+       |  block, name, max_cents, cat_mode
+       |FROM ag JOIN nm1 USING (comp) JOIN md USING (comp)""".stripMargin
+  }
+
   /** SimHash oracle: recompute the 64 affine votes per doc with the
     * exact TextOps constants interpolated, then all-pairs hamming.
     * Brute force is fine at oracle scale (500 docs → 125k pairs).
@@ -2564,64 +2710,17 @@ object LlmQueries {
         |LEFT JOIN best ON d.c_custkey = best.id AND best.rk = 1""".stripMargin,
     // within-block all-pairs is the oracle's luxury: blocks are
     // nation-sized here; the Spark plan joins on (block, signature)
-    "record_linkage" ->
-      """SELECT least(a.c_custkey, b.c_custkey) AS id_a,
-        |  greatest(a.c_custkey, b.c_custkey) AS id_b,
-        |  a.c_nationkey AS block,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
-        |  CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
-        |    THEN 1 ELSE 0 END AS BIGINT) AS n_agree,
-        |  CAST(2 - levenshtein(a.c_name, b.c_name)
-        |    + CASE WHEN a.c_mktsegment = b.c_mktsegment
-        |      THEN 1 ELSE 0 END AS BIGINT) AS score
-        |FROM customer a JOIN customer b
-        |  ON a.c_nationkey = b.c_nationkey
-        | AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    "record_linkage" -> recordLinkageSql("customer"),
+    // capped twin: same replay over the fixed 4096-custkey slice —
+    // oracle cost scale-invariant, so the sf1 gate can run it
+    "record_linkage_capped" -> recordLinkageSql(cappedCustomerSrc),
     // the within-block quadratic pair set, the op's 4 min-label
     // rounds replayed verbatim, then the same deterministic merge
     // rules (window argmax = the op's struct max)
-    "golden_record" -> {
-      val rounds = (1 to 4).map { k =>
-        s"""l$k AS (SELECT l.id,
-           |  least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
-           |  FROM l${k - 1} l LEFT JOIN sym e ON l.id = e.s
-           |  LEFT JOIN l${k - 1} n ON e.d = n.id
-           |  GROUP BY l.id, l.comp)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pr AS (SELECT a.c_custkey AS s, b.c_custkey AS d
-         |  FROM customer a JOIN customer b
-         |    ON a.c_nationkey = b.c_nationkey
-         |   AND a.c_custkey < b.c_custkey
-         |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
-         |sym AS (SELECT s, d FROM pr UNION ALL SELECT d, s FROM pr),
-         |l0 AS (SELECT c_custkey AS id, c_custkey AS comp
-         |  FROM customer),
-         |$rounds,
-         |base AS (SELECT l4.comp, c.c_custkey AS id, c.c_name AS nm,
-         |    CAST(c.c_nationkey AS BIGINT) AS blk,
-         |    c.c_mktsegment AS cat,
-         |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS num
-         |  FROM customer c JOIN l4 ON l4.id = c.c_custkey),
-         |ag AS (SELECT comp, min(id) AS golden_id,
-         |    count(*) AS n_members, min(blk) AS block,
-         |    max(num) AS max_cents
-         |  FROM base GROUP BY 1),
-         |nm1 AS (SELECT comp, nm AS name FROM
-         |  (SELECT comp, nm, row_number() OVER (PARTITION BY comp
-         |     ORDER BY length(nm) DESC, nm DESC) AS rn FROM base)
-         |  WHERE rn = 1),
-         |ct AS (SELECT comp, cat, count(*) AS cnt FROM base
-         |  GROUP BY 1, 2),
-         |md AS (SELECT comp, cat AS cat_mode FROM
-         |  (SELECT comp, cat, row_number() OVER (PARTITION BY comp
-         |     ORDER BY cnt DESC, cat DESC) AS rn FROM ct)
-         |  WHERE rn = 1)
-         |SELECT golden_id, CAST(n_members AS BIGINT) AS n_members,
-         |  block, name, max_cents, cat_mode
-         |FROM ag JOIN nm1 USING (comp) JOIN md USING (comp)"""
-        .stripMargin
-    },
+    "golden_record" -> goldenRecordSql("customer"),
+    // capped twin: record_linkage_capped's slice through the same
+    // merge replay
+    "golden_record_capped" -> goldenRecordSql(cappedCustomerSrc),
     "neardup_minhash" ->
       s"""WITH $shingleInterCte
          |SELECT ia AS doc_a, ib AS doc_b,
@@ -2678,18 +2777,35 @@ object LlmQueries {
     // Zero-shared-gram pairs drop out of the join; they have
     // jaccard 0 < 0.5, so the filter is lossless. The 2:1 length
     // pre-filter is the PPJoin bound (J >= 0.5 forces |A| <= 2|B|).
+    // r14: PPJoin prefix-filtered replay — LOSSLESS for J >= 0.5 (two
+    // sets at jaccard >= t must share a gram within their first
+    // l - ceil(t*l) + 1 grams under any shared total order; ours is
+    // (df ASC, gm) — rarest first). The old all-grams inverted join's
+    // candidate mass is sum(df^2) over CHAR-5-grams, which timed out
+    // the sf1 gate (>600 s); prefixes keep only rare-gram collisions
+    // and the exact intersection verify is unchanged.
     "neardup_ngram" ->
       """WITH g AS (SELECT doc_id,
         |  CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(
         |    range(1, length(text)-3), i -> substr(text, i, 5)))
-        |  ELSE [] END AS s FROM documents),
+        |  ELSE [] END AS s FROM documents WHERE doc_id < 8192),
         |gr AS (SELECT doc_id, len(s) AS l, unnest(s) AS gm FROM g
         |  WHERE len(s) > 0),
-        |v AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |    CAST(count(*) AS BIGINT) AS inter,
+        |df AS (SELECT gm, count(*) AS df FROM gr GROUP BY 1),
+        |ordg AS (SELECT gr.doc_id, gr.l, gr.gm,
+        |  row_number() OVER (PARTITION BY gr.doc_id
+        |    ORDER BY df.df, gr.gm) AS r
+        |  FROM gr JOIN df ON gr.gm = df.gm),
+        |pref AS (SELECT doc_id, l, gm FROM ordg
+        |  WHERE r <= l - CAST(ceil(l * 0.5) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM pref a JOIN pref b ON a.gm = b.gm AND a.doc_id < b.doc_id
+        |  WHERE 2 * a.l >= b.l AND 2 * b.l >= a.l),
+        |v AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS inter,
         |    any_value(a.l) AS la, any_value(b.l) AS lb
-        |  FROM gr a JOIN gr b ON a.gm = b.gm AND a.doc_id < b.doc_id
-        |  WHERE 2 * a.l >= b.l AND 2 * b.l >= a.l
+        |  FROM cand c
+        |  JOIN gr a ON a.doc_id = c.ia
+        |  JOIN gr b ON b.doc_id = c.ib AND b.gm = a.gm
         |  GROUP BY 1, 2)
         |SELECT ia AS doc_a, ib AS doc_b,
         |  CAST(inter AS DOUBLE)/CAST(la + lb - inter AS DOUBLE) AS jaccard
@@ -2841,33 +2957,11 @@ object LlmQueries {
     // joined texts (raw strings here, hashed 64-bit sets in the op —
     // the setsim_join trade); empty∪empty pairs are jaccard 1 and
     // excluded, matching the op's no-lexical-evidence contract
-    "paraphrase_mine" ->
-      s"""WITH $quantCte,
-         |t AS (SELECT doc_id, string_split(text, ' ') AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
-         |    range(1, len(w)-1),
-         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
-         |  ELSE [] END AS ts FROM t),
-         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-         |  CAST($dotAb AS DOUBLE)
-         |    / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS cosine
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
-         |j AS (SELECT va, vb, cosine,
-         |  CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS inter,
-         |  len(sa.ts) + len(sb.ts) AS un
-         |  FROM p JOIN sh sa ON sa.doc_id = va
-         |  JOIN sh sb ON sb.doc_id = vb
-         |  WHERE cosine >= 0.5)
-         |SELECT va AS doc_a, vb AS doc_b, cosine,
-         |  CASE WHEN un - inter > 0
-         |    THEN CAST(inter AS DOUBLE) / CAST(un - inter AS DOUBLE)
-         |    ELSE 1.0 END AS jaccard
-         |FROM j
-         |WHERE CASE WHEN un - inter > 0
-         |    THEN CAST(inter AS DOUBLE) / CAST(un - inter AS DOUBLE)
-         |    ELSE 1.0 END < 0.3""".stripMargin,
+    "paraphrase_mine" -> paraphraseMineSql(""),
+    // capped twin: same replay over the fixed 8192-id slice (the
+    // all-pairs cosine stays 8192² at every scale — sf1-gateable)
+    "paraphrase_mine_capped" ->
+      paraphraseMineSql(" WHERE vec_id < 8192", " WHERE doc_id < 8192"),
     "topk_cosine" ->
       s"""WITH $quantCte,
          |qs AS (SELECT vec_id, qv, nn FROM n WHERE vec_id < 8),
@@ -3249,8 +3343,13 @@ object LlmQueries {
          |  CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
          |    AS y
          |  FROM embeddings),
-         |nb AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
-         |  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |cg AS (SELECT id, x, y, x // 20 AS cx, y // 20 AS cy FROM p),
+         |offs AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) t(dx),
+         |  (VALUES (-1), (0), (1)) u(dy)),
+         |nb AS (SELECT a.id AS ia, b.id AS ib
+         |  FROM cg a CROSS JOIN offs o
+         |  JOIN cg b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
          |    <= 400),
          |core AS (SELECT ia AS id FROM nb GROUP BY 1
          |  HAVING count(*) >= 4),

@@ -30,13 +30,17 @@ ROW_CAP = 8_000_000  # beyond this an in-memory sorted compare thrashes
 # recomputation, not the op under test) — not attempted at sf1
 PRE_EXCLUDED = {
     "record_linkage": "oracle is within-block quadratic levenshtein "
-                      "(~100x sf0.1 cost at 10x data)",
+                      "(~100x sf0.1 cost at 10x data); sf1 evidence "
+                      "via record_linkage_capped",
     "golden_record": "oracle recomputes the block-quadratic pair set "
-                     "before the CC rounds",
+                     "before the CC rounds; sf1 evidence via "
+                     "golden_record_capped",
     "embedding_pairs": "oracle is all-pairs 64-d cosine over the "
-                       "augmented corpus (~1.4e9 pairs at sf1)",
+                       "augmented corpus (~1.4e9 pairs at sf1); sf1 "
+                       "evidence via embedding_pairs_lowt",
     "paraphrase_mine": "oracle is all-pairs 64-d cosine + list "
-                       "jaccard over the corpus",
+                       "jaccard over the corpus; sf1 evidence via "
+                       "paraphrase_mine_capped",
 }
 
 
