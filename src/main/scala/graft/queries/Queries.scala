@@ -5050,14 +5050,25 @@ object Queries {
     "url_canon")
 
   /** Evaluation barrier: an always-true filter on a hash of EVERY
-    * output column. xxhash64 of non-null arity is never null, so no
-    * row is dropped and no value changes; because the predicate
-    * references every column, ColumnPruning cannot strip any
-    * computation below it — count() now pays what a real consumer
-    * pays. One codegen'd hash per row of overhead.
+    * output column — `pmod(xxhash64(*), 2) < 2` holds for every row
+    * (pmod lands in [0, 2)), so no row is dropped and no value
+    * changes; because the predicate references every column,
+    * ColumnPruning cannot strip any computation below it — count()
+    * now pays what a real consumer pays. One codegen'd hash per row
+    * of overhead.
+    *
+    * The predicate must be one Catalyst cannot FOLD: the first cut
+    * (`xxhash64(*).isNotNull`) was silently erased by NullPropagation
+    * — xxhash64 is non-nullable, so `IsNotNull` rewrote to
+    * `Literal(true)` and the trivially-true filter dropped out,
+    * letting count() prune exactly as before (caught by the post-fix
+    * sweep re-run, r14). A comparison against a non-literal pmod has
+    * no such rule (Catalyst does no integer range analysis), and the
+    * post-fix sweep plus an optimized-plan assertion in
+    * RegistrySpec pin it.
     */
   private def evalBarrier(df: DataFrame): DataFrame =
-    df.filter(xxhash64(df.columns.map(col): _*).isNotNull)
+    df.filter(pmod(xxhash64(df.columns.map(col): _*), lit(2L)) < lit(2L))
 
   val all: Map[String, Q] = {
     val raw = streamQueries ++ relationalQueries ++ LlmQueries.queries

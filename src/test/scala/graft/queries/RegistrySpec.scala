@@ -27,6 +27,22 @@ class RegistrySpec extends SparkSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("evaluation barriers survive optimization under count() pruning") {
+    // r14: the first barrier (`xxhash64(*).isNotNull`) was constant-
+    // folded by NullPropagation (xxhash64 is non-nullable) and the
+    // bench silently went back to timing pruned skeletons. This pins
+    // the current idiom: the barrier's hash must still be in the
+    // OPTIMIZED plan of the count-shaped aggregate Bench executes.
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("url_canon", "approx_distinct")) {
+      val opt = Queries.all(name)(spark, d).groupBy().count()
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("xxhash64"),
+        s"$name: the evaluation barrier folded out of the optimized " +
+          "plan — count() is timing a pruned skeleton again")
+    }
+  }
+
   test("every query has an oracle (no rows-only checks left)") {
     val noOracle = Queries.all.keySet -- Queries.oracles.keySet
     assert(noOracle.isEmpty,
