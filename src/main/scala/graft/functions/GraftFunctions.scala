@@ -104,6 +104,10 @@ object GraftFunctions {
   def bloomMightContain(hash: Column, bloom: GraftBloomFilter): Column =
     c(BloomMightContain(e(hash), bloom))
 
+  /** Always-true, non-pushable evaluation barrier over a bigint hash
+    * of a frame's output columns (see [[EvalBarrier]]). */
+  def evalBarrier(hash: Column): Column = c(EvalBarrier(e(hash)))
+
   /** SQ8 encode: per-dimension int8 codes of a quantized vector. */
   def sq8Encode(qvec: Column, maxs: Array[Long]): Column =
     c(Sq8Encode(e(qvec), maxs))

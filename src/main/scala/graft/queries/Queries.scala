@@ -5057,18 +5057,42 @@ object Queries {
     * now pays what a real consumer pays. One codegen'd hash per row
     * of overhead.
     *
-    * The predicate must be one Catalyst cannot FOLD: the first cut
-    * (`xxhash64(*).isNotNull`) was silently erased by NullPropagation
-    * — xxhash64 is non-nullable, so `IsNotNull` rewrote to
-    * `Literal(true)` and the trivially-true filter dropped out,
-    * letting count() prune exactly as before (caught by the post-fix
-    * sweep re-run, r14). A comparison against a non-literal pmod has
-    * no such rule (Catalyst does no integer range analysis), and the
-    * post-fix sweep plus an optimized-plan assertion in
-    * RegistrySpec pin it.
+    * The predicate must be one Catalyst can neither FOLD nor PUSH.
+    * History of the idiom (each failure caught by a NoopSweep/bench
+    * re-run and now pinned by RegistrySpec):
+    *  - v1 `xxhash64(*).isNotNull`: silently erased by
+    *    NullPropagation — xxhash64 is non-nullable, so `IsNotNull`
+    *    rewrote to `Literal(true)` and the filter dropped out.
+    *  - v2 `pmod(xxhash64(*), 2) < 2`: unfoldable, but DETERMINISTIC,
+    *    so PushPredicateThroughNonJoin pushed it below the row's
+    *    projection, substituting each alias with its defining
+    *    expression — for rows that fan one expensive kernel into many
+    *    output columns the predicate then held one kernel call PER
+    *    COLUMN, and FilterExec does no subexpression elimination:
+    *    gopher_repetition benched 24.1 s against a 0.48 s noop cost
+    *    (kernel evaluated ~25x per row). An over-measuring barrier is
+    *    as dishonest as a pruned one.
+    *  - v3 (current): [[graft.functions.EvalBarrier]] — an always-true
+    *    NON-DETERMINISTIC predicate over the same xxhash64 fold, PLUS
+    *    a nondeterministic salt column under the filter. The predicate
+    *    being nondeterministic is not enough: PushPredicateThroughNonJoin
+    *    gates the Project case on `fields.forall(_.deterministic)` — the
+    *    PROJECT's fields, not the condition — so any predicate is pushed
+    *    through an all-deterministic projection. Salting the projection
+    *    with `monotonically_increasing_id()` (referenced by the barrier
+    *    hash so pruning can't drop it) fails that gate, the filter stays
+    *    above the projection, and each kernel runs exactly once (the
+    *    projection's own subexpression elimination) — what a real
+    *    consumer pays. The outer select restores the original schema,
+    *    so Verify output is byte-identical.
     */
-  private def evalBarrier(df: DataFrame): DataFrame =
-    df.filter(pmod(xxhash64(df.columns.map(col): _*), lit(2L)) < lit(2L))
+  private def evalBarrier(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    df.withColumn("__barrier_salt", monotonically_increasing_id())
+      .filter(graft.functions.GraftFunctions.evalBarrier(
+        xxhash64((cols :+ "__barrier_salt").map(col): _*)))
+      .select(cols.map(col): _*)
+  }
 
   val all: Map[String, Q] = {
     val raw = streamQueries ++ relationalQueries ++ LlmQueries.queries
