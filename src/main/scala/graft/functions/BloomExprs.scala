@@ -9,6 +9,66 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
+/** A membership probe over 64-bit keys that may err only toward
+  * ACCEPTING (false positives allowed, false negatives never) — the
+  * contract a lossless candidate pre-filter needs: anything the probe
+  * drops is provably absent, anything it keeps is re-verified exactly
+  * downstream. Implementations: [[GraftBloomFilter]] (approximate,
+  * fixed bits), [[LongHashProbe]] (exact on the hash set),
+  * [[AcceptAllProbe]] (no filtering — turns a probing kernel into a
+  * plain extractor).
+  */
+trait LongProbe extends Serializable {
+  def mightContain(x: Long): Boolean
+}
+
+/** Accept-everything probe: mightContain is identically true. */
+case object AcceptAllProbe extends LongProbe {
+  override def mightContain(x: Long): Boolean = true
+}
+
+/** Exact open-addressed hash-set probe over a fixed key set: O(1)
+  * membership on a power-of-two table, zero false positives on the
+  * KEYS themselves (the keys being 64-bit hashes of strings, two
+  * distinct strings may still share a key — which is why callers
+  * re-verify survivors on the exact string). Built once on the
+  * driver from a bounded key set and shipped as a plan reference
+  * object, like [[GraftBloomFilter]].
+  */
+final class LongHashProbe(keys: Array[Long]) extends LongProbe {
+  private val cap: Int = {
+    var m = 16
+    while (m < keys.length * 2) m <<= 1
+    m
+  }
+  private val tab = new Array[Long](cap)
+  private var hasZero = false
+  locally {
+    var i = 0
+    while (i < keys.length) {
+      val x = keys(i)
+      if (x == 0L) hasZero = true
+      else {
+        var idx = (x ^ (x >>> 32)).toInt & (cap - 1)
+        while (tab(idx) != 0L && tab(idx) != x) idx = (idx + 1) & (cap - 1)
+        tab(idx) = x
+      }
+      i += 1
+    }
+  }
+  override def mightContain(x: Long): Boolean = {
+    if (x == 0L) return hasZero
+    var idx = (x ^ (x >>> 32)).toInt & (cap - 1)
+    while (true) {
+      val v = tab(idx)
+      if (v == x) return true
+      if (v == 0L) return false
+      idx = (idx + 1) & (cap - 1)
+    }
+    false
+  }
+}
+
 /** A fixed-size Bloom filter over 64-bit keys: `numHashes` probe
   * positions per key by double hashing (Kirsch–Mitzenmacher: pos_i =
   * h1 + i·h2 over two independent murmur-finalizer mixes), bit array
@@ -21,7 +81,7 @@ import org.apache.spark.sql.types._
   * bits-per-key (16 bits + 6 hashes ≈ 4e-4).
   */
 case class GraftBloomFilter(bits: Array[Long], numHashes: Int)
-    extends Serializable {
+    extends LongProbe {
   require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
     "bit array must be a power-of-two number of words")
   require(numHashes >= 1)

@@ -67,6 +67,11 @@ object GraftFunctions {
   def positionalShingles(text: Column, k: Int): Column =
     c(PositionalShingles(e(text), k))
 
+  /** Distinct k-word shingles whose xxhash64 passes `probe`, fused
+    * (see [[ShingleSurvivors]]); AcceptAllProbe = all distinct grams. */
+  def shingleSurvivors(text: Column, k: Int, probe: LongProbe): Column =
+    c(ShingleSurvivors(e(text), k, probe))
+
   /** Rolling 31-polynomial hash mod m (oracle-identical). */
   def polyHash(s: Column, m: Long): Column =
     c(PolyHash31(e(s), m))

@@ -1293,3 +1293,113 @@ case class PositionalShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression)
       : PositionalShingles = copy(child = newChild)
 }
+
+/** Fused probing shingle extractor: the DISTINCT k-word shingles of a
+  * document whose xxhash64 (seed 42, over the gram's UTF-8 bytes —
+  * bit-identical to `xxhash64(gram_string)`) passes a [[LongProbe]],
+  * emitted as strings in first-occurrence order. One byte-level loop
+  * per row replacing the
+  * `wordShingles → explode → filter(probe(xxhash64(g)))` pipeline the
+  * decontaminate family ran: token boundaries are the single-space
+  * positions of `split(text, " ", -1)` (a 0x20 byte never occurs
+  * inside a UTF-8 multi-byte sequence, so byte scanning finds the
+  * same boundaries), and a k-gram joined with single spaces is
+  * exactly the contiguous byte range from its first token's start to
+  * its last token's end — so gram hashing and distinctness run over
+  * byte ranges of the input with ZERO string materialization; only
+  * probe SURVIVORS are copied out. Distinctness is exact (byte
+  * compare on hash-table collision), matching `array_distinct` string
+  * semantics on valid UTF-8 input.
+  *
+  * With [[AcceptAllProbe]] this is a fused `wordShingles` (all
+  * distinct grams); with a [[GraftBloomFilter]] or [[LongHashProbe]]
+  * the non-matching grams — the overwhelming majority in a
+  * decontamination pass — never allocate anything.
+  *
+  * Docs shorter than k tokens → empty array, mirroring wordShingles.
+  */
+case class ShingleSurvivors(child: Expression, k: Int, probe: LongProbe)
+    extends UnaryExpression {
+  require(k > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_survivors"
+
+  private def regionEq(b: Array[Byte], s1: Int, s2: Int, len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      if (b(s1 + i) != b(s2 + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def compute(u: UTF8String): ArrayData = {
+    val b = u.getBytes
+    val n = b.length
+    var t = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) t += 1; i += 1 }
+    if (t < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](t)
+    var w = 1
+    i = 0
+    while (i < n) { if (b(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
+    val nG = t - k + 1
+    var cap = 16
+    while (cap < nG * 2) cap <<= 1
+    val hTab = new Array[Long](cap)
+    val sTab = new Array[Int](cap)
+    val lTab = new Array[Int](cap)
+    java.util.Arrays.fill(lTab, -1)
+    val out = new Array[Any](nG)
+    var m = 0
+    var g = 0
+    while (g < nG) {
+      val gs = starts(g)
+      val ge = if (g + k < t) starts(g + k) - 1 else n
+      val glen = ge - gs
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + gs, glen, 42L)
+      var idx = (h ^ (h >>> 32)).toInt & (cap - 1)
+      var isNew = false
+      var done = false
+      while (!done) {
+        if (lTab(idx) == -1) {
+          hTab(idx) = h; sTab(idx) = gs; lTab(idx) = glen
+          isNew = true; done = true
+        } else if (hTab(idx) == h && lTab(idx) == glen &&
+            regionEq(b, sTab(idx), gs, glen)) {
+          done = true
+        } else idx = (idx + 1) & (cap - 1)
+      }
+      if (isNew && probe.mightContain(h)) {
+        out(m) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, gs, ge))
+        m += 1
+      }
+      g += 1
+    }
+    val res = new Array[Any](m)
+    System.arraycopy(out, 0, res, 0, m)
+    new GenericArrayData(res)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleSurv", this,
+      classOf[ShingleSurvivors].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleSurvivors = copy(child = newChild)
+}

@@ -148,26 +148,50 @@ object CorpusOps {
         col("n_tokens").cast(DoubleType))
   }
 
+  /** r14 shape (values identical, measured 5.7 s → sub-second at
+    * sf0.1): the corpus-wide work is ONE fused byte-level kernel pass
+    * ([[graft.functions.ShingleSurvivors]]) that emits only the
+    * distinct train grams whose xxhash64 is in the EXACT hash set of
+    * the eval grams — a lossless candidate pre-filter (no false
+    * negatives by construction; 64-bit collisions are killed by the
+    * exact string join below, so the output is provably row-identical
+    * to the old explode-all-grams → broadcast-string-join plan). The
+    * old plan exploded every train gram as a STRING through an
+    * interpreted transform/concat_ws tree and probed the broadcast
+    * hash relation with all of them; now non-matching grams (the
+    * overwhelming majority) never materialize at all. The driver-side
+    * hash set is 8 bytes per eval gram — the same benchmark-sized
+    * bound the broadcast relation already carries. explode_outer
+    * keeps zero-hit train docs in the aggregate (one null-gram row
+    * that matches nothing), replacing the old second corpus scan +
+    * join-back.
+    */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    // floor BEFORE the shingle kernel + bloom probes: a one-partition
-    // scan serializes the whole train-side map stage (no-op at scale)
-    val sh = Parallelism.floor(docs).select(col(idCol),
-      TextOps.splitAssign(col(textCol)).as("split"),
-      TextOps.wordShingles(col(textCol), k).as("s"))
-    val evalGrams = sh.filter(col("split") === "test")
-      .select(explode(col("s")).as("g")).distinct()
-    val train = sh.filter(col("split") === "train")
-    // shingle arrays are distinct per doc, so count(*) after the gram
-    // join counts DISTINCT shared grams without a distinct shuffle
-    val hits = train.select(col(idCol), explode(col("s")).as("g"))
-      .join(broadcast(evalGrams), "g")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
-    train.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
+    import graft.functions.{AcceptAllProbe, GraftFunctions, LongHashProbe}
+    // floor BEFORE the shingle kernel + probes: a one-partition scan
+    // serializes the whole train-side map stage (no-op at scale)
+    val base = Parallelism.floor(docs)
+    val evalGrams = base
+      .filter(TextOps.splitAssign(col(textCol)) === "test")
+      .select(explode(GraftFunctions.shingleSurvivors(
+        col(textCol), k, AcceptAllProbe)).as("g"))
+      .distinct()
+    val probe = new LongHashProbe(
+      evalGrams.select(xxhash64(col("g")).as("h"))
+        .collect().map(_.getLong(0)))
+    val surv = base
+      .filter(TextOps.splitAssign(col(textCol)) === "train")
+      .select(col(idCol), explode_outer(GraftFunctions.shingleSurvivors(
+        col(textCol), k, probe)).as("g"))
+    // survivor arrays are distinct per doc and evalGrams is distinct,
+    // so count(matches) counts DISTINCT shared grams exactly
+    surv.join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("g"), "left")
+      .groupBy(col(idCol)).agg(count(col("__hit")).as("hits"))
       .select(col(idCol),
-        coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
-        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+        col("hits").as("n_contaminated_grams"),
+        (col("hits") > 0).as("contaminated"))
   }
 
   /** `decontaminate` with a Bloom pre-filter on the corpus-side gram
@@ -197,43 +221,54 @@ object CorpusOps {
   def evalGramBloom(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, bitsPerGram: Int = 16,
                     numHashes: Int = 6): graft.functions.GraftBloomFilter = {
-    import graft.functions.GraftBloom
+    import graft.functions.{AcceptAllProbe, GraftBloom, GraftFunctions}
     val evalGrams = Parallelism.floor(docs)
-      .select(TextOps.splitAssign(col(textCol)).as("split"),
-        TextOps.wordShingles(col(textCol), k).as("s"))
-      .filter(col("split") === "test")
-      .select(explode(col("s")).as("g")).distinct()
+      .filter(TextOps.splitAssign(col(textCol)) === "test")
+      .select(explode(GraftFunctions.shingleSurvivors(
+        col(textCol), k, AcceptAllProbe)).as("g"))
+      .distinct()
     val nEval = math.max(1L, evalGrams.count())
     GraftBloom.build(
       evalGrams.select(xxhash64(col("g")).as("h")), "h",
       GraftBloom.sizeBits(nEval, bitsPerGram), numHashes)
   }
 
+  /** r14 shape — see [[decontaminate]]: the bloom probe moved INSIDE
+    * the fused shingle kernel ([[graft.functions.ShingleSurvivors]]),
+    * so non-matching grams (1 − fp ≈ all of them) are rejected from a
+    * byte range without ever materializing a string; the exact
+    * broadcast string join over survivors is unchanged and keeps the
+    * output row-identical (same oracle as decontaminate). The 100 TB
+    * contract is unchanged too: a 10⁹-gram eval side is a 2 GB bloom
+    * probed at ~constant cost per gram, and the exact hash relation
+    * only ever sees the fp stream plus true hits.
+    */
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, bitsPerGram: Int = 16,
                          numHashes: Int = 6,
                          prebuilt: Option[graft.functions.GraftBloomFilter]
                            = None): DataFrame = {
-    import graft.functions.GraftFunctions
+    import graft.functions.{AcceptAllProbe, GraftFunctions}
     // floor BEFORE the shingle kernel + bloom probes: a one-partition
     // scan serializes the whole train-side map stage (no-op at scale)
-    val sh = Parallelism.floor(docs).select(col(idCol),
-      TextOps.splitAssign(col(textCol)).as("split"),
-      TextOps.wordShingles(col(textCol), k).as("s"))
-    val evalGrams = sh.filter(col("split") === "test")
-      .select(explode(col("s")).as("g")).distinct()
+    val base = Parallelism.floor(docs)
+    val evalGrams = base
+      .filter(TextOps.splitAssign(col(textCol)) === "test")
+      .select(explode(GraftFunctions.shingleSurvivors(
+        col(textCol), k, AcceptAllProbe)).as("g"))
+      .distinct()
     val bloom = prebuilt.getOrElse(
       evalGramBloom(docs, idCol, textCol, k, bitsPerGram, numHashes))
-    val train = sh.filter(col("split") === "train")
-    val hits = train.select(col(idCol), explode(col("s")).as("g"))
-      .filter(GraftFunctions.bloomMightContain(xxhash64(col("g")), bloom))
-      .join(broadcast(evalGrams), "g")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
-    train.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
+    val surv = base
+      .filter(TextOps.splitAssign(col(textCol)) === "train")
+      .select(col(idCol), explode_outer(GraftFunctions.shingleSurvivors(
+        col(textCol), k, bloom)).as("g"))
+    surv.join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("g"), "left")
+      .groupBy(col(idCol)).agg(count(col("__hit")).as("hits"))
       .select(col(idCol),
-        coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
-        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+        col("hits").as("n_contaminated_grams"),
+        (col("hits") > 0).as("contaminated"))
   }
 
   /** Global span dedup (C4-style): how much of each document is made

@@ -186,11 +186,13 @@ object StreamingPipelines {
     // hash domain must match the bloom build (xxhash64 over the STRING
     // shingle, CorpusOps.evalGramBloom) — not the splitmix-hashed
     // shingle kernel
+    // fused kernel (r14): grams hash and probe as byte ranges, no
+    // string materialization — a doc passes iff NO distinct gram's
+    // xxhash64 hits the bloom, exactly the old
+    // !exists(wordShingles, bloomMightContain(xxhash64)) predicate
     val decon = evalBloom.fold(scored) { bloom =>
-      scored.filter(!exists(
-        graft.ops.TextOps.wordShingles(col(textCol), 3),
-        g => graft.functions.GraftFunctions
-          .bloomMightContain(xxhash64(g), bloom)))
+      scored.filter(size(graft.functions.GraftFunctions
+        .shingleSurvivors(col(textCol), 3, bloom)) === 0)
     }
     nearDupSuppress(decon, tsCol, idCol, textCol, watermark)
   }

@@ -22,7 +22,11 @@ class KernelSpec extends SparkSuite {
 
   private lazy val texts: Seq[String] = {
     val edge = Seq("", " ", "  ", "a", "ab cd", "a  b", " lead", "trail ",
-      "aaaaa aaaaa aaaaa", "the quick brown fox jumps over the lazy dog")
+      "aaaaa aaaaa aaaaa", "the quick brown fox jumps over the lazy dog",
+      // multi-byte UTF-8 + repeated grams (byte-level kernels must
+      // match the String-world split/concat semantics here)
+      "héllo wörld héllo wörld héllo wörld",
+      "日本 語 の 文 日本 語 の 文", "a b a b a b a b")
     val gen = Gen.listOfN(300, text).sample.getOrElse(Nil)
     edge ++ gen
   }
@@ -153,6 +157,52 @@ class KernelSpec extends SparkSuite {
         size(TextOps.wordShingles(col("t"), 3)).as("s"), col("t"))
       .filter(col("k") =!= col("s")).collect()
     assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("ShingleSurvivors(AcceptAll) equals wordShingles exactly " +
+    "(values AND first-occurrence order) on every input") {
+    val bad = df.select(col("t"),
+        GraftFunctions.shingleSurvivors(col("t"), 3, AcceptAllProbe)
+          .as("k"),
+        TextOps.wordShingles(col("t"), 3).as("s"))
+      .filter(not(col("k") <=> col("s"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("ShingleSurvivors(probe) equals the explode-filter pipeline: " +
+    "exactly the distinct grams whose xxhash64 the probe accepts") {
+    // exact-hash-set probe over the grams of one reference text —
+    // survivors must be the filter of wordShingles by set membership
+    val s = spark
+    import s.implicits._
+    val keys = df.select(explode(
+        TextOps.wordShingles(col("t"), 3)).as("g"))
+      .filter(length(col("g")) % 2 === 0) // arbitrary half of the grams
+      .select(xxhash64(col("g"))).distinct().as[Long].collect()
+    val probe = new LongHashProbe(keys)
+    val bad = df.select(col("t"),
+        GraftFunctions.shingleSurvivors(col("t"), 3, probe).as("k"),
+        filter(TextOps.wordShingles(col("t"), 3),
+          g => length(g) % 2 === 0).as("s"))
+      .filter(not(col("k") <=> col("s"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(";")}")
+  }
+
+  test("ShingleSurvivors bloom probe never loses a true member") {
+    val s = spark
+    import s.implicits._
+    val hashes = df.select(explode(
+        TextOps.wordShingles(col("t"), 3)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+    val n = math.max(1L, hashes.count())
+    val bloom = GraftBloom.build(hashes, "h",
+      GraftBloom.sizeBits(n, 16), 6)
+    // every gram is a member, so the survivors must be ALL grams
+    val bad = df.select(col("t"),
+        GraftFunctions.shingleSurvivors(col("t"), 3, bloom).as("k"),
+        TextOps.wordShingles(col("t"), 3).as("s"))
+      .filter(not(col("k") <=> col("s"))).collect()
+    assert(bad.isEmpty, s"false negatives: ${bad.take(5).mkString(";")}")
   }
 
   test("SortedLongIntersectCount equals string-set intersection size") {
