@@ -130,12 +130,20 @@ object Dedup {
                                  setCol: String, threshold: Double,
                                  numPerms: Int, bands: Int,
                                  maxBucket: Int): DataFrame = {
-    val banded = sets
+    // one eager materialization of the hashed sets: the frame feeds
+    // the band explode AND both sides of the verify join — without it
+    // the gram kernel re-runs corpus-wide three times (~1 s of a
+    // 2.4 s dedup_corpus at sf0.1, worse for char grams). The verify
+    // joins' build side is the candidate list, so the stats-less
+    // checkpoint cannot mis-broadcast the corpus (the r11 linkage
+    // lesson checked).
+    val setsM = sets.localCheckpoint()
+    val banded = setsM
       .select(col(idCol), posexplode(
         GraftFunctions.minhashBands(col(setCol), numPerms, bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    verifyJaccard(bandPairs(banded, idCol, maxBucket), sets, idCol,
+    verifyJaccard(bandPairs(banded, idCol, maxBucket), setsM, idCol,
       setCol, threshold)
   }
 
@@ -312,6 +320,12 @@ object Dedup {
     * components that scales (GraphX-style propagation without the
     * framework); the DuckDB oracle replays the SAME round count, so
     * results match on any topology.
+    *
+    * Precondition: pair endpoints ⊆ ids (every caller passes either
+    * the pair universe itself or a superset) — the r14 linked-only
+    * propagation below re-attaches ids WITHOUT edges as their own
+    * component, but an edge endpoint MISSING from ids would now
+    * propagate its label where the all-ids form ignored it.
     */
   def componentMin(ids: DataFrame, pairs: DataFrame,
                    iters: Int = 4): DataFrame = {
@@ -322,7 +336,16 @@ object Dedup {
       // re-reads it — without this the candidate-generation subtree
       // would re-execute per round
       .persist()
-    var labels = ids.select(col("id"), col("id").as("comp"))
+    // r14: propagate over LINKED ids only (the golden_record r11
+    // lesson, now inside the operator so every caller inherits it).
+    // An id with no edge never appears in nbrMin, so its label is its
+    // own id after every round — carrying the full id universe
+    // through `iters` joins + eager checkpoints (dedupCorpus shipped
+    // all 50k docs through 4 rounds for a few hundred linked ones)
+    // buys nothing. Unlinked ids re-attach with comp = id at the end:
+    // results identical on any topology.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
     (1 to iters).foreach { _ =>
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
@@ -347,7 +370,11 @@ object Dedup {
     // labels is materialized by the eager checkpoint above, so the
     // cached edge set can be dropped without recomputing anything
     sym.unpersist()
-    labels
+    ids.select(col("id"))
+      .join(labels.select(col("id"), col("comp").as("__linked_comp")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__linked_comp"), col("id")).as("comp"))
   }
 
   /** N1/N2 end-to-end — corpus dedup: near-dup pairs (minhash-banded,
@@ -573,17 +600,41 @@ object Dedup {
                                 textCol: String, threshold: Double = 0.5,
                                 numPerms: Int = 128,
                                 bands: Int = 32): DataFrame = {
+    // eagerly materialized: feeds the band explode, the Bloom build
+    // and the verify join — without it the batch re-signs per consumer
     val bSets = batch
       .filter(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol),
         GraftFunctions.hashedWordShingles(col(textCol), 3).as("sh"))
+      .localCheckpoint()
     val bBands = bSets
       .select(col(idCol), posexplode(
         GraftFunctions.minhashBands(col("sh"), numPerms, bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+    // r14: Bloom pre-filter over the batch's band keys (guide §3.2).
+    // The r13 threshold-derived plan widened bands 32 → 250, so the
+    // batch posting list outgrew AQE's broadcast threshold and the
+    // documented "the corpus index never shuffles" contract silently
+    // broke — the candidate join shuffled ALL |corpus|·bands postings.
+    // A Bloom over the batch's fused band keys (16 bits/key, no false
+    // negatives; fp only admits extra postings that the exact
+    // (band_idx, band_hash) join then drops) broadcasts at ~2 bytes
+    // per batch posting and kills non-matching index postings IN THE
+    // SCAN, so the surviving index side is candidate-sized and AQE
+    // broadcasts it — neither the index nor the batch shuffles,
+    // restoring the O(|batch|·bands + candidates) contract at any
+    // corpus size.
+    def bandKey(c1: Column, c2: Column) = xxhash64(c1, c2)
+    val bKeys = bBands.select(
+      bandKey(col("band_idx"), col("band_hash")).as("k"))
+    val nKeys = math.max(1L, bKeys.count())
+    val bloom = graft.functions.GraftBloom.build(bKeys, "k",
+      graft.functions.GraftBloom.sizeBits(nKeys, 16), 6)
     val cands = index
       .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_hash"))
+      .filter(GraftFunctions.bloomMightContain(
+        bandKey(col("band_idx"), col("band_hash")), bloom))
       // no broadcast HINT on the batch side: the batch is small by
       // CONTRACT (a daily increment), not by structure — AQE
       // broadcasts the true size at runtime (keeping the index

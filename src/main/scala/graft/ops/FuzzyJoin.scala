@@ -236,16 +236,13 @@ object FuzzyJoin {
                             blockCol: String, catCol: String,
                             numCents: Column): DataFrame = {
     val ids = records.select(col(idCol).cast(LongType).as("id"))
-    // propagate labels over LINKED ids only — every min-label round
-    // joins the label frame, and linked ids are typically a small
-    // fraction of the table; singletons are their own component by
-    // definition and join back in one left join
-    val linkedIds = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id"))).distinct()
-    val comps = ids
-      .join(Dedup.componentMin(linkedIds, pairs)
-        .withColumnRenamed("comp", "__lc"), Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("__lc"), col("id")).as("comp"))
+    // componentMin propagates over LINKED ids internally (r14) and
+    // attaches singletons as their own component; passing the cheap
+    // record-id universe here means the (possibly expensive) pair
+    // lineage is evaluated exactly once, into componentMin's cached
+    // edge set — the previous caller-side linkedIds.distinct() wrapper
+    // re-executed the pair join a second time at attach
+    val comps = Dedup.componentMin(ids, pairs)
     val base = records.select(col(idCol).cast(LongType).as("id"),
         col(nameCol).as("nm"), col(blockCol).cast(LongType).as("blk"),
         col(catCol).as("cat"), numCents.as("num"))

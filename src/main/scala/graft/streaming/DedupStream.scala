@@ -130,6 +130,11 @@ object DedupStream {
           GraftFunctions.minhashBands(col("set_b"), numPerms, bands))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+    // (r14 note: a batch-replay-only Bloom prefilter of the index —
+    // the incrementalDedupWithIndex shape — was A/B-measured here and
+    // REVERTED: the replay's honest job is to mirror the streaming
+    // plan, which keeps the persisted unpruned index, and the bloom
+    // build cost exceeded the pruned-shuffle saving at fixture scale.)
     val cands = banded.join(
       persistIf(index.select(col(idCol).as("corpus_id"), col("band_idx"),
         col("band_hash"))),
