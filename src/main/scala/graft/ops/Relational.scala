@@ -707,19 +707,25 @@ object Relational {
     * the containment ratio (1.0 = a clean foreign key), and how many
     * CHILD ROWS are orphaned. The schema-discovery / ingest-quality
     * check run before trusting a join at 100 TB — a 0.94 containment
-    * means 6% of facts silently vanish from every inner join. Shape:
-    * distinct child keys (one shuffle) left-joined to distinct parent
-    * keys, plus one conditional row count; per-pair cost is
-    * O(distinct keys), not O(rows²).
+    * means 6% of facts silently vanish from every inner join. Shape
+    * (r14): per-key child counts FIRST (one map-side-combined shuffle
+    * of distinct keys — guide §2.3 "aggregate before you shuffle"),
+    * left-joined to distinct parent keys; both countDistincts become
+    * plain counts over the already-distinct key frame, so the old
+    * plan's two-distinct Expand (2× the child rows through the final
+    * aggregate) and the all-rows join disappear. Outputs identical:
+    * n_orphan_rows folds the per-key row counts of unmatched keys
+    * (null child keys match nothing, exactly as before).
     */
   def fkProfile(child: DataFrame, childCol: String, parent: DataFrame,
                 parentCol: String, label: String): DataFrame =
-    child.select(col(childCol).as("ck"))
+    child.groupBy(col(childCol).as("ck"))
+      .agg(count(lit(1)).as("n_rows"))
       .join(parent.select(col(parentCol).as("pk")).distinct(),
-        col("ck") === col("pk"), "left") // pk distinct → no fanout
-      .agg(countDistinct(col("ck")).as("n_child_keys"),
-        countDistinct(col("pk")).as("n_matched_keys"),
-        sum(when(col("pk").isNull, 1L).otherwise(0L))
+        col("ck") === col("pk"), "left") // both sides distinct → no fanout
+      .agg(count(col("ck")).as("n_child_keys"),
+        count(col("pk")).as("n_matched_keys"),
+        sum(when(col("pk").isNull, col("n_rows")).otherwise(0L))
           .as("n_orphan_rows"))
       .select(lit(label).as("fk"), col("n_child_keys"),
         col("n_matched_keys"),

@@ -5047,7 +5047,11 @@ object Queries {
     "scd2_build", "interpolate_gaps", "pit_join", "wordpiece",
     "pii_scrub", "price_quantiles_approx", "median_ci", "table_profile",
     "user_rolling_range", "setsim_probe_stream", "q1_pricing",
-    "url_canon")
+    "url_canon",
+    // r14 barrier-v3 sweep additions (count() pruning just over the
+    // 2x flag line): mrl_eval's per-prefix rerank arms and
+    // lsh_recall's verify arrays fold away under count
+    "mrl_eval", "lsh_recall")
 
   /** Evaluation barrier: an always-true filter on a hash of EVERY
     * output column — `pmod(xxhash64(*), 2) < 2` holds for every row
