@@ -53,9 +53,8 @@ class PlanQualitySpec extends SparkSuite {
     "hybrid_search",
     // rk stamp over an already-.limit(k) frame
     "late_interaction",
-    // the global-bounds window runs over the one-row-per-event-type
-    // frame (TimeSeries.interpolateGaps, the denseHourly shape)
-    "interpolate_gaps",
+    // (interpolate_gaps left the allowlist in r14: the consecutive-
+    // observed-pair rewrite has no unpartitioned window at all)
     // water-filling over per-SOURCE token caps — source cardinality
     "mixture_plan",
     // largest-remainder ranks over the same SOURCE census
